@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session configuration for the engine.
+  *
+  * Every entry point (Verify, Bench, tests) builds its session through here so
+  * the semantics-critical settings are uniform:
+  *
+  *   - `spark.sql.session.timeZone=UTC` — oracle comparisons are TZ-pinned.
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the driver's `events`
+  *     table stores `ts` as parquet TIMESTAMP(NANOS) which Spark cannot read
+  *     natively; we read raw nanos-since-epoch longs and convert with
+  *     [[Tables.events]] (floor to micros, matching DuckDB's read behavior).
+  *   - AQE on with skew-join handling — at 100 TB the runtime re-plan (shuffle
+  *     coalescing, skew splitting, dynamic broadcast) is what keeps the
+  *     declared plans efficient without hand-tuning per query.
+  */
+object GraftSession {
+
+  /** Apply engine-required confs to an existing builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for mains/tests. */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = math.max(cores, 4)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

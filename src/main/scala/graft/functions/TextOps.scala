@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives over string columns — tokenization, shingling,
+  * MinHash/SimHash signatures, language/quality heuristics, fingerprints.
+  *
+  * All built from codegen'd built-ins (split/transform/aggregate/xxhash64);
+  * the hash family is `xxhash64(token, seed)` which is deterministic across
+  * runs and partitionings.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (collapses runs of whitespace, trims ends). */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
+  /** Normalized text for exact dedup: lowercase, whitespace-collapsed. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Word n-gram shingles (distinct), e.g. n=3 for near-dup detection.
+    * Implemented with `transform` over token offsets — codegen, no UDF. */
+  def shingles(toks: Column, n: Int): Column = {
+    // positions 0 .. size-n; slice is 1-based
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_distinct(
+      transform(
+        sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, n))))
+  }
+
+  /** Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** MinHash signature: for seeds 0..k-1, the minimum `xxhash64(elem, seed)`
+    * over the set. Returns an array<long> of length k. Empty input => array
+    * of Long.MaxValue. */
+  def minHash(set: Column, k: Int): Column = {
+    val sigs = (0 until k).map { seed =>
+      coalesce(
+        array_min(transform(set, e => xxhash64(e, lit(seed)))),
+        lit(Long.MaxValue))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: `bands` slices of `rowsPerBand`
+    * signature entries, each hashed to one long. Docs sharing any band key are
+    * near-dup candidates — the join key that replaces the O(n^2) pair scan at
+    * scale. */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit(b))
+          .as("bucket"))
+    }: _*)
+
+  /** 64-bit SimHash over token multiset: sum +/-1 per bit weighted by token
+    * frequency, take sign. Computed bit-by-bit from xxhash64(token). */
+  def simHash(toks: Column): Column = {
+    // For each bit i: sum over tokens of (bit set ? 1 : -1); result bit = sum > 0
+    val bitCols = (0 until 64).map { i =>
+      val bitSum = aggregate(
+        toks,
+        lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two long columns (bit population of XOR). */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Rolling polynomial fingerprint over tokens: fold
+    * `acc = acc * 1000003 + xxhash64(token)` (wrapping long arithmetic).
+    * Order-sensitive — distinguishes permutations, unlike MinHash. */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Count of tokens matching a BPE-ish word/number/punct regex — a cheap,
+    * deterministic proxy for subword token counts. */
+  def approxBpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword ratio against a fixed dictionary (multiset semantics). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(sw, t))).cast("double")
+    when(size(toks) === 0, lit(0.0)).otherwise(hits / size(toks).cast("double"))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.!?,;:]", "")).cast("double")
+    when(length(text) === 0, lit(0.0)).otherwise(punct / length(text).cast("double"))
+  }
+
+  /** Heuristic document quality score in [0,1]: blend of length band, mean
+    * token length band, and punctuation sanity. Deterministic arithmetic over
+    * ints — reproducible in any SQL engine. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val meanLen = when(nTok === 0, 0.0).otherwise(length(text).cast("double") / nTok)
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val tokScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio(text) <= 0.1, 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + tokScore * 0.4 + punctScore * 0.2), 6)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `Array[Float]` embedding columns, built from Spark's
+  * codegen'd higher-order functions (`zip_with` / `aggregate`) — no UDFs, so
+  * the whole expression stays inside WholeStageCodegen.
+  *
+  * Accumulation is in Double, folding left-to-right in element order; this is
+  * deterministic (same result on every run/partitioning) because the fold is
+  * per-row, not a distributed aggregate.
+  */
+object VectorOps {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = normSq(a)
+    val nb = normSq(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / sqrt(na * nb))
+  }
+
+  /** Euclidean (L2) distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          diff * diff
+        }),
+        lit(0.0),
+        (acc, x) => acc + x))
+
+  /** Pre-normalized copy of a vector (unit L2); vectors should be normalized
+    * once up front so batch cosine reduces to a dot product — at 100 TB this
+    * halves the per-pair flops and lets the scan cache the normalized form. */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** Sign bucket for random-hyperplane LSH: the bit vector of
+    * `sign(dot(v, plane_i))` packed into a Long. `planes` must be a literal
+    * array-of-arrays column (the hyperplanes, broadcast by codegen). */
+  def hyperplaneBucket(v: Column, planes: Column): Column =
+    aggregate(
+      transform(planes, p => when(dot(v, p) >= 0.0, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, bit) => acc * 2 + bit)
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Scale notes (100 TB):
+  *   - exact dedup is one hash aggregation — fully shuffle-parallel;
+  *   - MinHash-LSH replaces the O(n^2) pair scan with an equi-join on band
+  *     buckets: cost is O(n * bands) rows through one shuffle, candidates are
+  *     verified with exact Jaccard only within buckets;
+  *   - SimHash pairs join on rotated prefix blocks; here (small corpus) we
+  *     block on the top 16 bits, which at real scale becomes the standard
+  *     multi-table rotation scheme.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: keep the smallest doc_id per group.
+    * Output: one row per input doc, with the id of the kept representative
+    * and the group size (group_size == 1 => unique). */
+  def exact(documents: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = documents.withColumn("_norm", TextOps.normalized(col(textCol)))
+    val groups = norm
+      .groupBy(col("_norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+    norm
+      .join(groups, "_norm")
+      .select(col(idCol), col("keep_id"), col("group_size"), (col(idCol) === col("keep_id")).as("is_kept"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * shingle(n) -> minhash(k) -> band(b x r) -> self-join on band bucket ->
+    * exact-Jaccard verification at `threshold`. Returns candidate pairs that
+    * verified, deduplicated: (doc_a < doc_b, jaccard).
+    */
+  def minHashLsh(
+      documents: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = documents
+      .select(
+        col(idCol).as("doc"),
+        TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", TextOps.minHash(col("sh"), numHashes))
+      .withColumn("band", explode(TextOps.lshBands(col("sig"), bands, r)))
+      .select(col("doc"), col("sh"), col("band"))
+    val pairs = sig.as("a")
+      .join(sig.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact pairwise shingle-Jaccard near-dup within blocking keys — the
+    * oracle-friendly exact variant (blocking bounds the pair count; at real
+    * scale the blocks come from LSH buckets instead). Pairs must share `lang`
+    * and be within `tokenSlack` tokens of each other. */
+  def exactJaccardPairs(
+      documents: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      tokenSlack: Int = 5): DataFrame = {
+    val d = documents.select(
+      col("doc_id"),
+      col("lang"),
+      TextOps.tokens(col("text")).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("sh", TextOps.shingles(col("toks"), shingleN))
+      .withColumn("nt_block", floor(col("nt") / (tokenSlack * 2)))
+    // join on (lang, coarse token-count block) then verify the slack exactly:
+    // the probe side explodes to {block-1, block, block+1} — with block width
+    // 2*tokenSlack, any pair within `tokenSlack` tokens lands in the same or
+    // an adjacent block regardless of which doc has the smaller id, so no
+    // qualifying pair is missed.
+    val probe = d.withColumn(
+      "nt_probe",
+      explode(array(col("nt_block") - 1, col("nt_block"), col("nt_block") + 1)))
+    val pairs = probe.as("a")
+      .join(
+        d.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.nt_probe") === col("b.nt_block") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.nt") - col("b.nt")) <= tokenSlack)
+      .dropDuplicates("a.doc_id", "b.doc_id")
+    pairs
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        TextOps.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, block on high 16 bits, verify by
+    * Hamming distance <= maxHamming. */
+  def simHashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val d = documents
+      .select(col("doc_id"), TextOps.simHash(TextOps.tokens(col("text"))).as("sh"))
+      .withColumn("block", shiftrightunsigned(col("sh"), 48))
+    d.as("a")
+      .join(d.as("b"), col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        TextOps.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared query: the Spark implementation plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL run by the driver on the same parquet.
+  *
+  * Result discipline (FIXTURES.md §2): total ORDER BY, every computed column
+  * aliased identically on both sides, money sums accumulated in decimal so
+  * results are independent of partitioning/row order, doubles produced by
+  * structurally identical expressions on both sides.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object QueryDef {
+
+  /** Order-independent exact sum for money-like doubles: accumulate as
+    * DECIMAL(30,10), return double. The per-row double expression is computed
+    * identically in Spark and DuckDB (same IEEE ops), the decimal cast rounds
+    * the same double the same way, and the decimal sum is exact — so the
+    * result is bit-identical regardless of row order or partitioning. */
+  def decSum(e: Column): Column = sum(e.cast(DecimalType(30, 10))).cast("double")
+
+  /** Matching DuckDB SQL for [[decSum]]. */
+  def decSumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,10))) AS DOUBLE)"
+
+  /** Exact average via decimal sum / count, both engines dividing the same
+    * two doubles. */
+  def decAvg(e: Column): Column = decSum(e) / count(lit(1)).cast("double")
+  def decAvgSql(e: String): String = s"${decSumSql(e)} / CAST(COUNT(*) AS DOUBLE)"
+
+  /** TPC-H revenue expression (same text in both engines). */
+  val revenueExpr: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  val revenueSql: String = "l_extendedprice * (1 - l_discount)"
+}

@@ -22,6 +22,10 @@ object GraftSession {
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4 defaults ANSI on; the engine needs wrapping long arithmetic
+      // (rolling fingerprints) and non-throwing casts, matching DuckDB's
+      // permissive evaluation in the oracle.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -43,7 +43,13 @@ object Tables {
     * reference, kv/db/write_batch.cpp:5-7). */
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsRaw(spark, dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // Integer division, NOT `/` (which is double division: nanos ~1.7e18
+      // exceed double's 2^53 exact range, so floor(ts/1000) can be off by
+      // 1us vs DuckDB's exact nanos->micros truncation). `ts_us` (micros
+      // since epoch, = DuckDB's epoch_us(ts)) is kept alongside for exact
+      // integer time arithmetic in range joins / frames.
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("is_delete", col("event_id") % 10 === 0)
 
   /** The changelog spec for [[events]]. */

@@ -44,8 +44,13 @@ object Aggregators {
       a
     }
     def finish(bits: Array[Long]): Array[Long] = bits
-    def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
-    def outputEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
+    // Native primitive-array encoder (UnsafeArrayData), NOT
+    // Encoders.javaSerialization: partial merges are hot-path at scale and
+    // must not round-trip Java serialization per merge.
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   object BloomOps {

@@ -23,12 +23,15 @@ object TextOps {
   /** Word n-gram shingles (distinct), e.g. n=3 for near-dup detection.
     * Implemented with `transform` over token offsets — codegen, no UDF. */
   def shingles(toks: Column, n: Int): Column = {
-    // positions 0 .. size-n; slice is 1-based
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(
-      transform(
-        sequence(lit(1), count),
-        i => concat_ws(" ", slice(toks, i, n))))
+    // positions 0 .. size-n; slice is 1-based. Guard count < 1: sequence(1, 0)
+    // would produce a DESCENDING [1, 0] (default step -1 when start > stop)
+    // and slice(toks, 0, n) throws — short docs get an empty shingle set.
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(1), count),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
   /** Jaccard similarity of two (distinct-element) array columns. */
@@ -85,6 +88,30 @@ object TextOps {
     * Order-sensitive — distinguishes permutations, unlike MinHash. */
   def fingerprint(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Language identification by stopword-hit counting: per language, count
+    * tokens present in a small function-word dictionary; predict the language
+    * with the most hits (ties broken alphabetically). A classic cheap n-gram/
+    * dictionary heuristic — deterministic, no model artifacts. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val dicts: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "auf", "fur", "von", "im", "den"),
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with", "as", "at"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "no", "con", "por", "los", "las", "para"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "les", "des", "du", "en", "que", "pour", "dans", "sur"),
+      "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这", "中", "大", "来", "上", "国"))
+    // greatest over (hits, priority, lang) structs: max hits wins, ties fall
+    // to the higher priority = alphabetically-first language.
+    val scored = dicts.zipWithIndex.map { case ((lang, words), idx) =>
+      val sw = array(words.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(sw, t))).as("hits"),
+        lit(dicts.size - idx).as("pri"),
+        lit(lang).as("lang"))
+    }
+    greatest(scored: _*).getField("lang")
+  }
 
   /** Count of tokens matching a BPE-ish word/number/punct regex — a cheap,
     * deterministic proxy for subword token counts. */

@@ -94,12 +94,14 @@ object Dedup {
           col("a.nt_probe") === col("b.nt_block") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.nt") - col("b.nt")) <= tokenSlack)
-      .dropDuplicates("a.doc_id", "b.doc_id")
-    pairs
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         TextOps.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      // dedup AFTER renaming: dropDuplicates resolves plain attribute names
+      // only, never alias-qualified ones
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

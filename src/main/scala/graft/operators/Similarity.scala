@@ -34,7 +34,7 @@ object Similarity {
       .withColumn("score", VectorOps.cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
   }
@@ -68,7 +68,7 @@ object Similarity {
       .withColumn("score", VectorOps.cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
   }

@@ -38,10 +38,17 @@ object ChangelogQueries {
       "q02_stream_ingest",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+        // file-stream sources need a directory; expose the single parquet
+        // file through a symlinked source dir
+        val srcDir = java.nio.file.Paths.get(tmp, "src")
+        java.nio.file.Files.createDirectories(srcDir)
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(dir, "events.parquet"))
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val q = Ingest.startChangelogIngest(
           s,
-          sourceDir = s"$dir/events.parquet",
+          sourceDir = srcDir.toString,
           schema = schema,
           sinkDir = s"$tmp/sink",
           checkpointDir = s"$tmp/ckpt",
@@ -155,7 +162,7 @@ object ChangelogQueries {
           bucketExpr = floor(col("user_id") / 10),
           byteExpr = length(col("props")) + length(col("event_type")) + lit(28)),
       Some("""SELECT CAST(floor(user_id / 10) AS BIGINT) AS bucket, COUNT(*) AS n_rows,
-             |       SUM(length(props) + length(event_type) + 28) AS approx_bytes
+             |       CAST(SUM(length(props) + length(event_type) + 28) AS BIGINT) AS approx_bytes
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // Q25: compaction rewrite with retention = oldest open snapshot (500):

@@ -1,0 +1,303 @@
+package graft.queries
+
+import graft.functions.{Aggregators, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** The LLM-data-pipeline + UDF surface (SURVEY.md §2.2 Q26–Q29, plus the
+  * multimodal plumbing): dedup (exact / n-gram Jaccard / MinHash-LSH /
+  * SimHash), embedding similarity search, text analysis, custom
+  * UDF/UDAF/UDTF, binary-column feature extraction.
+  *
+  * Oracle policy: everything deterministic and SQL-expressible gets a DuckDB
+  * oracle; sketch/LSH operators (recall < 1 by design) are verified in
+  * ScalaTest against their exact counterparts instead (recall assertions),
+  * and appear here as rows-only entries.
+  */
+object PipelineQueries {
+  import QueryDef._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Q26: typed UDAF (Aggregator) — exact weighted average with scaled-long
+    // accumulation: order/partitioning independent, map-side combinable.
+    QueryDef(
+      "q26_udaf_wavg",
+      (s, dir) => {
+        val wavg = udaf(new Aggregators.WeightedAvg)
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            wavg(col("l_extendedprice"), col("l_quantity").cast("long")).as("wavg_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             |    / (1000000.0 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)) AS wavg_price,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Q26b: scalar UDF surface — the reference's key codec (series‖ts packed
+    // keys, kv/db/dbformat.h:82-101) as an encode UDF, registered and used
+    // in a grouped query.
+    QueryDef(
+      "q26b_udf_keycodec",
+      (s, dir) => {
+        s.udf.register("encode_key", (u: Long, t: String) => s"$u|$t")
+        Tables.events(s, dir)
+          .groupBy(call_udf("encode_key", col("user_id"), col("event_type")).as("key"))
+          .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_seq"))
+          .orderBy("key")
+      },
+      Some("""SELECT concat(CAST(user_id AS VARCHAR), '|', event_type) AS key,
+             |       COUNT(*) AS n, max(event_id) AS max_seq
+             |FROM events GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // Q26c: bloom-filter build UDAF (the reference's filter-block analogue,
+    // kv/util/bloom.cpp:10-101) — bitsets OR-merge (distributive), output is
+    // the popcount per group. Deterministic but FNV-1a is not expressible in
+    // the oracle; cross-checked by BloomSpec membership properties.
+    QueryDef(
+      "q26c_udaf_bloom",
+      (s, dir) => {
+        val bloom = udaf(new Aggregators.BloomBuild(4096, 5))
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(bloom(col("user_id").cast("string")).as("bloom"))
+          .select(
+            col("event_type"),
+            expr("aggregate(transform(bloom, x -> CAST(bit_count(x) AS BIGINT)), 0L, (a, x) -> a + x)")
+              .as("bits_set"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // Q27: exact dedup on normalized text (lowercase, whitespace-collapsed):
+    // one hash aggregation + join back — fully shuffle-parallel.
+    QueryDef(
+      "q27_dedup_exact",
+      (s, dir) =>
+        Dedup.exact(Tables.documents(s, dir))
+          .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+             |           FROM documents),
+             |     g AS (SELECT norm, min(doc_id) AS keep_id, COUNT(*) AS group_size
+             |           FROM n GROUP BY norm)
+             |SELECT n.doc_id, g.keep_id, g.group_size, n.doc_id = g.keep_id AS is_kept
+             |FROM n JOIN g ON n.norm = g.norm ORDER BY n.doc_id""".stripMargin)),
+
+    // Q27b: exact n-gram (3-shingle) Jaccard near-dup pairs, blocked on
+    // (lang, token-count band). The Spark blocking (adjacent-band probe)
+    // provably misses no qualifying pair, so the oracle is the plain
+    // quadratic predicate.
+    QueryDef(
+      "q27b_dedup_jaccard",
+      (s, dir) =>
+        Dedup.exactJaccardPairs(Tables.documents(s, dir), shingleN = 3, threshold = 0.5, tokenSlack = 5)
+          .orderBy("doc_a", "doc_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, lang, len(toks) AS nt,
+             |         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+             |              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+             |                                  for i in range(1, len(toks) - 1)]) END AS sh
+             |  FROM d)
+             |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         CASE WHEN len(a.sh) + len(b.sh) = 0 THEN 0.0
+             |              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |                   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)))
+             |         END AS jaccard
+             |  FROM sh a JOIN sh b
+             |    ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.nt - b.nt) <= 5)
+             |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Q27c: MinHash-LSH near-dup pairs — the 100 TB path (banded equi-join,
+    // no quadratic scan). Probabilistic recall => no SQL oracle; DedupSpec
+    // asserts recall vs q27b's exact pairs.
+    QueryDef(
+      "q27c_dedup_minhash_lsh",
+      (s, dir) =>
+        Dedup.minHashLsh(Tables.documents(s, dir), shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          .orderBy("doc_a", "doc_b"),
+      None),
+
+    // Q27d: SimHash near-dup pairs (Hamming <= 6 on 64-bit signatures).
+    QueryDef(
+      "q27d_dedup_simhash",
+      (s, dir) =>
+        Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 6)
+          .orderBy("doc_a", "doc_b"),
+      None),
+
+    // Q28: brute-force top-k cosine similarity search — the exactness
+    // baseline: query batch broadcast, corpus streams partition-parallel.
+    QueryDef(
+      "q28_sim_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          corpus = emb,
+          queries = emb.filter(col("vec_id") < 8),
+          k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some("""SELECT q_id, n_id, rank, round(score, 6) AS score FROM (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |         CAST(row_number() OVER (
+             |           PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+             |                    / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             |                           * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) DESC,
+             |                    c.vec_id) AS BIGINT) AS rank,
+             |         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+             |           / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             |                  * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS score
+             |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Q28b: LSH-bucketed ANN — the scale path (bucketed probe, recall < 1 by
+    // design; SimilaritySpec measures recall vs q28's exact top-k).
+    QueryDef(
+      "q28b_sim_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(
+          corpus = emb,
+          queries = emb.filter(col("vec_id") < 8),
+          k = 5, dim = 64, numPlanes = 8)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // Q28c: embedding near-dup pairs over a blocking column (label).
+    QueryDef(
+      "q28c_sim_pairs",
+      (s, dir) =>
+        Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.25, blockCol = "label")
+          .orderBy("id_a", "id_b"),
+      Some("""SELECT id_a, id_b, round(score, 6) AS score FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |           / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+             |                  * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS score
+             |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |WHERE score >= 0.25 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Q29: corpus text statistics per language — byte/token counts with a
+    // BPE-ish subword proxy, all deterministic arithmetic.
+    QueryDef(
+      "q29_text_stats",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(octet_length(col("text")).cast("long")).as("sum_bytes"),
+            sum(size(toks).cast("long")).as("sum_toks"),
+            sum(TextOps.approxBpeTokenCount(col("text")).cast("long")).as("sum_bpe"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+             |  CAST(SUM(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS sum_toks,
+             |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Q29b: per-document quality scoring — length/token/punctuation heuristic
+    // blend, mirrored exactly in the oracle's double arithmetic.
+    QueryDef(
+      "q29b_text_quality",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+            TextOps.approxBpeTokenCount(col("text")).cast("long").as("n_bpe"),
+            round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+            TextOps.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+      Some("""WITH q AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_toks,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             |              / CAST(length(text) AS DOUBLE) END AS pr
+             |  FROM documents)
+             |SELECT doc_id, n_toks, n_bpe, round(pr, 6) AS punct_ratio,
+             |  round(
+             |    least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) * 0.4 +
+             |    (CASE WHEN n_toks != 0
+             |               AND CAST(length(text) AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 3
+             |               AND CAST(length(text) AS DOUBLE) / CAST(n_toks AS DOUBLE) <= 10
+             |          THEN 1.0 ELSE 0.5 END) * 0.4 +
+             |    (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Q29c: language identification (stopword-hit heuristic) vs the labeled
+    // lang column — confusion counts. Dictionary heuristic => rows-only;
+    // TextSpec asserts the classifier's determinism and coverage.
+    QueryDef(
+      "q29c_text_langid",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang"),
+      None),
+
+    // Q30: multimodal feature extraction — binary payload column decoded
+    // partition-parallel (FakeDecoder stub; real codec drops in without
+    // changing the plumbing). All-but-checksum is deterministic arithmetic
+    // over the payload byte length, so it oracles exactly.
+    QueryDef(
+      "q30_multimodal",
+      (s, dir) =>
+        Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, dir)))
+          .select(
+            col("doc_id"),
+            col("payload_len").cast("long").as("payload_len"),
+            col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(strlen(text) AS BIGINT) AS payload_len,
+             |  CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webm' END AS format,
+             |  CAST(64 + strlen(text) % 640 AS BIGINT) AS width,
+             |  CAST(64 + (strlen(text) * 7) % 480 AS BIGINT) AS height,
+             |  CAST(CASE WHEN strlen(text) % 3 = 2 THEN 1 + strlen(text) % 24 ELSE 1 END AS BIGINT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q30b: deterministic frame sampling (explode-to-frames shape).
+    QueryDef(
+      "q30b_multimodal_frames",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, dir))),
+          stride = 2)
+          .select(
+            col("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("doc_id", "frame_idx"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, strlen(text) AS n FROM documents WHERE strlen(text) % 3 = 2)
+             |SELECT doc_id, CAST(unnest(range(0, 1 + n % 24, 2)) AS BIGINT) AS frame_idx,
+             |       CAST(64 + n % 640 AS BIGINT) AS width,
+             |       CAST(64 + (n * 7) % 480 AS BIGINT) AS height
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+  )
+}

@@ -8,6 +8,7 @@ object Registry {
   val all: Seq[QueryDef] =
     ChangelogQueries.all ++
       RelationalQueries.all ++
+      StreamingQueries.all ++
       PipelineQueries.all
 
   def byName(name: String): QueryDef =

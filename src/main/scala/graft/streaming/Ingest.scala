@@ -1,10 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Structured-Streaming changelog ingest — the engine's write path.
   *
@@ -14,17 +13,51 @@ import org.apache.spark.sql.types.StructType
   *     committed by one leader);
   *   - sequence assignment: all rows of a batch get contiguous seqs stamped
   *     after the last committed seq (reference: WriteBatchInternal::SetSequence,
-  *     kv/db/db_impl.cpp:1418-1424). `monotonically_increasing_id` is NOT
-  *     contiguous, so seqs are `base + row_number() over (order by source
-  *     order)` computed per batch;
-  *   - durability/replay: the streaming checkpoint is the WAL+manifest
-  *     (reference: kv/db/log_writer.cpp, version_set.cpp) — on restart the
-  *     source replays from committed offsets, exactly-once into the sink.
+  *     kv/db/db_impl.cpp:1418-1424). Scale-safe: range-repartition on the
+  *     order columns, then `zipWithIndex` (per-partition counts + cumulative
+  *     offsets, one tiny driver array) — NO global single-partition window;
+  *   - the committed high-water mark lives in a tiny per-batch metadata file
+  *     (the manifest analogue, kv/db/version_set.cpp:920-1018), NOT derived
+  *     by rescanning the sink (which would make ingest O(total-data) per
+  *     batch);
+  *   - durability/replay: the streaming checkpoint is the WAL
+  *     (kv/db/log_writer.cpp); each batch writes to its own
+  *     `batch_id=<id>` directory with overwrite semantics, and the
+  *     mark file is keyed by batchId — so a crash-replayed batch rewrites
+  *     the same files with the same seqs: exactly-once materialization.
   */
 object Ingest {
 
+  /** Tiny driver-side high-water-mark log: one file per committed batch
+    * holding "batchId base count". Reading costs one directory listing of
+    * O(#batches) small files — independent of data volume. */
+  private[streaming] object Marks {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+
+    def read(markDir: String): Map[Long, (Long, Long)] = {
+      val p = Paths.get(markDir)
+      if (!Files.isDirectory(p)) Map.empty
+      else Files.list(p).iterator().asScala.flatMap { f =>
+        val parts = new String(Files.readAllBytes(f)).trim.split(" ")
+        if (parts.length == 3) Some(parts(0).toLong -> (parts(1).toLong, parts(2).toLong)) else None
+      }.toMap
+    }
+
+    def write(markDir: String, batchId: Long, base: Long, count: Long): Unit = {
+      val p = Paths.get(markDir)
+      Files.createDirectories(p)
+      // write-then-rename for atomicity
+      val tmp = p.resolve(s".$batchId.tmp")
+      Files.write(tmp, s"$batchId $base $count".getBytes)
+      Files.move(tmp, p.resolve(batchId.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Start a file-source changelog ingest: reads parquet files appearing under
-    * `sourceDir`, stamps contiguous seqs, appends to `sinkDir` as parquet.
+    * `sourceDir`, stamps contiguous seqs, appends to `sinkDir` as parquet
+    * (one `batch_id=<id>` directory per micro-batch).
     *
     * `orderCols` define the deterministic within-batch ordering used for seq
     * assignment (must be a total order on the batch, e.g. the upstream event
@@ -43,39 +76,55 @@ object Ingest {
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
 
-    val q = src.writeStream
+    src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        // read the sink's current max seq — snapshot state must come from the
-        // committed table, not driver memory (survives restarts)
-        val base: Long =
-          try {
-            val prev = spark.read.parquet(sinkDir)
-            if (prev.columns.contains("seq"))
-              prev.agg(max(col("seq"))).head().getAs[Any](0) match {
-                case null    => 0L
-                case l: Long => l
-              }
-            else 0L
-          } catch { case _: Throwable => 0L }
-        val w = Window.orderBy(orderCols.map(col): _*)
-        val stamped = batch
-          .withColumn("seq", lit(base) + row_number().over(w).cast("long"))
-          .withColumn("batch_id", lit(batchId))
-        // sortWithinPartitions = the reference's sorted-run flush
-        // (WriteLevel0Table, kv/db/db_impl.cpp:562-606)
-        stamped
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val marks = Marks.read(markDir)
+        // crash-replayed batch: reuse its recorded base so seqs are stable;
+        // fresh batch: base = max committed (base + count) so far
+        val base: Long = marks.get(batchId).map(_._1)
+          .getOrElse(marks.values.map { case (b, c) => b + c }.foldLeft(0L)(math.max))
+
+        // Contiguous seq assignment without a global window: range-partition
+        // by the order columns (global order across partition indices), sort
+        // within partitions, then per-partition counts -> cumulative offsets
+        // (one tiny driver array) -> stamp in mapPartitionsWithIndex.
+        // Fully parallel; the only driver-side data is one long per partition.
+        val sortedRdd = batch
+          .repartitionByRange(orderCols.map(col): _*)
           .sortWithinPartitions(orderCols.map(col): _*)
+          .rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val counts = sortedRdd
+          .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+          .collect()
+        val offsets = counts.scanLeft(0L)(_ + _)
+        val n = offsets.last
+        val outSchema = StructType(batch.schema.fields :+ StructField("seq", LongType, nullable = false))
+        val stamped = ss.createDataFrame(
+          sortedRdd.mapPartitionsWithIndex { (i, it) =>
+            var j = 0L
+            it.map { row =>
+              j += 1
+              Row.fromSeq(row.toSeq :+ (base + offsets(i) + j))
+            }
+          },
+          outSchema)
+        // per-batch directory + overwrite = idempotent replay (the sorted-run
+        // flush, WriteLevel0Table, kv/db/db_impl.cpp:562-606)
+        stamped
           .write
-          .mode("append")
-          .parquet(sinkDir)
+          .mode("overwrite")
+          .parquet(s"$sinkDir/batch_id=$batchId")
+        sortedRdd.unpersist(blocking = false)
+        Marks.write(markDir, batchId, base, n)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
       .start()
-    q
   }
 
   /** Tumbling/sliding event-time window aggregation with watermark — the
@@ -93,7 +142,10 @@ object Ingest {
       .fold(window(col(tsCol), windowDuration))(s => window(col(tsCol), windowDuration, s))
     withWm
       .groupBy(win.as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+          .cast("double").as("sum_value"))
       .select(
         col("w.start").as("w_start"),
         col("w.end").as("w_end"),
@@ -110,9 +162,40 @@ object Ingest {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n"))
 
-  /** Streaming stateful dedup on key columns with watermark-bounded state —
-    * the incremental form of the changelog collapse (keeps first occurrence;
-    * reference: memtable+iterator dedup, kv/db/db_iter.cpp:199-222). */
+  /** State for the streaming LWW upsert: newest (seq, value, tombstone) per
+    * key — the incremental form of the changelog collapse (reference:
+    * kv/db/db_iter.cpp:199-222, last-write-wins by sequence). */
+  final case class UpsertState(seq: Long, value: Double, isDelete: Boolean)
+  final case class UpsertRow(user_id: Long, event_type: String, seq: Long, value: Double, isDelete: Boolean)
+  final case class UpsertOut(user_id: Long, event_type: String, last_seq: Long, last_value: Double, is_delete: Boolean)
+
+  /** Streaming stateful LWW upsert view over a changelog stream: per
+    * (user_id, event_type) key, maintain the highest-seq row (tombstones
+    * included — readers filter), emitting the refreshed state each batch.
+    * `flatMapGroupsWithState` in Update mode; unlike `dropDuplicates` this
+    * is last-write-wins, not first-wins. */
+  def streamingUpsert(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val typed: Dataset[UpsertRow] = events
+      .selectExpr("user_id", "event_type", "event_id as seq", "value",
+        "(event_id % 10 = 0) as isDelete")
+      .as[UpsertRow](Encoders.product[UpsertRow])
+    typed
+      .groupByKey(r => (r.user_id, r.event_type))(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: (Long, String), rows: Iterator[UpsertRow], state: GroupState[UpsertState]) => {
+          val incoming = rows.maxBy(_.seq)
+          val cur = state.getOption
+          if (cur.forall(_.seq < incoming.seq)) {
+            state.update(UpsertState(incoming.seq, incoming.value, incoming.isDelete))
+            Iterator(UpsertOut(key._1, key._2, incoming.seq, incoming.value, incoming.isDelete))
+          } else Iterator.empty
+        })(Encoders.product[UpsertState], Encoders.product[UpsertOut])
+      .toDF()
+  }
+
+  /** Streaming stateful dedup on key columns with watermark-bounded state
+    * (keeps the first occurrence — Spark's built-in exactly-once dedup). */
   def streamingDedup(events: DataFrame, tsCol: String, watermark: String, keyCols: Seq[String]): DataFrame =
-    events.withWatermark(tsCol, watermark).dropDuplicates(keyCols :+ tsCol)
+    events.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
 }

@@ -39,33 +39,46 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
   }
 
-  /** LSH-bucketed ANN: corpus and queries bucketed by random-hyperplane sign
-    * hash; each query scans only matching buckets. `planes` are deterministic
-    * pseudo-random hyperplanes derived from a seed, so results are stable.
-    * Recall < 1.0; intended as the 100 TB path where a full scan per query
-    * batch is too expensive. */
+  /** Multi-table random-hyperplane LSH ANN — the 100 TB path where one full
+    * corpus scan per query batch is too expensive.
+    *
+    * Standard L-tables scheme: `numTables` independent hash tables of
+    * `planesPerTable` hyperplanes each. A corpus vector lands in one bucket
+    * per table (corpus rows fan out ×L through the shuffle — the classic
+    * space-for-recall trade); a query probes its bucket in every table and
+    * candidates are the union. For neighbors at angle θ the per-table
+    * collision probability is (1 - θ/π)^planesPerTable, so recall ≈
+    * 1 - (1 - p)^L — tuned by (L, planes) rather than a single hash
+    * (single-probe recall at 8 planes is ~1% on near-orthogonal data).
+    * Hyperplanes are seed-derived, so results are deterministic. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       dim: Int,
-      numPlanes: Int = 8,
+      numTables: Int = 16,
+      planesPerTable: Int = 4,
       seed: Long = 42L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val planes = typedLit(Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val tables = typedLit(Array.fill(numTables, planesPerTable, dim)(rnd.nextGaussian().toFloat))
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(
         col(idCol).as(id),
         col(vecCol).as(vec),
-        VectorOps.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+        posexplode(transform(tables, t => VectorOps.hyperplaneBucket(col(vecCol), t))))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
     val c = bucketed(corpus, "n_id", "n_vec")
     val q = bucketed(queries, "q_id", "q_vec")
-    val scored = c
-      .join(broadcast(q), Seq("bucket"))
+    val candidates = c
+      .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("score", VectorOps.cosine(col("q_vec"), col("n_vec")))
+      // a pair colliding in several tables is still one candidate
+      .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = candidates.withColumn("score", VectorOps.cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

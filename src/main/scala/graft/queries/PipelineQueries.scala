@@ -170,7 +170,7 @@ object PipelineQueries {
         Similarity.lshTopK(
           corpus = emb,
           queries = emb.filter(col("vec_id") < 8),
-          k = 5, dim = 64, numPlanes = 8)
+          k = 5, dim = 64, numTables = 16, planesPerTable = 4)
           .orderBy("q_id", "rank")
       },
       None),

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall/precision checks for the probabilistic dedup and ANN operators
+  * against their exact counterparts (LSH-family results cannot be DuckDB
+  * oracles — this is their correctness gate), plus exactness checks on
+  * crafted geometry.
+  */
+class DedupAndSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("exact dedup groups identical normalized texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello   World", "en"), (2L, "hello world", "en"),
+      (3L, "HELLO  world ", "en"), (4L, "something else", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1L, 3L, true)))
+    assert(out(2L) == ((1L, 3L, false)))
+    assert(out(3L) == ((1L, 3L, false)))
+    assert(out(4L) == ((4L, 1L, true)))
+  }
+
+  test("minHashLsh recall >= 0.9 vs exact Jaccard pairs at j >= 0.7 (documents)") {
+    // constant lang => exactJaccardPairs' lang blocking is a no-op, making it
+    // true all-pairs ground truth (minHashLsh does not block on lang)
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .withColumn("lang", lit("x"))
+    val exact = Dedup.exactJaccardPairs(docs, shingleN = 3, threshold = 0.7, tokenSlack = 1000)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(docs, shingleN = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicate documents")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+    // LSH verifies candidates with exact Jaccard, so precision is 1.0
+    assert(lsh.subsetOf(exact), "every LSH pair must pass the exact verification")
+  }
+
+  test("simHash finds exact duplicates and near-permutations at hamming <= 6") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base),                            // identical -> hamming 0
+      (3L, base + " extra"),                             // tiny edit
+      (4L, "completely different words about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical docs must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc must not pair: $pairs")
+  }
+
+  test("bruteForceTopK is exact on crafted geometry") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),   // closest to 0
+      (2L, Array(0f, 1f, 0f)),       // orthogonal
+      (3L, Array(-1f, 0f, 0f)),      // antipodal
+      (4L, Array(0.7f, 0.7f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L), s"neighbor order by cosine: ${out.toSeq}")
+  }
+
+  test("lshTopK (16 tables x 4 planes) recall@5 >= 0.5 vs brute force on embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5, dim = 64,
+      numTables = 16, planesPerTable = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // near-random 64-dim vectors are LSH's worst case (neighbors at ~60-70°);
+    // the floor catches regressions (e.g. bucket-sign bugs), not SOTA recall
+    assert(recall >= 0.5, s"LSH recall@5 = $recall")
+  }
+
+  test("vector ops: cosine/norm/l2 on known values") {
+    import spark.implicits._
+    val df = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("cos"),
+      VectorOps.norm(col("a")).as("na"),
+      VectorOps.l2Distance(col("a"), col("b")).as("d")).head()
+    assert(math.abs(r.getDouble(0) - 24.0 / 25.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(2.0)) < 1e-12)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{Aggregators, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the function library: text primitives (edge cases the
+  * oracle can't stress), the bloom UDAF (no false negatives + sane FPR),
+  * and the weighted-average UDAF's order independence.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("shingles: short documents yield empty sets, no crash") {
+    import spark.implicits._
+    val df = Seq("one", "one two", "one two three", "one two three four", "")
+      .toDF("text")
+    val out = df.select(size(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // "" tokenizes to [""] (1 token) -> 0 shingles
+    assert(out == Seq(0, 0, 1, 2, 0))
+  }
+
+  test("minhash is permutation-invariant; fingerprint is order-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g", "g f e d c b a"),
+      ("x y z", "z y x")).toDF("t1", "t2")
+    val r = df.select(
+      (TextOps.minHash(array_distinct(TextOps.tokens(col("t1"))), 16) ===
+        TextOps.minHash(array_distinct(TextOps.tokens(col("t2")))
+          .alias("x"), 16)).as("mh_eq"),
+      (TextOps.fingerprint(TextOps.tokens(col("t1"))) =!=
+        TextOps.fingerprint(TextOps.tokens(col("t2")))).as("fp_ne")).collect()
+    assert(r.forall(_.getBoolean(0)), "minhash must ignore order")
+    assert(r.forall(_.getBoolean(1)), "fingerprint must distinguish order")
+  }
+
+  test("hamming64 and simhash basics") {
+    import spark.implicits._
+    val df = Seq((0L, -1L)).toDF("a", "b")
+    assert(df.select(TextOps.hamming64(col("a"), col("b"))).head().getInt(0) == 64)
+    val same = Seq(("alpha beta gamma", "alpha beta gamma")).toDF("x", "y")
+    val h = same.select(TextOps.hamming64(
+      TextOps.simHash(TextOps.tokens(col("x"))),
+      TextOps.simHash(TextOps.tokens(col("y"))))).head().getInt(0)
+    assert(h == 0)
+  }
+
+  test("langId picks the dictionary language with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat and it was happy",
+      "der Hund ist nicht ein Tier mit der Katze und",
+      "el perro y la casa es que no con una").toDF("text")
+    val out = df.select(TextOps.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "de", "es"), s"got $out")
+  }
+
+  test("bloom UDAF: zero false negatives, FPR under 5% at 10 bits/key") {
+    import spark.implicits._
+    val keys = (0 until 1000).map(i => s"key_$i")
+    val bloomUdaf = udaf(new Aggregators.BloomBuild(10240, 7))
+    val bits = keys.toDF("k").repartition(8)
+      .agg(bloomUdaf(col("k"))).head().getAs[scala.collection.Seq[Long]](0).toArray
+    val fn = keys.count(k => !Aggregators.BloomOps.mightContain(bits, 10240, 7, k))
+    assert(fn == 0, "bloom filters must never false-negative")
+    val fp = (0 until 10000).count(i => Aggregators.BloomOps.mightContain(bits, 10240, 7, s"absent_$i"))
+    assert(fp < 500, s"FPR ${fp / 10000.0} too high")
+  }
+
+  test("WeightedAvg is independent of partitioning") {
+    import spark.implicits._
+    val wavg = udaf(new Aggregators.WeightedAvg)
+    val data = (1 to 500).map(i => (i * 1.5, (i % 7 + 1).toLong))
+    val expected = {
+      val num = data.map { case (v, w) => math.round(v * 1000000L) * w }.sum
+      val den = data.map(_._2).sum
+      num.toDouble / (1000000.0 * den)
+    }
+    for (parts <- Seq(1, 4, 13)) {
+      val got = data.toDF("v", "w").repartition(parts)
+        .agg(wavg(col("v"), col("w"))).head().getDouble(0)
+      assert(got == expected, s"parts=$parts: $got != $expected")
+    }
+  }
+
+  test("quality score stays in [0,1] and is deterministic") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val qs = docs.select(TextOps.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    val qs2 = docs.select(TextOps.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
+    assert(qs.sameElements(qs2))
+  }
+}

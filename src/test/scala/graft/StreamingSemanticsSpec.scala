@@ -1,0 +1,127 @@
+package graft
+
+import graft.streaming.Ingest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Streaming semantics: watermark late-row drop (the snapshot-horizon GC
+  * analogue, kv/db/db_impl.cpp:1044-1051), session gap behavior, stateful
+  * LWW upsert across micro-batches, and checkpoint restart recovery
+  * (the recovery_test.cpp:184-380 analogue).
+  */
+class StreamingSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  case class Ev(user_id: Long, event_type: String, event_id: Long, value: Double, ts: Timestamp)
+
+  test("watermark drops rows later than the horizon (append-mode window agg)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Ingest.windowedCounts(mem.toDF(), "ts", watermark = "30 minutes", windowDuration = "1 hour")
+    val name = "wm_test_sink"
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: rows in hour-0 and hour-2 -> watermark advances to 2h50m-30m
+      mem.addData(Ev(1, "click", 1, 1.0, ts(10)), Ev(1, "click", 2, 1.0, ts(170)))
+      q.processAllAvailable()
+      // batch 2: a late row in hour-0 (before watermark) must be DROPPED,
+      // a row in hour-2 (open window) must be kept
+      mem.addData(Ev(1, "click", 3, 100.0, ts(20)), Ev(1, "click", 4, 7.0, ts(175)))
+      q.processAllAvailable()
+      // batch 3: advance watermark far so hour-2 closes and emits
+      mem.addData(Ev(1, "click", 5, 1.0, ts(600)))
+      q.processAllAvailable()
+      val out = spark.table(name).select("w_start", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getDouble(2))).toSet
+      // hour-0 window: only the on-time row (late event_id=3 dropped);
+      // hour-2 window: both rows
+      assert(out.contains((0L, 1L, 1.0)), s"hour-0 must have exactly the on-time row: $out")
+      assert(out.contains((120L, 2L, 8.0)), s"hour-2 must contain both rows: $out")
+    } finally q.stop()
+  }
+
+  test("session windows merge by gap and split beyond it (streaming)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sess = Ingest.sessionCounts(mem.toDF(), "ts", watermark = "10 minutes", gap = "30 minutes")
+    val name = "sess_test_sink"
+    val q = sess.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // user 1: rows at 0, 29, 58 chain into ONE session (each gap < 30m);
+      // row at 120 starts a second session. user 2: single row.
+      mem.addData(
+        Ev(1, "a", 1, 0, ts(0)), Ev(1, "a", 2, 0, ts(29)), Ev(1, "a", 3, 0, ts(58)),
+        Ev(1, "a", 4, 0, ts(120)), Ev(2, "a", 5, 0, ts(5)))
+      q.processAllAvailable()
+      mem.addData(Ev(9, "a", 9, 0, ts(2000))) // advance watermark, close sessions
+      q.processAllAvailable()
+      val out = spark.table(name).select("user_id", "s_start", "s_end", "n").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      assert(out.contains((1L, 0L, 88L, 3L)), s"chained session 0..58+30: $out")
+      assert(out.contains((1L, 120L, 150L, 1L)), s"second session: $out")
+      assert(out.contains((2L, 5L, 35L, 1L)), s"user-2 session: $out")
+    } finally q.stop()
+  }
+
+  test("streaming LWW upsert: newest seq wins across micro-batches, tombstones tracked") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = "upsert_test_sink"
+    val q = Ingest.streamingUpsert(mem.toDF())
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      // seq%10==0 is the synthesized tombstone rule
+      mem.addData(Ev(1, "a", 5, 1.0, ts(0)), Ev(1, "a", 3, 9.0, ts(1))) // max 5 wins
+      q.processAllAvailable()
+      mem.addData(Ev(1, "a", 4, 2.0, ts(2))) // stale: no emission
+      q.processAllAvailable()
+      mem.addData(Ev(1, "a", 20, 3.0, ts(3))) // tombstone (20%10==0)
+      q.processAllAvailable()
+      val updates = spark.table(name)
+        .select("user_id", "event_type", "last_seq", "last_value", "is_delete").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      assert(updates.toSeq.sortBy(_._3) == Seq(
+        (1L, "a", 5L, 1.0, false),
+        (1L, "a", 20L, 3.0, true)), s"got ${updates.toSeq}")
+    } finally q.stop()
+  }
+
+  test("ingest recovers from checkpoint restart with identical seqs (recovery_test analogue)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rec_").toString
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .repartition(3).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = {
+      val q = Ingest.startChangelogIngest(
+        spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt",
+        orderCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    run()
+    val before = spark.read.parquet(s"$tmp/sink").select("event_id", "seq")
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(before.length == 1000)
+    assert(before.map(_._2).toSet == (1L to 1000L).toSet, "seqs contiguous 1..N")
+    // simulate crash after data write but before checkpoint commit: remove
+    // the last commit marker (and its local-FS crc sibling), restart
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    val after = spark.read.parquet(s"$tmp/sink").select("event_id", "seq")
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(before.sameElements(after), "replayed batch must be byte-identical (exactly-once)")
+  }
+}

@@ -46,18 +46,24 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = documents
+    val shingled = documents
       .select(
         col(idCol).as("doc"),
         TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("sig", TextOps.minHash(col("sh"), numHashes))
-      .withColumn("band", explode(TextOps.lshBands(col("sig"), bands, r)))
-      .select(col("doc"), col("sh"), col("band"))
-    val pairs = sig.as("a")
-      .join(sig.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    // The band self-join shuffles ONLY (doc, band) — the shingle arrays (the
+    // heavy payload) never ride the candidate-pair shuffle; they are
+    // re-attached per side afterwards by id-equi-joins. At 100 TB this is
+    // the difference between shuffling ids and shuffling the corpus.
+    val bandsDf = shingled
+      .withColumn("band", explode(TextOps.lshBands(TextOps.minHash(col("sh"), numHashes), bands, r)))
+      .select(col("doc"), col("band"))
+    val candidates = bandsDf.as("a")
+      .join(bandsDf.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    pairs
+    candidates
+      .join(shingled.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.Registry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the 100 TB design promises: filters
+  * and projections reach the parquet scan, dimension joins broadcast, the
+  * interval join never degenerates to a nested-loop/cartesian product,
+  * top-k lowers to TakeOrderedAndProject, and the LWW collapse stays an
+  * aggregate (map-side combinable), not a window sort.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  private def plan(name: String): String =
+    Registry.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: column pruning reaches the scan (ReadSchema excludes unused columns)") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("l_orderkey"), p.take(500))
+    assert(!p.contains("l_shipdate"), "unused column must not be read")
+  }
+
+  test("q03: predicate pushdown reaches the parquet scan") {
+    val p = plan("q03_range_scan")
+    assert(p.contains("PushedFilters"), p.take(800))
+    assert(p.contains("EqualTo(user_id,7)"), "user_id filter must be pushed to the scan")
+  }
+
+  test("q08: all three dimension joins are broadcast (fact side never shuffles to join)") {
+    val p = plan("q08_join_broadcast")
+    val n = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(n >= 3, s"expected >=3 BroadcastHashJoin, got $n")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join for broadcast dims")
+  }
+
+  test("q10: interval join is a bucketed equi-join, not a nested-loop scan") {
+    val p = plan("q10_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "interval join must not BNLJ")
+    assert(!p.contains("CartesianProduct"), "interval join must not cartesian")
+  }
+
+  test("q05: LWW collapse is an aggregate (partial combine), not a window sort") {
+    val p = plan("q05_lww_collapse")
+    assert(p.contains("max_by") || p.contains("ObjectHashAggregate"), p.take(800))
+    assert(!p.contains("Window"), "collapse must not use a window sort")
+  }
+
+  test("q17: global top-k lowers to TakeOrderedAndProject (no full sort)") {
+    val p = plan("q17_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q12: map-side partial aggregation + shipdate pushdown; codegen in final plan") {
+    val df = Registry.byName("q12_agg_hash").fn(spark, dir)
+    df.collect() // AQE final plan exists only post-execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), "aggregation must combine map-side")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), "filter must reach the scan")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("codegen id"), formatted.take(1200))
+  }
+}

@@ -25,10 +25,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val defs = Registry.headline
+    // SPARK_GRAFT_BENCH_ALL=1 -> every registered query; default headline.
+    // SPARK_GRAFT_REPS=n -> median of n timed reps (default 1).
+    // SPARK_GRAFT_ONLY=q1,q2 -> bench just those queries (dev iteration).
+    val defs = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        Registry.all.filter(d => keep(d.name))
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) Registry.all
+        else Registry.headline
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     // one untimed warmup pass (JIT + codegen + parquet footer caches)
-    defs.foreach(d => run(d.fn))
-    val results = defs.map(d => d.name -> run(d.fn))
+    val warmup = sys.env.get("SPARK_GRAFT_NO_WARMUP").isEmpty
+    if (warmup) defs.foreach(d => run(d.fn))
+    val results = defs.map { d =>
+      val times = (1 to reps).map(_ => run(d.fn)).filter(_ >= 0).sorted
+      val med = if (times.isEmpty) -1.0 else times(times.size / 2)
+      System.err.println(f"[bench] ${d.name}%-28s $med%8.3f s")
+      d.name -> med
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine introspection — the reference's `DB::GetProperty` /
+  * `GetApproximateSizes` surface (kv/db/db_impl.cpp:1621-1717: per-level
+  * file counts, sizes, read/write stats, memory usage) re-expressed as
+  * catalog/metadata queries over the engine's tables.
+  */
+object Stats {
+
+  /** Per-table storage stats: file count and on-disk bytes from the
+    * filesystem (the manifest analogue — no data scan), plus exact row
+    * counts (parquet footer metadata; Spark's count() never reads data
+    * pages). The reference's `num-files-at-level<N>` + `stats` properties. */
+  def tableStats(spark: SparkSession, sfDir: String, tables: Seq[String] = Tables.names): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(sfDir), spark.sparkContext.hadoopConfiguration)
+    val rows = tables.map { t =>
+      val path = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      val (nFiles, bytes) =
+        if (!fs.exists(path)) (0L, 0L)
+        else {
+          val it = fs.listFiles(path, true)
+          var n = 0L; var b = 0L
+          while (it.hasNext) { val f = it.next(); if (f.isFile) { n += 1; b += f.getLen } }
+          // single-file tables: listFiles on a file returns the file itself
+          if (n == 0L && fs.getFileStatus(path).isFile) { n = 1; b = fs.getFileStatus(path).getLen }
+          (n, b)
+        }
+      val nRows = spark.read.parquet(s"$sfDir/$t.parquet").count()
+      (t, nFiles, bytes, nRows)
+    }
+    spark.createDataFrame(rows).toDF("table_name", "n_files", "bytes", "n_rows")
+      .orderBy("table_name")
+  }
+
+  /** Exact row counts per table — the oracle-checkable slice of the stats
+    * surface. */
+  def rowCounts(spark: SparkSession, sfDir: String, tables: Seq[String] = Tables.names): DataFrame =
+    tables.map(t =>
+        Tables.load(spark, sfDir, t).groupBy(lit(t).as("table_name")).agg(count(lit(1)).as("n_rows")))
+      .reduce(_.unionByName(_))
+      .orderBy("table_name")
+
+  /** `GetProperty`-style key/value engine properties (versions + the
+    * semantics-critical session confs). */
+  def engineProperties(spark: SparkSession): Map[String, String] = Map(
+    "graft.spark.version" -> spark.version,
+    "graft.shuffle.partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+    "graft.aqe.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+    "graft.session.timezone" -> spark.conf.get("spark.sql.session.timeZone"),
+    "graft.ansi.enabled" -> spark.conf.get("spark.sql.ansi.enabled"),
+    "graft.broadcast.threshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+}

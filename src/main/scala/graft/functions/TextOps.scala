@@ -65,19 +65,27 @@ object TextOps {
           .as("bucket"))
     }: _*)
 
-  /** 64-bit SimHash over token multiset: sum +/-1 per bit weighted by token
-    * frequency, take sign. Computed bit-by-bit from xxhash64(token). */
-  def simHash(toks: Column): Column = {
-    // For each bit i: sum over tokens of (bit set ? 1 : -1); result bit = sum > 0
+  /** 64-bit SimHash from PRE-HASHED tokens (`array<long>`): per bit, sum
+    * +/-1 over the hash bits, take sign. Callers hash each token exactly
+    * once (`transform(toks, xxhash64)`), ideally materialized as its own
+    * column — hashing dominates the fold, so re-hashing per bit (64x) is
+    * the difference between seconds and minutes on a large corpus. */
+  def simHashFromHashes(hashes: Column): Column = {
     val bitCols = (0 until 64).map { i =>
       val bitSum = aggregate(
-        toks,
+        hashes,
         lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** 64-bit SimHash over a token multiset (convenience form; for corpus-scale
+    * use, materialize `transform(toks, xxhash64)` once and call
+    * [[simHashFromHashes]]). */
+  def simHash(toks: Column): Column =
+    simHashFromHashes(transform(toks, t => xxhash64(t)))
 
   /** Hamming distance between two long columns (bit population of XOR). */
   def hamming64(a: Column, b: Column): Column =

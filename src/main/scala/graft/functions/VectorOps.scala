@@ -27,12 +27,17 @@ object VectorOps {
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = normSq(a)
-    val nb = normSq(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / sqrt(na * nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, normSq(a), normSq(b))
+
+  /** Cosine with PRE-COMPUTED squared norms. For pairwise scoring,
+    * materialize `normSq(vec)` once per row and pass it here: norms are 2/3
+    * of the per-pair flops, so this is ~3x fewer operations than [[cosine]]
+    * on all-pairs workloads — with bit-identical results (same dot/sqrt
+    * arithmetic, the norm is just computed once instead of per pair). */
+  def cosineWithNorms(a: Column, b: Column, naSq: Column, nbSq: Column): Column =
+    when(naSq === 0.0 || nbSq === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / sqrt(naSq * nbSq))
 
   /** Euclidean (L2) distance. */
   def l2Distance(a: Column, b: Column): Column =

@@ -50,18 +50,32 @@ object Dedup {
       .select(
         col(idCol).as("doc"),
         TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
-    // The band self-join shuffles ONLY (doc, band) — the shingle arrays (the
-    // heavy payload) never ride the candidate-pair shuffle; they are
-    // re-attached per side afterwards by id-equi-joins. At 100 TB this is
-    // the difference between shuffling ids and shuffling the corpus.
-    val bandsDf = shingled
-      .withColumn("band", explode(TextOps.lshBands(TextOps.minHash(col("sh"), numHashes), bands, r)))
-      .select(col("doc"), col("band"))
+    val sigs = shingled.select(col("doc"), TextOps.minHash(col("sh"), numHashes).as("sig"))
+    // The band self-join shuffles ONLY (doc, band) — neither signatures nor
+    // shingle arrays ride the candidate-pair shuffle. At 100 TB this is the
+    // difference between shuffling ids and shuffling the corpus.
+    val bandsDf = sigs
+      .select(col("doc"), explode(TextOps.lshBands(col("sig"), bands, r)).as("band"))
     val candidates = bandsDf.as("a")
       .join(bandsDf.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    candidates
+    // Two-stage verification. Chance band collisions explode on corpora with
+    // high baseline similarity (shared vocabulary), so first estimate
+    // Jaccard from the signatures already computed (64 longs per side, one
+    // codegen'd zip) and keep the margin conservative: est stddev is
+    // sqrt(j(1-j)/k) ~= 0.06 at k=64, margin 0.2 > 3 sigma. Only survivors
+    // pay the exact shingle-intersection verify.
+    val estimated = candidates
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+      .filter(col("est") >= threshold - 0.2)
+      .select("doc_a", "doc_b")
+    estimated
       .join(shingled.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
@@ -113,10 +127,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, block on high 16 bits, verify by
-    * Hamming distance <= maxHamming. */
+    * Hamming distance <= maxHamming. Token hashes are materialized once per
+    * document (their own projection) so the 64 bit-folds share them. */
   def simHashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
     val d = documents
-      .select(col("doc_id"), TextOps.simHash(TextOps.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("_hs"))
+      .select(col("doc_id"), TextOps.simHashFromHashes(col("_hs")).as("sh"))
       .withColumn("block", shiftrightunsigned(col("sh"), 48))
     d.as("a")
       .join(d.as("b"), col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))

@@ -27,11 +27,14 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorOps.normSq(col(vecCol)).as("q_nsq"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorOps.normSq(col(vecCol)).as("n_nsq"))
     val scored = c
       .join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("score", VectorOps.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -63,22 +66,24 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val tables = typedLit(Array.fill(numTables, planesPerTable, dim)(rnd.nextGaussian().toFloat))
-    def bucketed(df: DataFrame, id: String, vec: String) =
+    def bucketed(df: DataFrame, id: String, vec: String, nsq: String) =
       df.select(
         col(idCol).as(id),
         col(vecCol).as(vec),
+        VectorOps.normSq(col(vecCol)).as(nsq),
         posexplode(transform(tables, t => VectorOps.hyperplaneBucket(col(vecCol), t))))
         .withColumnRenamed("pos", "tbl")
         .withColumnRenamed("col", "bucket")
-    val c = bucketed(corpus, "n_id", "n_vec")
-    val q = bucketed(queries, "q_id", "q_vec")
+    val c = bucketed(corpus, "n_id", "n_vec", "n_nsq")
+    val q = bucketed(queries, "q_id", "q_vec", "q_nsq")
     val candidates = c
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       // a pair colliding in several tables is still one candidate
-      .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"))
+      .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq"))
       .dropDuplicates("q_id", "n_id")
-    val scored = candidates.withColumn("score", VectorOps.cosine(col("q_vec"), col("n_vec")))
+    val scored = candidates.withColumn("score", VectorOps.cosineWithNorms(
+      col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -95,10 +100,12 @@ object Similarity {
       blockCol: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol), col(vecCol), col(blockCol))
+    val c = corpus.select(col(idCol), col(vecCol), col(blockCol),
+      VectorOps.normSq(col(vecCol)).as("_nsq"))
     c.as("a")
       .join(c.as("b"), col(s"a.$blockCol") === col(s"b.$blockCol") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("score", VectorOps.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col(s"a.$vecCol"), col(s"b.$vecCol"), col("a._nsq"), col("b._nsq")))
       .filter(col("score") >= threshold)
       .select(
         col(s"a.$idCol").as("id_a"),

@@ -165,6 +165,23 @@ object ChangelogQueries {
              |       CAST(SUM(length(props) + length(event_type) + 28) AS BIGINT) AS approx_bytes
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // O16 introspection: exact per-table row counts — the oracle-checkable
+    // slice of the GetProperty stats surface (full file/byte stats are
+    // rows-only in q31b below, filesystem facts DuckDB can't see).
+    QueryDef(
+      "q31_row_counts",
+      (s, dir) => graft.core.Stats.rowCounts(s, dir),
+      Some(graft.core.Tables.names.sorted
+        .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"))),
+
+    // O15/O16: file counts + on-disk bytes + rows per table (manifest-style
+    // metadata, no data scan). Deterministic but filesystem-derived.
+    QueryDef(
+      "q31b_table_stats",
+      (s, dir) => graft.core.Stats.tableStats(s, dir),
+      None),
+
     // Q25: compaction rewrite with retention = oldest open snapshot (500):
     // keep rows with seq > 500 plus, per key, the newest non-tombstone row
     // with seq <= 500. Reads at any snapshot >= 500 are unchanged.

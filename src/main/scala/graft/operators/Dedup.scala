@@ -97,31 +97,34 @@ object Dedup {
       col("lang"),
       TextOps.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
-      .withColumn("sh", TextOps.shingles(col("toks"), shingleN))
       .withColumn("nt_block", floor(col("nt") / (tokenSlack * 2)))
+    val shingled = d.select(col("doc_id"), TextOps.shingles(col("toks"), shingleN).as("sh"))
     // join on (lang, coarse token-count block) then verify the slack exactly:
     // the probe side explodes to {block-1, block, block+1} — with block width
     // 2*tokenSlack, any pair within `tokenSlack` tokens lands in the same or
     // an adjacent block regardless of which doc has the smaller id, so no
-    // qualifying pair is missed.
-    val probe = d.withColumn(
+    // qualifying pair is missed. Only (id, lang, nt) ride the blocking join
+    // (the probe side is 3x-exploded); shingle arrays are re-attached by id
+    // afterwards.
+    val ids = d.select(col("doc_id"), col("lang"), col("nt"), col("nt_block"))
+    val probe = ids.withColumn(
       "nt_probe",
       explode(array(col("nt_block") - 1, col("nt_block"), col("nt_block") + 1)))
     val pairs = probe.as("a")
       .join(
-        d.as("b"),
+        ids.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.nt_probe") === col("b.nt_block") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.nt") - col("b.nt")) <= tokenSlack)
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        TextOps.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       // dedup AFTER renaming: dropDuplicates resolves plain attribute names
       // only, never alias-qualified ones
       .dropDuplicates("doc_a", "doc_b")
     pairs
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -20,7 +20,8 @@ object GraftSession {
 
   /** Apply engine-required confs to an existing builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.withExtensions(new graft.plans.GraftExtensions()(_))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Spark 4 defaults ANSI on; the engine needs wrapping long arithmetic
       // (rolling fingerprints) and non-throwing casts, matching DuckDB's

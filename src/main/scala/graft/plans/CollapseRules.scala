@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule rewriting the top-row-per-key window pattern
+  *
+  * {{{ Project(p, Filter(rn = 1, Window(rn <- row_number over (partition by k order by s), child))) }}}
+  *
+  * into a `max_by`/`min_by` hash aggregation
+  *
+  * {{{ Project(p, Project(k ++ newest.*, Aggregate(k, max_by(struct(others), s), child))) }}}
+  *
+  * — the reference's MVCC collapse (kv/db/db_iter.cpp:191-228) in its
+  * cheapest distributed form: a hash aggregate gets map-side partial
+  * aggregation, so each map task emits one candidate row per key and the
+  * shuffle carries ~|keys| rows instead of the full version history. A
+  * window sort shuffles and sorts everything. At changelog scale (hot keys,
+  * long histories) this is the dominant cost of the collapse.
+  *
+  * Safety conditions (else no rewrite):
+  *   - exactly one window expression, a bare `row_number()`;
+  *   - the filter is `rn = 1` / `rn <= 1` and nothing above references rn
+  *     (guaranteed by matching the enclosing Project);
+  *   - partition and order keys are plain attributes, one common sort
+  *     direction (desc -> max_by, asc -> min_by).
+  *
+  * Tie semantics: the window picks an arbitrary row among equal order keys;
+  * `max_by` over a single struct likewise picks one row atomically (never a
+  * column mix), so determinism is unchanged — and changelog seqs are unique
+  * by construction (kv/db/dbformat.h:63-67).
+  */
+object CollapseWindowToMaxBy extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Is `e` the `rn = 1` / `rn <= 1` predicate on `rn`? */
+  private def isRnOne(e: Expression, rn: Attribute): Boolean = e match {
+    case EqualTo(a: Attribute, Literal(1, _)) => a.exprId == rn.exprId
+    case EqualTo(Literal(1, _), a: Attribute) => a.exprId == rn.exprId
+    case LessThanOrEqual(a: Attribute, Literal(1, _)) => a.exprId == rn.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList,
+          Filter(cond,
+            Window(Seq(rnAlias @ Alias(WindowExpression(_: RowNumber, spec), _)), partSpec, orderSpec, child, _)))
+        if spec.partitionSpec == partSpec && spec.orderSpec == orderSpec
+          && partSpec.nonEmpty && partSpec.forall(_.isInstanceOf[Attribute])
+          && orderSpec.nonEmpty && orderSpec.forall(_.child.isInstanceOf[Attribute])
+          && (orderSpec.forall(_.direction == Descending) || orderSpec.forall(_.direction == Ascending))
+          // null-ordering parity: the order key is struct-wrapped below, and
+          // struct comparison places null FIELDS smallest — which matches the
+          // window only for the default orderings (DESC NULLS LAST / ASC
+          // NULLS FIRST). Non-default null placement => no rewrite.
+          && orderSpec.forall(s =>
+            (s.direction == Descending && s.nullOrdering == NullsLast) ||
+              (s.direction == Ascending && s.nullOrdering == NullsFirst)) => {
+      val rn = rnAlias.toAttribute
+      // other predicates may have been merged into the rn filter (e.g. the
+      // tombstone filter); keep them as a residual filter over the aggregate
+      val (rnPreds, residual) = splitConjunctivePredicates(cond).partition(isRnOne(_, rn))
+      val keys = partSpec.map(_.asInstanceOf[Attribute])
+      val others = child.output.filterNot(a => keys.exists(_.exprId == a.exprId))
+      val safe = rnPreds.nonEmpty &&
+        residual.forall(!_.references.contains(rn)) &&
+        !projList.exists(_.references.contains(rn)) &&
+        others.nonEmpty
+      if (!safe) p
+      else {
+        // ALWAYS struct-wrap the order key: max_by/min_by silently drop rows
+        // whose bare order key is NULL, but a struct with null fields is
+        // non-null and ordered nulls-smallest — preserving the window's
+        // pick-one-row-per-group semantics even for groups whose order keys
+        // are all null (e.g. the unmatched side of an outer join).
+        val orderKey = CreateStruct(orderSpec.map(_.child))
+        val payload = CreateStruct(others)
+        val agg =
+          if (orderSpec.head.direction == Descending) MaxBy(payload, orderKey)
+          else MinBy(payload, orderKey)
+        val newestAlias = Alias(
+          AggregateExpression(agg, Complete, isDistinct = false), "_graft_newest")()
+        val aggregate = Aggregate(keys, keys :+ newestAlias, child)
+        // re-expose the child's columns under their ORIGINAL exprIds so the
+        // enclosing Project's references keep resolving
+        val restore = keys ++ others.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(newestAlias.toAttribute, i, Some(a.name)), a.name)(exprId = a.exprId)
+        }
+        val restored: LogicalPlan = Project(restore, aggregate)
+        val filtered = residual.reduceOption(And).map(Filter(_, restored)).getOrElse(restored)
+        Project(projList, filtered)
+      }
+    }
+  }
+}
+
+/** SparkSessionExtensions hook: `GraftSession` injects this so every plan
+  * built through the engine gets the collapse rewrite. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => CollapseWindowToMaxBy)
+}

@@ -67,10 +67,17 @@ object TextOps {
 
   /** 64-bit SimHash from PRE-HASHED tokens (`array<long>`): per bit, sum
     * +/-1 over the hash bits, take sign. Callers hash each token exactly
-    * once (`transform(toks, xxhash64)`), ideally materialized as its own
-    * column — hashing dominates the fold, so re-hashing per bit (64x) is
-    * the difference between seconds and minutes on a large corpus. */
-  def simHashFromHashes(hashes: Column): Column = {
+    * once (`transform(toks, xxhash64)`) — hashing dominates the fold, so
+    * re-hashing per bit (64x) is the difference between seconds and minutes
+    * on a large corpus. Lowers to the native single-pass codegen'd
+    * [[graft.plans.SimHash64]] expression (registered by GraftExtensions). */
+  def simHashFromHashes(hashes: Column): Column =
+    call_function("graft_simhash64", hashes)
+
+  /** Reference implementation of [[simHashFromHashes]] built purely from
+    * higher-order built-ins (64 folds); kept for equivalence testing of the
+    * native expression. */
+  def simHashFromHashesHof(hashes: Column): Column = {
     val bitCols = (0 until 64).map { i =>
       val bitSum = aggregate(
         hashes,

@@ -97,8 +97,16 @@ object CollapseWindowToMaxBy extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** SparkSessionExtensions hook: `GraftSession` injects this so every plan
-  * built through the engine gets the collapse rewrite. */
+  * built through the engine gets the collapse rewrite and the engine's
+  * native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseWindowToMaxBy)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children.head)))
+  }
 }

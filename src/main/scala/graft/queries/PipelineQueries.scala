@@ -74,6 +74,27 @@ object PipelineQueries {
       },
       None),
 
+    // Q26d: UDTF surface — a Scala UDF returning array<struct> exploded by
+    // the Generate operator (flatMap shape, no shuffle): JSON props -> one
+    // row per key/value pair.
+    QueryDef(
+      "q26d_udtf_explode",
+      (s, dir) => {
+        val kvs = udf((props: String) =>
+          props.stripPrefix("{").stripSuffix("}").split(",").toSeq
+            .filter(_.contains(":"))
+            .map { p =>
+              val Array(k, v) = p.split(":", 2)
+              (k.trim.stripPrefix("\"").stripSuffix("\""), v.trim)
+            })
+        Tables.events(s, dir)
+          .select(col("event_id"), explode(kvs(col("props"))).as("kv"))
+          .select(col("event_id"), col("kv._1").as("k"), col("kv._2").as("v"))
+          .orderBy("event_id", "k")
+      },
+      Some("""SELECT event_id, 'k' AS k, regexp_extract(props, '"k": (-?[0-9]+)', 1) AS v
+             |FROM events ORDER BY event_id, k""".stripMargin)),
+
     // Q27: exact dedup on normalized text (lowercase, whitespace-collapsed):
     // one hash aggregation + join back — fully shuffle-parallel.
     QueryDef(

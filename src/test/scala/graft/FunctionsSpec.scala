@@ -47,6 +47,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(h == 0)
   }
 
+  test("native SimHash64 expression == higher-order-function reference, all documents") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"),
+        transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("hs"))
+    val both = docs.select(
+      TextOps.simHashFromHashes(col("hs")).as("native"),
+      TextOps.simHashFromHashesHof(col("hs")).as("hof")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(both.nonEmpty)
+  }
+
   test("langId picks the dictionary language with most stopword hits") {
     import spark.implicits._
     val df = Seq(

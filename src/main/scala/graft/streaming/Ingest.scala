@@ -127,6 +127,20 @@ object Ingest {
       .start()
   }
 
+  /** Read the ingest sink showing ONLY committed batches — the reference's
+    * manifest-visibility rule (files not recorded in the manifest do not
+    * exist, kv/db/version_set.cpp:920-1018). A concurrent writer's
+    * half-written `batch_id` directory is invisible until its mark file is
+    * committed. Costs one tiny mark-dir listing; the per-batch paths keep
+    * partition pruning on `batch_id`. */
+  def readCommitted(spark: SparkSession, sinkDir: String, checkpointDir: String): DataFrame = {
+    val committed = Marks.read(s"$checkpointDir/graft-marks").keys.toSeq.sorted
+    require(committed.nonEmpty, s"no committed batches under $checkpointDir")
+    spark.read
+      .option("basePath", sinkDir)
+      .parquet(committed.map(b => s"$sinkDir/batch_id=$b"): _*)
+  }
+
   /** Tumbling/sliding event-time window aggregation with watermark — the
     * streaming analogue of snapshot-horizon GC (reference smallest_snapshot,
     * kv/db/db_impl.cpp:1044-1051): state older than the watermark is dropped

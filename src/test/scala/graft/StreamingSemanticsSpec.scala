@@ -124,4 +124,25 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(before.sameElements(after), "replayed batch must be byte-identical (exactly-once)")
   }
+
+  test("readCommitted hides batch directories without a committed mark (manifest rule)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mani_").toString
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .repartition(2).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = Ingest.startChangelogIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt",
+      orderCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt").count() == 1000)
+    // simulate a crashed writer: a data directory exists but its mark does not
+    val marks = new java.io.File(s"$tmp/ckpt/graft-marks")
+    val highest = marks.listFiles().map(_.getName.toLong).max
+    val crc = new java.io.File(marks, s".$highest.crc")
+    new java.io.File(marks, highest.toString).delete(); if (crc.exists()) crc.delete()
+    val visible = Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+    assert(visible.count() < 1000, "uncommitted batch must be invisible")
+    assert(visible.select("batch_id").distinct().count() == highest,
+      "only committed batch dirs are readable")
+  }
 }

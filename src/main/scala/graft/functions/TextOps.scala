@@ -41,17 +41,40 @@ object TextOps {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** MinHash signature: for seeds 0..k-1, the minimum `xxhash64(elem, seed)`
-    * over the set. Returns an array<long> of length k. Empty input => array
-    * of Long.MaxValue. */
-  def minHash(set: Column, k: Int): Column = {
-    val sigs = (0 until k).map { seed =>
+  /** MinHash signature from PRE-HASHED set elements (`array<long>`): slot i
+    * is `min over h of (h * A_i + B_i)` — k independent universal hashes
+    * derived by affine transforms of ONE base hash per element (the standard
+    * one-hash scheme), so a k=64 signature costs one string hash plus 64
+    * long multiply-adds per element instead of 64 string hashes. Constants
+    * are splitmix64-derived from the slot index: deterministic across runs.
+    * Empty input => array of Long.MaxValue. */
+  def minHashFromHashes(hashes: Column, k: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      val (a, b) = minHashCoeffs(i)
       coalesce(
-        array_min(transform(set, e => xxhash64(e, lit(seed)))),
+        array_min(transform(hashes, h => h * lit(a) + lit(b))),
         lit(Long.MaxValue))
     }
     array(sigs: _*)
   }
+
+  /** Deterministic odd multiplier + offset per signature slot (splitmix64
+    * finalizer over the slot index). */
+  private[graft] def minHashCoeffs(i: Int): (Long, Long) = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    (mix(i.toLong * 2) | 1L, mix(i.toLong * 2 + 1))
+  }
+
+  /** MinHash over raw string sets (convenience form; for corpus-scale use,
+    * materialize `transform(set, xxhash64)` once and call
+    * [[minHashFromHashes]]). */
+  def minHash(set: Column, k: Int): Column =
+    minHashFromHashes(transform(set, e => xxhash64(e)), k)
 
   /** LSH band keys from a MinHash signature: `bands` slices of `rowsPerBand`
     * signature entries, each hashed to one long. Docs sharing any band key are

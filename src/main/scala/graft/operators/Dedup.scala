@@ -46,11 +46,23 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // Tokenize/shingle/hash ONCE: the self-join + estimate + verify joins
+    // would otherwise recompute the regex tokenization per branch (~6x).
+    // Shingles are carried as their xxhash64 values (array<long>): Jaccard
+    // over hashed shingles equals string Jaccard w.h.p. (64-bit collisions),
+    // long-array intersection is far cheaper than string sets, and the
+    // minhash signature derives from the same array. localCheckpoint
+    // materializes the one pass (memory/disk blocks) and truncates lineage.
     val shingled = documents
       .select(
         col(idCol).as("doc"),
-        TextOps.shingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
-    val sigs = shingled.select(col("doc"), TextOps.minHash(col("sh"), numHashes).as("sig"))
+        transform(
+          TextOps.shingles(TextOps.tokens(col(textCol)), shingleN),
+          e => xxhash64(e)).as("sh"))
+      .localCheckpoint()
+    val sigs = shingled
+      .select(col("doc"), TextOps.minHashFromHashes(col("sh"), numHashes).as("sig"))
+      .localCheckpoint()
     // The band self-join shuffles ONLY (doc, band) — neither signatures nor
     // shingle arrays ride the candidate-pair shuffle. At 100 TB this is the
     // difference between shuffling ids and shuffling the corpus.
@@ -98,7 +110,13 @@ object Dedup {
       TextOps.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
       .withColumn("nt_block", floor(col("nt") / (tokenSlack * 2)))
-    val shingled = d.select(col("doc_id"), TextOps.shingles(col("toks"), shingleN).as("sh"))
+      .localCheckpoint() // tokenization computed once, not per join branch
+    // shingles carried as xxhash64 longs: identical Jaccard w.h.p., long-set
+    // intersection instead of string-set per pair
+    val shingled = d.select(
+      col("doc_id"),
+      transform(TextOps.shingles(col("toks"), shingleN), e => xxhash64(e)).as("sh"))
+      .localCheckpoint()
     // join on (lang, coarse token-count block) then verify the slack exactly:
     // the probe side explodes to {block-1, block, block+1} — with block width
     // 2*tokenSlack, any pair within `tokenSlack` tokens lands in the same or
@@ -138,6 +156,7 @@ object Dedup {
         transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("_hs"))
       .select(col("doc_id"), TextOps.simHashFromHashes(col("_hs")).as("sh"))
       .withColumn("block", shiftrightunsigned(col("sh"), 48))
+      .localCheckpoint() // signature computed once, not per self-join side
     d.as("a")
       .join(d.as("b"), col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
       .select(

@@ -1,43 +1,41 @@
 package graft.tools
 
-import graft.core.{Changelog, GraftSession, Maintenance, Tables}
+import graft.core.{GraftSession, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
 
 /** Dev-only scratch main; not part of the engine surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val s = GraftSession.local(4)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_v3_").toString
-
-    // surface: maintenance compaction job over a real changelog dir
-    Tables.events(s, "/root/testdata/sf0.01").write.parquet(s"$tmp/log")
-    val n0 = s.read.parquet(s"$tmp/log").count()
-    val w = Maintenance.compactTable(s, s"$tmp/log", s"$tmp/out", Tables.eventsSpec, retention = 5000L)
-    println(s"PROBE-M1 in=$n0 compactedRows=$w")
-    val again = Maintenance.compactTable(s, s"$tmp/out", s"$tmp/out2", Tables.eventsSpec, retention = 5000L)
-    println(s"PROBE-M2 trivialMoveSkip=${again == -1L}")
-    val forced = Maintenance.compactTable(s, s"$tmp/out", s"$tmp/out3", Tables.eventsSpec, retention = 5000L, force = true)
-    val same = s.read.parquet(s"$tmp/out3").orderBy("event_id").collect().map(_.toSeq).toSeq ==
-      s.read.parquet(s"$tmp/out").orderBy("event_id").collect().map(_.toSeq).toSeq
-    println(s"PROBE-M3 forcedRecompactIdentical=$same rows=$forced")
-    // read-at-snapshot equality through the collapsed view
-    val a = Changelog.collapseAt(s.read.parquet(s"$tmp/log"), Tables.eventsSpec, 8000L)
-      .select("user_id", "event_type", "event_id").collect().map(_.toSeq).toSet
-    val b = Changelog.collapseAt(s.read.parquet(s"$tmp/out"), Tables.eventsSpec, 8000L)
-      .select("user_id", "event_type", "event_id").collect().map(_.toSeq).toSet
-    println(s"PROBE-M4 snapshotReadUnchanged=${a == b} keys=${a.size}")
-
-    // surface: the injected SQL function, happy path + wrong-type probe
-    Tables.documents(s, "/root/testdata/sf0.001").createOrReplaceTempView("docs")
-    val sh = s.sql(
-      "SELECT graft_simhash64(transform(split(text, ' '), t -> xxhash64(t))) AS sh FROM docs LIMIT 3")
-      .collect().map(_.getLong(0))
-    println(s"PROBE-S1 sqlSimhash=${sh.mkString(",")}")
-    try {
-      s.sql("SELECT graft_simhash64(text) FROM docs LIMIT 1").collect()
-      println("PROBE-S2 wrongType=NO-ERROR (bad)")
-    } catch {
-      case e: Exception => println(s"PROBE-S2 wrongTypeError=${e.getMessage.linesIterator.next().take(120)}")
-    }
+    val s = GraftSession.local(32)
+    val dir = "/root/testdata/sf0.1"
+    val docs = Tables.documents(s, dir)
+    println("docs=" + docs.count())
+    val shingled = docs.select(col("doc_id").as("doc"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val sigs = shingled.select(col("doc"), TextOps.minHash(col("sh"), 64).as("sig"))
+    var t0 = System.nanoTime()
+    sigs.write.format("noop").mode("overwrite").save()
+    println(f"sig-compute ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val bandsDf = sigs.select(col("doc"), explode(TextOps.lshBands(col("sig"), 16, 4)).as("band"))
+    t0 = System.nanoTime()
+    val candidates = bandsDf.as("a")
+      .join(bandsDf.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val nCand = candidates.count()
+    println(f"candidates=$nCand (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+    t0 = System.nanoTime()
+    val est = candidates
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (a, m) => a + m).cast("double") / 64)
+      .filter(col("est") >= 0.3)
+      .select("doc_a", "doc_b")
+    val nSurv = est.count()
+    println(f"est-survivors=$nSurv (${(System.nanoTime() - t0) / 1e9}%.2f s)")
     s.stop()
   }
 }

@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double.
+    * Lowers to the native single-loop [[graft.plans.FloatVecDot]] expression
+    * (registered by GraftExtensions) — same arithmetic as the higher-order
+    * form but without allocating the zipped intermediate array per pair. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_vec_dot", a, b)
+
+  /** Reference higher-order-function implementation of [[dot]]; kept for
+    * equivalence testing of the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -108,5 +108,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(children.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatVecDot].getName, "graft_vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(children(0), children(1))))
   }
 }

@@ -85,6 +85,16 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall@5 = $recall")
   }
 
+  test("native FloatVecDot == higher-order dot on embeddings (incl. self-dot)") {
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001).limit(200)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")).limit(20))
+    val diffs = pairs.select(
+      (VectorOps.dot(col("a"), col("b")) === VectorOps.dotHof(col("a"), col("b"))).as("eq"))
+      .filter(!col("eq")).count()
+    assert(diffs == 0, "native dot must be bit-identical to the HOF fold")
+  }
+
   test("vector ops: cosine/norm/l2 on known values") {
     import spark.implicits._
     val df = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")

@@ -41,6 +41,16 @@ object TextOps {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Jaccard over SORTED distinct hash arrays (`sort_array` once per doc):
+    * the per-pair intersection is a native merge walk
+    * ([[graft.plans.SortedLongIntersectCount]]) — no hash set per pair. The
+    * kernel of all-pairs exact verification at corpus scale. */
+  def jaccardSortedHashes(a: Column, b: Column): Column = {
+    val inter = call_function("graft_sorted_intersect_count", a, b).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
   /** MinHash signature from PRE-HASHED set elements (`array<long>`): slot i
     * is `min over h of (h * A_i + B_i)` — k independent universal hashes
     * derived by affine transforms of ONE base hash per element (the standard

@@ -56,9 +56,9 @@ object Dedup {
     val shingled = documents
       .select(
         col(idCol).as("doc"),
-        transform(
+        sort_array(transform(
           TextOps.shingles(TextOps.tokens(col(textCol)), shingleN),
-          e => xxhash64(e)).as("sh"))
+          e => xxhash64(e))).as("sh"))
       .localCheckpoint()
     val sigs = shingled
       .select(col("doc"), TextOps.minHashFromHashes(col("sh"), numHashes).as("sig"))
@@ -90,7 +90,7 @@ object Dedup {
     estimated
       .join(shingled.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", TextOps.jaccardSortedHashes(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -115,7 +115,7 @@ object Dedup {
     // intersection instead of string-set per pair
     val shingled = d.select(
       col("doc_id"),
-      transform(TextOps.shingles(col("toks"), shingleN), e => xxhash64(e)).as("sh"))
+      sort_array(transform(TextOps.shingles(col("toks"), shingleN), e => xxhash64(e))).as("sh"))
       .localCheckpoint()
     // join on (lang, coarse token-count block) then verify the slack exactly:
     // the probe side explodes to {block-1, block, block+1} — with block width
@@ -142,7 +142,7 @@ object Dedup {
     pairs
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", TextOps.jaccardSortedHashes(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -114,5 +114,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FloatVecDot].getName, "graft_vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecDot(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedLongIntersectCount].getName, "graft_sorted_intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongIntersectCount(children(0), children(1))))
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.core.{Changelog, ChangelogSpec, GraftSession, Maintenance, Stats, Tables}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The engine's user-facing facade — what a reference (QuasDB) user programs
+  * against after switching (SURVEY.md §7's session facade). One object per
+  * data directory; every method is a lazy DataFrame transformation over the
+  * directory's tables, so composition and Catalyst optimization work as
+  * usual.
+  *
+  * {{{
+  * val g = Graft(spark, "/data/sf0.1")
+  * g.collapse(g.events, Tables.eventsSpec)            // KV read view (O8/O20)
+  * g.pointGet(key = col("user_id") === 7 && ..., 500) // DB::Get at snapshot
+  * g.nearDuplicates(threshold = 0.7)                  // LLM-pipeline dedup
+  * g.topKNeighbors(queries, k = 10)                   // similarity search
+  * }}}
+  */
+final case class Graft(spark: SparkSession, dir: String) {
+
+  // ---- tables (the "DBs") -------------------------------------------------
+  def table(name: String): DataFrame = Tables.load(spark, dir, name)
+  def events: DataFrame = Tables.events(spark, dir)
+  def documents: DataFrame = Tables.documents(spark, dir)
+  def embeddings: DataFrame = Tables.embeddings(spark, dir)
+
+  // ---- changelog / KV semantics (the reference's DB API) ------------------
+  /** DB::NewIterator's collapsed read view (newest per key, tombstones hidden). */
+  def collapse(df: DataFrame, spec: ChangelogSpec): DataFrame = Changelog.collapse(df, spec)
+
+  /** Repeatable reads at a pinned sequence — DB::GetSnapshot + reads. */
+  def collapseAt(df: DataFrame, spec: ChangelogSpec, snapshot: Long): DataFrame =
+    Changelog.collapseAt(df, spec, snapshot)
+
+  /** DB::Get(key) at a snapshot, over the events changelog. */
+  def pointGet(key: Column, snapshot: Long): DataFrame =
+    Changelog.pointGet(events, Tables.eventsSpec, key, snapshot)
+
+  /** DB::NewIterator range scan over the collapsed events view. */
+  def rangeScan(range: Column, orderCols: Seq[String], reverse: Boolean = false): DataFrame =
+    Changelog.rangeScan(events, Tables.eventsSpec, range, orderCols, reverse)
+
+  /** DB::GetApproximateSizes per key-range bucket. */
+  def approximateSizes(bucket: Column, bytes: Column): DataFrame =
+    Changelog.approximateSizes(events, bucket, bytes)
+
+  /** DB::CompactRange as a maintenance job (trivial-move aware). */
+  def compact(inDir: String, outDir: String, spec: ChangelogSpec, retention: Long): Long =
+    Maintenance.compactTable(spark, inDir, outDir, spec, retention)
+
+  /** DB::GetProperty-style stats surface. */
+  def tableStats: DataFrame = Stats.tableStats(spark, dir)
+  def properties: Map[String, String] = Stats.engineProperties(spark)
+
+  // ---- relational extensions ---------------------------------------------
+  /** As-of join: newest right row at-or-before each left row's time. */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String, leftId: Seq[String],
+      tieBreak: Seq[String] = Seq.empty): DataFrame =
+    AsOf.join(left, right, keys, leftTime, rightTime, leftId, tieBreak)
+
+  // ---- LLM-data-pipeline --------------------------------------------------
+  /** Exact dedup groups over normalized document text. */
+  def exactDuplicates(): DataFrame = Dedup.exact(documents)
+
+  /** MinHash-LSH near-duplicate pairs (banded join, two-stage verify). */
+  def nearDuplicates(threshold: Double = 0.7): DataFrame =
+    Dedup.minHashLsh(documents, threshold = threshold)
+
+  /** Exact top-k cosine neighbors for a query batch. */
+  def topKNeighbors(queries: DataFrame, k: Int): DataFrame =
+    Similarity.bruteForceTopK(embeddings, queries, k)
+
+  /** Approximate (multi-table LSH) top-k neighbors — the 100 TB path. */
+  def topKNeighborsApprox(queries: DataFrame, k: Int, dim: Int = 64): DataFrame =
+    Similarity.lshTopK(embeddings, queries, k, dim)
+
+  /** Multimodal feature extraction over a binary payload column. */
+  def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
+}
+
+object Graft {
+  /** Build a correctly-configured local engine session (UTC, nanos parquet,
+    * AQE, graft extensions). */
+  def local(cores: Int, dir: String): Graft =
+    Graft(GraftSession.local(cores), dir)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted-join equivalence and the user-facing facade surface. */
+class SkewAndFacadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("saltedJoin == plain join on a skewed key distribution") {
+    import spark.implicits._
+    // heavy skew: 80% of left rows share one key
+    val left = (1 to 2000).map(i => (if (i % 5 != 0) 1L else i.toLong, i)).toDF("k", "v")
+    val right = (1L to 400L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("twoPhaseAgg == direct aggregation on skewed keys") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (if (i % 10 != 0) "hot" else s"k$i", i.toLong)).toDF("k", "x")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val twoPhase = Skew.twoPhaseAgg(
+      df, Seq("k"), saltFactor = 16,
+      partial = Seq(count(lit(1)).as("pn"), sum("x").as("ps")),
+      merge = Seq(sum("pn").as("n"), sum("ps").as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twoPhase == direct)
+  }
+
+  test("facade: KV semantics + pipeline entry points compose") {
+    val g = Graft(spark, TestSpark.Sf0001)
+    assert(g.events.count() == 1000)
+    val got = g.pointGet(col("user_id") === 7 && col("event_type") === "click", 500L).collect()
+    assert(got.length <= 1)
+    assert(g.exactDuplicates().count() == 500)
+    val neighbors = g.topKNeighbors(g.embeddings.filter(col("vec_id") < 2), k = 3)
+    assert(neighbors.count() == 6)
+    assert(g.properties("graft.ansi.enabled") == "false")
+    val sizes = g.approximateSizes(floor(col("user_id") / 5), length(col("props")))
+    assert(sizes.count() >= 2)
+  }
+}

@@ -41,6 +41,14 @@ object TextOps {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Sorted distinct n-gram hashes straight from token hashes — the hashed
+    * equivalent of [[shingles]] (distinct shingle strings <-> distinct
+    * combined hashes w.h.p.) without building shingle strings. Lowers to the
+    * native [[graft.plans.NgramHashes]] expression; output feeds
+    * [[jaccardSortedHashes]] and [[minHashFromHashes]] directly. */
+  def ngramHashes(tokenHashes: Column, n: Int): Column =
+    call_function("graft_ngram_hashes", tokenHashes, lit(n))
+
   /** Jaccard over SORTED distinct hash arrays (`sort_array` once per doc):
     * the per-pair intersection is a native merge walk
     * ([[graft.plans.SortedLongIntersectCount]]) — no hash set per pair. The
@@ -57,7 +65,13 @@ object TextOps {
     * one-hash scheme), so a k=64 signature costs one string hash plus 64
     * long multiply-adds per element instead of 64 string hashes. Constants
     * are splitmix64-derived from the slot index: deterministic across runs.
-    * Empty input => array of Long.MaxValue. */
+    * Empty input => array of Long.MaxValue.
+    *
+    * CALLER CONTRACT: `hashes` must be a MATERIALIZED column (its own
+    * projection / localCheckpoint), never an inline expression — the k slots
+    * each reference it, and Catalyst does not share subexpressions across
+    * them, so an inline pipeline would be recomputed k times (measured 64x
+    * blowup). */
   def minHashFromHashes(hashes: Column, k: Int): Column = {
     val sigs = (0 until k).map { i =>
       val (a, b) = minHashCoeffs(i)

@@ -56,9 +56,9 @@ object Dedup {
     val shingled = documents
       .select(
         col(idCol).as("doc"),
-        sort_array(transform(
-          TextOps.shingles(TextOps.tokens(col(textCol)), shingleN),
-          e => xxhash64(e))).as("sh"))
+        TextOps.ngramHashes(
+          transform(TextOps.tokens(col(textCol)), t => xxhash64(t)),
+          shingleN).as("sh"))
       .localCheckpoint()
     val sigs = shingled
       .select(col("doc"), TextOps.minHashFromHashes(col("sh"), numHashes).as("sig"))
@@ -115,7 +115,7 @@ object Dedup {
     // intersection instead of string-set per pair
     val shingled = d.select(
       col("doc_id"),
-      sort_array(transform(TextOps.shingles(col("toks"), shingleN), e => xxhash64(e))).as("sh"))
+      TextOps.ngramHashes(transform(col("toks"), t => xxhash64(t)), shingleN).as("sh"))
       .localCheckpoint()
     // join on (lang, coarse token-count block) then verify the slack exactly:
     // the probe side explodes to {block-1, block, block+1} — with block width

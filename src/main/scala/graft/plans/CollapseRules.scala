@@ -120,5 +120,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SortedLongIntersectCount].getName, "graft_sorted_intersect_count"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngram_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NgramHashes].getName, "graft_ngram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ngram_hashes(arr, n): n must be an integer literal, got $other")
+        }
+        NgramHashes(children(0), n)
+      }))
   }
 }

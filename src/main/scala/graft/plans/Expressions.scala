@@ -188,3 +188,87 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native codegen'd word-n-gram hash set: from an `array<long>` of token
+  * hashes, produce the SORTED DISTINCT array of polynomial-combined n-gram
+  * hashes — the hashed equivalent of "distinct n-gram shingle strings"
+  * (distinct shingles map to distinct combined hashes w.h.p.), without ever
+  * building the shingle strings: no concat_ws, no string allocation, output
+  * ready for [[SortedLongIntersectCount]] Jaccard and minhash. Null token
+  * hashes are treated as 0. Fewer than n tokens => empty array.
+  */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "n must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+
+  private final val P = 0x100000001b3L // FNV prime, odd => bijective multiply
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val m = total - (n - 1)
+    if (m <= 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        val x = if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)
+        h = h * P + x
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var k = 0
+    i = 0
+    while (i < m) {
+      if (i == 0 || out(i) != out(i - 1)) { out(k) = out(i); k += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val total = ctx.freshName("total")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val k = ctx.freshName("k")
+      s"""
+         |int $total = $arr.numElements();
+         |int $m = $total - ${n - 1};
+         |if ($m <= 0) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new long[0]);
+         |} else {
+         |  long[] $out = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $h = 0L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $h = $h * ${P}L + ($arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j));
+         |    }
+         |    $out[$i] = $h;
+         |  }
+         |  java.util.Arrays.sort($out);
+         |  int $k = 0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($i == 0 || $out[$i] != $out[$i - 1]) { $out[$k++] = $out[$i]; }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |    java.util.Arrays.copyOf($out, $k));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}

@@ -47,6 +47,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(h == 0)
   }
 
+  test("ngramHashes == hashed string shingles (same set sizes and Jaccard), all documents") {
+    val toks = TextOps.tokens(col("text"))
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(
+        col("doc_id"),
+        TextOps.ngramHashes(transform(toks, t => xxhash64(t)), 3).as("ng"),
+        sort_array(transform(TextOps.shingles(toks, 3), e => xxhash64(e))).as("sg"))
+    // sizes match per doc (distinct string shingles <-> distinct combined hashes)
+    val sizeDiff = docs.filter(size(col("ng")) =!= size(col("sg"))).count()
+    assert(sizeDiff == 0)
+    // pairwise Jaccard identical on a sample of doc pairs
+    val a = docs.select(col("doc_id").as("ida"), col("ng").as("nga"), col("sg").as("sga")).filter(col("ida") < 30)
+    val b = docs.select(col("doc_id").as("idb"), col("ng").as("ngb"), col("sg").as("sgb")).filter(col("idb") < 30)
+    val mismatches = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .select(
+        (TextOps.jaccardSortedHashes(col("nga"), col("ngb")) ===
+          TextOps.jaccardSortedHashes(col("sga"), col("sgb"))).as("eq"))
+      .filter(!col("eq")).count()
+    assert(mismatches == 0)
+  }
+
+  test("ngramHashes edge cases: short/empty docs give empty sets") {
+    import spark.implicits._
+    val df = Seq("one", "one two", "one two three", "").toDF("text")
+    val out = df.select(size(TextOps.ngramHashes(
+      transform(TextOps.tokens(col("text")), t => xxhash64(t)), 3)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 0, 1, 0))
+  }
+
   test("native SimHash64 expression == higher-order-function reference, all documents") {
     val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
       .select(col("doc_id"),

@@ -21,14 +21,21 @@ final case class QueryDef(
 object QueryDef {
 
   /** Order-independent exact sum for money-like doubles: accumulate as
-    * DECIMAL(30,10), return double. The per-row double expression is computed
-    * identically in Spark and DuckDB (same IEEE ops), the decimal cast rounds
-    * the same double the same way, and the decimal sum is exact — so the
-    * result is bit-identical regardless of row order or partitioning. */
-  def decSum(e: Column): Column = sum(e.cast(DecimalType(30, 10))).cast("double")
+    * DECIMAL(30,10), return double rounded to 2 decimals. The per-row double
+    * expression is computed identically in Spark and DuckDB (same IEEE ops),
+    * the decimal cast rounds the same double the same way, and the decimal
+    * sum is exact. The final 2-decimal rounding absorbs the engines'
+    * decimal->double conversion difference: Spark converts correctly rounded
+    * (BigDecimal.doubleValue), DuckDB may be 1-2 ulp off (int128/scale double
+    * division) — at sums ~1e10, 1 ulp > 1e-6 and would break the driver's
+    * 6-decimal hash. Exact sums of 2-decimal inputs are 0.01-multiples,
+    * >= 0.005 from any rounding boundary, so <= 2 ulp of conversion error can
+    * never change the rounded value (safe to sums ~1e12). */
+  def decSum(e: Column): Column =
+    round(sum(e.cast(DecimalType(30, 10))).cast("double"), 2)
 
   /** Matching DuckDB SQL for [[decSum]]. */
-  def decSumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,10))) AS DOUBLE)"
+  def decSumSql(e: String): String = s"round(CAST(SUM(CAST($e AS DECIMAL(30,10))) AS DOUBLE), 2)"
 
   /** Exact average via decimal sum / count, both engines dividing the same
     * two doubles. */

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** IVF-flat approximate nearest neighbors: a coarse k-means quantizer
+  * partitions the corpus into C inverted lists; a query scans only the
+  * `nProbe` lists whose centroids are nearest. The other classic ANN scale
+  * path next to hyperplane LSH ([[Similarity.lshTopK]]): recall/cost tuned
+  * by (C, nProbe) instead of (tables, planes).
+  *
+  * Training is a few Lloyd iterations, fully distributed and DETERMINISTIC:
+  * init = C vectors chosen by id hash order; assignment via the broadcast
+  * centroid literal; per-dimension means accumulated in DECIMAL (exact, so
+  * independent of partitioning/row order — float means would make centroids,
+  * and therefore results, nondeterministic run to run). Only the C x dim
+  * centroid matrix (model metadata, not data) ever reaches the driver.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def c: Int = centroids.length
+  }
+
+  /** Squared-L2 argmin is equivalent to argmin of `-2 q.c + ||c||^2` (the
+    * `||q||^2` term is constant per row) — one native dot per centroid. */
+  private def distances(vec: Column, model: Model): Column = {
+    val cents = typedLit(model.centroids)
+    val norms = typedLit(model.centroids.map(ct => ct.map(x => x.toDouble * x).sum))
+    transform(
+      sequence(lit(0), lit(model.c - 1)),
+      i => element_at(norms, i + 1) - lit(2.0) * VectorOps.dot(vec, element_at(cents, i + 1)))
+  }
+
+  /** Index of the nearest centroid (0-based; ties -> lowest index). */
+  def nearestCentroid(vec: Column, model: Model): Column = {
+    val d = distances(vec, model)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Indices of the `nProbe` nearest centroids, 0-based. */
+  def probeCentroids(vec: Column, model: Model, nProbe: Int): Column = {
+    val d = distances(vec, model)
+    val ranked = array_sort(
+      zip_with(d, sequence(lit(0), lit(model.c - 1)), (dist, i) => struct(dist.as("d"), i.as("i"))))
+    transform(slice(ranked, 1, nProbe), s => s.getField("i"))
+  }
+
+  /** Train C centroids with `iters` Lloyd iterations. */
+  def train(
+      corpus: DataFrame,
+      c: Int,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Model = {
+    // deterministic init: the C vectors with smallest xxhash64(id)
+    var model = Model(
+      corpus
+        .select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(c)
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]](1).toArray))
+    val dim = model.centroids.head.length
+    for (_ <- 1 to iters) {
+      // exact per-dimension means: decimal accumulation => order-independent
+      val means = corpus
+        .select(nearestCentroid(col(vecCol), model).as("b"), posexplode(col(vecCol)))
+        .groupBy(col("b"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(30, 10))) / count(lit(1))).cast("double").as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+        .toMap
+      model = Model(Array.tabulate(c) { b =>
+        Array.tabulate(dim) { d =>
+          // empty clusters keep their previous centroid
+          means.get((b, d)).map(_.toFloat).getOrElse(model.centroids(b)(d))
+        }
+      })
+    }
+    model
+  }
+
+  /** Top-k cosine neighbors per query, scanning only `nProbe` inverted
+    * lists per query. Bucketed equi-join: corpus rows carry one bucket,
+    * queries explode to nProbe probes. */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      model: Model,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorOps.normSq(col(vecCol)).as("n_nsq"),
+      nearestCentroid(col(vecCol), model).as("bucket"))
+    val q = queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorOps.normSq(col(vecCol)).as("q_nsq"),
+      explode(probeCentroids(col(vecCol), model, nProbe)).as("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
+  }
+}

@@ -196,6 +196,20 @@ object PipelineQueries {
       },
       None),
 
+    // Q28d: IVF-flat ANN — the inverted-list scale path (coarse k-means
+    // quantizer, nProbe lists scanned per query). Deterministic training
+    // (decimal-exact Lloyd means), but approximate => rows-only;
+    // IvfSpec asserts recall vs exact and run-to-run determinism.
+    QueryDef(
+      "q28d_sim_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.operators.Ivf.train(emb, c = 32, iters = 3)
+        graft.operators.Ivf.topK(emb, emb.filter(col("vec_id") < 8), model, k = 5, nProbe = 8)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Q28c: embedding near-dup pairs over a blocking column (label).
     QueryDef(
       "q28c_sim_pairs",

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{Ivf, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-flat ANN: recall floor vs brute force, determinism across runs, and
+  * probe-scaling sanity.
+  */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+
+  test("recall@5 improves with nProbe and reaches full scan at nProbe = C") {
+    val model = Ivf.train(emb, c = 16, iters = 2)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Double = {
+      val approx = Ivf.topK(emb, queries, model, k = 5, nProbe = nProbe)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8)
+    val rAll = recall(16)
+    assert(rAll == 1.0, s"probing every list must equal brute force, got $rAll")
+    assert(r8 >= r2, s"recall must not decrease with more probes: $r2 -> $r8")
+    assert(r8 >= 0.4, s"recall@5 with half the lists probed: $r8")
+  }
+
+  test("training and search are deterministic run to run") {
+    val m1 = Ivf.train(emb, c = 8, iters = 2)
+    val m2 = Ivf.train(emb, c = 8, iters = 2)
+    assert(m1.centroids.flatten.toSeq == m2.centroids.flatten.toSeq)
+    val a = Ivf.topK(emb, queries, m1, k = 3, nProbe = 4).collect().map(_.toSeq).toSeq
+    val b = Ivf.topK(emb, queries, m2, k = 3, nProbe = 4).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}

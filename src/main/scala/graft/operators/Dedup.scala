@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   *   - MinHash-LSH replaces the O(n^2) pair scan with an equi-join on band
   *     buckets: cost is O(n * bands) rows through one shuffle, candidates are
   *     verified with exact Jaccard only within buckets;
-  *   - SimHash pairs join on rotated prefix blocks; here (small corpus) we
-  *     block on the top 16 bits, which at real scale becomes the standard
-  *     multi-table rotation scheme.
+  *   - SimHash pairs band on pigeonhole bit-blocks (maxHamming+1 blocks of
+  *     the 64-bit signature): every pair within the Hamming budget shares at
+  *     least one block, so candidate generation provably misses nothing.
   */
 object Dedup {
 
@@ -147,22 +147,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash, block on high 16 bits, verify by
-    * Hamming distance <= maxHamming. Token hashes are materialized once per
-    * document (their own projection) so the 64 bit-folds share them. */
+  /** SimHash near-dup pairs: 64-bit simhash, pigeonhole multi-block banding,
+    * verify by Hamming distance <= maxHamming. Token hashes are materialized
+    * once per document so the 64 bit-folds share them. */
   def simHashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
     val d = documents
       .select(col("doc_id"),
         transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("_hs"))
       .select(col("doc_id"), TextOps.simHashFromHashes(col("_hs")).as("sh"))
-      .withColumn("block", shiftrightunsigned(col("sh"), 48))
       .localCheckpoint() // signature computed once, not per self-join side
-    d.as("a")
-      .join(d.as("b"), col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+    simHashPairsFromSignatures(d, maxHamming)
+  }
+
+  /** Pair search over precomputed 64-bit signatures (`doc_id`, `sh`).
+    *
+    * Blocking with a RECALL GUARANTEE: the 64 bits are split into
+    * `maxHamming + 1` nearly-equal blocks; two signatures within the Hamming
+    * budget differ in at most `maxHamming` bits, so by pigeonhole at least
+    * one block is untouched — candidates = pairs sharing ANY block, which
+    * provably includes every qualifying pair (a single fixed-prefix block
+    * would silently miss pairs differing in its bits). Join key is the
+    * (block index, block bits) pair; each doc emits maxHamming+1 rows. */
+  def simHashPairsFromSignatures(signatures: DataFrame, maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= 64, "maxHamming too large for a 64-bit signature")
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val blocks = (0 until nBlocks).map { i =>
+      val lo = bounds(i)
+      val width = bounds(i + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(
+        lit(i).as("t"),
+        shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = signatures
+      .select(col("doc_id"), col("sh"), explode(array(blocks: _*)).as("blk"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         TextOps.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      // verify BEFORE deduplicating: hamming64 is two long ops, so filtering
+      // first means only true pairs (tiny) reach the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b") // pairs can share several blocks
   }
 }

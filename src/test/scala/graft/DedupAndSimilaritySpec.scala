@@ -43,6 +43,26 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "every LSH pair must pass the exact verification")
   }
 
+  test("simhash pigeonhole blocking finds ALL pairs within the Hamming budget (incl. high bits)") {
+    import spark.implicits._
+    // crafted signatures: pairs differing only in HIGH bits — a fixed
+    // top-16-bit block scheme would miss them; pigeonhole must not
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ (1L << 63)),                          // hamming 1, high bit
+      (3L, base ^ (0x3fL << 58)),                       // hamming 6, all high bits
+      (4L, base ^ (0x7fL << 57)),                       // hamming 7 — outside budget
+      (5L, base ^ 0x1111111100000000L))                 // hamming 8 — outside
+      .toDF("doc_id", "sh")
+    val pairs = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"high-bit hamming-1 pair must be found: $pairs")
+    assert(pairs.contains((1L, 3L)), s"all-high-bits hamming-6 pair must be found: $pairs")
+    assert(!pairs.contains((1L, 4L)), "hamming 7 exceeds the budget")
+    assert(!pairs.contains((1L, 5L)), "hamming 8 exceeds the budget")
+  }
+
   test("simHash finds exact duplicates and near-permutations at hamming <= 6") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"

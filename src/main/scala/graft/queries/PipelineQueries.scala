@@ -291,6 +291,38 @@ object PipelineQueries {
           .orderBy("lang", "pred_lang"),
       None),
 
+    // Q29d: document fingerprinting — order-sensitive rolling hash over the
+    // token stream (distinguishes permutations, unlike minhash) + exact-dup
+    // grouping by fingerprint. Wrapping long arithmetic is not expressible
+    // in the oracle (DuckDB errors on int64 overflow); FunctionsSpec pins
+    // order sensitivity and determinism.
+    QueryDef(
+      "q29d_text_fingerprint",
+      (s, dir) => {
+        val fp = TextOps.fingerprint(TextOps.tokens(col("text")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fp.as("fingerprint"))
+          .groupBy("fingerprint")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+          .orderBy("keep_id")
+      },
+      None),
+
+    // Q28e: embedding near-dup pairs with NO natural blocking key — the LSH
+    // bucket plays the blocking role (hyperplane sign hash), pairs verified
+    // by exact cosine. Recall < 1 by design => rows-only.
+    QueryDef(
+      "q28e_sim_neardup_lsh",
+      (s, dir) => {
+        val rnd = new scala.util.Random(7L)
+        val planes = typedLit(Array.fill(6, 64)(rnd.nextGaussian().toFloat))
+        val bucketed = Tables.embeddings(s, dir)
+          .withColumn("bucket", graft.functions.VectorOps.hyperplaneBucket(col("embedding"), planes))
+        Similarity.nearDupPairs(bucketed, threshold = 0.25, blockCol = "bucket")
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // Q30: multimodal feature extraction — binary payload column decoded
     // partition-parallel (FakeDecoder stub; real codec drops in without
     // changing the plumbing). All-but-checksum is deterministic arithmetic

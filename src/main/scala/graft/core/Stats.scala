@@ -37,10 +37,14 @@ object Stats {
   }
 
   /** Exact row counts per table — the oracle-checkable slice of the stats
-    * surface. */
+    * surface. Global (ungrouped) aggregates, NOT groupBy over a literal: a
+    * grouped aggregate over an empty table yields zero rows, while the
+    * oracle's scalar COUNT(*) yields one row with 0. */
   def rowCounts(spark: SparkSession, sfDir: String, tables: Seq[String] = Tables.names): DataFrame =
     tables.map(t =>
-        Tables.load(spark, sfDir, t).groupBy(lit(t).as("table_name")).agg(count(lit(1)).as("n_rows")))
+        Tables.load(spark, sfDir, t)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows")))
       .reduce(_.unionByName(_))
       .orderBy("table_name")
 

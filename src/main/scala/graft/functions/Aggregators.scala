@@ -9,21 +9,29 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Aggregators {
 
-  /** Exact weighted average: sums are accumulated as scaled longs (6 decimal
-    * digits), so the result is independent of row order and partitioning —
-    * required for oracle-stable comparisons, and generally the right call for
-    * money-like columns. Inputs are (value, weight). */
-  class WeightedAvg extends Aggregator[(Double, Long), (Long, Long), Double] {
-    private val Scale = 1000000L // 6 decimal digits
-    def zero: (Long, Long) = (0L, 0L)
-    def reduce(b: (Long, Long), a: (Double, Long)): (Long, Long) = {
-      val scaled = math.round(a._1 * Scale) * a._2
-      (b._1 + scaled, b._2 + a._2)
+  /** Exact weighted average: scaled contributions (6 decimal digits)
+    * accumulated as BigDecimal, so the result is independent of row order
+    * and partitioning AND cannot overflow — a scaled-LONG accumulator wraps
+    * at ~4M TPC-H-priced rows per group, silently corrupting the "exact"
+    * average at exactly the scale this engine targets. Inputs are
+    * (value, weight). */
+  class WeightedAvg extends Aggregator[(Double, Long), (java.math.BigDecimal, Long), Double] {
+    private val Scale = 1000000L // values quantized to 6 decimal digits
+    def zero: (java.math.BigDecimal, Long) = (java.math.BigDecimal.ZERO, 0L)
+    def reduce(b: (java.math.BigDecimal, Long), a: (Double, Long)): (java.math.BigDecimal, Long) = {
+      // contribution held at its REAL magnitude (scale-6 decimal x weight),
+      // not as a 1e6-scaled integer: the buffer encoder is DecimalType(38,18)
+      // whose integer capacity (~1e20) a scaled representation would blow
+      // through a million times earlier
+      val v6 = java.math.BigDecimal.valueOf(math.round(a._1 * Scale), 6)
+      (b._1.add(v6.multiply(java.math.BigDecimal.valueOf(a._2))), b._2 + a._2)
     }
-    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) = (x._1 + y._1, x._2 + y._2)
-    def finish(b: (Long, Long)): Double =
-      if (b._2 == 0) 0.0 else b._1.toDouble / (Scale.toDouble * b._2.toDouble)
-    def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def merge(x: (java.math.BigDecimal, Long), y: (java.math.BigDecimal, Long)): (java.math.BigDecimal, Long) =
+      (x._1.add(y._1), x._2 + y._2)
+    def finish(b: (java.math.BigDecimal, Long)): Double =
+      if (b._2 == 0) 0.0 else b._1.doubleValue() / b._2.toDouble
+    def bufferEncoder: Encoder[(java.math.BigDecimal, Long)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.scalaLong)
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 

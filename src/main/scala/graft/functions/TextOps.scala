@@ -162,15 +162,20 @@ object TextOps {
       "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with", "as", "at"),
       "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "no", "con", "por", "los", "las", "para"),
       "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "les", "des", "du", "en", "que", "pour", "dans", "sur"),
-      "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这", "中", "大", "来", "上", "国"))
+      "zh" -> Seq.empty) // zh scored by CJK characters, not tokens (see below)
     // greatest over (hits, priority, lang) structs: max hits wins, ties fall
     // to the higher priority = alphabetically-first language.
     val scored = dicts.zipWithIndex.map { case ((lang, words), idx) =>
-      val sw = array(words.map(lit): _*)
-      struct(
-        size(filter(toks, t => array_contains(sw, t))).as("hits"),
-        lit(dicts.size - idx).as("pri"),
-        lit(lang).as("lang"))
+      // Chinese text has no whitespace tokens, so a stopword-token dictionary
+      // can never fire on real zh input; count CJK characters instead (an
+      // extremely strong signal — Latin-script languages have none).
+      val hits =
+        if (lang == "zh") length(regexp_replace(text, "[^\\p{IsHan}]", ""))
+        else {
+          val sw = array(words.map(lit): _*)
+          size(filter(toks, t => array_contains(sw, t)))
+        }
+      struct(hits.as("hits"), lit(dicts.size - idx).as("pri"), lit(lang).as("lang"))
     }
     greatest(scored: _*).getField("lang")
   }

@@ -19,9 +19,15 @@ object Dedup {
 
   /** Exact dedup on normalized text: keep the smallest doc_id per group.
     * Output: one row per input doc, with the id of the kept representative
-    * and the group size (group_size == 1 => unique). */
+    * and the group size (group_size == 1 => unique). NULL text normalizes to
+    * the empty string (a null-unsafe join key would silently DROP null-text
+    * docs, breaking the one-row-per-doc contract). The normalization is
+    * materialized once, not recomputed per join branch. */
   def exact(documents: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val norm = documents.withColumn("_norm", TextOps.normalized(col(textCol)))
+    val norm = documents
+      .withColumn("_norm", TextOps.normalized(coalesce(col(textCol), lit(""))))
+      .select(col(idCol), col("_norm"))
+      .localCheckpoint()
     val groups = norm
       .groupBy(col("_norm"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))

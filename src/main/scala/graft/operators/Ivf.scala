@@ -49,7 +49,9 @@ object Ivf {
     transform(slice(ranked, 1, nProbe), s => s.getField("i"))
   }
 
-  /** Train C centroids with `iters` Lloyd iterations. */
+  /** Train C centroids with `iters` Lloyd iterations. Cluster count is
+    * clamped to the corpus size (requesting 32 lists over 20 vectors must
+    * not crash); an empty corpus is a caller error. */
   def train(
       corpus: DataFrame,
       c: Int,
@@ -57,13 +59,14 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Model = {
     // deterministic init: the C vectors with smallest xxhash64(id)
-    var model = Model(
-      corpus
-        .select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(c)
-        .collect()
-        .map(_.getAs[scala.collection.Seq[Float]](1).toArray))
+    val init = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(c)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    require(init.nonEmpty, "Ivf.train: empty corpus")
+    var model = Model(init)
     val dim = model.centroids.head.length
     for (_ <- 1 to iters) {
       // exact per-dimension means: decimal accumulation => order-independent
@@ -74,7 +77,7 @@ object Ivf {
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
         .toMap
-      model = Model(Array.tabulate(c) { b =>
+      model = Model(Array.tabulate(model.c) { b =>
         Array.tabulate(dim) { d =>
           // empty clusters keep their previous centroid
           means.get((b, d)).map(_.toFloat).getOrElse(model.centroids(b)(d))

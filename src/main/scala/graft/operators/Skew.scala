@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted equi-join: the LEFT (large, skewed) side gets a deterministic
-    * salt in [0, saltFactor) derived from its whole row via xxhash64 — no
-    * RNG, so plans are reproducible; the RIGHT side is replicated
-    * saltFactor times (explode over the salt domain). The join key becomes
-    * (key, salt): each hot key spreads over saltFactor reducers.
+  /** Salted equi-join: the LEFT (large, skewed) side gets a salt in
+    * [0, saltFactor) from hashing the row CONTENT plus a per-row id — the id
+    * matters because real hot keys are often byte-identical duplicate rows,
+    * which a content-only hash would send to ONE salt (zero spread exactly
+    * when it's needed). The RIGHT side is replicated saltFactor times
+    * (explode over the salt domain). The join key becomes (key, salt): each
+    * hot key spreads over saltFactor reducers. Salt values depend on
+    * partitioning (monotonically_increasing_id), but the JOIN RESULT does
+    * not — every salt matches a replicated right row.
     *
     * Result equals `left.join(right, keys)` exactly; cost is
     * |right| * saltFactor through the shuffle — use for moderate-size right
@@ -28,7 +32,8 @@ object Skew {
     require(saltFactor > 0, "saltFactor must be positive")
     val saltedLeft = left.withColumn(
       "_salt",
-      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
+        lit(saltFactor)).cast("int"))
     val replicatedRight = right.withColumn(
       "_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
@@ -50,7 +55,8 @@ object Skew {
       merge: Seq[Column]): DataFrame = {
     val salted = df.withColumn(
       "_salt",
-      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(df.columns.map(col).toSeq :+ monotonically_increasing_id(): _*),
+        lit(saltFactor)).cast("int"))
     salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)

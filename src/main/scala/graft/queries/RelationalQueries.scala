@@ -254,14 +254,17 @@ object RelationalQueries {
         // grouping attributes). Semantics and plan (Expand + HashAggregate)
         // are identical. Input is pruned to 3 columns before Expand
         // multiplies rows per grouping set.
-        Tables.orders(s, dir).createOrReplaceTempView("v_orders")
-        Tables.customer(s, dir).createOrReplaceTempView("v_customer")
-        Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+        // unique view names per invocation: fixed names in the shared
+        // session catalog would race under concurrent query execution
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        Tables.orders(s, dir).createOrReplaceTempView(s"v_orders_$tag")
+        Tables.customer(s, dir).createOrReplaceTempView(s"v_customer_$tag")
+        Tables.nation(s, dir).createOrReplaceTempView(s"v_nation_$tag")
         s.sql(s"""SELECT n_name, o_orderpriority, ${decSumSql("o_totalprice")} AS revenue,
                  |       COUNT(*) AS n, CAST(grouping_id(n_name, o_orderpriority) AS BIGINT) AS lvl
-                 |FROM v_orders
-                 |JOIN v_customer ON o_custkey = c_custkey
-                 |JOIN v_nation ON c_nationkey = n_nationkey
+                 |FROM v_orders_$tag
+                 |JOIN v_customer_$tag ON o_custkey = c_custkey
+                 |JOIN v_nation_$tag ON c_nationkey = n_nationkey
                  |GROUP BY ROLLUP(n_name, o_orderpriority)
                  |ORDER BY lvl, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
       },
@@ -277,11 +280,12 @@ object RelationalQueries {
     QueryDef(
       "q14b_cube",
       (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("v_orders")
-        Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        Tables.orders(s, dir).createOrReplaceTempView(s"v_orders_$tag")
+        Tables.customer(s, dir).createOrReplaceTempView(s"v_customer_$tag")
         s.sql(s"""SELECT c_mktsegment, o_orderstatus, ${decSumSql("o_totalprice")} AS revenue,
                  |       COUNT(*) AS n, CAST(grouping_id(c_mktsegment, o_orderstatus) AS BIGINT) AS lvl
-                 |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+                 |FROM v_orders_$tag JOIN v_customer_$tag ON o_custkey = c_custkey
                  |GROUP BY CUBE(c_mktsegment, o_orderstatus)
                  |ORDER BY lvl, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
       },

@@ -37,11 +37,20 @@ object Ingest {
 
     def read(markDir: String): Map[Long, (Long, Long)] = {
       val p = Paths.get(markDir)
-      if (!Files.isDirectory(p)) Map.empty
-      else Files.list(p).iterator().asScala.flatMap { f =>
-        val parts = new String(Files.readAllBytes(f)).trim.split(" ")
-        if (parts.length == 3) Some(parts(0).toLong -> (parts(1).toLong, parts(2).toLong)) else None
-      }.toMap
+      if (!Files.isDirectory(p)) return Map.empty
+      val stream = Files.list(p)
+      try {
+        stream.iterator().asScala
+          // ONLY all-digit names are committed marks: a crash between
+          // tmp-write and rename leaves '.N.tmp' (and local FS '.crc'
+          // siblings) which must stay invisible and must not wedge parsing
+          .filter(f => f.getFileName.toString.forall(_.isDigit))
+          .flatMap { f =>
+            val parts = new String(Files.readAllBytes(f)).trim.split(" ")
+            if (parts.length == 3) Some(parts(0).toLong -> (parts(1).toLong, parts(2).toLong))
+            else None
+          }.toMap
+      } finally stream.close()
     }
 
     def write(markDir: String, batchId: Long, base: Long, count: Long): Unit = {

@@ -27,6 +27,19 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 1L, true)))
   }
 
+  test("exact dedup keeps null-text documents (normalized to empty string)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every input doc must appear")
+    // null, "", and whitespace-only all normalize to "" -> one group of 3
+    assert(out(2L) == ((2L, 3L)))
+    assert(out(3L) == ((2L, 3L)))
+    assert(out(4L) == ((2L, 3L)))
+  }
+
   test("minHashLsh recall >= 0.9 vs exact Jaccard pairs at j >= 0.7 (documents)") {
     // constant lang => exactJaccardPairs' lang blocking is a no-op, making it
     // true all-pairs ground truth (minHashLsh does not block on lang)

@@ -126,6 +126,24 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("WeightedAvg does not overflow on large heavy groups (BigDecimal accumulator)") {
+    import spark.implicits._
+    val wavg = udaf(new Aggregators.WeightedAvg)
+    // scaled-long accumulation would overflow: 200k rows x (1e5 * 1e6 scale * 1e5 weight)
+    val got = (1 to 200000).map(_ => (100000.0, 100000L)).toDF("v", "w")
+      .agg(wavg(col("v"), col("w"))).head().getDouble(0)
+    assert(math.abs(got - 100000.0) < 1e-6, s"got $got")
+  }
+
+  test("langId detects unspaced Chinese text via CJK characters") {
+    import spark.implicits._
+    val df = Seq(
+      "今天天气很好我们去公园散步吧这是一个测试",
+      "the cat sat on the mat and it was happy").toDF("text")
+    val out = df.select(TextOps.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("zh", "en"), s"got $out")
+  }
+
   test("quality score stays in [0,1] and is deterministic") {
     val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
     val qs = docs.select(TextOps.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))

@@ -30,6 +30,14 @@ class IvfSpec extends AnyFunSuite {
     assert(r8 >= 0.4, s"recall@5 with half the lists probed: $r8")
   }
 
+  test("cluster count clamps to corpus size (no crash on tiny corpora)") {
+    val tiny = emb.filter(col("vec_id") < 5)
+    val model = Ivf.train(tiny, c = 32, iters = 2)
+    assert(model.c == 5)
+    val out = Ivf.topK(tiny, tiny.filter(col("vec_id") === 0), model, k = 3, nProbe = 5)
+    assert(out.count() == 3)
+  }
+
   test("training and search are deterministic run to run") {
     val m1 = Ivf.train(emb, c = 8, iters = 2)
     val m2 = Ivf.train(emb, c = 8, iters = 2)

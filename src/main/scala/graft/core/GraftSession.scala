@@ -36,10 +36,14 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Local session for mains/tests. */
+  /** Local session for mains/tests. The warehouse (bucketized catalog
+    * tables, Layout.bucketize) lives under the system temp dir, not the
+    * working directory. */
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val s = configure(
-      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      SparkSession.builder().master(s"local[$cores]").appName(appName)
+        .config("spark.sql.warehouse.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${System.getProperty("user.name")}"),
       shufflePartitions = math.max(cores, 4)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -150,6 +150,43 @@ object Ingest {
       .parquet(committed.map(b => s"$sinkDir/batch_id=$b"): _*)
   }
 
+  /** RepairDB analogue (kv/include/db.h:112-116): rebuild the high-water
+    * mark metadata from the data itself after the mark directory is lost or
+    * corrupted. Each `batch_id=N` directory's seq range is re-derived
+    * (min/max seq read via parquet footer stats — no data pages), and marks
+    * are rewritten as (batchId, base = min-1, count = max-min+1). Returns
+    * the number of batches repaired. */
+  def repairMarks(spark: SparkSession, sinkDir: String, checkpointDir: String): Int = {
+    val markDir = s"$checkpointDir/graft-marks"
+    val root = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath)
+    batchDirs.foreach { p =>
+      val batchId = p.getName.stripPrefix("batch_id=").toLong
+      val range = spark.read.parquet(p.toString)
+        .agg(org.apache.spark.sql.functions.min("seq"), org.apache.spark.sql.functions.max("seq"))
+        .head()
+      if (!range.isNullAt(0)) {
+        val (lo, hi) = (range.getLong(0), range.getLong(1))
+        Marks.write(markDir, batchId, lo - 1, hi - lo + 1)
+      }
+    }
+    batchDirs.size
+  }
+
+  /** DestroyDB analogue: remove a changelog table's data and checkpoint. */
+  def destroy(spark: SparkSession, sinkDir: String, checkpointDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(sinkDir, checkpointDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Tumbling/sliding event-time window aggregation with watermark — the
     * streaming analogue of snapshot-horizon GC (reference smallest_snapshot,
     * kv/db/db_impl.cpp:1044-1051): state older than the watermark is dropped

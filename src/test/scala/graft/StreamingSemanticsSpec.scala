@@ -125,6 +125,31 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(before.sameElements(after), "replayed batch must be byte-identical (exactly-once)")
   }
 
+  test("repairMarks rebuilds lost high-water metadata from sink footers (RepairDB analogue)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_repair_").toString
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .repartition(3).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = Ingest.startChangelogIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt",
+      orderCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val before = Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("event_id", "seq").orderBy("event_id").collect().map(_.toSeq)
+    // lose the marks entirely
+    val marks = new java.io.File(s"$tmp/ckpt/graft-marks")
+    marks.listFiles().foreach(_.delete())
+    intercept[IllegalArgumentException](Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt"))
+    val repaired = Ingest.repairMarks(spark, s"$tmp/sink", s"$tmp/ckpt")
+    assert(repaired == 3)
+    val after = Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("event_id", "seq").orderBy("event_id").collect().map(_.toSeq)
+    assert(before.toSeq == after.toSeq, "repaired marks must restore the exact committed view")
+    // destroy removes everything
+    Ingest.destroy(spark, s"$tmp/sink", s"$tmp/ckpt")
+    assert(!new java.io.File(s"$tmp/sink").exists() && !new java.io.File(s"$tmp/ckpt").exists())
+  }
+
   test("readCommitted hides batch directories without a committed mark (manifest rule)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mani_").toString
     spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")

@@ -63,8 +63,10 @@ class ChangelogPropertiesSpec extends AnyFunSuite {
       (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
 
   private def check(prop: Prop): Unit = {
+    // GRAFT_SOAK=n raises the iteration count for soak runs
+    val n = sys.env.get("GRAFT_SOAK").map(_.toInt).getOrElse(8)
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(8)
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
         .withInitialSeed(org.scalacheck.rng.Seed(42L)),
       prop)
     assert(res.passed, res.status.toString)

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *   - MinHash-LSH replaces the O(n^2) pair scan with an equi-join on band
   *     buckets: cost is O(n * bands) rows through one shuffle, candidates are
   *     verified with exact Jaccard only within buckets;
-  *   - SimHash pairs band on pigeonhole bit-blocks (maxHamming+1 blocks of
-  *     the 64-bit signature): every pair within the Hamming budget shares at
-  *     least one block, so candidate generation provably misses nothing.
+  *   - SimHash pairs band on multi-index pigeonhole block COMBINATIONS
+  *     (maxHamming+q blocks, join on q-block combos): every pair within the
+  *     Hamming budget shares at least one all-clean combo, so candidate
+  *     generation provably misses nothing — while the wider composite keys
+  *     keep bucket sizes (and thus candidate pairs) sub-quadratic on
+  *     low-entropy corpora.
   */
 object Dedup {
 
@@ -167,27 +170,43 @@ object Dedup {
 
   /** Pair search over precomputed 64-bit signatures (`doc_id`, `sh`).
     *
-    * Blocking with a RECALL GUARANTEE: the 64 bits are split into
-    * `maxHamming + 1` nearly-equal blocks; two signatures within the Hamming
-    * budget differ in at most `maxHamming` bits, so by pigeonhole at least
-    * one block is untouched — candidates = pairs sharing ANY block, which
-    * provably includes every qualifying pair (a single fixed-prefix block
-    * would silently miss pairs differing in its bits). Join key is the
-    * (block index, block bits) pair; each doc emits maxHamming+1 rows. */
-  def simHashPairsFromSignatures(signatures: DataFrame, maxHamming: Int): DataFrame = {
-    val nBlocks = maxHamming + 1
-    require(nBlocks <= 64, "maxHamming too large for a 64-bit signature")
+    * Multi-index blocking with a RECALL GUARANTEE (the multi-index Hamming
+    * search scheme of Norouzi et al., generalized pigeonhole): the 64 bits
+    * are split into `maxHamming + comboSize` nearly-equal blocks. A pair
+    * within the Hamming budget has at most `maxHamming` dirty blocks, so at
+    * least `comboSize` blocks are untouched — therefore the combination of
+    * those `comboSize` clean blocks matches exactly. Candidates = pairs
+    * sharing ANY of the C(maxHamming+comboSize, comboSize) block
+    * combinations; every qualifying pair is provably generated.
+    *
+    * Why combinations and not single blocks (comboSize = 1): bucket width is
+    * what bounds candidate growth. At maxHamming = 6, single blocks are 7
+    * keys of ~9 bits — on a low-entropy corpus candidate pairs grow as
+    * ~7·N²/2⁹, effectively quadratic. comboSize = 2 emits 28 keys of ~16
+    * bits: 4× the banding rows (ids only) for ~2⁷× smaller buckets, flipping
+    * candidate growth to ~28·N²/2¹⁶ — the curve that survives a 100× corpus.
+    * Join key is (combo index, bits of each block in the combo). */
+  def simHashPairsFromSignatures(
+      signatures: DataFrame,
+      maxHamming: Int,
+      comboSize: Int = 2): DataFrame = {
+    require(comboSize >= 1, "comboSize must be >= 1")
+    val nBlocks = maxHamming + comboSize
+    require(nBlocks <= 64, "maxHamming + comboSize too large for a 64-bit signature")
     val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
-    val blocks = (0 until nBlocks).map { i =>
+    def blockBits(i: Int) = {
       val lo = bounds(i)
       val width = bounds(i + 1) - lo
       val mask = if (width == 64) -1L else (1L << width) - 1
-      struct(
-        lit(i).as("t"),
-        shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask)).as("bits"))
+      shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until nBlocks).combinations(comboSize).toSeq
+    val keys = combos.zipWithIndex.map { case (combo, ci) =>
+      struct(lit(ci).as("t") +:
+        combo.zipWithIndex.map { case (b, j) => blockBits(b).as(s"b$j") }: _*)
     }
     val banded = signatures
-      .select(col("doc_id"), col("sh"), explode(array(blocks: _*)).as("blk"))
+      .select(col("doc_id"), col("sh"), explode(array(keys: _*)).as("blk"))
     banded.as("a")
       .join(banded.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(

@@ -76,6 +76,31 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 5L)), "hamming 8 exceeds the budget")
   }
 
+  test("simhash multi-index blocking == brute-force all-pairs (exactness on random clustered signatures)") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with planted near-dup clusters:
+    // 60 base signatures, each with 4 perturbations at hamming 0..8 spread
+    // over random bit positions (some in, some out of the budget)
+    val rnd = new scala.util.Random(42L)
+    val sigs = (0 until 60).flatMap { g =>
+      val base = rnd.nextLong()
+      (0 until 4).map { p =>
+        var sh = base
+        val flips = rnd.nextInt(9) // 0..8 bit flips
+        (0 until flips).foreach(_ => sh ^= (1L << rnd.nextInt(64)))
+        (g * 4L + p, sh)
+      }
+    }.toDF("doc_id", "sh")
+    val got = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = sigs.as("a")
+      .join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(bit_count($"a.sh".bitwiseXOR($"b.sh")) <= 6)
+      .select($"a.doc_id", $"b.doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must contain within-budget pairs")
+    assert(got == want, s"blocking must be exact: missing=${want -- got}, extra=${got -- want}")
+  }
+
   test("simHash finds exact duplicates and near-permutations at hamming <= 6") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"

@@ -20,6 +20,14 @@ object TextOps {
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Per-token xxhash64 values in one fused pass (no regex, no token-string
+    * allocation) — bit-identical to `transform(tokens(text), xxhash64)`.
+    * Lowers to the native [[graft.plans.TokenHashes]] expression; the entry
+    * point for every hashed-token pipeline (minhash, simhash, n-gram
+    * Jaccard), where regex tokenization is the measured hotspot. */
+  def tokenHashes(text: Column): Column =
+    call_function("graft_token_hashes", text)
+
   /** Word n-gram shingles (distinct), e.g. n=3 for near-dup detection.
     * Implemented with `transform` over token offsets — codegen, no UDF. */
   def shingles(toks: Column, n: Int): Column = {

@@ -65,9 +65,7 @@ object Dedup {
     val shingled = documents
       .select(
         col(idCol).as("doc"),
-        TextOps.ngramHashes(
-          transform(TextOps.tokens(col(textCol)), t => xxhash64(t)),
-          shingleN).as("sh"))
+        TextOps.ngramHashes(TextOps.tokenHashes(col(textCol)), shingleN).as("sh"))
       .localCheckpoint()
     val sigs = shingled
       .select(col("doc"), TextOps.minHashFromHashes(col("sh"), numHashes).as("sig"))
@@ -116,15 +114,15 @@ object Dedup {
     val d = documents.select(
       col("doc_id"),
       col("lang"),
-      TextOps.tokens(col("text")).as("toks"))
-      .withColumn("nt", size(col("toks")))
+      TextOps.tokenHashes(col("text")).as("th"))
+      .withColumn("nt", size(col("th")))
       .withColumn("nt_block", floor(col("nt") / (tokenSlack * 2)))
       .localCheckpoint() // tokenization computed once, not per join branch
     // shingles carried as xxhash64 longs: identical Jaccard w.h.p., long-set
     // intersection instead of string-set per pair
     val shingled = d.select(
       col("doc_id"),
-      TextOps.ngramHashes(transform(col("toks"), t => xxhash64(t)), shingleN).as("sh"))
+      TextOps.ngramHashes(col("th"), shingleN).as("sh"))
       .localCheckpoint()
     // join on (lang, coarse token-count block) then verify the slack exactly:
     // the probe side explodes to {block-1, block, block+1} — with block width
@@ -162,8 +160,7 @@ object Dedup {
   def simHashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
     val d = documents
       .select(col("doc_id"),
-        transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("_hs"))
-      .select(col("doc_id"), TextOps.simHashFromHashes(col("_hs")).as("sh"))
+        TextOps.simHashFromHashes(TextOps.tokenHashes(col("text"))).as("sh"))
       .localCheckpoint() // signature computed once, not per self-join side
     simHashPairsFromSignatures(d, maxHamming)
   }

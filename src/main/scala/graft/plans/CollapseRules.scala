@@ -121,6 +121,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongIntersectCount(children(0), children(1))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokenHashes].getName, "graft_token_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenHashes(children.head)))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngram_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NgramHashes].getName, "graft_ngram_hashes"),

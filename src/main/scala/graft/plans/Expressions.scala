@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
 /** Native codegen'd SimHash: fold an `array<long>` of token hashes into the
   * 64-bit signature in ONE pass (64 sign counters), instead of 64 separate
@@ -187,6 +187,80 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel for [[TokenHashes]] — called from both interpreted eval and
+  * generated code (Scala emits static forwarders for standalone objects, so
+  * janino sees a plain static method; one call per row, no megamorphic
+  * dispatch, and the loop itself JITs like hand-written Java). */
+object TextKernels {
+  import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Java-regex `\s` is exactly these six ASCII bytes; UTF-8 multi-byte
+    * sequences never contain ASCII values, so a byte scan is exact. */
+  @inline private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Tokenize-and-hash in ONE pass over the UTF-8 bytes: the hash of each
+    * maximal non-whitespace run, bit-identical to
+    * `transform(split(trim(regexp_replace(s, "\\s+", " ")), " "), xxhash64)`
+    * — including the edge case that an empty/all-whitespace input yields one
+    * empty token (split of "" returns [""]), hence `[xxhash64("")]`. */
+  def tokenHashes(s: UTF8String, seed: Long): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    var i = 0
+    var count = 0
+    var prevWs = true
+    while (i < n) {
+      val ws = isWs(Platform.getByte(base, off + i))
+      if (!ws && prevWs) count += 1
+      prevWs = ws
+      i += 1
+    }
+    if (count == 0)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(base, off, 0, seed)))
+    val out = new Array[Long](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      while (i < n && isWs(Platform.getByte(base, off + i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(Platform.getByte(base, off + i))) i += 1
+        out(k) = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
+        k += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Native fused tokenizer: string -> `array<long>` of per-token xxhash64
+  * values (seed 42, matching Spark's `xxhash64`), replacing the
+  * regex-collapse + split + per-token-hash pipeline that dominates the
+  * text-dedup hot path (regexp_replace allocates a rewritten string and the
+  * split allocates a string array per document; this allocates only the
+  * output longs). Downstream consumers (minhash, simhash, n-gram shingles)
+  * only ever need the token HASHES, never the token strings.
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], 42L)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.TextKernels.tokenHashes($s, 42L);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
 }
 
 /** Native codegen'd word-n-gram hash set: from an `array<long>` of token

@@ -77,6 +77,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == Seq(0, 0, 1, 0))
   }
 
+  test("native TokenHashes == regex tokenize + xxhash64, all documents + edge cases") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001).select("text")
+    val edges = Seq(
+      "", " ", "  \t\n ", "a", " a ", "a b", "a  b", "\ta\nb\r c\f",
+      "多字节 tokens mixed まで", "trailing space ", " leading", "a b" // NBSP is NOT \s
+    ).toDF("text")
+    val mismatches = docs.unionByName(edges)
+      .select(
+        TextOps.tokenHashes(col("text")).as("native"),
+        transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("ref"))
+      .filter(not(col("native") === col("ref"))).count()
+    assert(mismatches == 0, "fused tokenizer must be bit-identical to the regex pipeline")
+    // null text -> null (UnaryExpression null propagation)
+    val n = Seq[String](null).toDF("text")
+      .select(TextOps.tokenHashes(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("native SimHash64 expression == higher-order-function reference, all documents") {
     val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
       .select(col("doc_id"),

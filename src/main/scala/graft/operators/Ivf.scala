@@ -26,28 +26,22 @@ object Ivf {
   }
 
   /** Squared-L2 argmin is equivalent to argmin of `-2 q.c + ||c||^2` (the
-    * `||q||^2` term is constant per row) — one native dot per centroid. */
-  private def distances(vec: Column, model: Model): Column = {
-    val cents = typedLit(model.centroids)
-    val norms = typedLit(model.centroids.map(ct => ct.map(x => x.toDouble * x).sum))
-    transform(
-      sequence(lit(0), lit(model.c - 1)),
-      i => element_at(norms, i + 1) - lit(2.0) * VectorOps.dot(vec, element_at(cents, i + 1)))
-  }
+    * `||q||^2` term is constant per row). Lowers to the native fused
+    * [[graft.plans.CentroidProbes]] expression: all C distances + top-k
+    * selection in one loop over a flat primitive matrix (the composed
+    * `transform`/`element_at`/`array_min` form evaluated the distance array
+    * twice and re-compiled a centroid-matrix-inlined codegen per job). */
+  private def probes(vec: Column, model: Model, k: Int): Column =
+    call_function("graft_centroid_probes", vec, typedLit(model.centroids), lit(k))
 
   /** Index of the nearest centroid (0-based; ties -> lowest index). */
-  def nearestCentroid(vec: Column, model: Model): Column = {
-    val d = distances(vec, model)
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
+  def nearestCentroid(vec: Column, model: Model): Column =
+    element_at(probes(vec, model, 1), 1)
 
-  /** Indices of the `nProbe` nearest centroids, 0-based. */
-  def probeCentroids(vec: Column, model: Model, nProbe: Int): Column = {
-    val d = distances(vec, model)
-    val ranked = array_sort(
-      zip_with(d, sequence(lit(0), lit(model.c - 1)), (dist, i) => struct(dist.as("d"), i.as("i"))))
-    transform(slice(ranked, 1, nProbe), s => s.getField("i"))
-  }
+  /** Indices of the `nProbe` nearest centroids, 0-based, ascending by
+    * (distance, index). */
+  def probeCentroids(vec: Column, model: Model, nProbe: Int): Column =
+    probes(vec, model, nProbe)
 
   /** Train C centroids with `iters` Lloyd iterations. Cluster count is
     * clamped to the corpus size (requesting 32 lists over 20 vectors must
@@ -58,33 +52,42 @@ object Ivf {
       iters: Int = 3,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Model = {
-    // deterministic init: the C vectors with smallest xxhash64(id)
-    val init = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(c)
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
-    require(init.nonEmpty, "Ivf.train: empty corpus")
-    var model = Model(init)
-    val dim = model.centroids.head.length
-    for (_ <- 1 to iters) {
-      // exact per-dimension means: decimal accumulation => order-independent
-      val means = corpus
-        .select(nearestCentroid(col(vecCol), model).as("b"), posexplode(col(vecCol)))
-        .groupBy(col("b"), col("pos"))
-        .agg((sum(col("col").cast(DecimalType(30, 10))) / count(lit(1))).cast("double").as("m"))
+    // Training makes iters+1 passes over (id, vec); persist the projection so
+    // the source is scanned ONCE, not re-read per Lloyd iteration. At 100 TB
+    // the cached projection is the embedding column only (the persist cost is
+    // itself one pass, amortized over the iterations); without it training
+    // cost is iters x full-input re-reads.
+    val proj = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: the C vectors with smallest xxhash64(id)
+      val init = proj
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(c)
         .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
-        .toMap
-      model = Model(Array.tabulate(model.c) { b =>
-        Array.tabulate(dim) { d =>
-          // empty clusters keep their previous centroid
-          means.get((b, d)).map(_.toFloat).getOrElse(model.centroids(b)(d))
-        }
-      })
-    }
-    model
+        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+      require(init.nonEmpty, "Ivf.train: empty corpus")
+      var model = Model(init)
+      val dim = model.centroids.head.length
+      for (_ <- 1 to iters) {
+        // assignment + per-dimension means fused in ONE aggregation job over
+        // the cached projection; decimal accumulation => order-independent
+        val means = proj
+          .select(nearestCentroid(col(vecCol), model).as("b"), posexplode(col(vecCol)))
+          .groupBy(col("b"), col("pos"))
+          .agg((sum(col("col").cast(DecimalType(30, 10))) / count(lit(1))).cast("double").as("m"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+          .toMap
+        model = Model(Array.tabulate(model.c) { b =>
+          Array.tabulate(dim) { d =>
+            // empty clusters keep their previous centroid
+            means.get((b, d)).map(_.toFloat).getOrElse(model.centroids(b)(d))
+          }
+        })
+      }
+      model
+    } finally proj.unpersist(blocking = false)
   }
 
   /** Top-k cosine neighbors per query, scanning only `nProbe` inverted

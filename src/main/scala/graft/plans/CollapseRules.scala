@@ -121,6 +121,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongIntersectCount(children(0), children(1))))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_centroid_probes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CentroidProbes].getName, "graft_centroid_probes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, FloatType}
+        val cents = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              arr: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
+            Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+          case other => throw new IllegalArgumentException(
+            s"graft_centroid_probes(vec, cents, k): cents must be an array<array<float>> literal, got $other")
+        }
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_centroid_probes(vec, cents, k): k must be an integer literal, got $other")
+        }
+        CentroidProbes(children.head, cents, k)
+      }))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenHashes].getName, "graft_token_hashes"),

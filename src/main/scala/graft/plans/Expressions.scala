@@ -189,6 +189,108 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native fused nearest-centroid probe selection for IVF ANN: for an
+  * `array<float>` vector, compute the squared-L2 distance to every centroid
+  * (via `||c||² - 2·q·c`, the per-row-constant `||q||²` dropped) and return
+  * the indices of the `k` nearest, ascending by (distance, index) — one loop
+  * over a flat primitive matrix held once per task via a reference object.
+  *
+  * Replaces the `transform(sequence(...), i => element_at(normsLit, i+1) -
+  * 2*dot(vec, element_at(centsLit, i+1)))` + `array_min`/`array_position`
+  * pipeline, which evaluates the distance array twice, chases nested
+  * ArrayData literals per element, and inflates the generated code with the
+  * inlined centroid matrix (a fresh multi-KB codegen compile per job).
+  * Arithmetic matches the composed form exactly: double accumulation
+  * left-to-right, norms as sum of `c_i² ` in double, first index wins ties.
+  */
+case class CentroidProbes(child: Expression, centroids: Array[Array[Float]], k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty, "empty centroid matrix")
+  require(k >= 1 && k <= centroids.length, s"k=$k out of range for ${centroids.length} centroids")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_centroid_probes"
+
+  private val dim: Int = centroids.head.length
+  @transient private lazy val flat: Array[Float] = {
+    val f = new Array[Float](centroids.length * dim)
+    var b = 0
+    while (b < centroids.length) {
+      System.arraycopy(centroids(b), 0, f, b * dim, dim); b += 1
+    }
+    f
+  }
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(ct => ct.map(x => x.toDouble * x).sum)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.centroidProbes(input.asInstanceOf[ArrayData], flat, norms, dim, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "float[]")
+    val normsRef = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.plans.VectorKernels.centroidProbes(
+         |  $v, $flatRef, $normsRef, $dim, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidProbes =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[CentroidProbes]]. */
+object VectorKernels {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  /** Indices of the `k` centroids nearest to `v` by squared L2, ascending by
+    * (distance, index). Returns null on dimension mismatch or null elements
+    * (mirroring the null-propagating dot of the composed form). */
+  def centroidProbes(
+      v: ArrayData, flat: Array[Float], norms: Array[Double], dim: Int, k: Int): ArrayData = {
+    if (v.numElements() != dim) return null
+    val c = norms.length
+    val dists = new Array[Double](c)
+    val q = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      q(j) = v.getFloat(j).toDouble
+      j += 1
+    }
+    var b = 0
+    while (b < c) {
+      var acc = 0.0
+      val base = b * dim
+      var i = 0
+      while (i < dim) { acc += q(i) * flat(base + i).toDouble; i += 1 }
+      dists(b) = norms(b) - 2.0 * acc
+      b += 1
+    }
+    // partial selection sort of k smallest (k << c); stable on ties by index
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](c)
+    var s = 0
+    while (s < k) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < c) {
+        if (!taken(i) && dists(i) < bestD) { best = i; bestD = dists(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Static kernel for [[TokenHashes]] — called from both interpreted eval and
   * generated code (Scala emits static forwarders for standalone objects, so
   * janino sees a plain static method; one call per row, no megamorphic

@@ -13,25 +13,88 @@ import org.apache.spark.sql.types.DecimalType
   * oracle-checkable. Watermark/late-data semantics and restart recovery are
   * exercised in StreamingSpec (they need crafted late rows / kill-restart,
   * not expressible as a DuckDB query).
+  *
+  * All streaming state here is APPEND-mode + watermark-bounded: state for a
+  * window is dropped as soon as the watermark passes it — the shape that
+  * holds on an unbounded stream (complete mode would retain every window
+  * ever seen, the classic streaming scale-killer).
   */
 object StreamingQueries {
 
+  /** Sentinel event_type for watermark-flush rows (filtered from results). */
+  private val FlushType = "___graft_flush___"
+
+  /** 2100-01-01 in nanos — far past every real event; its window never
+    * closes, so flush rows can never leak into append-mode output even
+    * before the event_type filter. */
+  private val FlushNanos = 4102444800L * 1000000000L
+
   /** Stream the events parquet through a symlinked source directory (file
     * sources need directories), with the raw nanos `ts` converted exactly as
-    * [[Tables.events]] does. */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    * [[Tables.events]] does. Returns the stream and the temp dir to delete
+    * once the query has terminated.
+    *
+    * With `flushSentinels`, two single-row parquet files with far-future
+    * timestamps are appended to the source (strictly increasing mtimes, so
+    * with maxFilesPerTrigger=1 each is its own micro-batch AFTER the real
+    * data). Structured Streaming computes batch N's watermark from batch
+    * N-1's max event time, so the first sentinel batch emits windows closed
+    * by the real data's watermark and the second emits every remaining real
+    * window (the first sentinel pushed the watermark past them all) — the
+    * append-mode flush that lets an oracle compare CLOSED windows without
+    * ever holding complete-mode state. */
+  private def eventsStream(
+      s: SparkSession,
+      dir: String,
+      flushSentinels: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): (DataFrame, java.nio.file.Path) = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_stream_")
     val srcDir = tmp.resolve("src")
-    java.nio.file.Files.createDirectories(srcDir)
-    java.nio.file.Files.createSymbolicLink(
+    Files.createDirectories(srcDir)
+    Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
+      Paths.get(dir, "events.parquet"))
+    if (flushSentinels) {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val now = System.currentTimeMillis()
+      Seq(("zz_flush_1.parquet", FlushNanos, now + 30000L),
+        ("zz_flush_2.parquet", FlushNanos + 4L * 3600L * 1000000000L, now + 60000L))
+        .foreach { case (name, nanos, mtime) =>
+          val stage = tmp.resolve(s"stage_$name")
+          raw.limit(1)
+            .withColumn("ts", lit(nanos))
+            .withColumn("event_type", lit(FlushType))
+            .coalesce(1)
+            .write.parquet(stage.toString)
+          val part = Files.list(stage).iterator()
+          val dst = srcDir.resolve(name)
+          var moved = false
+          while (part.hasNext && !moved) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.move(p, dst); moved = true
+            }
+          }
+          require(moved, s"no parquet part written under $stage")
+          Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+    }
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema).parquet(srcDir.toString)
+    val reader = s.readStream.schema(schema)
+    val src = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir.toString)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
+    (src, tmp)
   }
 
+  /** Run a streaming DataFrame to a memory sink with AvailableNow, then
+    * MATERIALIZE the terminal table into a local DataFrame and drop the
+    * sink's temp view — no catalog residue per invocation (the memory sink
+    * already holds the rows on the driver; this copies, it does not
+    * collect distributed data). */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = df.writeStream
@@ -41,25 +104,47 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val s = df.sparkSession
+    val table = s.table(name)
+    val rows = table.collect()
+    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), table.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
   }
 
   val all: Seq[QueryDef] = Seq(
 
-    // Q21: streaming tumbling-window aggregation with watermark. Complete
-    // mode => the terminal state covers every window, so the oracle is the
-    // full batch aggregation (watermark state-drop behavior is asserted
-    // separately in StreamingSpec with crafted late rows).
+    // Q21: streaming tumbling-window aggregation with watermark, APPEND mode
+    // — the scale-safe shape: only closed windows are emitted and their state
+    // is dropped. Flush sentinels advance the watermark past every real
+    // window, so the terminal append output covers exactly the full batch
+    // aggregation (watermark late-row drops are asserted separately in
+    // StreamingSemanticsSpec with crafted late rows).
     QueryDef(
       "q21_stream_window",
       (s, dir) => {
+        val (stream, tmp) = eventsStream(
+          s, dir, flushSentinels = true, maxFilesPerTrigger = Some(1))
         val agg = Ingest.windowedCounts(
-          eventsStream(s, dir), tsCol = "ts", watermark = "2 hours", windowDuration = "1 hour")
-        runToMemory(agg, "complete")
+          stream, tsCol = "ts", watermark = "2 hours", windowDuration = "1 hour")
+        val out = runToMemory(agg, "append")
+          .filter(col("event_type") =!= FlushType)
           .select(
             unix_micros(col("w_start")).as("w_start_us"),
             col("event_type"), col("n"), col("sum_value"))
           .orderBy("w_start_us", "event_type")
+        deleteRecursively(tmp)
+        out
       },
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us, event_type,
              |       COUNT(*) AS n,
@@ -105,8 +190,9 @@ object StreamingQueries {
     QueryDef(
       "q23_stream_upsert",
       (s, dir) => {
-        val raw = eventsStream(s, dir)
-        val updates = runToMemory(Ingest.streamingUpsert(raw), "update")
+        val (raw, tmp) = eventsStream(s, dir)
+        val updates = runToMemory(
+          Ingest.streamingUpsert(raw, isDelete = expr("event_id % 10 = 0")), "update")
         val collapsed = updates
           .groupBy("user_id", "event_type")
           .agg(max_by(
@@ -117,9 +203,11 @@ object StreamingQueries {
             col("x.last_seq").as("last_seq"),
             col("x.last_value").as("last_value"),
             col("x.is_delete").as("is_delete"))
-        collapsed.filter(!col("is_delete"))
+        val out = collapsed.filter(!col("is_delete"))
           .drop("is_delete")
           .orderBy("user_id", "event_type")
+        deleteRecursively(tmp)
+        out
       },
       Some("""SELECT user_id, event_type, event_id AS last_seq, value AS last_value
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type

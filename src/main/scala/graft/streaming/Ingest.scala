@@ -28,39 +28,58 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ingest {
 
-  /** Tiny driver-side high-water-mark log: one file per committed batch
-    * holding "batchId base count". Reading costs one directory listing of
-    * O(#batches) small files — independent of data volume. */
+  /** Tiny high-water-mark log: one file per committed batch holding
+    * "batchId base count". Reading costs one directory listing of
+    * O(#batches) small files — independent of data volume.
+    *
+    * Routed through the Hadoop FileSystem API resolved from the mark path
+    * (NOT java.nio.file): on a real deployment the checkpoint lives on
+    * HDFS/S3, where a local-path API would silently write to the driver's
+    * disk and break committed-visibility for every other reader. Same
+    * create-temp-then-rename protocol as the manifest analogue
+    * (kv/db/version_set.cpp:920-1018); rename is atomic on HDFS and on the
+    * local FS. */
   private[streaming] object Marks {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
 
-    def read(markDir: String): Map[Long, (Long, Long)] = {
-      val p = Paths.get(markDir)
-      if (!Files.isDirectory(p)) return Map.empty
-      val stream = Files.list(p)
-      try {
-        stream.iterator().asScala
-          // ONLY all-digit names are committed marks: a crash between
-          // tmp-write and rename leaves '.N.tmp' (and local FS '.crc'
-          // siblings) which must stay invisible and must not wedge parsing
-          .filter(f => f.getFileName.toString.forall(_.isDigit))
-          .flatMap { f =>
-            val parts = new String(Files.readAllBytes(f)).trim.split(" ")
-            if (parts.length == 3) Some(parts(0).toLong -> (parts(1).toLong, parts(2).toLong))
-            else None
-          }.toMap
-      } finally stream.close()
+    def read(markDir: String, conf: Configuration): Map[Long, (Long, Long)] = {
+      val dir = new Path(markDir)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) return Map.empty
+      fs.listStatus(dir).iterator
+        // ONLY all-digit names are committed marks: a crash between
+        // tmp-write and rename leaves '.N.tmp' (and local FS '.crc'
+        // siblings) which must stay invisible and must not wedge parsing
+        .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val content =
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
+            finally in.close()
+          val parts = content.trim.split(" ")
+          if (parts.length == 3) Some(parts(0).toLong -> (parts(1).toLong, parts(2).toLong))
+          else None
+        }.toMap
     }
 
-    def write(markDir: String, batchId: Long, base: Long, count: Long): Unit = {
-      val p = Paths.get(markDir)
-      Files.createDirectories(p)
-      // write-then-rename for atomicity
-      val tmp = p.resolve(s".$batchId.tmp")
-      Files.write(tmp, s"$batchId $base $count".getBytes)
-      Files.move(tmp, p.resolve(batchId.toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def write(markDir: String, batchId: Long, base: Long, count: Long, conf: Configuration): Unit = {
+      val dir = new Path(markDir)
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      // write-then-rename for atomicity; the dotted temp name stays invisible
+      // to read() even if a crash strands it
+      val tmp = new Path(dir, s".$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$batchId $base $count".getBytes)
+      finally out.close()
+      val dst = new Path(dir, batchId.toString)
+      // replay overwrites the identical mark; Hadoop rename does not replace,
+      // so drop the stale copy first (readers that race see the old mark or
+      // none — both consistent, the data files are already in place)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"Marks.write: rename $tmp -> $dst failed")
     }
   }
 
@@ -91,7 +110,8 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val ss = batch.sparkSession
-        val marks = Marks.read(markDir)
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val marks = Marks.read(markDir, hconf)
         // crash-replayed batch: reuse its recorded base so seqs are stable;
         // fresh batch: base = max committed (base + count) so far
         val base: Long = marks.get(batchId).map(_._1)
@@ -129,7 +149,7 @@ object Ingest {
           .mode("overwrite")
           .parquet(s"$sinkDir/batch_id=$batchId")
         sortedRdd.unpersist(blocking = false)
-        Marks.write(markDir, batchId, base, n)
+        Marks.write(markDir, batchId, base, n, hconf)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
@@ -143,7 +163,8 @@ object Ingest {
     * committed. Costs one tiny mark-dir listing; the per-batch paths keep
     * partition pruning on `batch_id`. */
   def readCommitted(spark: SparkSession, sinkDir: String, checkpointDir: String): DataFrame = {
-    val committed = Marks.read(s"$checkpointDir/graft-marks").keys.toSeq.sorted
+    val committed = Marks.read(
+      s"$checkpointDir/graft-marks", spark.sparkContext.hadoopConfiguration).keys.toSeq.sorted
     require(committed.nonEmpty, s"no committed batches under $checkpointDir")
     spark.read
       .option("basePath", sinkDir)
@@ -171,7 +192,8 @@ object Ingest {
         .head()
       if (!range.isNullAt(0)) {
         val (lo, hi) = (range.getLong(0), range.getLong(1))
-        Marks.write(markDir, batchId, lo - 1, hi - lo + 1)
+        Marks.write(markDir, batchId, lo - 1, hi - lo + 1,
+          spark.sparkContext.hadoopConfiguration)
       }
     }
     batchDirs.size
@@ -233,12 +255,19 @@ object Ingest {
     * (user_id, event_type) key, maintain the highest-seq row (tombstones
     * included — readers filter), emitting the refreshed state each batch.
     * `flatMapGroupsWithState` in Update mode; unlike `dropDuplicates` this
-    * is last-write-wins, not first-wins. */
-  def streamingUpsert(events: DataFrame): DataFrame = {
+    * is last-write-wins, not first-wins.
+    *
+    * `isDelete` is the caller's tombstone rule (a boolean Column over the
+    * input) — the reference's value-vs-deletion type bit
+    * (kv/db/dbformat.h:49-58) generalized to any predicate; the test
+    * harness's `event_id % 10 = 0` convention lives in the registry, not
+    * here. */
+  def streamingUpsert(events: DataFrame, isDelete: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.{Dataset, Encoders}
     val typed: Dataset[UpsertRow] = events
+      .withColumn("_graft_is_delete", isDelete)
       .selectExpr("user_id", "event_type", "event_id as seq", "value",
-        "(event_id % 10 = 0) as isDelete")
+        "_graft_is_delete as isDelete")
       .as[UpsertRow](Encoders.product[UpsertRow])
     typed
       .groupByKey(r => (r.user_id, r.event_type))(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
@@ -255,7 +284,12 @@ object Ingest {
   }
 
   /** Streaming stateful dedup on key columns with watermark-bounded state
-    * (keeps the first occurrence — Spark's built-in exactly-once dedup). */
+    * (keeps the first occurrence — Spark's built-in exactly-once dedup).
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain
+    * dropDuplicates only evicts state when the event-time column is part of
+    * the key subset, so key-only dedup would grow state unboundedly; the
+    * within-watermark variant expires each key's state once the watermark
+    * passes its first-seen event time. */
   def streamingDedup(events: DataFrame, tsCol: String, watermark: String, keyCols: Seq[String]): DataFrame =
-    events.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 }

@@ -77,7 +77,7 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
     val name = "upsert_test_sink"
-    val q = Ingest.streamingUpsert(mem.toDF())
+    val q = Ingest.streamingUpsert(mem.toDF(), isDelete = expr("event_id % 10 = 0"))
       .writeStream.outputMode("update").format("memory").queryName(name).start()
     try {
       // seq%10==0 is the synthesized tombstone rule
@@ -93,6 +93,31 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       assert(updates.toSeq.sortBy(_._3) == Seq(
         (1L, "a", 5L, 1.0, false),
         (1L, "a", 20L, 3.0, true)), s"got ${updates.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streamingDedup keeps first occurrence per key with watermark-expirable state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = Ingest.streamingDedup(
+      mem.toDF(), tsCol = "ts", watermark = "30 minutes", keyCols = Seq("user_id", "event_type"))
+    val name = "dedup_test_sink"
+    val q = dedup.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      mem.addData(
+        Ev(1, "a", 1, 1.0, ts(0)), Ev(1, "a", 2, 2.0, ts(5)), // dup within watermark -> dropped
+        Ev(2, "a", 3, 3.0, ts(1)))
+      q.processAllAvailable()
+      mem.addData(Ev(1, "a", 4, 4.0, ts(6))) // still duplicate (cross-batch state)
+      q.processAllAvailable()
+      val out = spark.table(name).select("event_id").collect().map(_.getLong(0)).toSet
+      // within one micro-batch the surviving duplicate is arbitrary (no
+      // intra-batch ordering guarantee); the contract is one row per key and
+      // cross-batch suppression
+      assert(out.size == 2 && out.contains(3L), s"one row per key: $out")
+      assert(out.intersect(Set(1L, 2L)).size == 1, s"exactly one of the key-1 dups: $out")
+      assert(!out.contains(4L), s"cross-batch duplicate must be dropped: $out")
     } finally q.stop()
   }
 
@@ -162,7 +187,9 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt").count() == 1000)
     // simulate a crashed writer: a data directory exists but its mark does not
     val marks = new java.io.File(s"$tmp/ckpt/graft-marks")
-    val highest = marks.listFiles().map(_.getName.toLong).max
+    // only digit-named files are marks (hadoop local FS adds .crc siblings)
+    val highest = marks.listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).max
     val crc = new java.io.File(marks, s".$highest.crc")
     new java.io.File(marks, highest.toString).delete(); if (crc.exists()) crc.delete()
     val visible = Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Changelog, ChangelogSpec, GraftSession, Maintenance, Stats, Tables}
+import graft.core.{Changelog, ChangelogSpec, GraftSession, Maintenance, Snapshots, Stats, Tables}
 import graft.operators.{AsOf, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -46,9 +46,28 @@ final case class Graft(spark: SparkSession, dir: String) {
   def approximateSizes(bucket: Column, bytes: Column): DataFrame =
     Changelog.approximateSizes(events, bucket, bytes)
 
-  /** DB::CompactRange as a maintenance job (trivial-move aware). */
+  /** Full-table compaction as a maintenance job (trivial-move aware). */
   def compact(inDir: String, outDir: String, spec: ChangelogSpec, retention: Long): Long =
     Maintenance.compactTable(spark, inDir, outDir, spec, retention)
+
+  /** DB::CompactRange(begin, end): compact only keys in [lo, hi]; files
+    * outside the range are carried over byte-identical. */
+  def compactRange(
+      inDir: String, outDir: String, spec: ChangelogSpec, retention: Long,
+      lo: Any, hi: Any): Long =
+    Maintenance.compactRange(spark, inDir, outDir, spec, retention, lo, hi)
+
+  /** Snapshot lifecycle registry (DB::GetSnapshot / DB::ReleaseSnapshot);
+    * [[compactAtFloor]] derives its retention from the oldest live handle. */
+  val snapshots: Snapshots = new Snapshots
+  def getSnapshot(seq: Long): Snapshots.Handle = snapshots.acquire(seq)
+  def releaseSnapshot(h: Snapshots.Handle): Unit = snapshots.release(h)
+
+  /** Compact with retention derived from the snapshot registry — the
+    * reference's smallest_snapshot rule: oldest live snapshot, else
+    * `currentSeq`. Reads at every held snapshot are unchanged. */
+  def compactAtFloor(inDir: String, outDir: String, spec: ChangelogSpec, currentSeq: Long): Long =
+    Maintenance.compactTable(spark, inDir, outDir, spec, snapshots.retentionFloor(currentSeq))
 
   /** DB::GetProperty-style stats surface. */
   def tableStats: DataFrame = Stats.tableStats(spark, dir)

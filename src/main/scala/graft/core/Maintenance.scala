@@ -51,4 +51,88 @@ object Maintenance {
       .parquet(outDir)
     spark.read.parquet(outDir).count()
   }
+
+  /** Key-range-bounded manual compaction — `DB::CompactRange(begin, end)`
+    * (reference kv/db/db_impl.cpp:646-665): compact ONLY the keys in
+    * `[lo, hi]` on `rangeCol` (defaults to the first key column), leaving
+    * data outside the range untouched.
+    *
+    * File-level, mirroring the reference's overlapping-SSTable selection:
+    * per-file (min, max) of the range column picks the files that intersect
+    * the range; non-intersecting files are BYTE-COPIED into `outDir`
+    * unchanged (they cannot contain an in-range key, and every version of an
+    * in-range key lives in some intersecting file — so the rewrite sees each
+    * in-range key's full history). Intersecting files are rewritten:
+    * in-range rows go through [[Changelog.compact]] at `retention`,
+    * out-of-range rows (incl. null keys) pass through as-is.
+    *
+    * Operates on flat table directories (the shape [[compactTable]] writes);
+    * partitioned ingest sinks are compacted per batch directory. Returns the
+    * number of rows rewritten, or -1 if the trivial-move check found nothing
+    * to do within the range. */
+  def compactRange(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      spec: ChangelogSpec,
+      retention: Long,
+      lo: Any,
+      hi: Any,
+      rangeCol: String = null,
+      maxRecordsPerFile: Long = 1L << 20,
+      force: Boolean = false): Long = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val rc = Option(rangeCol).getOrElse(spec.keyCols.head)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(inDir)
+    val fs = root.getFileSystem(conf)
+    val dataFiles = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    require(dataFiles.nonEmpty, s"compactRange: no parquet files under $inDir")
+
+    // per-file key range in one narrow scan (range column + file metadata) —
+    // the manifest's per-SSTable [smallest, largest] analogue. Matched by
+    // file NAME (unique part-<uuid> names) to dodge URI-normalization
+    // differences between _metadata.file_path and FileSystem listings.
+    val fileStats = spark.read.parquet(inDir)
+      .select(col(rc).as("k"), col("_metadata.file_name").as("f"))
+      .groupBy("f")
+      .agg(min(col("k")).as("klo"), max(col("k")).as("khi"))
+      .withColumn("touch",
+        coalesce(col("khi") >= lit(lo) && col("klo") <= lit(hi), lit(false)))
+      .collect()
+    val byName = fileStats.map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    val (touched, untouched) = dataFiles.partition(p => byName.getOrElse(p.getName, false))
+
+    val rewritten: Long =
+      if (touched.isEmpty) -1L
+      else {
+        val touchedDf = spark.read.parquet(touched.map(_.toString): _*)
+        val inside = touchedDf.filter(col(rc).between(lit(lo), lit(hi)))
+        if (!force && !needsCompaction(inside, spec, retention)) -1L
+        else {
+          val outside = touchedDf.filter(!col(rc).between(lit(lo), lit(hi)) || col(rc).isNull)
+          val keys = spec.keyCols.map(col)
+          val merged = Changelog.compact(inside, spec, retention)
+            .unionByName(outside)
+            .repartitionByRange(keys: _*)
+            .sortWithinPartitions(keys :+ col(spec.seqCol): _*)
+          merged.write
+            .option("maxRecordsPerFile", maxRecordsPerFile)
+            .mode("overwrite")
+            .parquet(outDir)
+          spark.read.parquet(outDir).count()
+        }
+      }
+    if (rewritten < 0) return -1L
+    // byte-copy the untouched files (the reference's trivial move,
+    // kv/db/db_impl.cpp:843-861: files outside the compaction range are not
+    // rewritten). Names are unique part-<uuid> files — no collision with the
+    // rewritten output.
+    untouched.foreach { p =>
+      FileUtil.copy(fs, p, fs, new Path(outDir, p.getName), false, conf)
+    }
+    rewritten
+  }
 }

@@ -36,4 +36,107 @@ class MaintenanceSpec extends AnyFunSuite {
     val second = Maintenance.compactTable(spark, s"$tmp/compacted", s"$tmp/again", spec, retention)
     assert(second == -1L, "recompaction at the same horizon must be skipped")
   }
+
+  test("compactRange rewrites only intersecting files; out-of-range files byte-identical (CompactRange analogue)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cr_").toString
+    val retention = 500L
+    // two far-apart key clusters, range-partitioned into key-disjoint files:
+    // cluster A (user_id <= 50) intersects the compaction range, cluster B
+    // (user_id >= 1001) does not
+    val events = Tables.events(spark, TestSpark.Sf0001)
+    val shifted = events.filter(col("user_id") >= 25)
+      .withColumn("user_id", col("user_id") + lit(1000L))
+    events.filter(col("user_id") <= 50).coalesce(1).write.parquet(s"$tmp/log")
+    shifted.coalesce(1).write.mode("append").parquet(s"$tmp/log")
+
+    val written = Maintenance.compactRange(
+      spark, s"$tmp/log", s"$tmp/out", spec, retention, lo = 0L, hi = 500L)
+    assert(written > 0, "range holds tombstones below the horizon, must compact")
+
+    val original = spark.read.parquet(s"$tmp/log")
+    val out = spark.read.parquet(s"$tmp/out")
+
+    // the B-cluster file must be copied BYTE-IDENTICAL (same name, same bytes)
+    def filesOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(f => f.getName -> f).toMap
+    val inFiles = filesOf(s"$tmp/log")
+    val outFiles = filesOf(s"$tmp/out")
+    val copied = inFiles.keySet.intersect(outFiles.keySet)
+    assert(copied.size == 1, s"exactly the non-intersecting file is carried over: $copied")
+    copied.foreach { name =>
+      val a = java.nio.file.Files.readAllBytes(inFiles(name).toPath)
+      val b = java.nio.file.Files.readAllBytes(outFiles(name).toPath)
+      assert(java.util.Arrays.equals(a, b), s"$name must be byte-identical")
+    }
+
+    // out-of-range history is fully preserved (B cluster not compacted)
+    assert(
+      out.filter(col("user_id") >= 1000).count() ==
+        original.filter(col("user_id") >= 1000).count(),
+      "out-of-range rows must not be dropped")
+    // in-range side actually compacted
+    assert(
+      out.filter(col("user_id") < 1000).count() <
+        original.filter(col("user_id") < 1000).count(),
+      "in-range shadowed/tombstoned rows must be dropped")
+
+    // every read at snapshot >= retention unchanged
+    for (snap <- Seq(retention, 800L)) {
+      def state(df: org.apache.spark.sql.DataFrame) =
+        Changelog.collapseAt(df, spec, snap)
+          .select("user_id", "event_type", "event_id", "value")
+          .collect().map(_.toSeq).toSet
+      assert(state(out) == state(original), s"read at snapshot $snap must be unchanged")
+    }
+  }
+
+  test("snapshot registry: refcounted floor semantics (GetSnapshot/ReleaseSnapshot)") {
+    val reg = new graft.core.Snapshots
+    assert(reg.retentionFloor(currentSeq = 900L) == 900L, "no snapshots -> latest seq")
+    val a = reg.acquire(300L)
+    val b = reg.acquire(500L)
+    val a2 = reg.acquire(300L)
+    assert(reg.oldestLive.contains(300L) && reg.retentionFloor(900L) == 300L)
+    reg.release(a)
+    assert(reg.retentionFloor(900L) == 300L, "second holder still pins 300")
+    reg.release(a) // double release: must NOT free a2's pin
+    assert(reg.retentionFloor(900L) == 300L, "double release is a no-op")
+    reg.release(a2)
+    assert(reg.retentionFloor(900L) == 500L)
+    reg.release(b)
+    assert(reg.retentionFloor(900L) == 900L && reg.openCount == 0)
+  }
+
+  test("compaction at the registry floor never changes reads at held snapshots (property)") {
+    import graft.core.Snapshots
+    import org.apache.spark.sql.functions._
+    val df = Tables.events(spark, TestSpark.Sf0001).localCheckpoint()
+    val maxSeq = df.agg(max(spec.seqCol)).head().getLong(0)
+    def state(d: org.apache.spark.sql.DataFrame, snap: Long) =
+      Changelog.collapseAt(d, spec, snap)
+        .select("user_id", "event_type", "event_id", "value")
+        .collect().map(_.toSeq).toSet
+
+    val reg = new Snapshots
+    val rnd = new scala.util.Random(7L)
+    var held = Vector.empty[Snapshots.Handle]
+    for (_ <- 1 to 8) {
+      // random acquire/release traffic
+      if (held.nonEmpty && rnd.nextBoolean()) {
+        val i = rnd.nextInt(held.size)
+        reg.release(held(i))
+        held = held.patch(i, Nil, 1)
+      } else {
+        held :+= reg.acquire(1L + rnd.nextLong(maxSeq))
+      }
+      val floor = reg.retentionFloor(maxSeq)
+      assert(held.forall(_.seq >= floor), "floor must bound every held snapshot")
+      val compacted = Changelog.compact(df, spec, floor)
+      held.foreach { h =>
+        assert(state(compacted, h.seq) == state(df, h.seq),
+          s"held snapshot ${h.seq} must read identically after compacting at floor $floor")
+      }
+    }
+  }
 }

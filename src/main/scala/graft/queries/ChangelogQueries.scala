@@ -37,7 +37,8 @@ object ChangelogQueries {
     QueryDef(
       "q02_stream_ingest",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+        // the result DF reads $tmp/sink lazily -> deleted at JVM exit
+        val tmp = QueryDef.tempDirForResult("graft_ingest_").toString
         // file-stream sources need a directory; expose the single parquet
         // file through a symlinked source dir
         val srcDir = java.nio.file.Paths.get(tmp, "src")

@@ -260,13 +260,19 @@ object RelationalQueries {
         Tables.orders(s, dir).createOrReplaceTempView(s"v_orders_$tag")
         Tables.customer(s, dir).createOrReplaceTempView(s"v_customer_$tag")
         Tables.nation(s, dir).createOrReplaceTempView(s"v_nation_$tag")
-        s.sql(s"""SELECT n_name, o_orderpriority, ${decSumSql("o_totalprice")} AS revenue,
-                 |       COUNT(*) AS n, CAST(grouping_id(n_name, o_orderpriority) AS BIGINT) AS lvl
-                 |FROM v_orders_$tag
-                 |JOIN v_customer_$tag ON o_custkey = c_custkey
-                 |JOIN v_nation_$tag ON c_nationkey = n_nationkey
-                 |GROUP BY ROLLUP(n_name, o_orderpriority)
-                 |ORDER BY lvl, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+        val df = s.sql(
+          s"""SELECT n_name, o_orderpriority, ${decSumSql("o_totalprice")} AS revenue,
+             |       COUNT(*) AS n, CAST(grouping_id(n_name, o_orderpriority) AS BIGINT) AS lvl
+             |FROM v_orders_$tag
+             |JOIN v_customer_$tag ON o_custkey = c_custkey
+             |JOIN v_nation_$tag ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, o_orderpriority)
+             |ORDER BY lvl, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+        // sql() analyzes eagerly (views are inlined into the plan) -> safe to
+        // drop immediately: no catalog residue per invocation
+        Seq(s"v_orders_$tag", s"v_customer_$tag", s"v_nation_$tag")
+          .foreach(s.catalog.dropTempView)
+        df
       },
       Some(s"""SELECT n_name, o_orderpriority, ${decSumSql("o_totalprice")} AS revenue,
               |       COUNT(*) AS n, CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS lvl
@@ -283,11 +289,14 @@ object RelationalQueries {
         val tag = java.util.UUID.randomUUID().toString.replace("-", "")
         Tables.orders(s, dir).createOrReplaceTempView(s"v_orders_$tag")
         Tables.customer(s, dir).createOrReplaceTempView(s"v_customer_$tag")
-        s.sql(s"""SELECT c_mktsegment, o_orderstatus, ${decSumSql("o_totalprice")} AS revenue,
-                 |       COUNT(*) AS n, CAST(grouping_id(c_mktsegment, o_orderstatus) AS BIGINT) AS lvl
-                 |FROM v_orders_$tag JOIN v_customer_$tag ON o_custkey = c_custkey
-                 |GROUP BY CUBE(c_mktsegment, o_orderstatus)
-                 |ORDER BY lvl, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+        val df = s.sql(
+          s"""SELECT c_mktsegment, o_orderstatus, ${decSumSql("o_totalprice")} AS revenue,
+             |       COUNT(*) AS n, CAST(grouping_id(c_mktsegment, o_orderstatus) AS BIGINT) AS lvl
+             |FROM v_orders_$tag JOIN v_customer_$tag ON o_custkey = c_custkey
+             |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+             |ORDER BY lvl, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+        Seq(s"v_orders_$tag", s"v_customer_$tag").foreach(s.catalog.dropTempView)
+        df
       },
       Some(s"""SELECT c_mktsegment, o_orderstatus, ${decSumSql("o_totalprice")} AS revenue,
               |       COUNT(*) AS n, CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS lvl

@@ -22,10 +22,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
-        # normalize timestamp dtypes to ns for comparison
+        # normalize timestamp dtypes to us for comparison
         if df[c].dtype.kind == "M":
             df[c] = df[c].astype("datetime64[us]")
-    return df.reset_index(drop=True)
+    # sort rows by all columns: the Spark side is read via a '*.parquet' glob
+    # whose concatenation order need not reproduce the query's ORDER BY
+    # (multi-file outputs), and the driver's own compare hashes sorted values
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def main():

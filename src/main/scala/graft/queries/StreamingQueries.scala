@@ -133,8 +133,12 @@ object StreamingQueries {
     QueryDef(
       "q21_stream_window",
       (s, dir) => {
+        // two micro-batches: [events + sentinel-1], [sentinel-2]. Watermark is
+        // computed from a batch's max event time AFTER the batch, so
+        // sentinel-1 may share the data batch (wm after batch 1 is already
+        // past every real window) and batch 2 emits them all.
         val (stream, tmp) = eventsStream(
-          s, dir, flushSentinels = true, maxFilesPerTrigger = Some(1))
+          s, dir, flushSentinels = true, maxFilesPerTrigger = Some(2))
         val agg = Ingest.windowedCounts(
           stream, tsCol = "ts", watermark = "2 hours", windowDuration = "1 hour")
         val out = runToMemory(agg, "append")

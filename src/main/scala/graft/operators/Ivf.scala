@@ -90,6 +90,74 @@ object Ivf {
     } finally proj.unpersist(blocking = false)
   }
 
+  /** Persist an IVF index: the corpus assigned to its inverted lists and
+    * written `partitionBy(bucket)` (one directory per list, the on-disk
+    * inverted-file layout), plus the centroid matrix as a tiny parquet.
+    * Precomputed squared norms ride along so search never touches the
+    * vectors twice. Train once, search many — and because `bucket` is a
+    * PARTITION column, a search that probes `nProbe` of `c` lists reads
+    * only `nProbe/c` of the data (partition pruning), the property that
+    * makes IVF an index rather than a full scan at 100 TB. */
+  def writeIndex(
+      corpus: DataFrame,
+      model: Model,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    corpus.select(
+      col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorOps.normSq(col(vecCol)).as("n_nsq"),
+      nearestCentroid(col(vecCol), model).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/lists")
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load the centroid matrix of a persisted index. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .orderBy("bucket").collect()
+    Model(rows.map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+  }
+
+  /** Top-k cosine search over a PERSISTED index: probed bucket ids are known
+    * up front (C x dim centroid math on the tiny query batch), so the list
+    * scan is filtered with a literal bucket set — static partition pruning;
+    * only the probed list directories are read (PlanSpec asserts the
+    * PartitionFilters). The query batch is collected to build the filter —
+    * model-metadata-sized (|Q| x nProbe ints), never corpus data. */
+  def topKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val model = readModel(spark, path)
+    val q = queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorOps.normSq(col(vecCol)).as("q_nsq"),
+      explode(probeCentroids(col(vecCol), model, nProbe)).as("bucket"))
+      .localCheckpoint() // probed twice: bucket-set collect + the join probe
+    val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("bucket").isin(probed: _*))
+    val scored = lists
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("score", VectorOps.cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
+  }
+
   /** Top-k cosine neighbors per query, scanning only `nProbe` inverted
     * lists per query. Bucketed equi-join: corpus rows carry one bucket,
     * queries explode to nProbe probes. */

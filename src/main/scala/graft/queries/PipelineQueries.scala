@@ -210,6 +210,23 @@ object PipelineQueries {
       },
       None),
 
+    // Q28f: IVF over a PERSISTED index — train once, corpus written
+    // partitionBy(bucket) (inverted-file layout), search reads only the
+    // probed list directories (partition pruning, plan-asserted in IvfSpec).
+    // Same output as q28d's in-memory form given the same model (equality
+    // asserted in IvfSpec); approximate => rows-only.
+    QueryDef(
+      "q28f_sim_ivf_indexed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.operators.Ivf.train(emb, c = 32, iters = 3)
+        val idx = QueryDef.tempDirForResult("graft_ivf_idx_").toString
+        graft.operators.Ivf.writeIndex(emb, model, idx)
+        graft.operators.Ivf.topKIndexed(s, idx, emb.filter(col("vec_id") < 8), k = 5, nProbe = 8)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Q28c: embedding near-dup pairs over a blocking column (label).
     QueryDef(
       "q28c_sim_pairs",

@@ -38,6 +38,26 @@ class IvfSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  test("persisted index: topKIndexed == in-memory topK, and the scan is partition-pruned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    val model = Ivf.train(emb, c = 16, iters = 2)
+    Ivf.writeIndex(emb, model, tmp)
+    // round-trip of the model through the index
+    val loaded = Ivf.readModel(spark, tmp)
+    assert(loaded.centroids.flatten.toSeq == model.centroids.flatten.toSeq)
+
+    val mem = Ivf.topK(emb, queries, model, k = 5, nProbe = 4).collect().map(_.toSeq).toSet
+    val idx = Ivf.topKIndexed(spark, tmp, queries, k = 5, nProbe = 4)
+    assert(idx.collect().map(_.toSeq).toSet == mem,
+      "indexed search must equal the in-memory bucketed search")
+
+    // the probed-bucket filter must reach the scan as PARTITION pruning:
+    // only probed list directories are read, the nProbe/C scan property
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"bucket filter must be a partition filter, plan:\n${plan.take(2000)}")
+  }
+
   test("training and search are deterministic run to run") {
     val m1 = Ivf.train(emb, c = 8, iters = 2)
     val m2 = Ivf.train(emb, c = 8, iters = 2)

@@ -75,6 +75,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plain.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
   }
 
+  test("native TokenHashes/SimHash64 run inside WholeStageCodegen (no interpreted fallback)") {
+    // the dedup operators localCheckpoint their projections (lineage
+    // truncates to LogicalRDD), so assert on the projection itself: the
+    // fused tokenize-hash-sign pipeline must sit inside a codegen stage
+    import graft.core.Tables
+    import graft.functions.TextOps
+    import org.apache.spark.sql.functions.col
+    val df = Tables.documents(spark, dir)
+      .select(TextOps.simHashFromHashes(TextOps.tokenHashes(col("text"))).as("sh"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("graft_simhash64(graft_token_hashes"), formatted.take(1200))
+    assert(formatted.contains("codegen id"), "fused pipeline must be codegen'd:\n" + formatted.take(1200))
+    assert(!formatted.contains("regexp_replace"), "no regex tokenization in the hot path")
+  }
+
+  test("q28d: centroid assignment is the fused native expression (no per-centroid element_at chain)") {
+    val p = Registry.byName("q28d_sim_ivf").fn(spark, dir).queryExecution.analyzed.toString
+    assert(p.contains("graft_centroid_probes"), p.take(600))
+  }
+
   test("q12: map-side partial aggregation + shipdate pushdown; codegen in final plan") {
     val df = Registry.byName("q12_agg_hash").fn(spark, dir)
     df.collect() // AQE final plan exists only post-execution

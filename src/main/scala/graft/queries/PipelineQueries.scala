@@ -296,8 +296,11 @@ object PipelineQueries {
              |FROM q ORDER BY doc_id""".stripMargin)),
 
     // Q29c: language identification (stopword-hit heuristic) vs the labeled
-    // lang column — confusion counts. Dictionary heuristic => rows-only;
-    // TextSpec asserts the classifier's determinism and coverage.
+    // lang column — confusion counts. The heuristic is deterministic
+    // arithmetic (multiset stopword counts + Han-character count, argmax
+    // with a fixed priority cascade), so it oracles exactly: the CASE
+    // cascade mirrors Spark's greatest((hits, pri, lang)) tie-breaking
+    // (de > en > es > fr > zh on equal hits).
     QueryDef(
       "q29c_text_langid",
       (s, dir) =>
@@ -306,7 +309,28 @@ object PipelineQueries {
           .groupBy("lang", "pred_lang")
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred_lang"),
-      None),
+      Some("""WITH t AS (
+             |  SELECT lang, text,
+             |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+             |         length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS zh
+             |  FROM documents),
+             |h AS (
+             |  SELECT lang,
+             |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','fur','von','im','den'))) AS de,
+             |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','was','for','on','with','as','at'))) AS en,
+             |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','no','con','por','los','las','para'))) AS es,
+             |    len(list_filter(toks, x -> x IN ('le','la','de','et','un','une','est','les','des','du','en','que','pour','dans','sur'))) AS fr,
+             |    zh
+             |  FROM t)
+             |SELECT lang, pred_lang, COUNT(*) AS n FROM (
+             |  SELECT lang, CASE
+             |    WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+             |    WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+             |    WHEN es >= fr AND es >= zh THEN 'es'
+             |    WHEN fr >= zh THEN 'fr'
+             |    ELSE 'zh' END AS pred_lang
+             |  FROM h)
+             |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin)),
 
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup

@@ -86,10 +86,16 @@ object Maintenance {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(inDir)
     val fs = root.getFileSystem(conf)
+    // every non-hidden data file, matching what spark.read.parquet(inDir)
+    // scans (suffix-filtering would silently DROP rows of oddly-named files
+    // from the output: scanned into stats but neither rewritten nor copied)
     val dataFiles = fs.listStatus(root).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
       .map(_.getPath)
-    require(dataFiles.nonEmpty, s"compactRange: no parquet files under $inDir")
+    require(dataFiles.nonEmpty, s"compactRange: no data files under $inDir")
 
     // per-file key range in one narrow scan (range column + file metadata) —
     // the manifest's per-SSTable [smallest, largest] analogue. Matched by

@@ -32,7 +32,10 @@ object Ivf {
     * `transform`/`element_at`/`array_min` form evaluated the distance array
     * twice and re-compiled a centroid-matrix-inlined codegen per job). */
   private def probes(vec: Column, model: Model, k: Int): Column =
-    call_function("graft_centroid_probes", vec, typedLit(model.centroids), lit(k))
+    // clamp to the list count: train() clamps c to the corpus size, so a
+    // caller's nProbe may exceed model.c (probe-everything, not an error)
+    call_function("graft_centroid_probes", vec, typedLit(model.centroids),
+      lit(math.min(k, model.c)))
 
   /** Index of the nearest centroid (0-based; ties -> lowest index). */
   def nearestCentroid(vec: Column, model: Model): Column =
@@ -146,6 +149,14 @@ object Ivf {
     val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("bucket").isin(probed: _*))
+    scoreTopK(lists, q, k)
+  }
+
+  /** Shared scoring tail of [[topK]] and [[topKIndexed]]: bucket equi-join
+    * (query side broadcast), cosine from precomputed norms, per-query top-k
+    * with the (score desc, n_id asc) tie-break. One definition so the
+    * in-memory and indexed paths can never diverge. */
+  private def scoreTopK(lists: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = lists
       .join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
@@ -177,15 +188,6 @@ object Ivf {
       col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       VectorOps.normSq(col(vecCol)).as("q_nsq"),
       explode(probeCentroids(col(vecCol), model, nProbe)).as("bucket"))
-    val scored = c
-      .join(broadcast(q), Seq("bucket"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("score", VectorOps.cosineWithNorms(
-        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
+    scoreTopK(c, q, k)
   }
 }

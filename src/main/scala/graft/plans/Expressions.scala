@@ -271,7 +271,10 @@ object VectorKernels {
       dists(b) = norms(b) - 2.0 * acc
       b += 1
     }
-    // partial selection sort of k smallest (k << c); stable on ties by index
+    // partial selection sort of k smallest (k << c); stable on ties by index.
+    // NaN distances (dirty embeddings) never win a `<` comparison — fall back
+    // to the lowest untaken index so a NaN row degrades deterministically
+    // instead of crashing the job
     val out = new Array[Int](k)
     val taken = new Array[Boolean](c)
     var s = 0
@@ -282,6 +285,10 @@ object VectorKernels {
       while (i < c) {
         if (!taken(i) && dists(i) < bestD) { best = i; bestD = dists(i) }
         i += 1
+      }
+      if (best == -1) {
+        var j = 0
+        while (j < c && best == -1) { if (!taken(j)) best = j; j += 1 }
       }
       taken(best) = true
       out(s) = best

@@ -46,18 +46,25 @@ object QueryDef {
   val revenueExpr: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   val revenueSql: String = "l_extendedprice * (1 - l_discount)"
 
+  /** Recursive delete (children before parents); missing path is a no-op. */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally stream.close()
+    }
+  }
+
   /** Temp dir whose contents a query's RESULT still reads lazily (so it
     * cannot be deleted inside the query function): registered for recursive
     * deletion at JVM exit — no filesystem residue survives the run. */
   def tempDirForResult(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val stream = java.nio.file.Files.walk(p)
-        try stream.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        finally stream.close()
-      } catch { case _: Throwable => () }
+      try deleteRecursively(p)
+      catch { case _: Throwable => () }
     }))
     p
   }

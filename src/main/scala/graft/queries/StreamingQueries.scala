@@ -67,15 +67,20 @@ object StreamingQueries {
             .withColumn("event_type", lit(FlushType))
             .coalesce(1)
             .write.parquet(stage.toString)
-          val part = Files.list(stage).iterator()
           val dst = srcDir.resolve(name)
-          var moved = false
-          while (part.hasNext && !moved) {
-            val p = part.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              Files.move(p, dst); moved = true
-            }
-          }
+          val listing = Files.list(stage)
+          val moved =
+            try {
+              val part = listing.iterator()
+              var done = false
+              while (part.hasNext && !done) {
+                val p = part.next()
+                if (p.getFileName.toString.endsWith(".parquet")) {
+                  Files.move(p, dst); done = true
+                }
+              }
+              done
+            } finally listing.close()
           require(moved, s"no parquet part written under $stage")
           Files.setLastModifiedTime(
             dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
@@ -112,15 +117,8 @@ object StreamingQueries {
     out
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(p)) {
-      val stream = Files.walk(p)
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally stream.close()
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    QueryDef.deleteRecursively(p)
 
   val all: Seq[QueryDef] = Seq(
 

@@ -74,12 +74,12 @@ object Ingest {
       try out.write(s"$batchId $base $count".getBytes)
       finally out.close()
       val dst = new Path(dir, batchId.toString)
-      // replay overwrites the identical mark; Hadoop rename does not replace,
-      // so drop the stale copy first (readers that race see the old mark or
-      // none — both consistent, the data files are already in place)
-      if (fs.exists(dst)) fs.delete(dst, false)
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"Marks.write: rename $tmp -> $dst failed")
+      // FileContext.rename with OVERWRITE: atomic replace — a replayed batch
+      // rewrites its (identical) mark without any window where a concurrent
+      // readCommitted could observe the mark missing (FileSystem.rename has
+      // no overwrite mode; delete-then-rename would open that window)
+      org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 

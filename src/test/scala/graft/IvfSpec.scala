@@ -36,6 +36,19 @@ class IvfSpec extends AnyFunSuite {
     assert(model.c == 5)
     val out = Ivf.topK(tiny, tiny.filter(col("vec_id") === 0), model, k = 3, nProbe = 5)
     assert(out.count() == 3)
+    // nProbe beyond the clamped list count means probe-everything, not crash
+    val over = Ivf.topK(tiny, tiny.filter(col("vec_id") === 0), model, k = 3, nProbe = 8)
+    assert(over.collect().map(_.toSeq).toSeq == out.collect().map(_.toSeq).toSeq)
+  }
+
+  test("NaN embeddings degrade deterministically (no job-killing exception)") {
+    import spark.implicits._
+    val model = Ivf.train(emb.filter(col("vec_id") < 50), c = 4, iters = 1)
+    val dirty = Seq((999L, Array.fill(64)(Float.NaN))).toDF("vec_id", "embedding")
+    // assignment must produce a bucket (lowest-index fallback), twice the same
+    val a = dirty.select(Ivf.nearestCentroid(col("embedding"), model)).head().getInt(0)
+    val b = dirty.select(Ivf.nearestCentroid(col("embedding"), model)).head().getInt(0)
+    assert(a == b && a >= 0 && a < model.c)
   }
 
   test("persisted index: topKIndexed == in-memory topK, and the scan is partition-pruned") {

@@ -39,13 +39,10 @@ object ChangelogQueries {
       (s, dir) => {
         // the result DF reads $tmp/sink lazily -> deleted at JVM exit
         val tmp = QueryDef.tempDirForResult("graft_ingest_").toString
-        // file-stream sources need a directory; expose the single parquet
-        // file through a symlinked source dir
+        // file-stream sources need a directory; expose the parquet table
+        // (single file or directory of parts) through symlinks
         val srcDir = java.nio.file.Paths.get(tmp, "src")
-        java.nio.file.Files.createDirectories(srcDir)
-        java.nio.file.Files.createSymbolicLink(
-          srcDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(dir, "events.parquet"))
+        QueryDef.linkParquetInputs(java.nio.file.Paths.get(dir, "events.parquet"), srcDir)
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val q = Ingest.startChangelogIngest(
           s,

@@ -46,6 +46,24 @@ object QueryDef {
   val revenueExpr: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   val revenueSql: String = "l_extendedprice * (1 - l_discount)"
 
+  /** Expose a parquet table as a directory of symlinks for a file-stream
+    * source (file sources need a directory they can list): a single-file
+    * table links as one entry, a directory table links each data part —
+    * the file source does not follow directory symlinks. */
+  def linkParquetInputs(table: java.nio.file.Path, srcDir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    Files.createDirectories(srcDir)
+    if (Files.isDirectory(table)) {
+      val listing = Files.list(table)
+      try listing.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.createSymbolicLink(srcDir.resolve(p.getFileName.toString), p)
+      } finally listing.close()
+    } else {
+      Files.createSymbolicLink(srcDir.resolve(table.getFileName.toString), table)
+    }
+  }
+
   /** Recursive delete (children before parents); missing path is a no-op. */
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files

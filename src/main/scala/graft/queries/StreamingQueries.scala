@@ -51,10 +51,7 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_stream_")
     val srcDir = tmp.resolve("src")
-    Files.createDirectories(srcDir)
-    Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      Paths.get(dir, "events.parquet"))
+    QueryDef.linkParquetInputs(Paths.get(dir, "events.parquet"), srcDir)
     if (flushSentinels) {
       val raw = s.read.parquet(s"$dir/events.parquet")
       val now = System.currentTimeMillis()
@@ -131,12 +128,12 @@ object StreamingQueries {
     QueryDef(
       "q21_stream_window",
       (s, dir) => {
-        // two micro-batches: [events + sentinel-1], [sentinel-2]. Watermark is
-        // computed from a batch's max event time AFTER the batch, so
-        // sentinel-1 may share the data batch (wm after batch 1 is already
-        // past every real window) and batch 2 emits them all.
-        val (stream, tmp) = eventsStream(
-          s, dir, flushSentinels = true, maxFilesPerTrigger = Some(2))
+        // ONE data batch (all files incl. both sentinels; watermark is 0
+        // during it, so multi-file sources cannot late-drop their own rows)
+        // + the no-data micro-batch Spark runs when the watermark advances
+        // (noDataMicroBatches, on by default), which flushes every real
+        // window before AvailableNow terminates.
+        val (stream, tmp) = eventsStream(s, dir, flushSentinels = true)
         val agg = Ingest.windowedCounts(
           stream, tsCol = "ts", watermark = "2 hours", windowDuration = "1 hour")
         val out = runToMemory(agg, "append")

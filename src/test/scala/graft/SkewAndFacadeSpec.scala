@@ -48,4 +48,24 @@ class SkewAndFacadeSpec extends AnyFunSuite {
     val sizes = g.approximateSizes(floor(col("user_id") / 5), length(col("props")))
     assert(sizes.count() >= 2)
   }
+
+  test("facade: snapshot registry feeds compactAtFloor; held reads unchanged") {
+    import graft.core.{Changelog, Tables => T}
+    val g = Graft(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_facade_").toString
+    g.events.write.parquet(s"$tmp/log")
+    val snap = g.getSnapshot(400L)
+    val maxSeq = g.events.agg(max("event_id")).head().getLong(0)
+    // floor = oldest live snapshot (400), NOT maxSeq
+    val written = g.compactAtFloor(s"$tmp/log", s"$tmp/out", T.eventsSpec, currentSeq = maxSeq)
+    assert(written > 0)
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Changelog.collapseAt(df, T.eventsSpec, snap.seq)
+        .select("user_id", "event_type", "event_id", "value")
+        .collect().map(_.toSeq).toSet
+    assert(state(spark.read.parquet(s"$tmp/out")) == state(g.events),
+      "read at the held snapshot must survive compaction at the floor")
+    g.releaseSnapshot(snap)
+    assert(g.snapshots.openCount == 0)
+  }
 }

@@ -29,6 +29,9 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // default-on, pinned because the append-mode flush contract (q21:
+      // closed windows emitted before AvailableNow terminates) depends on it
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")

@@ -58,7 +58,14 @@ final case class Graft(spark: SparkSession, dir: String) {
     Maintenance.compactRange(spark, inDir, outDir, spec, retention, lo, hi)
 
   /** Snapshot lifecycle registry (DB::GetSnapshot / DB::ReleaseSnapshot);
-    * [[compactAtFloor]] derives its retention from the oldest live handle. */
+    * [[compactAtFloor]] derives its retention from the oldest live handle.
+    *
+    * CONTRACT: one registry instance per table, owned by the process that
+    * runs compaction — exactly the reference's model, where the snapshot
+    * list lives in the single DBImpl that also picks compactions. Handles
+    * acquired on a DIFFERENT Graft instance (or JVM) are invisible to this
+    * floor; coordinating snapshots across writers requires an external
+    * store, which the reference does not have either. */
   val snapshots: Snapshots = new Snapshots
   def getSnapshot(seq: Long): Snapshots.Handle = snapshots.acquire(seq)
   def releaseSnapshot(h: Snapshots.Handle): Unit = snapshots.release(h)

@@ -83,6 +83,13 @@ object Maintenance {
       force: Boolean = false): Long = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val rc = Option(rangeCol).getOrElse(spec.keyCols.head)
+    // the every-version-in-an-intersecting-file invariant (and therefore
+    // correctness of compacting only the touched files) holds ONLY when the
+    // range column is part of the user key: a non-key range (e.g. a payload
+    // timestamp) could split one key's versions across touched and untouched
+    // files and resurrect tombstoned values
+    require(spec.keyCols.contains(rc),
+      s"compactRange: range column '$rc' must be one of the key columns ${spec.keyCols}")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(inDir)
     val fs = root.getFileSystem(conf)

@@ -34,58 +34,49 @@ object StreamingQueries {
     * [[Tables.events]] does. Returns the stream and the temp dir to delete
     * once the query has terminated.
     *
-    * With `flushSentinels`, two single-row parquet files with far-future
-    * timestamps are appended to the source (strictly increasing mtimes, so
-    * with maxFilesPerTrigger=1 each is its own micro-batch AFTER the real
-    * data). Structured Streaming computes batch N's watermark from batch
-    * N-1's max event time, so the first sentinel batch emits windows closed
-    * by the real data's watermark and the second emits every remaining real
-    * window (the first sentinel pushed the watermark past them all) — the
-    * append-mode flush that lets an oracle compare CLOSED windows without
-    * ever holding complete-mode state. */
+    * With `flushSentinel`, one single-row parquet file with a far-future
+    * timestamp joins the source. All files form ONE AvailableNow data batch
+    * (the watermark is 0 during it, so a multi-file source cannot late-drop
+    * its own rows); after it the watermark is sentinel − delay, past every
+    * real window, and Spark's no-data micro-batch (pinned on in
+    * GraftSession) emits them all before termination — the append-mode
+    * flush that lets an oracle compare CLOSED windows without ever holding
+    * complete-mode state. The sentinel's own window never closes, so it can
+    * never leak into append output. */
   private def eventsStream(
       s: SparkSession,
       dir: String,
-      flushSentinels: Boolean = false,
-      maxFilesPerTrigger: Option[Int] = None): (DataFrame, java.nio.file.Path) = {
+      flushSentinel: Boolean = false): (DataFrame, java.nio.file.Path) = {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_stream_")
     val srcDir = tmp.resolve("src")
     QueryDef.linkParquetInputs(Paths.get(dir, "events.parquet"), srcDir)
-    if (flushSentinels) {
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val now = System.currentTimeMillis()
-      Seq(("zz_flush_1.parquet", FlushNanos, now + 30000L),
-        ("zz_flush_2.parquet", FlushNanos + 4L * 3600L * 1000000000L, now + 60000L))
-        .foreach { case (name, nanos, mtime) =>
-          val stage = tmp.resolve(s"stage_$name")
-          raw.limit(1)
-            .withColumn("ts", lit(nanos))
-            .withColumn("event_type", lit(FlushType))
-            .coalesce(1)
-            .write.parquet(stage.toString)
-          val dst = srcDir.resolve(name)
-          val listing = Files.list(stage)
-          val moved =
-            try {
-              val part = listing.iterator()
-              var done = false
-              while (part.hasNext && !done) {
-                val p = part.next()
-                if (p.getFileName.toString.endsWith(".parquet")) {
-                  Files.move(p, dst); done = true
-                }
-              }
-              done
-            } finally listing.close()
-          require(moved, s"no parquet part written under $stage")
-          Files.setLastModifiedTime(
-            dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+    if (flushSentinel) {
+      val stage = tmp.resolve("stage_flush")
+      s.read.parquet(s"$dir/events.parquet")
+        .limit(1)
+        .withColumn("ts", lit(FlushNanos))
+        .withColumn("event_type", lit(FlushType))
+        .coalesce(1)
+        .write.parquet(stage.toString)
+      val dst = srcDir.resolve("zz_flush.parquet")
+      val listing = Files.list(stage)
+      val moved =
+        try {
+          val part = listing.iterator()
+          var done = false
+          while (part.hasNext && !done) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.move(p, dst); done = true
+            }
+          }
+          done
+        } finally listing.close()
+      require(moved, s"no parquet part written under $stage")
     }
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val reader = s.readStream.schema(schema)
-    val src = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val src = s.readStream.schema(schema)
       .parquet(srcDir.toString)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -128,22 +119,17 @@ object StreamingQueries {
     QueryDef(
       "q21_stream_window",
       (s, dir) => {
-        // ONE data batch (all files incl. both sentinels; watermark is 0
-        // during it, so multi-file sources cannot late-drop their own rows)
-        // + the no-data micro-batch Spark runs when the watermark advances
-        // (noDataMicroBatches, on by default), which flushes every real
-        // window before AvailableNow terminates.
-        val (stream, tmp) = eventsStream(s, dir, flushSentinels = true)
-        val agg = Ingest.windowedCounts(
-          stream, tsCol = "ts", watermark = "2 hours", windowDuration = "1 hour")
-        val out = runToMemory(agg, "append")
-          .filter(col("event_type") =!= FlushType)
-          .select(
-            unix_micros(col("w_start")).as("w_start_us"),
-            col("event_type"), col("n"), col("sum_value"))
-          .orderBy("w_start_us", "event_type")
-        deleteRecursively(tmp)
-        out
+        val (stream, tmp) = eventsStream(s, dir, flushSentinel = true)
+        try {
+          val agg = Ingest.windowedCounts(
+            stream, tsCol = "ts", watermark = "2 hours", windowDuration = "1 hour")
+          runToMemory(agg, "append")
+            .filter(col("event_type") =!= FlushType)
+            .select(
+              unix_micros(col("w_start")).as("w_start_us"),
+              col("event_type"), col("n"), col("sum_value"))
+            .orderBy("w_start_us", "event_type")
+        } finally deleteRecursively(tmp) // also on stream failure — no residue
       },
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us, event_type,
              |       COUNT(*) AS n,
@@ -190,23 +176,23 @@ object StreamingQueries {
       "q23_stream_upsert",
       (s, dir) => {
         val (raw, tmp) = eventsStream(s, dir)
-        val updates = runToMemory(
-          Ingest.streamingUpsert(raw, isDelete = expr("event_id % 10 = 0")), "update")
-        val collapsed = updates
-          .groupBy("user_id", "event_type")
-          .agg(max_by(
-            struct(col("last_seq"), col("last_value"), col("is_delete")),
-            col("last_seq")).as("x"))
-          .select(
-            col("user_id"), col("event_type"),
-            col("x.last_seq").as("last_seq"),
-            col("x.last_value").as("last_value"),
-            col("x.is_delete").as("is_delete"))
-        val out = collapsed.filter(!col("is_delete"))
-          .drop("is_delete")
-          .orderBy("user_id", "event_type")
-        deleteRecursively(tmp)
-        out
+        try {
+          val updates = runToMemory(
+            Ingest.streamingUpsert(raw, isDelete = expr("event_id % 10 = 0")), "update")
+          val collapsed = updates
+            .groupBy("user_id", "event_type")
+            .agg(max_by(
+              struct(col("last_seq"), col("last_value"), col("is_delete")),
+              col("last_seq")).as("x"))
+            .select(
+              col("user_id"), col("event_type"),
+              col("x.last_seq").as("last_seq"),
+              col("x.last_value").as("last_value"),
+              col("x.is_delete").as("is_delete"))
+          collapsed.filter(!col("is_delete"))
+            .drop("is_delete")
+            .orderBy("user_id", "event_type")
+        } finally deleteRecursively(tmp)
       },
       Some("""SELECT user_id, event_type, event_id AS last_seq, value AS last_value
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type

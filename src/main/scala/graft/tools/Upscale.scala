@@ -82,15 +82,18 @@ object Upscale {
 
     val docs = tbl("documents")
     val docSpan = maxOf(docs, "doc_id") + 1
-    val toks = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+    val toks = graft.functions.TextOps.tokens(col("text"))
     val salted = concat_ws(" ",
       zip_with(toks, sequence(lit(0), size(toks) - 1), (t, i) =>
-        when(col("_r") > 0 && pmod(i, lit(3)) < 2,
+        when(pmod(i, lit(3)) < 2,
           concat(lit("zz"), conv(abs(hash(col("doc_id"), col("_r"), i)).cast("string"), 10, 16)))
           .otherwise(t)))
     write(rep(docs)
       .withColumn("doc_id", shift("doc_id", docSpan))
-      .withColumn("text", salted)
+      // replica 0 stays VERBATIM (the rebuilt string would collapse unusual
+      // whitespace and drift the baseline comparison); only replicas > 0 are
+      // decorrelated
+      .withColumn("text", when(col("_r") === 0, col("text")).otherwise(salted))
       .withColumn("lang", when(col("_r") === 0, col("lang"))
         .otherwise(concat(col("lang"), lit("_"), col("_r"))))
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -111,19 +111,20 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       tokenSlack: Int = 5): DataFrame = {
-    val d = documents.select(
-      col("doc_id"),
-      col("lang"),
-      TextOps.tokenHashes(col("text")).as("th"))
-      .withColumn("nt", size(col("th")))
+    // ONE materialization holding both the blocking fields and the shingle
+    // sets (shingles carried as xxhash64 longs: identical Jaccard w.h.p.,
+    // long-set intersection instead of string-set per pair). The raw token
+    // hashes never persist — with the native tokenizer they are cheap to
+    // fold straight into (nt, sh), and a separate th checkpoint would
+    // deserialize the big arrays on every ids-side scan of the join.
+    val d = documents
+      .select(col("doc_id"), col("lang"), TextOps.tokenHashes(col("text")).as("th"))
+      .select(
+        col("doc_id"), col("lang"), size(col("th")).as("nt"),
+        TextOps.ngramHashes(col("th"), shingleN).as("sh"))
       .withColumn("nt_block", floor(col("nt") / (tokenSlack * 2)))
-      .localCheckpoint() // tokenization computed once, not per join branch
-    // shingles carried as xxhash64 longs: identical Jaccard w.h.p., long-set
-    // intersection instead of string-set per pair
-    val shingled = d.select(
-      col("doc_id"),
-      TextOps.ngramHashes(col("th"), shingleN).as("sh"))
       .localCheckpoint()
+    val shingled = d.select(col("doc_id"), col("sh"))
     // join on (lang, coarse token-count block) then verify the slack exactly:
     // the probe side explodes to {block-1, block, block+1} — with block width
     // 2*tokenSlack, any pair within `tokenSlack` tokens lands in the same or

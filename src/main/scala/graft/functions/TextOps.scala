@@ -73,14 +73,16 @@ object TextOps {
     * one-hash scheme), so a k=64 signature costs one string hash plus 64
     * long multiply-adds per element instead of 64 string hashes. Constants
     * are splitmix64-derived from the slot index: deterministic across runs.
-    * Empty input => array of Long.MaxValue.
-    *
-    * CALLER CONTRACT: `hashes` must be a MATERIALIZED column (its own
-    * projection / localCheckpoint), never an inline expression — the k slots
-    * each reference it, and Catalyst does not share subexpressions across
-    * them, so an inline pipeline would be recomputed k times (measured 64x
-    * blowup). */
-  def minHashFromHashes(hashes: Column, k: Int): Column = {
+    * Empty input => array of Long.MaxValue. Lowers to the native one-pass
+    * [[graft.plans.MinHashSlots]] expression (the composed form traversed
+    * the array k times and allocated k transformed copies per document). */
+  def minHashFromHashes(hashes: Column, k: Int): Column =
+    call_function("graft_minhash_slots", hashes, lit(k))
+
+  /** Reference implementation of [[minHashFromHashes]] built from
+    * higher-order built-ins (k array_min folds); kept for equivalence
+    * testing of the native expression. */
+  def minHashFromHashesHof(hashes: Column, k: Int): Column = {
     val sigs = (0 until k).map { i =>
       val (a, b) = minHashCoeffs(i)
       coalesce(
@@ -90,17 +92,10 @@ object TextOps {
     array(sigs: _*)
   }
 
-  /** Deterministic odd multiplier + offset per signature slot (splitmix64
-    * finalizer over the slot index). */
-  private[graft] def minHashCoeffs(i: Int): (Long, Long) = {
-    def mix(x0: Long): Long = {
-      var x = x0 + 0x9e3779b97f4a7c15L
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
-    (mix(i.toLong * 2) | 1L, mix(i.toLong * 2 + 1))
-  }
+  /** Deterministic odd multiplier + offset per signature slot (shared with
+    * the native expression — single source in [[graft.plans.TextKernels]]). */
+  private[graft] def minHashCoeffs(i: Int): (Long, Long) =
+    graft.plans.TextKernels.minHashCoeffs(i)
 
   /** MinHash over raw string sets (convenience form; for corpus-scale use,
     * materialize `transform(set, xxhash64)` once and call

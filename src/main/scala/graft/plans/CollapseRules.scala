@@ -148,6 +148,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenHashes(children.head)))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_slots"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSlots].getName, "graft_minhash_slots"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_slots(arr, k): k must be an integer literal, got $other")
+        }
+        MinHashSlots(children(0), k)
+      }))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngram_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NgramHashes].getName, "graft_ngram_hashes"),

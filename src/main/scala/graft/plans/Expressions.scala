@@ -311,6 +311,42 @@ object TextKernels {
     * sequences never contain ASCII values, so a byte scan is exact. */
   @inline private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
+  /** Deterministic odd multiplier + offset per minhash signature slot
+    * (splitmix64 finalizer over the slot index) — the single source of the
+    * constants shared by [[MinHashSlots]] and the TextOps reference form. */
+  def minHashCoeffs(i: Int): (Long, Long) = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    (mix(i.toLong * 2) | 1L, mix(i.toLong * 2 + 1))
+  }
+
+  /** One-pass minhash: k running minima over the element hashes. */
+  def minHashSlots(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val k = a.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var s = 0
+        while (s < k) {
+          val v = h * a(s) + b(s)
+          if (v < out(s)) out(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Tokenize-and-hash in ONE pass over the UTF-8 bytes: the hash of each
     * maximal non-whitespace run, bit-identical to
     * `transform(split(trim(regexp_replace(s, "\\s+", " ")), " "), xxhash64)`
@@ -369,6 +405,48 @@ case class TokenHashes(child: Expression) extends UnaryExpression with ExpectsIn
       s"${ev.value} = graft.plans.TextKernels.tokenHashes($s, 42L);")
 
   override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** Native fused MinHash signature: from an `array<long>` of set-element
+  * hashes, all `k` signature slots in ONE pass (slot i = min over elements h
+  * of `h·A_i + B_i`, the standard one-hash affine scheme; constants are
+  * splitmix64-derived from the slot index — identical to the composed
+  * `array_min(transform(...))` form in TextOps, which traverses the array k
+  * times and allocates k transformed copies per document). Empty input =>
+  * every slot Long.MaxValue. Null elements are skipped (xxhash64 never
+  * produces them; defensive parity with the HOF form, where a null element
+  * nulls the transformed entry and array_min ignores nulls).
+  */
+case class MinHashSlots(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "k must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_slots"
+
+  @transient private lazy val coeffs: (Array[Long], Array[Long]) = {
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val (ai, bi) = TextKernels.minHashCoeffs(i)
+      a(i) = ai; b(i) = bi; i += 1
+    }
+    (a, b)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minHashSlots(input.asInstanceOf[ArrayData], coeffs._1, coeffs._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", coeffs._1, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", coeffs._2, "long[]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.TextKernels.minHashSlots($arr, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlots =
     copy(child = newChild)
 }
 

@@ -96,6 +96,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("native MinHashSlots == higher-order-function reference, all documents + empty") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(TextOps.ngramHashes(TextOps.tokenHashes(col("text")), 3).as("sh"))
+      .localCheckpoint() // HOF form requires a materialized input column
+    val mismatches = docs.select(
+      (TextOps.minHashFromHashes(col("sh"), 32) ===
+        TextOps.minHashFromHashesHof(col("sh"), 32)).as("eq"))
+      .filter(!col("eq")).count()
+    assert(mismatches == 0, "native minhash must be bit-identical to the HOF fold")
+    val empty = Seq(Seq.empty[Long]).toDF("sh")
+      .select(TextOps.minHashFromHashes(col("sh"), 4))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(empty == Seq.fill(4)(Long.MaxValue), s"empty set => MaxValue slots: $empty")
+  }
+
   test("native SimHash64 expression == higher-order-function reference, all documents") {
     val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
       .select(col("doc_id"),

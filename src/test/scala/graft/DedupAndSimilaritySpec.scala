@@ -78,27 +78,33 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
 
   test("simhash multi-index blocking == brute-force all-pairs (exactness on random clustered signatures)") {
     import spark.implicits._
-    // deterministic pseudo-random corpus with planted near-dup clusters:
+    // deterministic pseudo-random corpora with planted near-dup clusters:
     // 60 base signatures, each with 4 perturbations at hamming 0..8 spread
-    // over random bit positions (some in, some out of the budget)
-    val rnd = new scala.util.Random(42L)
-    val sigs = (0 until 60).flatMap { g =>
-      val base = rnd.nextLong()
-      (0 until 4).map { p =>
-        var sh = base
-        val flips = rnd.nextInt(9) // 0..8 bit flips
-        (0 until flips).foreach(_ => sh ^= (1L << rnd.nextInt(64)))
-        (g * 4L + p, sh)
-      }
-    }.toDF("doc_id", "sh")
-    val got = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 6)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = sigs.as("a")
-      .join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
-      .filter(bit_count($"a.sh".bitwiseXOR($"b.sh")) <= 6)
-      .select($"a.doc_id", $"b.doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(want.nonEmpty, "fixture must contain within-budget pairs")
-    assert(got == want, s"blocking must be exact: missing=${want -- got}, extra=${got -- want}")
+    // over random bit positions (some in, some out of the budget).
+    // GRAFT_SOAK=n soaks additional seeds and maxHamming values.
+    val seeds = 42L +: (1L to sys.env.get("GRAFT_SOAK").map(_.toLong).getOrElse(0L)).toSeq
+    for (seed <- seeds; maxHamming <- Seq(3, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val sigs = (0 until 60).flatMap { g =>
+        val base = rnd.nextLong()
+        (0 until 4).map { p =>
+          var sh = base
+          val flips = rnd.nextInt(9) // 0..8 bit flips
+          (0 until flips).foreach(_ => sh ^= (1L << rnd.nextInt(64)))
+          (g * 4L + p, sh)
+        }
+      }.toDF("doc_id", "sh")
+      val got = Dedup.simHashPairsFromSignatures(sigs, maxHamming)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = sigs.as("a")
+        .join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+        .filter(bit_count($"a.sh".bitwiseXOR($"b.sh")) <= maxHamming)
+        .select($"a.doc_id", $"b.doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (seed == 42L && maxHamming == 6)
+        assert(want.nonEmpty, "fixture must contain within-budget pairs")
+      assert(got == want,
+        s"seed=$seed h=$maxHamming: missing=${want -- got}, extra=${got -- want}")
+    }
   }
 
   test("simHash finds exact duplicates and near-permutations at hamming <= 6") {

@@ -104,15 +104,18 @@ object TextOps {
     minHashFromHashes(transform(set, e => xxhash64(e)), k)
 
   /** LSH band keys from a MinHash signature: `bands` slices of `rowsPerBand`
-    * signature entries, each hashed to one long. Docs sharing any band key are
-    * near-dup candidates — the join key that replaces the O(n^2) pair scan at
-    * scale. */
+    * signature entries, each folded to one long key. Docs sharing any band
+    * key are near-dup candidates — the join key that replaces the O(n^2)
+    * pair scan at scale. The fold is a seeded FNV-style polynomial over the
+    * slice (band index in the seed, so bands occupy disjoint keyspaces
+    * w.h.p.) — no string building, one long per band instead of the former
+    * concat_ws + xxhash64 struct key. */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit(b))
-          .as("bucket"))
+      aggregate(
+        slice(signature, b * rowsPerBand + 1, rowsPerBand),
+        lit(minHashCoeffs(b)._2),
+        (acc, x) => acc * lit(0x100000001b3L) + x)
     }: _*)
 
   /** 64-bit SimHash from PRE-HASHED tokens (`array<long>`): per bit, sum

@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Writer options enabling a parquet bloom filter per key column — the
+    * reference's per-block filter (kv/util/bloom.cpp:10-101, wired into
+    * table reads at kv/table/table.cpp:260-266): point gets on a key that a
+    * row group does not contain skip the group even when its min/max range
+    * straddles the key. Applied to every engine write path that produces
+    * key-addressed data (compaction outputs, ingest batches). */
+  private[graft] def bloomOptions(keyCols: Seq[String]): Map[String, String] =
+    keyCols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   /** Is there anything to compact at this horizon? Mirrors the reference's
     * trivial-move shortcut (no-merge promotion, kv/db/db_impl.cpp:843-861):
     * if no key has more than one version at-or-below the horizon and no
@@ -47,6 +56,7 @@ object Maintenance {
       .sortWithinPartitions(keys :+ col(spec.seqCol): _*)
     compacted.write
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(bloomOptions(spec.keyCols))
       .mode("overwrite")
       .parquet(outDir)
     spark.read.parquet(outDir).count()
@@ -133,6 +143,7 @@ object Maintenance {
             .sortWithinPartitions(keys :+ col(spec.seqCol): _*)
           merged.write
             .option("maxRecordsPerFile", maxRecordsPerFile)
+            .options(bloomOptions(spec.keyCols))
             .mode("overwrite")
             .parquet(outDir)
           spark.read.parquet(outDir).count()

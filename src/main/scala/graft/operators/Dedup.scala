@@ -24,18 +24,26 @@ object Dedup {
     * Output: one row per input doc, with the id of the kept representative
     * and the group size (group_size == 1 => unique). NULL text normalizes to
     * the empty string (a null-unsafe join key would silently DROP null-text
-    * docs, breaking the one-row-per-doc contract). The normalization is
-    * materialized once, not recomputed per join branch. */
+    * docs, breaking the one-row-per-doc contract).
+    *
+    * The group/join key is `xxhash64` of the normalized text, NOT the text
+    * itself: both shuffles (the aggregation and the join-back) would
+    * otherwise sort/hash full document bodies — at corpus scale that is the
+    * difference between shuffling (id, 8-byte key) rows and shuffling the
+    * corpus twice. Grouping by the 64-bit hash equals grouping by the text
+    * w.h.p. (collision odds ~N²/2⁶⁵ — below 1e-3 even at 10⁸ distinct texts;
+    * callers needing certainty can widen the key to sha2). The normalized
+    * text itself never leaves the map side. */
   def exact(documents: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val norm = documents
-      .withColumn("_norm", TextOps.normalized(coalesce(col(textCol), lit(""))))
-      .select(col(idCol), col("_norm"))
+      .withColumn("_k", xxhash64(TextOps.normalized(coalesce(col(textCol), lit("")))))
+      .select(col(idCol), col("_k"))
       .localCheckpoint()
     val groups = norm
-      .groupBy(col("_norm"))
+      .groupBy(col("_k"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
     norm
-      .join(groups, "_norm")
+      .join(groups, "_k")
       .select(col(idCol), col("keep_id"), col("group_size"), (col(idCol) === col("keep_id")).as("is_kept"))
   }
 

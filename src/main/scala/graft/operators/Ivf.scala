@@ -157,11 +157,15 @@ object Ivf {
     * with the (score desc, n_id asc) tie-break. One definition so the
     * in-memory and indexed paths can never diverge. */
   private def scoreTopK(lists: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    // project to (q_id, n_id, score) BEFORE the rank window — the window
+    // exchange+sort must never carry the embedding vectors (a corpus vector
+    // lives in exactly one bucket and queries probe distinct buckets, so a
+    // pair scores at most once: no dedup needed either)
     val scored = lists
       .join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("score", VectorOps.cosineWithNorms(
-        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")))
+      .select(col("q_id"), col("n_id"), VectorOps.cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -31,10 +31,13 @@ object Similarity {
       VectorOps.normSq(col(vecCol)).as("q_nsq"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorOps.normSq(col(vecCol)).as("n_nsq"))
+    // project to (q_id, n_id, score) BEFORE the rank window: the WindowExec
+    // exchange+sort would otherwise move both embedding vectors per scored
+    // pair (~17x the bytes of ids+score at dim=64) as dead weight
     val scored = c
       .join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("score", VectorOps.cosineWithNorms(
-        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")))
+      .select(col("q_id"), col("n_id"), VectorOps.cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -76,14 +79,19 @@ object Similarity {
         .withColumnRenamed("col", "bucket")
     val c = bucketed(corpus, "n_id", "n_vec", "n_nsq")
     val q = bucketed(queries, "q_id", "q_vec", "q_nsq")
-    val candidates = c
+    // Score FIRST (map-side, inside the collision join's codegen stage), then
+    // deduplicate multi-table collisions by aggregating on ids: the dedup
+    // shuffle carries (q_id, n_id, score) — never the vectors, which at
+    // dim=64 are ~17x the bytes. Duplicate collisions score identically, so
+    // max() is a no-op merge; re-scoring a pair per colliding table is a few
+    // codegen'd flops vs. an exchange full of float arrays.
+    val scored = c
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      // a pair colliding in several tables is still one candidate
-      .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq"))
-      .dropDuplicates("q_id", "n_id")
-    val scored = candidates.withColumn("score", VectorOps.cosineWithNorms(
-      col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")))
+      .select(col("q_id"), col("n_id"), VectorOps.cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")).as("score"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(max(col("score")).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -99,7 +99,8 @@ object Ingest {
       checkpointDir: String,
       orderCols: Seq[String],
       availableNow: Boolean = true,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      bloomCols: Seq[String] = Seq.empty): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -143,9 +144,13 @@ object Ingest {
           },
           outSchema)
         // per-batch directory + overwrite = idempotent replay (the sorted-run
-        // flush, WriteLevel0Table, kv/db/db_impl.cpp:562-606)
+        // flush, WriteLevel0Table, kv/db/db_impl.cpp:562-606); bloomCols get
+        // parquet bloom filters so point gets skip row groups whose min/max
+        // straddle the key (the reference's filter blocks,
+        // kv/table/table.cpp:260-266)
         stamped
           .write
+          .options(graft.core.Maintenance.bloomOptions(bloomCols))
           .mode("overwrite")
           .parquet(s"$sinkDir/batch_id=$batchId")
         sortedRdd.unpersist(blocking = false)

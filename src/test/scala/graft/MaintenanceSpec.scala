@@ -91,6 +91,55 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("compactTable writes parquet bloom filters on the key columns (file-skip parity)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    // High-cardinality keys: with few distinct keys parquet encodes the whole
+    // chunk from the dictionary and (correctly) omits the bloom filter — the
+    // dictionary already serves as an exact membership filter. The bloom
+    // filter matters exactly when the dictionary falls back to plain
+    // encoding, so that is the case under test.
+    val highCard = ChangelogSpec(Seq("k"), "seq")
+    spark.range(300000).select(
+      xxhash64(col("id")).as("k"),
+      col("id").as("seq"),
+      (col("id") * 1.5).as("value"))
+      .write.parquet(s"$tmp/log")
+    val written = Maintenance.compactTable(
+      spark, s"$tmp/log", s"$tmp/compacted", highCard, retention = 300000L, force = true)
+    assert(written == 300000L)
+    val parts = new java.io.File(s"$tmp/compacted").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { part =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+      try reader.getRowGroups.asScala.foreach { block =>
+        val bloomReader = reader.getBloomFilterDataReader(block)
+        val keyMeta = block.getColumns.asScala.find(_.getPath.toDotString == "k").get
+        assert(bloomReader.readBloomFilter(keyMeta) != null,
+          s"${part.getName}: bloom filter missing for key column 'k'")
+        // non-key columns must NOT pay for a filter (also plain-encoded here)
+        val other = block.getColumns.asScala.find(_.getPath.toDotString == "value").get
+        assert(bloomReader.readBloomFilter(other) == null,
+          "non-key column must not carry a bloom filter")
+      } finally reader.close()
+    }
+    // the point-get read path over the bloom-filtered output is unchanged
+    val someKey = spark.read.parquet(s"$tmp/compacted").select("k").head().getLong(0)
+    val got = Changelog.pointGet(
+      spark.read.parquet(s"$tmp/compacted"), highCard, col("k") === someKey, 300000L)
+      .collect().map(_.toSeq).toSet
+    val want = Changelog.pointGet(
+      spark.read.parquet(s"$tmp/log"), highCard, col("k") === someKey, 300000L)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("snapshot registry: refcounted floor semantics (GetSnapshot/ReleaseSnapshot)") {
     val reg = new graft.core.Snapshots
     assert(reg.retentionFloor(currentSeq = 900L) == 900L, "no snapshots -> latest seq")

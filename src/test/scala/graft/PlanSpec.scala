@@ -96,6 +96,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_centroid_probes"), p.take(600))
   }
 
+  test("q27: exact-dedup shuffle keys are 8-byte longs, never document text") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val lp = Registry.byName("q27_dedup_exact").fn(spark, dir).queryExecution.optimizedPlan
+    val aggs = lp.collect { case a: Aggregate if a.groupingExpressions.nonEmpty => a }
+    assert(aggs.nonEmpty, "dedup must group")
+    aggs.foreach(_.groupingExpressions.foreach(g =>
+      assert(g.dataType == LongType, s"dedup grouping key must be a long, got ${g.dataType}")))
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, "dedup must join groups back")
+    joins.foreach(_.condition.foreach(_.references.foreach(r =>
+      assert(r.dataType != StringType, s"join-back key must not be text (${r.name})"))))
+  }
+
+  test("q28 family: no embedding arrays ride the rank/dedup shuffles") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.types.ArrayType
+    for (name <- Seq("q28_sim_topk", "q28b_sim_lsh", "q28d_sim_ivf")) {
+      val lp = Registry.byName(name).fn(spark, dir).queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name must rank via a window")
+      wins.foreach(_.child.output.foreach(a =>
+        assert(!a.dataType.isInstanceOf[ArrayType],
+          s"$name: rank-window input must not carry array column '${a.name}'")))
+      if (name == "q28b_sim_lsh") {
+        val dedups = lp.collect { case a: Aggregate if a.groupingExpressions.size == 2 => a }
+        assert(dedups.nonEmpty, "lsh candidate dedup must be an ids-only aggregate")
+        dedups.foreach(_.child.output.foreach(a =>
+          assert(!a.dataType.isInstanceOf[ArrayType],
+            s"lsh dedup input must not carry array column '${a.name}'")))
+      }
+    }
+  }
+
   test("q12: map-side partial aggregation + shipdate pushdown; codegen in final plan") {
     val df = Registry.byName("q12_agg_hash").fn(spark, dir)
     df.collect() // AQE final plan exists only post-execution

@@ -1,8 +1,11 @@
 package graft
 
 import graft.core.{Changelog, ChangelogSpec, GraftSession, Maintenance, Snapshots, Stats, Tables}
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOf, Dedup, Ivf, Multimodal, Similarity}
+import graft.streaming.Ingest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** The engine's user-facing facade — what a reference (QuasDB) user programs
   * against after switching (SURVEY.md §7's session facade). One object per
@@ -27,6 +30,28 @@ final case class Graft(spark: SparkSession, dir: String) {
   def embeddings: DataFrame = Tables.embeddings(spark, dir)
 
   // ---- changelog / KV semantics (the reference's DB API) ------------------
+  /** The WRITE path — DB::Put/Write/WriteBatch as a streaming changelog
+    * ingest (micro-batch = group commit, contiguous seqs, exactly-once marks;
+    * [[graft.streaming.Ingest.startChangelogIngest]]). `availableNow = true`
+    * drains what is currently in `sourceDir` and stops — the batch-write
+    * shape; `false` keeps ingesting as files land. Key columns get parquet
+    * bloom filters so the point-get read path skips row groups. */
+  def ingest(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      orderCols: Seq[String],
+      spec: ChangelogSpec,
+      availableNow: Boolean = true): StreamingQuery =
+    Ingest.startChangelogIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, orderCols,
+      availableNow = availableNow, bloomCols = spec.keyCols)
+
+  /** Committed-batches-only view of an ingest sink (manifest visibility). */
+  def readCommitted(sinkDir: String, checkpointDir: String): DataFrame =
+    Ingest.readCommitted(spark, sinkDir, checkpointDir)
+
   /** DB::NewIterator's collapsed read view (newest per key, tombstones hidden). */
   def collapse(df: DataFrame, spec: ChangelogSpec): DataFrame = Changelog.collapse(df, spec)
 

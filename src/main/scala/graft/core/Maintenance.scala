@@ -17,6 +17,35 @@ object Maintenance {
   private[graft] def bloomOptions(keyCols: Seq[String]): Map[String, String] =
     keyCols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
 
+  /** Job metrics of one compaction run — the reference's per-compaction
+    * `stats` property line (rows/bytes written, files produced,
+    * kv/db/db_impl.cpp:1621-1697). `filesCopied` counts trivial moves
+    * (compactRange's untouched files). Rendered as `GetProperty`-style
+    * key/values by [[properties]]. */
+  final case class CompactionMetrics(
+      rowsWritten: Long,
+      filesProduced: Long,
+      filesCopied: Long,
+      bytesWritten: Long) {
+    def properties: Map[String, String] = Map(
+      "graft.compaction.rows.written" -> rowsWritten.toString,
+      "graft.compaction.files.produced" -> filesProduced.toString,
+      "graft.compaction.files.copied" -> filesCopied.toString,
+      "graft.compaction.bytes.written" -> bytesWritten.toString)
+  }
+
+  /** File count and byte size of a compaction output directory (one
+    * filesystem listing, no data scan). */
+  private def outputFootprint(spark: SparkSession, outDir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (files.length.toLong, files.map(_.getLen).sum)
+  }
+
   /** Is there anything to compact at this horizon? Mirrors the reference's
     * trivial-move shortcut (no-merge promotion, kv/db/db_impl.cpp:843-861):
     * if no key has more than one version at-or-below the horizon and no
@@ -47,9 +76,22 @@ object Maintenance {
       spec: ChangelogSpec,
       retention: Long,
       maxRecordsPerFile: Long = 1L << 20,
-      force: Boolean = false): Long = {
+      force: Boolean = false): Long =
+    compactTableMetrics(spark, inDir, outDir, spec, retention, maxRecordsPerFile, force)
+      .fold(-1L)(_.rowsWritten)
+
+  /** [[compactTable]] returning the full job metrics (None = trivial-move
+    * skip, nothing written). */
+  def compactTableMetrics(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      spec: ChangelogSpec,
+      retention: Long,
+      maxRecordsPerFile: Long = 1L << 20,
+      force: Boolean = false): Option[CompactionMetrics] = {
     val df = spark.read.parquet(inDir)
-    if (!force && !needsCompaction(df, spec, retention)) return -1L
+    if (!force && !needsCompaction(df, spec, retention)) return None
     val keys = spec.keyCols.map(col)
     val compacted = Changelog.compact(df, spec, retention)
       .repartitionByRange(keys: _*)
@@ -59,7 +101,9 @@ object Maintenance {
       .options(bloomOptions(spec.keyCols))
       .mode("overwrite")
       .parquet(outDir)
-    spark.read.parquet(outDir).count()
+    val rows = spark.read.parquet(outDir).count()
+    val (nFiles, nBytes) = outputFootprint(spark, outDir)
+    Some(CompactionMetrics(rows, nFiles, filesCopied = 0L, nBytes))
   }
 
   /** Key-range-bounded manual compaction — `DB::CompactRange(begin, end)`
@@ -90,7 +134,24 @@ object Maintenance {
       hi: Any,
       rangeCol: String = null,
       maxRecordsPerFile: Long = 1L << 20,
-      force: Boolean = false): Long = {
+      force: Boolean = false): Long =
+    compactRangeMetrics(
+      spark, inDir, outDir, spec, retention, lo, hi, rangeCol, maxRecordsPerFile, force)
+      .fold(-1L)(_.rowsWritten)
+
+  /** [[compactRange]] returning the full job metrics (None = trivial-move
+    * skip; `filesCopied` counts the untouched files carried over). */
+  def compactRangeMetrics(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      spec: ChangelogSpec,
+      retention: Long,
+      lo: Any,
+      hi: Any,
+      rangeCol: String = null,
+      maxRecordsPerFile: Long = 1L << 20,
+      force: Boolean = false): Option[CompactionMetrics] = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val rc = Option(rangeCol).getOrElse(spec.keyCols.head)
     // the every-version-in-an-intersecting-file invariant (and therefore
@@ -149,7 +210,8 @@ object Maintenance {
           spark.read.parquet(outDir).count()
         }
       }
-    if (rewritten < 0) return -1L
+    if (rewritten < 0) return None
+    val (producedFiles, _) = outputFootprint(spark, outDir)
     // byte-copy the untouched files (the reference's trivial move,
     // kv/db/db_impl.cpp:843-861: files outside the compaction range are not
     // rewritten). Names are unique part-<uuid> files — no collision with the
@@ -157,6 +219,7 @@ object Maintenance {
     untouched.foreach { p =>
       FileUtil.copy(fs, p, fs, new Path(outDir, p.getName), false, conf)
     }
-    rewritten
+    val (_, totalBytes) = outputFootprint(spark, outDir)
+    Some(CompactionMetrics(rewritten, producedFiles, untouched.size.toLong, totalBytes))
   }
 }

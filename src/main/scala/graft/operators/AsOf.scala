@@ -18,6 +18,21 @@ object AsOf {
     * keeping rank 1 per left row. At scale the equi-key join keeps this a
     * standard partitioned join — no cross product; the window partitions by
     * the left row id, so state per partition is bounded by matches per row.
+    *
+    * `horizon`: the UNBOUNDED form pairs each left row with its key's entire
+    * earlier history before the rank-1 filter — per-key join fan-out is
+    * |lefts| x |rights| on hot keys, the one cost here that grows
+    * super-linearly with history depth. Passing `horizon = Some(h)` bounds
+    * the lookback to `l.time - h <= r.time <= l.time` and turns the time
+    * bound into a bucketed equi-join on `time div h` (the [[graft.queries]]
+    * q10 interval-join shape): the right side carries its bucket, the left
+    * side probes `{bucket - 1, bucket}` — any in-horizon right row lands in
+    * one of the two — so per-key fan-out is bounded by rows per (key, 2h)
+    * window instead of all history. Matches inside the horizon are identical
+    * to the unbounded form; left rows whose newest match is older than the
+    * horizon get the `joinType` miss behavior (nulls for "left") instead.
+    * Requires NUMERIC, non-negative time columns (e.g. epoch micros): `div`
+    * truncates toward zero, so negative times would mis-bucket.
     */
   def join(
       left: DataFrame,
@@ -27,18 +42,32 @@ object AsOf {
       rightTime: String,
       leftId: Seq[String],
       tieBreak: Seq[String] = Seq.empty,
-      joinType: String = "left"): DataFrame = {
-    val l = left.as("l")
-    val r = right.as("r")
+      joinType: String = "left",
+      horizon: Option[Long] = None): DataFrame = {
+    horizon.foreach(h => require(h > 0, s"asof horizon must be positive, got $h"))
+    val l = horizon
+      .fold(left)(h => left.withColumn("_asof_probe",
+        explode(array(expr(s"$leftTime div $h") - 1, expr(s"$leftTime div $h")))))
+      .as("l")
+    val r = horizon
+      .fold(right)(h => right.withColumn("_asof_bucket", expr(s"$rightTime div $h")))
+      .as("r")
     val keyCond = keys
       .map { case (lk, rk) => col(s"l.$lk") === col(s"r.$rk") }
       .reduceOption(_ && _)
       .getOrElse(lit(true))
-    val cond = keyCond && col(s"r.$rightTime") <= col(s"l.$leftTime")
+    val boundCond = horizon.fold(lit(true))(h =>
+      col("l._asof_probe") === col("r._asof_bucket") &&
+        col(s"r.$rightTime") >= col(s"l.$leftTime") - h)
+    val cond = keyCond && col(s"r.$rightTime") <= col(s"l.$leftTime") && boundCond
     val joined = l.join(r, cond, joinType)
     val ord: Seq[Column] =
       col(s"r.$rightTime").desc +: tieBreak.map(c => col(s"r.$c").desc)
+    // rank 1 per left row; desc = desc_nulls_last, so a probe's null-miss row
+    // never outranks a real match, and a both-probes-miss left row collapses
+    // to one all-null-right row (the two exploded copies are identical)
     val w = Window.partitionBy(leftId.map(c => col(s"l.$c")): _*).orderBy(ord: _*)
-    joined.withColumn("_asof_rn", row_number().over(w)).filter(col("_asof_rn") === 1).drop("_asof_rn")
+    joined.withColumn("_asof_rn", row_number().over(w)).filter(col("_asof_rn") === 1)
+      .drop("_asof_rn", "_asof_probe", "_asof_bucket")
   }
 }

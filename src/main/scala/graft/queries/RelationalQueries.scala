@@ -181,6 +181,41 @@ object RelationalQueries {
              |    ON a.user_id = b.user_id AND epoch_us(b.ts) <= epoch_us(a.ts)
              |) t WHERE rn = 1 ORDER BY error_id""".stripMargin)),
 
+    // Q11b: BOUNDED as-of join — same rule with the lookback capped at 1h.
+    // The scale shape: the horizon turns the time bound into a bucketed
+    // equi-join (right carries ts div h, left probes {bucket-1, bucket}), so
+    // per-key join fan-out is bounded by rows per (key, 2h) window instead of
+    // |lefts| x |rights| over all history on hot keys.
+    QueryDef(
+      "q11b_join_asof_bounded",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+        val clicks = ev.filter(col("event_type") === "click")
+        AsOf.join(
+          errors, clicks,
+          keys = Seq("user_id" -> "user_id"),
+          leftTime = "ts_us", rightTime = "ts_us",
+          leftId = Seq("event_id"), tieBreak = Seq("event_id"),
+          horizon = Some(HourUs))
+          .select(
+            col("l.event_id").as("error_id"),
+            col("l.user_id").as("user_id"),
+            col("r.event_id").as("click_id"),
+            col("r.ts_us").as("click_us"))
+          .orderBy("error_id")
+      },
+      Some(s"""SELECT error_id, user_id, click_id, click_us FROM (
+              |  SELECT a.event_id AS error_id, a.user_id AS user_id,
+              |         b.event_id AS click_id, epoch_us(b.ts) AS click_us,
+              |         row_number() OVER (PARTITION BY a.event_id
+              |                            ORDER BY b.ts DESC, b.event_id DESC) AS rn
+              |  FROM (SELECT * FROM events WHERE event_type = 'error') a
+              |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+              |    ON a.user_id = b.user_id AND epoch_us(b.ts) <= epoch_us(a.ts)
+              |   AND epoch_us(b.ts) >= epoch_us(a.ts) - $HourUs
+              |) t WHERE rn = 1 ORDER BY error_id""".stripMargin)),
+
     // Q12: hash aggregation, TPC-H Q1 shape — partial (map-side) agg then
     // final, decimal accumulation for order-independent money sums.
     QueryDef(

@@ -176,6 +176,21 @@ object Ingest {
       .parquet(committed.map(b => s"$sinkDir/batch_id=$b"): _*)
   }
 
+  /** `GetProperty`-style ingest stats from the mark manifest — the
+    * reference's write-path `stats` property (per-level file counts and
+    * write volumes, kv/db/db_impl.cpp:1621-1697) over the changelog sink:
+    * committed batch count, total committed rows, and the high-water
+    * sequence. One tiny mark-dir listing; never scans data. */
+  def ingestProperties(spark: SparkSession, checkpointDir: String): Map[String, String] = {
+    val marks = Marks.read(
+      s"$checkpointDir/graft-marks", spark.sparkContext.hadoopConfiguration)
+    Map(
+      "graft.ingest.committed.batches" -> marks.size.toString,
+      "graft.ingest.committed.rows" -> marks.values.map(_._2).sum.toString,
+      "graft.ingest.highwater.seq" ->
+        marks.values.map { case (b, c) => b + c }.foldLeft(0L)(math.max).toString)
+  }
+
   /** RepairDB analogue (kv/include/db.h:112-116): rebuild the high-water
     * mark metadata from the data itself after the mark directory is lost or
     * corrupted. Each `batch_id=N` directory's seq range is re-derived

@@ -71,16 +71,31 @@ final case class Graft(spark: SparkSession, dir: String) {
   def approximateSizes(bucket: Column, bytes: Column): DataFrame =
     Changelog.approximateSizes(events, bucket, bytes)
 
-  /** Full-table compaction as a maintenance job (trivial-move aware). */
-  def compact(inDir: String, outDir: String, spec: ChangelogSpec, retention: Long): Long =
-    Maintenance.compactTable(spark, inDir, outDir, spec, retention)
+  /** Job metrics of the most recent compaction run through THIS facade —
+    * the reference's model exactly: compaction stats live in the DBImpl that
+    * ran the compaction and surface via GetProperty (kv/db/db_impl.cpp:
+    * 1621-1697). Merged into [[properties]]. */
+  private val lastCompaction =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, String]](Map.empty)
+
+  /** Full-table compaction as a maintenance job (trivial-move aware).
+    * Returns rows written, -1 on trivial-move skip; job metrics surface in
+    * [[properties]]. */
+  def compact(inDir: String, outDir: String, spec: ChangelogSpec, retention: Long): Long = {
+    val m = Maintenance.compactTableMetrics(spark, inDir, outDir, spec, retention)
+    m.foreach(x => lastCompaction.set(x.properties))
+    m.fold(-1L)(_.rowsWritten)
+  }
 
   /** DB::CompactRange(begin, end): compact only keys in [lo, hi]; files
     * outside the range are carried over byte-identical. */
   def compactRange(
       inDir: String, outDir: String, spec: ChangelogSpec, retention: Long,
-      lo: Any, hi: Any): Long =
-    Maintenance.compactRange(spark, inDir, outDir, spec, retention, lo, hi)
+      lo: Any, hi: Any): Long = {
+    val m = Maintenance.compactRangeMetrics(spark, inDir, outDir, spec, retention, lo, hi)
+    m.foreach(x => lastCompaction.set(x.properties))
+    m.fold(-1L)(_.rowsWritten)
+  }
 
   /** Snapshot lifecycle registry (DB::GetSnapshot / DB::ReleaseSnapshot);
     * [[compactAtFloor]] derives its retention from the oldest live handle.
@@ -101,9 +116,16 @@ final case class Graft(spark: SparkSession, dir: String) {
   def compactAtFloor(inDir: String, outDir: String, spec: ChangelogSpec, currentSeq: Long): Long =
     Maintenance.compactTable(spark, inDir, outDir, spec, snapshots.retentionFloor(currentSeq))
 
-  /** DB::GetProperty-style stats surface. */
+  /** DB::GetProperty-style stats surface: session confs plus the job
+    * metrics of the last compaction run through this facade. */
   def tableStats: DataFrame = Stats.tableStats(spark, dir)
-  def properties: Map[String, String] = Stats.engineProperties(spark)
+  def properties: Map[String, String] =
+    Stats.engineProperties(spark) ++ lastCompaction.get
+
+  /** Write-path `stats` properties of an ingest sink (committed batches,
+    * committed rows, high-water seq) from its mark manifest. */
+  def ingestProperties(checkpointDir: String): Map[String, String] =
+    Ingest.ingestProperties(spark, checkpointDir)
 
   // ---- relational extensions ---------------------------------------------
   /** As-of join: newest right row at-or-before each left row's time. */
@@ -121,6 +143,11 @@ final case class Graft(spark: SparkSession, dir: String) {
   def nearDuplicates(threshold: Double = 0.7): DataFrame =
     Dedup.minHashLsh(documents, threshold = threshold)
 
+  /** SimHash near-duplicate pairs: all pairs within `maxHamming` bits
+    * (multi-index block-combination banding, guaranteed recall). */
+  def simHashDuplicates(maxHamming: Int = 6): DataFrame =
+    Dedup.simHashPairs(documents, maxHamming)
+
   /** Exact top-k cosine neighbors for a query batch. */
   def topKNeighbors(queries: DataFrame, k: Int): DataFrame =
     Similarity.bruteForceTopK(embeddings, queries, k)
@@ -128,6 +155,17 @@ final case class Graft(spark: SparkSession, dir: String) {
   /** Approximate (multi-table LSH) top-k neighbors — the 100 TB path. */
   def topKNeighborsApprox(queries: DataFrame, k: Int, dim: Int = 64): DataFrame =
     Similarity.lshTopK(embeddings, queries, k, dim)
+
+  /** Train an IVF model over this directory's embeddings and persist the
+    * index (inverted lists partitioned by bucket + centroid matrix) —
+    * train once, search many. */
+  def buildVectorIndex(path: String, lists: Int = 16, iters: Int = 3): Unit =
+    Ivf.writeIndex(embeddings, Ivf.train(embeddings, lists, iters), path)
+
+  /** Top-k cosine search over a persisted index; reads only the probed
+    * inverted-list partitions (static partition pruning). */
+  def searchIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
+    Ivf.topKIndexed(spark, path, queries, k, nProbe)
 
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)

@@ -50,9 +50,16 @@ class MaintenanceSpec extends AnyFunSuite {
     events.filter(col("user_id") <= 50).coalesce(1).write.parquet(s"$tmp/log")
     shifted.coalesce(1).write.mode("append").parquet(s"$tmp/log")
 
-    val written = Maintenance.compactRange(
+    val metrics = Maintenance.compactRangeMetrics(
       spark, s"$tmp/log", s"$tmp/out", spec, retention, lo = 0L, hi = 500L)
-    assert(written > 0, "range holds tombstones below the horizon, must compact")
+    assert(metrics.nonEmpty, "range holds tombstones below the horizon, must compact")
+    val written = metrics.get.rowsWritten
+    assert(written > 0)
+    // job metrics: exactly one trivial-move copy (the B-cluster file), at
+    // least one rewritten file, nonzero output bytes
+    assert(metrics.get.filesCopied == 1L)
+    assert(metrics.get.filesProduced >= 1L)
+    assert(metrics.get.bytesWritten > 0L)
 
     val original = spark.read.parquet(s"$tmp/log")
     val out = spark.read.parquet(s"$tmp/out")

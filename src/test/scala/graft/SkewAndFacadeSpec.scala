@@ -1,7 +1,8 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.Skew
+import graft.operators.{Dedup, Similarity, Skew}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -67,5 +68,57 @@ class SkewAndFacadeSpec extends AnyFunSuite {
       "read at the held snapshot must survive compaction at the floor")
     g.releaseSnapshot(snap)
     assert(g.snapshots.openCount == 0)
+  }
+
+  test("facade: ingest write path round-trips — committed collapse == batch collapse") {
+    val g = Graft(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fingest_").toString
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .repartition(2).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = g.ingest(s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt",
+      orderCols = Seq("event_id"), spec = Tables.eventsSpec)
+    q.awaitTermination()
+    // the sink is raw columns + seq; re-derive the tombstone flag the same
+    // way Tables.events does before collapsing
+    val committed = g.readCommitted(s"$tmp/sink", s"$tmp/ckpt")
+      .withColumn("is_delete", col("event_id") % 10 === 0)
+    def state(df: DataFrame) =
+      g.collapse(df, Tables.eventsSpec)
+        .select("user_id", "event_type", "event_id", "value")
+        .collect().map(_.toSeq).toSet
+    assert(state(committed) == state(g.events),
+      "facade-ingest then facade-collapse must equal batch collapse")
+    val props = g.ingestProperties(s"$tmp/ckpt")
+    assert(props("graft.ingest.committed.rows") == "1000")
+    assert(props("graft.ingest.highwater.seq") == "1000")
+    assert(props("graft.ingest.committed.batches").toInt >= 1)
+  }
+
+  test("facade: persisted vector index search (probe-all) == exact brute force") {
+    val g = Graft(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fidx_").toString
+    g.buildVectorIndex(s"$tmp/idx", lists = 8, iters = 2)
+    val queries = g.embeddings.filter(col("vec_id") < 2)
+    val exact = Similarity.bruteForceTopK(g.embeddings, queries, k = 3)
+      .collect().map(_.toSeq).toSet
+    val indexed = g.searchIndex(s"$tmp/idx", queries, k = 3, nProbe = 8)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == exact, "probing all lists must reproduce the exact top-k")
+    assert(g.simHashDuplicates().count() == Dedup.simHashPairs(g.documents).count())
+  }
+
+  test("facade: properties surface the last compaction's job metrics") {
+    val g = Graft(spark, TestSpark.Sf0001)
+    assert(!g.properties.contains("graft.compaction.rows.written"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fprops_").toString
+    g.events.write.parquet(s"$tmp/log")
+    val written = g.compact(s"$tmp/log", s"$tmp/out", Tables.eventsSpec, retention = 1000L)
+    assert(written > 0)
+    val p = g.properties
+    assert(p("graft.compaction.rows.written") == written.toString)
+    assert(p("graft.compaction.files.produced").toLong >= 1)
+    assert(p("graft.compaction.files.copied") == "0")
+    assert(p("graft.compaction.bytes.written").toLong > 0)
   }
 }

@@ -41,6 +41,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "interval join must not cartesian")
   }
 
+  test("q11b: bounded as-of join is a bucketed equi-join on the horizon buckets") {
+    val p = plan("q11b_join_asof_bounded")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "bounded as-of must not BNLJ")
+    assert(!p.contains("CartesianProduct"), "bounded as-of must not cartesian")
+    // the time-bucket columns are part of the join's EQUI keys (the horizon
+    // turned the inequality into a partitioned hash/merge key)
+    assert(p.contains("_asof_probe") && p.contains("_asof_bucket"),
+      "horizon buckets must appear as join keys: " + p.take(800))
+  }
+
   test("q05: LWW collapse is an aggregate (partial combine), not a window sort") {
     val p = plan("q05_lww_collapse")
     assert(p.contains("max_by") || p.contains("ObjectHashAggregate"), p.take(800))

@@ -81,8 +81,13 @@ object Dedup {
     // The band self-join shuffles ONLY (doc, band) — neither signatures nor
     // shingle arrays ride the candidate-pair shuffle. At 100 TB this is the
     // difference between shuffling ids and shuffling the corpus.
+    // MERGE: the banded relation is bands x N rows that Catalyst
+    // under-estimates (explode keeps the checkpointed child's column-pruned
+    // size) — left alone it broadcasts the whole banded corpus once N grows.
+    // Sort-merge on the band key spills gracefully at any corpus size.
     val bandsDf = sigs
       .select(col("doc"), explode(TextOps.lshBands(col("sig"), bands, r)).as("band"))
+      .hint("merge")
     val candidates = bandsDf.as("a")
       .join(bandsDf.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -140,7 +145,11 @@ object Dedup {
     // qualifying pair is missed. Only (id, lang, nt) ride the blocking join
     // (the probe side is 3x-exploded); shingle arrays are re-attached by id
     // afterwards.
+    // MERGE for the same reason as the band join above: the ids relation is
+    // every doc (x3 on the probe side) — a partitioned join on the blocking
+    // key, never a corpus-wide broadcast.
     val ids = d.select(col("doc_id"), col("lang"), col("nt"), col("nt_block"))
+      .hint("merge")
     val probe = ids.withColumn(
       "nt_probe",
       explode(array(col("nt_block") - 1, col("nt_block"), col("nt_block") + 1)))
@@ -190,8 +199,17 @@ object Dedup {
     * keys of ~9 bits — on a low-entropy corpus candidate pairs grow as
     * ~7·N²/2⁹, effectively quadratic. comboSize = 2 emits 28 keys of ~16
     * bits: 4× the banding rows (ids only) for ~2⁷× smaller buckets, flipping
-    * candidate growth to ~28·N²/2¹⁶ — the curve that survives a 100× corpus.
-    * Join key is (combo index, bits of each block in the combo). */
+    * candidate growth to ~28·N²/2¹⁶. Join key is (combo index, bits of each
+    * block in the combo).
+    *
+    * Why not comboSize = 3 (84 keys × ~21 bits, another ~2⁵× smaller
+    * buckets): measured at 50k, 500k (100× probe), and 1.5M docs, 3 is
+    * 2-3× SLOWER than 2 at every scale — the sort/shuffle of 3× more banding
+    * rows costs more than the 2⁵× candidate reduction saves, and the
+    * verify filter (two long ops per candidate) is too cheap to rescue.
+    * The candidate term stays sub-dominant under comboSize = 2 through at
+    * least 1.5M docs (join wall-clock sub-linear: ~8 s at 500k, ~19 s at
+    * 1.5M on local[32]); revisit only past that regime. */
   def simHashPairsFromSignatures(
       signatures: DataFrame,
       maxHamming: Int,
@@ -211,8 +229,16 @@ object Dedup {
       struct(lit(ci).as("t") +:
         combo.zipWithIndex.map { case (b, j) => blockBits(b).as(s"b$j") }: _*)
     }
+    // MERGE, never broadcast or hash-build: the banded relation is
+    // |combos| x N rows — Catalyst under-estimates it (explode keeps the
+    // checkpointed child's size), tries to broadcast, and OOMs once
+    // N x C(h+q, q) rows no longer fit a hash table on one node (shuffle-hash
+    // fares no better: every concurrent task builds a per-partition map).
+    // Sort-merge spills gracefully and tolerates band-key skew — the plan
+    // that survives any corpus size.
     val banded = signatures
       .select(col("doc_id"), col("sh"), explode(array(keys: _*)).as("blk"))
+      .hint("merge")
     banded.as("a")
       .join(banded.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(

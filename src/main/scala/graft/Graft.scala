@@ -128,12 +128,16 @@ final case class Graft(spark: SparkSession, dir: String) {
     Ingest.ingestProperties(spark, checkpointDir)
 
   // ---- relational extensions ---------------------------------------------
-  /** As-of join: newest right row at-or-before each left row's time. */
+  /** As-of join: newest right row at-or-before each left row's time.
+    * `horizon` bounds the lookback and turns the time bound into a bucketed
+    * equi-join (the scale-safe form for hot keys with deep history). */
   def asOfJoin(
       left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTime: String, rightTime: String, leftId: Seq[String],
-      tieBreak: Seq[String] = Seq.empty): DataFrame =
-    AsOf.join(left, right, keys, leftTime, rightTime, leftId, tieBreak)
+      tieBreak: Seq[String] = Seq.empty,
+      horizon: Option[Long] = None): DataFrame =
+    AsOf.join(left, right, keys, leftTime, rightTime, leftId, tieBreak,
+      horizon = horizon)
 
   // ---- LLM-data-pipeline --------------------------------------------------
   /** Exact dedup groups over normalized document text. */
@@ -147,6 +151,11 @@ final case class Graft(spark: SparkSession, dir: String) {
     * (multi-index block-combination banding, guaranteed recall). */
   def simHashDuplicates(maxHamming: Int = 6): DataFrame =
     Dedup.simHashPairs(documents, maxHamming)
+
+  /** Exact shingle-Jaccard near-dup pairs within (lang, token-count)
+    * blocks — the oracle-checkable exact variant of [[nearDuplicates]]. */
+  def jaccardDuplicates(threshold: Double = 0.5): DataFrame =
+    Dedup.exactJaccardPairs(documents, threshold = threshold)
 
   /** Exact top-k cosine neighbors for a query batch. */
   def topKNeighbors(queries: DataFrame, k: Int): DataFrame =

@@ -106,6 +106,14 @@ class SkewAndFacadeSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(indexed == exact, "probing all lists must reproduce the exact top-k")
     assert(g.simHashDuplicates().count() == Dedup.simHashPairs(g.documents).count())
+    assert(g.jaccardDuplicates().count() ==
+      Dedup.exactJaccardPairs(g.documents, threshold = 0.5).count())
+    // horizon pass-through: bounded as-of keeps every left row (left join)
+    val errors = g.events.filter(col("event_type") === "error")
+    val clicks = g.events.filter(col("event_type") === "click")
+    val bounded = g.asOfJoin(errors, clicks, Seq("user_id" -> "user_id"),
+      "ts_us", "ts_us", Seq("event_id"), horizon = Some(3600L * 1000000L))
+    assert(bounded.count() == errors.count())
   }
 
   test("facade: properties surface the last compaction's job metrics") {

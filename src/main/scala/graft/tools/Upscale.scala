@@ -72,12 +72,27 @@ object Upscale {
       .withColumn("l_suppkey", shift("l_suppkey", suppSpan))
       .drop("_r", "_rl"), "lineitem")
 
-    val ev = tbl("events") // ts is nanos-long under nanosAsLong; carried verbatim
+    // events: ts (nanos-long under nanosAsLong) shifts per replica by the
+    // hour-aligned history span — replica r is the NEXT month of history, not
+    // a 100x-denser copy of the same month. Carrying ts verbatim densifies
+    // every time bucket by `reps`, which makes any unkeyed interval join's
+    // OUTPUT grow as reps^2 (measured: q10 pairs 5.7e7 at 10x but 5.7e9 at
+    // 100x, OOM) — a replication artifact, not an operator cost. Hour
+    // alignment keeps bucket boundaries consistent; replicas are
+    // bucket-disjoint, so interval-join output scales by reps.
+    val ev = tbl("events")
     val evSpan = maxOf(ev, "event_id") + 1
     val userSpan = maxOf(ev, "user_id") + 1
+    val hourNs = 3600L * 1000000000L
+    val (tsMin, tsMax) = {
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val tsSpan = ((tsMax - tsMin) / hourNs + 1) * hourNs
     write(rep(ev)
       .withColumn("event_id", shift("event_id", evSpan))
       .withColumn("user_id", shift("user_id", userSpan))
+      .withColumn("ts", shift("ts", tsSpan))
       .drop("_r", "_rl"), "events")
 
     val docs = tbl("documents")

@@ -71,31 +71,38 @@ final case class Graft(spark: SparkSession, dir: String) {
   def approximateSizes(bucket: Column, bytes: Column): DataFrame =
     Changelog.approximateSizes(events, bucket, bytes)
 
-  /** Job metrics of the most recent compaction run through THIS facade —
-    * the reference's model exactly: compaction stats live in the DBImpl that
-    * ran the compaction and surface via GetProperty (kv/db/db_impl.cpp:
-    * 1621-1697). Merged into [[properties]]. */
+  /** Job metrics of the most recent compaction THAT WROTE through this
+    * facade — the reference's model exactly: compaction stats live in the
+    * DBImpl that ran the compaction and surface via GetProperty
+    * (kv/db/db_impl.cpp:1621-1697). Merged into [[properties]], together
+    * with a run counter (`graft.compaction.runs`) that only increments on
+    * actual rewrites, so a poller can tell a trivial-move skip (counter
+    * unchanged, metrics from the previous run) from a fresh run. */
   private val lastCompaction =
     new java.util.concurrent.atomic.AtomicReference[Map[String, String]](Map.empty)
+  private val compactionRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def recordCompaction(m: Option[Maintenance.CompactionMetrics]): Long = {
+    m.foreach { x =>
+      val runs = compactionRuns.incrementAndGet()
+      lastCompaction.set(x.properties + ("graft.compaction.runs" -> runs.toString))
+    }
+    m.fold(-1L)(_.rowsWritten)
+  }
 
   /** Full-table compaction as a maintenance job (trivial-move aware).
     * Returns rows written, -1 on trivial-move skip; job metrics surface in
     * [[properties]]. */
-  def compact(inDir: String, outDir: String, spec: ChangelogSpec, retention: Long): Long = {
-    val m = Maintenance.compactTableMetrics(spark, inDir, outDir, spec, retention)
-    m.foreach(x => lastCompaction.set(x.properties))
-    m.fold(-1L)(_.rowsWritten)
-  }
+  def compact(inDir: String, outDir: String, spec: ChangelogSpec, retention: Long): Long =
+    recordCompaction(Maintenance.compactTableMetrics(spark, inDir, outDir, spec, retention))
 
   /** DB::CompactRange(begin, end): compact only keys in [lo, hi]; files
     * outside the range are carried over byte-identical. */
   def compactRange(
       inDir: String, outDir: String, spec: ChangelogSpec, retention: Long,
-      lo: Any, hi: Any): Long = {
-    val m = Maintenance.compactRangeMetrics(spark, inDir, outDir, spec, retention, lo, hi)
-    m.foreach(x => lastCompaction.set(x.properties))
-    m.fold(-1L)(_.rowsWritten)
-  }
+      lo: Any, hi: Any): Long =
+    recordCompaction(
+      Maintenance.compactRangeMetrics(spark, inDir, outDir, spec, retention, lo, hi))
 
   /** Snapshot lifecycle registry (DB::GetSnapshot / DB::ReleaseSnapshot);
     * [[compactAtFloor]] derives its retention from the oldest live handle.
@@ -114,7 +121,7 @@ final case class Graft(spark: SparkSession, dir: String) {
     * reference's smallest_snapshot rule: oldest live snapshot, else
     * `currentSeq`. Reads at every held snapshot are unchanged. */
   def compactAtFloor(inDir: String, outDir: String, spec: ChangelogSpec, currentSeq: Long): Long =
-    Maintenance.compactTable(spark, inDir, outDir, spec, snapshots.retentionFloor(currentSeq))
+    compact(inDir, outDir, spec, snapshots.retentionFloor(currentSeq))
 
   /** DB::GetProperty-style stats surface: session confs plus the job
     * metrics of the last compaction run through this facade. */

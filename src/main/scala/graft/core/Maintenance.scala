@@ -211,7 +211,10 @@ object Maintenance {
         }
       }
     if (rewritten < 0) return None
-    val (producedFiles, _) = outputFootprint(spark, outDir)
+    // footprint BEFORE the trivial-move copies: bytesWritten means bytes the
+    // compaction actually wrote, same as compactTableMetrics (copied files
+    // are counted in filesCopied, not in bytes/files produced)
+    val (producedFiles, producedBytes) = outputFootprint(spark, outDir)
     // byte-copy the untouched files (the reference's trivial move,
     // kv/db/db_impl.cpp:843-861: files outside the compaction range are not
     // rewritten). Names are unique part-<uuid> files — no collision with the
@@ -219,7 +222,6 @@ object Maintenance {
     untouched.foreach { p =>
       FileUtil.copy(fs, p, fs, new Path(outDir, p.getName), false, conf)
     }
-    val (_, totalBytes) = outputFootprint(spark, outDir)
-    Some(CompactionMetrics(rewritten, producedFiles, untouched.size.toLong, totalBytes))
+    Some(CompactionMetrics(rewritten, producedFiles, untouched.size.toLong, producedBytes))
   }
 }

@@ -44,7 +44,13 @@ object AsOf {
       tieBreak: Seq[String] = Seq.empty,
       joinType: String = "left",
       horizon: Option[Long] = None): DataFrame = {
-    horizon.foreach(h => require(h > 0, s"asof horizon must be positive, got $h"))
+    horizon.foreach { h =>
+      require(h > 0, s"asof horizon must be positive, got $h")
+      // the helper columns are added (and later dropped) only on this path;
+      // refuse inputs that already carry the names rather than clobber them
+      require(!left.columns.contains("_asof_probe") && !right.columns.contains("_asof_bucket"),
+        "asof horizon path reserves columns _asof_probe/_asof_bucket")
+    }
     val l = horizon
       .fold(left)(h => left.withColumn("_asof_probe",
         explode(array(expr(s"$leftTime div $h") - 1, expr(s"$leftTime div $h")))))
@@ -67,7 +73,10 @@ object AsOf {
     // never outranks a real match, and a both-probes-miss left row collapses
     // to one all-null-right row (the two exploded copies are identical)
     val w = Window.partitionBy(leftId.map(c => col(s"l.$c")): _*).orderBy(ord: _*)
-    joined.withColumn("_asof_rn", row_number().over(w)).filter(col("_asof_rn") === 1)
-      .drop("_asof_rn", "_asof_probe", "_asof_bucket")
+    val ranked = joined.withColumn("_asof_rn", row_number().over(w)).filter(col("_asof_rn") === 1)
+    // drop the helper columns only when this call added them — a same-named
+    // caller column on the unbounded path must pass through untouched
+    horizon.fold(ranked.drop("_asof_rn"))(_ =>
+      ranked.drop("_asof_rn", "_asof_probe", "_asof_bucket"))
   }
 }

@@ -88,7 +88,10 @@ object Upscale {
       val r = ev.agg(min(col("ts")), max(col("ts"))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val tsSpan = ((tsMax - tsMin) / hourNs + 1) * hourNs
+    // +2, not +1: the shift must exceed the history span by MORE than the
+    // q10 interval-join window (1h inclusive), or boundary events of replica
+    // r still pair with the first events of r+1 (gap would be <= 1h)
+    val tsSpan = ((tsMax - tsMin) / hourNs + 2) * hourNs
     write(rep(ev)
       .withColumn("event_id", shift("event_id", evSpan))
       .withColumn("user_id", shift("user_id", userSpan))

@@ -128,5 +128,11 @@ class SkewAndFacadeSpec extends AnyFunSuite {
     assert(p("graft.compaction.files.produced").toLong >= 1)
     assert(p("graft.compaction.files.copied") == "0")
     assert(p("graft.compaction.bytes.written").toLong > 0)
+    assert(p("graft.compaction.runs") == "1")
+    // a trivial-move SKIP must not bump the run counter (recompacting the
+    // already-compacted output is a no-op), so pollers can tell skip apart
+    val skipped = g.compact(s"$tmp/out", s"$tmp/out2", Tables.eventsSpec, retention = 1000L)
+    assert(skipped == -1L)
+    assert(g.properties("graft.compaction.runs") == "1")
   }
 }

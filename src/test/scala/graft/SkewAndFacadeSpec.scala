@@ -114,6 +114,16 @@ class SkewAndFacadeSpec extends AnyFunSuite {
     val bounded = g.asOfJoin(errors, clicks, Seq("user_id" -> "user_id"),
       "ts_us", "ts_us", Seq("event_id"), horizon = Some(3600L * 1000000L))
     assert(bounded.count() == errors.count())
+    // the helper names are reserved ONLY on the horizon path: unbounded
+    // passes a caller's same-named column through; bounded rejects it
+    val withBucket = clicks.withColumn("_asof_bucket", lit(1))
+    val unbounded = g.asOfJoin(errors, withBucket, Seq("user_id" -> "user_id"),
+      "ts_us", "ts_us", Seq("event_id"))
+    assert(unbounded.columns.contains("_asof_bucket"))
+    intercept[IllegalArgumentException] {
+      g.asOfJoin(errors, withBucket, Seq("user_id" -> "user_id"),
+        "ts_us", "ts_us", Seq("event_id"), horizon = Some(3600L * 1000000L))
+    }
   }
 
   test("facade: properties surface the last compaction's job metrics") {

@@ -79,13 +79,16 @@ final case class Graft(spark: SparkSession, dir: String) {
     * actual rewrites, so a poller can tell a trivial-move skip (counter
     * unchanged, metrics from the previous run) from a fresh run. */
   private val lastCompaction =
-    new java.util.concurrent.atomic.AtomicReference[Map[String, String]](Map.empty)
-  private val compactionRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+    new java.util.concurrent.atomic.AtomicReference[(Long, Map[String, String])]((0L, Map.empty))
 
   private def recordCompaction(m: Option[Maintenance.CompactionMetrics]): Long = {
+    // counter and metrics move together in ONE atomic update, so concurrent
+    // compactions can never publish a lower runs value after a higher one
     m.foreach { x =>
-      val runs = compactionRuns.incrementAndGet()
-      lastCompaction.set(x.properties + ("graft.compaction.runs" -> runs.toString))
+      lastCompaction.updateAndGet { case (runs, _) =>
+        val n = runs + 1
+        (n, x.properties + ("graft.compaction.runs" -> n.toString))
+      }
     }
     m.fold(-1L)(_.rowsWritten)
   }
@@ -127,7 +130,7 @@ final case class Graft(spark: SparkSession, dir: String) {
     * metrics of the last compaction run through this facade. */
   def tableStats: DataFrame = Stats.tableStats(spark, dir)
   def properties: Map[String, String] =
-    Stats.engineProperties(spark) ++ lastCompaction.get
+    Stats.engineProperties(spark) ++ lastCompaction.get._2
 
   /** Write-path `stats` properties of an ingest sink (committed batches,
     * committed rows, high-water seq) from its mark manifest. */

@@ -44,13 +44,15 @@ object AsOf {
       tieBreak: Seq[String] = Seq.empty,
       joinType: String = "left",
       horizon: Option[Long] = None): DataFrame = {
-    horizon.foreach { h =>
-      require(h > 0, s"asof horizon must be positive, got $h")
-      // the helper columns are added (and later dropped) only on this path;
-      // refuse inputs that already carry the names rather than clobber them
-      require(!left.columns.contains("_asof_probe") && !right.columns.contains("_asof_bucket"),
-        "asof horizon path reserves columns _asof_probe/_asof_bucket")
-    }
+    horizon.foreach(h => require(h > 0, s"asof horizon must be positive, got $h"))
+    // refuse inputs that already carry a helper name rather than clobber
+    // them: _asof_rn is always added; the bucket helpers only on the horizon
+    // path (where the final drop removes EVERY matching column from either
+    // side). Case-insensitive to match Spark's default column resolution.
+    val reserved = "_asof_rn" +:
+      (if (horizon.isDefined) Seq("_asof_probe", "_asof_bucket") else Nil)
+    for (cols <- Seq(left.columns, right.columns); c <- cols; r <- reserved)
+      require(!c.equalsIgnoreCase(r), s"asof join reserves column name $r")
     val l = horizon
       .fold(left)(h => left.withColumn("_asof_probe",
         explode(array(expr(s"$leftTime div $h") - 1, expr(s"$leftTime div $h")))))

@@ -118,7 +118,19 @@ object Dedup {
   /** Exact pairwise shingle-Jaccard near-dup within blocking keys — the
     * oracle-friendly exact variant (blocking bounds the pair count; at real
     * scale the blocks come from LSH buckets instead). Pairs must share `lang`
-    * and be within `tokenSlack` tokens of each other. */
+    * and be within `tokenSlack` tokens of each other.
+    *
+    * Verification is FUSED into the blocking join: both sides carry their
+    * shingle arrays through the ONE (lang, token-block) exchange, and the
+    * Jaccard is computed as the sort-merge join emits each candidate — no
+    * row ever rides a second shuffle. The earlier ids-only-block /
+    * re-attach-arrays-by-id shape looked lighter but was not: with B
+    * candidates per doc (tens at corpus scale) the re-attach joins either
+    * shuffle candidates×arrays (B× the corpus bytes) or rely on Catalyst
+    * broadcasting the under-estimated checkpointed shingle relation — the
+    * executor-OOM cliff documented in BASELINE.md. Here total array movement
+    * is exactly 3× the corpus (1× build side + 2× probe side), independent
+    * of the candidate count. */
   def exactJaccardPairs(
       documents: DataFrame,
       shingleN: Int = 3,
@@ -128,8 +140,10 @@ object Dedup {
     // sets (shingles carried as xxhash64 longs: identical Jaccard w.h.p.,
     // long-set intersection instead of string-set per pair). The raw token
     // hashes never persist — with the native tokenizer they are cheap to
-    // fold straight into (nt, sh), and a separate th checkpoint would
-    // deserialize the big arrays on every ids-side scan of the join.
+    // fold straight into (nt, sh). MERGE: the relation is checkpointed, so
+    // Catalyst under-estimates it (see the band joins above) and would
+    // broadcast a corpus of shingle arrays; sort-merge on the block key
+    // spills gracefully at any corpus size.
     val d = documents
       .select(col("doc_id"), col("lang"), TextOps.tokenHashes(col("text")).as("th"))
       .select(
@@ -137,37 +151,29 @@ object Dedup {
         TextOps.ngramHashes(col("th"), shingleN).as("sh"))
       .withColumn("nt_block", floor(col("nt") / (tokenSlack * 2)))
       .localCheckpoint()
-    val shingled = d.select(col("doc_id"), col("sh"))
-    // join on (lang, coarse token-count block) then verify the slack exactly:
-    // the probe side explodes to {block-1, block, block+1} — with block width
-    // 2*tokenSlack, any pair within `tokenSlack` tokens lands in the same or
-    // an adjacent block regardless of which doc has the smaller id, so no
-    // qualifying pair is missed. Only (id, lang, nt) ride the blocking join
-    // (the probe side is 3x-exploded); shingle arrays are re-attached by id
-    // afterwards.
-    // MERGE for the same reason as the band join above: the ids relation is
-    // every doc (x3 on the probe side) — a partitioned join on the blocking
-    // key, never a corpus-wide broadcast.
-    val ids = d.select(col("doc_id"), col("lang"), col("nt"), col("nt_block"))
       .hint("merge")
-    val probe = ids.withColumn(
-      "nt_probe",
-      explode(array(col("nt_block") - 1, col("nt_block"), col("nt_block") + 1)))
-    val pairs = probe.as("a")
+    // Orient each pair by (nt, doc_id) instead of doc_id alone: the lower
+    // side then only ever probes UP, so {block, block+1} covers every
+    // qualifying pair (nb ∈ [na, na+slack] with block width 2·slack puts b
+    // in a's block or the next one) — a 2-way probe explode instead of the
+    // 3-way ±1 an id-oriented probe needs. Each pair matches exactly once
+    // (one probe value equals b's block; the orientation predicate picks one
+    // side), so there is nothing to deduplicate — and no post-join exchange
+    // at all: the jaccard filter runs in the same stage the join emits into.
+    val probe = d.withColumn(
+      "nt_probe", explode(array(col("nt_block"), col("nt_block") + 1)))
+    probe.as("a")
       .join(
-        ids.as("b"),
+        d.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.nt_probe") === col("b.nt_block") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.nt") - col("b.nt")) <= tokenSlack)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // dedup AFTER renaming: dropDuplicates resolves plain attribute names
-      // only, never alias-qualified ones
-      .dropDuplicates("doc_a", "doc_b")
-    pairs
-      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", TextOps.jaccardSortedHashes(col("sh_a"), col("sh_b")))
+          (col("a.nt") < col("b.nt") ||
+            (col("a.nt") === col("b.nt") && col("a.doc_id") < col("b.doc_id"))) &&
+          col("b.nt") - col("a.nt") <= tokenSlack)
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        TextOps.jaccardSortedHashes(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

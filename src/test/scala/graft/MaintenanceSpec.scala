@@ -147,6 +147,79 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("bloom filters actually SKIP row groups on point gets (scan metrics, not presence)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomskip_").toString
+    val highCard = ChangelogSpec(Seq("k"), "seq")
+    spark.range(300000).select(
+      xxhash64(col("id")).as("k"),
+      col("id").as("seq"),
+      (col("id") * 1.5).as("value"))
+      .write.parquet(s"$tmp/log")
+    // shrink the row-group size so each output file holds MANY row groups —
+    // the unit the bloom filter must prove it skips
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", (64 * 1024).toString)
+    try Maintenance.compactTable(
+      spark, s"$tmp/log", s"$tmp/compacted", highCard, retention = 300000L, force = true)
+    finally if (oldBlock == null) hconf.unset("parquet.block.size")
+    else hconf.set("parquet.block.size", oldBlock)
+
+    val parts = new java.io.File(s"$tmp/compacted").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val groupCount = parts.map { part =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), hconf))
+      try r.getRowGroups.size() finally r.close()
+    }.sum
+    assert(groupCount > 8, s"need many row groups to prove skipping, got $groupCount")
+
+    // Probe key: absent, but INSIDE one row group's [min,max] — the output is
+    // range-partitioned + sorted by k, so column stats alone skip every
+    // OTHER group; only the bloom filter can skip the straddling one.
+    val keys = spark.read.parquet(parts(parts.length / 2).getAbsolutePath)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val probe = keys.sliding(2).collectFirst {
+      case Array(a, b) if b - a > 1 => a + 1
+    }.get
+
+    // rows the scan node materializes = rows in row groups that survived
+    // footer-level (stats/dictionary/bloom) pruning
+    def scanned(build: => DataFrame): Long = {
+      val df = build
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "expected a v1 parquet scan node")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    val withBloom = scanned(
+      spark.read.parquet(s"$tmp/compacted").filter(col("k") === probe))
+    val statsOnly = scanned(
+      spark.read
+        .option("parquet.filter.bloom.enabled", "false")
+        .option("parquet.filter.dictionary.enabled", "false")
+        .parquet(s"$tmp/compacted").filter(col("k") === probe))
+    val oldPushdown = spark.conf.get("spark.sql.parquet.filterPushdown")
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    val noPushdown =
+      try scanned(spark.read.parquet(s"$tmp/compacted").filter(col("k") === probe))
+      finally spark.conf.set("spark.sql.parquet.filterPushdown", oldPushdown)
+
+    assert(noPushdown == 300000L, s"pushdown off must read everything, read $noPushdown")
+    assert(statsOnly > 0 && statsOnly < noPushdown,
+      s"stats alone must leave the straddling row group unskipped ($statsOnly)")
+    assert(withBloom == 0L,
+      s"bloom must skip the row group stats cannot ($withBloom rows materialized)")
+  }
+
   test("snapshot registry: refcounted floor semantics (GetSnapshot/ReleaseSnapshot)") {
     val reg = new graft.core.Snapshots
     assert(reg.retentionFloor(currentSeq = 900L) == 900L, "no snapshots -> latest seq")

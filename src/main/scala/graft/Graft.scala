@@ -35,7 +35,13 @@ final case class Graft(spark: SparkSession, dir: String) {
     * [[graft.streaming.Ingest.startChangelogIngest]]). `availableNow = true`
     * drains what is currently in `sourceDir` and stops — the batch-write
     * shape; `false` keeps ingesting as files land. Key columns get parquet
-    * bloom filters so the point-get read path skips row groups. */
+    * bloom filters so the point-get read path skips row groups.
+    *
+    * Backpressure (the reference's L0 write throttle,
+    * kv/db/db_impl.cpp:1542-1619): `maxFilesPerTrigger` caps each
+    * micro-batch — a backlog drains as several bounded commits rather than
+    * one giant one (also under `availableNow`); `None` removes the cap.
+    * `triggerInterval` paces continuous mode. */
   def ingest(
       sourceDir: String,
       schema: StructType,
@@ -43,10 +49,13 @@ final case class Graft(spark: SparkSession, dir: String) {
       checkpointDir: String,
       orderCols: Seq[String],
       spec: ChangelogSpec,
-      availableNow: Boolean = true): StreamingQuery =
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
     Ingest.startChangelogIngest(
       spark, sourceDir, schema, sinkDir, checkpointDir, orderCols,
-      availableNow = availableNow, bloomCols = spec.keyCols)
+      availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval, bloomCols = spec.keyCols)
 
   /** Committed-batches-only view of an ingest sink (manifest visibility). */
   def readCommitted(sinkDir: String, checkpointDir: String): DataFrame =

@@ -83,6 +83,12 @@ object Ingest {
     }
   }
 
+  /** Default micro-batch bound: a flood of source files is consumed in
+    * bounded batches instead of one giant commit — the write-throttle
+    * analogue of the reference stalling writers on L0 depth
+    * (kv/db/db_impl.cpp:1542-1619). `maxFilesPerTrigger = None` opts out. */
+  val DefaultMaxFilesPerTrigger = 1024
+
   /** Start a file-source changelog ingest: reads parquet files appearing under
     * `sourceDir`, stamps contiguous seqs, appends to `sinkDir` as parquet
     * (one `batch_id=<id>` directory per micro-batch).
@@ -90,6 +96,10 @@ object Ingest {
     * `orderCols` define the deterministic within-batch ordering used for seq
     * assignment (must be a total order on the batch, e.g. the upstream event
     * id). Returns the running query; callers stop it or await termination.
+    *
+    * Backpressure: `maxFilesPerTrigger` bounds each micro-batch (honored by
+    * `Trigger.AvailableNow` too, which drains the backlog as several bounded
+    * commits); `triggerInterval` paces continuous mode between polls.
     */
   def startChangelogIngest(
       spark: SparkSession,
@@ -99,7 +109,8 @@ object Ingest {
       checkpointDir: String,
       orderCols: Seq[String],
       availableNow: Boolean = true,
-      maxFilesPerTrigger: Option[Int] = None,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second",
       bloomCols: Seq[String] = Seq.empty): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
@@ -157,7 +168,7 @@ object Ingest {
         Marks.write(markDir, batchId, base, n, hconf)
         ()
       }
-      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
       .start()
   }
 

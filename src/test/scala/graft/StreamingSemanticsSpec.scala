@@ -121,6 +121,39 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("backpressure: a file flood drains as multiple bounded micro-batches (L0-throttle analogue)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bp_").toString
+    // 8 source files, cap 3 per trigger -> AvailableNow must commit the
+    // backlog as ceil(8/3) = 3 bounded batches, never one giant one
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .repartition(8).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val g = new Graft(spark, TestSpark.Sf0001)
+    val q = g.ingest(s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt",
+      orderCols = Seq("event_id"), spec = graft.core.Tables.eventsSpec,
+      maxFilesPerTrigger = Some(3))
+    q.awaitTermination()
+
+    val marks = new java.io.File(s"$tmp/ckpt/graft-marks").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+      .map { f =>
+        val Array(batchId, base, count) =
+          new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.split(" ")
+        (batchId.toLong, base.toLong, count.toLong)
+      }.sortBy(_._1)
+    assert(marks.length == 3, s"8 files / cap 3 must give 3 micro-batches: ${marks.toSeq}")
+    assert(marks.forall(_._3 > 0) && marks.forall(_._3 < 1000),
+      s"every batch bounded below the full input: ${marks.toSeq}")
+    // seqs contiguous ACROSS batch boundaries: each base = previous base+count
+    marks.sliding(2).foreach { case Array((_, b1, c1), (_, b2, _)) =>
+      assert(b2 == b1 + c1, s"batch bases must chain contiguously: ${marks.toSeq}")
+    }
+    val seqs = Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("seq").collect().map(_.getLong(0))
+    assert(seqs.length == 1000 && seqs.toSet == (1L to 1000L).toSet,
+      "global seq sequence contiguous 1..N across all bounded batches")
+  }
+
   test("ingest recovers from checkpoint restart with identical seqs (recovery_test analogue)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rec_").toString
     spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")

@@ -195,6 +195,21 @@ final case class Graft(spark: SparkSession, dir: String) {
   def searchIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
     Ivf.topKIndexed(spark, path, queries, k, nProbe)
 
+  /** Append vectors to a persisted index with the stored model (no retrain);
+    * check [[vectorIndexProperties]] / [[Ivf.needsRebuild]] afterwards and
+    * [[rebuildVectorIndex]] when the staleness gate fires. */
+  def appendToVectorIndex(path: String, newVectors: DataFrame): Long =
+    Ivf.appendToIndex(newVectors, path)
+
+  /** GetProperty-style health of a persisted index: rows, growth since
+    * training, list imbalance — the inputs to the rebuild decision. */
+  def vectorIndexProperties(path: String): Map[String, String] =
+    Ivf.indexStats(spark, path)
+
+  /** Retrain and rewrite a persisted index over its current contents. */
+  def rebuildVectorIndex(path: String, lists: Int = 16, iters: Int = 3): Unit =
+    Ivf.rebuildIndex(spark, path, lists, iters)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 }

@@ -117,6 +117,81 @@ object Ivf {
     model.centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("bucket", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // training-time corpus size: the baseline `needsRebuild` measures
+    // growth against (footer-metadata count, no data read)
+    Seq(Tuple1(spark.read.parquet(s"$path/lists").count()))
+      .toDF("trained_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append new vectors to a persisted index WITHOUT retraining: assign with
+    * the stored centroid model and append to the existing list partitions —
+    * the incremental-ingest path (the reference's L0-append shape: cheap
+    * writes now, a rebuild later when [[needsRebuild]] trips). Search after
+    * append is IDENTICAL to a full [[writeIndex]] rewrite under the same
+    * model (IvfSpec proves it), because assignment depends only on the
+    * stored centroids. Returns the number of vectors appended. */
+  def appendToIndex(
+      newVectors: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val spark = newVectors.sparkSession
+    val model = readModel(spark, path)
+    val before = spark.read.parquet(s"$path/lists").count()
+    newVectors.select(
+      col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorOps.normSq(col(vecCol)).as("n_nsq"),
+      nearestCentroid(col(vecCol), model).as("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
+    spark.read.parquet(s"$path/lists").count() - before
+  }
+
+  /** Inverted-list health of a persisted index: row totals, growth since
+    * training, and list-size imbalance. The per-list counts scan only the
+    * partition column (no vector data is read). */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
+    val sizes = spark.read.parquet(s"$path/lists")
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    val total = sizes.sum
+    val trained = spark.read.parquet(s"$path/meta").head().getLong(0)
+    val avg = if (sizes.nonEmpty) total.toDouble / sizes.length else 0.0
+    Map(
+      "graft.ivf.lists" -> sizes.length.toString,
+      "graft.ivf.rows" -> total.toString,
+      "graft.ivf.trained-rows" -> trained.toString,
+      "graft.ivf.max-list" -> (if (sizes.isEmpty) "0" else sizes.max.toString),
+      "graft.ivf.growth" -> f"${if (trained > 0) total.toDouble / trained else 1.0}%.4f",
+      "graft.ivf.imbalance" -> f"${if (avg > 0) sizes.max / avg else 1.0}%.4f")
+  }
+
+  /** Staleness trigger for a persisted index — the compaction-scheduling
+    * analogue ([[graft.core.Maintenance.needsCompaction]]'s shape): retrain
+    * when the corpus has grown well past the training sample (centroids no
+    * longer summarize the distribution) or one list dominates (probes of
+    * that list degrade toward a full scan). Appends alone never retrain;
+    * this gate decides when the cheap path has been stretched too far. */
+  def needsRebuild(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxGrowth: Double = 2.0,
+      maxImbalance: Double = 4.0): Boolean = {
+    val stats = indexStats(spark, path)
+    stats("graft.ivf.growth").toDouble > maxGrowth ||
+      stats("graft.ivf.imbalance").toDouble > maxImbalance
+  }
+
+  /** Retrain over the index's CURRENT contents and rewrite it in place —
+    * what a caller runs when [[needsRebuild]] fires. */
+  def rebuildIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      lists: Int,
+      iters: Int = 3): Unit = {
+    val corpus = spark.read.parquet(s"$path/lists")
+      .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
+      .localCheckpoint() // sever lineage from the files the rewrite replaces
+    writeIndex(corpus, train(corpus, lists, iters), path)
   }
 
   /** Load the centroid matrix of a persisted index. */

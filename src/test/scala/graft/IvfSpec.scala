@@ -71,6 +71,51 @@ class IvfSpec extends AnyFunSuite {
       s"bucket filter must be a partition filter, plan:\n${plan.take(2000)}")
   }
 
+  test("append with stored model: search-after-append == full rewrite under the same model") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfapp_").toString
+    val firstHalf = emb.filter(col("vec_id") % 2 === 0)
+    val secondHalf = emb.filter(col("vec_id") % 2 =!= 0)
+    // model trained on the first half only — appends must NOT retrain
+    val model = Ivf.train(firstHalf, c = 8, iters = 2)
+    Ivf.writeIndex(firstHalf, model, tmp)
+    val appended = Ivf.appendToIndex(secondHalf, tmp)
+    assert(appended == secondHalf.count(), s"append must add exactly the new vectors, got $appended")
+    // reference: one-shot index over the full corpus with the SAME model
+    val full = java.nio.file.Files.createTempDirectory("graft_ivffull_").toString
+    Ivf.writeIndex(emb, model, full)
+    val a = Ivf.topKIndexed(spark, tmp, queries, k = 5, nProbe = 4).collect().map(_.toSeq).toSet
+    val b = Ivf.topKIndexed(spark, full, queries, k = 5, nProbe = 4).collect().map(_.toSeq).toSet
+    assert(a == b, "append-then-search must equal rewrite-then-search under the same model")
+    // growth doubled but stays model-stable; imbalance metrics are surfaced
+    val stats = Ivf.indexStats(spark, tmp)
+    assert(stats("graft.ivf.rows").toLong == emb.count())
+    assert(stats("graft.ivf.growth").toDouble > 1.8 && stats("graft.ivf.growth").toDouble < 2.2)
+  }
+
+  test("needsRebuild trips on growth and on list imbalance, not on modest appends") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfreb_").toString
+    val model = Ivf.train(emb, c = 8, iters = 2)
+    Ivf.writeIndex(emb, model, tmp)
+    assert(!Ivf.needsRebuild(spark, tmp), "fresh index must not need a rebuild")
+    // a skew flood: many copies of ONE vector -> a single list balloons,
+    // tripping both the growth and imbalance triggers
+    val hot = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).head().getAs[scala.collection.Seq[Float]](0)
+    val flood = spark.range(1000000, 1000000 + 3L * emb.count())
+      .select(col("id").as("vec_id"), typedLit(hot).as("embedding"))
+    Ivf.appendToIndex(flood, tmp)
+    val stats = Ivf.indexStats(spark, tmp)
+    assert(stats("graft.ivf.growth").toDouble > 2.0, s"flood must register as growth: $stats")
+    assert(stats("graft.ivf.imbalance").toDouble > 4.0, s"hot list must register as imbalance: $stats")
+    assert(Ivf.needsRebuild(spark, tmp), "staleness gate must fire after the flood")
+    // the rebuild retrains over current contents and resets both triggers
+    Ivf.rebuildIndex(spark, tmp, lists = 8, iters = 2)
+    val after = Ivf.indexStats(spark, tmp)
+    assert(after("graft.ivf.growth").toDouble == 1.0, s"rebuild resets growth: $after")
+    assert(after("graft.ivf.rows").toLong == 4L * emb.count())
+  }
+
   test("training and search are deterministic run to run") {
     val m1 = Ivf.train(emb, c = 8, iters = 2)
     val m2 = Ivf.train(emb, c = 8, iters = 2)

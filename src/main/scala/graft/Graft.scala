@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.StructType
   * directory's tables, so composition and Catalyst optimization work as
   * usual.
   *
+  * Construct ONE facade per directory: compaction/snapshot bookkeeping
+  * ([[properties]], [[lastCompaction]], [[snapshots]]) is instance-local —
+  * the mirror of the reference's DBImpl-local stats. A second facade (or a
+  * direct [[graft.core.Maintenance]] call) over the same directory runs
+  * fine but its job metrics are invisible to this instance's properties.
+  *
   * {{{
   * val g = Graft(spark, "/data/sf0.1")
   * g.collapse(g.events, Tables.eventsSpec)            // KV read view (O8/O20)
@@ -159,8 +165,13 @@ final case class Graft(spark: SparkSession, dir: String) {
       horizon = horizon)
 
   // ---- LLM-data-pipeline --------------------------------------------------
-  /** Exact dedup groups over normalized document text. */
-  def exactDuplicates(): DataFrame = Dedup.exact(documents)
+  /** Exact dedup groups over normalized document text. "Exact" is
+    * with-high-probability by default: groups form on a 64-bit hash of the
+    * normalized text (collision odds ~N²/2⁶⁵ — negligible below ~10⁹ docs),
+    * keeping the shuffle key 8 bytes. Pass `wideKey = true` for a SHA-256
+    * key when certainty matters more than 4x the shuffle-key bytes. */
+  def exactDuplicates(wideKey: Boolean = false): DataFrame =
+    Dedup.exact(documents, wideKey = wideKey)
 
   /** MinHash-LSH near-duplicate pairs (banded join, two-stage verify). */
   def nearDuplicates(threshold: Double = 0.7): DataFrame =

@@ -31,8 +31,9 @@ object AsOf {
     * window instead of all history. Matches inside the horizon are identical
     * to the unbounded form; left rows whose newest match is older than the
     * horizon get the `joinType` miss behavior (nulls for "left") instead.
-    * Requires NUMERIC, non-negative time columns (e.g. epoch micros): `div`
-    * truncates toward zero, so negative times would mis-bucket.
+    * Requires NUMERIC (integral) time columns, e.g. epoch micros; bucketing
+    * is exact integer floor-division, so negative times (pre-1970 epochs)
+    * bucket correctly too.
     */
   def join(
       left: DataFrame,
@@ -53,12 +54,21 @@ object AsOf {
       (if (horizon.isDefined) Seq("_asof_probe", "_asof_bucket") else Nil)
     for (cols <- Seq(left.columns, right.columns); c <- cols; r <- reserved)
       require(!c.equalsIgnoreCase(r), s"asof join reserves column name $r")
+    // Exact integer floor-division for the bucket: `div` truncates toward
+    // zero, so adjust by one when a negative time has a remainder. All-long
+    // arithmetic — a float/double detour would round at ns-epoch magnitudes
+    // (> 2^53) and mis-bucket. Built from Columns, not SQL-string
+    // interpolation, so column names needing backticks work unchanged.
+    def bucketOf(t: Column, h: Long): Column = {
+      val q = call_function("div", t, lit(h))
+      (q - when(t % lit(h) < 0, lit(1L)).otherwise(lit(0L))).cast("long")
+    }
     val l = horizon
       .fold(left)(h => left.withColumn("_asof_probe",
-        explode(array(expr(s"$leftTime div $h") - 1, expr(s"$leftTime div $h")))))
+        explode(array(bucketOf(col(leftTime), h) - 1, bucketOf(col(leftTime), h)))))
       .as("l")
     val r = horizon
-      .fold(right)(h => right.withColumn("_asof_bucket", expr(s"$rightTime div $h")))
+      .fold(right)(h => right.withColumn("_asof_bucket", bucketOf(col(rightTime), h)))
       .as("r")
     val keyCond = keys
       .map { case (lk, rk) => col(s"l.$lk") === col(s"r.$rk") }

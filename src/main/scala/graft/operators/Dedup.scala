@@ -32,11 +32,19 @@ object Dedup {
     * difference between shuffling (id, 8-byte key) rows and shuffling the
     * corpus twice. Grouping by the 64-bit hash equals grouping by the text
     * w.h.p. (collision odds ~N²/2⁶⁵ — below 1e-3 even at 10⁸ distinct texts;
-    * callers needing certainty can widen the key to sha2). The normalized
-    * text itself never leaves the map side. */
-  def exact(documents: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    * `wideKey = true` swaps in SHA-256, whose collision odds are
+    * cryptographically negligible at ANY corpus size, for 4x the shuffle-key
+    * bytes — 32 raw bytes vs 8). The normalized text itself never leaves the
+    * map side on either path. */
+  def exact(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      wideKey: Boolean = false): DataFrame = {
+    val normText = TextOps.normalized(coalesce(col(textCol), lit("")))
+    val key = if (wideKey) unhex(sha2(normText.cast("binary"), 256)) else xxhash64(normText)
     val norm = documents
-      .withColumn("_k", xxhash64(TextOps.normalized(coalesce(col(textCol), lit("")))))
+      .withColumn("_k", key)
       .select(col(idCol), col("_k"))
       .localCheckpoint()
     val groups = norm

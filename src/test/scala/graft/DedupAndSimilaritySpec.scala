@@ -27,6 +27,15 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 1L, true)))
   }
 
+  test("exact dedup wide key (sha-256) groups identically to the 64-bit default") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val narrow = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val wide = Dedup.exact(docs, wideKey = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(wide == narrow, "collision-free corpus: both key widths must agree exactly")
+  }
+
   test("exact dedup keeps null-text documents (normalized to empty string)") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, ""), (4L, "  "))

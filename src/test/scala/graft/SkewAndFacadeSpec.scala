@@ -126,6 +126,27 @@ class SkewAndFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded as-of buckets exactly: negative epochs and backtick-hostile names") {
+    import spark.implicits._
+    // pre-1970 epochs: truncating division would put t in the wrong bucket
+    // (e.g. -1 div 10 == 0, floor(-1/10) == -1) and silently drop matches
+    val left = Seq((1L, -5L, 100L), (1L, 15L, 101L), (2L, -25L, 102L))
+      .toDF("k", "time of day", "id") // space: needs backticks if interpolated
+    val right = Seq((1L, -7L, 1.0), (1L, -16L, 2.0), (1L, 12L, 3.0), (2L, -30L, 4.0))
+      .toDF("k", "time of day", "v")
+    def run(h: Option[Long]) = graft.operators.AsOf.join(
+      left, right, Seq("k" -> "k"), "time of day", "time of day", Seq("id"),
+      horizon = h)
+      .select(col("id"), col("v")).collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val unbounded = run(None)
+    assert(unbounded == Set((100L, 1.0), (101L, 3.0), (102L, 4.0)))
+    // horizon 10 covers every match above (gaps 2, 3, 5) -> identical result
+    assert(run(Some(10L)) == unbounded,
+      "bounded form must find the same matches for in-horizon history, negatives included")
+    // horizon 4 excludes the (102, gap 5) match -> left-join miss (null v)
+    assert(run(Some(4L)) == Set((100L, 1.0), (101L, 3.0), (102L, null)))
+  }
+
   test("facade: properties surface the last compaction's job metrics") {
     val g = Graft(spark, TestSpark.Sf0001)
     assert(!g.properties.contains("graft.compaction.rows.written"))

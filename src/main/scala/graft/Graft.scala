@@ -152,6 +152,14 @@ final case class Graft(spark: SparkSession, dir: String) {
   def ingestProperties(checkpointDir: String): Map[String, String] =
     Ingest.ingestProperties(spark, checkpointDir)
 
+  /** Background compaction of an ingest sink's committed view — safe to run
+    * concurrently with the ingest: a half-written batch is invisible until
+    * its mark commits, so the output captures exactly the committed prefix. */
+  def compactCommitted(
+      sinkDir: String, checkpointDir: String, outDir: String,
+      spec: ChangelogSpec, retention: Long, force: Boolean = false): Long =
+    Ingest.compactCommitted(spark, sinkDir, checkpointDir, outDir, spec, retention, force)
+
   // ---- relational extensions ---------------------------------------------
   /** As-of join: newest right row at-or-before each left row's time.
     * `horizon` bounds the lookback and turns the time bound into a bucketed

@@ -89,8 +89,23 @@ object Maintenance {
       spec: ChangelogSpec,
       retention: Long,
       maxRecordsPerFile: Long = 1L << 20,
+      force: Boolean = false): Option[CompactionMetrics] =
+    compactFrameMetrics(spark, spark.read.parquet(inDir), outDir, spec, retention,
+      maxRecordsPerFile, force)
+
+  /** [[compactTableMetrics]] over an explicit input frame — the entry point
+    * when the input is a FILTERED view rather than a whole directory (e.g.
+    * an ingest sink's committed-batches-only view: compacting the raw sink
+    * path would read uncommitted batch directories, violating the manifest
+    * rule; see [[graft.streaming.Ingest.compactCommitted]]). */
+  def compactFrameMetrics(
+      spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      outDir: String,
+      spec: ChangelogSpec,
+      retention: Long,
+      maxRecordsPerFile: Long = 1L << 20,
       force: Boolean = false): Option[CompactionMetrics] = {
-    val df = spark.read.parquet(inDir)
     if (!force && !needsCompaction(df, spec, retention)) return None
     val keys = spec.keyCols.map(col)
     val compacted = Changelog.compact(df, spec, retention)

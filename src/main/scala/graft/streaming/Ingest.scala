@@ -187,6 +187,26 @@ object Ingest {
       .parquet(committed.map(b => s"$sinkDir/batch_id=$b"): _*)
   }
 
+  /** Compact an ingest sink's COMMITTED view into `outDir` — background
+    * maintenance concurrent with ingest, the reference's interleaved
+    * write + compaction model (kv/db/db_impl.cpp:608-644). Reads through
+    * [[readCommitted]], so a concurrent writer's half-written (markless)
+    * batch directory is invisible to the compaction by construction: the
+    * output captures exactly the committed prefix, and a crashed batch
+    * replayed later neither appears in nor invalidates it. */
+  def compactCommitted(
+      spark: SparkSession,
+      sinkDir: String,
+      checkpointDir: String,
+      outDir: String,
+      spec: graft.core.ChangelogSpec,
+      retention: Long,
+      force: Boolean = false): Long =
+    graft.core.Maintenance.compactFrameMetrics(
+      spark, readCommitted(spark, sinkDir, checkpointDir).drop("batch_id"),
+      outDir, spec, retention, force = force)
+      .fold(-1L)(_.rowsWritten)
+
   /** `GetProperty`-style ingest stats from the mark manifest — the
     * reference's write-path `stats` property (per-level file counts and
     * write volumes, kv/db/db_impl.cpp:1621-1697) over the changelog sink:

@@ -220,6 +220,76 @@ class MaintenanceSpec extends AnyFunSuite {
       s"bloom must skip the row group stats cannot ($withBloom rows materialized)")
   }
 
+  test("concurrent maintenance + mid-batch crash: compaction sees only committed batches, restart replays exactly") {
+    import graft.streaming.Ingest
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccrash_").toString
+    spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .repartition(6).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val sinkSpec = ChangelogSpec(Seq("user_id", "event_type"), "seq")
+    def run(): Unit = {
+      val q = Ingest.startChangelogIngest(
+        spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt",
+        orderCols = Seq("event_id"), maxFilesPerTrigger = Some(2))
+      q.awaitTermination()
+    }
+    run() // 6 files / cap 2 -> batches 0,1,2 committed
+
+    // CRASH batch 2 mid-write: lose its checkpoint commit marker, its mark,
+    // and part of its data — the state an ingest killed between the sink
+    // write and the mark commit leaves behind
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val lastBatch = commits.last.getName.toInt
+    commits.last.delete()
+    val crc = new java.io.File(s"$tmp/ckpt/commits", s".$lastBatch.crc")
+    if (crc.exists()) crc.delete()
+    new java.io.File(s"$tmp/ckpt/graft-marks/$lastBatch").delete()
+    val bDir = new java.io.File(s"$tmp/sink/batch_id=$lastBatch")
+    bDir.listFiles().filter(_.getName.endsWith(".parquet")).take(1).foreach(_.delete())
+
+    // manifest rule: the committed view hides the crashed batch entirely
+    val s0 = Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt").drop("batch_id")
+      .localCheckpoint() // pin the pre-restart view for post-restart compare
+    val hw = s0.agg(max("seq")).head().getLong(0)
+    val preCrash = s0.select("event_id", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preCrash.size.toLong == hw && hw < 1000,
+      s"crashed batch must be invisible: highwater $hw")
+
+    // CONCURRENT maintenance while the sink is in the crashed state: the
+    // compaction must capture exactly the committed prefix
+    val written = Ingest.compactCommitted(
+      spark, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/compacted", sinkSpec,
+      retention = hw, force = true)
+    assert(written > 0)
+    val compacted = spark.read.parquet(s"$tmp/compacted")
+    assert(compacted.agg(max("seq")).head().getLong(0) <= hw,
+      "no uncommitted (markless) rows may leak into the compacted output")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Changelog.collapseAt(df, sinkSpec, hw)
+        .select("user_id", "event_type", "event_id", "seq")
+        .collect().map(_.toSeq).toSet
+    assert(state(compacted) == state(s0),
+      "compaction of the committed view must preserve its collapsed state")
+
+    // RESTART: the crashed batch replays with the same base (marks 0..B-1
+    // intact) and overwrite makes the rewrite idempotent
+    run()
+    val after = Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+    val seqs = after.select("seq").collect().map(_.getLong(0))
+    assert(seqs.length == 1000 && seqs.toSet == (1L to 1000L).toSet,
+      "post-restart seqs must be contiguous 1..N: no losses, no duplicates")
+    val prefixAfter = after.filter(col("seq") <= hw).select("event_id", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixAfter == preCrash,
+      "replay must not disturb the committed prefix the compaction captured")
+    // the pre-crash compacted output is a consistent snapshot of that prefix
+    assert(state(compacted) == state(after.drop("batch_id").filter(col("seq") <= hw)),
+      "the concurrent compaction remains a valid snapshot after the replay")
+  }
+
   test("snapshot registry: refcounted floor semantics (GetSnapshot/ReleaseSnapshot)") {
     val reg = new graft.core.Snapshots
     assert(reg.retentionFloor(currentSeq = 900L) == 900L, "no snapshots -> latest seq")

@@ -25,16 +25,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // SPARK_GRAFT_BENCH_ALL=1 -> every registered query; default headline.
+    // --full (or SPARK_GRAFT_BENCH_ALL=1) -> every registered query, so the
+    // complete per-query median table is regenerated mechanically each round
+    // and regressions OUTSIDE the headline set are caught by diffing.
     // SPARK_GRAFT_REPS=n -> median of n timed reps (default 1).
     // SPARK_GRAFT_ONLY=q1,q2 -> bench just those queries (dev iteration).
+    val full = args.contains("--full") || sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val defs = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(names) =>
         val keep = names.split(",").map(_.trim).toSet
         Registry.all.filter(d => keep(d.name))
-      case None =>
-        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) Registry.all
-        else Registry.headline
+      case None => if (full) Registry.all else Registry.headline
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     // one untimed warmup pass (JIT + codegen + parquet footer caches)
@@ -48,7 +49,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val metric = if (full) "full_total" else "headline_total"
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

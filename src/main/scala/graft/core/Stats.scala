@@ -17,6 +17,11 @@ object Stats {
   def tableStats(spark: SparkSession, sfDir: String, tables: Seq[String] = Tables.names): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(sfDir), spark.sparkContext.hadoopConfiguration)
+    // ONE Spark job for all row counts (unioned per-table footer-metadata
+    // aggregates), not a driver loop of N sequential count() jobs — same
+    // answers, one scheduling round-trip
+    val counts = rowCounts(spark, sfDir, tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = tables.map { t =>
       val path = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
       val (nFiles, bytes) =
@@ -29,8 +34,7 @@ object Stats {
           if (n == 0L && fs.getFileStatus(path).isFile) { n = 1; b = fs.getFileStatus(path).getLen }
           (n, b)
         }
-      val nRows = spark.read.parquet(s"$sfDir/$t.parquet").count()
-      (t, nFiles, bytes, nRows)
+      (t, nFiles, bytes, counts.getOrElse(t, 0L))
     }
     spark.createDataFrame(rows).toDF("table_name", "n_files", "bytes", "n_rows")
       .orderBy("table_name")

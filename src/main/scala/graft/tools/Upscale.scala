@@ -25,13 +25,22 @@ import org.apache.spark.sql.functions._
   *     stay within-replica); vectors verbatim. Brute/LSH/IVF top-k output is
   *     bounded by k per query regardless.
   *
-  * Usage: runMain graft.tools.Upscale [srcDir] [dstDir] [reps]
+  * Usage: runMain graft.tools.Upscale [srcDir] [dstDir] [reps] [hotPct]
+  *
+  * `hotPct` > 0 switches events to a SKEWED key distribution: that
+  * percentage of all event rows is remapped to a single hot user_id (0),
+  * event ids untouched — the zipfian-head stress for keyed aggregation,
+  * as-of joins, and windows (the reference's semantic precedent is its
+  * single-writer queue: every write serializes through one key,
+  * kv/db/db_impl.cpp:1396-1410). The hot rows are chosen by event-id hash,
+  * so the skew is deterministic and spread across replicas/time.
   */
 object Upscale {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1synth")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val hotPct = args.lift(3).map(_.toInt).getOrElse(0)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-upscale")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -92,11 +101,16 @@ object Upscale {
     // q10 interval-join window (1h inclusive), or boundary events of replica
     // r still pair with the first events of r+1 (gap would be <= 1h)
     val tsSpan = ((tsMax - tsMin) / hourNs + 2) * hourNs
-    write(rep(ev)
+    val uniform = rep(ev)
       .withColumn("event_id", shift("event_id", evSpan))
       .withColumn("user_id", shift("user_id", userSpan))
       .withColumn("ts", shift("ts", tsSpan))
-      .drop("_r", "_rl"), "events")
+    val skewed =
+      if (hotPct <= 0) uniform
+      else uniform.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(100)) < hotPct, lit(0L))
+          .otherwise(col("user_id")))
+    write(skewed.drop("_r", "_rl"), "events")
 
     val docs = tbl("documents")
     val docSpan = maxOf(docs, "doc_id") + 1

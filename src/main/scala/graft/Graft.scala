@@ -172,6 +172,16 @@ final case class Graft(spark: SparkSession, dir: String) {
     AsOf.join(left, right, keys, leftTime, rightTime, leftId, tieBreak,
       horizon = horizon)
 
+  /** Unbounded as-of join in the sorted carry-forward form — linear on any
+    * key distribution (use on skewed keys, where [[asOfJoin]] without a
+    * horizon fans out |lefts| x |rights| per hot key). Right columns come
+    * back prefixed `r_`. */
+  def asOfJoinSorted(
+      left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      tieBreak: Seq[String] = Seq.empty): DataFrame =
+    AsOf.joinSorted(left, right, keys, leftTime, rightTime, tieBreak)
+
   // ---- LLM-data-pipeline --------------------------------------------------
   /** Exact dedup groups over normalized document text. "Exact" is
     * with-high-probability by default: groups form on a 64-bit hash of the

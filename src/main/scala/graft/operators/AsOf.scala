@@ -31,6 +31,9 @@ object AsOf {
     * window instead of all history. Matches inside the horizon are identical
     * to the unbounded form; left rows whose newest match is older than the
     * horizon get the `joinType` miss behavior (nulls for "left") instead.
+    * For UNBOUNDED lookback over skewed keys prefer [[joinSorted]], which is
+    * linear on any key distribution (this form's hot-key fan-out OOMs at a
+    * 5%-hot key, 10M events — BASELINE.md round-5 zipf study).
     * Requires NUMERIC (integral) time columns, e.g. epoch micros; bucketing
     * is exact integer floor-division, so negative times (pre-1970 epochs)
     * bucket correctly too.
@@ -90,5 +93,72 @@ object AsOf {
     // caller column on the unbounded path must pass through untouched
     horizon.fold(ranked.drop("_asof_rn"))(_ =>
       ranked.drop("_asof_rn", "_asof_probe", "_asof_bucket"))
+  }
+
+  /** Unbounded as-of join as a SORTED CARRY-FORWARD — the skew-immune form.
+    *
+    * [[join]] without a horizon pairs each left row with its key's entire
+    * earlier history before ranking, so a hot key costs |lefts| x |rights|
+    * (measured: a user owning 5% of 10M events OOMs the join form where this
+    * form runs flat — BASELINE.md round-5 zipf study). Here both sides union
+    * into one (key)-partitioned stream sorted by time; a running
+    * `last(right_row, ignoreNulls)` window carries the newest right row at
+    * or before every left row. ONE shuffle, cost linear in |left| + |right|
+    * regardless of key distribution — the merge-scan shape of the
+    * reference's snapshot read (newest version <= seq, kv/db/dbformat.h:
+    * 103-121), done as one pass instead of a per-row probe.
+    *
+    * Differences from [[join]]: no `leftId` needed (carry-forward answers
+    * per ROW, so duplicate left ids are fine), and because the output is one
+    * flat frame rather than an aliased join, right columns come back
+    * prefixed with `rightPrefix` instead of being addressed as `r.<col>`.
+    * Ties at equal time: rights sort before lefts (`<=` semantics), and
+    * among equal-time rights the greatest `tieBreak` wins — identical
+    * winners to [[join]]. `joinType`: "left" or "inner".
+    */
+  def joinSorted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: Seq[String] = Seq.empty,
+      rightPrefix: String = "r_",
+      joinType: String = "left"): DataFrame = {
+    require(joinType == "left" || joinType == "inner",
+      s"joinSorted supports left|inner, got $joinType")
+    val rightOut = right.columns.map(c => rightPrefix + c)
+    val clash = left.columns.toSet.intersect(rightOut.toSet)
+    require(clash.isEmpty, s"prefixed right columns clash with left: ${clash.mkString(", ")}")
+    for (c <- left.columns ++ right.columns)
+      require(!c.toLowerCase.startsWith("_asof_"), s"joinSorted reserves the _asof_ prefix, got $c")
+
+    val kN = keys.indices.map(i => s"_asof_k$i")
+    val lU = left.select(
+      keys.zipWithIndex.map { case ((lk, _), i) => col(lk).as(kN(i)) } ++ Seq(
+        col(leftTime).as("_asof_t"),
+        lit(1).as("_asof_side"),
+        struct(left.columns.map(col): _*).as("_asof_l"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(right.schema)).as("_asof_r")): _*)
+    val rU = right.select(
+      keys.zipWithIndex.map { case ((_, rk), i) => col(rk).as(kN(i)) } ++ Seq(
+        col(rightTime).as("_asof_t"),
+        lit(0).as("_asof_side"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(left.schema)).as("_asof_l"),
+        struct(right.columns.map(col): _*).as("_asof_r")): _*)
+    // rights before lefts at equal time (<=); among equal-time rights the
+    // carry keeps the LAST in sort order, so tieBreak asc = greatest wins
+    val ord = col("_asof_t").asc +: col("_asof_side").asc +:
+      tieBreak.map(c => col("_asof_r").getField(c).asc)
+    val w = Window.partitionBy(kN.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lU.unionByName(rU)
+      .withColumn("_asof_rc", last(col("_asof_r"), ignoreNulls = true).over(w))
+      .filter(col("_asof_side") === 1)
+    val matched =
+      if (joinType == "inner") carried.filter(col("_asof_rc").isNotNull) else carried
+    matched.select(
+      left.columns.map(c => col("_asof_l").getField(c).as(c)) ++
+        right.columns.map(c => col("_asof_rc").getField(c).as(rightPrefix + c)): _*)
   }
 }

@@ -216,6 +216,38 @@ object RelationalQueries {
               |   AND epoch_us(b.ts) >= epoch_us(a.ts) - $HourUs
               |) t WHERE rn = 1 ORDER BY error_id""".stripMargin)),
 
+    // Q11c: the same unbounded as-of rule as q11 via the SORTED
+    // CARRY-FORWARD form — one (key)-partitioned sort instead of a
+    // history-deep join: linear on any key distribution (the zipf study's
+    // skew-immune path; q11's join form OOMs on a 5%-hot key at 100x).
+    QueryDef(
+      "q11c_join_asof_sorted",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+        val clicks = ev.filter(col("event_type") === "click")
+        AsOf.joinSorted(
+          errors, clicks,
+          keys = Seq("user_id" -> "user_id"),
+          leftTime = "ts_us", rightTime = "ts_us",
+          tieBreak = Seq("event_id"))
+          .select(
+            col("event_id").as("error_id"),
+            col("user_id"),
+            col("r_event_id").as("click_id"),
+            col("r_ts_us").as("click_us"))
+          .orderBy("error_id")
+      },
+      Some("""SELECT error_id, user_id, click_id, click_us FROM (
+             |  SELECT a.event_id AS error_id, a.user_id AS user_id,
+             |         b.event_id AS click_id, epoch_us(b.ts) AS click_us,
+             |         row_number() OVER (PARTITION BY a.event_id
+             |                            ORDER BY b.ts DESC, b.event_id DESC) AS rn
+             |  FROM (SELECT * FROM events WHERE event_type = 'error') a
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+             |    ON a.user_id = b.user_id AND epoch_us(b.ts) <= epoch_us(a.ts)
+             |) t WHERE rn = 1 ORDER BY error_id""".stripMargin)),
+
     // Q12: hash aggregation, TPC-H Q1 shape — partial (map-side) agg then
     // final, decimal accumulation for order-independent money sums.
     QueryDef(

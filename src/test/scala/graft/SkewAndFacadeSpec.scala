@@ -147,6 +147,36 @@ class SkewAndFacadeSpec extends AnyFunSuite {
     assert(run(Some(4L)) == Set((100L, 1.0), (101L, 3.0), (102L, null)))
   }
 
+  test("joinSorted == rank-join form on real data, including ties and misses") {
+    import graft.operators.AsOf
+    val ev = graft.core.Tables.events(spark, TestSpark.Sf0001)
+    val errors = ev.filter(col("event_type") === "error")
+    val clicks = ev.filter(col("event_type") === "click")
+    def norm(df: org.apache.spark.sql.DataFrame,
+             errId: org.apache.spark.sql.Column, clickId: org.apache.spark.sql.Column) =
+      df.select(errId.as("e"), clickId.as("c")).collect()
+        .map(r => (r.getLong(0), r.get(1))).toSet
+    val viaJoin = norm(
+      AsOf.join(errors, clicks, Seq("user_id" -> "user_id"), "ts_us", "ts_us",
+        leftId = Seq("event_id"), tieBreak = Seq("event_id")),
+      col("l.event_id"), col("r.event_id"))
+    val viaSorted = norm(
+      AsOf.joinSorted(errors, clicks, Seq("user_id" -> "user_id"), "ts_us", "ts_us",
+        tieBreak = Seq("event_id")),
+      col("event_id"), col("r_event_id"))
+    assert(viaSorted == viaJoin, "carry-forward must pick identical winners (ties included)")
+    // inner mode drops exactly the miss rows
+    val inner = AsOf.joinSorted(errors, clicks, Seq("user_id" -> "user_id"),
+      "ts_us", "ts_us", tieBreak = Seq("event_id"), joinType = "inner")
+    assert(inner.count() == viaJoin.count(_._2 != null))
+    assert(inner.filter(col("r_event_id").isNull).count() == 0)
+    // prefixed-name clash is rejected, not silently shadowed
+    intercept[IllegalArgumentException] {
+      AsOf.joinSorted(errors.withColumn("r_event_id", lit(1)), clicks,
+        Seq("user_id" -> "user_id"), "ts_us", "ts_us")
+    }
+  }
+
   test("facade: properties surface the last compaction's job metrics") {
     val g = Graft(spark, TestSpark.Sf0001)
     assert(!g.properties.contains("graft.compaction.rows.written"))

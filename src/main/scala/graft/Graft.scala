@@ -191,6 +191,36 @@ final case class Graft(spark: SparkSession, dir: String) {
   def exactDuplicates(wideKey: Boolean = false): DataFrame =
     Dedup.exact(documents, wideKey = wideKey)
 
+  /** Persist an exact-dedup corpus index over this directory's documents —
+    * build once, then classify each day's batch with [[dedupAgainstIndex]]
+    * and fold it in with [[appendToDedupIndex]], never re-hashing the
+    * corpus. Same key-width caveat as [[exactDuplicates]]; incremental
+    * reads infer the key kind from the stored schema. */
+  def buildDedupIndex(path: String, wideKey: Boolean = false): Unit =
+    Dedup.writeExactIndex(documents, path, wideKey = wideKey)
+
+  /** Classify a new batch against a persisted dedup index: corpus-dup,
+    * batch-dup, or first occurrence anywhere (`is_kept`). Batch ids must
+    * sort after every indexed id (the appending-pipeline contract). */
+  def dedupAgainstIndex(newDocs: DataFrame, path: String): DataFrame =
+    Dedup.exactIncremental(newDocs, path)
+
+  /** Append a batch's dedup groups to the index as a new segment (the
+    * L0-append path); returns the segment's distinct-key count. Run
+    * [[compactDedupIndex]] when [[dedupIndexProperties]] shows the segment
+    * count has grown. */
+  def appendToDedupIndex(newDocs: DataFrame, path: String): Long =
+    Dedup.appendToExactIndex(newDocs, path)
+
+  /** Fold all appended index segments back into one (merged view unchanged). */
+  def compactDedupIndex(path: String): Unit =
+    Dedup.compactExactIndex(spark, path)
+
+  /** GetProperty-style health of a persisted dedup index: segments, keys,
+    * docs, duplicate ratio, key width. */
+  def dedupIndexProperties(path: String): Map[String, String] =
+    Dedup.exactIndexStats(spark, path)
+
   /** MinHash-LSH near-duplicate pairs (banded join, two-stage verify). */
   def nearDuplicates(threshold: Double = 0.7): DataFrame =
     Dedup.minHashLsh(documents, threshold = threshold)

@@ -20,11 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup on normalized text: keep the smallest doc_id per group.
-    * Output: one row per input doc, with the id of the kept representative
-    * and the group size (group_size == 1 => unique). NULL text normalizes to
-    * the empty string (a null-unsafe join key would silently DROP null-text
-    * docs, breaking the one-row-per-doc contract).
+  /** The dedup group key: a hash of the normalized text. NULL text
+    * normalizes to the empty string (a null-unsafe join key would silently
+    * DROP null-text docs, breaking the one-row-per-doc contract).
     *
     * The group/join key is `xxhash64` of the normalized text, NOT the text
     * itself: both shuffles (the aggregation and the join-back) would
@@ -36,15 +34,24 @@ object Dedup {
     * cryptographically negligible at ANY corpus size, for 4x the shuffle-key
     * bytes — 32 raw bytes vs 8). The normalized text itself never leaves the
     * map side on either path. */
+  private def groupKey(textCol: String, wideKey: Boolean) = {
+    val normText = TextOps.normalized(coalesce(col(textCol), lit("")))
+    if (wideKey) unhex(sha2(normText.cast("binary"), 256)) else xxhash64(normText)
+  }
+
+  /** Exact dedup on normalized text: keep the smallest doc_id per group.
+    * Output: one row per input doc, with the id of the kept representative
+    * and the group size (group_size == 1 => unique). Key semantics, null
+    * handling, and the `wideKey` trade-off are documented on [[groupKey]]
+    * above; both shuffles carry (id, key) only — the text never leaves the
+    * map side. */
   def exact(
       documents: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       wideKey: Boolean = false): DataFrame = {
-    val normText = TextOps.normalized(coalesce(col(textCol), lit("")))
-    val key = if (wideKey) unhex(sha2(normText.cast("binary"), 256)) else xxhash64(normText)
     val norm = documents
-      .withColumn("_k", key)
+      .withColumn("_k", groupKey(textCol, wideKey))
       .select(col(idCol), col("_k"))
       .localCheckpoint()
     val groups = norm
@@ -53,6 +60,159 @@ object Dedup {
     norm
       .join(groups, "_k")
       .select(col(idCol), col("keep_id"), col("group_size"), (col(idCol) === col("keep_id")).as("is_kept"))
+  }
+
+  // ---- incremental exact dedup: persisted corpus index ---------------------
+  //
+  // A daily-ingest pipeline must not re-hash yesterday's corpus to dedup
+  // today's batch. The index is an APPEND LOG of per-segment dedup groups
+  // (_k, keep_id, group_size) — writes only ever append a new segment, and
+  // the read view merges segments with one aggregation (min keep, summed
+  // counts). This is the engine's changelog pattern applied to its own
+  // index: cheap L0-style appends, a merge on read, and an explicit
+  // compaction that folds segments back into one — the same shape as the
+  // reference's memtable/SSTable split (kv/db/db_impl.cpp:608-644).
+  //
+  // CONTRACT (id monotonicity): document ids in an appended batch must sort
+  // after every id already indexed — the natural property of an appending
+  // pipeline, and the same assumption the changelog's sequence numbers make.
+  // Under it, `exactIncremental` over a batch equals `exact` over
+  // (corpus UNION batch) restricted to the batch's rows (DedupIncrementalSpec
+  // proves the equality), because the corpus representative of any shared
+  // group is also the union-wide minimum.
+
+  /** Build an exact-dedup corpus index at `path`: one row per distinct
+    * normalized-text key with its canonical representative and group size,
+    * written as the first segment of the append log. The key column carries
+    * a parquet bloom filter so point probes ("have I seen this doc?") skip
+    * row groups. `wideKey` picks the SHA-256 key; incremental reads infer
+    * the key kind from the stored schema, so callers cannot mismatch. */
+  def writeExactIndex(
+      documents: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      wideKey: Boolean = false): Unit =
+    segmentGroups(documents, idCol, textCol, wideKey)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#_k", "true")
+      .parquet(s"$path/keys")
+
+  /** One segment of the index: the batch's own dedup groups, keyed and
+    * sorted so each parquet file covers a tight key range (row-group
+    * min/max + bloom make absent-key probes IO-free). */
+  private def segmentGroups(
+      documents: DataFrame, idCol: String, textCol: String, wideKey: Boolean): DataFrame =
+    documents
+      .withColumn("_k", groupKey(textCol, wideKey))
+      .groupBy(col("_k"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+      .sortWithinPartitions("_k")
+
+  /** The merged read view of an index: min representative + summed count
+    * per key across all appended segments — one aggregation over slim
+    * (key, id, count) rows, never the corpus text. */
+  def readExactIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/keys")
+      .groupBy("_k")
+      .agg(min("keep_id").as("keep_id"), sum("group_size").as("group_size"))
+
+  /** Whether a persisted index was built with the SHA-256 wide key. */
+  private def indexIsWide(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    spark.read.parquet(s"$path/keys").schema("_k").dataType ==
+      org.apache.spark.sql.types.BinaryType
+
+  /** Dedup a new batch against a persisted corpus index WITHOUT touching
+    * the corpus text: hash the batch once, aggregate its own groups, and
+    * left-join the slim group keys against the merged index. Output matches
+    * [[exact]] over (corpus UNION batch) restricted to batch rows:
+    * `keep_id` is the corpus representative when the key is already
+    * indexed, else the batch's own minimum id; `group_size` counts both
+    * sides; `is_kept` marks the first occurrence ANYWHERE — exactly the
+    * rows a training pipeline keeps from today's crawl. */
+  def exactIncremental(
+      newDocs: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val wide = indexIsWide(spark, indexPath)
+    val batch = newDocs
+      .withColumn("_k", groupKey(textCol, wide))
+      .select(col(idCol), col("_k"))
+      .localCheckpoint()
+    val batchGroups = batch
+      .groupBy(col("_k"))
+      .agg(min(col(idCol)).as("b_keep"), count(lit(1)).as("b_n"))
+    val merged = batchGroups
+      .join(
+        readExactIndex(spark, indexPath)
+          .withColumnRenamed("keep_id", "c_keep").withColumnRenamed("group_size", "c_n"),
+        Seq("_k"), "left")
+      .select(
+        col("_k"),
+        coalesce(col("c_keep"), col("b_keep")).as("keep_id"),
+        (col("b_n") + coalesce(col("c_n"), lit(0L))).as("group_size"))
+    batch
+      .join(merged, "_k")
+      .select(col(idCol), col("keep_id"), col("group_size"),
+        (col(idCol) === col("keep_id")).as("is_kept"))
+  }
+
+  /** Append a batch's groups to the index as a new segment (no read-back,
+    * no rewrite — the L0-append path). The read view's min/sum merge makes
+    * the result identical to rebuilding the index over the union, under the
+    * id-monotonicity contract. Returns the number of distinct keys in the
+    * appended segment. */
+  def appendToExactIndex(
+      newDocs: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Long = {
+    val spark = newDocs.sparkSession
+    val seg = segmentGroups(newDocs, idCol, textCol, indexIsWide(spark, indexPath))
+      .localCheckpoint() // count + write from one materialization
+    seg.write.mode("append")
+      .option("parquet.bloom.filter.enabled#_k", "true")
+      .parquet(s"$indexPath/keys")
+    seg.count()
+  }
+
+  /** Fold all appended segments back into one — the index's compaction.
+    * The merged view is unchanged (MaintenanceSpec-style guarantee proven
+    * in DedupIncrementalSpec); subsequent probes aggregate one segment
+    * instead of many. localCheckpoint materializes the merge before the
+    * overwrite so the rewrite never reads the files it is replacing. */
+  def compactExactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    readExactIndex(spark, path)
+      .sortWithinPartitions("_k")
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#_k", "true")
+      .parquet(s"$path/keys")
+
+  /** GetProperty-style health of a persisted dedup index: segment files,
+    * distinct keys, documents counted, duplicate mass. Key/doc counts come
+    * from one aggregation over the slim key log. */
+  def exactIndexStats(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/keys"), false)
+    var files = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.startsWith("part-")) files += 1
+    }
+    val agg = readExactIndex(spark, path)
+      .agg(count(lit(1)).as("keys"), sum("group_size").as("docs")).head()
+    val keys = agg.getLong(0); val docs = agg.getLong(1)
+    Map(
+      "graft.dedup.segments" -> files.toString,
+      "graft.dedup.keys" -> keys.toString,
+      "graft.dedup.docs" -> docs.toString,
+      "graft.dedup.dup-ratio" ->
+        f"${if (docs > 0) 1.0 - keys.toDouble / docs else 0.0}%.4f",
+      "graft.dedup.wide-key" -> indexIsWide(spark, path).toString)
   }
 
   /** MinHash-LSH near-duplicate pairs.

@@ -156,6 +156,39 @@ object PipelineQueries {
           .orderBy("doc_a", "doc_b"),
       None),
 
+    // Q27e: INCREMENTAL exact dedup — the daily-ingest shape: the first
+    // half of the corpus (by id) is persisted as a dedup index, then the
+    // second half is classified against it without re-reading the first
+    // half's text. Equals exact() over the union restricted to batch rows
+    // (DedupIncrementalSpec); the oracle states the incremental semantics
+    // directly.
+    QueryDef(
+      "q27e_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cut = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
+        val idx = QueryDef.tempDirForResult("graft_dedup_idx_").toString
+        Dedup.writeExactIndex(docs.filter(col("doc_id") <= cut), idx)
+        Dedup.exactIncremental(docs.filter(col("doc_id") > cut), idx)
+          .orderBy("doc_id")
+      },
+      Some("""WITH cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
+             |n AS (SELECT doc_id,
+             |             lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS norm
+             |      FROM documents),
+             |corpus AS (SELECT norm, min(doc_id) AS c_keep, COUNT(*) AS c_n
+             |           FROM n WHERE doc_id <= (SELECT c FROM cut) GROUP BY norm),
+             |batch AS (SELECT doc_id, norm FROM n WHERE doc_id > (SELECT c FROM cut)),
+             |bg AS (SELECT norm, min(doc_id) AS b_keep, COUNT(*) AS b_n
+             |       FROM batch GROUP BY norm)
+             |SELECT b.doc_id,
+             |       coalesce(c.c_keep, g.b_keep) AS keep_id,
+             |       g.b_n + coalesce(c.c_n, 0) AS group_size,
+             |       b.doc_id = coalesce(c.c_keep, g.b_keep) AS is_kept
+             |FROM batch b JOIN bg g ON b.norm = g.norm
+             |LEFT JOIN corpus c ON b.norm = c.norm
+             |ORDER BY b.doc_id""".stripMargin)),
+
     // Q28: brute-force top-k cosine similarity search — the exactness
     // baseline: query batch broadcast, corpus streams partition-parallel.
     QueryDef(

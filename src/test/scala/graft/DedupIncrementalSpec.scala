@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.Dedup
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental-dedup index contract: classifying a new batch against a
+  * persisted corpus index must equal running [[Dedup.exact]] over the whole
+  * union — without the incremental path ever reading the corpus text. Also
+  * covers the index lifecycle: append segments, merged read view, compaction
+  * idempotence, and wide-key inference.
+  */
+class DedupIncrementalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** documents split by the id midpoint: corpus ids all sort before batch
+    * ids — the appending-pipeline contract the operator documents. */
+  private def split(): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val cut = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
+    (docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Boolean)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+  test("exactIncremental == exact over the union, restricted to batch rows") {
+    val (corpus, batch) = split()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dix_").toString
+    Dedup.writeExactIndex(corpus, tmp)
+
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = rows(Dedup.exact(corpus.unionByName(batch)))
+      .filter(r => batchIds.contains(r._1))
+    val inc = rows(Dedup.exactIncremental(batch, tmp))
+    assert(inc == full, "incremental classification must equal the full recompute")
+    assert(inc.nonEmpty)
+  }
+
+  test("append + merged read view == index rebuilt over the union") {
+    val (corpus, batch) = split()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dixapp_").toString
+    val fullTmp = java.nio.file.Files.createTempDirectory("graft_dixfull_").toString
+    Dedup.writeExactIndex(corpus, tmp)
+    val appended = Dedup.appendToExactIndex(batch, tmp)
+    assert(appended > 0L)
+    Dedup.writeExactIndex(corpus.unionByName(batch), fullTmp)
+
+    def view(p: String) = Dedup.readExactIndex(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(view(tmp) == view(fullTmp),
+      "segment-merge view must equal a from-scratch rebuild")
+  }
+
+  test("classification is stable across successive appends") {
+    // three generations: index gen0, append gen1, classify gen2 — equal to
+    // the full recompute over all three (the steady-state pipeline loop)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val gen0 = docs.filter(col("doc_id") <= c1)
+    val gen1 = docs.filter(col("doc_id") > c1 && col("doc_id") <= c2)
+    val gen2 = docs.filter(col("doc_id") > c2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dixgen_").toString
+    Dedup.writeExactIndex(gen0, tmp)
+    Dedup.appendToExactIndex(gen1, tmp)
+
+    val gen2Ids = gen2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = rows(Dedup.exact(docs)).filter(r => gen2Ids.contains(r._1))
+    assert(rows(Dedup.exactIncremental(gen2, tmp)) == full)
+  }
+
+  test("compaction folds segments without changing the merged view") {
+    val (corpus, batch) = split()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dixcmp_").toString
+    Dedup.writeExactIndex(corpus, tmp)
+    Dedup.appendToExactIndex(batch, tmp)
+    val before = Dedup.readExactIndex(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val segsBefore = Dedup.exactIndexStats(spark, tmp)("graft.dedup.segments").toLong
+
+    Dedup.compactExactIndex(spark, tmp)
+    val after = Dedup.readExactIndex(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stats = Dedup.exactIndexStats(spark, tmp)
+    assert(after == before, "compaction must not change the merged view")
+    assert(stats("graft.dedup.segments").toLong <= segsBefore)
+    assert(stats("graft.dedup.docs").toLong ==
+      Tables.documents(spark, TestSpark.Sf0001).count())
+  }
+
+  test("wide-key index is inferred by the incremental path and agrees with narrow") {
+    val (corpus, batch) = split()
+    val narrowTmp = java.nio.file.Files.createTempDirectory("graft_dixn_").toString
+    val wideTmp = java.nio.file.Files.createTempDirectory("graft_dixw_").toString
+    Dedup.writeExactIndex(corpus, narrowTmp)
+    Dedup.writeExactIndex(corpus, wideTmp, wideKey = true)
+    assert(Dedup.exactIndexStats(spark, wideTmp)("graft.dedup.wide-key") == "true")
+    // collision-free corpus: both key widths classify the batch identically
+    assert(rows(Dedup.exactIncremental(batch, wideTmp)) ==
+      rows(Dedup.exactIncremental(batch, narrowTmp)))
+  }
+}

@@ -225,6 +225,24 @@ final case class Graft(spark: SparkSession, dir: String) {
   def nearDuplicates(threshold: Double = 0.7): DataFrame =
     Dedup.minHashLsh(documents, threshold = threshold)
 
+  /** Persist a MinHash near-dup index (signatures + shingle hashes) over
+    * this directory's documents — the one expensive tokenize+sign pass,
+    * stored so each day's batch probes it with [[nearDuplicatesIncremental]]
+    * and joins it with [[appendToNearDupIndex]]. */
+  def buildNearDupIndex(
+      path: String, shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
+    Dedup.writeMinHashIndex(documents, path, shingleN, numHashes, bands)
+
+  /** Near-dup pairs touching a new batch (batch-vs-corpus + batch-vs-batch)
+    * against a persisted index; the corpus text is never re-read. */
+  def nearDuplicatesIncremental(
+      newDocs: DataFrame, path: String, threshold: Double = 0.7): DataFrame =
+    Dedup.minHashIncremental(newDocs, path, threshold)
+
+  /** Sign a batch and append it to a persisted near-dup index. */
+  def appendToNearDupIndex(newDocs: DataFrame, path: String): Long =
+    Dedup.appendToMinHashIndex(newDocs, path)
+
   /** SimHash near-duplicate pairs: all pairs within `maxHamming` bits
     * (multi-index block-combination banding, guaranteed recall). */
   def simHashDuplicates(maxHamming: Int = 6): DataFrame =

@@ -260,12 +260,22 @@ object Dedup {
       .join(bandsDf.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Two-stage verification. Chance band collisions explode on corpora with
-    // high baseline similarity (shared vocabulary), so first estimate
-    // Jaccard from the signatures already computed (64 longs per side, one
-    // codegen'd zip) and keep the margin conservative: est stddev is
-    // sqrt(j(1-j)/k) ~= 0.06 at k=64, margin 0.2 > 3 sigma. Only survivors
-    // pay the exact shingle-intersection verify.
+    verifyCandidates(candidates, sigs, shingled, numHashes, threshold)
+  }
+
+  /** Two-stage verification of banded candidate pairs. Chance band
+    * collisions explode on corpora with high baseline similarity (shared
+    * vocabulary), so first estimate Jaccard from the signatures already
+    * computed (k longs per side, one codegen'd zip) and keep the margin
+    * conservative: est stddev is sqrt(j(1-j)/k) ~= 0.06 at k=64, margin
+    * 0.2 > 3 sigma. Only survivors pay the exact shingle-intersection
+    * verify. Shared by [[minHashLsh]] and [[minHashIncremental]]. */
+  private def verifyCandidates(
+      candidates: DataFrame, // (doc_a, doc_b), distinct
+      sigs: DataFrame,       // (doc, sig) covering every candidate id
+      shingled: DataFrame,   // (doc, sh) covering every candidate id
+      numHashes: Int,
+      threshold: Double): DataFrame = {
     val estimated = candidates
       .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -281,6 +291,105 @@ object Dedup {
       .withColumn("jaccard", TextOps.jaccardSortedHashes(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- incremental MinHash near-dup: persisted signature index -------------
+  //
+  // The near-dup analogue of the exact-dedup index above: tokenizing and
+  // signing the corpus is the expensive pass, so persist its outcome — one
+  // row per document holding the minhash signature (for banding + the
+  // estimate stage) and the sorted shingle hashes (for exact verification).
+  // A new batch is signed once, banded against the stored signatures (the
+  // band join reads ONLY (doc, sig) — parquet prunes the heavy shingle
+  // column), and verified exactly; the corpus text is never re-read. The
+  // LSH parameters ride in a meta file so probe and append can never
+  // disagree with the index's banding.
+
+  /** One signature row per document: (doc, sh sorted-distinct shingle
+    * hashes, sig minhash signature). The single expensive pass over text. */
+  private def signatureRows(
+      documents: DataFrame, shingleN: Int, numHashes: Int,
+      idCol: String, textCol: String): DataFrame =
+    documents
+      .select(
+        col(idCol).as("doc"),
+        TextOps.ngramHashes(TextOps.tokenHashes(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", TextOps.minHashFromHashes(col("sh"), numHashes))
+
+  /** Build a persisted MinHash index at `path`: signature rows plus the LSH
+    * parameters. Train-once/probe-many for near-dup, mirroring
+    * [[writeExactIndex]] for exact dedup. */
+  def writeMinHashIndex(
+      documents: DataFrame,
+      path: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = documents.sparkSession
+    signatureRows(documents, shingleN, numHashes, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/docs")
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands)).toDF("shingle_n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** All near-dup pairs TOUCHING a new batch — batch-vs-corpus and
+    * batch-vs-batch, never corpus-vs-corpus (those were found when the
+    * corpus was indexed): the daily-crawl question "which of today's
+    * documents near-duplicate anything seen so far?". Equals
+    * [[minHashLsh]] over (corpus UNION batch) restricted to pairs with at
+    * least one batch member (DedupIncrementalSpec proves set equality —
+    * the hash family is deterministic, so signatures never drift between
+    * index and recompute). Only the batch is tokenized; the corpus
+    * contributes its stored signatures to the band join (shingle column
+    * pruned) and its stored shingles to the final verify. */
+  def minHashIncremental(
+      newDocs: DataFrame,
+      indexPath: String,
+      threshold: Double = 0.7,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (shingleN, numHashes, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val r = numHashes / bands
+    val batch = signatureRows(newDocs, shingleN, numHashes, idCol, textCol)
+      .localCheckpoint()
+    val all = spark.read.parquet(s"$indexPath/docs").unionByName(batch)
+    val allSigs = all.select("doc", "sig")
+    // Band join: batch side vs everything. MERGE for the same reason as
+    // minHashLsh — the exploded relations' sizes are under-estimated, and
+    // a broadcast of the banded corpus is the 100x OOM cliff.
+    def banded(sigs: DataFrame) = sigs
+      .select(col("doc"), explode(TextOps.lshBands(col("sig"), bands, r)).as("band"))
+      .hint("merge")
+    val candidates = banded(batch.select("doc", "sig")).as("a")
+      .join(banded(allSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
+      .select(
+        least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyCandidates(candidates, allSigs, all.select("doc", "sh"), numHashes, threshold)
+  }
+
+  /** Sign a batch and append its rows to the index (no retrain, no
+    * rewrite — LSH banding has no model to go stale, so unlike the IVF
+    * index there is no rebuild trigger). Returns rows appended. */
+  def appendToMinHashIndex(
+      newDocs: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Long = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val batch = signatureRows(newDocs, meta.getInt(0), meta.getInt(1), idCol, textCol)
+      .localCheckpoint()
+    batch.write.mode("append").parquet(s"$indexPath/docs")
+    batch.count()
   }
 
   /** Exact pairwise shingle-Jaccard near-dup within blocking keys — the

@@ -189,6 +189,24 @@ object PipelineQueries {
              |LEFT JOIN corpus c ON b.norm = c.norm
              |ORDER BY b.doc_id""".stripMargin)),
 
+    // Q27f: INCREMENTAL MinHash near-dup — the index-probe form of q27c:
+    // sign the first half once into a persisted index, then find all pairs
+    // touching the second half without re-tokenizing the first. LSH recall
+    // < 1 by design => rows-only; DedupIncrementalSpec proves equality to
+    // the full q27c-style recompute.
+    QueryDef(
+      "q27f_dedup_minhash_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cut = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
+        val idx = QueryDef.tempDirForResult("graft_mh_idx_").toString
+        Dedup.writeMinHashIndex(
+          docs.filter(col("doc_id") <= cut), idx, shingleN = 3, numHashes = 64, bands = 16)
+        Dedup.minHashIncremental(docs.filter(col("doc_id") > cut), idx, threshold = 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
     // Q28: brute-force top-k cosine similarity search — the exactness
     // baseline: query batch broadcast, corpus streams partition-parallel.
     QueryDef(

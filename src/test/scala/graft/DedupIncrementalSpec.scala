@@ -91,6 +91,49 @@ class DedupIncrementalSpec extends AnyFunSuite {
       Tables.documents(spark, TestSpark.Sf0001).count())
   }
 
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("minHashIncremental == minHashLsh over the union, pairs touching the batch") {
+    // batch = shifted-id copies of a corpus slice, so cross-index pairs are
+    // GUARANTEED to exist (jaccard 1.0) and the equality test has teeth
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val batch = corpus.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mhx_").toString
+    Dedup.writeMinHashIndex(corpus, tmp, shingleN = 3, numHashes = 64, bands = 16)
+
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = pairSet(
+      Dedup.minHashLsh(corpus.unionByName(batch),
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+    val inc = pairSet(Dedup.minHashIncremental(batch, tmp, threshold = 0.5))
+    assert(inc == full, "incremental pair search must equal the full recompute")
+    assert(inc.nonEmpty, "the shifted copies must surface as cross-index pairs")
+    // every planted copy is found against its original
+    val planted = batchIds.map(b => (b - 10000, b))
+    assert(planted.forall(p => inc.exists(x => (x._1, x._2) == p)))
+  }
+
+  test("minHash index append keeps incremental search equal to full recompute") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val gen1 = corpus.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val gen2 = corpus.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 40000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mhxapp_").toString
+    Dedup.writeMinHashIndex(corpus, tmp, shingleN = 3, numHashes = 64, bands = 16)
+    assert(Dedup.appendToMinHashIndex(gen1, tmp) == gen1.count())
+
+    val gen2Ids = gen2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = pairSet(
+      Dedup.minHashLsh(corpus.unionByName(gen1).unionByName(gen2),
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5))
+      .filter(p => gen2Ids.contains(p._1) || gen2Ids.contains(p._2))
+    assert(pairSet(Dedup.minHashIncremental(gen2, tmp, threshold = 0.5)) == full)
+  }
+
   test("wide-key index is inferred by the incremental path and agrees with narrow") {
     val (corpus, batch) = split()
     val narrowTmp = java.nio.file.Files.createTempDirectory("graft_dixn_").toString

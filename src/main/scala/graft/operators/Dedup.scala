@@ -111,16 +111,37 @@ object Dedup {
 
   /** The merged read view of an index: min representative + summed count
     * per key across all appended segments — one aggregation over slim
-    * (key, id, count) rows, never the corpus text. */
+    * (key, id, count) rows, never the corpus text. recursiveFileLookup
+    * picks up both flat appended part-files and NAMED segment
+    * subdirectories ([[writeExactIndexSegment]]) without partition
+    * inference. */
   def readExactIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/keys")
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/keys")
       .groupBy("_k")
       .agg(min("keep_id").as("keep_id"), sum("group_size").as("group_size"))
 
+  /** Append a batch's groups as a NAMED segment with overwrite semantics —
+    * the exactly-once form of [[appendToExactIndex]] for replayable
+    * writers (streaming foreachBatch): a crash-replayed batch rewrites the
+    * SAME segment instead of appending a duplicate, so the merged view is
+    * replay-idempotent. */
+  def writeExactIndexSegment(
+      batchDocs: DataFrame,
+      indexPath: String,
+      segment: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(segment.nonEmpty && !segment.contains("/"), s"bad segment name: $segment")
+    segmentGroups(batchDocs, idCol, textCol, indexIsWide(batchDocs.sparkSession, indexPath))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#_k", "true")
+      .parquet(s"$indexPath/keys/$segment")
+  }
+
   /** Whether a persisted index was built with the SHA-256 wide key. */
   private def indexIsWide(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    spark.read.parquet(s"$path/keys").schema("_k").dataType ==
-      org.apache.spark.sql.types.BinaryType
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/keys")
+      .schema("_k").dataType == org.apache.spark.sql.types.BinaryType
 
   /** Dedup a new batch against a persisted corpus index WITHOUT touching
     * the corpus text: hash the batch once, aggregate its own groups, and
@@ -197,7 +218,7 @@ object Dedup {
   def exactIndexStats(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/keys"), false)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/keys"), true)
     var files = 0L
     while (it.hasNext) {
       val f = it.next()
@@ -497,6 +518,29 @@ object Dedup {
       signatures: DataFrame,
       maxHamming: Int,
       comboSize: Int = 2): DataFrame = {
+    val banded = simHashBanded(signatures, maxHamming, comboSize)
+    banded.as("a")
+      .join(banded.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        TextOps.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      // verify BEFORE deduplicating: hamming64 is two long ops, so filtering
+      // first means only true pairs (tiny) reach the dedup shuffle
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b") // pairs can share several blocks
+  }
+
+  /** (doc_id, sh, blk) — each signature exploded to its multi-index block
+    * combination keys. MERGE, never broadcast or hash-build: the banded
+    * relation is |combos| x N rows — Catalyst under-estimates it (explode
+    * keeps the checkpointed child's size), tries to broadcast, and OOMs once
+    * N x C(h+q, q) rows no longer fit a hash table on one node (shuffle-hash
+    * fares no better: every concurrent task builds a per-partition map).
+    * Sort-merge spills gracefully and tolerates band-key skew — the plan
+    * that survives any corpus size. */
+  private def simHashBanded(
+      signatures: DataFrame, maxHamming: Int, comboSize: Int): DataFrame = {
     require(comboSize >= 1, "comboSize must be >= 1")
     val nBlocks = maxHamming + comboSize
     require(nBlocks <= 64, "maxHamming + comboSize too large for a 64-bit signature")
@@ -512,25 +556,66 @@ object Dedup {
       struct(lit(ci).as("t") +:
         combo.zipWithIndex.map { case (b, j) => blockBits(b).as(s"b$j") }: _*)
     }
-    // MERGE, never broadcast or hash-build: the banded relation is
-    // |combos| x N rows — Catalyst under-estimates it (explode keeps the
-    // checkpointed child's size), tries to broadcast, and OOMs once
-    // N x C(h+q, q) rows no longer fit a hash table on one node (shuffle-hash
-    // fares no better: every concurrent task builds a per-partition map).
-    // Sort-merge spills gracefully and tolerates band-key skew — the plan
-    // that survives any corpus size.
-    val banded = signatures
+    signatures
       .select(col("doc_id"), col("sh"), explode(array(keys: _*)).as("blk"))
       .hint("merge")
-    banded.as("a")
-      .join(banded.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+  }
+
+  // ---- incremental SimHash: persisted signature store -----------------------
+  //
+  // The lightest of the three incremental indexes: a simhash signature is
+  // ONE long per document, and banding (maxHamming/comboSize) is derived
+  // from it at query time — so the store has no parameters to go stale and
+  // no meta file. Probe cost per batch is |batch| signature computations
+  // plus a banded join whose corpus side reads 16 bytes per indexed doc.
+
+  /** One signature row per document for the simhash store. */
+  private def simHashRows(documents: DataFrame, idCol: String, textCol: String): DataFrame =
+    documents.select(
+      col(idCol).as("doc_id"),
+      TextOps.simHashFromHashes(TextOps.tokenHashes(col(textCol))).as("sh"))
+
+  /** Persist a SimHash signature store (doc_id, sh) at `path`. */
+  def writeSimHashIndex(
+      documents: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    simHashRows(documents, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/docs")
+
+  /** All pairs within `maxHamming` bits TOUCHING a new batch, against a
+    * persisted signature store — same recall guarantee as
+    * [[simHashPairsFromSignatures]] (every qualifying pair shares a clean
+    * block combination, whichever side of the index it is on). Equals the
+    * full recompute restricted to pairs with a batch member
+    * (DedupIncrementalSpec); only the batch is tokenized. */
+  def simHashIncremental(
+      newDocs: DataFrame,
+      indexPath: String,
+      maxHamming: Int = 6,
+      comboSize: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val batch = simHashRows(newDocs, idCol, textCol).localCheckpoint()
+    val all = spark.read.parquet(s"$indexPath/docs").unionByName(batch)
+    simHashBanded(batch, maxHamming, comboSize).as("a")
+      .join(simHashBanded(all, maxHamming, comboSize).as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") =!= col("b.doc_id"))
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
         TextOps.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
-      // verify BEFORE deduplicating: hamming64 is two long ops, so filtering
-      // first means only true pairs (tiny) reach the dedup shuffle
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b") // pairs can share several blocks
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Sign a batch and append it to the signature store. Returns rows
+    * appended. */
+  def appendToSimHashIndex(
+      newDocs: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val batch = simHashRows(newDocs, idCol, textCol).localCheckpoint()
+    batch.write.mode("append").parquet(s"$indexPath/docs")
+    batch.count()
   }
 }

@@ -207,6 +207,22 @@ object PipelineQueries {
       },
       None),
 
+    // Q27g: INCREMENTAL SimHash — the signature-store probe form of q27d,
+    // same pigeonhole recall guarantee across the index boundary.
+    // Rows-only (near-dup family); DedupIncrementalSpec proves equality to
+    // the full recompute.
+    QueryDef(
+      "q27g_dedup_simhash_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cut = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
+        val idx = QueryDef.tempDirForResult("graft_sh_idx_").toString
+        Dedup.writeSimHashIndex(docs.filter(col("doc_id") <= cut), idx)
+        Dedup.simHashIncremental(docs.filter(col("doc_id") > cut), idx, maxHamming = 6)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
     // Q28: brute-force top-k cosine similarity search — the exactness
     // baseline: query batch broadcast, corpus streams partition-parallel.
     QueryDef(

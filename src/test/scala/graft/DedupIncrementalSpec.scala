@@ -134,6 +134,97 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(pairSet(Dedup.minHashIncremental(gen2, tmp, threshold = 0.5)) == full)
   }
 
+  test("simHashIncremental == simHashPairs over the union, pairs touching the batch") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val batch = corpus.filter(col("doc_id") % 4 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shx_").toString
+    Dedup.writeSimHashIndex(corpus, tmp)
+    Dedup.appendToSimHashIndex(
+      corpus.filter(col("doc_id") % 4 === 1).withColumn("doc_id", col("doc_id") + 20000), tmp)
+
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val allDocs = corpus
+      .unionByName(corpus.filter(col("doc_id") % 4 === 1).withColumn("doc_id", col("doc_id") + 20000))
+      .unionByName(batch)
+    val full = Dedup.simHashPairs(allDocs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2)).toSet
+    val inc = Dedup.simHashIncremental(batch, tmp, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == full, "incremental simhash must equal the full recompute")
+    // every planted identical copy is found at hamming 0
+    val planted = batchIds.map(b => (b - 10000, b, 0))
+    assert(planted.subsetOf(inc))
+  }
+
+  test("streaming dedup ingest keeps only first occurrences; crash replay is idempotent") {
+    import org.apache.spark.sql.functions.lit
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dding_").toString
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    graft.operators.Dedup.writeExactIndex(corpus, s"$tmp/idx")
+    val corpusText3 = corpus.filter(col("doc_id") === 3).select("text").head().getString(0)
+    val corpusText7 = corpus.filter(col("doc_id") === 7).select("text").head().getString(0)
+
+    import spark.implicits._
+    // two source files; each becomes one micro-batch (maxFilesPerTrigger=1).
+    // Only texts that never appeared (corpus, other batches, same batch)
+    // may survive; batch processing order does not change the kept TEXT set.
+    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/src_stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    writeSrc("f1", Seq((1000L, corpusText3), (1001L, "a genuinely fresh document")))
+    writeSrc("f2", Seq(
+      (1002L, "a genuinely fresh document"), // cross-batch dup of 1001
+      (1003L, "another fresh document"),
+      (1004L, "another fresh document"),     // in-batch dup of 1003
+      (1005L, corpusText7)))                 // corpus dup
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startDedupIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+
+    def sinkRows() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = sinkRows()
+    assert(kept.map(_._2) == Set("a genuinely fresh document", "another fresh document"),
+      s"only never-seen texts survive: $kept")
+    assert(kept.size == 2, s"one representative per fresh text: $kept")
+    val stats = Dedup.exactIndexStats(spark, s"$tmp/idx")
+    assert(stats("graft.dedup.docs").toLong == corpus.count() + 6,
+      "index counts corpus + every streamed doc exactly once")
+
+    // crash replay: drop the last streaming commit marker and restart —
+    // the replayed batch must rewrite sink and index segment IDENTICALLY
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkRows() == kept, "replayed batch must not change the kept set")
+    assert(Dedup.exactIndexStats(spark, s"$tmp/idx")("graft.dedup.docs").toLong ==
+      corpus.count() + 6, "replay must overwrite its segment, not append a duplicate")
+
+    // a later file of ONLY duplicates: its batch keeps zero rows but still
+    // commits (empty batch directory readable through readCommitted)
+    writeSrc("f3", Seq((1006L, "a genuinely fresh document"), (1007L, corpusText3)))
+    run()
+    assert(sinkRows() == kept, "an all-duplicate batch adds nothing")
+    assert(Dedup.exactIndexStats(spark, s"$tmp/idx")("graft.dedup.docs").toLong ==
+      corpus.count() + 8, "the all-duplicate batch still folds into the index")
+  }
+
   test("wide-key index is inferred by the incremental path and agrees with narrow") {
     val (corpus, batch) = split()
     val narrowTmp = java.nio.file.Files.createTempDirectory("graft_dixn_").toString

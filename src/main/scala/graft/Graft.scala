@@ -67,6 +67,26 @@ final case class Graft(spark: SparkSession, dir: String) {
   def readCommitted(sinkDir: String, checkpointDir: String): DataFrame =
     Ingest.readCommitted(spark, sinkDir, checkpointDir)
 
+  /** Streaming dedup-on-write: ingest a document stream, keep only first
+    * occurrences (vs the persisted dedup index at `indexPath`, earlier
+    * batches, and earlier rows of the same batch), and fold each batch into
+    * the index — the sink IS the deduplicated corpus. Exactly-once under
+    * crash replay (per-batch overwrite + named index segments). Build the
+    * index first with [[buildDedupIndex]]. */
+  def ingestDedup(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startDedupIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, indexPath,
+      availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval)
+
   /** DB::NewIterator's collapsed read view (newest per key, tombstones hidden). */
   def collapse(df: DataFrame, spec: ChangelogSpec): DataFrame = Changelog.collapse(df, spec)
 
@@ -247,6 +267,23 @@ final case class Graft(spark: SparkSession, dir: String) {
     * (multi-index block-combination banding, guaranteed recall). */
   def simHashDuplicates(maxHamming: Int = 6): DataFrame =
     Dedup.simHashPairs(documents, maxHamming)
+
+  /** Persist a SimHash signature store (one long per document — the
+    * lightest incremental index; banding is query-time, so nothing goes
+    * stale). */
+  def buildSimHashIndex(path: String): Unit =
+    Dedup.writeSimHashIndex(documents, path)
+
+  /** SimHash pairs within `maxHamming` bits touching a new batch, against
+    * a persisted signature store — same recall guarantee as
+    * [[simHashDuplicates]]. */
+  def simHashDuplicatesIncremental(
+      newDocs: DataFrame, path: String, maxHamming: Int = 6): DataFrame =
+    Dedup.simHashIncremental(newDocs, path, maxHamming)
+
+  /** Sign a batch and append it to a persisted SimHash store. */
+  def appendToSimHashIndex(newDocs: DataFrame, path: String): Long =
+    Dedup.appendToSimHashIndex(newDocs, path)
 
   /** Exact shingle-Jaccard near-dup pairs within (lang, token-count)
     * blocks — the oracle-checkable exact variant of [[nearDuplicates]]. */

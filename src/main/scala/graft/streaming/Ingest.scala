@@ -172,6 +172,66 @@ object Ingest {
       .start()
   }
 
+  /** Streaming DEDUP ingest — dedup-on-write for a document stream: each
+    * micro-batch is classified against a persisted exact-dedup index
+    * ([[graft.operators.Dedup.exactIncremental]]), only first-occurrences
+    * (never seen in the corpus, an earlier batch, or earlier in this batch)
+    * are written to the sink, and the batch's groups are folded into the
+    * index — so the sink IS the deduplicated corpus, maintained
+    * incrementally as data lands.
+    *
+    * Exactly-once: the sink write is per-batch-directory overwrite (as in
+    * [[startChangelogIngest]]), and the index append is a NAMED segment
+    * keyed by batchId with overwrite semantics
+    * ([[graft.operators.Dedup.writeExactIndexSegment]]) — a crash-replayed
+    * batch rewrites both identically. Replay keeps the kept-set stable even
+    * when the crashed attempt already appended its segment: the batch's
+    * keys then resolve to the batch's own minimum ids, so `is_kept` is
+    * unchanged (group_size in the transient classification inflates, but
+    * nothing persisted depends on it).
+    *
+    * The index must exist (build it with
+    * [[graft.operators.Dedup.writeExactIndex]], possibly over an empty
+    * corpus slice). Compact it only while ingest is stopped — compaction
+    * rewrites the segment log it is folding. */
+  def startDedupIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val b = batch.localCheckpoint() // one source read feeds classify + keep-join
+        val keptIds = graft.operators.Dedup
+          .exactIncremental(b, indexPath, idCol, textCol)
+          .filter(col("is_kept"))
+          .select(idCol)
+        val kept = b.join(keptIds, Seq(idCol)).localCheckpoint()
+        kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        graft.operators.Dedup.writeExactIndexSegment(
+          b, indexPath, s"seg_batch_$batchId", idCol, textCol)
+        Marks.write(markDir, batchId, 0L, kept.count(), hconf)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** Read the ingest sink showing ONLY committed batches — the reference's
     * manifest-visibility rule (files not recorded in the manifest do not
     * exist, kv/db/version_set.cpp:920-1018). A concurrent writer's

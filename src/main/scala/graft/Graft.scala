@@ -324,6 +324,17 @@ final case class Graft(spark: SparkSession, dir: String) {
   def rebuildVectorIndex(path: String, lists: Int = 16, iters: Int = 3): Unit =
     Ivf.rebuildIndex(spark, path, lists, iters)
 
+  /** Token-budget curation: per-language greedy fill of the best documents
+    * (by the built-in quality heuristic) until `budgetTokens` — the
+    * "assemble an N-token training mix" selection, prefiltered so no
+    * stratum ever sorts more than ~2x the budget regardless of corpus
+    * size. */
+  def tokenBudget(budgetTokens: Long, strataCol: String = "lang"): DataFrame =
+    operators.Curation.tokenBudget(
+      documents, budgetTokens,
+      score = graft.functions.TextOps.qualityScore(org.apache.spark.sql.functions.col("text")),
+      strataCol = strataCol)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 }

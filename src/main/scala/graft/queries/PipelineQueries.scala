@@ -399,6 +399,43 @@ object PipelineQueries {
              |  FROM h)
              |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin)),
 
+    // Q29e: token-budget curation — per-language greedy fill with the
+    // highest-quality documents until a 2000-token budget: the
+    // "assemble an N-token training mix" selection. The quality score is
+    // the q29b formula (rounded to 6 decimals, so cross-engine ordering is
+    // exact); the oracle states the same windowed prefix fill.
+    QueryDef(
+      "q29e_token_budget",
+      (s, dir) =>
+        graft.operators.Curation.tokenBudget(
+          Tables.documents(s, dir), budgetTokens = 2000L,
+          score = TextOps.qualityScore(col("text")))
+          .orderBy("lang", "cum_tokens"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, text,
+             |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             |              / CAST(length(text) AS DOUBLE) END AS pr
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    round(
+             |      least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+             |      (CASE WHEN n_tokens != 0
+             |                 AND CAST(length(text) AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3
+             |                 AND CAST(length(text) AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10
+             |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+             |      (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS score
+             |  FROM t),
+             |c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+             |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+             |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin)),
+
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
     // grouping by fingerprint. Wrapping long arithmetic is not expressible

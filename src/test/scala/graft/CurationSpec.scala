@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Curation
+import graft.functions.TextOps
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Token-budget fill semantics: greedy best-first selection per stratum,
+  * budget boundary behavior, and the prefilter's exactness guarantee (the
+  * scale path must change nothing).
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def toks(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+
+  test("greedy fill keeps best-first within budget; ties break by id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, toks(10), "a", 0.9),
+      (2L, toks(10), "a", 0.8), // ties with 3: lower id wins the slot
+      (3L, toks(10), "a", 0.8),
+      (4L, toks(5), "b", 0.1), // stratum under budget: kept regardless of score
+      (5L, toks(30), "c", 0.9),
+      (6L, toks(10), "c", 0.8)) // 30 + 10 > 25: excluded
+      .toDF("doc_id", "text", "lang", "q")
+    val out = Curation.tokenBudget(docs, budgetTokens = 25L, score = col("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // lang a: 0.9 then the 0.8 tie won by id 2 (cum 20); id 3 would hit 30.
+    // lang b: under budget, all kept. lang c: best doc alone exceeds the
+    // budget (cum 30 > 25) and blocks the prefix — nothing kept.
+    assert(out == Set((1L, "a", 10L, 10L), (2L, "a", 10L, 20L), (4L, "b", 5L, 5L)),
+      s"unexpected fill: $out")
+  }
+
+  test("a top-ranked document larger than the whole budget is excluded (cum > budget)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, toks(40), "a", 0.9), // alone exceeds the budget
+      (2L, toks(10), "a", 0.8))
+      .toDF("doc_id", "text", "lang", "q")
+    val out = Curation.tokenBudget(docs, budgetTokens = 25L, score = col("q"))
+      .collect().map(_.getLong(0)).toSet
+    // greedy is a PREFIX fill: the oversized best doc blocks the stratum
+    // (cum 40 > 25 for doc 1; doc 2 lands at cum 50) — nothing qualifies
+    assert(out == Set.empty[Long], s"prefix-fill contract: $out")
+  }
+
+  test("prefilter path is exactly equal to the full window across budgets") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val score = TextOps.qualityScore(col("text"))
+    for (budget <- Seq(50L, 500L, 5000L, 1000000L)) {
+      val fast = Curation.tokenBudget(docs, budget, score).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val slow = Curation.tokenBudget(docs, budget, score, prefilter = false).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(fast == slow, s"prefilter must be lossless at budget=$budget")
+    }
+  }
+
+  test("null strata survive the prefilter via fallback") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, toks(10), "a", 0.9),
+      (2L, toks(10), null.asInstanceOf[String], 0.5),
+      (3L, toks(10), null.asInstanceOf[String], 0.9))
+      .toDF("doc_id", "text", "lang", "q")
+    val out = Curation.tokenBudget(docs, budgetTokens = 15L, score = col("q"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(out == Set((1L, Some("a")), (3L, None)),
+      s"null stratum fills independently: $out")
+  }
+}

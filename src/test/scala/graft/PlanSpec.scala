@@ -140,6 +140,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q27e/q27g: incremental dedup shuffles slim keys, never text") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.StringType
+    for (name <- Seq("q27e_dedup_incremental", "q27g_dedup_simhash_incremental")) {
+      val lp = Registry.byName(name).fn(spark, dir).queryExecution.optimizedPlan
+      val joins = lp.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"$name must join against the index")
+      joins.foreach(_.condition.foreach(_.references.foreach(r =>
+        assert(r.dataType != StringType,
+          s"$name: index join keys must not be text (${r.name})"))))
+      val aggs = lp.collect { case a: Aggregate if a.groupingExpressions.nonEmpty => a }
+      aggs.foreach(_.groupingExpressions.foreach(g =>
+        assert(g.dataType != StringType,
+          s"$name: grouping keys must not be text (${g.dataType})")))
+    }
+  }
+
+  test("q27f: the index band join prunes the shingle column from its scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_planmhx_").toString
+    graft.operators.Dedup.writeMinHashIndex(docs, tmp, shingleN = 3, numHashes = 64, bands = 16)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val p = graft.operators.Dedup.minHashIncremental(batch, tmp, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    // the stored index is scanned by both the band join (needs doc+sig) and
+    // the exact verify (needs doc+sh); the band-side scan must NOT drag the
+    // heavy shingle arrays through — at corpus scale that column dwarfs the
+    // signatures
+    assert(p.contains("ReadSchema: struct<doc:bigint,sig:array<bigint>>"),
+      "band-side index scan must read exactly (doc, sig):\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("q12: map-side partial aggregation + shipdate pushdown; codegen in final plan") {
     val df = Registry.byName("q12_agg_hash").fn(spark, dir)
     df.collect() // AQE final plan exists only post-execution

@@ -335,6 +335,13 @@ final case class Graft(spark: SparkSession, dir: String) {
       score = graft.functions.TextOps.qualityScore(org.apache.spark.sql.functions.col("text")),
       strataCol = strataCol)
 
+  /** Deterministic stratified sample of this directory's documents —
+    * reproducible hash-threshold membership, nested across rates (a pilot
+    * sample is a subset of the full-rate sample), map-side only. */
+  def sampleDocuments(
+      rates: Map[String, Double], defaultRate: Double = 0.0, seed: Long = 0L): DataFrame =
+    operators.Curation.stratifiedSample(documents, rates, defaultRate, seed)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 }

@@ -114,4 +114,35 @@ object Curation {
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col(strataCol), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Deterministic stratified sampling for dataset mixing: keep a document
+    * iff `xxhash64(id, seed) mod 2^20 < rate(stratum) * 2^20`. Unlike
+    * `DataFrame.sample`, membership is a pure function of (id, seed, rate):
+    *   - DETERMINISTIC: the same inputs give the same SET on any
+    *     partitioning, ordering, executor count, or retry — a mix recipe is
+    *     reproducible bit-for-bit;
+    *   - NESTED: raising a stratum's rate only ADDS documents (the hash
+    *     threshold grows), so rate-sweep experiments are strictly
+    *     comparable and a 1% pilot is a subset of the 10% run;
+    *   - MAP-SIDE ONLY: one codegen'd filter, no shuffle, no RNG state.
+    * Strata missing from `rates` fall back to `defaultRate`; a null
+    * stratum uses `defaultRate` too. CurationSpec pins all three
+    * properties. */
+  def stratifiedSample(
+      documents: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      seed: Long = 0L,
+      strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val buckets = 1L << 20
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    documents.filter(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(buckets)) <
+        (rate * lit(buckets.toDouble)).cast("long"))
+  }
 }

@@ -436,6 +436,19 @@ object PipelineQueries {
              |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
              |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin)),
 
+    // Q29f: deterministic stratified sampling — the dataset-mixing
+    // selection (hash-threshold membership: reproducible, nested across
+    // rates, map-side only). xxhash64 has no DuckDB twin => rows-only;
+    // CurationSpec pins determinism/nestedness/rate accuracy.
+    QueryDef(
+      "q29f_stratified_sample",
+      (s, dir) =>
+        graft.operators.Curation.stratifiedSample(
+          Tables.documents(s, dir), rates = Map.empty, defaultRate = 0.5, seed = 42L)
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      None),
+
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
     // grouping by fingerprint. Wrapping long arithmetic is not expressible

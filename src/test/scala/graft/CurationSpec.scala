@@ -59,6 +59,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: deterministic, nested across rates, rate-accurate") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSeq
+    val lowRates = langs.map(_ -> 0.3).toMap
+    val highRates = langs.map(_ -> 0.7).toMap
+
+    def ids(rates: Map[String, Double], reshuffle: Boolean): Set[Long] = {
+      val d = if (reshuffle) docs.repartition(13) else docs
+      Curation.stratifiedSample(d, rates, seed = 42L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val low = ids(lowRates, reshuffle = false)
+    // deterministic: same set under a different partitioning
+    assert(ids(lowRates, reshuffle = true) == low)
+    // nested: the 30% sample is a strict subset of the 70% sample
+    val high = ids(highRates, reshuffle = false)
+    assert(low.subsetOf(high), "raising rates must only add documents")
+    // rate-accurate within binomial noise (n = corpus size)
+    val n = docs.count().toDouble
+    assert(math.abs(low.size / n - 0.3) < 0.15, s"~30% expected, got ${low.size / n}")
+    assert(math.abs(high.size / n - 0.7) < 0.15, s"~70% expected, got ${high.size / n}")
+    // rate 0 / rate 1 extremes are exact
+    assert(ids(langs.map(_ -> 0.0).toMap, reshuffle = false).isEmpty)
+    assert(ids(langs.map(_ -> 1.0).toMap, reshuffle = false).size == n.toLong)
+  }
+
   test("null strata survive the prefilter via fallback") {
     import spark.implicits._
     val docs = Seq(

@@ -342,6 +342,11 @@ final case class Graft(spark: SparkSession, dir: String) {
       rates: Map[String, Double], defaultRate: Double = 0.0, seed: Long = 0L): DataFrame =
     operators.Curation.stratifiedSample(documents, rates, defaultRate, seed)
 
+  /** PII scrubbing of this directory's documents: sequential email / IPv4 /
+    * phone redaction with per-pass counts (map-only, codegen'd). */
+  def redactDocuments(token: String = "[PII]"): DataFrame =
+    operators.Curation.redact(documents, token = token)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 }

@@ -32,7 +32,14 @@ object Curation {
     * verified prefix holds at least the budget, so the fill over survivors
     * is provably identical to the fill over everything (CurationSpec
     * asserts equality) — the exact window then sorts ~2x-budget tokens per
-    * stratum regardless of corpus size. */
+    * stratum regardless of corpus size.
+    *
+    * Thresholding only engages for strata above `prefilterMinTokens`
+    * (measured: a 45M-token hot stratum sorts in one task in ~3 s on
+    * local[32], while the threshold machinery costs two extra aggregation
+    * jobs — insurance that is worth paying only once a stratum no longer
+    * fits a task, see BASELINE.md). Below the bar, strata pass through and
+    * the prefilter costs one stats aggregation. */
   def tokenBudget(
       documents: DataFrame,
       budgetTokens: Long,
@@ -40,7 +47,8 @@ object Curation {
       strataCol: String = "lang",
       idCol: String = "doc_id",
       textCol: String = "text",
-      prefilter: Boolean = true): DataFrame = {
+      prefilter: Boolean = true,
+      prefilterMinTokens: Long = 100000000L): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val spark = documents.sparkSession
     // tokens + score computed ONCE; everything downstream moves only
@@ -65,7 +73,10 @@ object Curation {
           val total = r.getLong(1)
           val q = r.getSeq[Double](2)
           val thr =
-            if (total <= budgetTokens) Double.NegativeInfinity // under budget: keep all
+            // engage only for strata both over budget AND big enough that
+            // a one-task sort is the real risk; everything else keeps all
+            if (total <= budgetTokens || total < prefilterMinTokens)
+              Double.NegativeInfinity
             else {
               // keep the top fraction of docs expected to carry ~2x the
               // budget in tokens (docs ~ tokens exchangeability heuristic;
@@ -75,6 +86,8 @@ object Curation {
             }
           org.apache.spark.sql.Row(r.get(0), thr)
         }
+        if (thrRows.forall(_.getDouble(1).isNegInfinity)) base // nothing engaged
+        else {
         // threshold relation keyed by the stratum's ORIGINAL type
         val thrDf = spark.createDataFrame(
           java.util.Arrays.asList(thrRows: _*),
@@ -105,6 +118,7 @@ object Curation {
         if (fallback.isEmpty) cand
         else cand.filter(!inFallback(col(strataCol)))
           .unionByName(base.filter(inFallback(col(strataCol))))
+        }
       }
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("_score").desc, col(idCol))
@@ -113,6 +127,35 @@ object Curation {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col(strataCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  // PII patterns kept to syntax with IDENTICAL semantics in Java regex
+  // (Spark codegen) and RE2 (DuckDB oracle): character classes, bounded
+  // repetition, word boundaries — no alternation, no backreferences, no
+  // lookaround, so leftmost-greedy matching agrees engine-to-engine.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9()\\s.-]{6,}[0-9]"
+
+  /** PII scrubbing for training corpora: redact emails, IPv4 addresses, and
+    * phone-shaped digit runs, reporting per-document match counts. The
+    * passes run SEQUENTIALLY (emails, then IPs over the email-redacted
+    * text, then phones) so an IP is never double-counted as a phone number;
+    * counts describe what each pass actually replaced. One codegen'd
+    * projection — no shuffle, no UDF; at 100 TB this is a map-only scan. */
+  def redact(
+      documents: DataFrame,
+      textCol: String = "text",
+      token: String = "[PII]"): DataFrame = {
+    val t0 = coalesce(col(textCol), lit(""))
+    val t1 = regexp_replace(t0, EmailRe, token)
+    val t2 = regexp_replace(t1, Ipv4Re, token)
+    val t3 = regexp_replace(t2, PhoneRe, token)
+    documents
+      .withColumn("n_emails", regexp_count(t0, lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(t1, lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(t2, lit(PhoneRe)))
+      .withColumn("redacted", t3)
   }
 
   /** Deterministic stratified sampling for dataset mixing: keep a document

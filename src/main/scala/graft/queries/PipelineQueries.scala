@@ -449,6 +449,36 @@ object PipelineQueries {
           .orderBy("doc_id"),
       None),
 
+    // Q29g: PII redaction — sequential email/IPv4/phone scrubbing with
+    // per-pass counts. The patterns are restricted to syntax with identical
+    // semantics in Java regex (Spark) and RE2 (DuckDB), so the oracle
+    // hash-compares the REDACTED TEXT itself, proving dialect equivalence
+    // end-to-end on the real corpus.
+    QueryDef(
+      "q29g_pii_redact",
+      (s, dir) =>
+        graft.operators.Curation.redact(Tables.documents(s, dir))
+          .select(
+            col("doc_id"),
+            col("n_emails").cast("long").as("n_emails"),
+            col("n_ips").cast("long").as("n_ips"),
+            col("n_phones").cast("long").as("n_phones"),
+            col("redacted"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, coalesce(text, '') AS t0 FROM documents),
+             |a AS (SELECT doc_id, t0,
+             |        regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') AS t1
+             |      FROM t),
+             |b AS (SELECT doc_id, t0, t1,
+             |        regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g') AS t2
+             |      FROM a)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+             |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\s.-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+             |  regexp_replace(t2, '\+?[0-9][0-9()\s.-]{6,}[0-9]', '[PII]', 'g') AS redacted
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
     // grouping by fingerprint. Wrapping long arithmetic is not expressible

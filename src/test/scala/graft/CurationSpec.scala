@@ -51,11 +51,15 @@ class CurationSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val score = TextOps.qualityScore(col("text"))
     for (budget <- Seq(50L, 500L, 5000L, 1000000L)) {
-      val fast = Curation.tokenBudget(docs, budget, score).collect()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
-      val slow = Curation.tokenBudget(docs, budget, score, prefilter = false).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
-      assert(fast == slow, s"prefilter must be lossless at budget=$budget")
+      val slow = rows(Curation.tokenBudget(docs, budget, score, prefilter = false))
+      // forced engagement (minTokens = 0): the threshold machinery itself
+      val forced = rows(Curation.tokenBudget(docs, budget, score, prefilterMinTokens = 0L))
+      assert(forced == slow, s"engaged prefilter must be lossless at budget=$budget")
+      // default engagement bar: tiny strata pass through untouched
+      val auto = rows(Curation.tokenBudget(docs, budget, score))
+      assert(auto == slow, s"auto prefilter must be lossless at budget=$budget")
     }
   }
 
@@ -85,6 +89,29 @@ class CurationSpec extends AnyFunSuite {
     assert(ids(langs.map(_ -> 1.0).toMap, reshuffle = false).size == n.toLong)
   }
 
+  test("redact scrubs emails, IPs, and phones sequentially with exact counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jo.doe+spam@mail-host.org or admin@x.io thanks"),
+      (2L, "server 10.0.255.7 and 192.168.1.1 are up"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "ip 10.0.0.1 then phone 555-123-9999"), // ip must not double-count as phone
+      (5L, "nothing sensitive here"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.redact(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4)), r.getString(5))).toMap
+    assert(out(1L)._1 == ((2, 0, 0)), s"two emails: ${out(1L)}")
+    assert(out(1L)._2 == "reach me at [PII] or [PII] thanks")
+    assert(out(2L)._1 == ((0, 2, 0)), s"two ips: ${out(2L)}")
+    assert(out(3L)._1 == ((0, 0, 1)), s"one phone: ${out(3L)}")
+    assert(out(3L)._2 == "call [PII] now")
+    assert(out(4L)._1 == ((0, 1, 1)), s"ip and phone counted once each: ${out(4L)}")
+    assert(out(5L)._1 == ((0, 0, 0)) && out(5L)._2 == "nothing sensitive here")
+    assert(out(6L)._1 == ((0, 0, 0)) && out(6L)._2 == "", "null text redacts to empty")
+  }
+
   test("null strata survive the prefilter via fallback") {
     import spark.implicits._
     val docs = Seq(
@@ -92,7 +119,10 @@ class CurationSpec extends AnyFunSuite {
       (2L, toks(10), null.asInstanceOf[String], 0.5),
       (3L, toks(10), null.asInstanceOf[String], 0.9))
       .toDF("doc_id", "text", "lang", "q")
-    val out = Curation.tokenBudget(docs, budgetTokens = 15L, score = col("q"))
+    // minTokens = 0 forces the threshold machinery, whose equi-join always
+    // drops the null stratum — the fallback must restore it
+    val out = Curation.tokenBudget(docs, budgetTokens = 15L, score = col("q"),
+        prefilterMinTokens = 0L)
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(out == Set((1L, Some("a")), (3L, None)),
       s"null stratum fills independently: $out")

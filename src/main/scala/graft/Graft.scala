@@ -347,6 +347,27 @@ final case class Graft(spark: SparkSession, dir: String) {
   def redactDocuments(token: String = "[PII]"): DataFrame =
     operators.Curation.redact(documents, token = token)
 
+  /** Benchmark decontamination: per-document distinct word n-gram overlap
+    * of this directory's documents against an eval-set `benchmark` frame,
+    * with a `contaminated` flag at `minOverlap`. The benchmark side
+    * broadcasts as a distinct n-gram-hash set; the corpus is never
+    * shuffled. Overlap counts are hash-based (exact w.h.p., ~|ngrams|²/2⁶⁵
+    * collision odds). */
+  def decontaminate(benchmark: DataFrame, n: Int = 4, minOverlap: Long = 1L): DataFrame =
+    operators.Curation.decontaminate(documents, benchmark, n, minOverlap)
+
+  /** Intra-document repetition stats (duplicate token/2-gram/3-gram
+    * fractions + repetitive flag) over this directory's documents —
+    * map-only, codegen'd. */
+  def repetitionStats(maxDup2gramFrac: Double = 0.5): DataFrame =
+    operators.Curation.repetitionStats(documents, maxDup2gramFrac = maxDup2gramFrac)
+
+  /** Deterministic training-shard order for this directory's documents:
+    * shard + in-shard position as a pure function of (doc_id, seed) — a
+    * reproducible global example shuffle with one slim exchange. */
+  def trainingOrder(numShards: Int, seed: Long = 0L): DataFrame =
+    operators.Curation.trainingOrder(documents, numShards, seed)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 }

@@ -158,6 +158,106 @@ object Curation {
       .withColumn("redacted", t3)
   }
 
+  /** Benchmark decontamination: per corpus document, count distinct word
+    * `n`-grams that also appear anywhere in `benchmark`, and flag documents
+    * at or above `minOverlap` shared n-grams — the standard "scrub eval-set
+    * text out of the training mix" check (13-gram overlap in GPT-3's appendix;
+    * `n` is a parameter here).
+    *
+    * Scale design: eval suites are tiny next to a training corpus, so the
+    * benchmark side collapses to a distinct n-gram-HASH set and broadcasts —
+    * the corpus is never shuffled at all. Corpus docs explode to
+    * (id, ngram_hash) pairs (8-byte longs — the text never leaves the map
+    * side; `ngramHashes` emits per-doc distinct hashes, so no dedup exchange
+    * is needed either), probe the broadcast set map-side, and partial
+    * aggregation reduces to one slim (id, counts) row per doc before the
+    * only shuffle. Distinct-hash counting stands in for distinct-string
+    * counting w.h.p. (64-bit collisions, ~|ngrams|²/2⁶⁵). */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 4,
+      minOverlap: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val ngrams = TextOps.ngramHashes(TextOps.tokenHashes(col(textCol)), n)
+    val bm = benchmark
+      .select(explode(ngrams).as("_ng"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    corpus
+      // explode_outer keeps n-gram-less (short) docs in the output with 0s
+      .select(col(idCol), explode_outer(ngrams).as("_ng"))
+      .join(broadcast(bm), Seq("_ng"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("_ng")).as("n_ngrams"),
+        count(col("_hit")).as("n_overlap"))
+      .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("long"))
+  }
+
+  /** Intra-document repetition statistics (the Gopher-style repetition
+    * filters): per document, the fraction of duplicate tokens / 2-grams /
+    * 3-grams, plus a `repetitive` flag when the 2-gram duplicate fraction
+    * crosses `maxDup2gramFrac`. Highly self-repetitive documents are a
+    * known low-quality signature in web corpora.
+    *
+    * One codegen'd projection — map-only, no shuffle, no UDF; duplicate
+    * fractions are computed over token/ngram HASHES (distinct hashes ≡
+    * distinct strings w.h.p.), so no token strings are materialized past
+    * the fused tokenizer. Fractions are rounded to 6 decimals so
+    * cross-engine comparison is exact. */
+  def repetitionStats(
+      documents: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDup2gramFrac: Double = 0.5): DataFrame = {
+    val th = TextOps.tokenHashes(col(textCol))
+    def dupFrac(distinctN: Column, total: Column): Column =
+      when(total <= 0, lit(0.0))
+        .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 6))
+    documents
+      .withColumn("_th", th)
+      .withColumn("n_tokens", size(col("_th")).cast("long"))
+      .withColumn("dup_token_frac",
+        dupFrac(size(array_distinct(col("_th"))), col("n_tokens")))
+      .withColumn("dup_2gram_frac",
+        dupFrac(size(TextOps.ngramHashes(col("_th"), 2)), col("n_tokens") - 1))
+      .withColumn("dup_3gram_frac",
+        dupFrac(size(TextOps.ngramHashes(col("_th"), 3)), col("n_tokens") - 2))
+      .withColumn("repetitive", (col("dup_2gram_frac") > maxDup2gramFrac).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("dup_token_frac"),
+        col("dup_2gram_frac"), col("dup_3gram_frac"), col("repetitive"))
+  }
+
+  /** Deterministic global shuffle into training shards: shard =
+    * `xxhash64(id, seed) mod numShards`, position within shard = rank of
+    * the hash. The "randomize example order before training" step, but as
+    * a pure function of (id, seed, numShards):
+    *   - DETERMINISTIC on any partitioning, executor count, or retry — a
+    *     training run's data order is reproducible from the recipe;
+    *   - a PERMUTATION: every input id appears exactly once (CurationSpec
+    *     pins set-equality and bijectivity of (shard, pos));
+    *   - ONE shuffle: the rank window is the only exchange, and it carries
+    *     (id, hash) pairs only.
+    * At scale, pick numShards ≥ cluster parallelism: each shard sorts
+    * |corpus|/numShards slim rows in one task, and downstream training
+    * readers consume shards independently. */
+  def trainingOrder(
+      documents: DataFrame,
+      numShards: Int,
+      seed: Long = 0L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    documents
+      .select(col(idCol), xxhash64(col(idCol), lit(seed)).as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Deterministic stratified sampling for dataset mixing: keep a document
     * iff `xxhash64(id, seed) mod 2^20 < rate(stratum) * 2^20`. Unlike
     * `DataFrame.sample`, membership is a pure function of (id, seed, rate):

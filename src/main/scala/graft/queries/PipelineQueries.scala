@@ -479,6 +479,86 @@ object PipelineQueries {
              |  regexp_replace(t2, '\+?[0-9][0-9()\s.-]{6,}[0-9]', '[PII]', 'g') AS redacted
              |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // Q29h: benchmark decontamination — distinct 4-gram overlap between each
+    // corpus document and a held-out "benchmark" slice (doc_id % 20 == 0
+    // plays the eval set). The engine joins on n-gram HASHES (broadcast
+    // benchmark set, corpus never shuffled); the oracle joins the n-gram
+    // STRINGS — equality of the counts is itself a collision check.
+    QueryDef(
+      "q29h_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Curation.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          n = 4, minOverlap = 5L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN []::VARCHAR[]
+             |           ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+             |                               for i in range(1, len(toks) - 2)]) END) AS ng
+             |  FROM t),
+             |bm AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0),
+             |ov AS (
+             |  SELECT g.doc_id, count(*) AS n_ngrams, count(bm.ng) AS n_overlap
+             |  FROM g LEFT JOIN bm ON g.ng = bm.ng
+             |  WHERE g.doc_id % 20 != 0 GROUP BY 1)
+             |SELECT t.doc_id,
+             |  CAST(coalesce(ov.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+             |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+             |  CAST(CASE WHEN coalesce(ov.n_overlap, 0) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+             |FROM t LEFT JOIN ov ON t.doc_id = ov.doc_id
+             |WHERE t.doc_id % 20 != 0 ORDER BY t.doc_id""".stripMargin)),
+
+    // Q29i: intra-document repetition stats (Gopher-style duplicate
+    // token/2-gram/3-gram fractions + repetitive flag). Engine counts
+    // distinct hashes map-side; oracle counts distinct strings.
+    QueryDef(
+      "q29i_text_repetition",
+      (s, dir) =>
+        graft.operators.Curation.repetitionStats(Tables.documents(s, dir))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    len(list_distinct(toks)) AS d1,
+             |    CASE WHEN len(toks) < 2 THEN 0
+             |         ELSE len(list_distinct([array_to_string(toks[i:i+1], ' ')
+             |                                 for i in range(1, len(toks))])) END AS d2,
+             |    CASE WHEN len(toks) < 3 THEN 0
+             |         ELSE len(list_distinct([array_to_string(toks[i:i+2], ' ')
+             |                                 for i in range(1, len(toks) - 1)])) END AS d3
+             |  FROM t),
+             |r AS (
+             |  SELECT doc_id, n_tokens,
+             |    CASE WHEN n_tokens <= 0 THEN 0.0
+             |         ELSE round(1.0 - CAST(d1 AS DOUBLE) / n_tokens, 6) END AS dup_token_frac,
+             |    CASE WHEN n_tokens - 1 <= 0 THEN 0.0
+             |         ELSE round(1.0 - CAST(d2 AS DOUBLE) / (n_tokens - 1), 6) END AS dup_2gram_frac,
+             |    CASE WHEN n_tokens - 2 <= 0 THEN 0.0
+             |         ELSE round(1.0 - CAST(d3 AS DOUBLE) / (n_tokens - 2), 6) END AS dup_3gram_frac
+             |  FROM g)
+             |SELECT doc_id, n_tokens, dup_token_frac, dup_2gram_frac, dup_3gram_frac,
+             |  CAST(CASE WHEN dup_2gram_frac > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Q29j: deterministic training-shard order — xxhash64 shard + in-shard
+    // rank. xxhash64 has no DuckDB twin => rows-only; CurationSpec pins the
+    // permutation/determinism/balance properties.
+    QueryDef(
+      "q29j_training_order",
+      (s, dir) =>
+        graft.operators.Curation.trainingOrder(
+          Tables.documents(s, dir), numShards = 8, seed = 42L)
+          .orderBy("shard", "pos"),
+      None),
+
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
     // grouping by fingerprint. Wrapping long arithmetic is not expressible

@@ -112,6 +112,64 @@ class CurationSpec extends AnyFunSuite {
     assert(out(6L)._1 == ((0, 0, 0)) && out(6L)._2 == "", "null text redacts to empty")
   }
 
+  test("decontaminate counts distinct shared n-grams against the benchmark set") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma zeta"), // shares "alpha beta", "beta gamma"
+      (2L, "x y z"), // nothing shared
+      (3L, "alpha beta alpha beta"), // DISTINCT overlap is 1 ("alpha beta" once)
+      (4L, "solo")) // too short for a 2-gram: 0 n-grams, still present
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, n = 2, minOverlap = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 1L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 0L, 0L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((2L, 1L, 0L)), s"distinct overlap counts once: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L)), s"short doc kept with zeros: ${out(4L)}")
+    assert(out.size == 4)
+  }
+
+  test("repetitionStats duplicate fractions match hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"), // d1=1/4; 2-grams 1/3 distinct; 3-grams 1/2
+      (2L, "a b c"), // all distinct
+      (3L, "a"), // no 2/3-grams: fractions 0 by convention
+      (4L, "")) // tokenizes to one empty token
+      .toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((4L, 0.75, 0.666667, 0.5, 1L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((3L, 0.0, 0.0, 0.0, 0L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((1L, 0.0, 0.0, 0.0, 0L)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((1L, 0.0, 0.0, 0.0, 0L)), s"doc 4: ${out(4L)}")
+  }
+
+  test("trainingOrder is a deterministic permutation with dense per-shard positions") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val n = docs.count()
+    def rows(d: org.apache.spark.sql.DataFrame, shards: Int, seed: Long) =
+      Curation.trainingOrder(d, shards, seed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val base = rows(docs, 8, 42L)
+    // permutation: every doc exactly once, (shard, pos) unique
+    assert(base.length == n && base.map(_._1).distinct.length == n)
+    assert(base.map(t => (t._2, t._3)).distinct.length == n.toInt)
+    // dense positions 0..count-1 within each shard
+    base.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq, s"shard $s not dense")
+    }
+    // deterministic under a different partitioning
+    assert(rows(docs.repartition(13), 8, 42L).toSet == base.toSet)
+    // a different seed reorders (w.h.p.)
+    assert(rows(docs, 8, 43L).toSet != base.toSet)
+    // shards are hash-balanced: no shard more than 3x the mean (loose bound)
+    val sizes = base.groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 3 * n.toInt / 8 + 1, s"imbalanced shards: $sizes")
+  }
+
   test("null strata survive the prefilter via fallback") {
     import spark.implicits._
     val docs = Seq(

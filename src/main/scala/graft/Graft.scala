@@ -362,6 +362,13 @@ final case class Graft(spark: SparkSession, dir: String) {
   def repetitionStats(maxDup2gramFrac: Double = 0.5): DataFrame =
     operators.Curation.repetitionStats(documents, maxDup2gramFrac = maxDup2gramFrac)
 
+  /** Ordered quality filter chain over this directory's documents: each doc
+    * labeled with the first violated rule (funnel accounting), `keep` = 1
+    * iff it passes all. Pair with [[operators.Curation.filterReport]] for
+    * per-rule drop counts. */
+  def filterDocuments(rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    operators.Curation.filterChain(documents, rules)
+
   /** Deterministic training-shard order for this directory's documents:
     * shard + in-shard position as a pure function of (doc_id, seed) — a
     * reproducible global example shuffle with one slim exchange. */

@@ -258,6 +258,35 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Rule-based quality filtering with funnel accounting (the C4/Gopher
+    * filter-pipeline shape): rules evaluate IN ORDER and each document is
+    * labeled with the FIRST rule it violates (`fail_rule`, or "pass"), plus
+    * a `keep` flag. Attributing every drop to exactly one named rule is
+    * what makes a filter pipeline tunable — per-rule drop counts are one
+    * `groupBy(fail_rule)` away (see [[filterReport]]).
+    *
+    * Each rule is (name, violation predicate). The cascade compiles to one
+    * codegen'd `when` chain — map-only, no shuffle, no UDF. */
+  def filterChain(
+      documents: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    val cascade = rules.foldRight(lit("pass")) { case ((name, violated), rest) =>
+      when(violated, lit(name)).otherwise(rest)
+    }
+    documents
+      .withColumn("fail_rule", cascade)
+      .withColumn("keep", (col("fail_rule") === "pass").cast("long"))
+  }
+
+  /** Per-rule drop counts for a [[filterChain]] output — the funnel report
+    * (one slim aggregation; rows = rules + "pass"). */
+  def filterReport(chained: DataFrame): DataFrame =
+    chained.groupBy(col("fail_rule"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("fail_rule"))
+
   /** Deterministic stratified sampling for dataset mixing: keep a document
     * iff `xxhash64(id, seed) mod 2^20 < rate(stratum) * 2^20`. Unlike
     * `DataFrame.sample`, membership is a pure function of (id, seed, rate):

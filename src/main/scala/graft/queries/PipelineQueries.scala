@@ -559,6 +559,54 @@ object PipelineQueries {
           .orderBy("shard", "pos"),
       None),
 
+    // Q29k: quality filter chain — ordered rules, each doc labeled with the
+    // FIRST rule it violates (funnel accounting; drop counts are one groupBy
+    // away). Signals reuse the q29i/q29b formulas so the oracle states the
+    // same cascade.
+    QueryDef(
+      "q29k_filter_chain",
+      (s, dir) => {
+        val th = TextOps.tokenHashes(coalesce(col("text"), lit("")))
+        val nTokens = size(th)
+        val dup2 = when(nTokens - 1 <= 0, lit(0.0)).otherwise(
+          round(lit(1.0) -
+            size(TextOps.ngramHashes(th, 2)).cast("double") / (nTokens - 1).cast("double"), 6))
+        val meanLen = length(coalesce(col("text"), lit(""))).cast("double") / nTokens.cast("double")
+        graft.operators.Curation.filterChain(
+          Tables.documents(s, dir),
+          // thresholds chosen to exercise every rule (and the cascade's
+          // first-wins ordering) on the synthetic corpus distribution
+          Seq(
+            "too_short" -> (nTokens < 20),
+            "too_repetitive" -> (dup2 > 0.05),
+            "word_length" -> (meanLen < 5.2 || meanLen > 10.0)))
+          .select(col("doc_id"), col("fail_rule"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, coalesce(text, '') AS tx,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, tx, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CASE WHEN len(toks) < 2 THEN 0
+             |         ELSE len(list_distinct([array_to_string(toks[i:i+1], ' ')
+             |                                 for i in range(1, len(toks))])) END AS d2
+             |  FROM t),
+             |r AS (
+             |  SELECT doc_id,
+             |    CASE WHEN n_tokens < 20 THEN 'too_short'
+             |         WHEN (CASE WHEN n_tokens - 1 <= 0 THEN 0.0
+             |               ELSE round(1.0 - CAST(d2 AS DOUBLE) / (n_tokens - 1), 6) END) > 0.05
+             |           THEN 'too_repetitive'
+             |         WHEN CAST(length(tx) AS DOUBLE) / n_tokens < 5.2
+             |              OR CAST(length(tx) AS DOUBLE) / n_tokens > 10.0 THEN 'word_length'
+             |         ELSE 'pass' END AS fail_rule
+             |  FROM g)
+             |SELECT doc_id, fail_rule,
+             |  CAST(CASE WHEN fail_rule = 'pass' THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
     // grouping by fingerprint. Wrapping long arithmetic is not expressible

@@ -170,6 +170,32 @@ class CurationSpec extends AnyFunSuite {
     assert(sizes.max <= 3 * n.toInt / 8 + 1, s"imbalanced shards: $sizes")
   }
 
+  test("filterChain labels each doc with the FIRST violated rule; report counts drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 5, 0.9), // violates both rules: first one wins
+      (2L, 50, 0.9), // only repetitive
+      (3L, 50, 0.1), // clean
+      (4L, 3, 0.0)) // only short
+      .toDF("doc_id", "n_tokens", "dup2")
+    val rules = Seq(
+      "too_short" -> (col("n_tokens") < 20),
+      "too_repetitive" -> (col("dup2") > 0.6))
+    val out = Curation.filterChain(docs, rules).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("too_short", 0L)), "rule order decides the label")
+    assert(out(2L) == (("too_repetitive", 0L)))
+    assert(out(3L) == (("pass", 1L)))
+    assert(out(4L) == (("too_short", 0L)))
+    val report = Curation.filterReport(Curation.filterChain(docs, rules))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report == Map("too_short" -> 2L, "too_repetitive" -> 1L, "pass" -> 1L))
+    // duplicate rule names are a caller error
+    intercept[IllegalArgumentException] {
+      Curation.filterChain(docs, Seq("r" -> lit(true), "r" -> lit(false)))
+    }
+  }
+
   test("null strata survive the prefilter via fallback") {
     import spark.implicits._
     val docs = Seq(

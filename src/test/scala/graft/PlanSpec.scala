@@ -175,6 +175,34 @@ class PlanSpec extends AnyFunSuite {
         p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
 
+  test("q29h: decontamination broadcasts the benchmark set; the corpus never sort-merges") {
+    val df = Registry.byName("q29h_decontaminate").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "benchmark n-gram set must broadcast: " + p.take(800))
+    assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle into a sort-merge join")
+    // the probe side carries (doc_id, 8-byte hash) only — never document text
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    exchanges.foreach(keys =>
+      assert(!keys.contains("text"), s"no text on a shuffle: $keys"))
+  }
+
+  test("q29i: repetition stats is a map-only projection (zero exchanges)") {
+    val p = plan("q29i_text_repetition")
+    // the query's orderBy adds one range exchange for presentation; the
+    // stats themselves must add none
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n <= 1, s"map-only operator: expected <=1 (presentation sort) exchange, got $n\n${p.take(1200)}")
+  }
+
+  test("q29j: training order shuffles only (id, hash) — one exchange") {
+    val p = plan("q29j_training_order")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"one rank exchange expected, got $n")
+    assert(!p.contains("text"), "no document text may ride the shard exchange")
+  }
+
   test("q12: map-side partial aggregation + shipdate pushdown; codegen in final plan") {
     val df = Registry.byName("q12_agg_hash").fn(spark, dir)
     df.collect() // AQE final plan exists only post-execution

@@ -87,6 +87,36 @@ final case class Graft(spark: SparkSession, dir: String) {
       availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval)
 
+  /** Curation-on-ingest: filter each micro-batch through an ordered rule
+    * cascade (and PII-redact the survivors) before it lands — the sink is
+    * the curated corpus, with a per-batch drop funnel under
+    * `<sinkDir>/_funnel`. Exactly-once under crash replay. Read totals
+    * with [[curationFunnel]]. */
+  def ingestCurated(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      rules: Seq[(String, Column)],
+      redactPii: Boolean = true,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startCuratedIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, rules,
+      redactPii = redactPii, availableNow = availableNow,
+      maxFilesPerTrigger = maxFilesPerTrigger, triggerInterval = triggerInterval)
+
+  /** Aggregate (fail_rule, n_docs) drop totals across a curated sink's
+    * committed batches — reads only the tiny funnel tables. */
+  def curationFunnel(sinkDir: String, checkpointDir: String): DataFrame =
+    Ingest.curationFunnel(spark, sinkDir, checkpointDir)
+
+  /** Materialize the deterministic training order as a sharded parquet
+    * sink (file row order = training order per shard). */
+  def writeTrainingShards(outDir: String, numShards: Int, seed: Long = 0L): Unit =
+    operators.Curation.writeTrainingShards(documents, outDir, numShards, seed)
+
   /** DB::NewIterator's collapsed read view (newest per key, tombstones hidden). */
   def collapse(df: DataFrame, spec: ChangelogSpec): DataFrame = Changelog.collapse(df, spec)
 

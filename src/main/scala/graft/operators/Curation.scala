@@ -258,6 +258,33 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Materialize [[trainingOrder]] as a sharded parquet sink: one
+    * `shard=<s>` directory per shard, rows stored IN training order (file
+    * row order = `pos` order), payload included. Training readers consume
+    * shard directories independently and sequentially — no further sort or
+    * shuffle at read time.
+    *
+    * One exchange total: documents repartition by shard (payload moves
+    * once, which materialization requires) and sort within partitions;
+    * every shard's rows land in exactly one task, so each shard directory
+    * is one file whose order is the training order (CurationSpec verifies
+    * file order == `trainingOrder` positions). */
+  def writeTrainingShards(
+      documents: DataFrame,
+      dir: String,
+      numShards: Int,
+      seed: Long = 0L,
+      idCol: String = "doc_id"): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    documents
+      .withColumn("_h", xxhash64(col(idCol), lit(seed)))
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_h"), col(idCol))
+      .drop("_h")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
   /** Rule-based quality filtering with funnel accounting (the C4/Gopher
     * filter-pipeline shape): rules evaluate IN ORDER and each document is
     * labeled with the FIRST rule it violates (`fail_rule`, or "pass"), plus

@@ -232,6 +232,74 @@ object Ingest {
       .start()
   }
 
+  /** Curation-on-ingest: each micro-batch runs the ordered quality
+    * [[graft.operators.Curation.filterChain]] (and, when `redactPii`, PII
+    * redaction of the text column) BEFORE anything lands — the sink is the
+    * curated corpus, and every dropped document is attributed to the first
+    * rule it violated in a per-batch funnel table. The streaming analogue
+    * of running filter + redact over the corpus after the fact, but
+    * paying the scan once, at write time.
+    *
+    * Exactly-once: sink batch directory, funnel directory (both
+    * per-batch-path overwrite), and the mark are all keyed by batchId — a
+    * crash-replayed batch rewrites all three identically. The funnel lives
+    * under `<sinkDir>/_funnel/` (underscore-prefixed: invisible to plain
+    * parquet reads of the sink); read it with [[curationFunnel]]. */
+  def startCuratedIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      redactPii: Boolean = true,
+      textCol: String = "text",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val chained = graft.operators.Curation
+          .filterChain(batch, rules).localCheckpoint() // one source read feeds funnel + sink
+        graft.operators.Curation.filterReport(chained)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$sinkDir/_funnel/batch_id=$batchId")
+        val keptRaw = chained.filter(col("keep") === 1L).drop("fail_rule", "keep")
+        val kept =
+          if (!redactPii) keptRaw
+          else graft.operators.Curation.redact(keptRaw, textCol)
+            .withColumn(textCol, col("redacted"))
+            .drop("redacted", "n_emails", "n_ips", "n_phones")
+        kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        Marks.write(markDir, batchId, 0L, kept.count(), hconf)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
+  /** Aggregate drop funnel across a curated sink's COMMITTED batches:
+    * (fail_rule, n_docs) totals. Reads only the tiny per-batch funnel
+    * tables, never the corpus. */
+  def curationFunnel(spark: SparkSession, sinkDir: String, checkpointDir: String): DataFrame = {
+    val committed = Marks.read(
+      s"$checkpointDir/graft-marks", spark.sparkContext.hadoopConfiguration).keys.toSeq.sorted
+    require(committed.nonEmpty, s"no committed batches under $checkpointDir")
+    spark.read
+      .option("basePath", s"$sinkDir/_funnel")
+      .parquet(committed.map(b => s"$sinkDir/_funnel/batch_id=$b"): _*)
+      .groupBy("fail_rule").agg(sum("n_docs").as("n_docs"))
+      .orderBy("fail_rule")
+  }
+
   /** Read the ingest sink showing ONLY committed batches — the reference's
     * manifest-visibility rule (files not recorded in the manifest do not
     * exist, kv/db/version_set.cpp:920-1018). A concurrent writer's

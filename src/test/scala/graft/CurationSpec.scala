@@ -196,6 +196,81 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("writeTrainingShards materializes the training order: file order = pos order") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tshard_").toString
+    Curation.writeTrainingShards(docs, tmp, numShards = 4, seed = 7L)
+    val expected = Curation.trainingOrder(docs, 4, 7L).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    var seen = 0L
+    for (s <- 0 until 4) {
+      // one file per shard, one split per file: collect order = stored order
+      val ids = spark.read.parquet(s"$tmp/shard=$s")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == expected(s), s"shard $s must be stored in training order")
+      seen += ids.size
+    }
+    assert(seen == docs.count(), "every document lands in exactly one shard")
+    graft.queries.QueryDef.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
+  test("curated ingest filters, redacts, and accounts every drop; replay is idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cing_").toString
+    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/src_stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    writeSrc("f1", Seq(
+      (1L, "short"), // too_short
+      (2L, "contact me at bob@example.com for details today"), // pass, email redacted
+      (3L, "this sentence has number 12345 in it ok"))) // has_digit
+    writeSrc("f2", Seq(
+      (4L, "a perfectly fine long document with no issues"), // pass
+      (5L, "tiny"))) // too_short
+    val rules = Seq(
+      "too_short" -> (length(col("text")) < 15),
+      "has_digit" -> col("text").rlike("[0-9]"))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startCuratedIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", rules,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+
+    def sinkRows() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def funnel() = graft.streaming.Ingest
+      .curationFunnel(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = sinkRows()
+    assert(kept.keySet == Set(2L, 4L), s"only passing docs land: $kept")
+    assert(kept(2L) == "contact me at [PII] for details today",
+      "survivors are PII-redacted on the way in")
+    assert(funnel() == Map("too_short" -> 2L, "has_digit" -> 1L, "pass" -> 2L),
+      s"every drop attributed: ${funnel()}")
+
+    // crash replay: drop the last streaming commit and re-run — sink and
+    // funnel must be rewritten identically
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkRows() == kept, "replay must not change the curated sink")
+    assert(funnel() == Map("too_short" -> 2L, "has_digit" -> 1L, "pass" -> 2L),
+      "replay must overwrite its funnel batch, not double-count")
+    graft.queries.QueryDef.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("null strata survive the prefilter via fallback") {
     import spark.implicits._
     val docs = Seq(

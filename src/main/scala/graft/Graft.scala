@@ -315,6 +315,17 @@ final case class Graft(spark: SparkSession, dir: String) {
   def appendToSimHashIndex(newDocs: DataFrame, path: String): Long =
     Dedup.appendToSimHashIndex(newDocs, path)
 
+  /** Collapse any pair-finder's output into the deduplicated corpus: one
+    * representative (min id) per transitive duplicate cluster, untouched
+    * docs kept. E.g. `g.collapseDuplicates(g.nearDuplicates())`. */
+  def collapseDuplicates(pairs: DataFrame): DataFrame =
+    Dedup.collapseDuplicates(documents, pairs)
+
+  /** Duplicate clusters (doc_id -> component representative) from a
+    * pair-finder's output — the transitive closure of pairwise findings. */
+  def duplicateComponents(pairs: DataFrame): DataFrame =
+    Dedup.connectedComponents(pairs)
+
   /** Exact shingle-Jaccard near-dup pairs within (lang, token-count)
     * blocks — the oracle-checkable exact variant of [[nearDuplicates]]. */
   def jaccardDuplicates(threshold: Double = 0.5): DataFrame =

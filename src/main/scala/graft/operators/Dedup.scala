@@ -618,4 +618,72 @@ object Dedup {
     batch.write.mode("append").parquet(s"$indexPath/docs")
     batch.count()
   }
+
+  /** Connected components over a duplicate-pair list: every node appearing
+    * in `pairs` is labeled with its component's MINIMUM id — the
+    * deterministic cluster representative. This is the closure step that
+    * turns pairwise near-dup findings (Jaccard / MinHash / SimHash /
+    * embedding pairs) into dedup GROUPS: near-duplication is not
+    * transitive, but dedup keep-one-per-cluster semantics are defined on
+    * the transitive closure.
+    *
+    * Algorithm: iterative min-label propagation. Each round, every node
+    * takes the minimum of its own label and its neighbors' labels; rounds
+    * continue until a fixpoint (no label changed) or `maxIter`. Rounds
+    * needed = graph diameter — for near-dup clusters (dense, tiny
+    * diameter) this is 2–4; a `maxIter` breach throws rather than
+    * returning silently-unconverged labels.
+    *
+    * Scale design: the input is the PAIR list (|pairs| ≪ corpus — the
+    * near-dup graph, not the corpus), every round is one equi-join plus
+    * one min-aggregation on (long, long) rows, and `localCheckpoint`
+    * truncates the growing lineage each round. The driver loop holds only
+    * per-round changed-counts, never data. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val fromNeighbors = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") < col("_old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "the pair graph has a longer chain than near-dup clusters produce; raise maxIter")
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Collapse a duplicate-pair list into a deduplicated corpus: keep every
+    * document that is its cluster's representative (minimum id) or appears
+    * in no pair. The companion to the pair-finders — `collapseDuplicates(
+    * docs, minHashLsh(docs))` is full near-dup dedup. One anti-join of the
+    * corpus against the (tiny) non-representative id set. */
+  def collapseDuplicates(
+      documents: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol, maxIter)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    documents.join(drop, Seq(idCol), "left_anti")
+  }
 }

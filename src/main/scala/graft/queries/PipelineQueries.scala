@@ -138,6 +138,44 @@ object PipelineQueries {
              |    ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.nt - b.nt) <= 5)
              |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Q27h: duplicate-cluster collapse — connected components over the q27b
+    // exact-Jaccard pairs, every clustered doc labeled with its component's
+    // min id (the deterministic representative). The oracle computes the
+    // same transitive closure with a recursive CTE.
+    QueryDef(
+      "q27h_dedup_components",
+      (s, dir) =>
+        Dedup.connectedComponents(
+          Dedup.exactJaccardPairs(Tables.documents(s, dir), shingleN = 3, threshold = 0.5, tokenSlack = 5))
+          .orderBy("doc_id"),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, lang,
+             |         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, lang, len(toks) AS nt,
+             |         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+             |              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+             |                                  for i in range(1, len(toks) - 1)]) END AS sh
+             |  FROM d),
+             |p AS (
+             |  SELECT doc_a, doc_b FROM (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |           CASE WHEN len(a.sh) + len(b.sh) = 0 THEN 0.0
+             |                ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |                     / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)))
+             |           END AS jaccard
+             |    FROM sh a JOIN sh b
+             |      ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.nt - b.nt) <= 5)
+             |  WHERE jaccard >= 0.5),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+             |SELECT src AS doc_id, least(src, min(dst)) AS component
+             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     // Q27c: MinHash-LSH near-dup pairs — the 100 TB path (banded equi-join,
     // no quadratic scan). Probabilistic recall => no SQL oracle; DedupSpec
     // asserts recall vs q27b's exact pairs.

@@ -27,6 +27,41 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 1L, true)))
   }
 
+  test("connectedComponents: chains, stars, and multi-component graphs get min-id labels") {
+    import spark.implicits._
+    // a 6-node chain (diameter 5 — several propagation rounds), a star, a
+    // lone pair; labels must be each component's minimum id
+    val pairs = Seq(
+      (12L, 11L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L), // chain, min 11
+      (20L, 25L), (20L, 24L), (20L, 23L), // star centered at 20
+      (31L, 30L)) // pair
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((11L to 16L).forall(out(_) == 11L), s"chain collapses to 11: $out")
+    assert(Seq(20L, 23L, 24L, 25L).forall(out(_) == 20L), s"star collapses to 20: $out")
+    assert(out(30L) == 30L && out(31L) == 30L)
+    assert(out.size == 12, "exactly the nodes appearing in pairs are labeled")
+    // deterministic under a different partitioning
+    val re = Dedup.connectedComponents(pairs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out)
+    // an unconvergeable budget throws instead of returning partial labels
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 2)
+    }
+  }
+
+  test("collapseDuplicates keeps one representative per cluster plus all unpaired docs") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"doc $i", "en")).toDF("doc_id", "text", "lang")
+    val pairs = Seq((2L, 5L), (5L, 9L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.collapseDuplicates(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // cluster {2,5,9} -> keep 2; cluster {3,7} -> keep 3; rest untouched
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L, 10L), s"kept: $kept")
+  }
+
   test("exact dedup wide key (sha-256) groups identically to the 64-bit default") {
     val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
     val narrow = Dedup.exact(docs).collect()

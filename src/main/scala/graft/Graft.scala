@@ -117,6 +117,11 @@ final case class Graft(spark: SparkSession, dir: String) {
   def writeTrainingShards(outDir: String, numShards: Int, seed: Long = 0L): Unit =
     operators.Curation.writeTrainingShards(documents, outDir, numShards, seed)
 
+  /** Split this directory's documents into fixed-size training sequences
+    * (sliding token windows, map-only). */
+  def chunkDocuments(chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
+    operators.Curation.chunk(documents, chunkTokens, overlapTokens)
+
   /** DB::NewIterator's collapsed read view (newest per key, tombstones hidden). */
   def collapse(df: DataFrame, spec: ChangelogSpec): DataFrame = Changelog.collapse(df, spec)
 

@@ -258,6 +258,43 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Split documents into fixed-size training sequences: sliding token
+    * windows of `chunkTokens` with `overlapTokens` carried between
+    * consecutive chunks (stride = chunk - overlap). Chunk `i` covers tokens
+    * `[i*stride, i*stride + chunkTokens)`; a chunk is emitted only if it
+    * contributes at least one NEW token, so the tail is never a subset of
+    * its predecessor, and every token of every document appears in at
+    * least one chunk. The "cut a corpus into model-context-sized windows"
+    * step of pretraining data prep.
+    *
+    * Map-only: tokenize once, explode over the chunk count — no shuffle,
+    * no UDF; at 100 TB the cost is the scan plus output volume
+    * (~`chunk/stride` x corpus). */
+  def chunk(
+      documents: DataFrame,
+      chunkTokens: Int,
+      overlapTokens: Int = 0,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    documents
+      .withColumn("_toks", TextOps.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("_n", size(col("_toks")))
+      // last chunk index: the largest i whose first NEW token (i*stride +
+      // overlap) still exists — floor((n - overlap - 1) / stride), min 0
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        floor(greatest(col("_n") - overlapTokens - 1, lit(0)).cast("double") / stride)
+          .cast("int"))))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))))
+      .select(col(idCol), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
+  }
+
   /** Materialize [[trainingOrder]] as a sharded parquet sink: one
     * `shard=<s>` directory per shard, rows stored IN training order (file
     * row order = `pos` order), payload included. Training readers consume

@@ -645,6 +645,31 @@ object PipelineQueries {
              |  CAST(CASE WHEN fail_rule = 'pass' THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // Q29l: chunking into training sequences — 40-token windows, 10-token
+    // overlap (stride 30); the oracle states the same window arithmetic
+    // over DuckDB list slices.
+    QueryDef(
+      "q29l_chunk",
+      (s, dir) =>
+        graft.operators.Curation.chunk(
+          Tables.documents(s, dir), chunkTokens = 40, overlapTokens = 10)
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("n_chunk_tokens").cast("long").as("n_chunk_tokens"), col("chunk_text"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, toks, len(toks) AS n,
+             |         (greatest(len(toks) - 10 - 1, 0) // 30) AS last_i
+             |  FROM t),
+             |c AS (SELECT doc_id, toks, n, unnest(range(0, last_i + 1)) AS i FROM g)
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |  CAST(least(40, n - i * 30) AS BIGINT) AS n_chunk_tokens,
+             |  array_to_string(toks[i * 30 + 1 : i * 30 + 40], ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
     // grouping by fingerprint. Wrapping long arithmetic is not expressible

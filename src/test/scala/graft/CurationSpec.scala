@@ -196,6 +196,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk emits sliding token windows covering every token, tail never redundant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // shorter than one chunk
+      (3L, "")) // one empty token
+      .toDF("doc_id", "text")
+    val out = Curation.chunk(docs, chunkTokens = 5, overlapTokens = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    // stride 3: [t1..t5], [t4..t8], [t7..t10]; a 4th chunk would add no new token
+    assert(out(1L -> 0) == ((5, "t1 t2 t3 t4 t5")))
+    assert(out(1L -> 1) == ((5, "t4 t5 t6 t7 t8")))
+    assert(out(1L -> 2) == ((4, "t7 t8 t9 t10")))
+    assert(!out.contains(1L -> 3), "no chunk without new tokens")
+    assert(out(2L -> 0) == ((3, "a b c")) && !out.contains(2L -> 1))
+    assert(out(3L -> 0) == ((1, "")), "empty text yields one empty chunk")
+    // zero overlap partitions the token stream exactly
+    val no = Curation.chunk(docs.filter(col("doc_id") === 1), 4, 0).collect()
+      .map(r => r.getString(3))
+    assert(no.toSeq == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+  }
+
   test("writeTrainingShards materializes the training order: file order = pos order") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_tshard_").toString

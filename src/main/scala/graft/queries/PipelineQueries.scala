@@ -670,6 +670,26 @@ object PipelineQueries {
              |  array_to_string(toks[i * 30 + 1 : i * 30 + 40], ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Q29m: sequence packing — documents in their deterministic training
+    // order, first-fit into 2000-token examples per shard. Assignment is a
+    // pure function of (id, seed, shards) but states a sequential scan
+    // (not SQL-expressible as a window) => rows-only; CurationSpec pins the
+    // exact packing.
+    QueryDef(
+      "q29m_pack_sequences",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val withTokens = docs.select(
+          col("doc_id"),
+          size(TextOps.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
+        val ordered = graft.operators.Curation.trainingOrder(docs, numShards = 8, seed = 42L)
+          .join(withTokens, "doc_id")
+        graft.operators.Curation.packSequences(
+          ordered, tokensPerExample = 2000L, shardCol = "shard", orderCols = Seq("pos"))
+          .orderBy("shard", "example_idx", "pos_in_example")
+      },
+      None),
+
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
     // grouping by fingerprint. Wrapping long arithmetic is not expressible

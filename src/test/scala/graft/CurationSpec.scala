@@ -218,6 +218,39 @@ class CurationSpec extends AnyFunSuite {
     assert(no.toSeq == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
   }
 
+  test("packSequences first-fits in order; oversized rows get their own example") {
+    import spark.implicits._
+    // one shard, explicit order: token counts 5,7,3,10,25,2 with budget 12
+    // -> [5,7], [3], wait: 3+10>12? 3+10=13>12 so [3],[10],[25],[2]? No:
+    // first-fit IN ORDER: ex0=5+7=12; ex1=3 (3+10=13>12 closes at 10's
+    // arrival); ex2=10 (10+25>12); ex3=25 alone (oversized); ex4=2.
+    val rows = Seq(
+      (1L, 0, 0L, 5L), (2L, 0, 1L, 7L), (3L, 0, 2L, 3L),
+      (4L, 0, 3L, 10L), (5L, 0, 4L, 25L), (6L, 0, 5L, 2L),
+      // a second shard packs independently
+      (7L, 1, 0L, 6L), (8L, 1, 1L, 6L))
+      .toDF("doc_id", "shard", "pos", "n_tokens")
+    val out = Curation.packSequences(rows, 12L, "shard", Seq("pos")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((0, 0L, 0L)) && out(2L) == ((0, 0L, 1L)), s"ex0 = 5+7: $out")
+    assert(out(3L) == ((0, 1L, 0L)), "3 opens ex1")
+    assert(out(4L) == ((0, 2L, 0L)), "10 cannot join ex1 (13 > 12)")
+    assert(out(5L) == ((0, 3L, 0L)), "oversized 25 packs alone")
+    assert(out(6L) == ((0, 4L, 0L)), "after an oversized example a new one opens")
+    assert(out(7L) == ((1, 0L, 0L)) && out(8L) == ((1, 0L, 1L)), "shard 1 independent")
+    // every example respects the budget unless it is a single oversized row
+    val byExample = Curation.packSequences(rows, 12L, "shard", Seq("pos")).collect()
+      .groupBy(r => (r.getInt(1), r.getLong(2)))
+    byExample.foreach { case (k, g) =>
+      val tot = g.map(_.getLong(4)).sum
+      assert(tot <= 12L || g.length == 1, s"example $k overflows with ${g.length} rows")
+    }
+    // deterministic under a different input partitioning
+    val re = Curation.packSequences(rows.repartition(5), 12L, "shard", Seq("pos"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(re == out)
+  }
+
   test("writeTrainingShards materializes the training order: file order = pos order") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_tshard_").toString

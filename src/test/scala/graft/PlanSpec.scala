@@ -203,6 +203,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text"), "no document text may ride the shard exchange")
   }
 
+  test("q29l: chunking is a map-only explode (no exchange beyond presentation sort)") {
+    val p = plan("q29l_chunk")
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n <= 1, s"map-only operator: expected <=1 (presentation sort) exchange, got $n")
+    assert(p.contains("Generate explode"), "chunking must be an explode, not a join")
+  }
+
+  test("q29m: packing shuffles by shard with slim keys (text stays map-side)") {
+    val p = plan("q29m_pack_sequences")
+    val hashEx = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    hashEx.foreach(keys => assert(!keys.contains("text"), s"no text on exchanges: $keys"))
+    assert(hashEx.exists(_.contains("_shard")), "pack repartitions by shard")
+    // the pack scan itself consumes only (shard, order, id, n_tokens)
+    assert(p.contains("MapPartitions"), "packing is the per-partition sequential scan")
+    assert("DeserializeToObject[^\\n]*".r.findFirstIn(p).forall(!_.contains("text")),
+      "the mapPartitions input must be the slim projection")
+  }
+
   test("q12: map-side partial aggregation + shipdate pushdown; codegen in final plan") {
     val df = Registry.byName("q12_agg_hash").fn(spark, dir)
     df.collect() // AQE final plan exists only post-execution

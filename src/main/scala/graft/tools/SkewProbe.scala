@@ -33,9 +33,11 @@ object SkewProbe {
     for (name <- names) {
       val d = Registry.all.find(_.name == name)
         .getOrElse(sys.error(s"unknown query $name"))
-      val df: DataFrame = d.fn(spark, dir)
+      // time the query FUNCTION too: operators with eager phases (index
+      // builds, iterative fixpoints) do most of their work inside fn
       val t0 = System.nanoTime()
       try {
+        val df: DataFrame = d.fn(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
         val plan = df.queryExecution.executedPlan.toString

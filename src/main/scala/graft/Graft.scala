@@ -437,6 +437,11 @@ final case class Graft(spark: SparkSession, dir: String) {
   def trainingOrder(numShards: Int, seed: Long = 0L): DataFrame =
     operators.Curation.trainingOrder(documents, numShards, seed)
 
+  /** Top-k token frequency table over this directory's documents (the
+    * tokenizer-training seed; one partial-agg count + TakeOrdered). */
+  def vocabulary(k: Int = 100): DataFrame =
+    operators.Curation.vocabulary(documents, k)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 }

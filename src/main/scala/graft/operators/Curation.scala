@@ -295,6 +295,32 @@ object Curation {
       .select(col(idCol), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with counts and
+    * corpus share — the frequency table that seeds tokenizer training and
+    * stopword/anomaly review. Ties break by token (deterministic).
+    *
+    * Scale design: explode + count is ONE aggregation with map-side
+    * partial combine — the shuffle carries (token, partial-count) pairs,
+    * collapsed per partition to the partition's VOCABULARY (≪ its token
+    * stream); the top-k is a TakeOrdered over the aggregated counts, never
+    * a full sort of the corpus. */
+  def vocabulary(
+      documents: DataFrame,
+      k: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val total = documents
+      .select(size(TextOps.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    documents
+      .select(explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("share", round(col("n_occurrences").cast("double") / lit(total.toDouble), 6))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+  }
+
   /** Sequence packing: group consecutive rows (in a caller-defined order,
     * within a caller-defined shard) into training examples of at most
     * `tokensPerExample` tokens — first-fit-in-order, the standard

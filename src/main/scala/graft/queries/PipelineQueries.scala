@@ -690,6 +690,22 @@ object PipelineQueries {
       },
       None),
 
+    // Q29n: corpus vocabulary — top-50 token frequencies with corpus
+    // share, ties broken by token. One partial-agg count + TakeOrdered.
+    QueryDef(
+      "q29n_vocabulary",
+      (s, dir) =>
+        graft.operators.Curation.vocabulary(Tables.documents(s, dir), k = 50)
+          .orderBy(col("n_occurrences").desc, col("token")),
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ')) AS token
+             |  FROM documents),
+             |c AS (SELECT token, count(*) AS n_occurrences FROM t GROUP BY token),
+             |s AS (SELECT CAST(sum(n_occurrences) AS DOUBLE) AS total FROM c)
+             |SELECT token, n_occurrences,
+             |  round(CAST(n_occurrences AS DOUBLE) / total, 6) AS share
+             |FROM c, s ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin)),
+
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
     // grouping by fingerprint. Wrapping long arithmetic is not expressible

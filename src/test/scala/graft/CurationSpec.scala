@@ -218,6 +218,16 @@ class CurationSpec extends AnyFunSuite {
     assert(no.toSeq == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
   }
 
+  test("vocabulary counts token frequencies with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b d")).toDF("doc_id", "text")
+    val out = Curation.vocabulary(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // counts: a=3, b=3, c=2, d=1; total 9; ties (a,b) break by token
+    assert(out.toSeq == Seq(("a", 3L, 0.333333), ("b", 3L, 0.333333), ("c", 2L, 0.222222)),
+      s"got: ${out.toSeq}")
+  }
+
   test("packSequences first-fits in order; oversized rows get their own example") {
     import spark.implicits._
     // one shard, explicit order: token counts 5,7,3,10,25,2 with budget 12

@@ -20,18 +20,23 @@ object Bench {
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); return -1.0 }
-      val t = (System.nanoTime() - t0) / 1e9
-      // free this run's localCheckpoint blocks (results are already fully
-      // materialized by the noop save): across ~70 queries x reps they
-      // otherwise pile up in the block manager until GC happens to run,
-      // and a query timed under that storage pressure reads 10-30x slow —
-      // a harness artifact, not an operator cost (seen on q27g in the
-      // first full-table run: 33 s in-session vs 0.98 s isolated)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.sharedState.cacheManager.clearCache()
-      t
+      // free this run's localCheckpoint blocks afterwards — ON BOTH PATHS
+      // (results are already fully materialized by the noop save): across
+      // ~70 queries x reps they otherwise pile up in the block manager
+      // until GC happens to run, and a query timed under that storage
+      // pressure reads 10-30x slow — a harness artifact, not an operator
+      // cost (seen on q27g in the first full-table run: 33 s in-session
+      // vs 0.98 s isolated). A FAILED query's eager state must not poison
+      // later timings either, hence the finally.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); -1.0
+      } finally {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
 
     // --full (or SPARK_GRAFT_BENCH_ALL=1) -> every registered query, so the

@@ -125,18 +125,8 @@ final case class Graft(spark: SparkSession, dir: String) {
   /** Pack this directory's documents, in their deterministic training
     * order, into examples of at most `tokensPerExample` tokens (first-fit
     * in order; an oversized doc occupies one example alone). */
-  def packDocuments(tokensPerExample: Long, numShards: Int, seed: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, lit, size => fsize}
-    val withTokens = documents.select(
-      org.apache.spark.sql.functions.col("doc_id"),
-      fsize(graft.functions.TextOps.tokens(coalesce(
-        org.apache.spark.sql.functions.col("text"), lit(""))))
-        .cast("long").as("n_tokens"))
-    val ordered = operators.Curation.trainingOrder(documents, numShards, seed)
-      .join(withTokens, "doc_id")
-    operators.Curation.packSequences(
-      ordered, tokensPerExample, shardCol = "shard", orderCols = Seq("pos"))
-  }
+  def packDocuments(tokensPerExample: Long, numShards: Int, seed: Long = 0L): DataFrame =
+    operators.Curation.packDocuments(documents, tokensPerExample, numShards, seed)
 
   /** DB::NewIterator's collapsed read view (newest per key, tombstones hidden). */
   def collapse(df: DataFrame, spec: ChangelogSpec): DataFrame = Changelog.collapse(df, spec)

@@ -213,7 +213,8 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxDup2gramFrac: Double = 0.5): DataFrame = {
-    val th = TextOps.tokenHashes(col(textCol))
+    // null text tokenizes as empty (size(null) would be -1 with ANSI off)
+    val th = TextOps.tokenHashes(coalesce(col(textCol), lit("")))
     def dupFrac(distinctN: Column, total: Column): Column =
       when(total <= 0, lit(0.0))
         .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 6))
@@ -309,16 +310,56 @@ object Curation {
       k: Int = 100,
       textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
-    val total = documents
-      .select(size(TextOps.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n"))
-      .agg(sum(col("n"))).head().getLong(0)
-    documents
+    // ONE tokenize pass: the total derives from the already-aggregated
+    // counts (vocab-sized) via a broadcast 1-row cross join — the whole
+    // plan stays lazy, and an empty corpus yields an empty result
+    val counts = documents
       .select(explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"))
-      .withColumn("share", round(col("n_occurrences").cast("double") / lit(total.toDouble), 6))
+    val total = counts.agg(sum(col("n_occurrences")).cast("double").as("_total"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("n_occurrences").cast("double") / col("_total"), 6))
+      .drop("_total")
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+  }
+
+  /** The default document-quality rule set (too-short / too-repetitive /
+    * word-length), shared by the q29k query, the curated-ingest probe, and
+    * available to callers as a starting cascade. Thresholds are tuned to
+    * the synthetic corpus distribution — production corpora should tune
+    * their own. */
+  def defaultQualityRules(textCol: String = "text"): Seq[(String, Column)] = {
+    val th = TextOps.tokenHashes(coalesce(col(textCol), lit("")))
+    val nTokens = size(th)
+    val dup2 = when(nTokens - 1 <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(TextOps.ngramHashes(th, 2)).cast("double") / (nTokens - 1).cast("double"), 6))
+    val meanLen = length(coalesce(col(textCol), lit(""))).cast("double") / nTokens.cast("double")
+    Seq(
+      "too_short" -> (nTokens < 20),
+      "too_repetitive" -> (dup2 > 0.05),
+      "word_length" -> (meanLen < 5.2 || meanLen > 10.0))
+  }
+
+  /** [[packSequences]] over a document table: token counts + the
+    * deterministic [[trainingOrder]], joined and packed — the composition
+    * the facade and the q29m query both ship. */
+  def packDocuments(
+      documents: DataFrame,
+      tokensPerExample: Long,
+      numShards: Int,
+      seed: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withTokens = documents.select(
+      col(idCol),
+      size(TextOps.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+    val ordered = trainingOrder(documents, numShards, seed, idCol)
+      .join(withTokens, idCol)
+    packSequences(ordered, tokensPerExample, shardCol = "shard", orderCols = Seq("pos"), idCol = idCol)
   }
 
   /** Sequence packing: group consecutive rows (in a caller-defined order,
@@ -425,6 +466,8 @@ object Curation {
       rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    require(!rules.exists(_._1 == "pass"),
+      "\"pass\" is the reserved no-violation label — a rule named \"pass\" would make its violators count as keepers")
     val cascade = rules.foldRight(lit("pass")) { case ((name, violated), rest) =>
       when(violated, lit(name)).otherwise(rest)
     }

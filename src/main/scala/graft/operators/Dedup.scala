@@ -675,9 +675,13 @@ object Dedup {
       val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = prevSum.exists(_.compareTo(s) == 0)
       prevSum = Some(s)
+      // next is materialized (checkpointed) — the superseded round's table
+      // can be freed now, keeping peak storage at 2x|V| instead of rounds x|V|
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
+    sym.unpersist(blocking = false)
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "the pair graph has a longer chain than near-dup clusters produce; raise maxIter")

@@ -561,7 +561,7 @@ object PipelineQueries {
         graft.operators.Curation.repetitionStats(Tables.documents(s, dir))
           .orderBy("doc_id"),
       Some("""WITH t AS (
-             |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+             |  SELECT doc_id, string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
              |  FROM documents),
              |g AS (
              |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -603,24 +603,14 @@ object PipelineQueries {
     // same cascade.
     QueryDef(
       "q29k_filter_chain",
-      (s, dir) => {
-        val th = TextOps.tokenHashes(coalesce(col("text"), lit("")))
-        val nTokens = size(th)
-        val dup2 = when(nTokens - 1 <= 0, lit(0.0)).otherwise(
-          round(lit(1.0) -
-            size(TextOps.ngramHashes(th, 2)).cast("double") / (nTokens - 1).cast("double"), 6))
-        val meanLen = length(coalesce(col("text"), lit(""))).cast("double") / nTokens.cast("double")
+      (s, dir) =>
+        // the shared default cascade: thresholds exercise every rule (and
+        // first-wins ordering) on the synthetic corpus distribution
         graft.operators.Curation.filterChain(
           Tables.documents(s, dir),
-          // thresholds chosen to exercise every rule (and the cascade's
-          // first-wins ordering) on the synthetic corpus distribution
-          Seq(
-            "too_short" -> (nTokens < 20),
-            "too_repetitive" -> (dup2 > 0.05),
-            "word_length" -> (meanLen < 5.2 || meanLen > 10.0)))
+          graft.operators.Curation.defaultQualityRules())
           .select(col("doc_id"), col("fail_rule"), col("keep"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some("""WITH t AS (
              |  SELECT doc_id, coalesce(text, '') AS tx,
              |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
@@ -677,17 +667,10 @@ object PipelineQueries {
     // exact packing.
     QueryDef(
       "q29m_pack_sequences",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val withTokens = docs.select(
-          col("doc_id"),
-          size(TextOps.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
-        val ordered = graft.operators.Curation.trainingOrder(docs, numShards = 8, seed = 42L)
-          .join(withTokens, "doc_id")
-        graft.operators.Curation.packSequences(
-          ordered, tokensPerExample = 2000L, shardCol = "shard", orderCols = Seq("pos"))
-          .orderBy("shard", "example_idx", "pos_in_example")
-      },
+      (s, dir) =>
+        graft.operators.Curation.packDocuments(
+          Tables.documents(s, dir), tokensPerExample = 2000L, numShards = 8, seed = 42L)
+          .orderBy("shard", "example_idx", "pos_in_example"),
       None),
 
     // Q29n: corpus vocabulary — top-50 token frequencies with corpus

@@ -226,6 +226,9 @@ object Ingest {
         graft.operators.Dedup.writeExactIndexSegment(
           b, indexPath, s"seg_batch_$batchId", idCol, textCol)
         Marks.write(markDir, batchId, 0L, kept.count(), hconf)
+        // free this batch's checkpoint blocks (see startCuratedIngest)
+        kept.unpersist(blocking = false)
+        b.unpersist(blocking = false)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
@@ -280,6 +283,9 @@ object Ingest {
             .drop("redacted", "n_emails", "n_ips", "n_phones")
         kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
         Marks.write(markDir, batchId, 0L, kept.count(), hconf)
+        // free this batch's checkpoint blocks: a continuous-trigger ingest
+        // would otherwise accumulate block-manager storage batch after batch
+        chained.unpersist(blocking = false)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))

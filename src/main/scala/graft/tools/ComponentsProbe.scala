@@ -19,10 +19,12 @@ object ComponentsProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-cc-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    // edges (i, i+1) except across chain boundaries
+    // edges (i, i+1) except across chain boundaries; the range is sized so
+    // ~nEdges survive the boundary filter (no limit: a row-limit would both
+    // overflow Int for large runs and could split a chain, breaking the
+    // closed-form label check)
     val pairs = spark.range(nEdges * chainLen / (chainLen - 1))
       .filter(pmod(col("id"), lit(chainLen)) =!= (chainLen - 1))
-      .limit(nEdges.toInt)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
       .localCheckpoint()
     val n = pairs.count()

@@ -1,9 +1,7 @@
 package graft.tools
 
 import graft.core.GraftSession
-import graft.functions.TextOps
 import graft.queries.QueryDef
-import org.apache.spark.sql.functions._
 
 /** Dev-only probe: the curated-ingest write path at scale — stream an
   * upscaled documents table through `Ingest.startCuratedIngest` (the q29k
@@ -28,16 +26,8 @@ object CuratedIngestProbe {
     val schema = spark.read.parquet(src).schema
     val nIn = spark.read.parquet(src).count()
 
-    val th = TextOps.tokenHashes(coalesce(col("text"), lit("")))
-    val nTokens = size(th)
-    val dup2 = when(nTokens - 1 <= 0, lit(0.0)).otherwise(
-      round(lit(1.0) -
-        size(TextOps.ngramHashes(th, 2)).cast("double") / (nTokens - 1).cast("double"), 6))
-    val meanLen = length(coalesce(col("text"), lit(""))).cast("double") / nTokens.cast("double")
-    val rules = Seq(
-      "too_short" -> (nTokens < 20),
-      "too_repetitive" -> (dup2 > 0.05),
-      "word_length" -> (meanLen < 5.2 || meanLen > 10.0))
+    // the same cascade q29k ships — shared definition, cannot desynchronize
+    val rules = graft.operators.Curation.defaultQualityRules()
 
     val t0 = System.nanoTime()
     graft.streaming.Ingest.startCuratedIngest(

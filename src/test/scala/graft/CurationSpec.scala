@@ -190,9 +190,12 @@ class CurationSpec extends AnyFunSuite {
     val report = Curation.filterReport(Curation.filterChain(docs, rules))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(report == Map("too_short" -> 2L, "too_repetitive" -> 1L, "pass" -> 1L))
-    // duplicate rule names are a caller error
+    // duplicate rule names and the reserved "pass" label are caller errors
     intercept[IllegalArgumentException] {
       Curation.filterChain(docs, Seq("r" -> lit(true), "r" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterChain(docs, Seq("pass" -> lit(true)))
     }
   }
 

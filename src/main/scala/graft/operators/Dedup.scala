@@ -631,9 +631,9 @@ object Dedup {
     * every node takes the minimum of its own label, its neighbors' labels,
     * and its LABEL'S label (the shortcut step — label chains halve every
     * round, so rounds needed are O(log diameter), not diameter; measured
-    * on a 5M-edge diameter-7 chain graph: 288 s vs 745 s for plain
-    * propagation, ComponentsProbe). Convergence is detected by the label
-    * SUM going
+    * on a 5M-edge diameter-7 chain graph: 745 s plain propagation → 288 s
+    * with jumping → 115 s with per-round unpersist, ComponentsProbe).
+    * Convergence is detected by the label SUM going
     * stable: labels only ever decrease, so an unchanged exact (decimal)
     * sum means a fixpoint — one aggregate per round, no compare-join. A
     * `maxIter` breach throws rather than returning unconverged labels.

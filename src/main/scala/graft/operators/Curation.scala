@@ -179,17 +179,23 @@ object Curation {
       n: Int = 4,
       minOverlap: Long = 1L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      broadcastBenchmark: Boolean = true): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val ngrams = TextOps.ngramHashes(TextOps.tokenHashes(col(textCol)), n)
-    val bm = benchmark
+    val bm0 = benchmark
       .select(explode(ngrams).as("_ng"))
       .distinct()
       .withColumn("_hit", lit(1L))
+    // eval suites are tiny next to a training corpus — broadcast by
+    // default; `broadcastBenchmark = false` is the escape hatch when the
+    // "benchmark" side is itself corpus-sized (falls back to a shuffled
+    // join on the 8-byte hash keys)
+    val bm = if (broadcastBenchmark) broadcast(bm0) else bm0
     corpus
       // explode_outer keeps n-gram-less (short) docs in the output with 0s
       .select(col(idCol), explode_outer(ngrams).as("_ng"))
-      .join(broadcast(bm), Seq("_ng"), "left")
+      .join(bm, Seq("_ng"), "left")
       .groupBy(col(idCol))
       .agg(
         count(col("_ng")).as("n_ngrams"),

@@ -152,7 +152,13 @@ object AsOf {
       tieBreak.map(c => col("_asof_r").getField(c).asc)
     val w = Window.partitionBy(kN.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lU.unionByName(rU)
+    // [[join]]'s equi-join condition is null-rejecting: a null-key right
+    // row can match nothing, so drop it before the union — null-key lefts
+    // then carry no right row (miss under "left", dropped under "inner"),
+    // identical winners to [[join]] instead of a null-equals-null partition.
+    // Also keeps the corpus's null-key mass out of one skewed hash partition.
+    val nullKey = kN.map(col(_).isNull).reduceLeft(_ || _)
+    val carried = lU.unionByName(rU.filter(!nullKey))
       .withColumn("_asof_rc", last(col("_asof_r"), ignoreNulls = true).over(w))
       .filter(col("_asof_side") === 1)
     val matched =

@@ -52,11 +52,14 @@ object Curation {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val spark = documents.sparkSession
     // tokens + score computed ONCE; everything downstream moves only
-    // (id, stratum, n_tokens, score) — the text never rides a shuffle
+    // (id, stratum, n_tokens, score) — the text never rides a shuffle.
+    // NULL text coalesces to "" like every sibling operator: size(null)
+    // would be -1 with ANSI off, and a -1 in the running window sum lets
+    // cum_tokens dip back under budget and re-admit rows past the boundary
     val base = documents
       .select(
         col(idCol), col(strataCol),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        size(TextOps.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"),
         score.as("_score"))
       .localCheckpoint()
     val survivors =

@@ -156,18 +156,31 @@ object Dedup {
       indexPath: String,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = newDocs.sparkSession
-    val wide = indexIsWide(spark, indexPath)
-    val batch = newDocs
-      .withColumn("_k", groupKey(textCol, wide))
+    val batch = keyedBatch(newDocs, indexPath, idCol, textCol).localCheckpoint()
+    exactIncrementalKeyed(batch, indexPath, idCol)
+  }
+
+  /** The batch's slim (id, _k) projection, keyed to match `indexPath`'s key
+    * width — NOT materialized. A looping caller (the dedup-ingest
+    * foreachBatch) checkpoints this itself and unpersists it once the
+    * micro-batch lands, so no storage outlives the batch; the one-shot
+    * [[exactIncremental]] wrapper checkpoints it for the result's lifetime. */
+  private[graft] def keyedBatch(
+      newDocs: DataFrame, indexPath: String, idCol: String, textCol: String): DataFrame =
+    newDocs
+      .withColumn("_k", groupKey(textCol, indexIsWide(newDocs.sparkSession, indexPath)))
       .select(col(idCol), col("_k"))
-      .localCheckpoint()
+
+  /** Classification plan over an already-keyed (id, _k) batch — fully lazy:
+    * adds no caching of its own, so the caller controls block lifetime. */
+  private[graft] def exactIncrementalKeyed(
+      batch: DataFrame, indexPath: String, idCol: String): DataFrame = {
     val batchGroups = batch
       .groupBy(col("_k"))
       .agg(min(col(idCol)).as("b_keep"), count(lit(1)).as("b_n"))
     val merged = batchGroups
       .join(
-        readExactIndex(spark, indexPath)
+        readExactIndex(batch.sparkSession, indexPath)
           .withColumnRenamed("keep_id", "c_keep").withColumnRenamed("group_size", "c_n"),
         Seq("_k"), "left")
       .select(
@@ -196,7 +209,9 @@ object Dedup {
     seg.write.mode("append")
       .option("parquet.bloom.filter.enabled#_k", "true")
       .parquet(s"$indexPath/keys")
-    seg.count()
+    val n = seg.count()
+    seg.unpersist(blocking = false) // free the blocks: append loops call this per batch
+    n
   }
 
   /** Fold all appended segments back into one — the index's compaction.
@@ -394,7 +409,14 @@ object Dedup {
         least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // Trailing dedup mirrors simHashIncremental: a crash-replayed
+    // appendToMinHashIndex can leave a batch doc in BOTH the stored index
+    // and `batch`, and the duplicated (doc, sig/sh) rows would multiply
+    // each verified pair through verifyCandidates' joins. The duplicate
+    // rows are byte-identical (the hash family is deterministic), so
+    // key-level dropDuplicates restores exact pair semantics.
     verifyCandidates(candidates, allSigs, all.select("doc", "sh"), numHashes, threshold)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Sign a batch and append its rows to the index (no retrain, no
@@ -410,7 +432,9 @@ object Dedup {
     val batch = signatureRows(newDocs, meta.getInt(0), meta.getInt(1), idCol, textCol)
       .localCheckpoint()
     batch.write.mode("append").parquet(s"$indexPath/docs")
-    batch.count()
+    val n = batch.count()
+    batch.unpersist(blocking = false) // free the blocks: append loops call this per batch
+    n
   }
 
   /** Exact pairwise shingle-Jaccard near-dup within blocking keys — the
@@ -616,7 +640,9 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val batch = simHashRows(newDocs, idCol, textCol).localCheckpoint()
     batch.write.mode("append").parquet(s"$indexPath/docs")
-    batch.count()
+    val n = batch.count()
+    batch.unpersist(blocking = false) // free the blocks: append loops call this per batch
+    n
   }
 
   /** Connected components over a duplicate-pair list: every node appearing

@@ -138,13 +138,18 @@ object Ivf {
       vecCol: String = "embedding"): Long = {
     val spark = newVectors.sparkSession
     val model = readModel(spark, path)
-    val before = spark.read.parquet(s"$path/lists").count()
-    newVectors.select(
+    // count the BATCH, not (after - before) over the whole lists dir: the
+    // difference form lists every existing file's footer twice per append
+    // and mis-attributes rows under a concurrent appender
+    val batch = newVectors.select(
       col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorOps.normSq(col(vecCol)).as("n_nsq"),
       nearestCentroid(col(vecCol), model).as("bucket"))
-      .write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
-    spark.read.parquet(s"$path/lists").count() - before
+      .localCheckpoint()
+    batch.write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
+    val n = batch.count()
+    batch.unpersist(blocking = false) // free the blocks: append loops call this per batch
+    n
   }
 
   /** Inverted-list health of a persisted index: row totals, growth since

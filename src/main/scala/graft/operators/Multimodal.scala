@@ -119,17 +119,20 @@ object Multimodal {
 
     /** WAV: RIFF chunk walk; `fmt ` carries the byte rate, `data` carries the
       * sample payload size; duration = dataSize / byteRate. Chunks are padded
-      * to even offsets per the RIFF spec. */
+      * to even offsets per the RIFF spec. Sizes are unsigned LE32 and the
+      * step is computed in Long: a crafted size near 0xFFFFFFFF must clamp
+      * to end-of-buffer, not wrap `pos` into a zero-step spin. */
     private def parseWav(b: Array[Byte]): Meta = {
-      var pos = 12
+      var pos = 12L
       var byteRate = 0
       var dataSize = 0L
       while (pos + 8 <= b.length) {
-        val id = be32(b, pos)
-        val size = le32(b, pos + 4)
-        if (id == 0x666d7420 && pos + 20 <= b.length) byteRate = le32(b, pos + 16) // "fmt "
+        val p = pos.toInt
+        val id = be32(b, p)
+        val size = le32(b, p + 4)
+        if (id == 0x666d7420 && pos + 20 <= b.length) byteRate = le32(b, p + 16) // "fmt "
         else if (id == 0x64617461) dataSize = size.toLong & 0xffffffffL // "data"
-        pos += 8 + size + (size & 1)
+        pos += 8L + (size.toLong & 0xffffffffL) + (size & 1)
       }
       val durMs = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
       Meta("wav", 0, 0, 0, durMs)
@@ -263,9 +266,11 @@ object Multimodal {
   /** Attach a binary payload column to `documents`: real synthesized
     * container bytes (see [[MediaGen]]) — the testdata has no media files,
     * but the payloads are valid PNG/JPEG/GIF/WAV that the downstream parser
-    * reads for real. */
+    * reads for real. NULL text is coalesced to "" (the corpus-wide
+    * convention, see [[graft.operators.Curation]]) so every row carries a
+    * parseable payload and the non-null-safe UDF never sees a null. */
   def withBinaryPayload(documents: DataFrame): DataFrame =
-    documents.withColumn("payload", synthesizeUdf(col("text")))
+    documents.withColumn("payload", synthesizeUdf(coalesce(col("text"), lit(""))))
 
   /** Parse + feature-extract the payload column, partition-parallel; payload
     * bytes never reach the driver. */

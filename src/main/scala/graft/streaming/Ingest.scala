@@ -217,8 +217,14 @@ object Ingest {
         val ss = batch.sparkSession
         val hconf = ss.sparkContext.hadoopConfiguration
         val b = batch.localCheckpoint() // one source read feeds classify + keep-join
+        // the keyed projection is checkpointed HERE, not inside the
+        // operator, so this loop can release it per micro-batch — the
+        // one-shot exactIncremental wrapper would pin one orphaned block
+        // set per batch, growing storage without bound over a long ingest
+        val keyed = graft.operators.Dedup
+          .keyedBatch(b, indexPath, idCol, textCol).localCheckpoint()
         val keptIds = graft.operators.Dedup
-          .exactIncremental(b, indexPath, idCol, textCol)
+          .exactIncrementalKeyed(keyed, indexPath, idCol)
           .filter(col("is_kept"))
           .select(idCol)
         val kept = b.join(keptIds, Seq(idCol)).localCheckpoint()
@@ -228,6 +234,7 @@ object Ingest {
         Marks.write(markDir, batchId, 0L, kept.count(), hconf)
         // free this batch's checkpoint blocks (see startCuratedIngest)
         kept.unpersist(blocking = false)
+        keyed.unpersist(blocking = false)
         b.unpersist(blocking = false)
         ()
       }

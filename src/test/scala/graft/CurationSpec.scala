@@ -34,6 +34,22 @@ class CurationSpec extends AnyFunSuite {
       s"unexpected fill: $out")
   }
 
+  test("NULL text never counts -1 tokens; the fill stays a prefix of the sort order") {
+    import spark.implicits._
+    // size(tokens(null)) is -1 with ANSI off — uncoalesced, a high-scoring
+    // null doc would DECREASE cum_tokens and re-admit rows past the boundary.
+    // Coalesced to "", it counts as 1 token (split("", " ") = [""] — the
+    // same convention the sibling operators inherit).
+    val docs = Seq(
+      (1L, Option(toks(20)), "a", 0.9),
+      (2L, Option.empty[String], "a", 0.8), // null text: 1 token, cum 21
+      (3L, Option(toks(10)), "a", 0.7)) // cum 31 > 25: excluded
+      .toDF("doc_id", "text", "lang", "q")
+    val out = Curation.tokenBudget(docs, budgetTokens = 25L, score = col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 20L, 20L), (2L, 1L, 21L)), s"unexpected fill: $out")
+  }
+
   test("a top-ranked document larger than the whole budget is excluded (cum > budget)") {
     import spark.implicits._
     val docs = Seq(

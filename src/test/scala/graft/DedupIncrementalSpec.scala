@@ -134,6 +134,25 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(pairSet(Dedup.minHashIncremental(gen2, tmp, threshold = 0.5)) == full)
   }
 
+  test("minHashIncremental after a replayed append emits each pair exactly once") {
+    // crash-replay shape: appendToMinHashIndex(batch) committed, the job
+    // died, and the retry re-classifies the same batch — each batch doc now
+    // has signature rows in BOTH the index and the in-flight batch, which
+    // must not multiply the verified pairs
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val batch = corpus.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mhxrp_").toString
+    Dedup.writeMinHashIndex(corpus, tmp, shingleN = 3, numHashes = 64, bands = 16)
+    val before = pairSet(Dedup.minHashIncremental(batch, tmp, threshold = 0.5))
+    Dedup.appendToMinHashIndex(batch, tmp)
+    val replayed = Dedup.minHashIncremental(batch, tmp, threshold = 0.5)
+    assert(replayed.groupBy("doc_a", "doc_b").count().filter(col("count") > 1).count() == 0,
+      "duplicated signature rows must not duplicate pair rows")
+    assert(pairSet(replayed) == before,
+      "replayed classification must equal the pre-append result")
+  }
+
   test("simHashIncremental == simHashPairs over the union, pairs touching the batch") {
     val corpus = Tables.documents(spark, TestSpark.Sf0001)
     val batch = corpus.filter(col("doc_id") % 4 === 0)

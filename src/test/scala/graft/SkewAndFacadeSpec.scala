@@ -177,6 +177,22 @@ class SkewAndFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("joinSorted is null-rejecting on keys, like the equi-join form") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    val left = Seq((1L, Option(10L), 5L), (2L, Option.empty[Long], 6L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, Option(10L), 1L), (200L, Option.empty[Long], 2L))
+      .toDF("rid", "k", "t")
+    val m = AsOf.joinSorted(left, right, Seq("k" -> "k"), "t", "t", tieBreak = Seq("rid"))
+      .select("id", "r_rid").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(m(1L) == 100L)
+    assert(m(2L) == null,
+      "a null-key left row must be a miss, not paired with a null-key right")
+    assert(AsOf.joinSorted(left, right, Seq("k" -> "k"), "t", "t",
+      tieBreak = Seq("rid"), joinType = "inner").count() == 1)
+  }
+
   test("facade: properties surface the last compaction's job metrics") {
     val g = Graft(spark, TestSpark.Sf0001)
     assert(!g.properties.contains("graft.compaction.rows.written"))

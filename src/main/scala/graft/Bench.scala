@@ -42,7 +42,7 @@ object Bench {
     // --full (or SPARK_GRAFT_BENCH_ALL=1) -> every registered query, so the
     // complete per-query median table is regenerated mechanically each round
     // and regressions OUTSIDE the headline set are caught by diffing.
-    // SPARK_GRAFT_REPS=n -> median of n timed reps (default 1).
+    // SPARK_GRAFT_REPS=n -> trimmed median of n timed reps (defaults below).
     // SPARK_GRAFT_ONLY=q1,q2 -> bench just those queries (dev iteration).
     val full = args.contains("--full") || sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val defs = sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -51,20 +51,58 @@ object Bench {
         Registry.all.filter(d => keep(d.name))
       case None => if (full) Registry.all else Registry.headline
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // The shared host's IO load swings recorded totals by ~30% at 1 rep
+    // (BASELINE.md round-5 IO-variance note), so the gate artifact defaults
+    // to several reps with a TRIMMED median (drop min + max, median of the
+    // rest): robust to one slow outlier rep AND one anomalously-cached fast
+    // one. Headline (12 queries) affords 5 reps; --full (70) uses 3.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", if (full) "3" else "5").toInt
+
+    def loadAvg: Double = {
+      val l = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+    // Disk-read calibration constant: stream the sf dir's largest parquet
+    // file through the OS (no Spark), reporting MB/s. A round-over-round
+    // headline diff can then be normalized for ambient IO contention — the
+    // same code on a quiet vs loaded host reads very different wall-clocks.
+    def calibMbPerS: Double = {
+      val dir = new java.io.File(sfDir)
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (files.isEmpty) return -1.0
+      val f = files.maxBy(_.length)
+      val buf = new Array[Byte](1 << 20)
+      val t0 = System.nanoTime()
+      val in = new java.io.FileInputStream(f)
+      try { while (in.read(buf) > 0) () } finally { in.close() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      math.round(f.length / 1e6 / sec * 10) / 10.0
+    }
+
+    val loadStart = loadAvg
+    val calib = calibMbPerS
     // one untimed warmup pass (JIT + codegen + parquet footer caches)
     val warmup = sys.env.get("SPARK_GRAFT_NO_WARMUP").isEmpty
     if (warmup) defs.foreach(d => run(d.fn))
     val results = defs.map { d =>
       val times = (1 to reps).map(_ => run(d.fn)).filter(_ >= 0).sorted
-      val med = if (times.isEmpty) -1.0 else times(times.size / 2)
-      System.err.println(f"[bench] ${d.name}%-28s $med%8.3f s")
-      d.name -> med
+      val trimmed = if (times.size >= 4) times.drop(1).dropRight(1) else times
+      val med = if (trimmed.isEmpty) -1.0 else trimmed(trimmed.size / 2)
+      val spread = if (times.size >= 2) times.last - times.head else 0.0
+      System.err.println(f"[bench] ${d.name}%-28s $med%8.3f s  (±${spread / 2}%.3f over $reps reps)")
+      (d.name, med, spread)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._2))
+    val spreads = jmap(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalSpread = results.filter(_._2 >= 0).map(_._3).sum
     val metric = if (full) "full_total" else "headline_total"
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""total_spread":$totalSpread,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
+      s""""calib_read_mb_per_s":$calib,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -185,7 +185,10 @@ object Curation {
       textCol: String = "text",
       broadcastBenchmark: Boolean = true): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val ngrams = TextOps.ngramHashes(TextOps.tokenHashes(col(textCol)), n)
+    // coalesce null text to "" like every sibling operator: correct today
+    // even without it (the hash kernels are null-safe and explode_outer keeps
+    // the null row), but the corpus-wide convention must not depend on that
+    val ngrams = TextOps.ngramHashes(TextOps.tokenHashes(coalesce(col(textCol), lit(""))), n)
     val bm0 = benchmark
       .select(explode(ngrams).as("_ng"))
       .distinct()
@@ -397,11 +400,19 @@ object Curation {
       nTokensCol: String = "n_tokens"): DataFrame = {
     require(tokensPerExample > 0, "tokensPerExample must be positive")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    // fail fast on cast-to-null: with ANSI off, a non-numeric string id (or
+    // shard) would cast to null and silently corrupt the packing output with
+    // all-null _id rows — raise instead of packing garbage
+    def checkedLong(c: Column, role: String, name: String): Column =
+      when(c.cast("long").isNull,
+        raise_error(lit(s"packSequences: $role column '$name' has a null or non-numeric value " +
+          "(does not cast to long)")))
+        .otherwise(c.cast("long"))
     val projected = rows
       .select(
-        col(shardCol).cast("long").as("_shard"),
+        checkedLong(col(shardCol), "shard", shardCol).as("_shard"),
         struct(orderCols.map(col): _*).as("_ord"),
-        col(idCol).cast("long").as("_id"),
+        checkedLong(col(idCol), "id", idCol).as("_id"),
         col(nTokensCol).cast("long").as("_nt"))
       .repartition(col("_shard"))
       .sortWithinPartitions(col("_shard"), col("_ord"))

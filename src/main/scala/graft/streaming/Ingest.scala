@@ -283,15 +283,19 @@ object Ingest {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$sinkDir/_funnel/batch_id=$batchId")
         val keptRaw = chained.filter(col("keep") === 1L).drop("fail_rule", "keep")
+        // checkpoint the redacted frame too: the sink write and the mark's
+        // count() below would otherwise each recompute the 3-pass PII
+        // projection from `chained`
         val kept =
-          if (!redactPii) keptRaw
+          (if (!redactPii) keptRaw
           else graft.operators.Curation.redact(keptRaw, textCol)
             .withColumn(textCol, col("redacted"))
-            .drop("redacted", "n_emails", "n_ips", "n_phones")
+            .drop("redacted", "n_emails", "n_ips", "n_phones")).localCheckpoint()
         kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
         Marks.write(markDir, batchId, 0L, kept.count(), hconf)
         // free this batch's checkpoint blocks: a continuous-trigger ingest
         // would otherwise accumulate block-manager storage batch after batch
+        kept.unpersist(blocking = false)
         chained.unpersist(blocking = false)
         ()
       }

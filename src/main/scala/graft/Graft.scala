@@ -273,9 +273,24 @@ final case class Graft(spark: SparkSession, dir: String) {
   def appendToDedupIndex(newDocs: DataFrame, path: String): Long =
     Dedup.appendToExactIndex(newDocs, path)
 
-  /** Fold all appended index segments back into one (merged view unchanged). */
-  def compactDedupIndex(path: String): Unit =
-    Dedup.compactExactIndex(spark, path)
+  /** Retract content from a persisted dedup index (takedown/opt-out):
+    * tombstone the dedup keys of `removedDocs` so later batches carrying
+    * the same text are treated as fresh. Newest-wins: content re-appended
+    * after the deletion re-enters the index. */
+  def deleteFromDedupIndex(removedDocs: DataFrame, path: String): Long =
+    Dedup.deleteFromExactIndex(removedDocs, path)
+
+  /** Fold all appended index segments (and tombstones) back into one
+    * (merged view unchanged). Safe beside a running [[ingestDedup]] with
+    * `gc = false`; then reclaim the folded directories with
+    * [[gcDedupIndex]] after in-flight readers drain. */
+  def compactDedupIndex(path: String, gc: Boolean = true): Unit =
+    Dedup.compactExactIndex(spark, path, gc)
+
+  /** Delete folded (superseded) dedup-index segments left by a
+    * `gc = false` compaction. */
+  def gcDedupIndex(path: String): Long =
+    Dedup.gcExactIndex(spark, path)
 
   /** GetProperty-style health of a persisted dedup index: segments, keys,
     * docs, duplicate ratio, key width. */
@@ -303,6 +318,18 @@ final case class Graft(spark: SparkSession, dir: String) {
   /** Sign a batch and append it to a persisted near-dup index. */
   def appendToNearDupIndex(newDocs: DataFrame, path: String): Long =
     Dedup.appendToMinHashIndex(newDocs, path)
+
+  /** Retract documents by id from a persisted MinHash or SimHash index
+    * (exact id-level takedown — these indexes store one row per doc).
+    * Probes anti-join the tombstones; [[compactDocIndex]] folds them into
+    * a physical rewrite. */
+  def deleteFromDocIndex(removedIds: DataFrame, path: String): Long =
+    Dedup.deleteFromDocIndex(removedIds, path)
+
+  /** Fold a MinHash/SimHash index's tombstones into a physical rewrite
+    * (stop-the-world for that index). */
+  def compactDocIndex(path: String): Unit =
+    Dedup.compactDocIndex(spark, path)
 
   /** SimHash near-duplicate pairs: all pairs within `maxHamming` bits
     * (multi-index block-combination banding, guaranteed recall). */

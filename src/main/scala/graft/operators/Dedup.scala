@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale document corpora.
@@ -66,10 +66,10 @@ object Dedup {
   //
   // A daily-ingest pipeline must not re-hash yesterday's corpus to dedup
   // today's batch. The index is an APPEND LOG of per-segment dedup groups
-  // (_k, keep_id, group_size) — writes only ever append a new segment, and
-  // the read view merges segments with one aggregation (min keep, summed
-  // counts). This is the engine's changelog pattern applied to its own
-  // index: cheap L0-style appends, a merge on read, and an explicit
+  // (_k, keep_id, group_size, _seq) — writes only ever add a new segment
+  // directory, and the read view merges segments with one aggregation (min
+  // keep, summed counts). This is the engine's changelog pattern applied to
+  // its own index: cheap L0-style appends, a merge on read, and an explicit
   // compaction that folds segments back into one — the same shape as the
   // reference's memtable/SSTable split (kv/db/db_impl.cpp:608-644).
   //
@@ -80,23 +80,147 @@ object Dedup {
   // (corpus UNION batch) restricted to the batch's rows (DedupIncrementalSpec
   // proves the equality), because the corpus representative of any shared
   // group is also the union-wide minimum.
+  //
+  // SEGMENT PROTOCOL (visibility, deletion, concurrent compaction):
+  //   - every segment is a DIRECTORY under `keys/` (additions) or `tombs/`
+  //     (key tombstones, see [[deleteFromExactIndex]]) holding parquet rows
+  //     stamped with the segment's sequence number `_seq`, plus a `_SEQ`
+  //     sidecar written LAST via temp+atomic-rename. A segment without its
+  //     sidecar does not exist — the sidecar is the segment's commit mark
+  //     (manifest-visibility, kv/db/version_set.cpp:920-1018), so a
+  //     half-written segment is never read;
+  //   - `_seq` totally orders segments (next = max live + 1) and implements
+  //     the reference's newest-wins rule (O20, kv/db/dbformat.h:49-53) for
+  //     deletions: a tombstone kills every addition of its key with
+  //     `_seq <= tombstone._seq`; later re-additions outrank it;
+  //   - compaction ([[compactExactIndex]]) writes the folded result as a new
+  //     `compact_*` segment, INVISIBLE until its fold marker under
+  //     `_folded/` commits (temp+rename): readers treat a `compact_*`
+  //     segment as live iff its marker exists, and exclude every segment a
+  //     marker lists as folded — ONE atomic rename flips the view from the
+  //     folded set to the compacted segment, with no window where a reader
+  //     sees both (double counts) or neither (data loss). Folded segments
+  //     stay on disk, excluded, until [[gcExactIndex]];
+  //   - the safe concurrency envelope: ONE appending writer (e.g. the dedup
+  //     ingest) plus ONE maintenance actor compacting beside it, any number
+  //     of readers. GC is the only step needing a grace period — a reader
+  //     that PLANNED its scan before a fold marker committed still reads the
+  //     folded directories, so run [[gcExactIndex]] once such readers have
+  //     drained (per-micro-batch readers drain within one trigger).
+
+  /** Tiny-file + listing plumbing for the segment protocol. */
+  private object Seg {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+    def fs(spark: SparkSession, path: String): FileSystem =
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def conf(spark: SparkSession): Configuration = spark.sparkContext.hadoopConfiguration
+
+    /** Atomic small-file publish: temp write + rename-overwrite (the mark
+      * protocol of [[graft.streaming.Ingest.Marks]]). */
+    def writeAtomic(fs: FileSystem, conf: Configuration, dst: Path, content: String): Unit = {
+      fs.mkdirs(dst.getParent)
+      val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      FileContext.getFileContext(dst.toUri, conf).rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
+
+    def readSmall(fs: FileSystem, p: Path): String = {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+
+    /** The segment's committed sequence number, or None if uncommitted. */
+    def readSeq(fs: FileSystem, dir: Path): Option[Long] = {
+      val p = new Path(dir, "_SEQ")
+      if (fs.exists(p)) scala.util.Try(readSmall(fs, p).trim.toLong).toOption else None
+    }
+
+    def listDirs(fs: FileSystem, parent: Path): Seq[Path] =
+      if (!fs.exists(parent)) Seq.empty
+      else fs.listStatus(parent).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .map(_.getPath)
+
+    def listFiles(fs: FileSystem, parent: Path): Seq[Path] =
+      if (!fs.exists(parent)) Seq.empty
+      else fs.listStatus(parent).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+        .map(_.getPath)
+  }
+
+  /** Snapshot of an index's live segment set: (dir, seq) for key segments
+    * and tombstone segments, plus the folded-awaiting-GC relative paths. */
+  private final case class IndexSnapshot(
+      keySegs: Seq[(String, Long)],
+      tombSegs: Seq[(String, Long)],
+      folded: Set[String])
+
+  /** List the LIVE segments under the fold-marker protocol. Markers are
+    * listed BEFORE segment directories: a marker committed between the two
+    * listings then leaves the reader on the consistent PRE-compaction view
+    * (compacted segment present but ignored — its marker was not seen), and
+    * a marker that WAS seen implies its compacted data was fully committed
+    * first (happens-before through the rename). */
+  private def snapshot(spark: SparkSession, path: String): IndexSnapshot = {
+    val fs = Seg.fs(spark, path)
+    val markers = Seg.listFiles(fs, new org.apache.hadoop.fs.Path(s"$path/_folded"))
+      .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      .toMap
+    val committedCompacts = markers.keySet
+    val foldedRel = markers.values.flatten.toSet
+    def live(kind: String): Seq[(String, Long)] =
+      Seg.listDirs(fs, new org.apache.hadoop.fs.Path(s"$path/$kind")).flatMap { d =>
+        val name = d.getName
+        val visible = !foldedRel(s"$kind/$name") &&
+          (!name.startsWith("compact_") || committedCompacts(name))
+        if (!visible) None
+        else Seg.readSeq(fs, d).map(seq => (d.toString, seq)) // no _SEQ => uncommitted
+      }
+    IndexSnapshot(live("keys"), live("tombs"), foldedRel)
+  }
+
+  /** Next segment sequence: one past the max live seq (folded segments are
+    * excluded, but a compacted segment carries the max of what it folded, so
+    * the order is preserved). */
+  private def nextSeq(spark: SparkSession, path: String): Long = {
+    val s = snapshot(spark, path)
+    ((s.keySegs ++ s.tombSegs).map(_._2) :+ -1L).max + 1
+  }
+
+  /** Write one committed segment: parquet rows stamped with `_seq`, then the
+    * `_SEQ` sidecar (the commit mark) published atomically LAST. */
+  private def writeSegment(df: DataFrame, dir: String, seq: Long): Unit = {
+    val spark = df.sparkSession
+    df.withColumn("_seq", lit(seq))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#_k", "true")
+      .parquet(dir)
+    Seg.writeAtomic(Seg.fs(spark, dir), Seg.conf(spark),
+      new org.apache.hadoop.fs.Path(dir, "_SEQ"), seq.toString)
+  }
 
   /** Build an exact-dedup corpus index at `path`: one row per distinct
     * normalized-text key with its canonical representative and group size,
-    * written as the first segment of the append log. The key column carries
-    * a parquet bloom filter so point probes ("have I seen this doc?") skip
-    * row groups. `wideKey` picks the SHA-256 key; incremental reads infer
-    * the key kind from the stored schema, so callers cannot mismatch. */
+    * written as the first segment (`keys/base`, seq 0) of the append log.
+    * The key column carries a parquet bloom filter so point probes ("have I
+    * seen this doc?") skip row groups. `wideKey` picks the SHA-256 key;
+    * incremental reads infer the key kind from the stored schema, so
+    * callers cannot mismatch. */
   def writeExactIndex(
       documents: DataFrame,
       path: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      wideKey: Boolean = false): Unit =
-    segmentGroups(documents, idCol, textCol, wideKey)
-      .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#_k", "true")
-      .parquet(s"$path/keys")
+      wideKey: Boolean = false): Unit = {
+    val spark = documents.sparkSession
+    val fs = Seg.fs(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true) // rebuild = fresh index
+    writeSegment(segmentGroups(documents, idCol, textCol, wideKey), s"$path/keys/base", 0L)
+  }
 
   /** One segment of the index: the batch's own dedup groups, keyed and
     * sorted so each parquet file covers a tight key range (row-group
@@ -109,39 +233,64 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
       .sortWithinPartitions("_k")
 
-  /** The merged read view of an index: min representative + summed count
-    * per key across all appended segments — one aggregation over slim
-    * (key, id, count) rows, never the corpus text. recursiveFileLookup
-    * picks up both flat appended part-files and NAMED segment
-    * subdirectories ([[writeExactIndexSegment]]) without partition
-    * inference. */
-  def readExactIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/keys")
+  /** The merged view over an explicit segment snapshot: tombstones applied
+    * newest-wins (an addition survives iff no tombstone of its key has
+    * `_seq >= _seq(addition)`), then min representative + summed count per
+    * key. One aggregation over slim (key, id, count) rows — never the
+    * corpus text; the tombstone side is takedown-sized and broadcasts. */
+  private def mergeView(spark: SparkSession, s: IndexSnapshot): DataFrame = {
+    require(s.keySegs.nonEmpty, "no committed index key segments")
+    val adds = spark.read.parquet(s.keySegs.map(_._1): _*)
+    val alive =
+      if (s.tombSegs.isEmpty) adds
+      else {
+        val del = spark.read.parquet(s.tombSegs.map(_._1): _*)
+          .groupBy("_k").agg(max("_seq").as("_del_seq"))
+        adds.join(broadcast(del), Seq("_k"), "left")
+          .filter(col("_del_seq").isNull || col("_seq") > col("_del_seq"))
+          .drop("_del_seq")
+      }
+    alive
       .groupBy("_k")
       .agg(min("keep_id").as("keep_id"), sum("group_size").as("group_size"))
+  }
+
+  /** The merged read view of an index: min representative + summed count
+    * per key across all live appended segments, with key tombstones applied
+    * newest-wins (see [[deleteFromExactIndex]]). */
+  def readExactIndex(spark: SparkSession, path: String): DataFrame =
+    mergeView(spark, snapshot(spark, path))
 
   /** Append a batch's groups as a NAMED segment with overwrite semantics —
     * the exactly-once form of [[appendToExactIndex]] for replayable
     * writers (streaming foreachBatch): a crash-replayed batch rewrites the
     * SAME segment instead of appending a duplicate, so the merged view is
-    * replay-idempotent. */
+    * replay-idempotent. A replay also REUSES the segment's original
+    * sequence number, so a deletion issued between the crash and the replay
+    * still outranks the replayed rows. */
   def writeExactIndexSegment(
       batchDocs: DataFrame,
       indexPath: String,
       segment: String,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    require(segment.nonEmpty && !segment.contains("/"), s"bad segment name: $segment")
-    segmentGroups(batchDocs, idCol, textCol, indexIsWide(batchDocs.sparkSession, indexPath))
-      .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#_k", "true")
-      .parquet(s"$indexPath/keys/$segment")
+    require(segment.nonEmpty && !segment.contains("/") && !segment.startsWith(".") &&
+      !segment.startsWith("compact_"), s"bad segment name: $segment")
+    val spark = batchDocs.sparkSession
+    val dir = s"$indexPath/keys/$segment"
+    val seq = Seg.readSeq(Seg.fs(spark, indexPath), new org.apache.hadoop.fs.Path(dir))
+      .getOrElse(nextSeq(spark, indexPath))
+    writeSegment(
+      segmentGroups(batchDocs, idCol, textCol, indexIsWide(spark, indexPath)), dir, seq)
   }
 
   /** Whether a persisted index was built with the SHA-256 wide key. */
-  private def indexIsWide(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/keys")
+  private def indexIsWide(spark: SparkSession, path: String): Boolean = {
+    val s = snapshot(spark, path)
+    require(s.keySegs.nonEmpty, s"no committed index key segments under $path")
+    spark.read.parquet(s.keySegs.head._1)
       .schema("_k").dataType == org.apache.spark.sql.types.BinaryType
+  }
 
   /** Dedup a new batch against a persisted corpus index WITHOUT touching
     * the corpus text: hash the batch once, aggregate its own groups, and
@@ -204,46 +353,129 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): Long = {
     val spark = newDocs.sparkSession
+    val seq = nextSeq(spark, indexPath)
     val seg = segmentGroups(newDocs, idCol, textCol, indexIsWide(spark, indexPath))
       .localCheckpoint() // count + write from one materialization
-    seg.write.mode("append")
-      .option("parquet.bloom.filter.enabled#_k", "true")
-      .parquet(s"$indexPath/keys")
+    writeSegment(seg,
+      f"$indexPath/keys/seg_$seq%06d_${java.util.UUID.randomUUID().toString.take(8)}", seq)
     val n = seg.count()
     seg.unpersist(blocking = false) // free the blocks: append loops call this per batch
     n
   }
 
-  /** Fold all appended segments back into one — the index's compaction.
-    * The merged view is unchanged (MaintenanceSpec-style guarantee proven
-    * in DedupIncrementalSpec); subsequent probes aggregate one segment
-    * instead of many. localCheckpoint materializes the merge before the
-    * overwrite so the rewrite never reads the files it is replacing. */
-  def compactExactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-    readExactIndex(spark, path)
+  /** Retract CONTENT from a persisted exact-dedup index — the takedown /
+    * opt-out path: tombstone the dedup keys of `removedDocs`, so the merged
+    * view forgets those groups and a LATER batch carrying the same text is
+    * treated as fresh (its own minimum id becomes the representative)
+    * instead of resolving to a representative that no longer exists.
+    *
+    * Deletion is by KEY (normalized text), not by id: the index stores one
+    * (key, representative, count) row per group — member ids are not
+    * recorded — and takedown semantics are content-level anyway (the text
+    * must go, wherever it appears; pass the removed documents themselves).
+    * Tombstones apply newest-wins by segment sequence (the reference's O20
+    * rule, kv/db/dbformat.h:49-53): additions appended AFTER the tombstone
+    * outrank it, so re-admitted content re-enters the index naturally.
+    * Tombstone segments are folded away (GC'd) by [[compactExactIndex]].
+    * Returns the number of distinct keys tombstoned. */
+  def deleteFromExactIndex(
+      removedDocs: DataFrame,
+      indexPath: String,
+      textCol: String = "text"): Long = {
+    val spark = removedDocs.sparkSession
+    val seq = nextSeq(spark, indexPath)
+    val keys = removedDocs
+      .select(groupKey(textCol, indexIsWide(spark, indexPath)).as("_k"))
+      .distinct()
       .sortWithinPartitions("_k")
       .localCheckpoint()
-      .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#_k", "true")
-      .parquet(s"$path/keys")
+    writeSegment(keys, f"$indexPath/tombs/del_$seq%06d", seq)
+    val n = keys.count()
+    keys.unpersist(blocking = false)
+    n
+  }
 
-  /** GetProperty-style health of a persisted dedup index: segment files,
-    * distinct keys, documents counted, duplicate mass. Key/doc counts come
-    * from one aggregation over the slim key log. */
-  def exactIndexStats(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/keys"), true)
-    var files = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.startsWith("part-")) files += 1
+  /** Fold all live segments (and tombstones) into one — the index's
+    * compaction. The merged view is unchanged (DedupIncrementalSpec), and
+    * the publish is SAFE BESIDE A RUNNING INGEST: the folded result lands
+    * as an invisible `compact_*` segment and becomes the view in one atomic
+    * fold-marker rename (see the segment-protocol notes above) — no reader
+    * ever sees double counts or a gap, and a concurrently-appended segment
+    * (not in the fold snapshot) stays live untouched. A crash before the
+    * marker leaves the old view fully intact; just compact again.
+    *
+    * `gc = true` (the single-actor convenience) immediately deletes the
+    * folded directories — safe only when no concurrent reader planned its
+    * scan before the marker; pass `gc = false` beside live readers and run
+    * [[gcExactIndex]] after a grace period. */
+  def compactExactIndex(spark: SparkSession, path: String, gc: Boolean = true): Unit = {
+    val s = snapshot(spark, path)
+    if (s.keySegs.size > 1 || s.tombSegs.nonEmpty) {
+      val seq = (s.keySegs ++ s.tombSegs).map(_._2).max
+      val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
+      writeSegment(mergeView(spark, s).sortWithinPartitions("_k"), s"$path/keys/$name", seq)
+      val folded = s.keySegs.map(p => "keys/" + new org.apache.hadoop.fs.Path(p._1).getName) ++
+        s.tombSegs.map(p => "tombs/" + new org.apache.hadoop.fs.Path(p._1).getName)
+      Seg.writeAtomic(Seg.fs(spark, path), Seg.conf(spark),
+        new org.apache.hadoop.fs.Path(s"$path/_folded/$name"), folded.mkString("\n"))
     }
-    val agg = readExactIndex(spark, path)
+    if (gc) gcExactIndex(spark, path)
+  }
+
+  /** Delete folded (superseded) segment directories, fold markers whose
+    * compacted segment is itself gone, and orphaned uncommitted `compact_*`
+    * directories from a crashed compaction. Returns directories removed.
+    * Run from the maintenance actor only (never concurrently with a running
+    * [[compactExactIndex]]), after readers that planned before the last
+    * fold marker have drained — the folded data is invisible to every scan
+    * planned after the marker, so any later moment is safe. */
+  def gcExactIndex(spark: SparkSession, path: String): Long = {
+    val fs = Seg.fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val markerDir = new org.apache.hadoop.fs.Path(root, "_folded")
+    val markers = Seg.listFiles(fs, markerDir)
+      .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      .toMap
+    var removed = 0L
+    markers.values.flatten.toSet[String].foreach { rel =>
+      val d = new org.apache.hadoop.fs.Path(root, rel)
+      if (fs.exists(d)) { fs.delete(d, true); removed += 1 }
+    }
+    // a marker whose compacted segment was itself folded (and just deleted
+    // above) has no live referent left — drop it
+    markers.keys.foreach { name =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"keys/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(markerDir, name), false)
+    }
+    // uncommitted compact_* leftovers of a crashed compaction are invisible
+    // to every reader and safe to drop (no compaction is in flight here)
+    Seg.listDirs(fs, new org.apache.hadoop.fs.Path(root, "keys")).foreach { d =>
+      if (d.getName.startsWith("compact_") && !markers.contains(d.getName)) {
+        fs.delete(d, true); removed += 1
+      }
+    }
+    removed
+  }
+
+  /** GetProperty-style health of a persisted dedup index: live segment and
+    * tombstone-segment counts, folded directories awaiting GC, distinct
+    * keys, documents counted, duplicate mass. Key/doc counts come from one
+    * aggregation over the slim key log. */
+  def exactIndexStats(spark: SparkSession, path: String): Map[String, String] = {
+    val s = snapshot(spark, path)
+    val agg = mergeView(spark, s)
       .agg(count(lit(1)).as("keys"), sum("group_size").as("docs")).head()
-    val keys = agg.getLong(0); val docs = agg.getLong(1)
+    val keys = agg.getLong(0)
+    val docs = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    // markers outlive GC (they keep compact_* segments visible), so count
+    // only folded directories still on disk — the ones GC has yet to reclaim
+    val fs = Seg.fs(spark, path)
+    val awaitingGc = s.folded.count(rel =>
+      fs.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), rel)))
     Map(
-      "graft.dedup.segments" -> files.toString,
+      "graft.dedup.segments" -> s.keySegs.size.toString,
+      "graft.dedup.tombstone-segments" -> s.tombSegs.size.toString,
+      "graft.dedup.folded-awaiting-gc" -> awaitingGc.toString,
       "graft.dedup.keys" -> keys.toString,
       "graft.dedup.docs" -> docs.toString,
       "graft.dedup.dup-ratio" ->
@@ -394,7 +626,7 @@ object Dedup {
     val r = numHashes / bands
     val batch = signatureRows(newDocs, shingleN, numHashes, idCol, textCol)
       .localCheckpoint()
-    val all = spark.read.parquet(s"$indexPath/docs").unionByName(batch)
+    val all = storedDocs(spark, indexPath, "doc").unionByName(batch)
     val allSigs = all.select("doc", "sig")
     // Band join: batch side vs everything. MERGE for the same reason as
     // minHashLsh — the exploded relations' sizes are under-estimated, and
@@ -417,6 +649,62 @@ object Dedup {
     // key-level dropDuplicates restores exact pair semantics.
     verifyCandidates(candidates, allSigs, all.select("doc", "sh"), numHashes, threshold)
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** An index's stored per-doc rows minus its tombstoned ids — the live
+    * corpus side of the MinHash/SimHash incremental probes. The tombstone
+    * side is takedown-sized and broadcasts; with no tombstones the read is
+    * the plain parquet scan. The stored id column name is inferred (the
+    * MinHash index stores `doc`, the SimHash store `doc_id`). */
+  private def storedDocs(spark: SparkSession, indexPath: String, idCol: String): DataFrame = {
+    val docs = spark.read.parquet(s"$indexPath/docs")
+    val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
+    if (!Seg.fs(spark, indexPath).exists(tombs)) docs
+    else docs.join(
+      broadcast(spark.read.parquet(tombs.toString).withColumnRenamed("doc_id", idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The stored id column of a doc-row index (`doc` for MinHash, `doc_id`
+    * for the SimHash store). */
+  private def storedIdCol(spark: SparkSession, indexPath: String): String =
+    if (spark.read.parquet(s"$indexPath/docs").columns.contains("doc")) "doc" else "doc_id"
+
+  /** Retract documents from a persisted MinHash or SimHash index by id —
+    * the takedown path for the near-dup indexes (which, unlike the exact
+    * index, store one row PER DOCUMENT, so id-level deletion is exact):
+    * append the ids as tombstones that the incremental probes anti-join
+    * away, folded into a physical rewrite by [[compactDocIndex]]. Under the
+    * id-monotonicity contract ids are never reused, so a tombstone needs no
+    * sequence ordering. Returns distinct ids tombstoned (idempotent —
+    * re-deleting is harmless). */
+  def deleteFromDocIndex(
+      removedIds: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id"): Long = {
+    val batch = removedIds.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    batch.write.mode("append").parquet(s"$indexPath/tombs")
+    val n = batch.count()
+    batch.unpersist(blocking = false)
+    n
+  }
+
+  /** Fold a MinHash/SimHash index's tombstones into a physical rewrite:
+    * stored rows minus deleted ids, tombstones dropped. STOP-THE-WORLD for
+    * this index (rewrites `docs/` in place) — the concurrent-compaction
+    * protocol lives on the exact index, where a running ingest needs it;
+    * these doc-row indexes are probed batchwise, between which compaction
+    * slots naturally. */
+  def compactDocIndex(spark: SparkSession, indexPath: String): Unit = {
+    val fs = Seg.fs(spark, indexPath)
+    val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
+    if (!fs.exists(tombs)) return
+    val kept = storedDocs(spark, indexPath, storedIdCol(spark, indexPath))
+      .localCheckpoint() // materialize before overwriting the files it reads
+    kept.write.mode("overwrite").parquet(s"$indexPath/docs")
+    kept.unpersist(blocking = false)
+    fs.delete(tombs, true)
   }
 
   /** Sign a batch and append its rows to the index (no retrain, no
@@ -621,7 +909,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val spark = newDocs.sparkSession
     val batch = simHashRows(newDocs, idCol, textCol).localCheckpoint()
-    val all = spark.read.parquet(s"$indexPath/docs").unionByName(batch)
+    val all = storedDocs(spark, indexPath, "doc_id").unionByName(batch)
     simHashBanded(batch, maxHamming, comboSize).as("a")
       .join(simHashBanded(all, maxHamming, comboSize).as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") =!= col("b.doc_id"))

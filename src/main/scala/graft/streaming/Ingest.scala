@@ -192,8 +192,11 @@ object Ingest {
     *
     * The index must exist (build it with
     * [[graft.operators.Dedup.writeExactIndex]], possibly over an empty
-    * corpus slice). Compact it only while ingest is stopped — compaction
-    * rewrites the segment log it is folding. */
+    * corpus slice). [[graft.operators.Dedup.compactExactIndex]] with
+    * `gc = false` is safe to run BESIDE this ingest (the fold-marker
+    * publish is atomic and concurrently-appended segments stay live);
+    * defer [[graft.operators.Dedup.gcExactIndex]] until in-flight
+    * micro-batches drain — one trigger interval. */
   def startDedupIngest(
       spark: SparkSession,
       sourceDir: String,

@@ -244,6 +244,211 @@ class DedupIncrementalSpec extends AnyFunSuite {
       corpus.count() + 8, "the all-duplicate batch still folds into the index")
   }
 
+  test("deletion: incremental-after-delete == full recompute over the corpus minus deletions") {
+    import graft.functions.TextOps
+    val (corpus, batch) = split()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dixdel_").toString
+    Dedup.writeExactIndex(corpus, tmp)
+    // take down every corpus doc with doc_id % 10 == 0 — content-level, so
+    // any corpus doc SHARING one of those normalized texts is gone too
+    val removed = corpus.filter(col("doc_id") % 10 === 0)
+    val nDel = Dedup.deleteFromExactIndex(removed, tmp)
+    assert(nDel > 0)
+    val norm = TextOps.normalized(coalesce(col("text"), lit("")))
+    val remaining = corpus.join(
+      removed.select(norm.as("_n")).distinct(), norm === col("_n"), "left_anti")
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = rows(Dedup.exact(remaining.unionByName(batch)))
+      .filter(r => batchIds.contains(r._1))
+    val inc = rows(Dedup.exactIncremental(batch, tmp))
+    assert(inc == full,
+      "incremental after deletion must equal the recompute over corpus minus deletions")
+    // at least one batch doc's text existed only via now-deleted corpus docs
+    // and must now be kept as fresh content (the takedown regression case)
+    assert(inc.exists { case (id, keep, _, kept) => kept && keep == id })
+  }
+
+  test("deletion is newest-wins: re-appended content re-enters the index") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val textX = corpus.filter(col("doc_id") === 3).select("text").head().getString(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dixnw_").toString
+    Dedup.writeExactIndex(corpus, tmp)
+    def probe(id: Long): (Long, Boolean) = {
+      val r = Dedup.exactIncremental(
+        Seq((id, textX)).toDF("doc_id", "text"), tmp).head()
+      (r.getLong(1), r.getBoolean(3))
+    }
+    assert(probe(5000L) == (3L, false), "before deletion the corpus copy wins")
+    Dedup.deleteFromExactIndex(Seq((3L, textX)).toDF("doc_id", "text"), tmp)
+    assert(probe(5000L) == (5000L, true),
+      "after deletion the content is fresh — the probe doc is its own representative")
+    Dedup.appendToExactIndex(Seq((6000L, textX)).toDF("doc_id", "text"), tmp)
+    assert(probe(7000L) == (6000L, false),
+      "an append AFTER the tombstone outranks it (newest wins)")
+  }
+
+  test("compaction folds tombstones away without changing the view") {
+    import spark.implicits._
+    val (corpus, batch) = split()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dixtf_").toString
+    Dedup.writeExactIndex(corpus, tmp)
+    Dedup.appendToExactIndex(batch, tmp)
+    Dedup.deleteFromExactIndex(corpus.filter(col("doc_id") % 7 === 0), tmp)
+    def view() = Dedup.readExactIndex(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = view()
+    Dedup.compactExactIndex(spark, tmp) // gc = true: the single-actor form
+    assert(view() == before, "compaction + GC must not change the merged view")
+    val stats = Dedup.exactIndexStats(spark, tmp)
+    assert(stats("graft.dedup.segments") == "1")
+    assert(stats("graft.dedup.tombstone-segments") == "0")
+    assert(stats("graft.dedup.folded-awaiting-gc") == "0")
+    // deleted content stays deleted after the tombstones are folded away
+    val probe = Dedup.exactIncremental(
+      Seq((9000L, corpus.filter(col("doc_id") === 7).select("text").head().getString(0)))
+        .toDF("doc_id", "text"), tmp).head()
+    assert(probe.getBoolean(3), "content deleted before compaction remains fresh after it")
+  }
+
+  test("crash states of the compaction protocol never corrupt the read view") {
+    val (corpus, batch) = split()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dixcr_").toString
+    Dedup.writeExactIndex(corpus, tmp)
+    Dedup.appendToExactIndex(batch, tmp)
+    def view() = Dedup.readExactIndex(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val v = view()
+
+    // a half-written segment (data, no _SEQ sidecar) is invisible
+    spark.range(1).selectExpr("id as _k", "id as keep_id", "id as group_size", "id as _seq")
+      .write.parquet(s"$tmp/keys/seg_halfwritten")
+    assert(view() == v, "a segment without its _SEQ commit mark must not be read")
+
+    // crash AFTER the compacted segment committed but BEFORE the fold
+    // marker: simulated by compacting and then deleting the marker — the
+    // exact on-disk state such a crash leaves
+    Dedup.compactExactIndex(spark, tmp, gc = false)
+    assert(view() == v, "a committed compaction preserves the view")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/_folded"))
+      .filter(_.isFile).map(_.getPath)
+    assert(markers.length == 1)
+    fs.delete(markers.head, false)
+    assert(view() == v, "without its marker the compacted segment is invisible; the folded set is live again")
+
+    // recovery is simply compacting again; GC then removes the folded
+    // originals AND the orphaned uncommitted compact directory
+    Dedup.compactExactIndex(spark, tmp, gc = true)
+    assert(view() == v)
+    val stats = Dedup.exactIndexStats(spark, tmp)
+    assert(stats("graft.dedup.segments") == "1")
+    assert(stats("graft.dedup.folded-awaiting-gc") == "0")
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/keys"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(leftover.count(_.startsWith("compact_")) == 1,
+      s"the orphaned compact dir must be GC'd: ${leftover.toSeq}")
+  }
+
+  test("compaction beside the dedup ingest: kept-set and view stable under crash replay") {
+    import org.apache.spark.sql.functions.lit
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ddcmp_").toString
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    Dedup.writeExactIndex(corpus, s"$tmp/idx")
+    val corpusText3 = corpus.filter(col("doc_id") === 3).select("text").head().getString(0)
+
+    import spark.implicits._
+    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/src_stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    writeSrc("f1", Seq((1000L, "fresh doc alpha"), (1001L, corpusText3)))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startDedupIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+    // compact the index between triggers — the maintenance-beside-ingest
+    // interleaving; folded segments stay on disk (gc deferred)
+    Dedup.compactExactIndex(spark, s"$tmp/idx", gc = false)
+    writeSrc("f2", Seq((1002L, "fresh doc beta"), (1003L, "fresh doc alpha")))
+    run()
+    def sinkRows() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = sinkRows()
+    assert(kept == Set((1000L, "fresh doc alpha"), (1002L, "fresh doc beta")),
+      s"dedup across the compaction boundary: $kept")
+    val docsBefore = Dedup.exactIndexStats(spark, s"$tmp/idx")("graft.dedup.docs").toLong
+    assert(docsBefore == corpus.count() + 4)
+
+    // crash replay ACROSS a compaction: batch 1's index segment was written,
+    // then the streaming commit is lost, then compaction folds the segment —
+    // the replay rewrites a segment that is already folded, which must not
+    // resurrect it (no duplicate mass) and must keep the kept-set identical
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    Dedup.compactExactIndex(spark, s"$tmp/idx", gc = false)
+    run()
+    assert(sinkRows() == kept, "replay across a compaction must not change the kept set")
+    assert(Dedup.exactIndexStats(spark, s"$tmp/idx")("graft.dedup.docs").toLong == docsBefore,
+      "the replayed (already-folded) segment must stay invisible — no duplicate mass")
+
+    // deferred GC after the ingest drained: view and kept-set unchanged
+    val viewBefore = Dedup.readExactIndex(spark, s"$tmp/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Dedup.gcExactIndex(spark, s"$tmp/idx")
+    val viewAfter = Dedup.readExactIndex(spark, s"$tmp/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viewAfter == viewBefore, "GC reclaims only invisible directories")
+    assert(Dedup.exactIndexStats(spark, s"$tmp/idx")("graft.dedup.folded-awaiting-gc") == "0")
+  }
+
+  test("doc-index deletion: minhash/simhash probes == recompute over corpus minus deleted") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val batch = corpus.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val deleted = corpus.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val deletedIds = deleted.collect().map(_.getLong(0)).toSet
+    val remaining = corpus.filter(!(col("doc_id") % 10 === 0))
+
+    val mh = java.nio.file.Files.createTempDirectory("graft_mhdel_").toString
+    Dedup.writeMinHashIndex(corpus, mh, shingleN = 3, numHashes = 64, bands = 16)
+    assert(Dedup.deleteFromDocIndex(deleted, mh) == deletedIds.size)
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullMh = pairSet(
+      Dedup.minHashLsh(remaining.unionByName(batch),
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+    val incMh = pairSet(Dedup.minHashIncremental(batch, mh, threshold = 0.5))
+    assert(incMh == fullMh, "minhash probe after deletion must equal the recompute")
+    assert(!incMh.exists(p => deletedIds.contains(p._1) || deletedIds.contains(p._2)))
+    Dedup.compactDocIndex(spark, mh) // fold tombstones into a rewrite
+    assert(pairSet(Dedup.minHashIncremental(batch, mh, threshold = 0.5)) == fullMh)
+    assert(!new java.io.File(s"$mh/tombs").exists())
+
+    val sh = java.nio.file.Files.createTempDirectory("graft_shdel_").toString
+    Dedup.writeSimHashIndex(corpus, sh)
+    Dedup.deleteFromDocIndex(deleted, sh)
+    def shPairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fullSh = shPairs(Dedup.simHashPairs(remaining.unionByName(batch), maxHamming = 6))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+    assert(shPairs(Dedup.simHashIncremental(batch, sh, maxHamming = 6)) == fullSh)
+    Dedup.compactDocIndex(spark, sh)
+    assert(shPairs(Dedup.simHashIncremental(batch, sh, maxHamming = 6)) == fullSh)
+  }
+
   test("wide-key index is inferred by the incremental path and agrees with narrow") {
     val (corpus, batch) = split()
     val narrowTmp = java.nio.file.Files.createTempDirectory("graft_dixn_").toString

@@ -13,17 +13,18 @@ import org.apache.spark.sql.functions._
   *
   * The decode step is REAL pure-JVM container parsing ([[ContainerParser]]):
   * PNG IHDR, GIF logical-screen descriptor + block-walk frame count, BMP
-  * info header, WAV RIFF fmt/data chunks (duration), and a JPEG marker scan
-  * for the SOF frame header. All five are public byte-level format specs —
-  * no codec library is needed to read dimensions/durations from headers.
+  * info header, WAV RIFF fmt/data chunks (duration), a JPEG marker scan
+  * for the SOF frame header, and an MP4/ISO-BMFF box walk (mvhd duration,
+  * tkhd dimensions). All six are public byte-level format specs — no codec
+  * library is needed to read dimensions/durations from headers.
   * Full pixel/sample decode would need codecs the container lacks; header
   * parsing is the part of a 100 TB media-metadata pass that is pure
   * byte-arithmetic, and it runs partition-parallel with payload bytes never
   * leaving the executors.
   *
   * The testdata has no real media files, so [[withBinaryPayload]] SYNTHESIZES
-  * genuine container bytes (valid PNG/JPEG/GIF/WAV, built byte-by-byte with
-  * correct signatures, chunk layout, and CRCs) deterministically from each
+  * genuine container bytes (valid PNG/JPEG/GIF/WAV/MP4, built byte-by-byte
+  * with correct signatures, chunk layout, and CRCs) deterministically from each
   * document — the parse path is exercised end-to-end on real formats. In
   * production the payload column arrives as-is and only [[extractFeatures]]
   * is used.
@@ -43,7 +44,8 @@ object Multimodal {
   /** Byte-level header parser for common media containers. Malformed or
     * truncated input yields `unknown` with zeroed metadata — never throws.
     * Formats per their public specs: PNG (RFC 2083), GIF89a (W3C), BMP
-    * (BITMAPINFOHEADER), WAV (RIFF), JPEG (ITU T.81 segment markers).
+    * (BITMAPINFOHEADER), WAV (RIFF), JPEG (ITU T.81 segment markers),
+    * MP4/ISO-BMFF (ISO/IEC 14496-12 box walk).
     */
   object ContainerParser {
     final case class Meta(format: String, width: Int, height: Int, nFrames: Int, durationMs: Long)
@@ -65,6 +67,7 @@ object Multimodal {
         else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') parseBmp(b)
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57415645) parseWav(b)
         else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) parseJpeg(b)
+        else if (b.length >= 12 && be32(b, 4) == 0x66747970) parseMp4(b) // "ftyp"
         else Unknown
       } catch { case _: ArrayIndexOutOfBoundsException => Unknown }
 
@@ -160,6 +163,70 @@ object Multimodal {
       }
       Unknown
     }
+
+    /** MP4/ISO-BMFF (ISO/IEC 14496-12): a box walk to `moov`, then `mvhd`
+      * (timescale + duration → movie duration) and the first `trak`'s
+      * `tkhd` (16.16 fixed-point presentation width/height). Boxes are
+      * [BE32 size][4cc type]; size 1 means a 64-bit largesize follows,
+      * size 0 means to-end-of-enclosure. All offsets are computed in Long
+      * and a box whose header claims a size below its own header length
+      * aborts the walk — a crafted size can truncate the result but never
+      * throw or spin. Versioned mvhd/tkhd (v1 = 64-bit times) handled. */
+    private def parseMp4(b: Array[Byte]): Meta = {
+      var width = 0
+      var height = 0
+      var durMs = 0L
+
+      // walk the boxes of [from, to); returns unit, mutating the fields
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        if (depth > 8) return // box trees are ~4 deep; bound crafted nesting
+        var pos = from
+        while (pos + 8 <= to) {
+          val p = pos.toInt
+          val size32 = be32(b, p).toLong & 0xffffffffL
+          val typ = be32(b, p + 4)
+          var header = 8L
+          val size =
+            if (size32 == 0L) to - pos // box extends to end of enclosure
+            else if (size32 == 1L) { // 64-bit largesize
+              if (pos + 16 > to) return
+              header = 16L
+              (be32(b, p + 8).toLong << 32) | (be32(b, p + 12).toLong & 0xffffffffL)
+            } else size32
+          if (size < header || pos + size > to) return // malformed: stop, keep what we have
+          val body = pos + header
+          typ match {
+            case 0x6d6f6f76 => walk(body, pos + size, depth + 1) // "moov"
+            case 0x7472616b if width == 0 && height == 0 =>
+              walk(body, pos + size, depth + 1) // "trak" (first with dims wins)
+            case 0x6d766864 if size >= header + 20 => // "mvhd"
+              val v = u8(b, body.toInt)
+              // v0: ver/flags, 4+4 times, timescale, 4-byte duration
+              // v1: ver/flags, 8+8 times, timescale, 8-byte duration
+              val tsOff = body + 4 + (if (v == 1) 16 else 8)
+              if (tsOff + (if (v == 1) 12 else 8) <= pos + size) {
+                val timescale = be32(b, tsOff.toInt).toLong & 0xffffffffL
+                val duration =
+                  if (v == 1) (be32(b, tsOff.toInt + 4).toLong << 32) |
+                    (be32(b, tsOff.toInt + 8).toLong & 0xffffffffL)
+                  else be32(b, tsOff.toInt + 4).toLong & 0xffffffffL
+                if (timescale > 0) durMs = duration * 1000L / timescale
+              }
+            case 0x746b6864 => // "tkhd": width/height are the LAST 8 bytes (16.16 fixed)
+              val whOff = pos + size - 8
+              if (whOff >= body && whOff + 8 <= to) {
+                val w = be32(b, whOff.toInt) >>> 16
+                val h = be32(b, whOff.toInt + 4) >>> 16
+                if (width == 0 && height == 0 && (w != 0 || h != 0)) { width = w; height = h }
+              }
+            case _ => // skip leaf boxes we don't read (ftyp, mdia, free, mdat, ...)
+          }
+          pos += size
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      Meta("mp4", width, height, 0, durMs)
+    }
   }
 
   /** Deterministic synthesis of REAL container bytes (used because the
@@ -168,21 +235,24 @@ object Multimodal {
     * parsed metadata arithmetically while the engine round-trips through
     * genuine PNG/JPEG/GIF/WAV byte layouts.
     *
-    *   - n % 4 == 0 → PNG   45 bytes, width 64+n%640, height 64+(7n)%480
-    *   - n % 4 == 1 → JPEG  17 bytes, same dims (SOI + SOF0 + EOI)
-    *   - n % 4 == 2 → GIF   14+14k bytes, same dims, k = 1+n%24 frames
-    *   - n % 4 == 3 → WAV   44+8(1+n%40) bytes, 8 kB/s PCM → 1+n%40 ms
+    *   - n % 5 == 0 → PNG   45 bytes, width 64+n%640, height 64+(7n)%480
+    *   - n % 5 == 1 → JPEG  17 bytes, same dims (SOI + SOF0 + EOI)
+    *   - n % 5 == 2 → GIF   14+14k bytes, same dims, k = 1+n%24 frames
+    *   - n % 5 == 3 → WAV   44+8(1+n%40) bytes, 8 kB/s PCM → 1+n%40 ms
+    *   - n % 5 == 4 → MP4   236 bytes (ftyp+moov/mvhd+trak/tkhd), same
+    *                  dims, duration 1+n%5000 ms (timescale 1000)
     */
   object MediaGen {
     def synthesize(text: String): Array[Byte] = {
       val n = text.getBytes(StandardCharsets.UTF_8).length
       val w = 64 + n % 640
       val h = 64 + (n * 7) % 480
-      n % 4 match {
+      n % 5 match {
         case 0 => png(w, h)
         case 1 => jpeg(w, h)
         case 2 => gif(w, h, 1 + n % 24)
-        case _ => wav(8 * (1 + n % 40))
+        case 3 => wav(8 * (1 + n % 40))
+        case _ => mp4(w, h, 1 + n % 5000)
       }
     }
 
@@ -245,6 +315,34 @@ object Multimodal {
       var i = 0
       while (i < dataSize) { out.write((i * 31 + dataSize) & 0xff); i += 1 }
       out.toByteArray
+    }
+
+    /** Genuine minimal ISO-BMFF: ftyp(20) + moov(216: mvhd v0 108 + trak
+      * 100 of tkhd v0 92) = 236 bytes, fixed. Dimensions land in tkhd as
+      * 16.16 fixed point; duration in mvhd at timescale 1000 so
+      * durationMs round-trips exactly. */
+    def mp4(w: Int, h: Int, durationMs: Int): Array[Byte] = {
+      def box(typ: String, payload: Array[Byte]): Array[Byte] =
+        be32(8 + payload.length) ++ typ.getBytes(StandardCharsets.US_ASCII) ++ payload
+      val ftyp = box("ftyp", "isom".getBytes(StandardCharsets.US_ASCII) ++ be32(0) ++
+        "isom".getBytes(StandardCharsets.US_ASCII))
+      // mvhd v0: ver/flags, creation, modification, timescale, duration,
+      // rate 1.0, volume 1.0, 10 reserved bytes, unity matrix, 6×4 predefined,
+      // next_track_id
+      val unityMatrix = be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)
+      val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(durationMs) ++
+        be32(0x00010000) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+        unityMatrix ++ Array.fill(24)(0.toByte) ++ be32(2))
+      // tkhd v0: ver/flags(enabled), creation, modification, track_id,
+      // reserved, duration, 8 reserved, layer, alt group, volume, reserved,
+      // matrix, width, height (16.16)
+      val tkhd = box("tkhd", be32(0x000001) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+        be32(durationMs) ++ be32(0) ++ be32(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        unityMatrix ++ be32(w << 16) ++ be32(h << 16))
+      val moov = box("moov", mvhd ++ box("trak", tkhd))
+      ftyp ++ moov
     }
   }
 

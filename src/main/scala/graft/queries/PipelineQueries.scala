@@ -722,12 +722,12 @@ object PipelineQueries {
       None),
 
     // Q30: multimodal feature extraction — the payload column holds REAL
-    // container bytes (valid PNG/JPEG/GIF/WAV synthesized per-doc, since the
-    // testdata ships no media) and extractFeatures PARSES them (PNG IHDR,
-    // JPEG SOF scan, GIF block walk, WAV RIFF chunks). The synthesis derives
-    // format/dims/frames/duration from strlen(text), so the oracle predicts
-    // the parsed metadata arithmetically while the engine round-trips
-    // through genuine container byte layouts.
+    // container bytes (valid PNG/JPEG/GIF/WAV/MP4 synthesized per-doc, since
+    // the testdata ships no media) and extractFeatures PARSES them (PNG IHDR,
+    // JPEG SOF scan, GIF block walk, WAV RIFF chunks, ISO-BMFF box walk).
+    // The synthesis derives format/dims/frames/duration from strlen(text),
+    // so the oracle predicts the parsed metadata arithmetically while the
+    // engine round-trips through genuine container byte layouts.
     QueryDef(
       "q30_multimodal",
       (s, dir) =>
@@ -742,16 +742,17 @@ object PipelineQueries {
             col("duration_ms").cast("long").as("duration_ms"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  CAST(CASE strlen(text) % 4
+             |  CAST(CASE strlen(text) % 5
              |    WHEN 0 THEN 45
              |    WHEN 1 THEN 17
              |    WHEN 2 THEN 14 + 14 * (1 + strlen(text) % 24)
-             |    ELSE 44 + 8 * (1 + strlen(text) % 40) END AS BIGINT) AS payload_len,
-             |  CASE strlen(text) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
-             |  CAST(CASE WHEN strlen(text) % 4 IN (0, 1, 2) THEN 64 + strlen(text) % 640 ELSE 0 END AS BIGINT) AS width,
-             |  CAST(CASE WHEN strlen(text) % 4 IN (0, 1, 2) THEN 64 + (strlen(text) * 7) % 480 ELSE 0 END AS BIGINT) AS height,
-             |  CAST(CASE strlen(text) % 4 WHEN 2 THEN 1 + strlen(text) % 24 WHEN 3 THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
-             |  CAST(CASE WHEN strlen(text) % 4 = 3 THEN 1 + strlen(text) % 40 ELSE 0 END AS BIGINT) AS duration_ms
+             |    WHEN 3 THEN 44 + 8 * (1 + strlen(text) % 40)
+             |    ELSE 236 END AS BIGINT) AS payload_len,
+             |  CASE strlen(text) % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'mp4' END AS format,
+             |  CAST(CASE WHEN strlen(text) % 5 IN (0, 1, 2, 4) THEN 64 + strlen(text) % 640 ELSE 0 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN strlen(text) % 5 IN (0, 1, 2, 4) THEN 64 + (strlen(text) * 7) % 480 ELSE 0 END AS BIGINT) AS height,
+             |  CAST(CASE strlen(text) % 5 WHEN 2 THEN 1 + strlen(text) % 24 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS n_frames,
+             |  CAST(CASE strlen(text) % 5 WHEN 3 THEN 1 + strlen(text) % 40 WHEN 4 THEN 1 + strlen(text) % 5000 ELSE 0 END AS BIGINT) AS duration_ms
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Q30b: deterministic frame sampling over the parsed GIF frame counts
@@ -769,7 +770,7 @@ object PipelineQueries {
             col("height").cast("long").as("height"))
           .orderBy("doc_id", "frame_idx"),
       Some("""WITH f AS (
-             |  SELECT doc_id, strlen(text) AS n FROM documents WHERE strlen(text) % 4 = 2)
+             |  SELECT doc_id, strlen(text) AS n FROM documents WHERE strlen(text) % 5 = 2)
              |SELECT doc_id, CAST(unnest(range(0, 1 + n % 24, 2)) AS BIGINT) AS frame_idx,
              |       CAST(64 + n % 640 AS BIGINT) AS width,
              |       CAST(64 + (n * 7) % 480 AS BIGINT) AS height

@@ -113,9 +113,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ContainerParser.parse(evilOdd) == ContainerParser.Meta("wav", 0, 0, 0, 0L))
   }
 
+  test("MP4: mvhd duration and tkhd dims round-trip through a real file") {
+    val m = ContainerParser.parse(viaFile(MediaGen.mp4(1280, 720, 4321)))
+    assert(m == ContainerParser.Meta("mp4", 1280, 720, 0, 4321L))
+    assert(MediaGen.mp4(1280, 720, 4321).length == 236)
+  }
+
+  test("MP4: v1 boxes, largesize, and unread siblings are walked correctly") {
+    // Hand-built, not MediaGen: free box first, moov with v1 mvhd (64-bit
+    // times/duration) carried in a size==1 largesize box, v1 tkhd.
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32((v >>> 32).toInt) ++ be32(v.toInt)
+    def box(typ: String, payload: Array[Byte]) =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val matrix = Array.fill(36)(0.toByte)
+    // mvhd v1: ver 1/flags, 8+8 times, timescale 90000, 8-byte duration (2.5 s)
+    val mvhdPayload = be32(0x01000000) ++ be64(0) ++ be64(0) ++ be32(90000) ++
+      be64(225000L) ++ be32(0x00010000) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++
+      be32(0) ++ matrix ++ Array.fill(24)(0.toByte) ++ be32(2)
+    // carry mvhd as a largesize box: size=1 + 64-bit size (header 16)
+    val mvhdLarge = be32(1) ++ "mvhd".getBytes("US-ASCII") ++
+      be64(16L + mvhdPayload.length) ++ mvhdPayload
+    // tkhd v1: ver 1/flags, 8+8 times, track, reserved, 8-byte duration
+    val tkhdPayload = be32(0x01000001) ++ be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++
+      be64(225000L) ++ be64(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      matrix ++ be32(1920 << 16) ++ be32(1080 << 16)
+    val moov = box("moov", mvhdLarge ++ box("iods", be32(0)) ++
+      box("trak", box("tkhd", tkhdPayload)))
+    val bytes = box("ftyp", "mp42".getBytes("US-ASCII") ++ be32(0)) ++
+      box("free", Array.fill(5)(0.toByte)) ++ moov
+    val m = ContainerParser.parse(viaFile(bytes))
+    assert(m == ContainerParser.Meta("mp4", 1920, 1080, 0, 2500L))
+  }
+
+  test("MP4: crafted box sizes terminate with partial metadata, never throw or spin") {
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // a box claiming size 3 (< its own 8-byte header) must abort the walk
+    val tiny = be32(16) ++ "ftyp".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte) ++
+      be32(3) ++ "moov".getBytes("US-ASCII")
+    assert(ContainerParser.parse(tiny) == ContainerParser.Meta("mp4", 0, 0, 0, 0L))
+    // a box overrunning the buffer stops cleanly too
+    val overrun = be32(16) ++ "ftyp".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte) ++
+      be32(1 << 30) ++ "moov".getBytes("US-ASCII")
+    assert(ContainerParser.parse(overrun) == ContainerParser.Meta("mp4", 0, 0, 0, 0L))
+    // truncated mid-moov: dims were parsed before the cut are kept
+    val full = MediaGen.mp4(640, 480, 1000)
+    val cutMeta = ContainerParser.parse(full.take(60)) // inside mvhd
+    assert(cutMeta.format == "mp4") // never throws
+  }
+
   test("withBinaryPayload coalesces NULL text instead of NPEing in the UDF") {
     import spark.implicits._
-    val docs = Seq((1L, Option("a" * 16)), (2L, None: Option[String])).toDF("doc_id", "text")
+    val docs = Seq((1L, Option("a" * 20)), (2L, None: Option[String])).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs))
       .orderBy("doc_id").collect()
     assert(feats.length == 2)
@@ -139,33 +191,39 @@ class MultimodalSpec extends AnyFunSuite {
   test("extractFeatures parses synthesized containers distributedly; q30 formulas hold") {
     import spark.implicits._
     val docs = Seq(
-      (1L, "a" * 16), // 16 % 4 == 0 -> png
-      (2L, "b" * 17), // jpeg
-      (3L, "c" * 18), // gif, 1 + 18%24 = 19 frames
-      (4L, "d" * 19), // wav, 1 + 19%40 = 20 ms
-      (5L, "e" * 20)  // png again
+      (1L, "a" * 20), // 20 % 5 == 0 -> png
+      (2L, "b" * 16), // 16 % 5 == 1 -> jpeg
+      (3L, "c" * 17), // 17 % 5 == 2 -> gif, 1 + 17%24 = 18 frames
+      (4L, "d" * 18), // 18 % 5 == 3 -> wav, 1 + 18%40 = 19 ms
+      (5L, "e" * 19)  // 19 % 5 == 4 -> mp4, 1 + 19%5000 = 20 ms
     ).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs))
       .orderBy("doc_id").collect()
-    assert(feats.map(_.getAs[String]("format")).toSeq == Seq("png", "jpeg", "gif", "wav", "png"))
+    assert(feats.map(_.getAs[String]("format")).toSeq == Seq("png", "jpeg", "gif", "wav", "mp4"))
     val gifRow = feats(2)
-    assert(gifRow.getAs[Int]("width") == 64 + 18 % 640)
-    assert(gifRow.getAs[Int]("height") == 64 + (18 * 7) % 480)
-    assert(gifRow.getAs[Int]("n_frames") == 19)
-    assert(gifRow.getAs[Int]("payload_len") == 14 + 14 * 19)
+    assert(gifRow.getAs[Int]("width") == 64 + 17 % 640)
+    assert(gifRow.getAs[Int]("height") == 64 + (17 * 7) % 480)
+    assert(gifRow.getAs[Int]("n_frames") == 18)
+    assert(gifRow.getAs[Int]("payload_len") == 14 + 14 * 18)
     val wavRow = feats(3)
-    assert(wavRow.getAs[Long]("duration_ms") == 20L)
+    assert(wavRow.getAs[Long]("duration_ms") == 19L)
     assert(wavRow.getAs[Int]("width") == 0 && wavRow.getAs[Int]("n_frames") == 0)
+    val mp4Row = feats(4)
+    assert(mp4Row.getAs[String]("format") == "mp4")
+    assert(mp4Row.getAs[Int]("width") == 64 + 19 % 640)
+    assert(mp4Row.getAs[Int]("height") == 64 + (19 * 7) % 480)
+    assert(mp4Row.getAs[Long]("duration_ms") == 20L)
+    assert(mp4Row.getAs[Int]("payload_len") == 236)
     assert(feats.map(_.getAs[Long]("checksum")).distinct.length == 5)
   }
 
   test("sampleFrames explodes only parsed animated payloads") {
     import spark.implicits._
-    val docs = Seq((1L, "c" * 18), (2L, "a" * 16)).toDF("doc_id", "text") // gif(19 frames), png
+    val docs = Seq((1L, "c" * 17), (2L, "a" * 20)).toDF("doc_id", "text") // gif(18 frames), png
     val frames = Multimodal.sampleFrames(
       Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs)), stride = 2)
       .orderBy("doc_id", "frame_idx").collect()
     assert(frames.forall(_.getAs[Long]("doc_id") == 1L))
-    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == (0 until 19 by 2).toSeq)
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == (0 until 18 by 2).toSeq)
   }
 }

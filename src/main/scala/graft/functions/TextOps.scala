@@ -191,6 +191,16 @@ object TextOps {
   def approxBpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Vocab-driven subword tokenization: whitespace pre-tokenize, then
+    * greedy longest-match against `vocab` within each word, single-char
+    * fallback for unmatched positions; word-initial pieces carry a leading
+    * space marker so `ltrim(concat(pieces))` reconstructs the normalized
+    * text. Lowers to the native [[graft.plans.BpeTokens]] expression — the
+    * vocab travels once per plan as a codegen reference object, never per
+    * row. The model-accurate token counter behind [[Tokenizer.Bpe]]. */
+  def bpeTokens(text: Column, vocab: Seq[String]): Column =
+    call_function("graft_bpe_tokens", text, lit(vocab.toArray))
+
   /** Stopword ratio against a fixed dictionary (multiset semantics). */
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
     val sw = array(stopwords.map(lit): _*)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextOps
+import graft.functions.{TextOps, Tokenizer}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,7 +48,8 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text",
       prefilter: Boolean = true,
-      prefilterMinTokens: Long = 100000000L): DataFrame = {
+      prefilterMinTokens: Long = 100000000L,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val spark = documents.sparkSession
     // tokens + score computed ONCE; everything downstream moves only
@@ -59,7 +60,7 @@ object Curation {
     val base = documents
       .select(
         col(idCol), col(strataCol),
-        size(TextOps.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"),
+        tokenizer.count(coalesce(col(textCol), lit(""))).as("n_tokens"),
         score.as("_score"))
       .localCheckpoint()
     val survivors =
@@ -288,13 +289,14 @@ object Curation {
       chunkTokens: Int,
       overlapTokens: Int = 0,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       "overlap must be in [0, chunkTokens)")
     val stride = chunkTokens - overlapTokens
     documents
-      .withColumn("_toks", TextOps.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("_toks", tokenizer.tokens(coalesce(col(textCol), lit(""))))
       .withColumn("_n", size(col("_toks")))
       // last chunk index: the largest i whose first NEW token (i*stride +
       // overlap) still exists — floor((n - overlap - 1) / stride), min 0
@@ -304,7 +306,7 @@ object Curation {
       .withColumn("n_chunk_tokens",
         least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride))
       .withColumn("chunk_text",
-        concat_ws(" ", slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))))
+        tokenizer.detokenize(slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))))
       .select(col(idCol), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_text"))
   }
 
@@ -320,13 +322,14 @@ object Curation {
   def vocabulary(
       documents: DataFrame,
       k: Int = 100,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(k > 0, "k must be positive")
     // ONE tokenize pass: the total derives from the already-aggregated
     // counts (vocab-sized) via a broadcast 1-row cross join — the whole
     // plan stays lazy, and an empty corpus yields an empty result
     val counts = documents
-      .select(explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("token"))
+      .select(explode(tokenizer.tokens(coalesce(col(textCol), lit("")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"))
     val total = counts.agg(sum(col("n_occurrences")).cast("double").as("_total"))
@@ -365,10 +368,11 @@ object Curation {
       numShards: Int,
       seed: Long = 0L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val withTokens = documents.select(
       col(idCol),
-      size(TextOps.tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      tokenizer.count(coalesce(col(textCol), lit(""))).as("n_tokens"))
     val ordered = trainingOrder(documents, numShards, seed, idCol)
       .join(withTokens, idCol)
     packSequences(ordered, tokensPerExample, shardCol = "shard", orderCols = Seq("pos"), idCol = idCol)

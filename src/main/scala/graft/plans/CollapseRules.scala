@@ -148,6 +148,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenHashes(children.head)))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_tokens"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BpeTokens].getName, "graft_bpe_tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val vocab = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              arr: ArrayData, ArrayType(StringType, _)) =>
+            Array.tabulate(arr.numElements())(i =>
+              if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_tokens(text, vocab): vocab must be an array<string> literal, got $other")
+        }
+        BpeTokens(children.head, vocab)
+      }))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_slots"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSlots].getName, "graft_minhash_slots"),

@@ -382,6 +382,46 @@ object TextKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Java-regex `\s` on chars (the String twin of the byte-level [[isWs]]). */
+  @inline private def isWsChar(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** Greedy longest-match subword tokenization (see [[graft.plans.BpeTokens]]).
+    * Works on the decoded String: piece matching is substring equality, and
+    * the single-character fallback steps by codepoint so surrogate pairs
+    * stay intact. */
+  def bpeTokens(s0: UTF8String, model: BpeVocabModel): ArrayData = {
+    val s = s0.toString
+    val n = s.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (isWsChar(s.charAt(i))) i += 1
+      else {
+        var j = i
+        while (j < n && !isWsChar(s.charAt(j))) j += 1
+        var p = i
+        var first = true
+        while (p < j) {
+          var len = 0
+          var l = math.min(model.maxLen, j - p)
+          while (l >= 1 && len == 0) {
+            if (model.set.contains(s.substring(p, p + l))) len = l
+            l -= 1
+          }
+          if (len == 0)
+            len = if (Character.isHighSurrogate(s.charAt(p)) && p + 1 < j) 2 else 1
+          val piece = s.substring(p, p + len)
+          out.add(UTF8String.fromString(if (first) " " + piece else piece))
+          first = false
+          p += len
+        }
+        i = j
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
 }
 
 /** Native fused tokenizer: string -> `array<long>` of per-token xxhash64
@@ -531,5 +571,55 @@ case class NgramHashes(child: Expression, n: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** Vocabulary for [[BpeTokens]]: the piece set plus the longest piece
+  * length, built once per deserialized instance (the hash set itself is
+  * `@transient` — only the flat string array rides the serialized plan). */
+final class BpeVocabModel(val pieces: Array[String]) extends Serializable {
+  @transient lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(16, pieces.length * 2))
+    pieces.foreach(p => if (p.nonEmpty) s.add(p))
+    s
+  }
+  @transient lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else math.max(1, pieces.iterator.map(_.length).max)
+}
+
+/** Greedy longest-match subword tokenizer (the WordPiece/maximal-munch
+  * scheme — public knowledge): pre-tokenize on whitespace exactly like
+  * [[TokenHashes]], then within each word repeatedly take the LONGEST vocab
+  * piece matching at the cursor; a position matching no piece falls back to
+  * a single character (codepoint-aware, so surrogate pairs are never
+  * split). Word-initial pieces carry a leading space marker (the GPT-2
+  * byte-BPE convention) so `ltrim(concat(pieces))` reconstructs the
+  * whitespace-normalized text exactly and chunk boundaries can land
+  * mid-word without losing word-boundary information.
+  *
+  * The vocab is a constructor parameter (like [[CentroidProbes]]'
+  * centroids): carried once per plan, shipped to executors as a codegen
+  * reference object, with the lookup set built lazily per JVM. Empty or
+  * all-whitespace input yields an empty array (a real tokenizer emits no
+  * tokens for no text — unlike the whitespace form's split("") == [""]).
+  */
+case class BpeTokens(child: Expression, vocab: Array[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+
+  @transient private lazy val model = new BpeVocabModel(vocab)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeTokens(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeVocab", model, classOf[BpeVocabModel].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.TextKernels.bpeTokens($s, $modelRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
     copy(child = newChild)
 }

@@ -18,6 +18,33 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   import QueryDef._
 
+  /** DuckDB fragment mirroring [[graft.functions.Tokenizer.FixtureVocab]]
+    * verbatim — the BPE oracle's vocab table. No margin chars: these
+    * fragments interpolate into stripMargin'd oracle strings, whose
+    * stripMargin leaves margin-less lines untouched. */
+  private val BpeVocabSql: String =
+    "vocab(piece) AS (\n" +
+    "  SELECT * FROM (VALUES ('the'),('th'),('ing'),('ion'),('tion'),('ent'),('ed'),('er'),('re'),('an'),\n" +
+    "                        ('or'),('at'),('en'),('es'),('st'),('ar'),('te'),('nd'),('on'),('data')) v(piece))"
+
+  /** DuckDB fragment: the greedy longest-match cursor walk as a recursive
+    * CTE — per word, advance by the longest vocab piece matching at the
+    * cursor (else one char), counting steps. Terminal rows (pos past the
+    * word) carry each word's token count. An independent second
+    * implementation of the [[graft.plans.BpeTokens]] kernel. */
+  private val BpeStepsSql: String =
+    "wd AS (\n" +
+    "  SELECT doc_id, w FROM (\n" +
+    "    SELECT doc_id, unnest(string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ')) AS w\n" +
+    "    FROM documents) u WHERE w <> ''),\n" +
+    "steps(doc_id, w, pos, ntok) AS (\n" +
+    "  SELECT doc_id, w, 1, 0 FROM wd\n" +
+    "  UNION ALL\n" +
+    "  SELECT doc_id, w,\n" +
+    "    pos + coalesce((SELECT max(length(piece)) FROM vocab WHERE piece = substr(w, pos, length(piece))), 1),\n" +
+    "    ntok + 1\n" +
+    "  FROM steps WHERE pos <= length(w))"
+
   val all: Seq[QueryDef] = Seq(
 
     // Q26: typed UDAF (Aggregator) — exact weighted average with scaled-long
@@ -688,6 +715,106 @@ object PipelineQueries {
              |SELECT token, n_occurrences,
              |  round(CAST(n_occurrences AS DOUBLE) / total, 6) AS share
              |FROM c, s ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin)),
+
+    // Q29e2/l2/m2: the token-counting operators under the PLUGGABLE BPE
+    // tokenizer (greedy longest-match over the fixture vocab) — budgets and
+    // chunk windows counted in model-accurate subword tokens instead of
+    // whitespace words. The oracle re-implements the greedy match as a
+    // DuckDB RECURSIVE CTE (per word, step the cursor by the longest vocab
+    // piece matching at it, else one char) — a fully independent second
+    // implementation of the tokenizer, hash-compared end-to-end. The
+    // VALUES list mirrors Tokenizer.FixtureVocab verbatim.
+    QueryDef(
+      "q29e2_token_budget_bpe",
+      (s, dir) =>
+        graft.operators.Curation.tokenBudget(
+          Tables.documents(s, dir), budgetTokens = 2000L,
+          score = TextOps.qualityScore(col("text")),
+          tokenizer = graft.functions.Tokenizer.Bpe(graft.functions.Tokenizer.FixtureVocab))
+          .orderBy("lang", "cum_tokens"),
+      Some(s"""WITH RECURSIVE $BpeVocabSql,
+             |$BpeStepsSql,
+             |bpe AS (
+             |  SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe
+             |  FROM steps WHERE pos > length(w) GROUP BY doc_id),
+             |t AS (
+             |  SELECT doc_id, lang, text,
+             |    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS ws_tokens,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             |              / CAST(length(text) AS DOUBLE) END AS pr
+             |  FROM documents),
+             |q AS (
+             |  SELECT t.doc_id, lang, coalesce(b.n_bpe, 0) AS n_tokens,
+             |    round(
+             |      least(CAST(ws_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+             |      (CASE WHEN ws_tokens != 0
+             |                 AND CAST(length(text) AS DOUBLE) / CAST(ws_tokens AS DOUBLE) >= 3
+             |                 AND CAST(length(text) AS DOUBLE) / CAST(ws_tokens AS DOUBLE) <= 10
+             |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+             |      (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS score
+             |  FROM t LEFT JOIN bpe b USING (doc_id)),
+             |c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+             |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+             |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin)),
+
+    QueryDef(
+      "q29l2_chunk_bpe",
+      (s, dir) =>
+        graft.operators.Curation.chunk(
+          Tables.documents(s, dir), chunkTokens = 40, overlapTokens = 10,
+          tokenizer = graft.functions.Tokenizer.Bpe(graft.functions.Tokenizer.FixtureVocab))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("n_chunk_tokens").cast("long").as("n_chunk_tokens"), col("chunk_text"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH RECURSIVE $BpeVocabSql,
+             |wl AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |wd AS (
+             |  SELECT doc_id, wi, w FROM (
+             |    SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi FROM wl) u
+             |  WHERE w <> ''),
+             |steps(doc_id, wi, w, pos, pieces) AS (
+             |  SELECT doc_id, wi, w, 1, CAST([] AS VARCHAR[]) FROM wd
+             |  UNION ALL
+             |  SELECT doc_id, wi, w, pos + L,
+             |    list_append(pieces,
+             |      CASE WHEN pos = 1 THEN ' ' || substr(w, pos, L) ELSE substr(w, pos, L) END)
+             |  FROM (
+             |    SELECT s.*, coalesce((SELECT max(length(piece)) FROM vocab
+             |                          WHERE piece = substr(s.w, s.pos, length(piece))), 1) AS L
+             |    FROM steps s WHERE s.pos <= length(s.w)) x),
+             |toks AS (
+             |  SELECT doc_id, flatten(list(pieces ORDER BY wi)) AS toks
+             |  FROM steps WHERE pos > length(w) GROUP BY doc_id),
+             |alld AS (
+             |  SELECT d.doc_id, coalesce(t.toks, CAST([] AS VARCHAR[])) AS toks
+             |  FROM documents d LEFT JOIN toks t USING (doc_id)),
+             |g AS (SELECT doc_id, toks, len(toks) AS n,
+             |             (greatest(len(toks) - 10 - 1, 0) // 30) AS last_i FROM alld),
+             |c AS (SELECT doc_id, toks, n, unnest(range(0, last_i + 1)) AS i FROM g)
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |  CAST(least(40, n - i * 30) AS BIGINT) AS n_chunk_tokens,
+             |  ltrim(array_to_string(toks[i * 30 + 1 : i * 30 + 40], ''), ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // BPE packing: assignment arithmetic is the q29m sequential scan (not
+    // SQL-expressible) => rows-only; CurationSpec pins BPE-count packing
+    // equality against a driver-side reference fill.
+    QueryDef(
+      "q29m2_pack_bpe",
+      (s, dir) =>
+        graft.operators.Curation.packDocuments(
+          Tables.documents(s, dir), tokensPerExample = 2000L, numShards = 8, seed = 42L,
+          tokenizer = graft.functions.Tokenizer.Bpe(graft.functions.Tokenizer.FixtureVocab))
+          .orderBy("shard", "example_idx", "pos_in_example"),
+      None),
 
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Curation
-import graft.functions.TextOps
+import graft.functions.{TextOps, Tokenizer}
 import graft.core.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -353,6 +353,61 @@ class CurationSpec extends AnyFunSuite {
     assert(funnel() == Map("too_short" -> 2L, "has_digit" -> 1L, "pass" -> 2L),
       "replay must overwrite its funnel batch, not double-count")
     graft.queries.QueryDef.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
+  test("tokenizer plumbing: whitespace default is byte-identical to the explicit form") {
+    // the default parameter must BE Tokenizer.Whitespace (the oracle-green
+    // q29e/l/m/n queries run the default path, pinning absolute behavior;
+    // this pins that the new parameter didn't fork it)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val defChunk = Curation.chunk(docs, 40, 10).orderBy("doc_id", "chunk_idx").collect()
+    val wsChunk = Curation.chunk(docs, 40, 10, tokenizer = Tokenizer.Whitespace)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(defChunk.sameElements(wsChunk))
+    val defVocab = Curation.vocabulary(docs, k = 20).collect()
+    val wsVocab = Curation.vocabulary(docs, k = 20, tokenizer = Tokenizer.Whitespace).collect()
+    assert(defVocab.sameElements(wsVocab))
+  }
+
+  test("packDocuments under BPE: counts are subword counts; first-fit packing is exact") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val bpe = Tokenizer.Bpe(Tokenizer.FixtureVocab)
+    val out = Curation.packDocuments(docs, tokensPerExample = 300L, numShards = 4, seed = 7L,
+        tokenizer = bpe)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getAs[Int]("shard"),
+        r.getLong(r.fieldIndex("example_idx")), r.getLong(r.fieldIndex("pos_in_example")),
+        r.getLong(r.fieldIndex("n_tokens"))))
+    // reference: BPE counts via the column function, order via trainingOrder,
+    // and a driver-side sequential first-fit — the honest re-implementation
+    val counts = docs
+      .select(col("doc_id"), bpe.count(coalesce(col("text"), lit(""))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // BPE subword counts must differ from whitespace counts somewhere (the
+    // whole point of the pluggable tokenizer)
+    val wsCounts = docs
+      .select(col("doc_id"),
+        Tokenizer.Whitespace.count(coalesce(col("text"), lit(""))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts != wsCounts, "fixture-vocab BPE should split some words")
+    val order = Curation.trainingOrder(docs, numShards = 4, seed = 7L)
+      .orderBy("shard", "pos").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getLong(r.fieldIndex("doc_id"))))
+    val expected = scala.collection.mutable.Map.empty[Long, (Int, Long, Long, Long)]
+    order.groupBy(_._1).foreach { case (shard, rows) =>
+      var acc = 0L; var example = -1L; var pos = 0L
+      rows.foreach { case (_, id) =>
+        val nt = counts(id)
+        if (example < 0 || acc + nt > 300L) { example += 1; acc = 0L; pos = 0L }
+        acc += nt
+        expected(id) = (shard, example, pos, nt)
+        pos += 1
+      }
+    }
+    assert(out.length == expected.size)
+    out.foreach { case (id, shard, ex, pos, nt) =>
+      assert(expected(id) == ((shard, ex, pos, nt)), s"doc $id mismatch")
+    }
   }
 
   test("null strata survive the prefilter via fallback") {

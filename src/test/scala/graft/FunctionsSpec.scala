@@ -21,6 +21,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == Seq(0, 0, 1, 2, 0))
   }
 
+  test("bpeTokens: greedy longest-match, char fallback, space markers, round-trip") {
+    import spark.implicits._
+    val vocab = Seq("ab", "abc", "c", "d", "the", "th")
+    def toks(s: String): Seq[String] =
+      Seq(s).toDF("text").select(TextOps.bpeTokens(col("text"), vocab).as("t"))
+        .head().getSeq[String](0)
+    // longest match wins: "abc" (len 3) beats "ab" at position 0
+    assert(toks("abcd") == Seq(" abc", "d"))
+    // unmatched positions fall back to single chars
+    assert(toks("xyz") == Seq(" x", "y", "z"))
+    // word-initial pieces carry the space marker; later pieces don't
+    assert(toks("the theabc") == Seq(" the", " the", "abc"))
+    // whitespace runs collapse exactly like the whitespace tokenizer; each
+    // word's first piece carries the marker
+    assert(toks("  ab\t\nc  ") == Seq(" ab", " c"))
+    // empty and all-whitespace yield NO tokens (unlike split("") == [""])
+    assert(toks("") == Seq.empty)
+    assert(toks("   ") == Seq.empty)
+    // ltrim(concat(pieces)) reconstructs the whitespace-normalized text
+    val texts = Seq("the quick  brown\tfox", "abc d the", "lone")
+    val rt = texts.toDF("text")
+      .select(
+        ltrim(concat_ws("", TextOps.bpeTokens(col("text"), vocab))).as("r"),
+        TextOps.normalized(col("text")).as("n_lower"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("n"))
+      .collect()
+    rt.foreach(r => assert(r.getString(0) == r.getString(2), s"round-trip failed: $r"))
+  }
+
   test("minhash is permutation-invariant; fingerprint is order-sensitive") {
     import spark.implicits._
     val df = Seq(

@@ -364,6 +364,12 @@ final case class Graft(spark: SparkSession, dir: String) {
   def duplicateComponents(pairs: DataFrame): DataFrame =
     Dedup.connectedComponents(pairs)
 
+  /** SemDeDup-style semantic dedup over the embeddings table: IVF-bucketed
+    * cosine near-dup pairs, component-collapsed to min-id representatives.
+    * Recall < 1 by design (cross-list pairs are never examined). */
+  def semanticDedup(threshold: Double = 0.95, lists: Int = 64): DataFrame =
+    Dedup.semanticDedup(documents, embeddings, threshold, lists)
+
   /** Exact shingle-Jaccard near-dup pairs within (lang, token-count)
     * blocks — the oracle-checkable exact variant of [[nearDuplicates]]. */
   def jaccardDuplicates(threshold: Double = 0.5): DataFrame =

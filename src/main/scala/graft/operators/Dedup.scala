@@ -1019,4 +1019,62 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     documents.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** The pair stage of [[semanticDedup]]: embedding cosine >= `threshold`
+    * within IVF lists — the coarse quantizer's buckets play the LSH-bucket
+    * blocking role, so candidate generation is quadratic only in the LIST
+    * (corpus/C per list), never the corpus. Output: (id_a, id_b, score),
+    * id_a < id_b. */
+  def semanticDupPairs(
+      embeddings: DataFrame,
+      model: Ivf.Model,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Similarity.nearDupPairs(
+      embeddings.withColumn("_bucket", Ivf.nearestCentroid(col(vecCol), model)),
+      threshold, blockCol = "_bucket", idCol = idCol, vecCol = vecCol)
+
+  /** SemDeDup-style semantic deduplication (public literature: embedding
+    * near-duplicate pruning via cluster-local cosine, Abbas et al. 2023):
+    * train a coarse k-means quantizer, find cosine >= `threshold` pairs
+    * WITHIN each inverted list, close the pairs into clusters, and keep
+    * each cluster's minimum-id document. The composition of the engine's
+    * existing pieces — [[Ivf.train]] → [[semanticDupPairs]] →
+    * [[connectedComponents]] → [[collapseDuplicates]] — registered as one
+    * operator because it is a standard curation stage.
+    *
+    * Returns `documents` minus the dropped near-duplicates (ids joined
+    * against `embeddings`' id column; a document without an embedding is
+    * never dropped).
+    *
+    * Recall is < 1 by design: a pair whose members quantize into different
+    * lists is never examined (the SemDeDup trade — candidate cost bounds).
+    * DedupAndSimilaritySpec pins a planted-paraphrase recall floor and the
+    * no-false-collapse property at high thresholds.
+    *
+    * Scale design: never all-pairs (quadratic only within lists — C sizes
+    * the lists; raise C as the corpus grows to hold list size constant);
+    * component collapse is bound by the pair graph, not the corpus; the
+    * document text never shuffles (only the drop-id anti-join touches
+    * `documents`). Lloyd training is the one multi-pass stage and caches
+    * only the (id, vector) projection. */
+  def semanticDedup(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      lists: Int = 64,
+      trainIters: Int = 3,
+      docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxIter: Int = 20): DataFrame = {
+    // coarse-quantizer training on a bounded sample (~50 vectors per list):
+    // a corpus that grows C with n to keep lists constant-sized must not
+    // pay O(n x C) training (see Ivf.train's maxTrainRows note)
+    val model = Ivf.train(embeddings, lists, trainIters, vecIdCol, vecCol,
+      maxTrainRows = 50L * lists)
+    val pairs = semanticDupPairs(embeddings, model, threshold, vecIdCol, vecCol)
+    collapseDuplicates(documents, pairs, docIdCol, "id_a", "id_b", maxIter)
+  }
 }

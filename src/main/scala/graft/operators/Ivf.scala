@@ -48,19 +48,43 @@ object Ivf {
 
   /** Train C centroids with `iters` Lloyd iterations. Cluster count is
     * clamped to the corpus size (requesting 32 lists over 20 vectors must
-    * not crash); an empty corpus is a caller error. */
+    * not crash); an empty corpus is a caller error.
+    *
+    * `maxTrainRows` > 0 trains on a deterministic hash-sample of at most
+    * ~that many vectors (the standard coarse-quantizer practice — e.g.
+    * FAISS samples ~tens of vectors per centroid): assignment cost per
+    * Lloyd iteration is rows x C x dim, and a deployment that grows C with
+    * the corpus to keep list sizes constant would otherwise pay a QUADRATIC
+    * training bill (measured: 36x wall for 10x corpus at C = n/120,
+    * SemanticProbe). ~40-50 rows per centroid loses nothing a coarse
+    * quantizer cares about; 0 keeps the exact full-corpus training. */
   def train(
       corpus: DataFrame,
       c: Int,
       iters: Int = 3,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Model = {
+      vecCol: String = "embedding",
+      maxTrainRows: Long = 0L): Model = {
     // Training makes iters+1 passes over (id, vec); persist the projection so
     // the source is scanned ONCE, not re-read per Lloyd iteration. At 100 TB
     // the cached projection is the embedding column only (the persist cost is
     // itself one pass, amortized over the iterations); without it training
     // cost is iters x full-input re-reads.
-    val proj = corpus.select(col(idCol), col(vecCol))
+    val projAll = corpus.select(col(idCol), col(vecCol))
+    val projSampled =
+      if (maxTrainRows <= 0L) projAll
+      else {
+        val n = projAll.count()
+        if (n <= maxTrainRows) projAll
+        else {
+          // deterministic hash-threshold membership (no RNG state, no
+          // shuffle — the stratifiedSample pattern); keeps ~maxTrainRows
+          val buckets = 1000000L
+          projAll.filter(
+            pmod(xxhash64(col(idCol)), lit(buckets)) < lit(buckets * maxTrainRows / n))
+        }
+      }
+    val proj = projSampled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic init: the C vectors with smallest xxhash64(id)

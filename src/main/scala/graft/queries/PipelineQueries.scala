@@ -203,6 +203,21 @@ object PipelineQueries {
              |SELECT src AS doc_id, least(src, min(dst)) AS component
              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
+    // Q27i: semantic (embedding-space) dedup — the SemDeDup composition:
+    // IVF lists as the blocking key, within-list cosine pairs, component
+    // collapse, keep each cluster's min id. k-means training and float
+    // cosine have no DuckDB twin => rows-only; DedupAndSimilaritySpec pins
+    // a planted-paraphrase recall floor and no-false-collapse.
+    QueryDef(
+      "q27i_dedup_semantic",
+      (s, dir) =>
+        Dedup.semanticDedup(
+          Tables.documents(s, dir), Tables.embeddings(s, dir),
+          threshold = 0.9, lists = 16)
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      None),
+
     // Q27c: MinHash-LSH near-dup pairs — the 100 TB path (banded equi-join,
     // no quadratic scan). Probabilistic recall => no SQL oracle; DedupSpec
     // asserts recall vs q27b's exact pairs.

@@ -165,6 +165,53 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc must not pair: $pairs")
   }
 
+  test("semanticDedup: planted paraphrases collapse (recall floor); drops are sound") {
+    import spark.implicits._
+    import graft.core.Tables
+    val base = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+    // plant a near-duplicate of every 10th vector: scaled (cosine-invariant)
+    // plus a tiny deterministic perturbation, id offset +10000 so the base
+    // copy is always the cluster minimum
+    val planted = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, j) =>
+        x * 1.07f + 0.003f * (((id + j) % 5) - 2) })
+    }
+    val all = (base ++ planted).toSeq
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val docs = (base ++ planted).toSeq.map { case (id, _) => (id, s"doc $id", "en") }
+      .toDF("doc_id", "text", "lang")
+
+    val keptSem = Dedup.semanticDedup(docs, all, threshold = 0.9, lists = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppedSem = allIds -- keptSem
+
+    // ground truth: the same collapse over EXACT all-pairs cosine (single
+    // block => no blocking loss)
+    val exactPairs = Similarity.nearDupPairs(
+      all.withColumn("blk", lit(0)), threshold = 0.9, blockCol = "blk")
+    val keptExact = Dedup.collapseDuplicates(
+        docs, exactPairs, aCol = "id_a", bCol = "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppedExact = allIds -- keptExact
+
+    // soundness: a semantic drop is always an exact drop (missed cross-list
+    // pairs only ever KEEP more, never drop a non-duplicate)
+    assert(droppedSem.subsetOf(droppedExact),
+      s"unsound drops: ${droppedSem -- droppedExact}")
+    // recall floor vs the exact collapse, and on the planted set itself
+    assert(droppedExact.nonEmpty)
+    val recall = droppedSem.size.toDouble / droppedExact.size
+    assert(recall >= 0.8, s"component recall $recall below floor")
+    val plantedIds = planted.map(_._1).toSet
+    val plantedDropped = plantedIds.count(droppedSem)
+    assert(plantedDropped >= (plantedIds.size * 0.8).toInt,
+      s"only $plantedDropped of ${plantedIds.size} planted paraphrases collapsed")
+  }
+
   test("bruteForceTopK is exact on crafted geometry") {
     import spark.implicits._
     val vecs = Seq(

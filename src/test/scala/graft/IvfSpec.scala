@@ -30,6 +30,23 @@ class IvfSpec extends AnyFunSuite {
     assert(r8 >= 0.4, s"recall@5 with half the lists probed: $r8")
   }
 
+  test("sampled training (maxTrainRows) yields a full-width model; nProbe=C still exact") {
+    // ~12 rows/centroid sample: model must still have C centroids of the
+    // right dim, search must stay deterministic, and probing every list is
+    // still a full scan (sampling moves CENTROIDS, never corpus coverage)
+    val model = Ivf.train(emb, c = 16, iters = 2, maxTrainRows = 200L)
+    assert(model.c == 16)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Ivf.topK(emb, queries, model, k = 5, nProbe = 16)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact, "nProbe = C must equal brute force regardless of training sample")
+    // a sample cap >= corpus is a no-op: identical centroids to full training
+    val capped = Ivf.train(emb, c = 16, iters = 2, maxTrainRows = 1000000L)
+    val full = Ivf.train(emb, c = 16, iters = 2)
+    assert(capped.centroids.map(_.toSeq).toSeq == full.centroids.map(_.toSeq).toSeq)
+  }
+
   test("cluster count clamps to corpus size (no crash on tiny corpora)") {
     val tiny = emb.filter(col("vec_id") < 5)
     val model = Ivf.train(tiny, c = 32, iters = 2)

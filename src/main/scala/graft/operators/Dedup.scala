@@ -359,7 +359,7 @@ object Dedup {
     writeSegment(seg,
       f"$indexPath/keys/seg_$seq%06d_${java.util.UUID.randomUUID().toString.take(8)}", seq)
     val n = seg.count()
-    seg.unpersist(blocking = false) // free the blocks: append loops call this per batch
+    graft.core.Blocks.free(seg) // free the blocks: append loops call this per batch
     n
   }
 
@@ -391,7 +391,7 @@ object Dedup {
       .localCheckpoint()
     writeSegment(keys, f"$indexPath/tombs/del_$seq%06d", seq)
     val n = keys.count()
-    keys.unpersist(blocking = false)
+    graft.core.Blocks.free(keys)
     n
   }
 
@@ -686,7 +686,7 @@ object Dedup {
       .distinct().localCheckpoint()
     batch.write.mode("append").parquet(s"$indexPath/tombs")
     val n = batch.count()
-    batch.unpersist(blocking = false)
+    graft.core.Blocks.free(batch)
     n
   }
 
@@ -703,7 +703,7 @@ object Dedup {
     val kept = storedDocs(spark, indexPath, storedIdCol(spark, indexPath))
       .localCheckpoint() // materialize before overwriting the files it reads
     kept.write.mode("overwrite").parquet(s"$indexPath/docs")
-    kept.unpersist(blocking = false)
+    graft.core.Blocks.free(kept)
     fs.delete(tombs, true)
   }
 
@@ -721,7 +721,7 @@ object Dedup {
       .localCheckpoint()
     batch.write.mode("append").parquet(s"$indexPath/docs")
     val n = batch.count()
-    batch.unpersist(blocking = false) // free the blocks: append loops call this per batch
+    graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
     n
   }
 
@@ -929,7 +929,7 @@ object Dedup {
     val batch = simHashRows(newDocs, idCol, textCol).localCheckpoint()
     batch.write.mode("append").parquet(s"$indexPath/docs")
     val n = batch.count()
-    batch.unpersist(blocking = false) // free the blocks: append loops call this per batch
+    graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
     n
   }
 
@@ -961,7 +961,17 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took
+    * to converge (including the final no-change confirmation round) — the
+    * observability hook the rounds-vs-diameter probe reads. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20): (DataFrame, Int) = {
     val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -991,15 +1001,15 @@ object Dedup {
       prevSum = Some(s)
       // next is materialized (checkpointed) — the superseded round's table
       // can be freed now, keeping peak storage at 2x|V| instead of rounds x|V|
-      labels.unpersist(blocking = false)
+      graft.core.Blocks.free(labels)
       labels = next
       iter += 1
     }
-    sym.unpersist(blocking = false)
+    graft.core.Blocks.free(sym)
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "the pair graph has a longer chain than near-dup clusters produce; raise maxIter")
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
+    (labels.select(col("id").as("doc_id"), col("label").as("component")), iter)
   }
 
   /** Collapse a duplicate-pair list into a deduplicated corpus: keep every

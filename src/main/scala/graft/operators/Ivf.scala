@@ -172,7 +172,7 @@ object Ivf {
       .localCheckpoint()
     batch.write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
     val n = batch.count()
-    batch.unpersist(blocking = false) // free the blocks: append loops call this per batch
+    graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
     n
   }
 

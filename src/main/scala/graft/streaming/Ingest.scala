@@ -235,10 +235,12 @@ object Ingest {
         graft.operators.Dedup.writeExactIndexSegment(
           b, indexPath, s"seg_batch_$batchId", idCol, textCol)
         Marks.write(markDir, batchId, 0L, kept.count(), hconf)
-        // free this batch's checkpoint blocks (see startCuratedIngest)
-        kept.unpersist(blocking = false)
-        keyed.unpersist(blocking = false)
-        b.unpersist(blocking = false)
+        // free this batch's checkpoint blocks (see startCuratedIngest);
+        // Blocks.free, not Dataset.unpersist — the latter is a no-op on
+        // local checkpoints (graft.core.Blocks)
+        graft.core.Blocks.free(kept)
+        graft.core.Blocks.free(keyed)
+        graft.core.Blocks.free(b)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
@@ -298,8 +300,9 @@ object Ingest {
         Marks.write(markDir, batchId, 0L, kept.count(), hconf)
         // free this batch's checkpoint blocks: a continuous-trigger ingest
         // would otherwise accumulate block-manager storage batch after batch
-        kept.unpersist(blocking = false)
-        chained.unpersist(blocking = false)
+        // (Blocks.free, not the no-op Dataset.unpersist)
+        graft.core.Blocks.free(kept)
+        graft.core.Blocks.free(chained)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))

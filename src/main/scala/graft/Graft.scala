@@ -87,6 +87,29 @@ final case class Graft(spark: SparkSession, dir: String) {
       availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval)
 
+  /** Streaming near-dup-on-write: MinHash/LSH dedup at ingest time — each
+    * micro-batch is probed against the persisted signature index at
+    * `indexPath` (plus earlier batches and lower-id rows of its own
+    * batch), near-duplicate clusters keep only their earliest document,
+    * and kept signatures fold into the index. Exactly-once under crash
+    * replay (per-batch overwrite + named index segments). Build the index
+    * first with [[buildNearDupIndex]]; fold segments with
+    * [[compactDocIndex]] while ingest is stopped. */
+  def ingestNearDup(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      threshold: Double = 0.7,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startNearDupIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, indexPath,
+      threshold = threshold, availableNow = availableNow,
+      maxFilesPerTrigger = maxFilesPerTrigger, triggerInterval = triggerInterval)
+
   /** Curation-on-ingest: filter each micro-batch through an ordered rule
     * cascade (and PII-redact the survivors) before it lands — the sink is
     * the curated corpus, with a per-batch drop funnel under
@@ -326,8 +349,8 @@ final case class Graft(spark: SparkSession, dir: String) {
   def deleteFromDocIndex(removedIds: DataFrame, path: String): Long =
     Dedup.deleteFromDocIndex(removedIds, path)
 
-  /** Fold a MinHash/SimHash index's tombstones into a physical rewrite
-    * (stop-the-world for that index). */
+  /** Fold a MinHash/SimHash index's tombstones and streaming segments into
+    * a physical rewrite (stop-the-world for that index). */
   def compactDocIndex(path: String): Unit =
     Dedup.compactDocIndex(spark, path)
 

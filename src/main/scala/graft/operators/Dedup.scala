@@ -620,12 +620,41 @@ object Dedup {
       threshold: Double = 0.7,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = newDocs.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
-    val (shingleN, numHashes, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val r = numHashes / bands
-    val batch = signatureRows(newDocs, shingleN, numHashes, idCol, textCol)
+    // One-shot wrapper: the signed batch is checkpointed HERE and stays
+    // pinned until GC (the caller can't reach it to Blocks.free it) — fine
+    // for a one-off probe, but per-batch LOOPS must use the split form
+    // (minHashBatchSigs + minHashIncrementalSigned) and free the sig frame
+    // themselves, exactly like keyedBatch/exactIncrementalKeyed on the
+    // exact index.
+    val batch = minHashBatchSigs(newDocs, indexPath, idCol, textCol)
       .localCheckpoint()
+    minHashIncrementalSigned(batch, indexPath, threshold)
+  }
+
+  /** Sign a batch with the index's OWN LSH parameters (meta file), without
+    * materializing — the caller checkpoints (and later frees) the result.
+    * The sign-once half of the split incremental probe. */
+  private[graft] def minHashBatchSigs(
+      newDocs: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val meta = newDocs.sparkSession.read.parquet(s"$indexPath/meta").head()
+    signatureRows(newDocs, meta.getInt(0), meta.getInt(1), idCol, textCol)
+  }
+
+  /** The probe half of the split incremental form: `batchSigs` is a
+    * (checkpointed) [[minHashBatchSigs]] result. Same contract as
+    * [[minHashIncremental]]. */
+  private[graft] def minHashIncrementalSigned(
+      batchSigs: DataFrame,
+      indexPath: String,
+      threshold: Double): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (numHashes, bands) = (meta.getInt(1), meta.getInt(2))
+    val r = numHashes / bands
+    val batch = batchSigs
     val all = storedDocs(spark, indexPath, "doc").unionByName(batch)
     val allSigs = all.select("doc", "sig")
     // Band join: batch side vs everything. MERGE for the same reason as
@@ -652,12 +681,19 @@ object Dedup {
   }
 
   /** An index's stored per-doc rows minus its tombstoned ids — the live
-    * corpus side of the MinHash/SimHash incremental probes. The tombstone
-    * side is takedown-sized and broadcasts; with no tombstones the read is
-    * the plain parquet scan. The stored id column name is inferred (the
-    * MinHash index stores `doc`, the SimHash store `doc_id`). */
+    * corpus side of the MinHash/SimHash incremental probes: the base
+    * `docs/` store plus any NAMED segments under `segs/` (the
+    * replay-idempotent streaming append form, [[writeMinHashSegment]]).
+    * The tombstone side is takedown-sized and broadcasts; with no
+    * tombstones the read is the plain parquet scan. The stored id column
+    * name is inferred (the MinHash index stores `doc`, the SimHash store
+    * `doc_id`). */
   private def storedDocs(spark: SparkSession, indexPath: String, idCol: String): DataFrame = {
-    val docs = spark.read.parquet(s"$indexPath/docs")
+    val fs0 = Seg.fs(spark, indexPath)
+    val segsDir = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
+    val paths = s"$indexPath/docs" +:
+      (if (fs0.exists(segsDir)) Seg.listDirs(fs0, segsDir).map(_.toString) else Seq.empty)
+    val docs = spark.read.parquet(paths: _*)
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     if (!Seg.fs(spark, indexPath).exists(tombs)) docs
     else docs.join(
@@ -690,21 +726,41 @@ object Dedup {
     n
   }
 
-  /** Fold a MinHash/SimHash index's tombstones into a physical rewrite:
-    * stored rows minus deleted ids, tombstones dropped. STOP-THE-WORLD for
-    * this index (rewrites `docs/` in place) — the concurrent-compaction
-    * protocol lives on the exact index, where a running ingest needs it;
-    * these doc-row indexes are probed batchwise, between which compaction
-    * slots naturally. */
+  /** Fold a MinHash/SimHash index's tombstones AND named streaming
+    * segments (`segs/`) into a physical rewrite: stored rows minus deleted
+    * ids land in one flat `docs/`, tombstones and segments dropped.
+    * STOP-THE-WORLD for this index (rewrites `docs/` in place) — the
+    * concurrent-compaction protocol lives on the exact index, where a
+    * running ingest needs it; these doc-row indexes are probed batchwise,
+    * between which compaction slots naturally. */
   def compactDocIndex(spark: SparkSession, indexPath: String): Unit = {
     val fs = Seg.fs(spark, indexPath)
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
-    if (!fs.exists(tombs)) return
+    val segs = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
+    if (!fs.exists(tombs) && !fs.exists(segs)) return
     val kept = storedDocs(spark, indexPath, storedIdCol(spark, indexPath))
       .localCheckpoint() // materialize before overwriting the files it reads
     kept.write.mode("overwrite").parquet(s"$indexPath/docs")
     graft.core.Blocks.free(kept)
-    fs.delete(tombs, true)
+    if (fs.exists(tombs)) fs.delete(tombs, true)
+    if (fs.exists(segs)) fs.delete(segs, true)
+  }
+
+  /** Write already-signed rows ([[minHashBatchSigs]] output, possibly
+    * filtered) as a NAMED index segment under `segs/<segName>`, overwrite
+    * semantics — the replay-idempotent streaming form of
+    * [[appendToMinHashIndex]]: a crash-replayed micro-batch rewrites the
+    * same directory instead of appending twice. Folded into flat `docs/`
+    * by [[compactDocIndex]]. Returns rows written. */
+  def writeMinHashSegment(
+      sigs: DataFrame,
+      indexPath: String,
+      segName: String): Long = {
+    val batch = sigs.select("doc", "sh", "sig").localCheckpoint()
+    batch.write.mode("overwrite").parquet(s"$indexPath/segs/$segName")
+    val n = batch.count()
+    graft.core.Blocks.free(batch)
+    n
   }
 
   /** Sign a batch and append its rows to the index (no retrain, no

@@ -247,6 +247,87 @@ object Ingest {
       .start()
   }
 
+  /** Streaming NEAR-DUP ingest — MinHash/LSH dedup-on-write: each
+    * micro-batch is signed with the index's own LSH parameters, probed
+    * incrementally ([[graft.operators.Dedup.minHashIncremental]] split
+    * form: batch-vs-corpus and batch-vs-batch pairs, never
+    * corpus-vs-corpus), the pair graph is closed into clusters, and only
+    * GREEDY-KEPT documents land: a batch document is dropped when its
+    * cluster already contains a corpus document (the corpus copy was kept
+    * when IT landed) or a lower-id batch member. Kept documents' signature
+    * rows are folded into the index — so, as with [[startDedupIngest]],
+    * the sink IS the near-deduplicated corpus and the index IS the sink's
+    * signatures.
+    *
+    * The greedy keep-first policy is the standard streaming near-dup
+    * semantics (near-duplication is not transitive; first-occurrence wins
+    * is decided per cluster within the batch plus the already-kept
+    * corpus). It relies on the id-monotonicity contract (ids never reused,
+    * increasing over time) so a cluster's minimum id IS its earliest
+    * document — [[graft.operators.Dedup.collapseDuplicates]] then
+    * implements the policy directly over the pairs-touching-the-batch
+    * graph.
+    *
+    * Exactly-once: sink batch directory and index segment are both keyed
+    * by batchId with overwrite semantics
+    * ([[graft.operators.Dedup.writeMinHashSegment]]); a crash-replayed
+    * batch recomputes identical pairs (the hash family is deterministic,
+    * and the probe de-duplicates signature rows it may see on both the
+    * stored and batch sides after a replayed append) and rewrites both
+    * identically. The index must exist
+    * ([[graft.operators.Dedup.writeMinHashIndex]], possibly over an empty
+    * corpus slice); [[graft.operators.Dedup.compactDocIndex]] folds the
+    * accumulated per-batch segments while ingest is stopped. */
+  def startNearDupIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      threshold: Double = 0.7,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val b = batch.localCheckpoint() // one source read feeds sign + keep-join
+        // sign ONCE per batch; the sig frame feeds the probe AND the kept
+        // segment write, and is freed per micro-batch (the one-shot
+        // minHashIncremental wrapper would orphan one block set per batch)
+        val sigs = graft.operators.Dedup
+          .minHashBatchSigs(b, indexPath, idCol, textCol).localCheckpoint()
+        val pairs = graft.operators.Dedup
+          .minHashIncrementalSigned(sigs, indexPath, threshold).localCheckpoint()
+        val kept = graft.operators.Dedup
+          .collapseDuplicates(b, pairs, idCol).localCheckpoint()
+        kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        graft.operators.Dedup.writeMinHashSegment(
+          sigs.join(kept.select(col(idCol).as("doc")), Seq("doc")),
+          indexPath, f"seg_batch_$batchId%06d")
+        Marks.write(markDir, batchId, 0L, kept.count(), hconf)
+        // free this batch's checkpoint blocks (Blocks.free, not the no-op
+        // Dataset.unpersist — see graft.core.Blocks)
+        graft.core.Blocks.free(kept)
+        graft.core.Blocks.free(pairs)
+        graft.core.Blocks.free(sigs)
+        graft.core.Blocks.free(b)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** Curation-on-ingest: each micro-batch runs the ordered quality
     * [[graft.operators.Curation.filterChain]] (and, when `redactPii`, PII
     * redaction of the text column) BEFORE anything lands — the sink is the

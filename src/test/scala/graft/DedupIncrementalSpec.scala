@@ -244,6 +244,89 @@ class DedupIncrementalSpec extends AnyFunSuite {
       corpus.count() + 8, "the all-duplicate batch still folds into the index")
   }
 
+  test("streaming near-dup ingest drops corpus/cross-batch/in-batch dups; replay and compaction are safe") {
+    import org.apache.spark.sql.functions.lit
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nding_").toString
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    Dedup.writeMinHashIndex(corpus, s"$tmp/idx", shingleN = 3, numHashes = 64, bands = 16)
+    val corpusText3 = corpus.filter(col("doc_id") === 3).select("text").head().getString(0)
+    val freshA = "the quick auburn fox vaulted the idle hound while meteor showers streaked over the silent harbor town at dusk"
+    val freshB = "seven engineers debated the merits of columnar storage formats late into the evening over increasingly cold coffee"
+    val freshC = "a completely unrelated treatise on the migratory patterns of arctic terns crossing two polar summers every year"
+
+    import spark.implicits._
+    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/src_stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    // exact copies guarantee jaccard 1.0, so the policy (not recall) is
+    // what's under test: corpus dup, cross-batch dup, in-batch dup
+    writeSrc("f1", Seq((2000L, corpusText3), (2001L, freshA)))
+    writeSrc("f2", Seq(
+      (2002L, freshA),   // cross-batch dup of kept 2001
+      (2003L, freshB),   // kept (cluster min)
+      (2004L, freshB),   // in-batch dup of 2003
+      (2005L, corpusText3)))
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startNearDupIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      threshold = 0.5, maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+
+    def sinkRows() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = sinkRows()
+    assert(kept == Set((2001L, freshA), (2003L, freshB)),
+      s"greedy keep-first over corpus + batches: $kept")
+    // only KEPT docs enter the index (the index is the sink's signatures)
+    def idxDocs() = {
+      val base = spark.read.parquet(s"$tmp/idx/docs")
+      val segsDir = new java.io.File(s"$tmp/idx/segs")
+      val segs = Option(segsDir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isDirectory).map(d => spark.read.parquet(d.toString))
+      segs.foldLeft(base)(_ unionByName _).select("doc").collect()
+        .map(_.getLong(0)).toSet
+    }
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idxDocs() == corpusIds ++ Set(2001L, 2003L),
+      "index holds corpus + kept streamed docs, nothing else")
+
+    // crash replay: drop the last commit marker and restart — kept set and
+    // index contents must be byte-stable (named segment overwrite)
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkRows() == kept, "replayed batch must not change the kept set")
+    assert(idxDocs() == corpusIds ++ Set(2001L, 2003L),
+      "replay must overwrite its segment, not append duplicates")
+
+    // an all-fresh batch exercises the empty-pair-graph path
+    writeSrc("f3", Seq((2006L, freshC)))
+    run()
+    assert(sinkRows() == kept + ((2006L, freshC)))
+
+    // compaction folds segments into flat docs/ without changing probe results
+    val probe = Seq((9000L, freshA)).toDF("doc_id", "text")
+    val before = pairSet(Dedup.minHashIncremental(probe, s"$tmp/idx", threshold = 0.5))
+    Dedup.compactDocIndex(spark, s"$tmp/idx")
+    assert(!new java.io.File(s"$tmp/idx/segs").exists(), "segments folded away")
+    assert(pairSet(Dedup.minHashIncremental(probe, s"$tmp/idx", threshold = 0.5)) == before,
+      "compaction must not change incremental pair search")
+    assert(before.exists(p => (p._1, p._2) == (2001L, 9000L)),
+      "the kept representative is findable through the compacted index")
+  }
+
   test("deletion: incremental-after-delete == full recompute over the corpus minus deletions") {
     import graft.functions.TextOps
     val (corpus, batch) = split()

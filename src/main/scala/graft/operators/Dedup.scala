@@ -237,10 +237,21 @@ object Dedup {
     * newest-wins (an addition survives iff no tombstone of its key has
     * `_seq >= _seq(addition)`), then min representative + summed count per
     * key. One aggregation over slim (key, id, count) rows — never the
-    * corpus text; the tombstone side is takedown-sized and broadcasts. */
-  private def mergeView(spark: SparkSession, s: IndexSnapshot): DataFrame = {
+    * corpus text; the tombstone side is takedown-sized and broadcasts.
+    *
+    * `restrictTo` (a frame with a `_k` column) pre-filters the key log via
+    * a BROADCAST SEMI-JOIN before the aggregation — the micro-batch probe
+    * shape: when the caller only needs the batch's keys, the index is
+    * scanned map-side and the merge aggregation is batch-sized instead of
+    * index-sized (no per-trigger index-wide shuffle). Semantics-preserving
+    * for any downstream join ON those keys. */
+  private def mergeView(
+      spark: SparkSession, s: IndexSnapshot,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     require(s.keySegs.nonEmpty, "no committed index key segments")
-    val adds = spark.read.parquet(s.keySegs.map(_._1): _*)
+    val adds0 = spark.read.parquet(s.keySegs.map(_._1): _*)
+    val adds = restrictTo.fold(adds0)(keys =>
+      adds0.join(broadcast(keys.select("_k").distinct()), Seq("_k"), "left_semi"))
     val alive =
       if (s.tombSegs.isEmpty) adds
       else {
@@ -327,9 +338,13 @@ object Dedup {
     val batchGroups = batch
       .groupBy(col("_k"))
       .agg(min(col(idCol)).as("b_keep"), count(lit(1)).as("b_n"))
+    // the index side is RESTRICTED to the batch's keys before its merge
+    // aggregation (broadcast semi-join): the key log is scanned map-side
+    // and the per-trigger shuffle is batch-sized, not index-sized
     val merged = batchGroups
       .join(
-        readExactIndex(batch.sparkSession, indexPath)
+        mergeView(batch.sparkSession, snapshot(batch.sparkSession, indexPath),
+          restrictTo = Some(batch))
           .withColumnRenamed("keep_id", "c_keep").withColumnRenamed("group_size", "c_n"),
         Seq("_k"), "left")
       .select(
@@ -680,19 +695,97 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** The LIVE streaming segments of a doc-row index, under the same
+    * fold-marker protocol as the exact index (see [[snapshot]]): markers
+    * under `_folded/` are listed BEFORE segment directories, a segment a
+    * marker lists as folded is excluded, and a `compact_*` segment is
+    * visible iff its marker committed. A batch segment is committed iff
+    * its parquet `_SUCCESS` job-commit mark exists — a compactor snapshot
+    * taken mid-rewrite (streaming replay) skips the half-written dir. */
+  private def liveDocSegs(
+      spark: SparkSession, indexPath: String)
+      : (Map[String, Seq[String]], Seq[org.apache.hadoop.fs.Path]) = {
+    val fs = Seg.fs(spark, indexPath)
+    val markers = Seg.listFiles(fs, new org.apache.hadoop.fs.Path(s"$indexPath/_folded"))
+      .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      .toMap
+    val folded = markers.values.flatten.toSet
+    val live = Seg.listDirs(fs, new org.apache.hadoop.fs.Path(s"$indexPath/segs")).filter { d =>
+      val name = d.getName
+      !folded(name) && (
+        if (name.startsWith("compact_")) markers.contains(name)
+        else fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+    }
+    (markers, live)
+  }
+
+  /** The MICRO-BATCH candidate stage: banded batch sigs joined against the
+    * stored corpus WITH THE BATCH SIDE BROADCAST — the streaming-ingest
+    * probe shape. [[minHashIncrementalSigned]]'s merge-hint band join is
+    * right when the batch is corpus-sized (broadcasting the banded CORPUS
+    * is the 100x OOM cliff), but a micro-batch is small by definition, and
+    * broadcasting IT means the corpus band side is scanned map-side only:
+    * no corpus shuffle, no corpus sort, per-trigger — the only shuffle in
+    * the plan is the candidate-pair dedup (candidate-sized). PlanSpec
+    * guards the shape. Covers batch-vs-corpus AND batch-vs-batch (the
+    * batch is unioned into the scanned side, never corpus-vs-corpus by
+    * the a-side restriction). */
+  private[graft] def minHashMicroCandidates(
+      batchSigs: DataFrame,
+      indexPath: String): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (numHashes, bands) = (meta.getInt(1), meta.getInt(2))
+    val r = numHashes / bands
+    def banded(sigs: DataFrame) = sigs
+      .select(col("doc"), explode(TextOps.lshBands(col("sig"), bands, r)).as("band"))
+    val all = storedDocs(spark, indexPath, "doc").select("doc", "sig")
+      .unionByName(batchSigs.select("doc", "sig"))
+    broadcast(banded(batchSigs.select("doc", "sig"))).as("a")
+      .join(banded(all).as("b"),
+        col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
+      .select(
+        least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The MICRO-BATCH verify stage: exact-Jaccard verification of
+    * `candidates` with the corpus rows RESTRICTED to candidate ids first
+    * (broadcast semi-join — candidate ids are micro-batch-bounded), so the
+    * corpus (sig, sh) arrays are scanned map-side and never enter an
+    * exchange; the verify joins then run on candidate-sized frames. Same
+    * contract as the tail of [[minHashIncrementalSigned]], including the
+    * replayed-append row dedup. `candidates` should be checkpointed by the
+    * caller (it feeds the id restriction and both verify joins). */
+  private[graft] def minHashMicroVerify(
+      candidates: DataFrame,
+      batchSigs: DataFrame,
+      indexPath: String,
+      threshold: Double): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val numHashes = spark.read.parquet(s"$indexPath/meta").head().getInt(1)
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
+    val all = storedDocs(spark, indexPath, "doc").unionByName(batchSigs)
+      .join(broadcast(candIds), Seq("doc"), "left_semi")
+      .dropDuplicates("doc") // replayed append: batch rows can shadow stored rows
+    verifyCandidates(
+      candidates, all.select("doc", "sig"), all.select("doc", "sh"),
+      numHashes, threshold)
+  }
+
   /** An index's stored per-doc rows minus its tombstoned ids — the live
     * corpus side of the MinHash/SimHash incremental probes: the base
-    * `docs/` store plus any NAMED segments under `segs/` (the
-    * replay-idempotent streaming append form, [[writeMinHashSegment]]).
+    * `docs/` store plus the LIVE named segments under `segs/` (the
+    * replay-idempotent streaming append form, [[writeMinHashSegment]],
+    * filtered through the fold-marker protocol of [[liveDocSegs]]).
     * The tombstone side is takedown-sized and broadcasts; with no
     * tombstones the read is the plain parquet scan. The stored id column
     * name is inferred (the MinHash index stores `doc`, the SimHash store
     * `doc_id`). */
   private def storedDocs(spark: SparkSession, indexPath: String, idCol: String): DataFrame = {
-    val fs0 = Seg.fs(spark, indexPath)
-    val segsDir = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
-    val paths = s"$indexPath/docs" +:
-      (if (fs0.exists(segsDir)) Seg.listDirs(fs0, segsDir).map(_.toString) else Seq.empty)
+    val paths = s"$indexPath/docs" +: liveDocSegs(spark, indexPath)._2.map(_.toString)
     val docs = spark.read.parquet(paths: _*)
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     if (!Seg.fs(spark, indexPath).exists(tombs)) docs
@@ -728,11 +821,13 @@ object Dedup {
 
   /** Fold a MinHash/SimHash index's tombstones AND named streaming
     * segments (`segs/`) into a physical rewrite: stored rows minus deleted
-    * ids land in one flat `docs/`, tombstones and segments dropped.
-    * STOP-THE-WORLD for this index (rewrites `docs/` in place) — the
-    * concurrent-compaction protocol lives on the exact index, where a
-    * running ingest needs it; these doc-row indexes are probed batchwise,
-    * between which compaction slots naturally. */
+    * ids land in one flat `docs/`, tombstones, segments, and fold markers
+    * dropped. STOP-THE-WORLD for this index (rewrites `docs/` in place) —
+    * the full fold including the base store and tombstone GC. For the
+    * segment-accumulation problem of a LONG-RUNNING near-dup ingest
+    * ([[graft.streaming.Ingest.startNearDupIngest]] writes one segment per
+    * micro-batch), use [[foldDocSegments]] instead: it folds segments into
+    * one beside the live ingest, no stop needed. */
   def compactDocIndex(spark: SparkSession, indexPath: String): Unit = {
     val fs = Seg.fs(spark, indexPath)
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
@@ -744,6 +839,70 @@ object Dedup {
     graft.core.Blocks.free(kept)
     if (fs.exists(tombs)) fs.delete(tombs, true)
     if (fs.exists(segs)) fs.delete(segs, true)
+    val markers = new org.apache.hadoop.fs.Path(s"$indexPath/_folded")
+    if (fs.exists(markers)) fs.delete(markers, true)
+  }
+
+  /** Fold the LIVE streaming segments of a doc-row index into one —
+    * SAFE BESIDE A RUNNING [[graft.streaming.Ingest.startNearDupIngest]],
+    * exactly like [[compactExactIndex]] beside the exact-dedup ingest: the
+    * folded rows land as an invisible `segs/compact_*` directory and become
+    * the view in one atomic fold-marker rename; a concurrently-appended
+    * batch segment (not in the fold snapshot) stays live untouched, and a
+    * crash before the marker leaves the old view fully intact. The base
+    * `docs/` store and tombstones are NOT touched (that full fold is
+    * [[compactDocIndex]], stop-the-world) — this bounds the per-probe
+    * listing+read cost of a week-long ingest at O(1) segments instead of
+    * O(batches).
+    *
+    * `gc = true` immediately deletes the folded directories — safe only
+    * when no concurrent reader planned its scan before the marker; pass
+    * `gc = false` beside a live ingest and run [[gcDocIndex]] after the
+    * per-micro-batch readers drain (one trigger). */
+  def foldDocSegments(spark: SparkSession, indexPath: String, gc: Boolean = true): Unit = {
+    val (_, live) = liveDocSegs(spark, indexPath)
+    if (live.size > 1) {
+      val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
+      spark.read.parquet(live.map(_.toString): _*)
+        .write.mode("overwrite").parquet(s"$indexPath/segs/$name")
+      Seg.writeAtomic(Seg.fs(spark, indexPath), Seg.conf(spark),
+        new org.apache.hadoop.fs.Path(s"$indexPath/_folded/$name"),
+        live.map(_.getName).mkString("\n"))
+    }
+    if (gc) gcDocIndex(spark, indexPath)
+  }
+
+  /** Delete a doc-row index's folded (superseded) segment directories,
+    * fold markers whose compacted segment is itself gone, and orphaned
+    * uncommitted `compact_*` directories from a crashed fold. Same
+    * contract as [[gcExactIndex]]: run from the maintenance actor only,
+    * after readers that planned before the last fold marker have drained.
+    * Markers whose compacted segment is still live OUTLIVE GC — they both
+    * keep the `compact_*` segment visible and keep a crash-replayed batch
+    * segment rewrite excluded (its rows already live in the compacted
+    * segment). Returns directories removed. */
+  def gcDocIndex(spark: SparkSession, indexPath: String): Long = {
+    val fs = Seg.fs(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val markerDir = new org.apache.hadoop.fs.Path(root, "_folded")
+    val markers = Seg.listFiles(fs, markerDir)
+      .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      .toMap
+    var removed = 0L
+    markers.values.flatten.toSet[String].foreach { name =>
+      val d = new org.apache.hadoop.fs.Path(root, s"segs/$name")
+      if (fs.exists(d)) { fs.delete(d, true); removed += 1 }
+    }
+    markers.keys.foreach { name =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"segs/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(markerDir, name), false)
+    }
+    Seg.listDirs(fs, new org.apache.hadoop.fs.Path(root, "segs")).foreach { d =>
+      if (d.getName.startsWith("compact_") && !markers.contains(d.getName)) {
+        fs.delete(d, true); removed += 1
+      }
+    }
+    removed
   }
 
   /** Write already-signed rows ([[minHashBatchSigs]] output, possibly
@@ -1142,5 +1301,44 @@ object Dedup {
       maxTrainRows = 50L * lists)
     val pairs = semanticDupPairs(embeddings, model, threshold, vecIdCol, vecCol)
     collapseDuplicates(documents, pairs, docIdCol, "id_a", "id_b", maxIter)
+  }
+
+  /** The STREAMING form of [[collapseDuplicates]] — ARRIVAL-ORDER keep
+    * semantics for a batch probed against an already-kept corpus: a batch
+    * document drops when its duplicate cluster contains ANY corpus
+    * document (what landed first stays landed — the exactly-once sink is
+    * append-only, so the corpus copy IS the cluster's first occurrence),
+    * and a batch-only cluster keeps its minimum id (the deterministic
+    * in-batch tiebreak). Unlike [[collapseDuplicates]]' global min-id
+    * policy, this needs NO id-monotonicity contract: a duplicate arriving
+    * with a lower id than its already-kept partner still drops.
+    *
+    * `pairs` is the graph TOUCHING the batch (batch-vs-corpus +
+    * batch-vs-batch — the incremental probes never emit corpus-vs-corpus);
+    * corpus membership is inferred as "paired id not in the batch". Cost
+    * is bound by the pair graph: `batch` itself moves only through the
+    * final drop-id anti-join. */
+  def collapseDuplicatesArrival(
+      batch: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val batchIds = batch.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("_inb", lit(1L))
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter)
+    val stats = comps
+      .join(batchIds, Seq("doc_id"), "left")
+      .groupBy("component")
+      .agg(
+        max(when(col("_inb").isNull, 1L).otherwise(0L)).as("_has_corpus"),
+        min(when(col("_inb").isNotNull, col("doc_id"))).as("_min_batch"))
+    val drop = comps
+      .join(batchIds, Seq("doc_id"))
+      .join(stats, "component")
+      .filter(col("_has_corpus") === 1L || col("doc_id") =!= col("_min_batch"))
+      .select(col("doc_id").as(idCol))
+    batch.join(drop, Seq(idCol), "left_anti")
   }
 }

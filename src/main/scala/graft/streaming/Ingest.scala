@@ -252,21 +252,22 @@ object Ingest {
     * incrementally ([[graft.operators.Dedup.minHashIncremental]] split
     * form: batch-vs-corpus and batch-vs-batch pairs, never
     * corpus-vs-corpus), the pair graph is closed into clusters, and only
-    * GREEDY-KEPT documents land: a batch document is dropped when its
-    * cluster already contains a corpus document (the corpus copy was kept
-    * when IT landed) or a lower-id batch member. Kept documents' signature
-    * rows are folded into the index — so, as with [[startDedupIngest]],
-    * the sink IS the near-deduplicated corpus and the index IS the sink's
-    * signatures.
+    * FIRST-OCCURRENCE documents land: a batch document is dropped when
+    * its cluster already contains a corpus document (the corpus copy was
+    * kept when IT landed — arrival wins, whatever the ids), or when a
+    * batch-only cluster has a lower-id member (the deterministic in-batch
+    * tiebreak). Kept documents' signature rows are folded into the
+    * index — so, as with [[startDedupIngest]], the sink IS the
+    * near-deduplicated corpus and the index IS the sink's signatures.
     *
-    * The greedy keep-first policy is the standard streaming near-dup
-    * semantics (near-duplication is not transitive; first-occurrence wins
-    * is decided per cluster within the batch plus the already-kept
-    * corpus). It relies on the id-monotonicity contract (ids never reused,
-    * increasing over time) so a cluster's minimum id IS its earliest
-    * document — [[graft.operators.Dedup.collapseDuplicates]] then
-    * implements the policy directly over the pairs-touching-the-batch
-    * graph.
+    * ARRIVAL-ORDER semantics
+    * ([[graft.operators.Dedup.collapseDuplicatesArrival]]) are the
+    * standard streaming near-dup policy (near-duplication is not
+    * transitive; first-occurrence-wins is decided per cluster against the
+    * already-kept corpus) and need NO id-monotonicity contract: document
+    * ids may arrive in any order, and a duplicate arriving with a LOWER
+    * id than its already-landed partner still drops — the sink is
+    * append-only, so what landed stays.
     *
     * Exactly-once: sink batch directory and index segment are both keyed
     * by batchId with overwrite semantics
@@ -276,8 +277,11 @@ object Ingest {
     * stored and batch sides after a replayed append) and rewrites both
     * identically. The index must exist
     * ([[graft.operators.Dedup.writeMinHashIndex]], possibly over an empty
-    * corpus slice); [[graft.operators.Dedup.compactDocIndex]] folds the
-    * accumulated per-batch segments while ingest is stopped. */
+    * corpus slice). Per-batch segments are folded CONCURRENTLY by
+    * [[graft.operators.Dedup.foldDocSegments]] (atomic fold-marker
+    * publish, `gc = false` beside the live ingest, [[graft.operators.Dedup.gcDocIndex]]
+    * after a drain), or all the way into flat `docs/` by
+    * [[graft.operators.Dedup.compactDocIndex]] while ingest is stopped. */
   def startNearDupIngest(
       spark: SparkSession,
       sourceDir: String,
@@ -307,18 +311,30 @@ object Ingest {
         // minHashIncremental wrapper would orphan one block set per batch)
         val sigs = graft.operators.Dedup
           .minHashBatchSigs(b, indexPath, idCol, textCol).localCheckpoint()
+        // the MICRO probe shape: batch side broadcast, corpus scanned
+        // map-side only — no corpus shuffle or sort per trigger. Sound
+        // because maxFilesPerTrigger bounds the batch (the banded batch is
+        // batchRows x bands slim rows); a corpus-sized batch belongs on
+        // the merge-join form (minHashIncremental), not here
+        val cands = graft.operators.Dedup
+          .minHashMicroCandidates(sigs, indexPath).localCheckpoint()
         val pairs = graft.operators.Dedup
-          .minHashIncrementalSigned(sigs, indexPath, threshold).localCheckpoint()
-        val kept = graft.operators.Dedup
-          .collapseDuplicates(b, pairs, idCol).localCheckpoint()
+          .minHashMicroVerify(cands, sigs, indexPath, threshold).localCheckpoint()
+        graft.core.Blocks.free(cands)
+        val kept0 = graft.operators.Dedup.collapseDuplicatesArrival(b, pairs, idCol)
+        val kept = kept0.localCheckpoint()
         kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
         graft.operators.Dedup.writeMinHashSegment(
           sigs.join(kept.select(col(idCol).as("doc")), Seq("doc")),
           indexPath, f"seg_batch_$batchId%06d")
         Marks.write(markDir, batchId, 0L, kept.count(), hconf)
         // free this batch's checkpoint blocks (Blocks.free, not the no-op
-        // Dataset.unpersist — see graft.core.Blocks)
+        // Dataset.unpersist — see graft.core.Blocks). kept0's plan sweep
+        // also releases the connected-components fixpoint's FINAL label
+        // table (checkpointed inside collapseDuplicatesArrival, otherwise
+        // unreachable — the uptime soak measured it as a per-batch residue)
         graft.core.Blocks.free(kept)
+        graft.core.Blocks.free(kept0)
         graft.core.Blocks.free(pairs)
         graft.core.Blocks.free(sigs)
         graft.core.Blocks.free(b)

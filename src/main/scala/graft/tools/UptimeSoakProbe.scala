@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Dev-only week-long-uptime soak for the streaming write paths: drive
-  * `startDedupIngest` and `startCuratedIngest` through hundreds of
-  * micro-batches (one source file per batch) and assert the per-batch cost
-  * and block-manager storage stay FLAT — the leak class the round-5 harness
-  * audit caught (checkpoint blocks accumulating across a long loop),
-  * systematized into a regression probe. The dedup phase also exercises
-  * CONCURRENT index compaction (`compactExactIndex(gc = false)` from a
-  * maintenance loop beside the live ingest): without it the merged-index
-  * probe cost grows with the per-batch segment count — the measured drift
-  * is the reason the concurrent-compaction path exists. Not part of the
+  * `startDedupIngest`, `startNearDupIngest`, and `startCuratedIngest`
+  * through hundreds of micro-batches (one source file per batch) and assert
+  * the per-batch cost and block-manager storage stay FLAT — the leak class
+  * the round-5 harness audit caught (checkpoint blocks accumulating across
+  * a long loop), systematized into a regression probe. The dedup phase also
+  * exercises CONCURRENT index compaction (`compactExactIndex(gc = false)`
+  * from a maintenance loop beside the live ingest), and the near-dup phase
+  * the equivalent `foldDocSegments(gc = false)` loop: without them the
+  * merged-index probe cost grows with the per-batch segment count — the
+  * measured drift is the reason the concurrent paths exist. Not part of the
   * engine.
   *
   * Usage: runMain graft.tools.UptimeSoakProbe [nBatches] [docsPerBatch] [compactEvery]
@@ -79,6 +80,12 @@ object UptimeSoakProbe {
       .withColumn("text", concat_ws(" ", words: _*))
       .drop("_key")
     val srcDir = s"$out/src"
+    // round-robin batching ON PURPOSE: ids arrive in arbitrary order
+    // relative to their duplicates, which is exactly what the near-dup
+    // ingest's ARRIVAL-ORDER keep policy must survive (a duplicate landing
+    // with a lower id than its already-kept partner still drops —
+    // Dedup.collapseDuplicatesArrival); the first soak of this phase used a
+    // min-id policy and over-kept 43% under this very ordering
     docs.repartition(nBatches).write.parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val expectKeys = docs.select(xxhash64(col("text"))).distinct().count()
@@ -134,6 +141,68 @@ object UptimeSoakProbe {
     require(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked persisted RDDs after dedup soak: ${spark.sparkContext.getPersistentRDDs.keys}")
 
+    // ---- phase 1b: near-dup-on-write with concurrent segment folds ----
+    // Exact duplicates have jaccard 1.0, so the near-dup keep set is the
+    // same distinct-text ground truth as phase 1 — but the per-batch cost
+    // has a genuine O(index) component (the banded corpus side of the
+    // incremental probe), so the flatness gate here is STORAGE and segment
+    // count, not wall drift: the fold loop must bound live segments at
+    // O(foldEvery) instead of O(batches), and no checkpoint blocks may
+    // survive any batch.
+    val ndIndex = s"$out/nd_index"
+    Dedup.writeMinHashIndex(docs.limit(0), ndIndex, shingleN = 3, numHashes = 64, bands = 16)
+    val cap3 = new Capture(spark)
+    spark.streams.addListener(cap3)
+    val t3 = System.nanoTime()
+    val q3 = Ingest.startNearDupIngest(
+      spark, srcDir, schema, s"$out/nsink", s"$out/nckpt", ndIndex,
+      threshold = 0.7, maxFilesPerTrigger = Some(1))
+    var lastFold = 0
+    var folds = 0
+    var peakSegs = 0
+    var gcRemoved3 = 0L
+    var pendingGcAt = -1 // batch count after which the last fold's GC is due
+    def liveSegCount(): Int = {
+      val d = new java.io.File(s"$ndIndex/segs")
+      Option(d.listFiles()).map(_.count(f => f.isDirectory && !f.getName.startsWith("."))).getOrElse(0)
+    }
+    while (q3.isActive) {
+      Thread.sleep(500)
+      peakSegs = math.max(peakSegs, liveSegCount())
+      val done = cap3.rows.size()
+      // GC one trigger after the fold: the per-micro-batch readers that
+      // planned before the fold marker have drained by then (the
+      // documented gcDocIndex protocol)
+      if (pendingGcAt >= 0 && done >= pendingGcAt) {
+        gcRemoved3 += Dedup.gcDocIndex(spark, ndIndex)
+        pendingGcAt = -1
+      }
+      if (compactEvery > 0 && done - lastFold >= compactEvery) {
+        lastFold = done
+        Dedup.foldDocSegments(spark, ndIndex, gc = false) // beside live ingest
+        folds += 1
+        pendingGcAt = done + 2
+      }
+    }
+    q3.awaitTermination()
+    val ndWall = (System.nanoTime() - t3) / 1e9
+    spark.streams.removeListener(cap3)
+    val ndGcRemoved = gcRemoved3 + Dedup.gcDocIndex(spark, ndIndex)
+    val (f3, l3, peak3) = report("neardup", cap3, 50)
+    println(f"[soak] neardup  wall=$ndWall%.1f s folds=$folds gc-removed=$ndGcRemoved " +
+      f"peak-live-segs=$peakSegs final-live-segs=${liveSegCount()}")
+    val ndKept = spark.read
+      .parquet((0L until nBatches.toLong).map(b => s"$out/nsink/batch_id=$b"): _*)
+    val ndRows = ndKept.count()
+    val ndKeys = ndKept.select(xxhash64(col("text"))).distinct().count()
+    println(f"[soak] neardup  kept=$ndRows%,d distinct=$ndKeys%,d (expect $expectKeys%,d)")
+    require(ndRows == expectKeys && ndKeys == expectKeys,
+      "near-dup soak output diverged from the distinct-text ground truth")
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs after near-dup soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+    // f3/l3 drift is O(index)-driven by design (the probe's corpus side
+    // grows every batch) — reported above, not gated
+
     // ---- phase 2: curation-on-ingest ----
     val cap2 = new Capture(spark)
     spark.streams.addListener(cap2)
@@ -156,8 +225,10 @@ object UptimeSoakProbe {
     if (compactEvery > 0)
       require(f1 == 0 || l1 / f1 < 1.6, f"dedup per-batch cost drifted ${l1 / f1}%.2fx")
     require(f2 == 0 || l2 / f2 < 1.6, f"curated per-batch cost drifted ${l2 / f2}%.2fx")
-    require(peak1 <= 8 && peak2 <= 8,
-      s"per-batch storage should be a handful of in-flight blocks, saw $peak1/$peak2")
+    require(peak1 <= 8 && peak2 <= 8 && peak3 <= 8,
+      s"per-batch storage should be a handful of in-flight blocks, saw $peak1/$peak2/$peak3")
+    require(compactEvery == 0 || peakSegs <= 2 * compactEvery + 4,
+      s"fold loop must bound live segments at O(foldEvery), saw $peakSegs")
     graft.queries.QueryDef.deleteRecursively(out)
     spark.stop()
   }

@@ -26,6 +26,20 @@ class DedupIncrementalSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Set[(Long, Long, Long, Boolean)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
 
+  /** Stage one parquet source file (named, so arrival order is the staging
+    * order) for the streaming-ingest tests. */
+  private def stageSrcFile(tmp: String, name: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
+    val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+    new java.io.File(s"$tmp/src_stage/$name").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(
+        f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+  }
+
   test("exactIncremental == exact over the union, restricted to batch rows") {
     val (corpus, batch) = split()
     val tmp = java.nio.file.Files.createTempDirectory("graft_dix_").toString
@@ -255,15 +269,8 @@ class DedupIncrementalSpec extends AnyFunSuite {
     val freshC = "a completely unrelated treatise on the migratory patterns of arctic terns crossing two polar summers every year"
 
     import spark.implicits._
-    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit = {
-      rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
-      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
-      new java.io.File(s"$tmp/src_stage/$name").listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => java.nio.file.Files.move(
-          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
-    }
+    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit =
+      stageSrcFile(tmp, name, rows)
     // exact copies guarantee jaccard 1.0, so the policy (not recall) is
     // what's under test: corpus dup, cross-batch dup, in-batch dup
     writeSrc("f1", Seq((2000L, corpusText3), (2001L, freshA)))
@@ -325,6 +332,147 @@ class DedupIncrementalSpec extends AnyFunSuite {
       "compaction must not change incremental pair search")
     assert(before.exists(p => (p._1, p._2) == (2001L, 9000L)),
       "the kept representative is findable through the compacted index")
+  }
+
+  test("foldDocSegments beside near-dup ingest: fold, gc, and crash replay leave the view unchanged") {
+    import org.apache.spark.sql.functions.lit
+    val tmp = java.nio.file.Files.createTempDirectory("graft_folddoc_").toString
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    Dedup.writeMinHashIndex(corpus, s"$tmp/idx", shingleN = 3, numHashes = 64, bands = 16)
+    val freshA = "glacial moraines retreated across the fjord leaving striated bedrock and scattered erratic boulders in their wake"
+    val freshB = "the committee adjourned without resolving the disputed clause leaving both delegations to draft rival amendments overnight"
+    val freshC = "hand thrown stoneware cools slowly inside the kiln while the glaze crystallizes into unrepeatable winter blooms"
+
+    import spark.implicits._
+    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit =
+      stageSrcFile(tmp, name, rows)
+    writeSrc("f1", Seq((3000L, freshA)))
+    writeSrc("f2", Seq((3001L, freshB), (3002L, freshA))) // 3002 drops vs kept 3000
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startNearDupIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      threshold = 0.5, maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+
+    def segNames() = Option(new java.io.File(s"$tmp/idx/segs").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty).filter(_.isDirectory).map(_.getName).toSet
+    def probePairs() = pairSet(Dedup.minHashIncremental(
+      Seq((9000L, freshA), (9001L, freshB)).toDF("doc_id", "text"),
+      s"$tmp/idx", threshold = 0.5))
+    def sinkRows() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(segNames() == Set("seg_batch_000000", "seg_batch_000001"))
+    val pairsBefore = probePairs()
+    assert(pairsBefore.exists(p => (p._1, p._2) == (3000L, 9000L)) &&
+      pairsBefore.exists(p => (p._1, p._2) == (3001L, 9001L)),
+      s"streamed docs visible through segments: $pairsBefore")
+
+    // fold WITHOUT gc: compact segment + marker appear, originals still on
+    // disk but excluded — the probe view must not change (no double pairs)
+    Dedup.foldDocSegments(spark, s"$tmp/idx", gc = false)
+    val afterFold = segNames()
+    assert(afterFold.size == 3 && afterFold.exists(_.startsWith("compact_")),
+      s"folded beside the originals: $afterFold")
+    assert(probePairs() == pairsBefore, "fold must not change the probe view")
+
+    // gc after drain: originals deleted, compact + its marker survive
+    assert(Dedup.gcDocIndex(spark, s"$tmp/idx") == 2L)
+    assert(segNames().forall(_.startsWith("compact_")))
+    assert(probePairs() == pairsBefore, "gc must not change the probe view")
+
+    // crash replay AFTER fold+gc: the replayed batch rewrites its (deleted)
+    // segment directory, but the fold marker still excludes it — its rows
+    // already live in the compacted segment, so no duplicates appear
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkRows() == Set(3000L, 3001L), "replay must not change the kept set")
+    assert(probePairs() == pairsBefore,
+      "replayed segment rewrite stays excluded by its fold marker")
+
+    // a second generation: new batch, fold again (compact-of-compact), gc
+    // drops the superseded compact AND its now-referent-less marker
+    writeSrc("f3", Seq((3003L, freshC)))
+    run()
+    val withC = probePairs()
+    Dedup.foldDocSegments(spark, s"$tmp/idx", gc = false)
+    assert(Dedup.gcDocIndex(spark, s"$tmp/idx") >= 2L)
+    assert(segNames().size == 1 && segNames().head.startsWith("compact_"))
+    assert(new java.io.File(s"$tmp/idx/_folded").listFiles()
+      .count(!_.getName.startsWith(".")) == 1,
+      "the superseded compact's marker is dropped once its referent is gone")
+    assert(probePairs() == withC, "second-generation fold+gc preserves the view")
+
+    // the stop-the-world compaction still folds everything flat
+    Dedup.compactDocIndex(spark, s"$tmp/idx")
+    assert(!new java.io.File(s"$tmp/idx/segs").exists())
+    assert(!new java.io.File(s"$tmp/idx/_folded").exists())
+    assert(probePairs() == withC, "flat rewrite preserves the view")
+  }
+
+  test("micro probe == merge-form probe; the corpus side never shuffles or sorts") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val batch = corpus.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_micro_").toString
+    Dedup.writeMinHashIndex(corpus, tmp, shingleN = 3, numHashes = 64, bands = 16)
+
+    val sigs = Dedup.minHashBatchSigs(batch, tmp).localCheckpoint()
+    val cands = Dedup.minHashMicroCandidates(sigs, tmp).localCheckpoint()
+    val micro = pairSet(Dedup.minHashMicroVerify(cands, sigs, tmp, threshold = 0.5))
+    val merge = pairSet(Dedup.minHashIncremental(batch, tmp, threshold = 0.5))
+    assert(micro == merge, "micro (broadcast-batch) probe must equal the merge-form probe")
+    assert(micro.nonEmpty, "the planted copies must surface")
+
+    // plan shape: the band join broadcasts the BATCH side; the corpus band
+    // scan is map-side — the only shuffle in the candidate plan is the
+    // candidate-pair dedup, and nothing sorts or merge-joins the corpus
+    val p = Dedup.minHashMicroCandidates(sigs, tmp)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"band join must be a BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus merge join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly the candidate-dedup shuffle:\n$p")
+    // verify stage: corpus rows are restricted via a broadcast semi-join
+    // before any wide join — no corpus-wide hash exchange of (sig, sh)
+    val vp = Dedup.minHashMicroVerify(cands, sigs, tmp, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(vp.contains("LeftSemi, BuildRight") || vp.contains("LeftSemi"),
+      s"candidate-id restriction must be a broadcast semi join:\n$vp")
+    graft.core.Blocks.free(cands)
+    graft.core.Blocks.free(sigs)
+  }
+
+  test("near-dup ingest: arrival wins over id order — a lower-id duplicate of a kept corpus doc drops") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndarr_").toString
+    // corpus with HIGH ids only, so a streamed duplicate can carry a LOWER
+    // id than its already-kept partner without colliding
+    val corpus = Tables.documents(spark, TestSpark.Sf0001).filter(col("doc_id") >= 250)
+    Dedup.writeMinHashIndex(corpus, s"$tmp/idx", shingleN = 3, numHashes = 64, bands = 16)
+    val corpusText = corpus.filter(col("doc_id") === 300).select("text").head().getString(0)
+    val fresh = "an entirely novel sentence about tidal resonance in narrow estuaries amplifying the spring flood twice a month"
+    // 100 < 300: under a global min-id policy the duplicate would be "kept"
+    // and the corpus copy stranded; arrival semantics must drop it
+    stageSrcFile(tmp, "f1", Seq((100L, corpusText), (101L, fresh)))
+    // and an in-batch-only cluster still breaks ties by lowest id
+    val freshB = "clockmakers once regulated entire railway networks from a single brass chronometer kept under glass in the station hall"
+    stageSrcFile(tmp, "f2", Seq((51L, freshB), (50L, freshB)))
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    graft.streaming.Ingest.startNearDupIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      threshold = 0.5, maxFilesPerTrigger = Some(1)).awaitTermination()
+    val kept = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 50L),
+      s"arrival wins vs corpus (100 drops), min id wins in-batch (50 keeps): $kept")
   }
 
   test("deletion: incremental-after-delete == full recompute over the corpus minus deletions") {
@@ -442,15 +590,8 @@ class DedupIncrementalSpec extends AnyFunSuite {
     val corpusText3 = corpus.filter(col("doc_id") === 3).select("text").head().getString(0)
 
     import spark.implicits._
-    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit = {
-      rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
-      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
-      new java.io.File(s"$tmp/src_stage/$name").listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => java.nio.file.Files.move(
-          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
-    }
+    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit =
+      stageSrcFile(tmp, name, rows)
     writeSrc("f1", Seq((1000L, "fresh doc alpha"), (1001L, corpusText3)))
     val schema = spark.read.parquet(s"$tmp/src").schema
     def run(): Unit = graft.streaming.Ingest.startDedupIngest(

@@ -89,12 +89,14 @@ final case class Graft(spark: SparkSession, dir: String) {
 
   /** Streaming near-dup-on-write: MinHash/LSH dedup at ingest time — each
     * micro-batch is probed against the persisted signature index at
-    * `indexPath` (plus earlier batches and lower-id rows of its own
-    * batch), near-duplicate clusters keep only their earliest document,
-    * and kept signatures fold into the index. Exactly-once under crash
-    * replay (per-batch overwrite + named index segments). Build the index
-    * first with [[buildNearDupIndex]]; fold segments with
-    * [[compactDocIndex]] while ingest is stopped. */
+    * `indexPath` (plus its own batch), and near-duplicate clusters keep
+    * only their FIRST-ARRIVED document (already-landed corpus copy wins
+    * whatever the ids; in-batch ties break by lowest id); kept signatures
+    * fold into the index. Exactly-once under crash replay (per-batch
+    * overwrite + named index segments). Build the index
+    * first with [[buildNearDupIndex]]; fold accumulated segments with
+    * [[foldDocSegments]] beside the live ingest, or all the way into flat
+    * `docs/` with [[compactDocIndex]] while ingest is stopped. */
   def ingestNearDup(
       sourceDir: String,
       schema: StructType,
@@ -354,6 +356,17 @@ final case class Graft(spark: SparkSession, dir: String) {
   def compactDocIndex(path: String): Unit =
     Dedup.compactDocIndex(spark, path)
 
+  /** Fold a doc index's accumulated streaming segments into one, SAFE
+    * beside a running [[ingestNearDup]] (atomic fold-marker publish; pass
+    * `gc = false` beside a live ingest and [[gcDocIndex]] after a drain). */
+  def foldDocSegments(path: String, gc: Boolean = true): Unit =
+    Dedup.foldDocSegments(spark, path, gc)
+
+  /** Delete a doc index's folded segment directories and stale fold
+    * markers after concurrent readers have drained. */
+  def gcDocIndex(path: String): Long =
+    Dedup.gcDocIndex(spark, path)
+
   /** SimHash near-duplicate pairs: all pairs within `maxHamming` bits
     * (multi-index block-combination banding, guaranteed recall). */
   def simHashDuplicates(maxHamming: Int = 6): DataFrame =
@@ -454,6 +467,24 @@ final case class Graft(spark: SparkSession, dir: String) {
     * phone redaction with per-pass counts (map-only, codegen'd). */
   def redactDocuments(token: String = "[PII]"): DataFrame =
     operators.Curation.redact(documents, token = token)
+
+  /** The end-to-end curation pipeline over this directory's documents:
+    * quality filter → PII redact → exact dedup → near-dup collapse →
+    * optional decontamination → optional token budget, optionally
+    * materialized as training shards. Returns (curated corpus, per-stage
+    * funnel); free the corpus with `graft.core.Blocks.free` when done. */
+  def curatePipeline(
+      rules: Seq[(String, org.apache.spark.sql.Column)] =
+        operators.Curation.defaultQualityRules(),
+      benchmark: Option[DataFrame] = None,
+      nearDupThreshold: Double = 0.7,
+      budgetTokens: Option[Long] = None,
+      shardsDir: Option[String] = None,
+      numShards: Int = 64,
+      seed: Long = 0L): (DataFrame, DataFrame) =
+    operators.Curation.curationPipeline(
+      documents, rules, benchmark, nearDupThreshold, budgetTokens,
+      shardsDir = shardsDir, numShards = numShards, seed = seed)
 
   /** Benchmark decontamination: per-document distinct word n-gram overlap
     * of this directory's documents against an eval-set `benchmark` frame,

@@ -54,4 +54,91 @@ object Tokenizer {
   val FixtureVocab: Seq[String] = Seq(
     "the", "th", "ing", "ion", "tion", "ent", "ed", "er", "re", "an",
     "or", "at", "en", "es", "st", "ar", "te", "nd", "on", "data")
+
+  /** LEARN a BPE merge vocabulary from a corpus (the byte-pair-encoding
+    * scheme of Sennrich et al. 2016 — public knowledge), sized to drive
+    * [[Bpe]]:
+    *
+    *  1. DISTRIBUTED: the whitespace word-frequency histogram — the only
+    *     corpus-sized step (one partial-agg shuffle over exploded tokens),
+    *     capped at the top `maxWords` words by (frequency desc, word) so
+    *     the driver-side model fit is bounded. The cap mirrors how IVF
+    *     centroid training samples its rows ([[graft.operators.Ivf.train]]):
+    *     the model is fit on a bounded summary, the corpus never leaves
+    *     the executors, and at any scale the histogram head it keeps
+    *     carries almost all the corpus token mass.
+    *  2. DRIVER: the classic greedy merge loop over the histogram —
+    *     repeatedly merge the most frequent adjacent symbol pair (ties
+    *     broken lexicographically) until `numMerges` merges land or no
+    *     pair occurs at least twice. O(numMerges x total symbols), on a
+    *     histogram-sized input. Fully deterministic for a given corpus.
+    *
+    * Returns the merge results as vocab pieces for [[Bpe]]'s greedy
+    * longest-match consumption (the standard WordPiece-style pairing of a
+    * BPE-learned piece set; unmatched positions fall back to single
+    * characters automatically, so the learned vocab needs no alphabet). */
+  def learn(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      numMerges: Int = 200,
+      maxWords: Int = 50000): Seq[String] = {
+    val hist = docs
+      .select(explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    learnFromHistogram(hist, numMerges)
+  }
+
+  /** The driver-side merge loop of [[learn]], exposed for spec-level
+    * verification against hand-computed merges. */
+  private[graft] def learnFromHistogram(
+      hist: Seq[(String, Long)], numMerges: Int): Seq[String] = {
+    // words as codepoint-granular symbol arrays — the same fallback
+    // granularity as the matching kernel, so surrogate pairs never split
+    var words: Array[(Array[String], Long)] = hist.map { case (w, c) =>
+      val syms = Seq.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + n)
+        i += n
+      }
+      (syms.result().toArray, c)
+    }.toArray
+    val merges = Seq.newBuilder[String]
+    var nMerges = 0
+    var done = false
+    while (!done && nMerges < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      // merging a pair that occurs once compresses nothing — stop there
+      val candidates = counts.filter(_._2 >= 2L)
+      if (candidates.isEmpty) done = true
+      else {
+        val ((a, b), _) = candidates.minBy { case ((x, y), n) => (-n, x, y) }
+        merges += a + b
+        nMerges += 1
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = Seq.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result().toArray, c)
+          }
+        }
+      }
+    }
+    // two merge paths can land on the same string (("ab","c") and ("a","bc")
+    // both yield "abc"); the piece SET is what Bpe consumes
+    merges.result().distinct
+  }
 }

@@ -537,4 +537,105 @@ object Curation {
       pmod(xxhash64(col(idCol), lit(seed)), lit(buckets)) <
         (rate * lit(buckets.toDouble)).cast("long"))
   }
+
+  /** The END-TO-END curation pipeline — the stages of a pretraining data
+    * prep run composed in their canonical order, with per-stage funnel
+    * accounting:
+    *
+    *   1. `filter`        — [[filterChain]] quality rules
+    *   2. `redact`        — [[redact]] PII scrubbing of the survivors
+    *      (BEFORE dedup, so documents differing only in redacted PII
+    *      collapse as the duplicates they are)
+    *   3. `exact`         — [[graft.operators.Dedup.exact]] first-occurrence
+    *      exact dedup
+    *   4. `neardup`       — [[graft.operators.Dedup.minHashLsh]] pairs
+    *      closed into clusters by
+    *      [[graft.operators.Dedup.collapseDuplicates]]
+    *   5. `decontaminate` — [[decontaminate]] vs `benchmark` (skipped when
+    *      None)
+    *   6. `budget`        — [[tokenBudget]] per-stratum token cap (skipped
+    *      when None; `budgetScore` defaults to
+    *      [[graft.functions.TextOps.qualityScore]] of the redacted text)
+    *
+    * and optionally materializes the result as deterministic training
+    * shards ([[writeTrainingShards]] under `shardsDir`). Returns
+    * (curated corpus, funnel): the corpus keeps the input schema with
+    * `textCol` replaced by its redacted form; the funnel is one
+    * (stage, docs_in, docs_out) row per executed stage.
+    *
+    * Composition cost: each stage's output is checkpointed ONCE and feeds
+    * both its funnel count and the next stage — nothing is recomputed from
+    * the start, intermediate blocks are freed as soon as their successor
+    * materializes, and every stage runs the exact plan its standalone
+    * operator produces (CurationSpec pins funnel equality against the
+    * manually-chained operators). The returned corpus is the final
+    * checkpoint; free it with `graft.core.Blocks.free` when done. */
+  def curationPipeline(
+      documents: DataFrame,
+      rules: Seq[(String, Column)],
+      benchmark: Option[DataFrame] = None,
+      nearDupThreshold: Double = 0.7,
+      budgetTokens: Option[Long] = None,
+      budgetScore: Option[Column] = None,
+      shardsDir: Option[String] = None,
+      numShards: Int = 64,
+      seed: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      strataCol: String = "lang",
+      tokenizer: Tokenizer = Tokenizer.Whitespace): (DataFrame, DataFrame) = {
+    val spark = documents.sparkSession
+    val funnel = Seq.newBuilder[(String, Long, Long)]
+    var cur = documents.localCheckpoint()
+    var nCur = cur.count()
+
+    def stage(name: String)(f: DataFrame => DataFrame): Unit = {
+      val next = f(cur).localCheckpoint()
+      val nNext = next.count()
+      funnel += ((name, nCur, nNext))
+      graft.core.Blocks.free(cur)
+      cur = next
+      nCur = nNext
+    }
+
+    stage("filter")(d =>
+      filterChain(d, rules).filter(col("keep") === 1L).drop("fail_rule", "keep"))
+    stage("redact") { d =>
+      redact(d, textCol)
+        .withColumn(textCol, col("redacted"))
+        .drop("redacted", "n_emails", "n_ips", "n_phones")
+    }
+    stage("exact") { d =>
+      val keep = Dedup.exact(d, idCol, textCol)
+        .filter(col("is_kept")).select(col(idCol))
+      d.join(keep, Seq(idCol), "left_semi")
+    }
+    stage("neardup") { d =>
+      val pairs = Dedup.minHashLsh(
+        d, threshold = nearDupThreshold, idCol = idCol, textCol = textCol)
+      Dedup.collapseDuplicates(d, pairs, idCol)
+    }
+    benchmark.foreach { bm =>
+      stage("decontaminate") { d =>
+        val clean = decontaminate(d, bm, idCol = idCol, textCol = textCol)
+          .filter(col("contaminated") === 0L).select(col(idCol))
+        d.join(clean, Seq(idCol), "left_semi")
+      }
+    }
+    budgetTokens.foreach { b =>
+      stage("budget") { d =>
+        val kept = tokenBudget(
+          d, b,
+          score = budgetScore.getOrElse(TextOps.qualityScore(col(textCol))),
+          strataCol = strataCol, idCol = idCol, textCol = textCol,
+          tokenizer = tokenizer)
+          .select(col(idCol))
+        d.join(kept, Seq(idCol), "left_semi")
+      }
+    }
+    shardsDir.foreach(dir => writeTrainingShards(cur, dir, numShards, seed, idCol))
+
+    import spark.implicits._
+    (cur, funnel.result().toDF("stage", "docs_in", "docs_out"))
+  }
 }

@@ -731,6 +731,40 @@ object PipelineQueries {
              |  round(CAST(n_occurrences AS DOUBLE) / total, 6) AS share
              |FROM c, s ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin)),
 
+    // Q29p: the END-TO-END curation pipeline (filter → redact → exact
+    // dedup → near-dup collapse → decontaminate → token budget), reporting
+    // the per-stage funnel. Deterministic, but the near-dup stage is not
+    // SQL-expressible => rows-only; CurationSpec pins the funnel against
+    // the manually-chained standalone operators.
+    QueryDef(
+      "q29p_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (corpus, funnel) = graft.operators.Curation.curationPipeline(
+          docs,
+          graft.operators.Curation.defaultQualityRules(),
+          benchmark = Some(docs.orderBy("doc_id").limit(20)),
+          budgetTokens = Some(100000L))
+        graft.core.Blocks.free(corpus) // the funnel is the result here
+        funnel
+      },
+      None),
+
+    // Q29o: LEARNED BPE vocabulary — the trained-tokenizer half of the
+    // pluggable token-counting surface: distributed word histogram, then
+    // the Sennrich-style greedy merge loop over the bounded histogram
+    // (Tokenizer.learn). Deterministic, but the iterative merge loop is
+    // not SQL-expressible => rows-only here; CurationSpec pins the merge
+    // sequence against a hand-computed fixture.
+    QueryDef(
+      "q29o_learn_bpe",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.Tokenizer.learn(Tables.documents(s, dir), numMerges = 60)
+          .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("rank", "piece")
+      },
+      None),
+
     // Q29e2/l2/m2: the token-counting operators under the PLUGGABLE BPE
     // tokenizer (greedy longest-match over the fixture vocab) — budgets and
     // chunk windows counted in model-accurate subword tokens instead of

@@ -410,6 +410,81 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("curationPipeline: funnel and corpus match the manually-chained standalone operators") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val bench = docs.orderBy("doc_id").limit(10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_").toString
+    val (corpus, funnel) = Curation.curationPipeline(
+      docs, Curation.defaultQualityRules(), benchmark = Some(bench),
+      budgetTokens = Some(2000L), shardsDir = Some(s"$tmp/shards"),
+      numShards = 4, seed = 7L)
+    val f = funnel.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // the same stages, chained by hand from the standalone operators
+    var d = Curation.filterChain(docs, Curation.defaultQualityRules())
+      .filter(col("keep") === 1L).drop("fail_rule", "keep")
+    val nFilter = d.count()
+    d = Curation.redact(d).withColumn("text", col("redacted"))
+      .drop("redacted", "n_emails", "n_ips", "n_phones")
+    d = d.join(Dedup.exact(d).filter(col("is_kept")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val nExact = d.count()
+    d = Dedup.collapseDuplicates(d, Dedup.minHashLsh(d, threshold = 0.7))
+    val nNear = d.count()
+    d = d.join(Curation.decontaminate(d, bench)
+      .filter(col("contaminated") === 0L).select("doc_id"), Seq("doc_id"), "left_semi")
+    val nDecon = d.count()
+    d = d.join(Curation.tokenBudget(d, 2000L,
+        score = TextOps.qualityScore(col("text"))).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val nBudget = d.count()
+
+    val n0 = docs.count()
+    assert(f == Seq(
+      ("filter", n0, nFilter), ("redact", nFilter, nFilter),
+      ("exact", nFilter, nExact), ("neardup", nExact, nNear),
+      ("decontaminate", nNear, nDecon), ("budget", nDecon, nBudget)),
+      s"funnel: $f")
+    assert(nBudget < nDecon && nDecon <= nNear && nNear <= nExact && nExact <= nFilter,
+      "the fixture must exercise every stage")
+    // the corpus is the final stage's survivors, input schema preserved
+    assert(corpus.count() == nBudget)
+    assert(corpus.columns.toSeq == docs.columns.toSeq)
+    // shards landed and cover the corpus exactly
+    assert(spark.read.parquet(s"$tmp/shards").count() == nBudget)
+    graft.core.Blocks.free(corpus)
+    graft.queries.QueryDef.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
+  test("Tokenizer.learn: merges match the hand-computed BPE; learned vocab drives Bpe end-to-end") {
+    import spark.implicits._
+    // histogram: "abab" x3, "abc" x2. Pair counts round 1: (a,b)=8 (two
+    // occurrences per "abab", one per "abc"), (b,a)=3, (b,c)=2 => merge
+    // "ab"; round 2: (ab,ab)=3, (ab,c)=2 => "abab"; round 3: (ab,c)=2 =>
+    // "abc"; then no adjacent pair remains => stop before the merge budget.
+    val docs = Seq((1L, "abab abc abab"), (2L, "abab abc")).toDF("doc_id", "text")
+    val learned = Tokenizer.learn(docs, numMerges = 10)
+    assert(learned == Seq("ab", "abab", "abc"), s"merge sequence: $learned")
+    assert(Tokenizer.learn(docs, numMerges = 10) == learned, "learning is deterministic")
+    // numMerges truncates the same sequence, not a different greedy path
+    assert(Tokenizer.learn(docs, numMerges = 2) == Seq("ab", "abab"))
+    // the learned pieces drive the greedy longest-match tokenizer: every
+    // fixture word is now a single (word-initial-marked) token
+    val toks = docs.orderBy("doc_id")
+      .select(Tokenizer.Bpe(learned).tokens(col("text")))
+      .collect().map(_.getSeq[String](0))
+    assert(toks(0) == Seq(" abab", " abc", " abab") && toks(1) == Seq(" abab", " abc"))
+    // an out-of-vocab word degrades to matched pieces + single-char fallback
+    val oov = Seq((1L, "abz qq")).toDF("doc_id", "text")
+      .select(Tokenizer.Bpe(learned).tokens(col("text")))
+      .head().getSeq[String](0)
+    assert(oov == Seq(" ab", "z", " q", "q"))
+    // the histogram cap keeps determinism: capping to the single most
+    // frequent word still learns from it alone
+    assert(Tokenizer.learn(docs, numMerges = 10, maxWords = 1) == Seq("ab", "abab"))
+  }
+
   test("null strata survive the prefilter via fallback") {
     import spark.implicits._
     val docs = Seq(

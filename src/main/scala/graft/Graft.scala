@@ -112,6 +112,28 @@ final case class Graft(spark: SparkSession, dir: String) {
       threshold = threshold, availableNow = availableNow,
       maxFilesPerTrigger = maxFilesPerTrigger, triggerInterval = triggerInterval)
 
+  /** Streaming semantic ingest: embedding near-dup dedup-on-write against
+    * a persisted IVF index — batches assigned with the stored centroid
+    * model, compared only within partition-pruned probed lists, clusters
+    * keep their first-arrived document, kept vectors fold in as
+    * replay-idempotent named segments. Build the index first with
+    * [[buildVectorIndex]]; fold segments with
+    * `Ivf.compactIndexSegments` between runs. */
+  def ingestSemantic(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      threshold: Double = 0.95,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startSemanticIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, indexPath,
+      threshold = threshold, availableNow = availableNow,
+      maxFilesPerTrigger = maxFilesPerTrigger, triggerInterval = triggerInterval)
+
   /** Curation-on-ingest: filter each micro-batch through an ordered rule
     * cascade (and PII-redact the survivors) before it lands — the sink is
     * the curated corpus, with a per-batch drop funnel under

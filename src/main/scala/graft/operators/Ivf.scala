@@ -176,11 +176,61 @@ object Ivf {
     n
   }
 
-  /** Inverted-list health of a persisted index: row totals, growth since
-    * training, and list-size imbalance. The per-list counts scan only the
-    * partition column (no vector data is read). */
+  /** The index's inverted lists INCLUDING any named streaming segments
+    * under `segs/` (the replay-idempotent append form of
+    * [[writeListSegment]]): each root is its own bucket-partitioned
+    * parquet tree, so a bucket filter prunes partitions in EVERY branch of
+    * the union — probed-list reads stay partition-pruned across base and
+    * streamed rows alike. */
+  private[graft] def readListsWithSegments(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
+    val roots = s"$path/lists" +: (if (!fs.exists(segsDir)) Seq.empty else
+      fs.listStatus(segsDir).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString))
+    roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Write already-assigned rows ((n_id, n_vec, n_nsq, bucket) — the
+    * [[appendToIndex]] projection) as a NAMED segment under
+    * `segs/<segName>`, overwrite semantics — the replay-idempotent
+    * streaming form of [[appendToIndex]]: a crash-replayed micro-batch
+    * rewrites the same directory instead of appending its vectors twice.
+    * Folded into the main lists by [[compactIndexSegments]] or any
+    * [[rebuildIndex]]. Returns rows written. */
+  def writeListSegment(assigned: DataFrame, path: String, segName: String): Long = {
+    val batch = assigned.select("n_id", "n_vec", "n_nsq", "bucket").localCheckpoint()
+    batch.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/segs/$segName")
+    val n = batch.count()
+    graft.core.Blocks.free(batch)
+    n
+  }
+
+  /** Fold accumulated streaming segments into the main inverted lists —
+    * one flat bucket-partitioned tree again. STOP-THE-WORLD for this index
+    * (rewrites `lists/` in place); a running [[graft.streaming.Ingest.startSemanticIngest]]
+    * probes batchwise, between which compaction slots naturally. */
+  def compactIndexSegments(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
+    if (!fs.exists(segsDir)) return
+    val all = readListsWithSegments(spark, path)
+      .localCheckpoint() // materialize before overwriting the files it reads
+    all.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/lists")
+    graft.core.Blocks.free(all)
+    fs.delete(segsDir, true)
+  }
+
+  /** Inverted-list health of a persisted index: row totals (base lists +
+    * streaming segments), growth since training, and list-size imbalance.
+    * The per-list counts scan only the partition column (no vector data is
+    * read). */
   def indexStats(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
-    val sizes = spark.read.parquet(s"$path/lists")
+    val sizes = readListsWithSegments(spark, path)
       .groupBy("bucket").count().collect().map(_.getLong(1))
     val total = sizes.sum
     val trained = spark.read.parquet(s"$path/meta").head().getLong(0)
@@ -217,10 +267,16 @@ object Ivf {
       path: String,
       lists: Int,
       iters: Int = 3): Unit = {
-    val corpus = spark.read.parquet(s"$path/lists")
+    val corpus = readListsWithSegments(spark, path)
       .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
       .localCheckpoint() // sever lineage from the files the rewrite replaces
     writeIndex(corpus, train(corpus, lists, iters), path)
+    graft.core.Blocks.free(corpus)
+    // streamed segments are now part of the rewritten base lists
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
+    if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
   }
 
   /** Load the centroid matrix of a persisted index. */
@@ -251,7 +307,9 @@ object Ivf {
       explode(probeCentroids(col(vecCol), model, nProbe)).as("bucket"))
       .localCheckpoint() // probed twice: bucket-set collect + the join probe
     val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    // base lists + streamed segments, bucket-pruned in every branch —
+    // search always sees what a running semantic ingest has kept
+    val lists = readListsWithSegments(spark, path)
       .filter(col("bucket").isin(probed: _*))
     scoreTopK(lists, q, k)
   }

@@ -374,6 +374,32 @@ object PipelineQueries {
       },
       None),
 
+    // Q28g: streaming SEMANTIC ingest — embedding near-dup dedup-on-write:
+    // an IVF index over the first-half embeddings, the second half streamed
+    // through startSemanticIngest (partition-pruned probes, arrival-order
+    // keeps, replay-idempotent segments). Returns the kept streamed ids.
+    // The IVF model is not SQL-expressible => rows-only; the replay /
+    // search / compaction semantics are pinned by DedupIncrementalSpec.
+    QueryDef(
+      "q28g_sim_semantic_ingest",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cut = emb.agg(expr("max(vec_id) div 2")).head().getLong(0)
+        val corpus = emb.filter(col("vec_id") <= cut)
+        val model = graft.operators.Ivf.train(corpus, c = 16, iters = 3)
+        val tmp = QueryDef.tempDirForResult("graft_seming_").toString
+        graft.operators.Ivf.writeIndex(corpus, model, s"$tmp/idx")
+        val srcDir = s"$tmp/src"
+        emb.filter(col("vec_id") > cut).select("vec_id", "embedding")
+          .coalesce(1).write.parquet(srcDir)
+        val schema = s.read.parquet(srcDir).schema
+        graft.streaming.Ingest.startSemanticIngest(
+          s, srcDir, schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+          threshold = 0.99).awaitTermination()
+        s.read.parquet(s"$tmp/sink").select("vec_id").orderBy("vec_id")
+      },
+      None),
+
     // Q28c: embedding near-dup pairs over a blocking column (label).
     QueryDef(
       "q28c_sim_pairs",

@@ -344,6 +344,114 @@ object Ingest {
       .start()
   }
 
+  /** Streaming SEMANTIC ingest — embedding near-dup dedup-on-write, the
+    * third of the dedup-at-ingest family (exact [[startDedupIngest]],
+    * MinHash [[startNearDupIngest]], semantic here): each micro-batch of
+    * (id, embedding) rows is assigned to the persisted IVF index's
+    * inverted lists with its STORED centroid model, compared against only
+    * the probed lists' corpus vectors (bucket is a partition column in the
+    * base lists AND every streamed segment, so the read is
+    * partition-pruned to the batch's buckets), and cosine >= `threshold`
+    * pairs are closed into clusters with ARRIVAL-ORDER keeps
+    * ([[graft.operators.Dedup.collapseDuplicatesArrival]] — the
+    * already-landed copy wins whatever the ids; in-batch ties break by
+    * lowest id). Kept rows land in the sink and their assigned vectors
+    * fold into the index as a named segment
+    * ([[graft.operators.Ivf.writeListSegment]], overwrite =>
+    * replay-idempotent) — the sink IS the semantically-deduplicated
+    * corpus, the index IS the sink's vectors, and
+    * [[graft.operators.Ivf.topKIndexed]] search sees streamed vectors
+    * immediately.
+    *
+    * The probe is the MICRO shape throughout: the batch side (assigned
+    * vectors) broadcasts into the bucket equi-join, so the corpus side is
+    * scanned map-side only — no corpus shuffle per trigger, and only
+    * |batch buckets| / C of the index is read at all. Self-pairs are
+    * excluded BY ID, which also makes crash replay stable: a replayed
+    * batch may see its own pre-crash vectors in the index, but they pair
+    * only with other ids and membership is decided by id, so the replay
+    * recomputes the identical kept set and rewrites sink + segment in
+    * place. Fold segments with
+    * [[graft.operators.Ivf.compactIndexSegments]] between runs;
+    * [[graft.operators.Ivf.needsRebuild]] counts streamed rows, and
+    * [[graft.operators.Ivf.rebuildIndex]] folds them through a retrain.
+    *
+    * The index must exist ([[graft.operators.Ivf.writeIndex]], trained on
+    * a representative sample — possibly an initial corpus slice; like any
+    * IVF deployment, recall of the WITHIN-LIST pair search depends on the
+    * model summarizing the distribution, which is what the rebuild gate
+    * monitors). */
+  def startSemanticIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      threshold: Double = 0.95,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    import graft.operators.{Dedup, Ivf}
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val b = batch.localCheckpoint()
+        val model = Ivf.readModel(ss, indexPath)
+        val assigned = b.select(
+            col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+          .withColumn("n_nsq", graft.functions.VectorOps.normSq(col("n_vec")))
+          .withColumn("bucket", Ivf.nearestCentroid(col("n_vec"), model))
+          .localCheckpoint()
+        // the probed bucket set is batch-bounded driver metadata (the
+        // topKIndexed pattern) — it becomes a LITERAL partition filter
+        val probed = assigned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+        val corpus = Ivf.readListsWithSegments(ss, indexPath)
+          .filter(col("bucket").isin(probed: _*))
+        val all = corpus.unionByName(assigned)
+        val aSide = assigned.select(col("bucket"), col("n_id").as("a_id"),
+          col("n_vec").as("a_vec"), col("n_nsq").as("a_nsq"))
+        val pairs = broadcast(aSide)
+          .join(all.select(col("bucket"), col("n_id").as("b_id"),
+            col("n_vec").as("b_vec"), col("n_nsq").as("b_nsq")), Seq("bucket"))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("score", graft.functions.VectorOps.cosineWithNorms(
+            col("a_vec"), col("b_vec"), col("a_nsq"), col("b_nsq")))
+          .filter(col("score") >= threshold)
+          .select(
+            least(col("a_id"), col("b_id")).as("doc_a"),
+            greatest(col("a_id"), col("b_id")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .localCheckpoint()
+        val kept0 = Dedup.collapseDuplicatesArrival(b, pairs, idCol)
+        val kept = kept0.localCheckpoint()
+        kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        Ivf.writeListSegment(
+          assigned.join(kept.select(col(idCol).cast("long").as("n_id")), Seq("n_id")),
+          indexPath, f"seg_batch_$batchId%06d")
+        Marks.write(markDir, batchId, 0L, kept.count(), hconf)
+        // per-batch block hygiene; kept0's sweep frees the components'
+        // internal label checkpoint (see startNearDupIngest)
+        graft.core.Blocks.free(kept)
+        graft.core.Blocks.free(kept0)
+        graft.core.Blocks.free(pairs)
+        graft.core.Blocks.free(assigned)
+        graft.core.Blocks.free(b)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** Curation-on-ingest: each micro-batch runs the ordered quality
     * [[graft.operators.Curation.filterChain]] (and, when `redactPii`, PII
     * redaction of the text column) BEFORE anything lands — the sink is the

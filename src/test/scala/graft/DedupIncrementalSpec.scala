@@ -475,6 +475,78 @@ class DedupIncrementalSpec extends AnyFunSuite {
       s"arrival wins vs corpus (100 drops), min id wins in-batch (50 keeps): $kept")
   }
 
+  test("semantic ingest: embedding near-dups drop on write; search sees streamed vectors; replay + compaction safe") {
+    import graft.operators.Ivf
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_seming_").toString
+    def vec(x: Float, y: Float, z: Float, w: Float): Seq[Float] = Seq(x, y, z, w)
+    // two well-separated blobs; within a blob everything is mutually ~1.0
+    // cosine, across blobs ~0 — bucket assignment and the 0.95 gate are
+    // both unambiguous
+    val corpus = (0L until 20L).map(i =>
+      (i, if (i % 2 == 0) vec(1f, 0.01f * i, 0f, 0f) else vec(0f, 0f, 1f, 0.01f * i)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.train(corpus, c = 4, iters = 3)
+    Ivf.writeIndex(corpus, model, s"$tmp/idx")
+
+    def writeVecSrc(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/src_stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    val novelA = vec(0f, 1f, 0f, 0f)
+    val novelB = vec(0f, 0f, 0f, 1f)
+    writeVecSrc("f1", Seq(
+      (1000L, vec(1f, 0.06f, 0f, 0f)), // ~exact copy of corpus blob A: drops
+      (1001L, novelA)))                // novel direction: keeps
+    writeVecSrc("f2", Seq(
+      (1002L, novelA),                 // cross-batch dup of kept 1001: drops
+      (1003L, novelB),                 // keeps
+      (1004L, novelB)))                // in-batch dup of 1003: drops
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startSemanticIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      threshold = 0.95, maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+
+    def sinkIds() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def idxRows() = Ivf.indexStats(spark, s"$tmp/idx")("graft.ivf.rows").toLong
+    assert(sinkIds() == Set(1001L, 1003L), s"kept: ${sinkIds()}")
+    assert(idxRows() == 22L, "index = 20 corpus + 2 kept streamed vectors")
+
+    // search through the index finds the STREAMED vector immediately
+    def topHit() = {
+      val h = Ivf.topKIndexed(spark, s"$tmp/idx",
+        Seq((9000L, novelA)).toDF("vec_id", "embedding"), k = 1, nProbe = 4).head()
+      (h.getAs[Long]("n_id"), h.getAs[Double]("score"))
+    }
+    assert(topHit() == ((1001L, 1.0)), s"streamed vector must be searchable: ${topHit()}")
+
+    // crash replay: kept set and index row count must be byte-stable (the
+    // named segment is overwritten, and self-pairs are excluded by id)
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkIds() == Set(1001L, 1003L), "replay must not change the kept set")
+    assert(idxRows() == 22L, "replay must overwrite its segment, not append")
+
+    // folding segments into the base lists changes nothing observable
+    Ivf.compactIndexSegments(spark, s"$tmp/idx")
+    assert(!new java.io.File(s"$tmp/idx/segs").exists(), "segments folded away")
+    assert(idxRows() == 22L && topHit() == ((1001L, 1.0)),
+      "post-compaction search and stats are unchanged")
+  }
+
   test("deletion: incremental-after-delete == full recompute over the corpus minus deletions") {
     import graft.functions.TextOps
     val (corpus, batch) = split()

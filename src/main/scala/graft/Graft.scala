@@ -467,6 +467,19 @@ final case class Graft(spark: SparkSession, dir: String) {
   def rebuildVectorIndex(path: String, lists: Int = 16, iters: Int = 3): Unit =
     Ivf.rebuildIndex(spark, path, lists, iters)
 
+  /** Takedown path for a persisted vector index: tombstone the given ids
+    * so search, stats, and the semantic-ingest probe no longer see them (a
+    * deleted vector neither surfaces nor suppresses a future
+    * near-duplicate); physically reclaimed by [[compactVectorIndex]] or
+    * [[rebuildVectorIndex]]. Idempotent; returns distinct ids deleted. */
+  def deleteFromVectorIndex(path: String, removedIds: DataFrame): Long =
+    Ivf.deleteFromIndex(removedIds, path)
+
+  /** Fold a vector index's streamed segments and tombstones into one flat
+    * bucket-partitioned tree (stop-the-world for this index). */
+  def compactVectorIndex(path: String): Unit =
+    Ivf.compactIndexSegments(spark, path)
+
   /** Token-budget curation: per-language greedy fill of the best documents
     * (by the built-in quality heuristic) until `budgetTokens` — the
     * "assemble an N-token training mix" selection, prefiltered so no

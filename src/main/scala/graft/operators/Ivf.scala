@@ -176,12 +176,15 @@ object Ivf {
     n
   }
 
-  /** The index's inverted lists INCLUDING any named streaming segments
-    * under `segs/` (the replay-idempotent append form of
-    * [[writeListSegment]]): each root is its own bucket-partitioned
+  /** The index's LIVE inverted lists: the base `lists/` tree plus any
+    * named streaming segments under `segs/` (the replay-idempotent append
+    * form of [[writeListSegment]]), minus any tombstoned ids (the takedown
+    * path, [[deleteFromIndex]]). Each root is its own bucket-partitioned
     * parquet tree, so a bucket filter prunes partitions in EVERY branch of
     * the union — probed-list reads stay partition-pruned across base and
-    * streamed rows alike. */
+    * streamed rows alike; the tombstone side is takedown-sized and
+    * broadcasts AFTER the pruned scan, so with no tombstones the read is
+    * the plain union. */
   private[graft] def readListsWithSegments(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -191,7 +194,35 @@ object Ivf {
       fs.listStatus(segsDir).toSeq
         .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
         .map(_.getPath.toString))
-    roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val raw = roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val tombs = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    if (!fs.exists(tombs)) raw
+    else raw.join(
+      broadcast(spark.read.parquet(tombs.toString)), Seq("n_id"), "left_anti")
+  }
+
+  /** Retract vectors from a persisted index by id — the takedown path for
+    * the vector index (one row per vector, so id-level deletion is exact;
+    * [[graft.operators.Dedup.deleteFromDocIndex]]'s pattern applied to the
+    * inverted lists): append the ids as tombstones that every reader
+    * ([[topKIndexed]], [[indexStats]], [[needsRebuild]], the
+    * [[graft.streaming.Ingest.startSemanticIngest]] probe) anti-joins
+    * away, so a deleted vector neither surfaces in search nor suppresses a
+    * future near-duplicate arrival. Physically reclaimed (and the
+    * tombstones GC'd) by [[compactIndexSegments]] or [[rebuildIndex]].
+    * Ids must not be reused while a tombstone is live (no sequence
+    * ordering — the doc-index contract). Idempotent; returns distinct ids
+    * tombstoned. */
+  def deleteFromIndex(
+      removedIds: DataFrame,
+      path: String,
+      idCol: String = "vec_id"): Long = {
+    val batch = removedIds.select(col(idCol).cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    batch.write.mode("append").parquet(s"$path/tombs")
+    val n = batch.count()
+    graft.core.Blocks.free(batch)
+    n
   }
 
   /** Write already-assigned rows ((n_id, n_vec, n_nsq, bucket) — the
@@ -209,37 +240,47 @@ object Ivf {
     n
   }
 
-  /** Fold accumulated streaming segments into the main inverted lists —
-    * one flat bucket-partitioned tree again. STOP-THE-WORLD for this index
+  /** Fold accumulated streaming segments AND tombstones into the main
+    * inverted lists — one flat bucket-partitioned tree again, deleted rows
+    * physically reclaimed, tombstones GC'd. STOP-THE-WORLD for this index
     * (rewrites `lists/` in place); a running [[graft.streaming.Ingest.startSemanticIngest]]
     * probes batchwise, between which compaction slots naturally. */
   def compactIndexSegments(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
-    if (!fs.exists(segsDir)) return
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    if (!fs.exists(segsDir) && !fs.exists(tombsDir)) return
     val all = readListsWithSegments(spark, path)
       .localCheckpoint() // materialize before overwriting the files it reads
     all.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/lists")
     graft.core.Blocks.free(all)
-    fs.delete(segsDir, true)
+    if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
+    if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
   }
 
-  /** Inverted-list health of a persisted index: row totals (base lists +
-    * streaming segments), growth since training, and list-size imbalance.
-    * The per-list counts scan only the partition column (no vector data is
-    * read). */
+  /** Inverted-list health of a persisted index: LIVE row totals (base
+    * lists + streaming segments, minus tombstoned ids), growth since
+    * training, list-size imbalance, and pending-tombstone count. The
+    * per-list counts scan the partition and id columns only (no vector
+    * data is read). */
   def indexStats(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
     val sizes = readListsWithSegments(spark, path)
       .groupBy("bucket").count().collect().map(_.getLong(1))
     val total = sizes.sum
     val trained = spark.read.parquet(s"$path/meta").head().getLong(0)
     val avg = if (sizes.nonEmpty) total.toDouble / sizes.length else 0.0
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    val tombs = if (!fs.exists(tombsDir)) 0L
+      else spark.read.parquet(tombsDir.toString).select("n_id").distinct().count()
     Map(
       "graft.ivf.lists" -> sizes.length.toString,
       "graft.ivf.rows" -> total.toString,
       "graft.ivf.trained-rows" -> trained.toString,
       "graft.ivf.max-list" -> (if (sizes.isEmpty) "0" else sizes.max.toString),
+      "graft.ivf.tombstones" -> tombs.toString,
       "graft.ivf.growth" -> f"${if (trained > 0) total.toDouble / trained else 1.0}%.4f",
       "graft.ivf.imbalance" -> f"${if (avg > 0) sizes.max / avg else 1.0}%.4f")
   }
@@ -272,11 +313,14 @@ object Ivf {
       .localCheckpoint() // sever lineage from the files the rewrite replaces
     writeIndex(corpus, train(corpus, lists, iters), path)
     graft.core.Blocks.free(corpus)
-    // streamed segments are now part of the rewritten base lists
+    // streamed segments are now part of the rewritten base lists, and
+    // tombstoned rows were excluded from the retrain corpus: GC both
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
     if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
+    if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
   }
 
   /** Load the centroid matrix of a persisted index. */

@@ -545,6 +545,17 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$tmp/idx/segs").exists(), "segments folded away")
     assert(idxRows() == 22L && topHit() == ((1001L, 1.0)),
       "post-compaction search and stats are unchanged")
+
+    // takedown re-admission: after 1001 is tombstoned, a new copy of its
+    // content must be KEPT (a deleted vector no longer suppresses
+    // near-duplicate arrivals) — the corpus-minus-deletions semantics of
+    // the exact index, through the streaming probe
+    Ivf.deleteFromIndex(Seq(Tuple1(1001L)).toDF("vec_id"), s"$tmp/idx")
+    writeVecSrc("f3", Seq((2000L, novelA)))
+    run()
+    assert(sinkIds().contains(2000L), s"re-admitted after takedown: ${sinkIds()}")
+    assert(idxRows() == 22L, "21 live + 1 re-admitted")
+    assert(topHit() == ((2000L, 1.0)), "search now surfaces the re-admitted copy")
   }
 
   test("deletion: incremental-after-delete == full recompute over the corpus minus deletions") {

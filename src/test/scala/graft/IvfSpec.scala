@@ -133,6 +133,49 @@ class IvfSpec extends AnyFunSuite {
     assert(after("graft.ivf.rows").toLong == 4L * emb.count())
   }
 
+  test("deletion: tombstoned ids vanish from search and stats; compaction reclaims and GCs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfdel_").toString
+    val model = Ivf.train(emb, c = 8, iters = 2)
+    Ivf.writeIndex(emb, model, tmp)
+    val n = emb.count()
+    val victims = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val nVictims = victims.count()
+
+    val deleted = Ivf.deleteFromIndex(victims, tmp)
+    assert(deleted == nVictims, s"distinct ids tombstoned: $deleted vs $nVictims")
+    assert(Ivf.deleteFromIndex(victims, tmp) == nVictims, "re-deleting is idempotent")
+
+    // search never returns a tombstoned id, and equals a fresh index built
+    // over the surviving corpus under the same model (k small enough that
+    // survivors fill every result set)
+    val survivors = emb.filter(col("vec_id") % 7 =!= 0)
+    val ref = java.nio.file.Files.createTempDirectory("graft_ivfdelref_").toString
+    Ivf.writeIndex(survivors, model, ref)
+    val liveQueries = queries.filter(col("vec_id") % 7 =!= 0)
+    val a = Ivf.topKIndexed(spark, tmp, liveQueries, k = 3, nProbe = 8)
+    assert(a.filter(col("n_id") % 7 === 0).count() == 0, "no tombstoned id may surface")
+    val b = Ivf.topKIndexed(spark, ref, liveQueries, k = 3, nProbe = 8)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet,
+      "search-after-delete must equal an index built over the surviving corpus")
+
+    val stats = Ivf.indexStats(spark, tmp)
+    assert(stats("graft.ivf.rows").toLong == n - nVictims, s"live rows exclude tombstoned: $stats")
+    assert(stats("graft.ivf.tombstones").toLong == nVictims, s"pending tombstones surfaced: $stats")
+
+    // compaction physically reclaims the rows and GCs the tombstones;
+    // nothing observable changes
+    Ivf.compactIndexSegments(spark, tmp)
+    assert(!new java.io.File(s"$tmp/tombs").exists(), "tombstones folded away")
+    val after = Ivf.indexStats(spark, tmp)
+    assert(after("graft.ivf.rows").toLong == n - nVictims && after("graft.ivf.tombstones") == "0")
+    assert(Ivf.topKIndexed(spark, tmp, liveQueries, k = 3, nProbe = 8)
+      .collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet,
+      "post-compaction search unchanged")
+    // physical: the deleted ids are gone from the lists themselves
+    assert(spark.read.parquet(s"$tmp/lists").filter(col("n_id") % 7 === 0).count() == 0)
+  }
+
   test("training and search are deterministic run to run") {
     val m1 = Ivf.train(emb, c = 8, iters = 2)
     val m2 = Ivf.train(emb, c = 8, iters = 2)

@@ -554,6 +554,20 @@ final case class Graft(spark: SparkSession, dir: String) {
   def vocabulary(k: Int = 100): DataFrame =
     operators.Curation.vocabulary(documents, k)
 
+  /** CCNet-style LM-perplexity quality scores for this directory's
+    * documents under a stupid-backoff bigram model trained on `reference`
+    * (defaults to the documents themselves): one (doc_id, n_tokens, ppl)
+    * row per document. Low perplexity ≈ reference-like text; the model is
+    * pruned to broadcast size, so scoring never shuffles the corpus. */
+  def perplexityScores(
+      reference: Option[DataFrame] = None,
+      maxVocab: Int = 100000,
+      maxBigrams: Int = 1000000): DataFrame = {
+    val lm = operators.Curation.trainNgramLm(
+      reference.getOrElse(documents), maxVocab, maxBigrams)
+    operators.Curation.perplexity(documents, lm)
+  }
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 }

@@ -341,6 +341,96 @@ object Curation {
       .limit(k)
   }
 
+  /** A pruned stupid-backoff bigram language model — the CCNet-style
+    * corpus-quality scorer's model half (Wenzek et al. 2020 score web text
+    * by LM perplexity; Brants et al. 2007's "stupid backoff" is the n-gram
+    * scheme designed for distributed training at web scale, scores instead
+    * of normalized probabilities). `unigrams` = (token, c1) for the
+    * top-`maxVocab` tokens, `bigrams` = (prev, token, c2) for the
+    * top-`maxBigrams` pairs within that vocabulary, counts as doubles;
+    * `totalTokens` = ALL training tokens (pruned ones included — the OOV
+    * floor divides by it). Both frames are pruned to broadcast size by
+    * construction: the model ships to executors and scoring never
+    * shuffles the corpus. */
+  final case class NgramLm(unigrams: DataFrame, bigrams: DataFrame, totalTokens: Long)
+
+  /** One row per token: (…keep, pos, token, prev) with `prev` null at
+    * pos 0 — built by ONE `inline(transform(...))` map pass over the token
+    * array (no lag window, no per-doc shuffle: the previous token is read
+    * straight out of the array). Shared by LM training and scoring so the
+    * two can never disagree on tokenization. */
+  private def tokenPrevRows(docs: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
+    docs
+      .withColumn("graft_toks", TextOps.tokens(coalesce(col(textCol), lit(""))))
+      .select(keep :+ expr(
+        "inline(transform(graft_toks, (t, i) -> struct(i AS pos, t AS token, " +
+          "IF(i = 0, CAST(NULL AS STRING), graft_toks[i - 1]) AS prev)))"): _*)
+
+  /** Train an [[NgramLm]] over a reference corpus. Two corpus passes, both
+    * map-side-combined count aggregations (the shuffle carries partial
+    * counts per distinct gram, ≪ the token stream); the top-K prunes are
+    * TakeOrdered over the aggregated counts, never a corpus sort. Ties
+    * break by token (deterministic). The bigram table is restricted to
+    * pairs whose BOTH tokens survive the vocabulary prune, so scoring's
+    * `c2 / c1(prev)` denominator always exists. */
+  def trainNgramLm(
+      ref: DataFrame,
+      maxVocab: Int = 100000,
+      maxBigrams: Int = 1000000,
+      textCol: String = "text"): NgramLm = {
+    require(maxVocab > 0 && maxBigrams > 0, "prune limits must be positive")
+    val tok = tokenPrevRows(ref, textCol, Seq.empty)
+    // distinct-token counts are vocabulary-sized: checkpoint once so the
+    // total and the top-K don't each re-scan the corpus
+    val uniAll = tok.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("c1")).localCheckpoint()
+    val n = uniAll.agg(coalesce(sum("c1"), lit(0.0))).head().getDouble(0).toLong
+    val uni = uniAll.orderBy(col("c1").desc, col("token")).limit(maxVocab).localCheckpoint()
+    graft.core.Blocks.free(uniAll)
+    val big = tok.filter(col("prev").isNotNull)
+      .join(broadcast(uni.select("token")), Seq("token"), "left_semi")
+      .join(broadcast(uni.select(col("token").as("prev"))), Seq("prev"), "left_semi")
+      .groupBy("prev", "token").agg(count(lit(1)).cast("double").as("c2"))
+      .orderBy(col("c2").desc, col("prev"), col("token")).limit(maxBigrams)
+      .localCheckpoint()
+    NgramLm(uni, big, n)
+  }
+
+  /** Per-document perplexity under a trained [[NgramLm]] — the CCNet
+    * quality signal: low perplexity ≈ fluent reference-like text, high ≈
+    * junk (or novelty; CCNet buckets rather than hard-cuts for exactly
+    * that reason). Returns one row per document: (id, n_tokens, ppl)
+    * with `ppl = exp(-mean log score)` rounded to 4 decimals.
+    *
+    * Scoring per token: first token and OOV fall to the unigram table
+    * (`c1 / N`, floor `0.4 / N` for pruned/unseen tokens); a seen bigram
+    * scores `c2 / c1(prev)`; an unseen bigram backs off to `0.4 ×` the
+    * unigram score (the stupid-backoff rule).
+    *
+    * Scale design: three BROADCAST left joins against the pruned model
+    * (map-only — the corpus never shuffles), then one count+avg per
+    * document with map-side partial aggregation: the only exchange
+    * carries (doc, partial sums), slim regardless of document length. */
+  def perplexity(
+      documents: DataFrame,
+      lm: NgramLm,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val rows = tokenPrevRows(documents, textCol, Seq(col(idCol)))
+    val uniPrev = lm.unigrams.select(col("token").as("prev"), col("c1").as("c1prev"))
+    val nD = lit(lm.totalTokens.toDouble)
+    val su = coalesce(col("c1"), lit(0.4)) / nD
+    val sc = when(col("prev").isNull, su)
+      .when(col("c2").isNotNull, col("c2") / col("c1prev"))
+      .otherwise(lit(0.4) * su)
+    rows
+      .join(broadcast(lm.unigrams), Seq("token"), "left")
+      .join(broadcast(uniPrev), Seq("prev"), "left")
+      .join(broadcast(lm.bigrams), Seq("prev", "token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(exp(-avg(log(sc))), 4).as("ppl"))
+  }
+
   /** The default document-quality rule set (too-short / too-repetitive /
     * word-length), shared by the q29k query, the curated-ingest probe, and
     * available to callers as a starting cascade. Thresholds are tuned to

@@ -776,6 +776,50 @@ object PipelineQueries {
       },
       None),
 
+    // Q29q: CCNet-style LM-perplexity quality scoring — a pruned
+    // stupid-backoff bigram model trained on the corpus, every document
+    // scored against it (three broadcast joins, one slim per-doc agg).
+    // Prune limits (25 of 31 tokens, 600 of 946 bigrams) are set to
+    // genuinely exercise the OOV floor and the backoff rule at this SF.
+    // The oracle re-derives the whole model AND the scoring in SQL.
+    QueryDef(
+      "q29q_perplexity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lm = graft.operators.Curation.trainNgramLm(docs, maxVocab = 25, maxBigrams = 600)
+        graft.operators.Curation.perplexity(docs, lm).orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |r AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM t),
+             |tok AS (
+             |  SELECT doc_id, pos, toks[pos + 1] AS token,
+             |         CASE WHEN pos = 0 THEN NULL ELSE toks[pos] END AS prev
+             |  FROM r),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+             |uni AS (
+             |  SELECT token, CAST(count(*) AS DOUBLE) AS c1 FROM tok
+             |  GROUP BY token ORDER BY c1 DESC, token LIMIT 25),
+             |big AS (
+             |  SELECT prev, token, CAST(count(*) AS DOUBLE) AS c2 FROM tok
+             |  WHERE prev IS NOT NULL
+             |    AND prev IN (SELECT token FROM uni) AND token IN (SELECT token FROM uni)
+             |  GROUP BY prev, token ORDER BY c2 DESC, prev, token LIMIT 600),
+             |s AS (
+             |  SELECT tok.doc_id,
+             |    CASE WHEN tok.prev IS NULL THEN coalesce(u.c1, 0.4) / (SELECT n FROM n)
+             |         WHEN b.c2 IS NOT NULL THEN b.c2 / up.c1
+             |         ELSE 0.4 * coalesce(u.c1, 0.4) / (SELECT n FROM n) END AS sc
+             |  FROM tok
+             |  LEFT JOIN uni u ON tok.token = u.token
+             |  LEFT JOIN uni up ON tok.prev = up.token
+             |  LEFT JOIN big b ON tok.prev = b.prev AND tok.token = b.token)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  round(exp(-avg(ln(sc))), 4) AS ppl
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Q29o: LEARNED BPE vocabulary — the trained-tokenizer half of the
     // pluggable token-counting surface: distributed word histogram, then
     // the Sennrich-style greedy merge loop over the bounded histogram

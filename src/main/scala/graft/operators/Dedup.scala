@@ -108,49 +108,9 @@ object Dedup {
   //     folded directories, so run [[gcExactIndex]] once such readers have
   //     drained (per-micro-batch readers drain within one trigger).
 
-  /** Tiny-file + listing plumbing for the segment protocol. */
-  private object Seg {
-    import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-
-    def fs(spark: SparkSession, path: String): FileSystem =
-      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def conf(spark: SparkSession): Configuration = spark.sparkContext.hadoopConfiguration
-
-    /** Atomic small-file publish: temp write + rename-overwrite (the mark
-      * protocol of [[graft.streaming.Ingest.Marks]]). */
-    def writeAtomic(fs: FileSystem, conf: Configuration, dst: Path, content: String): Unit = {
-      fs.mkdirs(dst.getParent)
-      val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      FileContext.getFileContext(dst.toUri, conf).rename(tmp, dst, Options.Rename.OVERWRITE)
-    }
-
-    def readSmall(fs: FileSystem, p: Path): String = {
-      val in = fs.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-    }
-
-    /** The segment's committed sequence number, or None if uncommitted. */
-    def readSeq(fs: FileSystem, dir: Path): Option[Long] = {
-      val p = new Path(dir, "_SEQ")
-      if (fs.exists(p)) scala.util.Try(readSmall(fs, p).trim.toLong).toOption else None
-    }
-
-    def listDirs(fs: FileSystem, parent: Path): Seq[Path] =
-      if (!fs.exists(parent)) Seq.empty
-      else fs.listStatus(parent).toSeq
-        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
-        .map(_.getPath)
-
-    def listFiles(fs: FileSystem, parent: Path): Seq[Path] =
-      if (!fs.exists(parent)) Seq.empty
-      else fs.listStatus(parent).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-        .map(_.getPath)
-  }
+  /** Tiny-file + listing plumbing for the segment protocol — shared with
+    * the vector index's segment fold ([[graft.core.Segments]]). */
+  private val Seg = graft.core.Segments
 
   /** Snapshot of an index's live segment set: (dir, seq) for key segments
     * and tombstone segments, plus the folded-awaiting-GC relative paths. */

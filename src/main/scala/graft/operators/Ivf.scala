@@ -176,9 +176,37 @@ object Ivf {
     n
   }
 
-  /** The index's LIVE inverted lists: the base `lists/` tree plus any
+  private val Seg = graft.core.Segments
+
+  /** The LIVE streaming segments of a vector index, under the same
+    * fold-marker protocol as the dedup doc-row indexes
+    * ([[graft.operators.Dedup.foldDocSegments]]): markers under `_folded/`
+    * are listed BEFORE segment directories (a marker committed between the
+    * listings leaves the reader on the consistent pre-fold view), a
+    * segment a marker lists as folded is excluded, a `compact_*` segment
+    * is visible iff its marker committed, and a batch segment is committed
+    * iff its parquet `_SUCCESS` job-commit mark exists (a fold snapshot
+    * taken mid-rewrite during streaming replay skips the half-written
+    * dir). */
+  private def liveListSegs(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Map[String, Seq[String]], Seq[org.apache.hadoop.fs.Path]) = {
+    val fs = Seg.fs(spark, path)
+    val markers = Seg.readMarkers(fs, new org.apache.hadoop.fs.Path(path))
+    val folded = markers.values.flatten.toSet
+    val live = Seg.listDirs(fs, new org.apache.hadoop.fs.Path(s"$path/segs")).filter { d =>
+      val name = d.getName
+      !folded(name) && (
+        if (name.startsWith("compact_")) markers.contains(name)
+        else fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+    }
+    (markers, live)
+  }
+
+  /** The index's LIVE inverted lists: the base `lists/` tree plus the live
     * named streaming segments under `segs/` (the replay-idempotent append
-    * form of [[writeListSegment]]), minus any tombstoned ids (the takedown
+    * form of [[writeListSegment]], filtered through the fold-marker
+    * protocol of [[liveListSegs]]), minus any tombstoned ids (the takedown
     * path, [[deleteFromIndex]]). Each root is its own bucket-partitioned
     * parquet tree, so a bucket filter prunes partitions in EVERY branch of
     * the union — probed-list reads stay partition-pruned across base and
@@ -187,18 +215,77 @@ object Ivf {
     * the plain union. */
   private[graft] def readListsWithSegments(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
-    val roots = s"$path/lists" +: (if (!fs.exists(segsDir)) Seq.empty else
-      fs.listStatus(segsDir).toSeq
-        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
-        .map(_.getPath.toString))
+    val fs = Seg.fs(spark, path)
+    val roots = s"$path/lists" +: liveListSegs(spark, path)._2.map(_.toString)
     val raw = roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
     val tombs = new org.apache.hadoop.fs.Path(s"$path/tombs")
     if (!fs.exists(tombs)) raw
     else raw.join(
       broadcast(spark.read.parquet(tombs.toString)), Seq("n_id"), "left_anti")
+  }
+
+  /** Fold the LIVE streaming segments of a vector index into one — SAFE
+    * BESIDE A RUNNING [[graft.streaming.Ingest.startSemanticIngest]],
+    * exactly like [[graft.operators.Dedup.foldDocSegments]] beside the
+    * near-dup ingest: the folded rows land as an invisible
+    * `segs/compact_*` bucket-partitioned tree and become the view in one
+    * atomic fold-marker rename; a concurrently-appended batch segment (not
+    * in the fold snapshot) stays live untouched, and a crash before the
+    * marker leaves the old view fully intact. The base `lists/` tree and
+    * tombstones are NOT touched (that full fold is
+    * [[compactIndexSegments]], stop-the-world) — this bounds the
+    * per-probe listing+read cost of a week-long semantic ingest at O(1)
+    * segments instead of O(batches).
+    *
+    * `gc = true` immediately deletes the folded directories — safe only
+    * when no concurrent reader planned its scan before the marker; pass
+    * `gc = false` beside a live ingest and run [[gcIndexSegments]] after
+    * the per-micro-batch readers drain (one trigger). */
+  def foldIndexSegments(
+      spark: org.apache.spark.sql.SparkSession, path: String, gc: Boolean = true): Unit = {
+    val (_, live) = liveListSegs(spark, path)
+    if (live.size > 1) {
+      val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
+      // each segment is its own bucket-partitioned tree: read per root and
+      // union (one multi-root read trips partition discovery)
+      live.map(d => spark.read.parquet(d.toString)).reduce(_ unionByName _)
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/segs/$name")
+      Seg.writeAtomic(Seg.fs(spark, path), Seg.conf(spark),
+        new org.apache.hadoop.fs.Path(s"$path/_folded/$name"),
+        live.map(_.getName).mkString("\n"))
+    }
+    if (gc) gcIndexSegments(spark, path)
+  }
+
+  /** Delete a vector index's folded (superseded) segment directories, fold
+    * markers whose compacted segment is itself gone, and orphaned
+    * uncommitted `compact_*` directories from a crashed fold — the
+    * [[graft.operators.Dedup.gcDocIndex]] contract: run from the
+    * maintenance actor only, after readers that planned before the last
+    * fold marker have drained. Markers whose compacted segment is still
+    * live OUTLIVE GC — they keep the `compact_*` segment visible and keep
+    * a crash-replayed batch-segment rewrite excluded (its rows already
+    * live in the compacted segment). Returns directories removed. */
+  def gcIndexSegments(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val fs = Seg.fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val markerDir = new org.apache.hadoop.fs.Path(root, "_folded")
+    val markers = Seg.readMarkers(fs, root)
+    var removed = 0L
+    markers.values.flatten.toSet[String].foreach { name =>
+      val d = new org.apache.hadoop.fs.Path(root, s"segs/$name")
+      if (fs.exists(d)) { fs.delete(d, true); removed += 1 }
+    }
+    markers.keys.foreach { name =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"segs/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(markerDir, name), false)
+    }
+    Seg.listDirs(fs, new org.apache.hadoop.fs.Path(root, "segs")).foreach { d =>
+      if (d.getName.startsWith("compact_") && !markers.contains(d.getName)) {
+        fs.delete(d, true); removed += 1
+      }
+    }
+    removed
   }
 
   /** Retract vectors from a persisted index by id — the takedown path for
@@ -230,11 +317,17 @@ object Ivf {
     * `segs/<segName>`, overwrite semantics — the replay-idempotent
     * streaming form of [[appendToIndex]]: a crash-replayed micro-batch
     * rewrites the same directory instead of appending its vectors twice.
-    * Folded into the main lists by [[compactIndexSegments]] or any
-    * [[rebuildIndex]]. Returns rows written. */
+    * Folded into one segment beside a live ingest by [[foldIndexSegments]],
+    * or into the main lists by the stop-the-world [[compactIndexSegments]]
+    * / [[rebuildIndex]]. Returns rows written. */
   def writeListSegment(assigned: DataFrame, path: String, segName: String): Long = {
     val batch = assigned.select("n_id", "n_vec", "n_nsq", "bucket").localCheckpoint()
-    batch.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/segs/$segName")
+    // cluster by bucket before the partitioned write: each bucket lands in
+    // exactly one task => ONE file per touched bucket per segment, not one
+    // per (task x bucket) — a week of micro-batches would otherwise strand
+    // rows-count tiny files per trigger
+    batch.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/segs/$segName")
     val n = batch.count()
     graft.core.Blocks.free(batch)
     n
@@ -242,9 +335,11 @@ object Ivf {
 
   /** Fold accumulated streaming segments AND tombstones into the main
     * inverted lists — one flat bucket-partitioned tree again, deleted rows
-    * physically reclaimed, tombstones GC'd. STOP-THE-WORLD for this index
-    * (rewrites `lists/` in place); a running [[graft.streaming.Ingest.startSemanticIngest]]
-    * probes batchwise, between which compaction slots naturally. */
+    * physically reclaimed, tombstones and fold markers GC'd.
+    * STOP-THE-WORLD for this index (rewrites `lists/` in place); to bound
+    * segment count BESIDE a running
+    * [[graft.streaming.Ingest.startSemanticIngest]], use
+    * [[foldIndexSegments]] instead. */
   def compactIndexSegments(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -257,6 +352,8 @@ object Ivf {
     graft.core.Blocks.free(all)
     if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
     if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
+    val markerDir = new org.apache.hadoop.fs.Path(s"$path/_folded")
+    if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
   }
 
   /** Inverted-list health of a persisted index: LIVE row totals (base
@@ -319,8 +416,10 @@ object Ivf {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    val markerDir = new org.apache.hadoop.fs.Path(s"$path/_folded")
     if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
     if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
+    if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
   }
 
   /** Load the centroid matrix of a persisted index. */

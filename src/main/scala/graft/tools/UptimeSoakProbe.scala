@@ -220,6 +220,93 @@ object UptimeSoakProbe {
     require(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked persisted RDDs after curated soak: ${spark.sparkContext.getPersistentRDDs.keys}")
 
+    // ---- phase 3: SEMANTIC ingest with concurrent segment folds ----
+    // Same key-duplication structure in embedding space: the vector is a
+    // pure function of the key (48 hash-derived dims in [-1, 1]), so
+    // duplicates are cosine-1.0 pairs and distinct keys are ~orthogonal
+    // (48-dim hash vectors: P(cos > 0.99) ~ 3e-12 per compared pair — and
+    // the data is deterministic, so the ground-truth equality either holds
+    // always or never). The index starts from a deduplicated 2% base slice
+    // (the model's training corpus); the other 98% streams through
+    // startSemanticIngest with foldIndexSegments(gc = false) running
+    // beside it and gcIndexSegments one trigger later — the exact-index
+    // fold protocol, extended to the bucket-partitioned vector segments.
+    import graft.operators.Ivf
+    val dims = (0 until 48).map(j =>
+      ((pmod(xxhash64(col("_key") * 2000003L + j), lit(2001L)) - 1000L)
+        .cast("double") / 1000.0).cast("float"))
+    val vecs = spark.range(n)
+      .select(col("id").as("vec_id"))
+      .withColumn("_key", pmod(xxhash64(col("vec_id")), lit(uniqueKeys)))
+      .withColumn("embedding", array(dims: _*))
+    val baseN = n / 50
+    val base = vecs.filter(col("vec_id") < baseN)
+      .dropDuplicates("_key").drop("_key").localCheckpoint()
+    val baseKeys = base.count()
+    val svDir = s"$out/vsrc"
+    vecs.filter(col("vec_id") >= baseN).drop("_key")
+      .repartition(nBatches).write.parquet(svDir)
+    val vschema = spark.read.parquet(svDir).schema
+    val ivfPath = s"$out/ivf_index"
+    val lists = 64
+    Ivf.writeIndex(base, Ivf.train(base, lists, iters = 2, maxTrainRows = 3000L), ivfPath)
+    graft.core.Blocks.free(base)
+    val expectVecKeys = vecs.select("_key").distinct().count()
+    println(f"[soak] semantic base=$baseKeys%,d keys, streaming ${n - baseN}%,d rows, " +
+      f"expect $expectVecKeys%,d distinct keys, C=$lists")
+    val cap4 = new Capture(spark)
+    spark.streams.addListener(cap4)
+    val t4 = System.nanoTime()
+    val q4 = Ingest.startSemanticIngest(
+      spark, svDir, vschema, s"$out/vsink", s"$out/vckpt", ivfPath,
+      threshold = 0.99, maxFilesPerTrigger = Some(1))
+    var lastVFold = 0
+    var vFolds = 0
+    var peakVSegs = 0
+    var vGcRemoved = 0L
+    var vPendingGcAt = -1
+    def liveVSegCount(): Int = {
+      val d = new java.io.File(s"$ivfPath/segs")
+      Option(d.listFiles()).map(_.count(f => f.isDirectory && !f.getName.startsWith("."))).getOrElse(0)
+    }
+    while (q4.isActive) {
+      Thread.sleep(500)
+      peakVSegs = math.max(peakVSegs, liveVSegCount())
+      val done = cap4.rows.size()
+      if (vPendingGcAt >= 0 && done >= vPendingGcAt) {
+        vGcRemoved += Ivf.gcIndexSegments(spark, ivfPath)
+        vPendingGcAt = -1
+      }
+      if (compactEvery > 0 && done - lastVFold >= compactEvery) {
+        lastVFold = done
+        Ivf.foldIndexSegments(spark, ivfPath, gc = false) // beside live ingest
+        vFolds += 1
+        vPendingGcAt = done + 2
+      }
+    }
+    q4.awaitTermination()
+    val semWall = (System.nanoTime() - t4) / 1e9
+    spark.streams.removeListener(cap4)
+    vGcRemoved += Ivf.gcIndexSegments(spark, ivfPath)
+    val (f4, l4, peak4) = report("semantic", cap4, 50)
+    println(f"[soak] semantic wall=$semWall%.1f s folds=$vFolds gc-removed=$vGcRemoved " +
+      f"peak-live-segs=$peakVSegs final-live-segs=${liveVSegCount()}")
+    // correctness: base + kept-streamed covers every key exactly once —
+    // checked in the INDEX (stats count live rows across base + segments)
+    val semIdxRows = Ivf.indexStats(spark, ivfPath)("graft.ivf.rows").toLong
+    val semKept = spark.read
+      .parquet((0L until nBatches.toLong).map(b => s"$out/vsink/batch_id=$b"): _*)
+      .count()
+    println(f"[soak] semantic kept=$semKept%,d index-rows=$semIdxRows%,d " +
+      f"(expect ${expectVecKeys - baseKeys}%,d / $expectVecKeys%,d)")
+    require(semKept == expectVecKeys - baseKeys && semIdxRows == expectVecKeys,
+      "semantic soak output diverged from the distinct-key ground truth")
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs after semantic soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+    require(compactEvery == 0 || peakVSegs <= 2 * compactEvery + 4,
+      s"IVF fold loop must bound live segments at O(foldEvery), saw $peakVSegs")
+    require(peak4 <= 8, s"semantic per-batch storage must stay bounded, saw $peak4")
+
     // flatness gates: compaction-assisted dedup and curation must not creep
     // (generous 1.6x bound — shared-host noise swings individual batches)
     if (compactEvery > 0)

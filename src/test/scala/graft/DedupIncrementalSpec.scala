@@ -531,14 +531,45 @@ class DedupIncrementalSpec extends AnyFunSuite {
 
     // crash replay: kept set and index row count must be byte-stable (the
     // named segment is overwritten, and self-pairs are excluded by id)
-    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
-      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
-    val last = commits.last
-    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
-    last.delete(); if (crc.exists()) crc.delete()
+    def dropLastCommit(): Unit = {
+      val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val last = commits.last
+      val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+      last.delete(); if (crc.exists()) crc.delete()
+    }
+    dropLastCommit()
     run()
     assert(sinkIds() == Set(1001L, 1003L), "replay must not change the kept set")
     assert(idxRows() == 22L, "replay must overwrite its segment, not append")
+
+    // concurrent-safe fold: the two batch segments collapse into one
+    // compact_* segment behind an atomic marker; nothing observable
+    // changes through fold, GC, or a crash replay AFTER the fold (the
+    // marker keeps the replayed segment rewrite excluded)
+    def liveSegs(): Seq[String] = {
+      val markerFiles = Option(new java.io.File(s"$tmp/idx/_folded").listFiles())
+        .getOrElse(Array.empty).filter(f => f.isFile && !f.getName.startsWith("."))
+      val markers = markerFiles.map(_.getName).toSet
+      val folded = markerFiles
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().map(_.trim).filter(_.nonEmpty))
+        .toSet
+      Option(new java.io.File(s"$tmp/idx/segs").listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !d.getName.startsWith("."))
+        .map(_.getName).toSeq
+        .filter(n => !folded(n) && (!n.startsWith("compact_") || markers(n)))
+    }
+    Ivf.foldIndexSegments(spark, s"$tmp/idx", gc = false)
+    assert(liveSegs().size == 1 && liveSegs().head.startsWith("compact_"),
+      s"two batch segments folded to one live compact segment: ${liveSegs()}")
+    assert(idxRows() == 22L && topHit() == ((1001L, 1.0)), "fold changes nothing observable")
+    dropLastCommit()
+    run() // replay rewrites seg_batch_000001 — the fold marker keeps it excluded
+    assert(idxRows() == 22L && sinkIds() == Set(1001L, 1003L),
+      "replay after fold must not double-count the folded segment")
+    val gcRemoved = Ivf.gcIndexSegments(spark, s"$tmp/idx")
+    assert(gcRemoved >= 2L, s"folded batch segments reclaimed: $gcRemoved")
+    assert(idxRows() == 22L && topHit() == ((1001L, 1.0)), "GC changes nothing observable")
 
     // folding segments into the base lists changes nothing observable
     Ivf.compactIndexSegments(spark, s"$tmp/idx")

@@ -25,10 +25,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** Raw events: `ts` is a Long of nanos-since-epoch (the parquet file stores
-    * TIMESTAMP(NANOS), which Spark reads via
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; see [[GraftSession]]). */
+  /** Raw events as the driver wrote them. The physical type of `ts` has
+    * varied across driver generations: parquet TIMESTAMP(NANOS) (read as a
+    * nanos Long via `spark.sql.legacy.parquet.nanosAsLong=true`, see
+    * [[GraftSession]]) or parquet timestamp[us] (read as TIMESTAMP_NTZ).
+    * [[tsMicros]] normalizes either to exact micros. */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** Exact micros-since-epoch for a raw `ts` column of any of the physical
+    * representations the driver has used — equals DuckDB's `epoch_us(ts)` on
+    * the same file in every case (session TZ is pinned UTC, so the NTZ cast
+    * is value-preserving). Integer arithmetic only: nanos ~1.7e18 exceed
+    * double's 2^53 exact range, so `ts div 1000`, never `ts / 1000`. */
+  def tsMicros(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType => unix_micros(col("ts"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other (expected nanos Long or a timestamp)")
+    }
+  }
 
   /** Canonical events view: `ts` converted to a micros TimestampType by floor
     * division — the same truncation DuckDB applies when reading
@@ -41,16 +59,16 @@ object Tables {
     * synthesized deterministically as `is_delete = event_id % 10 == 0`
     * (tombstones are ordinary typed records in the same stream in the
     * reference, kv/db/write_batch.cpp:5-7). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    eventsRaw(spark, dir)
-      // Integer division, NOT `/` (which is double division: nanos ~1.7e18
-      // exceed double's 2^53 exact range, so floor(ts/1000) can be off by
-      // 1us vs DuckDB's exact nanos->micros truncation). `ts_us` (micros
-      // since epoch, = DuckDB's epoch_us(ts)) is kept alongside for exact
-      // integer time arithmetic in range joins / frames.
-      .withColumn("ts_us", expr("ts div 1000"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    // `ts_us` (micros since epoch, = DuckDB's epoch_us(ts)) is kept alongside
+    // the micros TimestampType `ts` for exact integer time arithmetic in
+    // range joins / frames.
+    raw
+      .withColumn("ts_us", tsMicros(raw.schema("ts").dataType))
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("is_delete", col("event_id") % 10 === 0)
+  }
 
   /** The changelog spec for [[events]]. */
   val eventsSpec: ChangelogSpec =

@@ -53,9 +53,21 @@ object StreamingQueries {
     QueryDef.linkParquetInputs(Paths.get(dir, "events.parquet"), srcDir)
     if (flushSentinel) {
       val stage = tmp.resolve("stage_flush")
-      s.read.parquet(s"$dir/events.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // the flush row must carry ts in the SAME physical type the driver
+      // wrote, or the staged file's schema diverges from the stream schema
+      val flushTs = {
+        import org.apache.spark.sql.types._
+        raw.schema("ts").dataType match {
+          case LongType => lit(FlushNanos)
+          case TimestampNTZType =>
+            timestamp_micros(lit(FlushNanos / 1000L)).cast(TimestampNTZType)
+          case _ => timestamp_micros(lit(FlushNanos / 1000L))
+        }
+      }
+      raw
         .limit(1)
-        .withColumn("ts", lit(FlushNanos))
+        .withColumn("ts", flushTs)
         .withColumn("event_type", lit(FlushType))
         .coalesce(1)
         .write.parquet(stage.toString)
@@ -78,7 +90,7 @@ object StreamingQueries {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema)
       .parquet(srcDir.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", graft.core.Tables.tsMicros(schema("ts").dataType))
       .withColumn("ts", timestamp_micros(col("ts_us")))
     (src, tmp)
   }

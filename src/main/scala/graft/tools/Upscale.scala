@@ -89,7 +89,14 @@ object Upscale {
     // 100x, OOM) — a replication artifact, not an operator cost. Hour
     // alignment keeps bucket boundaries consistent; replicas are
     // bucket-disjoint, so interval-join output scales by reps.
-    val ev = tbl("events")
+    // Normalize ts to long NANOS whatever the driver wrote (nanos-long or
+    // timestamp[us] parquet) — the upscaled dir always stores nanos longs,
+    // which is the Tables.events LongType branch on re-read.
+    val ev0 = tbl("events")
+    val ev = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev0
+      case dt => ev0.withColumn("ts", graft.core.Tables.tsMicros(dt) * lit(1000L))
+    }
     val evSpan = maxOf(ev, "event_id") + 1
     val userSpan = maxOf(ev, "user_id") + 1
     val hourNs = 3600L * 1000000000L

@@ -57,6 +57,14 @@ object TextOps {
   def ngramHashes(tokenHashes: Column, n: Int): Column =
     call_function("graft_ngram_hashes", tokenHashes, lit(n))
 
+  /** Positional n-gram hashes — one combined hash per start offset, order
+    * preserved, duplicates kept (`out(i)` covers tokens `[i, i+n)`). Same
+    * fold as [[ngramHashes]], so values interop with catalogs built from the
+    * distinct form. Lowers to the native
+    * [[graft.plans.PositionalNgramHashes]] expression. */
+  def positionalNgramHashes(tokenHashes: Column, n: Int): Column =
+    call_function("graft_pos_ngram_hashes", tokenHashes, lit(n))
+
   /** Jaccard over SORTED distinct hash arrays (`sort_array` once per doc):
     * the per-pair intersection is a native merge walk
     * ([[graft.plans.SortedLongIntersectCount]]) — no hash set per pair. The

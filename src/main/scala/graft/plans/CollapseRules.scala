@@ -188,5 +188,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         NgramHashes(children(0), n)
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pos_ngram_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PositionalNgramHashes].getName, "graft_pos_ngram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_pos_ngram_hashes(arr, n): n must be an integer literal, got $other")
+        }
+        PositionalNgramHashes(children(0), n)
+      }))
   }
 }

@@ -574,6 +574,73 @@ case class NgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Positional sibling of [[NgramHashes]]: one combined hash per n-gram START
+  * OFFSET, order preserved, duplicates kept — `out(i)` is the hash of tokens
+  * `[i, i+n)`. Same fold (h = h·P + x, null→0), so a value produced here
+  * equals the [[NgramHashes]] value of the same n-gram: catalogs built from
+  * the distinct form match probes built from the positional form. The kernel
+  * behind passage-level (ExactSubstr-style) boilerplate detection, where the
+  * OFFSET of a repeated n-gram — not just its presence — is what excision
+  * needs. Fewer than n tokens => empty array.
+  */
+case class PositionalNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "n must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pos_ngram_hashes"
+
+  private final val P = 0x100000001b3L // FNV prime, odd => bijective multiply
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements() - (n - 1)
+    if (m <= 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        val x = if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)
+        h = h * P + x
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |int $m = $arr.numElements() - ${n - 1};
+         |if ($m <= 0) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new long[0]);
+         |} else {
+         |  long[] $out = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $h = 0L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $h = $h * ${P}L + ($arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j));
+         |    }
+         |    $out[$i] = $h;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalNgramHashes =
+    copy(child = newChild)
+}
+
 /** Vocabulary for [[BpeTokens]]: the piece set plus the longest piece
   * length, built once per deserialized instance (the hash set itself is
   * `@transient` — only the flat string array rides the serialized plan). */

@@ -21,21 +21,40 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Ivf {
 
-  final case class Model(centroids: Array[Array[Float]]) {
+  /** `centroids` is the FLAT leaf matrix (index = bucket id — what the
+    * on-disk index partitions by). `levels` is non-empty for a HIERARCHICAL
+    * quantizer: the internal tree matrices top-down (sizes multiplying down
+    * to `centroids`), which make both assignment and probing a beam descend
+    * (`O(b * log_b C * dim)` per row) instead of a flat `O(C * dim)` scan —
+    * the property that keeps corpus-side assignment near-linear when the
+    * list count grows with the corpus (constant target list size). */
+  final case class Model(centroids: Array[Array[Float]], levels: Seq[Array[Array[Float]]] = Nil) {
     def c: Int = centroids.length
+    private[operators] def tree: Seq[Array[Array[Float]]] = levels :+ centroids
   }
+
+  private def hierProbesCol(vec: Column, tree: Seq[Array[Array[Float]]], k: Int): Column =
+    call_function("graft_hier_probes", vec,
+      typedLit(tree.flatten.toArray), typedLit(tree.map(_.length).toArray), lit(k))
 
   /** Squared-L2 argmin is equivalent to argmin of `-2 q.c + ||c||^2` (the
     * `||q||^2` term is constant per row). Lowers to the native fused
     * [[graft.plans.CentroidProbes]] expression: all C distances + top-k
     * selection in one loop over a flat primitive matrix (the composed
     * `transform`/`element_at`/`array_min` form evaluated the distance array
-    * twice and re-compiled a centroid-matrix-inlined codegen per job). */
+    * twice and re-compiled a centroid-matrix-inlined codegen per job).
+    * A hierarchical model routes to [[graft.plans.HierCentroidProbes]]
+    * (width-k beam descend) — assignment and query probing share ONE
+    * quantizer, so a corpus row's bucket is always reachable by a query
+    * probing the same vector (the consistency IVF search correctness
+    * rests on). */
   private def probes(vec: Column, model: Model, k: Int): Column =
     // clamp to the list count: train() clamps c to the corpus size, so a
     // caller's nProbe may exceed model.c (probe-everything, not an error)
-    call_function("graft_centroid_probes", vec, typedLit(model.centroids),
-      lit(math.min(k, model.c)))
+    if (model.levels.isEmpty)
+      call_function("graft_centroid_probes", vec, typedLit(model.centroids),
+        lit(math.min(k, model.c)))
+    else hierProbesCol(vec, model.tree, math.min(k, model.c))
 
   /** Index of the nearest centroid (0-based; ties -> lowest index). */
   def nearestCentroid(vec: Column, model: Model): Column =

@@ -142,6 +142,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CentroidProbes(children.head, cents, k)
       }))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hier_probes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HierCentroidProbes].getName, "graft_hier_probes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+        if (children.length != 4) throw new IllegalArgumentException(
+          s"graft_hier_probes(vec, cents, sizes, k) takes 4 arguments, got ${children.length}")
+        val flat = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              arr: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
+            Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+          case other => throw new IllegalArgumentException(
+            s"graft_hier_probes(vec, cents, sizes, k): cents must be an array<array<float>> literal, got $other")
+        }
+        val sizes = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              arr: ArrayData, ArrayType(IntegerType, _)) => arr.toIntArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_hier_probes(vec, cents, sizes, k): sizes must be an array<int> literal, got $other")
+        }
+        require(sizes.sum == flat.length,
+          s"graft_hier_probes: level sizes ${sizes.mkString(",")} do not partition ${flat.length} centroids")
+        val levels = sizes.scanLeft(0)(_ + _).zip(sizes).map {
+          case (off, len) => flat.slice(off, off + len)
+        }
+        val k = children(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hier_probes(vec, cents, sizes, k): k must be an integer literal, got $other")
+        }
+        HierCentroidProbes(children.head, levels, k)
+      }))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenHashes].getName, "graft_token_hashes"),
@@ -181,6 +215,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NgramHashes].getName, "graft_ngram_hashes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_ngram_hashes(arr, n) takes 2 arguments, got ${children.length}")
         val n = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
@@ -193,6 +229,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PositionalNgramHashes].getName, "graft_pos_ngram_hashes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_pos_ngram_hashes(arr, n) takes 2 arguments, got ${children.length}")
         val n = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

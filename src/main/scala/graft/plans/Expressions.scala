@@ -296,6 +296,143 @@ object VectorKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Beam-search descend over a hierarchical (b-ary) centroid tree — the
+    * multi-level sibling of [[centroidProbes]]. `flats(l)`/`norms(l)` hold
+    * level `l`'s centroids (level sizes multiply: node `p` at level `l-1`
+    * parents children `[p*b, (p+1)*b)` at level `l` where
+    * `b = count(l)/count(l-1)`). The beam keeps the `k` best nodes per level
+    * by (distance, index) and expands only their children, so a probe costs
+    * `O(k * b * depth * dim)` instead of `O(leaves * dim)` — what makes
+    * corpus-side assignment affordable when the list count grows with the
+    * corpus. `k = 1` is greedy descend (the assignment quantizer);
+    * `k >= leaves` degenerates to the exact flat scan. Tie and NaN rules
+    * match [[centroidProbes]]: lower index wins ties, NaN distances never
+    * win a `<` and fall back to the lowest untaken candidate. */
+  def hierProbes(
+      v: ArrayData, flats: Array[Array[Float]], norms: Array[Array[Double]],
+      dim: Int, k: Int): ArrayData = {
+    if (v.numElements() != dim) return null
+    val q = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      q(j) = v.getFloat(j).toDouble
+      j += 1
+    }
+    var beam: Array[Int] = Array(0)
+    var level = 0
+    var prevCount = 1
+    while (level < flats.length) {
+      val flat = flats(level)
+      val nrm = norms(level)
+      val b = nrm.length / prevCount
+      val nc = beam.length * b
+      val cand = new Array[Int](nc)
+      val dists = new Array[Double](nc)
+      var ci = 0
+      var bi = 0
+      while (bi < beam.length) {
+        val childBase = beam(bi) * b
+        var c = 0
+        while (c < b) {
+          val idx = childBase + c
+          var acc = 0.0
+          val base = idx * dim
+          var i = 0
+          while (i < dim) { acc += q(i) * flat(base + i).toDouble; i += 1 }
+          cand(ci) = idx
+          dists(ci) = nrm(idx) - 2.0 * acc
+          ci += 1
+          c += 1
+        }
+        bi += 1
+      }
+      // partial selection of the keep best by (distance, candidate index):
+      // candidates are generated in ascending index order (beam stays
+      // index-sorted), so "first untaken wins ties/NaN" is index order
+      val keep = math.min(k, nc)
+      val sel = new Array[Int](keep)
+      val taken = new Array[Boolean](nc)
+      var s = 0
+      while (s < keep) {
+        var best = -1
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < nc) {
+          if (!taken(i) && dists(i) < bestD) { best = i; bestD = dists(i) }
+          i += 1
+        }
+        if (best == -1) {
+          var t = 0
+          while (t < nc && best == -1) { if (!taken(t)) best = t; t += 1 }
+        }
+        taken(best) = true
+        sel(s) = cand(best)
+        s += 1
+      }
+      if (level == flats.length - 1) return UnsafeArrayData.fromPrimitiveArray(sel)
+      java.util.Arrays.sort(sel) // keep the beam index-sorted for the tie rule
+      beam = sel
+      prevCount = nrm.length
+      level += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(beam) // unreachable (flats nonEmpty)
+  }
+}
+
+/** Beam-search probe selection over a HIERARCHICAL centroid tree — the
+  * multi-level form of [[CentroidProbes]] for indexes whose list count grows
+  * with the corpus (constant target list size). A flat scan of `C` lists
+  * costs `O(C * dim)` per row and turns corpus-side assignment quadratic
+  * when `C ~ n`; descending a b-ary tree costs `O(k * b * log_b(C) * dim)`.
+  * Returns the `k` leaf indices chosen by a width-`k` beam, ascending by
+  * (distance, index) within the final level. `k = 1` is the assignment
+  * quantizer; `k >= leaves` probes every list (exact). Per-level arithmetic,
+  * tie-breaks, and NaN handling are identical to [[CentroidProbes]].
+  */
+case class HierCentroidProbes(child: Expression, levels: Array[Array[Array[Float]]], k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(levels.nonEmpty && levels.forall(_.nonEmpty), "empty centroid level")
+  require(levels.iterator.sliding(2).withPartial(false).forall(w =>
+    w(1).length % w(0).length == 0 && w(1).length >= w(0).length),
+    "each level's size must be a positive multiple of its parent level's")
+  require(k >= 1 && k <= levels.last.length,
+    s"k=$k out of range for ${levels.last.length} leaves")
+  private val dim: Int = levels.head.head.length
+  require(levels.forall(_.forall(_.length == dim)), "ragged centroid dimensions")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hier_probes"
+
+  @transient private lazy val flats: Array[Array[Float]] = levels.map { m =>
+    val f = new Array[Float](m.length * dim)
+    var b = 0
+    while (b < m.length) { System.arraycopy(m(b), 0, f, b * dim, dim); b += 1 }
+    f
+  }
+  @transient private lazy val norms: Array[Array[Double]] =
+    levels.map(_.map(ct => ct.map(x => x.toDouble * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.hierProbes(input.asInstanceOf[ArrayData], flats, norms, dim, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatsRef = ctx.addReferenceObj("hierFlats", flats, "float[][]")
+    val normsRef = ctx.addReferenceObj("hierNorms", norms, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.plans.VectorKernels.hierProbes(
+         |  $v, $flatsRef, $normsRef, $dim, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HierCentroidProbes =
+    copy(child = newChild)
 }
 
 /** Static kernel for [[TokenHashes]] — called from both interpreted eval and

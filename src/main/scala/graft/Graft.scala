@@ -447,6 +447,13 @@ final case class Graft(spark: SparkSession, dir: String) {
   def buildVectorIndex(path: String, lists: Int = 16, iters: Int = 3): Unit =
     Ivf.writeIndex(embeddings, Ivf.train(embeddings, lists, iters), path)
 
+  /** [[buildVectorIndex]] with count-driven sizing: lists = n /
+    * `targetListSize`, trained hierarchically once the list count outgrows
+    * a flat centroid scan ([[Ivf.trainAuto]]) — call this when the corpus
+    * size is not known up front. */
+  def buildVectorIndexAuto(path: String, targetListSize: Int = 128, iters: Int = 2): Unit =
+    Ivf.writeIndex(embeddings, Ivf.trainAuto(embeddings, targetListSize, iters), path)
+
   /** Top-k cosine search over a persisted index; reads only the probed
     * inverted-list partitions (static partition pruning). */
   def searchIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
@@ -463,9 +470,11 @@ final case class Graft(spark: SparkSession, dir: String) {
   def vectorIndexProperties(path: String): Map[String, String] =
     Ivf.indexStats(spark, path)
 
-  /** Retrain and rewrite a persisted index over its current contents. */
-  def rebuildVectorIndex(path: String, lists: Int = 16, iters: Int = 3): Unit =
-    Ivf.rebuildIndex(spark, path, lists, iters)
+  /** Retrain and rewrite a persisted index over its current contents.
+    * `branch > 0` retrains hierarchically — the choice when `lists` has
+    * grown with the corpus. */
+  def rebuildVectorIndex(path: String, lists: Int = 16, iters: Int = 3, branch: Int = 0): Unit =
+    Ivf.rebuildIndex(spark, path, lists, iters, branch)
 
   /** Takedown path for a persisted vector index: tombstone the given ids
     * so search, stats, and the semantic-ingest probe no longer see them (a
@@ -562,9 +571,10 @@ final case class Graft(spark: SparkSession, dir: String) {
   def perplexityScores(
       reference: Option[DataFrame] = None,
       maxVocab: Int = 100000,
-      maxBigrams: Int = 1000000): DataFrame = {
+      maxBigrams: Int = 1000000,
+      tokenizer: functions.Tokenizer = functions.Tokenizer.Whitespace): DataFrame = {
     val lm = operators.Curation.trainNgramLm(
-      reference.getOrElse(documents), maxVocab, maxBigrams)
+      reference.getOrElse(documents), maxVocab, maxBigrams, tokenizer = tokenizer)
     operators.Curation.perplexity(documents, lm)
   }
 

@@ -351,17 +351,28 @@ object Curation {
     * `totalTokens` = ALL training tokens (pruned ones included — the OOV
     * floor divides by it). Both frames are pruned to broadcast size by
     * construction: the model ships to executors and scoring never
-    * shuffles the corpus. */
-  final case class NgramLm(unigrams: DataFrame, bigrams: DataFrame, totalTokens: Long)
+    * shuffles the corpus. The model CARRIES its tokenizer: scoring always
+    * tokenizes with exactly the stream the counts were trained on — a
+    * BPE-curated corpus must not be perplexity-scored under whitespace
+    * tokens (the split-brain the pluggable-[[Tokenizer]] contract
+    * forbids). */
+  final case class NgramLm(
+      unigrams: DataFrame,
+      bigrams: DataFrame,
+      totalTokens: Long,
+      tokenizer: Tokenizer = Tokenizer.Whitespace)
 
   /** One row per token: (…keep, pos, token, prev) with `prev` null at
     * pos 0 — built by ONE `inline(transform(...))` map pass over the token
     * array (no lag window, no per-doc shuffle: the previous token is read
     * straight out of the array). Shared by LM training and scoring so the
-    * two can never disagree on tokenization. */
-  private def tokenPrevRows(docs: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
+    * two can never disagree on tokenization — including the tokenizer
+    * itself, which the trained model carries. */
+  private def tokenPrevRows(
+      docs: DataFrame, textCol: String, keep: Seq[Column],
+      tokenizer: Tokenizer): DataFrame =
     docs
-      .withColumn("graft_toks", TextOps.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("graft_toks", tokenizer.tokens(coalesce(col(textCol), lit(""))))
       .select(keep :+ expr(
         "inline(transform(graft_toks, (t, i) -> struct(i AS pos, t AS token, " +
           "IF(i = 0, CAST(NULL AS STRING), graft_toks[i - 1]) AS prev)))"): _*)
@@ -377,9 +388,10 @@ object Curation {
       ref: DataFrame,
       maxVocab: Int = 100000,
       maxBigrams: Int = 1000000,
-      textCol: String = "text"): NgramLm = {
+      textCol: String = "text",
+      tokenizer: Tokenizer = Tokenizer.Whitespace): NgramLm = {
     require(maxVocab > 0 && maxBigrams > 0, "prune limits must be positive")
-    val tok = tokenPrevRows(ref, textCol, Seq.empty)
+    val tok = tokenPrevRows(ref, textCol, Seq.empty, tokenizer)
     // distinct-token counts are vocabulary-sized: checkpoint once so the
     // total and the top-K don't each re-scan the corpus
     val uniAll = tok.groupBy("token")
@@ -393,7 +405,7 @@ object Curation {
       .groupBy("prev", "token").agg(count(lit(1)).cast("double").as("c2"))
       .orderBy(col("c2").desc, col("prev"), col("token")).limit(maxBigrams)
       .localCheckpoint()
-    NgramLm(uni, big, n)
+    NgramLm(uni, big, n, tokenizer)
   }
 
   /** Per-document perplexity under a trained [[NgramLm]] — the CCNet
@@ -416,7 +428,9 @@ object Curation {
       lm: NgramLm,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val rows = tokenPrevRows(documents, textCol, Seq(col(idCol)))
+    // the model's OWN tokenizer — never a caller-supplied one: the token
+    // stream scored must be the token stream the counts were trained on
+    val rows = tokenPrevRows(documents, textCol, Seq(col(idCol)), lm.tokenizer)
     val uniPrev = lm.unigrams.select(col("token").as("prev"), col("c1").as("c1prev"))
     val nD = lit(lm.totalTokens.toDouble)
     val su = coalesce(col("c1"), lit(0.4)) / nD

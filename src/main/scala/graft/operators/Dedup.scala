@@ -1256,9 +1256,16 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     // coarse-quantizer training on a bounded sample (~50 vectors per list):
     // a corpus that grows C with n to keep lists constant-sized must not
-    // pay O(n x C) training (see Ivf.train's maxTrainRows note)
-    val model = Ivf.train(embeddings, lists, trainIters, vecIdCol, vecCol,
-      maxTrainRows = 50L * lists)
+    // pay O(n x C) training (see Ivf.train's maxTrainRows note).
+    // `lists <= 0` = AUTO: size the list count from the corpus and switch
+    // to the hierarchical quantizer once it outgrows a flat scan
+    // ([[Ivf.trainAuto]]) — the default a 100 TB deployment should run.
+    val model =
+      if (lists > 0)
+        Ivf.train(embeddings, lists, trainIters, vecIdCol, vecCol,
+          maxTrainRows = 50L * lists)
+      else Ivf.trainAuto(embeddings, targetListSize = 128, iters = trainIters,
+        idCol = vecIdCol, vecCol = vecCol)
     val pairs = semanticDupPairs(embeddings, model, threshold, vecIdCol, vecCol)
     collapseDuplicates(documents, pairs, docIdCol, "id_a", "id_b", maxIter)
   }

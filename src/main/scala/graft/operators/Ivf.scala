@@ -30,7 +30,7 @@ object Ivf {
     * list count grows with the corpus (constant target list size). */
   final case class Model(centroids: Array[Array[Float]], levels: Seq[Array[Array[Float]]] = Nil) {
     def c: Int = centroids.length
-    private[operators] def tree: Seq[Array[Array[Float]]] = levels :+ centroids
+    private[graft] def tree: Seq[Array[Array[Float]]] = levels :+ centroids
   }
 
   private def hierProbesCol(vec: Column, tree: Seq[Array[Array[Float]]], k: Int): Column =
@@ -84,56 +84,176 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxTrainRows: Long = 0L): Model = {
-    // Training makes iters+1 passes over (id, vec); persist the projection so
-    // the source is scanned ONCE, not re-read per Lloyd iteration. At 100 TB
-    // the cached projection is the embedding column only (the persist cost is
-    // itself one pass, amortized over the iterations); without it training
-    // cost is iters x full-input re-reads.
-    val projAll = corpus.select(col(idCol), col(vecCol))
+    val proj = sampledProj(corpus, idCol, vecCol, maxTrainRows)
+    try {
+      // deterministic init: the C vectors with smallest xxhash64(id)
+      val init = proj
+        .orderBy(xxhash64(col("_gid")), col("_gid"))
+        .limit(c)
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+      require(init.nonEmpty, "Ivf.train: empty corpus")
+      Model(lloyd(proj, init, iters, flatAssign))
+    } finally proj.unpersist(blocking = false)
+  }
+
+  /** Train a HIERARCHICAL model: a `branch`-ary centroid tree whose leaf
+    * level has `leaves` inverted lists (rounded up to a multiple of
+    * `branch^(depth-1)` for the divisibility the beam kernel descends by),
+    * `depth = ceil(log_branch leaves)`. Levels train top-down: level 0 is a
+    * flat Lloyd fit of `branch` centroids; each deeper level initializes its
+    * children from deterministic per-parent-bucket samples and refines with
+    * Lloyd under GREEDY TREE ASSIGNMENT (grouped k-means — a row only moves
+    * among its parent's children). Per-row assignment during training and
+    * indexing costs `O(branch * depth * dim)` instead of the flat
+    * `O(leaves * dim)`: with the training sample growing linearly in the
+    * corpus (constant rows-per-centroid) total training cost is
+    * `O(sampleRows * branch * depth^2 * dim)` — linear-with-log-factors in
+    * corpus size, the scale fix for the flat trainer's quadratic default
+    * when `leaves` tracks corpus size (measured 14x wall for 10x corpus at
+    * C = n/120, SemanticProbe round 6). `leaves <= branch` falls back to
+    * the flat trainer: a depth-1 tree IS the flat model. */
+  def trainHier(
+      corpus: DataFrame,
+      leaves: Int,
+      branch: Int = 32,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxTrainRows: Long = 0L): Model = {
+    require(branch >= 2, s"Ivf.trainHier: branch=$branch must be >= 2")
+    if (leaves <= branch) return train(corpus, leaves, iters, idCol, vecCol, maxTrainRows)
+    val proj = sampledProj(corpus, idCol, vecCol, maxTrainRows)
+    try {
+      val init0 = proj
+        .orderBy(xxhash64(col("_gid")), col("_gid"))
+        .limit(branch)
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+      require(init0.nonEmpty, "Ivf.trainHier: empty corpus")
+      if (init0.length < branch)
+        // corpus smaller than one branching factor: flat-fit what exists
+        return Model(lloyd(proj, init0, iters, flatAssign))
+      val depth = math.max(2, math.ceil(math.log(leaves) / math.log(branch)).toInt)
+      val sizes = Array.tabulate(depth) { l =>
+        if (l < depth - 1) math.pow(branch, l + 1).toInt
+        else {
+          val p = math.pow(branch, depth - 1).toLong
+          (((leaves + p - 1) / p) * p).toInt
+        }
+      }
+      var tree = Vector(lloyd(proj, init0, iters, flatAssign))
+      for (l <- 1 until depth) {
+        val parents = tree.last
+        val cpp = sizes(l) / sizes(l - 1) // children per parent
+        // deterministic init WITHIN each parent's bucket: the cpp sample
+        // vectors with smallest xxhash64(id) among the rows greedy-descend
+        // assigns to that parent (one window job over the cached sample;
+        // the collect is model-sized — at most sizes(l) rows)
+        val w = Window.partitionBy(col("_pb")).orderBy(xxhash64(col("_gid")), col("_gid"))
+        val picks = proj
+          .withColumn("_pb", element_at(hierProbesCol(col("_gvec"), tree, 1), 1))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= cpp)
+          .select(col("_pb"), col("_rn"), col("_gvec"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getAs[scala.collection.Seq[Float]](2).toArray))
+          .toMap
+        val init = Array.tabulate(sizes(l)) { i =>
+          // a parent with fewer sampled rows than children pads the missing
+          // slots with copies of its own centroid — harmless duplicates
+          // (ties go to the lowest index; the copy's list stays empty)
+          picks.getOrElse((i / cpp, i % cpp + 1), parents(i / cpp))
+        }
+        val above = tree
+        tree = tree :+ lloyd(proj, init, iters, (v, cents) =>
+          element_at(hierProbesCol(v, above :+ cents, 1), 1))
+      }
+      Model(tree.last, tree.init)
+    } finally proj.unpersist(blocking = false)
+  }
+
+  /** Count-driven trainer a deployment calls without sizing anything:
+    * `lists = ceil(n / targetListSize)` from one cheap count (parquet footer
+    * metadata — no data read), sampled at `rowsPerCentroid` rows per
+    * centroid, and HIERARCHICAL ([[trainHier]]) once the list count
+    * outgrows `4 * branch` — below that a flat scan of the centroid matrix
+    * is already cheaper than a tree descend. This is the default that
+    * survives 100x corpus growth unaided: both the list count and the
+    * training sample scale linearly while per-row assignment cost stays
+    * `O(branch * log leaves)`. */
+  def trainAuto(
+      corpus: DataFrame,
+      targetListSize: Int = 128,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      branch: Int = 32,
+      rowsPerCentroid: Int = 48): Model = {
+    require(targetListSize >= 1, "targetListSize must be positive")
+    val n = corpus.select(col(idCol)).count()
+    require(n > 0, "Ivf.trainAuto: empty corpus")
+    val lists = math.min(n, math.max(1L, (n + targetListSize - 1) / targetListSize)).toInt
+    val sample = rowsPerCentroid.toLong * lists
+    if (lists <= 4 * branch) train(corpus, lists, iters, idCol, vecCol, maxTrainRows = sample)
+    else trainHier(corpus, lists, branch, iters, idCol, vecCol, maxTrainRows = sample)
+  }
+
+  /** The trainers' shared input: a `(_gid, _gvec)` projection, optionally
+    * hash-sampled to ~`maxTrainRows` rows (deterministic hash-threshold
+    * membership — no RNG state, no shuffle), PERSISTED so the source is
+    * scanned once, not re-read per Lloyd iteration. At 100 TB the cached
+    * projection is the id + embedding columns only; the persist cost is one
+    * pass, amortized over the iterations. Caller unpersists. */
+  private def sampledProj(
+      corpus: DataFrame, idCol: String, vecCol: String, maxTrainRows: Long): DataFrame = {
+    val projAll = corpus.select(col(idCol).as("_gid"), col(vecCol).as("_gvec"))
     val projSampled =
       if (maxTrainRows <= 0L) projAll
       else {
         val n = projAll.count()
         if (n <= maxTrainRows) projAll
         else {
-          // deterministic hash-threshold membership (no RNG state, no
-          // shuffle — the stratifiedSample pattern); keeps ~maxTrainRows
           val buckets = 1000000L
           projAll.filter(
-            pmod(xxhash64(col(idCol)), lit(buckets)) < lit(buckets * maxTrainRows / n))
+            pmod(xxhash64(col("_gid")), lit(buckets)) < lit(buckets * maxTrainRows / n))
         }
       }
-    val proj = projSampled
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // deterministic init: the C vectors with smallest xxhash64(id)
-      val init = proj
-        .orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(c)
+    projSampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def flatAssign(v: Column, cents: Array[Array[Float]]): Column =
+    element_at(call_function("graft_centroid_probes", v, typedLit(cents), lit(1)), 1)
+
+  /** `iters` Lloyd refinement steps over the cached projection with a
+    * pluggable assignment (flat argmin for [[train]], greedy tree descend
+    * for [[trainHier]]'s deeper levels). Assignment + per-dimension means
+    * fuse into ONE aggregation job per iteration; decimal accumulation
+    * makes centroids independent of partitioning/row order; empty clusters
+    * keep their previous centroid. */
+  private def lloyd(
+      proj: DataFrame,
+      init: Array[Array[Float]],
+      iters: Int,
+      assign: (Column, Array[Array[Float]]) => Column): Array[Array[Float]] = {
+    var cents = init
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val means = proj
+        .select(assign(col("_gvec"), cents).as("b"), posexplode(col("_gvec")))
+        .groupBy(col("b"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(30, 10))) / count(lit(1))).cast("double").as("m"))
         .collect()
-        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
-      require(init.nonEmpty, "Ivf.train: empty corpus")
-      var model = Model(init)
-      val dim = model.centroids.head.length
-      for (_ <- 1 to iters) {
-        // assignment + per-dimension means fused in ONE aggregation job over
-        // the cached projection; decimal accumulation => order-independent
-        val means = proj
-          .select(nearestCentroid(col(vecCol), model).as("b"), posexplode(col(vecCol)))
-          .groupBy(col("b"), col("pos"))
-          .agg((sum(col("col").cast(DecimalType(30, 10))) / count(lit(1))).cast("double").as("m"))
-          .collect()
-          .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
-          .toMap
-        model = Model(Array.tabulate(model.c) { b =>
-          Array.tabulate(dim) { d =>
-            // empty clusters keep their previous centroid
-            means.get((b, d)).map(_.toFloat).getOrElse(model.centroids(b)(d))
-          }
-        })
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+        .toMap
+      val prev = cents
+      cents = Array.tabulate(prev.length) { b =>
+        Array.tabulate(dim) { d =>
+          means.get((b, d)).map(_.toFloat).getOrElse(prev(b)(d))
+        }
       }
-      model
-    } finally proj.unpersist(blocking = false)
+    }
+    cents
   }
 
   /** Persist an IVF index: the corpus assigned to its inverted lists and
@@ -157,8 +277,16 @@ object Ivf {
       nearestCentroid(col(vecCol), model).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/lists")
     import spark.implicits._
-    model.centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-      .toDF("bucket", "centroid")
+    // the FULL quantizer tree persists, keyed by (level, bucket) with the
+    // leaf matrix at level = levels.length: a hierarchical index reloaded by
+    // readModel probes with the SAME beam descend its buckets were assigned
+    // by — dropping the internal levels would silently degrade probing to
+    // the flat quantizer AND break probe/assignment consistency (the two
+    // quantizers can descend to different leaves for the same vector)
+    model.tree.zipWithIndex.flatMap { case (m, l) =>
+      m.zipWithIndex.map { case (v, i) => (l, i, v) }
+    }.toSeq
+      .toDF("level", "bucket", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // training-time corpus size: the baseline `needsRebuild` measures
     // growth against (footer-metadata count, no data read)
@@ -418,16 +546,24 @@ object Ivf {
   }
 
   /** Retrain over the index's CURRENT contents and rewrite it in place —
-    * what a caller runs when [[needsRebuild]] fires. */
+    * what a caller runs when [[needsRebuild]] fires. `branch > 0` retrains
+    * hierarchically ([[trainHier]] — the choice for a rebuild whose `lists`
+    * has grown with the corpus); the default keeps the exact flat retrain.
+    * `maxTrainRows > 0` caps the training sample either way. */
   def rebuildIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       lists: Int,
-      iters: Int = 3): Unit = {
+      iters: Int = 3,
+      branch: Int = 0,
+      maxTrainRows: Long = 0L): Unit = {
     val corpus = readListsWithSegments(spark, path)
       .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
       .localCheckpoint() // sever lineage from the files the rewrite replaces
-    writeIndex(corpus, train(corpus, lists, iters), path)
+    val model =
+      if (branch > 0) trainHier(corpus, lists, branch, iters, maxTrainRows = maxTrainRows)
+      else train(corpus, lists, iters, maxTrainRows = maxTrainRows)
+    writeIndex(corpus, model, path)
     graft.core.Blocks.free(corpus)
     // streamed segments are now part of the rewritten base lists, and
     // tombstoned rows were excluded from the retrain corpus: GC both
@@ -441,11 +577,23 @@ object Ivf {
     if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
   }
 
-  /** Load the centroid matrix of a persisted index. */
+  /** Load the quantizer of a persisted index — the full level tree for a
+    * hierarchical model (leaf matrix = highest level), so every reader
+    * (probe, append, streaming ingest) descends with EXACTLY the quantizer
+    * the index was assigned by. A pre-hierarchical layout (no `level`
+    * column) loads as the flat model it was. */
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(s"$path/centroids")
-      .orderBy("bucket").collect()
-    Model(rows.map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+    val df = spark.read.parquet(s"$path/centroids")
+    if (!df.columns.contains("level")) {
+      val rows = df.orderBy("bucket").collect()
+      Model(rows.map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+    } else {
+      val byLevel = df.collect()
+        .groupBy(_.getAs[Int]("level")).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getAs[Int]("bucket"))
+          .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+      Model(byLevel.last, byLevel.init)
+    }
   }
 
   /** Top-k cosine search over a PERSISTED index: probed bucket ids are known

@@ -308,7 +308,16 @@ object VectorKernels {
     * corpus. `k = 1` is greedy descend (the assignment quantizer);
     * `k >= leaves` degenerates to the exact flat scan. Tie and NaN rules
     * match [[centroidProbes]]: lower index wins ties, NaN distances never
-    * win a `<` and fall back to the lowest untaken candidate. */
+    * win a `<` and fall back to the lowest untaken candidate.
+    *
+    * GREEDY-PATH CONTAINMENT: the greedy (k = 1) descend leaf is ALWAYS in
+    * the returned probes. A pure width-k beam can drop the greedy path (at
+    * some level >= k children of OTHER beam nodes may outrank the greedy
+    * node's best child), and assignment uses k = 1 — so without this a
+    * query probing the exact vector a corpus row was assigned by could
+    * miss that row's bucket, breaking self-match recall. The greedy chain
+    * is tracked alongside the beam (O(b * depth * dim) extra) and spliced
+    * into the last slot when the beam lost it. */
   def hierProbes(
       v: ArrayData, flats: Array[Array[Float]], norms: Array[Array[Double]],
       dim: Int, k: Int): ArrayData = {
@@ -321,12 +330,29 @@ object VectorKernels {
       j += 1
     }
     var beam: Array[Int] = Array(0)
+    var gNode = 0 // the greedy (k = 1) descend node at the previous level
     var level = 0
     var prevCount = 1
     while (level < flats.length) {
       val flat = flats(level)
       val nrm = norms(level)
       val b = nrm.length / prevCount
+      // the greedy chain: best child of gNode by (distance, index), same
+      // tie/NaN rules — tracked independently because the beam may drop it
+      var gNext = gNode * b
+      var gBest = Double.MaxValue
+      var gc = 0
+      while (gc < b) {
+        val idx = gNode * b + gc
+        var acc = 0.0
+        val gBase = idx * dim
+        var gi = 0
+        while (gi < dim) { acc += q(gi) * flat(gBase + gi).toDouble; gi += 1 }
+        val d = nrm(idx) - 2.0 * acc
+        if (d < gBest) { gBest = d; gNext = idx }
+        gc += 1
+      }
+      gNode = gNext
       val nc = beam.length * b
       val cand = new Array[Int](nc)
       val dists = new Array[Double](nc)
@@ -371,7 +397,17 @@ object VectorKernels {
         sel(s) = cand(best)
         s += 1
       }
-      if (level == flats.length - 1) return UnsafeArrayData.fromPrimitiveArray(sel)
+      if (level == flats.length - 1) {
+        // greedy-path containment: splice the assignment leaf into the last
+        // slot if the beam lost it. If present, sel is untouched; if spliced,
+        // ascending (distance, index) order is preserved — a leaf the top-keep
+        // selection skipped ranks after every selected one.
+        var found = false
+        var t = 0
+        while (t < keep && !found) { if (sel(t) == gNode) found = true; t += 1 }
+        if (!found) sel(keep - 1) = gNode
+        return UnsafeArrayData.fromPrimitiveArray(sel)
+      }
       java.util.Arrays.sort(sel) // keep the beam index-sorted for the tie rule
       beam = sel
       prevCount = nrm.length
@@ -390,6 +426,11 @@ object VectorKernels {
   * (distance, index) within the final level. `k = 1` is the assignment
   * quantizer; `k >= leaves` probes every list (exact). Per-level arithmetic,
   * tie-breaks, and NaN handling are identical to [[CentroidProbes]].
+  *
+  * The greedy (`k = 1`) leaf is guaranteed to be among the returned probes
+  * regardless of `k` (see [[VectorKernels.hierProbes]]): probing with the
+  * same vector a row was assigned by always reaches that row's bucket — the
+  * consistency invariant IVF search correctness rests on.
   */
 case class HierCentroidProbes(child: Expression, levels: Array[Array[Array[Float]]], k: Int)
     extends UnaryExpression with ExpectsInputTypes {

@@ -820,6 +820,70 @@ object PipelineQueries {
              |  round(exp(-avg(ln(sc))), 4) AS ppl
              |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Q29q2: perplexity under the PLUGGABLE BPE tokenizer — the LM is
+    // trained AND scored on the same subword stream (NgramLm carries its
+    // tokenizer, so the two can never split-brain; a BPE-curated corpus
+    // must be scored under BPE tokens). The oracle composes the recursive
+    // greedy-match tokenizer CTE (q29l2's) with q29q's model + scoring SQL
+    // — a fully independent second implementation end-to-end.
+    QueryDef(
+      "q29q2_perplexity_bpe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lm = graft.operators.Curation.trainNgramLm(
+          docs, maxVocab = 25, maxBigrams = 600,
+          tokenizer = graft.functions.Tokenizer.Bpe(graft.functions.Tokenizer.FixtureVocab))
+        graft.operators.Curation.perplexity(docs, lm).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $BpeVocabSql,
+             |wl AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |wd AS (
+             |  SELECT doc_id, wi, w FROM (
+             |    SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi FROM wl) u
+             |  WHERE w <> ''),
+             |steps(doc_id, wi, w, pos, pieces) AS (
+             |  SELECT doc_id, wi, w, 1, CAST([] AS VARCHAR[]) FROM wd
+             |  UNION ALL
+             |  SELECT doc_id, wi, w, pos + L,
+             |    list_append(pieces,
+             |      CASE WHEN pos = 1 THEN ' ' || substr(w, pos, L) ELSE substr(w, pos, L) END)
+             |  FROM (
+             |    SELECT s.*, coalesce((SELECT max(length(piece)) FROM vocab
+             |                          WHERE piece = substr(s.w, s.pos, length(piece))), 1) AS L
+             |    FROM steps s WHERE s.pos <= length(s.w)) x),
+             |dtoks AS (
+             |  SELECT doc_id, flatten(list(pieces ORDER BY wi)) AS toks
+             |  FROM steps WHERE pos > length(w) GROUP BY doc_id),
+             |r AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM dtoks),
+             |tok AS (
+             |  SELECT doc_id, pos, toks[pos + 1] AS token,
+             |         CASE WHEN pos = 0 THEN NULL ELSE toks[pos] END AS prev
+             |  FROM r),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+             |uni AS (
+             |  SELECT token, CAST(count(*) AS DOUBLE) AS c1 FROM tok
+             |  GROUP BY token ORDER BY c1 DESC, token LIMIT 25),
+             |big AS (
+             |  SELECT prev, token, CAST(count(*) AS DOUBLE) AS c2 FROM tok
+             |  WHERE prev IS NOT NULL
+             |    AND prev IN (SELECT token FROM uni) AND token IN (SELECT token FROM uni)
+             |  GROUP BY prev, token ORDER BY c2 DESC, prev, token LIMIT 600),
+             |sc AS (
+             |  SELECT tok.doc_id,
+             |    CASE WHEN tok.prev IS NULL THEN coalesce(u.c1, 0.4) / (SELECT n FROM n)
+             |         WHEN b.c2 IS NOT NULL THEN b.c2 / up.c1
+             |         ELSE 0.4 * coalesce(u.c1, 0.4) / (SELECT n FROM n) END AS sc
+             |  FROM tok
+             |  LEFT JOIN uni u ON tok.token = u.token
+             |  LEFT JOIN uni up ON tok.prev = up.token
+             |  LEFT JOIN big b ON tok.prev = b.prev AND tok.token = b.token)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  round(exp(-avg(ln(sc))), 4) AS ppl
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Q29o: LEARNED BPE vocabulary — the trained-tokenizer half of the
     // pluggable token-counting surface: distributed word histogram, then
     // the Sennrich-style greedy merge loop over the bounded histogram

@@ -60,10 +60,7 @@ object SemanticProbe {
     val n = corpus.count()
     val nPlanted = planted.count()
     val docs = corpus.select(col("vec_id").as("doc_id")).localCheckpoint()
-    // lists sized to hold ~120 vectors per list as the corpus grows — the
-    // knob a 100 TB deployment turns to keep within-list cost constant
-    val lists = math.max(8, (n / 120L).toInt)
-    println(f"[sem] reps=$reps corpus=$n%,d planted=$nPlanted%,d lists=$lists")
+    println(f"[sem] reps=$reps corpus=$n%,d planted=$nPlanted%,d")
 
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -71,9 +68,14 @@ object SemanticProbe {
       println(f"[sem] $label%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // the AUTO trainer: list count from a cheap count (~120 vectors/list),
+    // hierarchical once it outgrows a flat centroid scan — the default a
+    // 100 TB deployment runs, and the path whose training wall this probe
+    // proves at-or-below linear from 10x to 100x
     val model = timed("train") {
-      Ivf.train(corpus, lists, iters = 2, maxTrainRows = 40L * lists)
+      Ivf.trainAuto(corpus, targetListSize = 120, iters = 2)
     }
+    println(s"[sem] quantizer lists=${model.c} tree=${model.tree.map(_.length).mkString("->")}")
     val pairs = timed("pairs") {
       val p = Dedup.semanticDupPairs(corpus, model, threshold = 0.9).localCheckpoint()
       println(f"[sem] pair-count ${p.count()}%,d")

@@ -215,4 +215,99 @@ class FunctionsSpec extends AnyFunSuite {
     val qs2 = docs.select(TextOps.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
     assert(qs.sameElements(qs2))
   }
+
+  // ---- hierProbes (the hierarchical IVF quantizer kernel) ----
+
+  /** call graft_hier_probes over one float vector with the given tree. */
+  private def hier(v: Seq[Float], tree: Seq[Array[Array[Float]]], k: Int): Seq[Int] = {
+    import spark.implicits._
+    Seq(Tuple1(v)).toDF("v")
+      .select(call_function("graft_hier_probes", col("v"),
+        typedLit(tree.flatten.toArray), typedLit(tree.map(_.length).toArray), lit(k)))
+      .head().getSeq[Int](0)
+  }
+
+  private def flatProbes(v: Seq[Float], cents: Array[Array[Float]], k: Int): Seq[Int] = {
+    import spark.implicits._
+    Seq(Tuple1(v)).toDF("v")
+      .select(call_function("graft_centroid_probes", col("v"), typedLit(cents), lit(k)))
+      .head().getSeq[Int](0)
+  }
+
+  test("hierProbes: single-level tree == flat centroidProbes for every k, all documents") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001).limit(64)
+    val cents = emb.orderBy("vec_id").limit(8).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    for (k <- Seq(1, 3, 8)) {
+      val got = emb.select(call_function("graft_hier_probes", col("embedding"),
+        typedLit(cents), typedLit(Array(8)), lit(k)).as("p")).collect().map(_.getSeq[Int](0))
+      val want = emb.select(call_function("graft_centroid_probes", col("embedding"),
+        typedLit(cents), lit(k)).as("p")).collect().map(_.getSeq[Int](0))
+      assert(got.toSeq == want.toSeq, s"k=$k: one-level tree must equal the flat kernel")
+    }
+  }
+
+  test("hierProbes: two-level descend, greedy containment, k >= leaves exact") {
+    // dim-1 tree crafted so the greedy path diverges from the beam:
+    // level 0: A=0, B=10; leaves (A's children first): -8, 3, 4.8, 5.2.
+    // query 4.9 -> greedy descends A (|4.9| < |5.1|) then leaf 1 (=3), but
+    // the top-2 leaves by distance are 2 (=4.8) and 3 (=5.2) under B.
+    val tree = Seq(
+      Array(Array(0f), Array(10f)),
+      Array(Array(-8f), Array(3f), Array(4.8f), Array(5.2f)))
+    val v = Seq(4.9f)
+    assert(hier(v, tree, 1) == Seq(1), "k=1 is the greedy descend")
+    // pure beam would return [2, 3]; containment splices the greedy leaf
+    assert(hier(v, tree, 2) == Seq(2, 1), "greedy leaf spliced into the last slot")
+    assert(hier(v, tree, 3) == Seq(2, 3, 1), "greedy leaf inside top-k stays in place")
+    // k = leaves degenerates to the exact flat scan over the leaf level
+    assert(hier(v, tree, 4) == flatProbes(v, tree(1), 4))
+    // containment property over a spread of queries: probes(v, k) always
+    // contains probes(v, 1) — the invariant IVF self-match recall rests on
+    for (q <- Seq(-9f, -1f, 0f, 2.9f, 4.9f, 5.0f, 7f, 11f); k <- 1 to 4) {
+      val g = hier(Seq(q), tree, 1).head
+      assert(hier(Seq(q), tree, k).contains(g), s"q=$q k=$k must contain greedy leaf $g")
+    }
+  }
+
+  test("hierProbes: interpreted eval == codegen eval") {
+    val tree = Seq(
+      Array(Array(0f, 1f), Array(10f, -2f)),
+      Array(Array(-8f, 0f), Array(3f, 1f), Array(4.8f, -1f), Array(5.2f, 2f)))
+    val vs = Seq(Seq(4.9f, 0.5f), Seq(-3f, 2f), Seq(0f, 0f), Seq(Float.NaN, 1f))
+    def run(): Seq[Seq[Int]] = vs.map(v => hier(v, tree, 2))
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = run()
+      assert(interp == gen, s"interpreted $interp != codegen $gen")
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("hierProbes: null vector / wrong dim -> null; bad level sizes rejected") {
+    import spark.implicits._
+    val tree = Seq(Array(Array(0f, 0f), Array(1f, 1f)),
+      Array(Array(0f, 0f), Array(1f, 1f), Array(2f, 2f), Array(3f, 3f)))
+    val flat = typedLit(tree.flatten.toArray)
+    val sizes = typedLit(tree.map(_.length).toArray)
+    val df = Seq((1L, Seq(0.5f, 0.5f)), (2L, Seq(0.5f, 0.5f, 9f)))
+      .toDF("id", "v")
+      .withColumn("v", when(col("id") === 2, col("v"))) // id=1 -> null vector
+    val out = df.select(call_function("graft_hier_probes", col("v"), flat, sizes, lit(2)).as("p"))
+      .collect()
+    assert(out(0).isNullAt(0), "null vector -> null")
+    assert(out(1).isNullAt(0), "dimension mismatch -> null")
+    // a level whose size is not a multiple of its parent's must be rejected
+    // at registration (silent mis-partitioned descends otherwise)
+    val bad = intercept[Exception] {
+      Seq(Tuple1(Seq(0f, 0f))).toDF("v")
+        .select(call_function("graft_hier_probes", col("v"),
+          typedLit(tree.flatten.toArray.take(5)),
+          typedLit(Array(2, 3)), lit(1))).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(bad).contains("multiple"), messages(bad))
+  }
 }

@@ -341,6 +341,43 @@ object Curation {
       .limit(k)
   }
 
+  /** Passage-level boilerplate detection — the ExactSubstr observation
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Better Language
+    * Models", public literature): an n-gram recurring across many DISTINCT
+    * documents is boilerplate (headers, footers, license blurbs, nav
+    * chrome), and EXCISION needs each occurrence's OFFSET, not just its
+    * presence — which is exactly what the positional n-gram kernel
+    * ([[TextOps.positionalNgramHashes]]) emits and the distinct
+    * ([[TextOps.ngramHashes]]) form cannot. Returns one row per occurrence
+    * of a boilerplate n-gram: (id, offset, gram, n_docs) — `offset` is the
+    * 0-based token offset where the passage starts, `gram` its combined
+    * hash (same fold as the distinct form, so catalogs interop), `n_docs`
+    * how many distinct documents contain it.
+    *
+    * Scale design: one map pass explodes (doc, offset, gram); the
+    * distinct-document count is distinct-then-count (two partial-agg
+    * exchanges on slim (gram, id) pairs — never a per-gram set); the
+    * `>= minDocs` filter lands BEFORE the join back, so the second pass
+    * joins against a boilerplate-sized side (rare grams never shuffle
+    * twice). Offsets ride the map side only. */
+  def boilerplateNgrams(
+      documents: DataFrame,
+      n: Int = 5,
+      minDocs: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
+    val occ = documents.select(
+      col(idCol),
+      posexplode(TextOps.positionalNgramHashes(
+        TextOps.tokenHashes(coalesce(col(textCol), lit(""))), n)).as(Seq("offset", "gram")))
+    val hot = occ.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    occ.join(hot, Seq("gram"))
+      .select(col(idCol), col("offset").cast("long").as("offset"), col("gram"), col("n_docs"))
+  }
+
   /** A pruned stupid-backoff bigram language model — the CCNet-style
     * corpus-quality scorer's model half (Wenzek et al. 2020 score web text
     * by LM perplexity; Brants et al. 2007's "stupid backoff" is the n-gram

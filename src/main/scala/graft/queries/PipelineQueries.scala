@@ -45,6 +45,101 @@ object PipelineQueries {
     "    ntok + 1\n" +
     "  FROM steps WHERE pos <= length(w))"
 
+  /** Spark-compatible `xxhash64(<long col>, <long seed literal>)` as DuckDB
+    * SQL — the missing "DuckDB twin" that lets the training-order/packing
+    * family be oracle-checked instead of rows-only. XXH64 of an 8-byte
+    * value is a short fixed arithmetic formula (public xxHash spec; Spark
+    * chains it per column starting from seed 42), so it is expressible
+    * exactly with unsigned-64 modular arithmetic over HUGEINT
+    * intermediates: multiply splits into 32-bit halves (every partial
+    * product < 2^64, sums < 2^65 — well inside HUGEINT), rotate/shift are
+    * divmod by powers of two, and xor round-trips through signed BIGINT
+    * (DuckDB's xor). Emitted as a CTE CHAIN — one step per arithmetic
+    * stage — because each fragment repeats its argument; chaining keeps
+    * the generated SQL linear in the step count. */
+  private object XxSql {
+    private val M = BigInt(2).pow(64)
+    private val Mask = M - 1
+    private val P1 = BigInt("9E3779B185EBCA87", 16)
+    private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    private val P3 = BigInt("165667B19E3779F9", 16)
+    private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    private val P5 = BigInt("27D4EB2F165667C5", 16)
+    private def u(e: String) =
+      s"(CASE WHEN ($e) < 0 THEN CAST(($e) AS HUGEINT) + $M ELSE CAST(($e) AS HUGEINT) END)"
+    private def s64(e: String) =
+      s"(CAST(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - $M ELSE ($e) END AS BIGINT))"
+    private def xor64(a: String, b: String) = u(s"xor(${s64(a)}, ${s64(b)})")
+    private def mul64(a: String, b: String) =
+      s"(((($a) % 4294967296) * (($b) % 4294967296) + (((($a) // 4294967296) * (($b) % 4294967296)" +
+        s" + (($a) % 4294967296) * (($b) // 4294967296)) % 4294967296) * 4294967296) % $M)"
+    private def add64(a: String, b: String) = s"((($a) + ($b)) % $M)"
+    private def rotl(e: String, n: Int) = {
+      val lo = BigInt(2).pow(64 - n); val hi = BigInt(2).pow(n)
+      s"(((($e) % $lo) * $hi) + (($e) // $lo))"
+    }
+    private def shr(e: String, n: Int) = s"(($e) // ${BigInt(2).pow(n)})"
+    // driver-side constant folding for literal operands
+    private def mulC(a: BigInt, b: BigInt) = (a * b) & Mask
+    private def rotlC(a: BigInt, n: Int) = ((a << n) | (a >> (64 - n))) & Mask
+    private def k1C(input: BigInt) = mulC(rotlC(mulC(input, P2), 31), P1)
+    private def fmix(p: String, from: Int, idCol: String): Seq[String] = Seq(
+      s"$p${from} AS (SELECT $idCol, ${xor64("x", shr("x", 33))} AS x FROM $p${from - 1})",
+      s"$p${from + 1} AS (SELECT $idCol, ${mul64("x", P2.toString)} AS x FROM $p$from)",
+      s"$p${from + 2} AS (SELECT $idCol, ${xor64("x", shr("x", 29))} AS x FROM $p${from + 1})",
+      s"$p${from + 3} AS (SELECT $idCol, ${mul64("x", P3.toString)} AS x FROM $p${from + 2})",
+      s"$p${from + 4} AS (SELECT $idCol, ${xor64("x", shr("x", 32))} AS x FROM $p${from + 3})")
+
+    /** CTE definitions computing `h` = Spark `xxhash64(idCol, seed)` for
+      * every row of `src(idCol)`: hashLong(idCol, 42) chained into
+      * hashLong(seed, ·). Final CTE `<p>h` has columns (idCol, h) with `h`
+      * the SIGNED 64-bit result — Spark's value exactly. */
+    def hashCtes(p: String, src: String, idCol: String, seed: Long): String = {
+      val h0 = (BigInt(42) + P5 + 8) & Mask
+      val kSeed = k1C(BigInt(seed) & Mask)
+      (Seq(
+        s"${p}1 AS (SELECT $idCol, ${mul64(u(idCol), P2.toString)} AS x FROM $src)",
+        s"${p}2 AS (SELECT $idCol, ${rotl("x", 31)} AS x FROM ${p}1)",
+        s"${p}3 AS (SELECT $idCol, ${mul64("x", P1.toString)} AS x FROM ${p}2)",
+        s"${p}4 AS (SELECT $idCol, ${xor64(h0.toString, "x")} AS x FROM ${p}3)",
+        s"${p}5 AS (SELECT $idCol, ${rotl("x", 27)} AS x FROM ${p}4)",
+        s"${p}6 AS (SELECT $idCol, ${add64(mul64("x", P1.toString), P4.toString)} AS x FROM ${p}5)") ++
+        fmix(p, 7, idCol) ++ Seq(
+        s"${p}12 AS (SELECT $idCol, ${add64(add64("x", P5.toString), "8")} AS x FROM ${p}11)",
+        s"${p}13 AS (SELECT $idCol, ${xor64("x", kSeed.toString)} AS x FROM ${p}12)",
+        s"${p}14 AS (SELECT $idCol, ${rotl("x", 27)} AS x FROM ${p}13)",
+        s"${p}15 AS (SELECT $idCol, ${add64(mul64("x", P1.toString), P4.toString)} AS x FROM ${p}14)") ++
+        fmix(p, 16, idCol) ++ Seq(
+        s"${p}h AS (SELECT $idCol, ${s64("x")} AS h FROM ${p}20)")).mkString(",\n")
+    }
+  }
+
+  /** The (doc_id, shard, pos) training order of
+    * [[graft.operators.Curation.trainingOrder]] (numShards=8, seed=42) as
+    * DuckDB CTEs ending in `ord` — shared by the q29j/q29m oracles. */
+  private val TrainingOrderSql: String =
+    XxSql.hashCtes("xh", "(SELECT doc_id FROM documents)", "doc_id", 42L) + ",\n" +
+      """ord AS (
+        |  SELECT doc_id, CAST(((h % 8) + 8) % 8 AS INT) AS shard,
+        |         CAST(row_number() OVER (PARTITION BY ((h % 8) + 8) % 8
+        |                                 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM xhh)""".stripMargin
+
+  /** First-fit sequence packing over `ordnt(doc_id, shard, pos, n_tokens)`
+    * as a recursive CTE ending in `pack` — the sequential scan of
+    * [[graft.operators.Curation.packSequences]] stepped one row at a time
+    * per shard (budget 2000). */
+  private val PackSql: String =
+    """pack(shard, pos, doc_id, n_tokens, example_idx, pos_in_example, acc) AS (
+      |  SELECT shard, pos, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+      |  FROM ordnt WHERE pos = 0
+      |  UNION ALL
+      |  SELECT r.shard, r.pos, r.doc_id, r.n_tokens,
+      |    CASE WHEN p.acc + r.n_tokens > 2000 THEN p.example_idx + 1 ELSE p.example_idx END,
+      |    CASE WHEN p.acc + r.n_tokens > 2000 THEN CAST(0 AS BIGINT) ELSE p.pos_in_example + 1 END,
+      |    CASE WHEN p.acc + r.n_tokens > 2000 THEN r.n_tokens ELSE p.acc + r.n_tokens END
+      |  FROM pack p JOIN ordnt r ON r.shard = p.shard AND r.pos = p.pos + 1)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Q26: typed UDAF (Aggregator) — exact weighted average with scaled-long
@@ -655,7 +750,10 @@ object PipelineQueries {
              |FROM r ORDER BY doc_id""".stripMargin)),
 
     // Q29j: deterministic training-shard order — xxhash64 shard + in-shard
-    // rank. xxhash64 has no DuckDB twin => rows-only; CurationSpec pins the
+    // rank. The oracle re-derives Spark's xxhash64 ITSELF in DuckDB (the
+    // XxSql CTE chain: XXH64 of an 8-byte value is a fixed public formula,
+    // expressible in unsigned-64 modular arithmetic) — full rows+hash
+    // check, not rows-only. CurationSpec additionally pins the
     // permutation/determinism/balance properties.
     QueryDef(
       "q29j_training_order",
@@ -663,7 +761,8 @@ object PipelineQueries {
         graft.operators.Curation.trainingOrder(
           Tables.documents(s, dir), numShards = 8, seed = 42L)
           .orderBy("shard", "pos"),
-      None),
+      Some(s"""WITH $TrainingOrderSql
+             |SELECT doc_id, shard, pos FROM ord ORDER BY shard, pos""".stripMargin)),
 
     // Q29k: quality filter chain — ordered rules, each doc labeled with the
     // FIRST rule it violates (funnel accounting; drop counts are one groupBy
@@ -729,17 +828,27 @@ object PipelineQueries {
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // Q29m: sequence packing — documents in their deterministic training
-    // order, first-fit into 2000-token examples per shard. Assignment is a
-    // pure function of (id, seed, shards) but states a sequential scan
-    // (not SQL-expressible as a window) => rows-only; CurationSpec pins the
-    // exact packing.
+    // order, first-fit into 2000-token examples per shard. The sequential
+    // first-fit scan is not a SQL window, but it IS a recursive CTE
+    // stepping one row per shard-position (PackSql) over the re-derived
+    // xxhash64 order — oracle-checked end to end; CurationSpec pins the
+    // packing against a driver-side reference fill too.
     QueryDef(
       "q29m_pack_sequences",
       (s, dir) =>
         graft.operators.Curation.packDocuments(
           Tables.documents(s, dir), tokensPerExample = 2000L, numShards = 8, seed = 42L)
           .orderBy("shard", "example_idx", "pos_in_example"),
-      None),
+      Some(s"""WITH RECURSIVE $TrainingOrderSql,
+             |nt AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |ordnt AS (
+             |  SELECT o.doc_id, o.shard, o.pos, nt.n_tokens FROM ord o JOIN nt USING (doc_id)),
+             |$PackSql
+             |SELECT doc_id, shard, example_idx, pos_in_example, n_tokens
+             |FROM pack ORDER BY shard, example_idx, pos_in_example""".stripMargin)),
 
     // Q29n: corpus vocabulary — top-50 token frequencies with corpus
     // share, ties broken by token. One partial-agg count + TakeOrdered.
@@ -884,6 +993,21 @@ object PipelineQueries {
              |  round(exp(-avg(ln(sc))), 4) AS ppl
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Q29r: passage-level boilerplate detection (ExactSubstr-style) — the
+    // positional n-gram kernel's operator: the OFFSET of every occurrence
+    // of an n-gram recurring in >= minDocs distinct documents (what
+    // excision consumes). Token hashes are string-xxhash64 (the XxSql twin
+    // covers 8-byte longs only; variable-length string hashing is a
+    // different formula) => rows-only; CurationSpec pins planted
+    // boilerplate offsets, soundness, and the catalog-interop property.
+    QueryDef(
+      "q29r_boilerplate",
+      (s, dir) =>
+        graft.operators.Curation.boilerplateNgrams(
+          Tables.documents(s, dir), n = 5, minDocs = 3)
+          .orderBy("doc_id", "offset", "gram"),
+      None),
+
     // Q29o: LEARNED BPE vocabulary — the trained-tokenizer half of the
     // pluggable token-counting surface: distributed word histogram, then
     // the Sennrich-style greedy merge loop over the bounded histogram
@@ -987,9 +1111,10 @@ object PipelineQueries {
              |  ltrim(array_to_string(toks[i * 30 + 1 : i * 30 + 40], ''), ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
-    // BPE packing: assignment arithmetic is the q29m sequential scan (not
-    // SQL-expressible) => rows-only; CurationSpec pins BPE-count packing
-    // equality against a driver-side reference fill.
+    // BPE packing: q29m's recursive-CTE pack over the recursive-CTE BPE
+    // token counts — both independent re-implementations composed in one
+    // oracle; CurationSpec additionally pins BPE-count packing equality
+    // against a driver-side reference fill.
     QueryDef(
       "q29m2_pack_bpe",
       (s, dir) =>
@@ -997,7 +1122,19 @@ object PipelineQueries {
           Tables.documents(s, dir), tokensPerExample = 2000L, numShards = 8, seed = 42L,
           tokenizer = graft.functions.Tokenizer.Bpe(graft.functions.Tokenizer.FixtureVocab))
           .orderBy("shard", "example_idx", "pos_in_example"),
-      None),
+      Some(s"""WITH RECURSIVE $BpeVocabSql,
+             |$BpeStepsSql,
+             |$TrainingOrderSql,
+             |nt AS (
+             |  SELECT d.doc_id, CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN (
+             |    SELECT doc_id, sum(ntok) AS n_bpe FROM steps WHERE pos > length(w)
+             |    GROUP BY doc_id) b USING (doc_id)),
+             |ordnt AS (
+             |  SELECT o.doc_id, o.shard, o.pos, nt.n_tokens FROM ord o JOIN nt USING (doc_id)),
+             |$PackSql
+             |SELECT doc_id, shard, example_idx, pos_in_example, n_tokens
+             |FROM pack ORDER BY shard, example_idx, pos_in_example""".stripMargin)),
 
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup

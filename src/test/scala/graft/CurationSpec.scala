@@ -545,4 +545,35 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Set((1L, Some("a")), (3L, None)),
       s"null stratum fills independently: $out")
   }
+
+  test("boilerplateNgrams finds every planted footer occurrence at its exact offset, nothing else") {
+    import spark.implicits._
+    // a 5-token footer shared by docs 1..3 at DIFFERENT offsets; doc 4
+    // shares a 5-gram with doc 5 only (below minDocs=3); bodies unique
+    val footer = "please subscribe to our channel"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $footer"),               // offset 4
+      (2L, s"$footer epsilon zeta eta theta iota"),          // offset 0
+      (3L, s"kappa $footer lambda mu nu xi omicron"),        // offset 1
+      (4L, "one two three four five six seven"),
+      (5L, "zero one two three four five sixb")).toDF("doc_id", "text")
+    val out = Curation.boilerplateNgrams(docs, n = 5, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the footer's gram hash — derived via the DISTINCT kernel on the bare
+    // footer text (catalog interop: the positional fold matches it)
+    val footerGram = Seq(Tuple1(footer)).toDF("text")
+      .select(TextOps.ngramHashes(TextOps.tokenHashes(col("text")), 5))
+      .head().getSeq[Long](0).head
+    assert(out == Set(
+      (1L, 4L, footerGram, 3L),
+      (2L, 0L, footerGram, 3L),
+      (3L, 1L, footerGram, 3L)),
+      s"exactly the three planted occurrences, offsets exact: $out")
+    // dropping minDocs to 2 surfaces doc 4/5's shared "one two three four
+    // five" 5-gram (offsets 0 and 1) alongside the footer
+    val loose = Curation.boilerplateNgrams(docs, n = 5, minDocs = 2)
+      .filter(col("doc_id").isin(4L, 5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(loose == Set((4L, 0L, 2L), (5L, 1L, 2L)), s"got $loose")
+  }
 }

@@ -216,6 +216,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(qs.sameElements(qs2))
   }
 
+  // ---- positionalNgramHashes (the ExactSubstr offset kernel) ----
+
+  test("positionalNgramHashes: out(i) == ngramHashes of the slice [i, i+n), all documents") {
+    import spark.implicits._
+    val th0 = TextOps.tokenHashes(coalesce(col("text"), lit("")))
+    val rows = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(th0.as("th"),
+        TextOps.positionalNgramHashes(th0, 3).as("pos"),
+        TextOps.ngramHashes(th0, 3).as("ng"))
+      .collect()
+    assert(rows.nonEmpty)
+    // driver-side reference of the shared fold (h = h*P + x, null -> 0)
+    val P = 0x100000001b3L
+    def fold(slice: Seq[Long]): Long = slice.foldLeft(0L)((h, x) => h * P + x)
+    rows.foreach { r =>
+      val th = r.getSeq[Long](0)
+      val pos = r.getSeq[Long](1)
+      val distinctForm = r.getSeq[Long](2)
+      assert(pos.length == math.max(th.length - 2, 0), "one hash per start offset")
+      // each positional value is the fold of its slice — offset preserved,
+      // duplicates kept in order
+      assert(pos == th.sliding(3).filter(_.length == 3).map(fold).toSeq)
+      // catalog-interop: the positional stream's distinct set IS the
+      // distinct kernel's output for the same document
+      assert(pos.distinct.sorted == distinctForm.sorted)
+    }
+  }
+
+  test("positionalNgramHashes: fewer than n tokens -> empty; null elements fold as 0") {
+    import spark.implicits._
+    val short = Seq(Tuple1(Seq(1L, 2L))).toDF("a")
+      .select(TextOps.positionalNgramHashes(col("a"), 3)).head().getSeq[Long](0)
+    assert(short.isEmpty, "2 tokens, n=3 -> empty")
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("a")
+      .select(TextOps.positionalNgramHashes(col("a"), 1)).head().getSeq[Long](0)
+    assert(empty.isEmpty)
+    // a null element folds as 0 — same value as a literal 0 in that slot
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("a")
+      .select(TextOps.positionalNgramHashes(col("a"), 3)).head().getSeq[Long](0)
+    val withZero = Seq(Tuple1(Seq(1L, 0L, 3L))).toDF("a")
+      .select(TextOps.positionalNgramHashes(col("a"), 3)).head().getSeq[Long](0)
+    assert(withNull == withZero && withNull.length == 1)
+  }
+
+  test("positionalNgramHashes: interpreted eval == codegen eval") {
+    import spark.implicits._
+    def run(): Seq[Seq[Long]] =
+      Seq(Seq(1L, 2L, 3L, 4L), Seq(7L, 7L, 7L), Seq(5L), Seq.empty[Long])
+        .toDF("a").select(TextOps.positionalNgramHashes(col("a"), 2))
+        .collect().map(_.getSeq[Long](0)).toSeq
+    val gen = run()
+    assert(gen.head.length == 3 && gen(1) == Seq(gen(1).head, gen(1).head), "dups kept in order")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == gen, "interpreted must equal codegen")
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   // ---- hierProbes (the hierarchical IVF quantizer kernel) ----
 
   /** call graft_hier_probes over one float vector with the given tree. */

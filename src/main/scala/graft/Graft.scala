@@ -159,6 +159,39 @@ final case class Graft(spark: SparkSession, dir: String) {
   def curationFunnel(sinkDir: String, checkpointDir: String): DataFrame =
     Ingest.curationFunnel(spark, sinkDir, checkpointDir)
 
+  /** The whole curation pipeline as ONE stream — filter → redact → exact
+    * dedup → near-dup → (optional semantic) per micro-batch with a
+    * cross-stage funnel, the streaming twin of [[curationPipeline]]'s
+    * batch form. Exactly-once under crash replay; read stage totals with
+    * [[pipelineFunnel]]. Build the indexes first ([[buildDedupIndex]],
+    * [[buildNearDupIndex]], [[buildVectorIndex]]). */
+  def ingestPipeline(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      rules: Seq[(String, Column)],
+      exactIndexPath: String,
+      nearDupIndexPath: String,
+      semanticIndexPath: Option[String] = None,
+      nearDupThreshold: Double = 0.7,
+      semanticThreshold: Double = 0.95,
+      redactPii: Boolean = true,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startPipelineIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, rules,
+      exactIndexPath, nearDupIndexPath, semanticIndexPath,
+      nearDupThreshold, semanticThreshold, redactPii,
+      availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval)
+
+  /** Aggregate (stage, docs_in, docs_out) totals of a pipeline-ingest
+    * sink's committed batches, in pipeline order. */
+  def pipelineFunnel(sinkDir: String, checkpointDir: String): DataFrame =
+    Ingest.pipelineFunnel(spark, sinkDir, checkpointDir)
+
   /** Materialize the deterministic training order as a sharded parquet
     * sink (file row order = training order per shard). */
   def writeTrainingShards(outDir: String, numShards: Int, seed: Long = 0L): Unit =

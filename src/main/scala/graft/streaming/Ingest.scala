@@ -514,6 +514,202 @@ object Ingest {
       .start()
   }
 
+  /** The STREAMING composition of the whole curation pipeline — ONE ingest
+    * running filter → redact → exact dedup → near-dup → (optional
+    * semantic) per micro-batch, the streaming twin of
+    * [[graft.operators.Curation.curationPipeline]]: instead of four
+    * hand-chained queries with four checkpoints
+    * ([[startCuratedIngest]] → [[startDedupIngest]] →
+    * [[startNearDupIngest]] → [[startSemanticIngest]]), one source read
+    * flows through every stage, one sink holds the fully-curated corpus,
+    * and a per-batch CROSS-STAGE FUNNEL (`_funnel/batch_id=N`, rows
+    * (ord, stage, docs_in, docs_out)) accounts for every document — read
+    * the aggregate with [[pipelineFunnel]].
+    *
+    * Stage semantics are EXACTLY the standalone ingests': the quality
+    * cascade labels with the first violated rule; exact dedup probes and
+    * appends the persisted key index
+    * ([[graft.operators.Dedup.exactIncrementalKeyed]]); near-dup probes
+    * the MinHash index with the MICRO shape (batch side broadcast — no
+    * corpus shuffle per trigger) and keeps by ARRIVAL order; the optional
+    * semantic stage (pass `semanticIndexPath`; the source schema must
+    * carry `vecCol`) probes the IVF index bucket-pruned. Each dedup stage
+    * folds only what IT passed into its index, so the indexes stay
+    * consistent with what the next stage (and future batches) must
+    * suppress against.
+    *
+    * Exactly-once composes because every per-batch artifact is keyed by
+    * batchId with overwrite semantics: sink directory, funnel directory,
+    * one named segment per index, and the mark last (the commit point). A
+    * crash mid-pipeline replays the whole batch; each stage recomputes the
+    * identical result against its possibly-already-appended segment (the
+    * replay-stability arguments of the standalone ingests, unchanged).
+    *
+    * The indexes must exist (build them with
+    * [[graft.operators.Dedup.writeExactIndex]] /
+    * [[graft.operators.Dedup.writeMinHashIndex]] /
+    * [[graft.operators.Ivf.writeIndex]], possibly over empty corpus
+    * slices); the concurrent fold/GC maintenance contracts of the
+    * standalone ingests apply per index. */
+  def startPipelineIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      exactIndexPath: String,
+      nearDupIndexPath: String,
+      semanticIndexPath: Option[String] = None,
+      nearDupThreshold: Double = 0.7,
+      semanticThreshold: Double = 0.95,
+      redactPii: Boolean = true,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vecCol: String = "embedding",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    import graft.operators.{Curation, Dedup, Ivf}
+    require(semanticIndexPath.isEmpty || schema.fieldNames.contains(vecCol),
+      s"semantic stage needs a '$vecCol' column in the source schema")
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val funnel = Seq.newBuilder[(Int, String, Long, Long)]
+        val toFree = Seq.newBuilder[org.apache.spark.sql.Dataset[_]]
+        var ord = 0
+        var cur = batch.localCheckpoint()
+        var nCur = cur.count()
+        // the curationPipeline stage loop, per micro-batch: checkpoint each
+        // stage's output (one computation feeds the count, the next stage,
+        // and any segment write); every stage frame — including the
+        // pre-checkpoint plan, whose sweep frees operator-internal
+        // checkpoints like the components label table — is released at
+        // BATCH END, not between stages: segment writes after a stage still
+        // read its input frame, and storage stays batch-bounded either way
+        def stage(name: String)(f: DataFrame => DataFrame): Unit = {
+          val raw = f(cur)
+          val next = raw.localCheckpoint()
+          val nNext = next.count()
+          funnel += ((ord, name, nCur, nNext))
+          ord += 1
+          toFree += raw
+          toFree += cur
+          cur = next
+          nCur = nNext
+        }
+        stage("filter")(d => Curation.filterChain(d, rules)
+          .filter(col("keep") === 1L).drop("fail_rule", "keep"))
+        if (redactPii) stage("redact")(d => Curation.redact(d, textCol)
+          .withColumn(textCol, col("redacted"))
+          .drop("redacted", "n_emails", "n_ips", "n_phones"))
+        var exactInput: DataFrame = null
+        stage("exact") { d =>
+          exactInput = d
+          val keyed = Dedup.keyedBatch(d, exactIndexPath, idCol, textCol).localCheckpoint()
+          toFree += keyed
+          val keptIds = Dedup.exactIncrementalKeyed(keyed, exactIndexPath, idCol)
+            .filter(col("is_kept")).select(idCol)
+          d.join(keptIds, Seq(idCol))
+        }
+        // the exact stage's INPUT keys append (startDedupIngest's replay
+        // contract); an exact copy of a doc a LATER stage drops is still
+        // suppressed downstream by that stage's own index. Written AFTER
+        // the classification materialized: a replay's overwrite of the
+        // crashed attempt's segment must not invalidate the file listing
+        // the classification plan captured
+        Dedup.writeExactIndexSegment(
+          exactInput, exactIndexPath, s"seg_batch_$batchId", idCol, textCol)
+        var sigs: DataFrame = null
+        stage("neardup") { d =>
+          sigs = Dedup.minHashBatchSigs(d, nearDupIndexPath, idCol, textCol).localCheckpoint()
+          toFree += sigs
+          val cands = Dedup.minHashMicroCandidates(sigs, nearDupIndexPath).localCheckpoint()
+          val pairs = Dedup
+            .minHashMicroVerify(cands, sigs, nearDupIndexPath, nearDupThreshold)
+            .localCheckpoint()
+          graft.core.Blocks.free(cands)
+          toFree += pairs
+          Dedup.collapseDuplicatesArrival(d, pairs, idCol)
+        }
+        // only near-dup SURVIVORS' signatures fold in — the index mirrors
+        // what this stage keeps, exactly like the standalone ingest
+        Dedup.writeMinHashSegment(
+          sigs.join(cur.select(col(idCol).as("doc")), Seq("doc")),
+          nearDupIndexPath, f"seg_batch_$batchId%06d")
+        semanticIndexPath.foreach { ivfPath =>
+          var assigned: DataFrame = null
+          stage("semantic") { d =>
+            val model = Ivf.readModel(ss, ivfPath)
+            assigned = d.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+              .withColumn("n_nsq", graft.functions.VectorOps.normSq(col("n_vec")))
+              .withColumn("bucket", Ivf.nearestCentroid(col("n_vec"), model))
+              .localCheckpoint()
+            toFree += assigned
+            val probed = assigned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+            val corpus = Ivf.readListsWithSegments(ss, ivfPath)
+              .filter(col("bucket").isin(probed: _*))
+            val aSide = assigned.select(col("bucket"), col("n_id").as("a_id"),
+              col("n_vec").as("a_vec"), col("n_nsq").as("a_nsq"))
+            val pairs = broadcast(aSide)
+              .join(corpus.unionByName(assigned)
+                .select(col("bucket"), col("n_id").as("b_id"),
+                  col("n_vec").as("b_vec"), col("n_nsq").as("b_nsq")), Seq("bucket"))
+              .filter(col("a_id") =!= col("b_id"))
+              .withColumn("score", graft.functions.VectorOps.cosineWithNorms(
+                col("a_vec"), col("b_vec"), col("a_nsq"), col("b_nsq")))
+              .filter(col("score") >= semanticThreshold)
+              .select(
+                least(col("a_id"), col("b_id")).as("doc_a"),
+                greatest(col("a_id"), col("b_id")).as("doc_b"))
+              .dropDuplicates("doc_a", "doc_b")
+              .localCheckpoint()
+            toFree += pairs
+            Dedup.collapseDuplicatesArrival(d, pairs, idCol)
+          }
+          Ivf.writeListSegment(
+            assigned.join(cur.select(col(idCol).cast("long").as("n_id")), Seq("n_id")),
+            ivfPath, f"seg_batch_$batchId%06d")
+        }
+        import ss.implicits._
+        funnel.result().toDF("ord", "stage", "docs_in", "docs_out")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$sinkDir/_funnel/batch_id=$batchId")
+        cur.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        Marks.write(markDir, batchId, 0L, nCur, hconf)
+        toFree.result().foreach(graft.core.Blocks.free(_))
+        graft.core.Blocks.free(cur)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
+  /** Aggregate cross-stage funnel of a [[startPipelineIngest]] sink over
+    * its COMMITTED batches: (stage, docs_in, docs_out) totals in pipeline
+    * order. Reads only the tiny per-batch funnel tables, never the
+    * corpus. */
+  def pipelineFunnel(spark: SparkSession, sinkDir: String, checkpointDir: String): DataFrame = {
+    val committed = Marks.read(
+      s"$checkpointDir/graft-marks", spark.sparkContext.hadoopConfiguration).keys.toSeq.sorted
+    require(committed.nonEmpty, s"no committed batches under $checkpointDir")
+    spark.read
+      .option("basePath", s"$sinkDir/_funnel")
+      .parquet(committed.map(b => s"$sinkDir/_funnel/batch_id=$b"): _*)
+      .groupBy("ord", "stage")
+      .agg(sum("docs_in").as("docs_in"), sum("docs_out").as("docs_out"))
+      .orderBy("ord")
+      .drop("ord")
+  }
+
   /** Aggregate drop funnel across a curated sink's COMMITTED batches:
     * (fail_rule, n_docs) totals. Reads only the tiny per-batch funnel
     * tables, never the corpus. */

@@ -787,6 +787,137 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(shPairs(Dedup.simHashIncremental(batch, sh, maxHamming = 6)) == fullSh)
   }
 
+  test("pipeline ingest: single batch over empty indexes == batch curationPipeline, stage for stage") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipeing_").toString
+    val docs = Seq(
+      (10L, "tiny doc"),                                                        // too_short
+      (11L, "contact me at bob@example.com for all the details again today"),   // kept, redacted
+      (12L, "the quick auburn fox vaulted the idle hound at dusk yesterday"),   // kept
+      (13L, "the quick auburn fox vaulted the idle hound at dusk yesterday"),   // exact dup of 12
+      (14L, "the quick auburn fox vaulted the idle hound at dusk yesterday evening"), // near-dup of 12
+      (15L, "seven engineers debated columnar storage formats over cold coffee last night")
+    ).toDF("doc_id", "text")
+    val rules = Seq("too_short" ->
+      (size(graft.functions.TextOps.tokens(coalesce(col("text"), lit("")))) < 4))
+    // empty indexes: the single-batch stream then equals the batch pipeline
+    val empty = docs.limit(0)
+    Dedup.writeExactIndex(empty, s"$tmp/xidx")
+    Dedup.writeMinHashIndex(empty, s"$tmp/midx", shingleN = 3, numHashes = 64, bands = 16)
+    docs.coalesce(1).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    graft.streaming.Ingest.startPipelineIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", rules,
+      s"$tmp/xidx", s"$tmp/midx", nearDupThreshold = 0.5,
+      maxFilesPerTrigger = None).awaitTermination()
+
+    val (batchCorpus, batchFunnel) = Curation.curationPipeline(
+      docs, rules, nearDupThreshold = 0.5)
+    val streamIds = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batchCorpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamIds == batchIds && streamIds == Set(11L, 12L, 15L),
+      s"stream $streamIds vs batch $batchIds")
+    // the redacted TEXT must match too (redaction happened before dedup in both)
+    val streamText11 = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .filter(col("doc_id") === 11L).select("text").head().getString(0)
+    val batchText11 = batchCorpus.filter(col("doc_id") === 11L)
+      .select("text").head().getString(0)
+    assert(streamText11 == batchText11 && !streamText11.contains("bob@example.com"))
+    // cross-stage funnel equality, in order
+    val streamFunnel = graft.streaming.Ingest
+      .pipelineFunnel(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val twin = batchFunnel.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamFunnel == twin,
+      s"stream funnel $streamFunnel must equal batch twin $twin")
+    assert(streamFunnel == Seq(
+      ("filter", 6L, 5L), ("redact", 5L, 5L), ("exact", 5L, 4L), ("neardup", 4L, 3L)))
+  }
+
+  test("pipeline ingest: cross-batch suppression in every stage, semantic stage, crash replay") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipeing2_").toString
+    // seed vectors far (cosine 0.5) from every batch vector: the IVF model
+    // must exist before ingest, but seeds must not near-dup the stream
+    val seeds = Seq(
+      (1L, Array(1f, 1f, 1f, 1f)), (2L, Array(1f, -1f, 1f, -1f)),
+      (3L, Array(-1f, 1f, 1f, -1f)), (4L, Array(1f, 1f, -1f, -1f))
+    ).toDF("vec_id", "embedding")
+    val model = graft.operators.Ivf.train(seeds, c = 2, iters = 2)
+    graft.operators.Ivf.writeIndex(seeds, model, s"$tmp/vidx")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.writeExactIndex(emptyDocs, s"$tmp/xidx")
+    Dedup.writeMinHashIndex(emptyDocs, s"$tmp/midx", shingleN = 3, numHashes = 64, bands = 16)
+
+    val freshA = "the quick auburn fox vaulted the idle hound while meteors streaked over the harbor"
+    val freshB = "seven engineers debated the merits of columnar storage formats late into the evening"
+    val freshC = "a separate treatise on migratory patterns of arctic terns crossing polar summers"
+    val freshD = "entirely different prose concerning the maintenance of tidal clocks in estuaries"
+    def writeSrc(name: String, rows: Seq[(Long, String, Array[Float])]): Unit = {
+      rows.toDF("doc_id", "text", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src_stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/src_stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    writeSrc("f1", Seq(
+      (100L, freshA, Array(1f, 0f, 0f, 0f)),
+      (101L, freshB, Array(0f, 1f, 0f, 0f))))
+    writeSrc("f2", Seq(
+      (102L, freshC, Array(1.001f, 0.001f, 0f, 0f)), // semantic near-dup of 100 (cosine ~1)
+      (103L, freshD, Array(0f, 0f, 1f, 0f)),         // kept
+      (104L, freshB, Array(0f, 0f, 0f, 1f))))        // cross-batch EXACT dup of 101
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startPipelineIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt",
+      rules = Seq("never" -> lit(false)), // no quality drops: dedup is under test
+      exactIndexPath = s"$tmp/xidx", nearDupIndexPath = s"$tmp/midx",
+      semanticIndexPath = Some(s"$tmp/vidx"), nearDupThreshold = 0.5,
+      semanticThreshold = 0.95, maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+
+    def sinkIds() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def funnel() = graft.streaming.Ingest
+      .pipelineFunnel(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sinkIds() == Set(100L, 101L, 103L),
+      s"104 drops at exact (cross-batch), 102 at semantic (cross-batch): ${sinkIds()}")
+    val f1 = funnel()
+    assert(f1 == Seq(
+      ("filter", 5L, 5L), ("redact", 5L, 5L), ("exact", 5L, 4L),
+      ("neardup", 4L, 4L), ("semantic", 4L, 3L)), s"got $f1")
+    // the semantic index saw only semantic-stage survivors
+    def streamedVecs(): Set[Long] = {
+      val segsDir = new java.io.File(s"$tmp/vidx/segs")
+      Option(segsDir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isDirectory).map(d => spark.read.parquet(d.toString))
+        .reduce(_ unionByName _).select("n_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(streamedVecs() == Set(100L, 101L, 103L),
+      s"index folds kept vectors only: ${streamedVecs()}")
+
+    // crash replay: drop the last streaming commit, re-run — sink, funnel,
+    // and every index segment must be rewritten identically
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkIds() == Set(100L, 101L, 103L), "replay must not change the kept set")
+    assert(funnel() == f1, "replay must not change the funnel")
+    assert(streamedVecs() == Set(100L, 101L, 103L),
+      "replayed vector segment overwrites, never duplicates")
+  }
+
   test("wide-key index is inferred by the incremental path and agrees with narrow") {
     val (corpus, batch) = split()
     val narrowTmp = java.nio.file.Files.createTempDirectory("graft_dixn_").toString

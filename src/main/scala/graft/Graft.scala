@@ -613,6 +613,13 @@ final case class Graft(spark: SparkSession, dir: String) {
 
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
+
+  /** Content-level image near-dup pairs over a binary payload column:
+    * pure-JVM pixel decode, perceptual dHash, guaranteed-recall banded
+    * Hamming search. Feed into [[Dedup.collapseDuplicates]] like the text
+    * dedup families. */
+  def imageDupPairs(withPayload: DataFrame, maxHamming: Int = 10): DataFrame =
+    Multimodal.imageDupPairs(Multimodal.imageHashes(withPayload), maxHamming)
 }
 
 object Graft {

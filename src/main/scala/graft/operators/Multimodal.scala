@@ -394,4 +394,403 @@ object Multimodal {
       .filter(col("format") === "gif" && col("n_frames") > 0)
       .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
+
+  // -------------------------------------------------------------------
+  // Content-level image dedup: pixel decode + perceptual hashes
+  // -------------------------------------------------------------------
+
+  /** Deterministic PIXEL-CARRYING image synthesis — real 8-bit truecolor
+    * PNGs (IDAT: per-row filters exercising None/Sub/Up/Average/Paeth,
+    * zlib-deflated) and 24-bit bottom-up BMPs over the same grayscale
+    * pattern, so the container-independence of the perceptual hashes is
+    * testable. The pattern is two low-frequency sinusoids whose
+    * frequencies/phases derive from `seed` (splitmix64): smooth content a
+    * downsampling hash is designed for, with optional per-pixel `noise`
+    * (amplitude in gray levels) to plant near-duplicates. */
+  object ImageGen {
+    private def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+
+    /** The shared grayscale field: two low-frequency sinusoid components
+      * (separable product + a diagonal wave) with seed-derived frequencies,
+      * phases, and amplitudes — a family rich enough that unrelated seeds
+      * rarely land within a dedup Hamming budget of each other. Values in
+      * [0, 255]. */
+    def gray(w: Int, h: Int, seed: Long, noise: Int): Array[Int] = {
+      val s = Array.tabulate(8)(i => mix(seed + i))
+      val fx = 1 + math.floorMod(s(0), 4L).toInt
+      val fy = 1 + math.floorMod(s(1), 4L).toInt
+      val fd = 1 + math.floorMod(s(2), 6L).toInt
+      val p1 = math.floorMod(s(3), 628L) / 100.0
+      val p2 = math.floorMod(s(4), 628L) / 100.0
+      val p3 = math.floorMod(s(5), 628L) / 100.0
+      val a1 = 60.0 + math.floorMod(s(6), 40L)
+      val a2 = 25.0 + math.floorMod(s(7), 25L)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = 128.0 +
+            a1 * math.sin(2 * math.Pi * fx * x / w + p1) *
+              math.cos(2 * math.Pi * fy * y / h + p2) +
+            a2 * math.sin(2 * math.Pi * fd * (x.toDouble / w + y.toDouble / h) / 2 + p3)
+          val n = if (noise <= 0) 0L
+            else math.floorMod(mix(seed ^ (x.toLong << 32) ^ y.toLong), 2L * noise + 1) - noise
+          out(y * w + x) = math.max(0, math.min(255, base.toInt + n.toInt))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new CRC32
+      val t = typ.getBytes(StandardCharsets.US_ASCII)
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** Truecolor PNG of the gray field (r = g = b). Row `y` uses filter
+      * `y % 5` — every PNG filter type appears, so the decoder's defilter
+      * paths are all exercised by every image taller than 4 rows. */
+    def png(w: Int, h: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val bpp = 3
+      val stride = w * bpp
+      val raw = new Array[Byte]((stride + 1) * h)
+      val prior = new Array[Int](stride)
+      val curr = new Array[Int](stride)
+      var y = 0
+      while (y < h) {
+        var i = 0
+        while (i < w) {
+          val v = g(y * w + i)
+          curr(i * 3) = v; curr(i * 3 + 1) = v; curr(i * 3 + 2) = v
+          i += 1
+        }
+        val f = y % 5
+        raw(y * (stride + 1)) = f.toByte
+        var j = 0
+        while (j < stride) {
+          val left = if (j >= bpp) curr(j - bpp) else 0
+          val up = prior(j)
+          val ul = if (j >= bpp) prior(j - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ => { // Paeth
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            }
+          }
+          raw(y * (stride + 1) + 1 + j) = ((curr(j) - pred) & 0xff).toByte
+          j += 1
+        }
+        System.arraycopy(curr, 0, prior, 0, stride)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      deflater.setInput(raw); deflater.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** 24-bit bottom-up BMP of the SAME gray field: pixel-identical to
+      * [[png]] for equal (w, h, seed, noise) — the container-independence
+      * fixture. */
+    def bmp(w: Int, h: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val dataSize = rowBytes * h
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+      val out = new ByteArrayOutputStream()
+      out.write('B'); out.write('M')
+      out.write(le32(54 + dataSize)); out.write(le32(0)); out.write(le32(54))
+      out.write(le32(40)); out.write(le32(w)); out.write(le32(h))
+      out.write(le16(1)); out.write(le16(24)); out.write(le32(0)); out.write(le32(dataSize))
+      out.write(le32(2835)); out.write(le32(2835)); out.write(le32(0)); out.write(le32(0))
+      var y = h - 1 // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = g(y * w + x)
+          out.write(v); out.write(v); out.write(v) // BGR
+          x += 1
+        }
+        var pad = w * 3
+        while (pad % 4 != 0) { out.write(0); pad += 1 }
+        y -= 1
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Pure-JVM pixel decode to a grayscale matrix — the content-level step
+    * [[ContainerParser]] stops short of. PNG: chunk walk, zlib inflate
+    * (`java.util.zip.Inflater` — in the JDK, no codec library), full
+    * defilter (None/Sub/Up/Average/Paeth per RFC 2083), 8-bit gray /
+    * truecolor / with-alpha color types, luma = (299r + 587g + 114b)/1000.
+    * BMP: BITMAPINFOHEADER, uncompressed 24/32-bit, bottom-up or top-down.
+    * Interlaced PNG, palette color, non-8-bit depths, compressed BMP →
+    * `None` (never throws): a 100 TB corpus pass must skip what it cannot
+    * decode, not die on it. */
+  object ImageDecoder {
+    final case class Gray(width: Int, height: Int, pixels: Array[Int])
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    def decode(b: Array[Byte]): Option[Gray] =
+      try {
+        if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+          decodePng(b)
+        else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+        else None
+      } catch { case _: Exception => None }
+
+    private def decodePng(b: Array[Byte]): Option[Gray] = {
+      var i = 8
+      var w = 0; var h = 0; var bitDepth = 0; var colorType = 0; var interlace = 0
+      val idat = new ByteArrayOutputStream()
+      var sawIhdr = false
+      while (i + 8 <= b.length) {
+        val len = be32(b, i)
+        val typ = new String(b, i + 4, 4, StandardCharsets.US_ASCII)
+        if (len < 0 || i + 8 + len > b.length) return None
+        typ match {
+          case "IHDR" =>
+            w = be32(b, i + 8); h = be32(b, i + 12)
+            bitDepth = u8(b, i + 16); colorType = u8(b, i + 17); interlace = u8(b, i + 20)
+            sawIhdr = true
+          case "IDAT" => idat.write(b, i + 8, len)
+          case _ => ()
+        }
+        i += 12 + len
+      }
+      if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      val channels = colorType match {
+        case 0 => 1 // gray
+        case 2 => 3 // truecolor
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return None // palette
+      }
+      val stride = w * channels
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      inflater.end()
+      if (off != raw.length) return None
+      // defilter in place into recon rows
+      val recon = new Array[Int](stride * h)
+      var y = 0
+      while (y < h) {
+        val f = u8(raw, y * (stride + 1))
+        var j = 0
+        while (j < stride) {
+          val x = u8(raw, y * (stride + 1) + 1 + j)
+          val left = if (j >= channels) recon(y * stride + j - channels) else 0
+          val up = if (y > 0) recon((y - 1) * stride + j) else 0
+          val ul = if (y > 0 && j >= channels) recon((y - 1) * stride + j - channels) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            case _ => return None
+          }
+          recon(y * stride + j) = (x + pred) & 0xff
+          j += 1
+        }
+        y += 1
+      }
+      val gray = new Array[Int](w * h)
+      var p = 0
+      while (p < w * h) {
+        val base = p * channels
+        gray(p) = channels match {
+          case 1 | 2 => recon(base)
+          case _ => (recon(base) * 299 + recon(base + 1) * 587 + recon(base + 2) * 114) / 1000
+        }
+        p += 1
+      }
+      Some(Gray(w, h, gray))
+    }
+
+    private def decodeBmp(b: Array[Byte]): Option[Gray] = {
+      val dataOff = le32(b, 10)
+      val hdrSize = le32(b, 14)
+      if (hdrSize < 40) return None
+      val w = le32(b, 18)
+      val hRaw = le32(b, 22)
+      val bpp = le16(b, 28)
+      val compression = le32(b, 30)
+      if (w <= 0 || hRaw == 0 || compression != 0 || (bpp != 24 && bpp != 32)) return None
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      val pxBytes = bpp / 8
+      val rowBytes = (w * pxBytes + 3) / 4 * 4
+      if (dataOff + rowBytes.toLong * h > b.length) return None
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        var x = 0
+        while (x < w) {
+          val o = dataOff + srcRow * rowBytes + x * pxBytes
+          // stored BGR
+          gray(y * w + x) = (u8(b, o + 2) * 299 + u8(b, o + 1) * 587 + u8(b, o) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some(Gray(w, h, gray))
+    }
+  }
+
+  /** Perceptual hashes over a decoded gray matrix — the standard public
+    * aHash/dHash constructions: box-average the image onto a coarse grid,
+    * then threshold. Bit order is row-major, bit 63 = cell (0, 0). Both are
+    * robust to pixel noise and resolution changes (averaging) and collapse
+    * to near-random for unrelated content — Hamming distance between
+    * hashes is the near-duplicate signal, searched with the SAME
+    * guaranteed-recall multi-index banding as SimHash
+    * ([[Dedup.simHashPairsFromSignatures]]). Images narrower than the grid
+    * (w < 9 or h < 8) return None. */
+  object PerceptualHash {
+    /** Mean of the gray pixels in cell (cx, cy) of a gw x gh grid. */
+    private def cell(g: ImageDecoder.Gray, gw: Int, gh: Int, cx: Int, cy: Int): Double = {
+      val x0 = cx * g.width / gw; val x1 = math.max(x0 + 1, (cx + 1) * g.width / gw)
+      val y0 = cy * g.height / gh; val y1 = math.max(y0 + 1, (cy + 1) * g.height / gh)
+      var sum = 0L; var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { sum += g.pixels(y * g.width + x); n += 1; x += 1 }
+        y += 1
+      }
+      sum.toDouble / n
+    }
+
+    /** Average hash: 8x8 grid, bit set where the cell exceeds the grid mean. */
+    def aHash64(g: ImageDecoder.Gray): Option[Long] = {
+      if (g.width < 8 || g.height < 8) return None
+      val cells = Array.tabulate(64)(i => cell(g, 8, 8, i % 8, i / 8))
+      val mean = cells.sum / 64.0
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (cells(i) > mean) h |= 1L << (63 - i); i += 1 }
+      Some(h)
+    }
+
+    /** Difference hash: 9x8 grid, bit set where a cell exceeds its right
+      * neighbor — captures gradient structure, insensitive to global
+      * brightness. */
+    def dHash64(g: ImageDecoder.Gray): Option[Long] = {
+      if (g.width < 9 || g.height < 8) return None
+      val cells = Array.tabulate(8, 9)((cy, cx) => cell(g, 9, 8, cx, cy))
+      var h = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          if (cells(cy)(cx) > cells(cy)(cx + 1)) h |= 1L << (63 - (cy * 8 + cx))
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(h)
+    }
+  }
+
+  private def imageGenUdf(w: Int, h: Int, noise: Int, bmpEvery: Int) =
+    udf((id: Long, seed: Long) =>
+      if (bmpEvery > 0 && id % bmpEvery == 0) ImageGen.bmp(w, h, seed, noise)
+      else ImageGen.png(w, h, seed, noise))
+
+  /** Attach a deterministic PIXEL-carrying image payload ([[ImageGen]]) —
+    * the image-dedup analogue of [[withBinaryPayload]]'s header-only
+    * containers. `seedCol` decouples content from identity so tests and
+    * queries can plant near-duplicate twins (same seed + noise, new id);
+    * every `bmpEvery`-th id gets the BMP container for the same pixels
+    * (container independence is part of what q30c exercises). */
+  def withImagePayload(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      seedCol: String = "doc_id",
+      width: Int = 64,
+      height: Int = 48,
+      noise: Int = 0,
+      bmpEvery: Int = 3): DataFrame =
+    documents.withColumn("payload",
+      imageGenUdf(width, height, noise, bmpEvery)(col(idCol).cast("long"), col(seedCol).cast("long")))
+
+  final case class ImageHashes(doc_id: Long, width: Int, height: Int, ahash: Long, dhash: Long)
+
+  /** Decode each payload and emit its perceptual hashes — one row per
+    * DECODABLE image (undecodable/non-image rows are skipped, never fatal).
+    * Partition-parallel `mapPartitions` like [[extractFeatures]]: payload
+    * bytes never leave the executors, and the output is 28 bytes/row
+    * however large the images are — the shape that matters at 100 TB,
+    * where the decode pass is the scan and everything downstream (banding,
+    * clustering) runs on slim hashes. */
+  def imageHashes(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val input = withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          for {
+            g <- ImageDecoder.decode(payload)
+            a <- PerceptualHash.aHash64(g)
+            d <- PerceptualHash.dHash64(g)
+          } yield ImageHashes(id, g.width, g.height, a, d)
+        }
+      }(Encoders.product[ImageHashes])
+      .toDF()
+  }
+
+  /** Content-level image near-dup pairs: dHash signatures through the
+    * guaranteed-recall multi-index Hamming banding
+    * ([[Dedup.simHashPairsFromSignatures]] — every pair within
+    * `maxHamming` is provably generated). Returns (doc_a, doc_b, hamming).
+    * Feed into [[Dedup.collapseDuplicates]] /
+    * [[Dedup.collapseDuplicatesArrival]] exactly like the text families. */
+  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame =
+    Dedup.simHashPairsFromSignatures(
+      hashes.select(col("doc_id"), col("dhash").as("sh")), maxHamming)
 }

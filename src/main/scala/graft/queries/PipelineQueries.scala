@@ -1221,6 +1221,36 @@ object PipelineQueries {
              |SELECT doc_id, CAST(unnest(range(0, 1 + n % 24, 2)) AS BIGINT) AS frame_idx,
              |       CAST(64 + n % 640 AS BIGINT) AS width,
              |       CAST(64 + (n * 7) % 480 AS BIGINT) AS height
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Q30c: CONTENT-level image dedup — pixel decode (pure-JVM PNG
+    // inflate+defilter / BMP, Multimodal.ImageDecoder), perceptual dHash,
+    // and the guaranteed-recall multi-index Hamming banding shared with
+    // SimHash. Every 10th document's image is re-rendered with per-pixel
+    // noise under a new id — near-duplicate twins whose container bytes
+    // (and q30 fnv64 checksums) differ completely; content hashing must
+    // collapse them onto the originals. Deflate/decode are not
+    // SQL-expressible => rows-only; MultimodalSpec pins decode exactness,
+    // fixture hashes, container independence, and planted-twin collapse.
+    QueryDef(
+      "q30c_image_dedup",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val base = Multimodal.withImagePayload(ids)
+        val twins = Multimodal.withImagePayload(
+          ids.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("doc_id").as("seed")),
+          seedCol = "seed", noise = 8)
+          .drop("seed")
+        val hashes = Multimodal.imageHashes(base.unionByName(twins)).localCheckpoint()
+        val kept = graft.operators.Dedup.collapseDuplicates(
+          hashes.select("doc_id"), Multimodal.imageDupPairs(hashes, maxHamming = 10),
+          idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+        hashes.select("doc_id")
+          .join(kept.withColumn("is_kept", lit(1L)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("is_kept"), lit(0L)).as("is_kept"))
+          .orderBy("doc_id")
+      },
+      None)
   )
 }

@@ -226,4 +226,98 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Long]("doc_id") == 1L))
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == (0 until 18 by 2).toSeq)
   }
+
+  // ---- content-level image decode + perceptual hashing ----
+
+  import graft.operators.Multimodal.{ImageDecoder, ImageGen, PerceptualHash}
+  private def dham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("PNG pixel decode round-trips the generator exactly; BMP yields identical pixels") {
+    // the generator's rows cycle all five PNG filters, so this exercises
+    // None/Sub/Up/Average/Paeth through deflate and back
+    val expected = ImageGen.gray(64, 48, 42L, 0)
+    val png = ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0))
+    val bmp = ImageDecoder.decode(ImageGen.bmp(64, 48, 42L, 0))
+    assert(png.isDefined && bmp.isDefined)
+    assert(png.get.width == 64 && png.get.height == 48)
+    assert(png.get.pixels.sameElements(expected), "PNG decode must be bit-exact")
+    assert(bmp.get.pixels.sameElements(expected), "BMP decode must be bit-exact")
+  }
+
+  test("perceptual hashes: fixture-pinned values, container independence, resolution invariance") {
+    val g = ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0)).get
+    // pinned fixtures: any change to generator, decoder, downsample, or bit
+    // order shows up here as an exact mismatch
+    assert(PerceptualHash.dHash64(g).get == 0x29993949d666c6b6L)
+    assert(PerceptualHash.aHash64(g).get == 0x733323528cccdcadL)
+    // identical pixels through the OTHER container -> identical hashes
+    val b = ImageDecoder.decode(ImageGen.bmp(64, 48, 42L, 0)).get
+    assert(PerceptualHash.dHash64(b) == PerceptualHash.dHash64(g))
+    assert(PerceptualHash.aHash64(b) == PerceptualHash.aHash64(g))
+    // the same content rendered at 2x resolution hashes within the dedup
+    // budget (box-averaging makes the hash a CONTENT hash; grid-boundary
+    // rounding differs slightly between resolutions)
+    val big = ImageDecoder.decode(ImageGen.png(128, 96, 42L, 0)).get
+    val resHam = dham(PerceptualHash.dHash64(big).get, PerceptualHash.dHash64(g).get)
+    assert(resHam <= 6, s"2x resolution must stay within the dedup budget: $resHam")
+  }
+
+  test("near-duplicate images hash close; unrelated content hashes far") {
+    val base = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0)).get).get
+    // per-pixel noise (amplitude 8 gray levels) barely moves the hash
+    val noisy = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.png(64, 48, 42L, 8)).get).get
+    assert(dham(base, noisy) <= 6, s"noise twin hamming ${dham(base, noisy)}")
+    // thirty unrelated seeds: all far beyond the dedup threshold
+    val dists = (0L until 30L).map { s =>
+      dham(base, PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.png(64, 48, s, 0)).get).get)
+    }
+    assert(dists.min >= 15, s"unrelated images must hash far: ${dists.sorted.take(3)}")
+  }
+
+  test("decoder never throws: truncated, malformed, header-only, palette inputs -> None") {
+    val good = ImageGen.png(32, 16, 7L, 0)
+    assert(ImageDecoder.decode(good.take(40)).isEmpty, "truncated mid-chunk")
+    // IEND (12) + IDAT's CRC (4) + 1: clips into IDAT's declared data
+    assert(ImageDecoder.decode(good.take(good.length - 17)).isEmpty, "truncated IDAT")
+    assert(ImageDecoder.decode(Array[Byte](1, 2, 3)).isEmpty, "garbage")
+    assert(ImageDecoder.decode(Multimodal.MediaGen.png(64, 48)).isEmpty,
+      "header-only PNG (no IDAT) must be skipped, not decoded as black")
+    assert(ImageDecoder.decode(Multimodal.MediaGen.wav(80)).isEmpty, "non-image container")
+    // palette PNG (color type 3) is out of scope -> None
+    val palette = good.clone()
+    palette(8 + 4 + 4 + 9) = 3 // IHDR color type byte
+    assert(ImageDecoder.decode(palette).isEmpty)
+  }
+
+  test("image dedup end-to-end: planted noisy twins collapse, distinct content survives") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val base = Multimodal.withImagePayload(ids)
+    // twins of every 4th image: same seed, noise 8, new id
+    val twins = Multimodal.withImagePayload(
+      ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000L).as("doc_id"), col("doc_id").as("seed")),
+      seedCol = "seed", noise = 8).drop("seed")
+    val hashes = Multimodal.imageHashes(base.unionByName(twins))
+    assert(hashes.count() == 50, "every payload decodes (40 base + 10 twins)")
+    val pairs = Multimodal.imageDupPairs(hashes, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 40L by 4).map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(pairs), s"all 10 planted twins found: missing ${planted -- pairs}")
+    val kept = graft.operators.Dedup.collapseDuplicates(
+      hashes.select("doc_id"), pairs = Multimodal.imageDupPairs(hashes, maxHamming = 10),
+      idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+      .collect().map(_.getLong(0)).toSet
+    // every twin's cluster contains its (lower-id) original => no twin is
+    // ever the kept representative
+    assert(planted.forall(p => !kept.contains(p._2)), "every twin dropped")
+    // soundness: a dropped document always has a near-dup pair partner
+    // (two base images CAN legitimately collapse — the seed family is
+    // small — but never without a generated pair)
+    val allIds = hashes.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = allIds -- kept
+    assert(dropped.forall(d => pairs.exists(p => p._1 == d || p._2 == d)),
+      "no drop without a pair")
+    assert(kept.nonEmpty && dropped.size >= planted.size)
+  }
 }

@@ -20,8 +20,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * measured drift is the reason the concurrent paths exist. Not part of the
   * engine.
   *
-  * Usage: runMain graft.tools.UptimeSoakProbe [nBatches] [docsPerBatch] [compactEvery]
+  * Usage: runMain graft.tools.UptimeSoakProbe [nBatches] [docsPerBatch] [compactEvery] [phases]
   *   compactEvery = 0 disables concurrent compaction (the drift control).
+  *   phases = comma list of dedup,neardup,curated,semantic,pipeline
+  *   (default all) — lets a long-horizon run (e.g. 1000 batches) target one
+  *   phase without paying for the rest.
   */
 object UptimeSoakProbe {
 
@@ -60,6 +63,8 @@ object UptimeSoakProbe {
     val nBatches = args.lift(0).map(_.toInt).getOrElse(250)
     val docsPerBatch = args.lift(1).map(_.toInt).getOrElse(400)
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(40)
+    val phases = args.lift(3).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("dedup", "neardup", "curated", "semantic", "pipeline"))
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-uptime-soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -93,6 +98,7 @@ object UptimeSoakProbe {
       f"distinct-texts=$expectKeys%,d compactEvery=$compactEvery")
 
     // ---- phase 1: dedup-on-write with concurrent index compaction ----
+    if (phases("dedup")) {
     val indexPath = s"$out/dedup_index"
     Dedup.writeExactIndex(docs.limit(0), indexPath)
     val cap1 = new Capture(spark)
@@ -140,8 +146,13 @@ object UptimeSoakProbe {
       "soak dedup output diverged from the distinct-text ground truth")
     require(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked persisted RDDs after dedup soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+    if (compactEvery > 0)
+      require(f1 == 0 || l1 / f1 < 1.6, f"dedup per-batch cost drifted ${l1 / f1}%.2fx")
+    require(peak1 <= 8, s"dedup per-batch storage must stay bounded, saw $peak1")
+    }
 
     // ---- phase 1b: near-dup-on-write with concurrent segment folds ----
+    if (phases("neardup")) {
     // Exact duplicates have jaccard 1.0, so the near-dup keep set is the
     // same distinct-text ground truth as phase 1 — but the per-batch cost
     // has a genuine O(index) component (the banded corpus side of the
@@ -202,8 +213,13 @@ object UptimeSoakProbe {
       s"leaked persisted RDDs after near-dup soak: ${spark.sparkContext.getPersistentRDDs.keys}")
     // f3/l3 drift is O(index)-driven by design (the probe's corpus side
     // grows every batch) — reported above, not gated
+    require(peak3 <= 8, s"near-dup per-batch storage must stay bounded, saw $peak3")
+    require(compactEvery == 0 || peakSegs <= 2 * compactEvery + 4,
+      s"fold loop must bound live segments at O(foldEvery), saw $peakSegs")
+    }
 
     // ---- phase 2: curation-on-ingest ----
+    if (phases("curated")) {
     val cap2 = new Capture(spark)
     spark.streams.addListener(cap2)
     val t2 = System.nanoTime()
@@ -219,8 +235,12 @@ object UptimeSoakProbe {
     println(f"[soak] curated  wall=$curWall%.1f s funnel: $funnel")
     require(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked persisted RDDs after curated soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+    require(f2 == 0 || l2 / f2 < 1.6, f"curated per-batch cost drifted ${l2 / f2}%.2fx")
+    require(peak2 <= 8, s"curated per-batch storage must stay bounded, saw $peak2")
+    }
 
     // ---- phase 3: SEMANTIC ingest with concurrent segment folds ----
+    if (phases("semantic")) {
     // Same key-duplication structure in embedding space: the vector is a
     // pure function of the key (48 hash-derived dims in [-1, 1]), so
     // duplicates are cosine-1.0 pairs and distinct keys are ~orthogonal
@@ -306,16 +326,56 @@ object UptimeSoakProbe {
     require(compactEvery == 0 || peakVSegs <= 2 * compactEvery + 4,
       s"IVF fold loop must bound live segments at O(foldEvery), saw $peakVSegs")
     require(peak4 <= 8, s"semantic per-batch storage must stay bounded, saw $peak4")
+    }
 
-    // flatness gates: compaction-assisted dedup and curation must not creep
-    // (generous 1.6x bound — shared-host noise swings individual batches)
-    if (compactEvery > 0)
-      require(f1 == 0 || l1 / f1 < 1.6, f"dedup per-batch cost drifted ${l1 / f1}%.2fx")
-    require(f2 == 0 || l2 / f2 < 1.6, f"curated per-batch cost drifted ${l2 / f2}%.2fx")
-    require(peak1 <= 8 && peak2 <= 8 && peak3 <= 8,
-      s"per-batch storage should be a handful of in-flight blocks, saw $peak1/$peak2/$peak3")
-    require(compactEvery == 0 || peakSegs <= 2 * compactEvery + 4,
-      s"fold loop must bound live segments at O(foldEvery), saw $peakSegs")
+    // ---- phase 4: the COMPOSED pipeline ingest ----
+    // filter -> redact -> exact -> near-dup in ONE stream over the same
+    // source: per-batch cost is roughly the sum of the standalone dedup +
+    // near-dup + curated phases (one source read instead of three), the
+    // funnel must reconcile exactly with the distinct-text ground truth
+    // (every row passes the rules by construction, exact catches all
+    // duplicate keys, near-dup catches nothing more on hash-random texts),
+    // and no checkpoint blocks may survive any batch.
+    if (phases("pipeline")) {
+    val pxIdx = s"$out/p_xidx"
+    val pmIdx = s"$out/p_midx"
+    Dedup.writeExactIndex(docs.limit(0), pxIdx)
+    Dedup.writeMinHashIndex(docs.limit(0), pmIdx, shingleN = 3, numHashes = 64, bands = 16)
+    val cap5 = new Capture(spark)
+    spark.streams.addListener(cap5)
+    val t5 = System.nanoTime()
+    Ingest.startPipelineIngest(
+      spark, srcDir, schema, s"$out/psink", s"$out/pckpt",
+      graft.operators.Curation.defaultQualityRules(),
+      pxIdx, pmIdx, maxFilesPerTrigger = Some(1)).awaitTermination()
+    val pipeWall = (System.nanoTime() - t5) / 1e9
+    spark.streams.removeListener(cap5)
+    val (f5, l5, peak5) = report("pipeline", cap5, 50)
+    val pFunnel = Ingest.pipelineFunnel(spark, s"$out/psink", s"$out/pckpt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    println(f"[soak] pipeline wall=$pipeWall%.1f s funnel: " +
+      pFunnel.map { case (st, i, o) => s"$st=$i->$o" }.mkString(" "))
+    val pKept = spark.read
+      .parquet((0L until nBatches.toLong).map(b => s"$out/psink/batch_id=$b"): _*)
+    val pRows = pKept.count()
+    val pKeys = pKept.select(xxhash64(col("text"))).distinct().count()
+    println(f"[soak] pipeline kept=$pRows%,d distinct=$pKeys%,d (expect $expectKeys%,d)")
+    require(pRows == expectKeys && pKeys == expectKeys,
+      "pipeline soak output diverged from the distinct-text ground truth")
+    // funnel reconciliation: arrivals sum to the corpus, the exact stage
+    // accounts for every duplicate, later stages drop nothing
+    val arrived = pFunnel.find(_._1 == "filter").map(_._2).getOrElse(0L)
+    val exactOut = pFunnel.find(_._1 == "exact").map(_._3).getOrElse(0L)
+    val finalOut = pFunnel.last._3
+    require(arrived == n && exactOut == expectKeys && finalOut == expectKeys,
+      s"pipeline funnel must reconcile: arrived=$arrived exactOut=$exactOut finalOut=$finalOut")
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs after pipeline soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+    require(f5 == 0 || l5 / f5 < 1.8, f"pipeline per-batch cost drifted ${l5 / f5}%.2fx " +
+      "(index-probe growth is bounded by the standalone phases' own gates)")
+    require(peak5 <= 10, s"pipeline per-batch storage must stay bounded, saw $peak5")
+    }
+
     graft.queries.QueryDef.deleteRecursively(out)
     spark.stop()
   }

@@ -620,6 +620,12 @@ final case class Graft(spark: SparkSession, dir: String) {
     * dedup families. */
   def imageDupPairs(withPayload: DataFrame, maxHamming: Int = 10): DataFrame =
     Multimodal.imageDupPairs(Multimodal.imageHashes(withPayload), maxHamming)
+
+  /** Content-level audio near-dup pairs over a binary payload column: PCM
+    * decode, energy-delta fingerprint (gain- and sample-width-invariant),
+    * guaranteed-recall banded Hamming search. */
+  def audioDupPairs(withPayload: DataFrame, maxHamming: Int = 10): DataFrame =
+    Multimodal.audioDupPairs(Multimodal.audioHashes(withPayload), maxHamming)
 }
 
 object Graft {

@@ -793,4 +793,211 @@ object Multimodal {
   def imageDupPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame =
     Dedup.simHashPairsFromSignatures(
       hashes.select(col("doc_id"), col("dhash").as("sh")), maxHamming)
+
+  // -------------------------------------------------------------------
+  // Content-level AUDIO dedup: PCM decode + energy-delta fingerprint
+  // -------------------------------------------------------------------
+
+  /** Deterministic tone synthesis — real PCM WAVs (8-bit unsigned or
+    * 16-bit signed mono) of a seed-derived waveform: three sinusoid
+    * partials with seed-drawn frequencies/amplitudes/phases, optional
+    * per-sample noise. The audio analogue of [[ImageGen]]. */
+  object AudioGen {
+    private def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+
+    /** The waveform in [-1, 1]: three partials, constants from `seed`;
+      * `noise` adds uniform per-sample noise of that amplitude (in
+      * 1/256 full-scale units, matching the 8-bit quantization step). */
+    def samples(n: Int, seed: Long, noise: Int, gain: Double = 1.0): Array[Double] = {
+      val s = Array.tabulate(9)(i => mix(seed + i))
+      val f = Array.tabulate(3)(k => 2.0 + math.floorMod(s(k), 37L) + 5 * k)
+      val a = Array.tabulate(3)(k => 0.2 + math.floorMod(s(3 + k), 50L) / 100.0)
+      val p = Array.tabulate(3)(k => math.floorMod(s(6 + k), 628L) / 100.0)
+      val norm = a.sum
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var v = 0.0
+        var k = 0
+        while (k < 3) { v += a(k) * math.sin(2 * math.Pi * f(k) * i / n + p(k)); k += 1 }
+        val nz = if (noise <= 0) 0.0
+          else (math.floorMod(mix(seed ^ (i.toLong << 20) ^ 0x5bL), 2L * noise + 1) - noise) / 256.0
+        out(i) = math.max(-1.0, math.min(1.0, gain * (v / norm) + nz))
+        i += 1
+      }
+      out
+    }
+
+    private def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+
+    /** Valid RIFF/WAVE PCM mono at 8000 Hz, `bits` = 8 (unsigned) or 16
+      * (signed LE). */
+    def wav(n: Int, seed: Long, noise: Int = 0, bits: Int = 8, gain: Double = 1.0): Array[Byte] = {
+      require(bits == 8 || bits == 16, s"bits=$bits")
+      val xs = samples(n, seed, noise, gain)
+      val bytesPer = bits / 8
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes(StandardCharsets.US_ASCII)); out.write(le32(36 + n * bytesPer))
+      out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+      out.write("fmt ".getBytes(StandardCharsets.US_ASCII)); out.write(le32(16))
+      out.write(le16(1)); out.write(le16(1)) // PCM, mono
+      out.write(le32(8000)); out.write(le32(8000 * bytesPer))
+      out.write(le16(bytesPer)); out.write(le16(bits))
+      out.write("data".getBytes(StandardCharsets.US_ASCII)); out.write(le32(n * bytesPer))
+      var i = 0
+      while (i < n) {
+        if (bits == 8) out.write(((xs(i) * 127.0).round.toInt + 128) & 0xff)
+        else out.write(le16(((xs(i) * 32767.0).round.toInt) & 0xffff))
+        i += 1
+      }
+      out.toByteArray
+    }
+  }
+
+  /** PCM sample decode for RIFF/WAVE — the content-level step beyond
+    * [[ContainerParser]]'s duration metadata: chunk walk to `fmt `/`data`,
+    * uncompressed mono/stereo PCM at 8 or 16 bits (stereo averages to
+    * mono), normalized to [-1, 1]. Anything else (compressed, float,
+    * truncated) → None, never throws. */
+  object WavDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    def decode(b: Array[Byte]): Option[Array[Double]] =
+      try {
+        if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+        var i = 12
+        var fmtOk = false
+        var channels = 0
+        var bits = 0
+        var dataOff = -1
+        var dataLen = 0
+        while (i + 8 <= b.length) {
+          val id = new String(b, i, 4, StandardCharsets.US_ASCII)
+          val len = le32(b, i + 4)
+          if (len < 0 || i + 8 + len > b.length) {
+            if (id == "data" && dataOff < 0) { dataOff = i + 8; dataLen = b.length - (i + 8) }
+            i = b.length // truncated chunk: stop the walk
+          } else {
+            id match {
+              case "fmt " if len >= 16 =>
+                val audioFormat = le16(b, i + 8)
+                channels = le16(b, i + 10)
+                bits = le16(b, i + 22)
+                fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
+                  (channels == 1 || channels == 2)
+              case "data" => dataOff = i + 8; dataLen = len
+              case _ => ()
+            }
+            i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+          }
+        }
+        if (!fmtOk || dataOff < 0 || dataLen <= 0) return None
+        val bytesPer = bits / 8
+        val frame = bytesPer * channels
+        val n = dataLen / frame
+        if (n == 0) return None
+        val out = new Array[Double](n)
+        var s = 0
+        while (s < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val o = dataOff + s * frame + c * bytesPer
+            acc += (if (bits == 8) (u8(b, o) - 128) / 128.0
+              else (le16(b, o).toShort.toInt) / 32768.0)
+            c += 1
+          }
+          out(s) = acc / channels
+          s += 1
+        }
+        Some(out)
+      } catch { case _: Exception => None }
+  }
+
+  /** 64-bit energy-delta audio fingerprint — the temporal-energy-profile
+    * construction of the Philips/Haitsma-Kalker robust-hash family (public
+    * literature): split the signal into 65 equal frames, compute per-frame
+    * energy (mean square), bit i = energy(i+1) > energy(i). Invariant to
+    * GAIN (every energy scales by the same factor, delta signs unchanged),
+    * to sample width (8 vs 16 bit — quantization perturbs energies far
+    * below frame deltas), and robust to additive noise; unrelated content
+    * decorrelates to ~32 bits. Fewer than 65 samples → None. */
+  def audioFingerprint64(samples: Array[Double]): Option[Long] = {
+    val frames = 65
+    val n = samples.length
+    if (n < frames) return None
+    val e = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      val x0 = f * n / frames; val x1 = math.max(x0 + 1, (f + 1) * n / frames)
+      var acc = 0.0
+      var i = x0
+      while (i < x1) { acc += samples(i) * samples(i); i += 1 }
+      e(f) = acc / (x1 - x0)
+      f += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (e(i + 1) > e(i)) h |= 1L << (63 - i); i += 1 }
+    Some(h)
+  }
+
+  private def audioGenUdf(n: Int, noise: Int, bits: Int) =
+    udf((seed: Long) => AudioGen.wav(n, seed, noise, bits))
+
+  /** Attach a deterministic PCM WAV payload — the audio analogue of
+    * [[withImagePayload]]; `seedCol` decouples content from identity so
+    * noisy twins can be planted; every other id gets 16-bit samples of the
+    * same waveform (sample-width independence is part of what q30d
+    * exercises). */
+  def withAudioPayload(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      seedCol: String = "doc_id",
+      nSamples: Int = 4000,
+      noise: Int = 0): DataFrame = {
+    val w8 = audioGenUdf(nSamples, noise, 8)
+    val w16 = audioGenUdf(nSamples, noise, 16)
+    documents.withColumn("payload",
+      when(col(idCol).cast("long") % 2 === 0, w8(col(seedCol).cast("long")))
+        .otherwise(w16(col(seedCol).cast("long"))))
+  }
+
+  final case class AudioHash(doc_id: Long, n_samples: Int, afp: Long)
+
+  /** Decode each payload and emit its fingerprint — one row per decodable
+    * PCM WAV, partition-parallel, 20 bytes/row out whatever the audio
+    * length (the [[imageHashes]] shape for the audio modality). */
+  def audioHashes(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val input = withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          for {
+            xs <- WavDecoder.decode(payload)
+            fp <- audioFingerprint64(xs)
+          } yield AudioHash(id, xs.length, fp)
+        }
+      }(Encoders.product[AudioHash])
+      .toDF()
+  }
+
+  /** Content-level audio near-dup pairs — fingerprints through the same
+    * guaranteed-recall banding as SimHash and [[imageDupPairs]]. */
+  def audioDupPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame =
+    Dedup.simHashPairsFromSignatures(
+      hashes.select(col("doc_id"), col("afp").as("sh")), maxHamming)
 }

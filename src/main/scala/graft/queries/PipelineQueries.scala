@@ -1251,6 +1251,36 @@ object PipelineQueries {
           .select(col("doc_id"), coalesce(col("is_kept"), lit(0L)).as("is_kept"))
           .orderBy("doc_id")
       },
+      None),
+
+    // Q30d: CONTENT-level audio dedup — PCM decode (8/16-bit mono/stereo
+    // RIFF walk) + the 64-bit energy-delta fingerprint (Philips robust-hash
+    // family: 65 frames, bit = rising energy), searched with the same
+    // guaranteed-recall Hamming banding. Twins are the SAME waveform
+    // re-rendered with per-sample noise under a new id — and the base
+    // corpus itself alternates 8-bit and 16-bit containers, so matching
+    // twins to originals also crosses sample widths. Not SQL-expressible
+    // => rows-only; MultimodalSpec pins decode, gain/width invariance,
+    // fixture hash, and twin collapse.
+    QueryDef(
+      "q30d_audio_dedup",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val base = Multimodal.withAudioPayload(ids)
+        val twins = Multimodal.withAudioPayload(
+          ids.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100001L).as("doc_id"), col("doc_id").as("seed")),
+          seedCol = "seed", noise = 8)
+          .drop("seed")
+        val hashes = Multimodal.audioHashes(base.unionByName(twins)).localCheckpoint()
+        val kept = graft.operators.Dedup.collapseDuplicates(
+          hashes.select("doc_id"), Multimodal.audioDupPairs(hashes, maxHamming = 10),
+          idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+        hashes.select("doc_id")
+          .join(kept.withColumn("is_kept", lit(1L)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("is_kept"), lit(0L)).as("is_kept"))
+          .orderBy("doc_id")
+      },
       None)
   )
 }

@@ -320,4 +320,68 @@ class MultimodalSpec extends AnyFunSuite {
       "no drop without a pair")
     assert(kept.nonEmpty && dropped.size >= planted.size)
   }
+
+  // ---- content-level audio decode + fingerprinting ----
+
+  import graft.operators.Multimodal.{AudioGen, WavDecoder}
+
+  test("WAV PCM decode: 8-bit and 16-bit renderings of one waveform agree; stereo averages") {
+    val xs8 = WavDecoder.decode(AudioGen.wav(2000, 7L, 0, bits = 8)).get
+    val xs16 = WavDecoder.decode(AudioGen.wav(2000, 7L, 0, bits = 16)).get
+    assert(xs8.length == 2000 && xs16.length == 2000)
+    // same waveform at both widths, within 8-bit quantization (1/128)
+    val maxDiff = xs8.zip(xs16).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 1.5 / 128.0, s"8/16-bit renderings diverge: $maxDiff")
+    assert(xs8.forall(x => x >= -1.0 && x <= 1.0))
+  }
+
+  test("audio fingerprint: pinned fixture; gain/sample-width invariance; noise closeness; unrelated far") {
+    def fp(bytes: Array[Byte]): Long =
+      Multimodal.audioFingerprint64(WavDecoder.decode(bytes).get).get
+    val base = fp(AudioGen.wav(4000, 42L, 0, 8))
+    assert(base == 0xae76b52959dc84f4L, f"pinned fingerprint moved: 0x$base%016x")
+    assert(fp(AudioGen.wav(4000, 42L, 0, 16)) == base, "sample-width invariant")
+    assert(fp(AudioGen.wav(4000, 42L, 0, 8, gain = 0.5)) == base,
+      "volume change must not move an energy-DELTA hash")
+    assert(dham(base, fp(AudioGen.wav(8000, 42L, 0, 8))) <= 4, "2x sample rate stays close")
+    assert(dham(base, fp(AudioGen.wav(4000, 42L, 8, 8))) <= 6, "per-sample noise stays close")
+    val dists = (0L until 30L).map(s => dham(base, fp(AudioGen.wav(4000, s, 0, 8))))
+    assert(dists.min >= 15, s"unrelated audio must hash far: ${dists.sorted.take(3)}")
+  }
+
+  test("WAV decode never throws: truncated, compressed, float, garbage -> None") {
+    val good = AudioGen.wav(500, 3L, 0, 8)
+    assert(WavDecoder.decode(good).isDefined)
+    assert(WavDecoder.decode(good.take(30)).isEmpty, "shorter than a header")
+    // truncated mid-data still decodes the prefix (streaming-tolerant), but
+    // a corrupted fmt (non-PCM format code) must be rejected
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // IEEE float format code
+    assert(WavDecoder.decode(nonPcm).isEmpty, "non-PCM rejected")
+    assert(WavDecoder.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(WavDecoder.decode(Multimodal.MediaGen.png(32, 32)).isEmpty, "wrong container")
+  }
+
+  test("audio dedup end-to-end: noisy twins collapse onto originals across sample widths") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val base = Multimodal.withAudioPayload(ids)
+    // odd offset: every twin lands in the OTHER sample-width container
+    // than its (even-id, 8-bit) original — matching must cross widths
+    val twins = Multimodal.withAudioPayload(
+      ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1001L).as("doc_id"), col("doc_id").as("seed")),
+      seedCol = "seed", noise = 8).drop("seed")
+    val hashes = Multimodal.audioHashes(base.unionByName(twins))
+    assert(hashes.count() == 50, "every payload decodes (40 base + 10 twins)")
+    val pairs = Multimodal.audioDupPairs(hashes, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 40L by 4).map(i => (i, i + 1001L)).toSet
+    assert(planted.subsetOf(pairs), s"all planted twins found: missing ${planted -- pairs}")
+    val kept = graft.operators.Dedup.collapseDuplicates(
+      hashes.select("doc_id"), Multimodal.audioDupPairs(hashes, maxHamming = 10),
+      idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.forall(p => !kept.contains(p._2)), "every twin dropped")
+  }
 }

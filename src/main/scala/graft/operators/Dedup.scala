@@ -1081,9 +1081,42 @@ object Dedup {
       maxHamming: Int = 6,
       comboSize: Int = 2,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val spark = newDocs.sparkSession
-    val batch = simHashRows(newDocs, idCol, textCol).localCheckpoint()
+      textCol: String = "text"): DataFrame =
+    signatureIncremental(simHashRows(newDocs, idCol, textCol), indexPath, maxHamming, comboSize)
+
+  /** Sign a batch and append it to the signature store. Returns rows
+    * appended. */
+  def appendToSimHashIndex(
+      newDocs: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text"): Long =
+    appendToSignatureIndex(simHashRows(newDocs, idCol, textCol), indexPath)
+
+  // The signature store is (doc_id, sh) parquet — nothing about it is
+  // text-specific, so the SAME incremental probe, append path, tombstone
+  // takedown, and segment fold/GC lifecycle serve ANY 64-bit content
+  // signature: SimHash (text), perceptual dHash (images,
+  // [[Multimodal.imageHashes]]), energy-delta fingerprints (audio,
+  // [[Multimodal.audioHashes]]). The generic forms below are what the
+  // multimodal dedup-at-ingest composes with.
+
+  /** Persist a 64-bit signature store from PRECOMPUTED `(doc_id, sh)`
+    * rows — [[writeSimHashIndex]] without the text signing step. */
+  def writeSignatureIndex(signatures: DataFrame, path: String): Unit =
+    signatures.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+
+  /** All pairs within `maxHamming` bits TOUCHING a batch of precomputed
+    * signatures, against a persisted store — [[simHashIncremental]]'s
+    * probe with the signing step factored out: the recall guarantee
+    * (every qualifying pair shares a clean block combination) and the
+    * tombstone anti-join apply to any 64-bit signature family. */
+  def signatureIncremental(
+      batchSigs: DataFrame,
+      indexPath: String,
+      maxHamming: Int = 6,
+      comboSize: Int = 2): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val batch = batchSigs.select(col("doc_id"), col("sh")).localCheckpoint()
     val all = storedDocs(spark, indexPath, "doc_id").unionByName(batch)
     simHashBanded(batch, maxHamming, comboSize).as("a")
       .join(simHashBanded(all, maxHamming, comboSize).as("b"),
@@ -1096,12 +1129,10 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** Sign a batch and append it to the signature store. Returns rows
-    * appended. */
-  def appendToSimHashIndex(
-      newDocs: DataFrame, indexPath: String,
-      idCol: String = "doc_id", textCol: String = "text"): Long = {
-    val batch = simHashRows(newDocs, idCol, textCol).localCheckpoint()
+  /** Append precomputed `(doc_id, sh)` rows to a signature store. Returns
+    * rows appended. */
+  def appendToSignatureIndex(batchSigs: DataFrame, indexPath: String): Long = {
+    val batch = batchSigs.select(col("doc_id"), col("sh")).localCheckpoint()
     batch.write.mode("append").parquet(s"$indexPath/docs")
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch

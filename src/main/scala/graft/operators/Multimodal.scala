@@ -1000,4 +1000,18 @@ object Multimodal {
   def audioDupPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame =
     Dedup.simHashPairsFromSignatures(
       hashes.select(col("doc_id"), col("afp").as("sh")), maxHamming)
+
+  /** Image dHash signatures in the `(doc_id, sh)` store shape — plug into
+    * [[Dedup.writeSignatureIndex]] / [[Dedup.signatureIncremental]] /
+    * [[Dedup.appendToSignatureIndex]] for "have I seen this image?"
+    * dedup-at-ingest: a store of 16 bytes per indexed image, the
+    * incremental probe's recall guarantee, and the tombstone takedown path
+    * — the SimHash lifecycle applied to pixels. */
+  def imageSignatures(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame =
+    imageHashes(withPayload, idCol).select(col("doc_id"), col("dhash").as("sh"))
+
+  /** Audio fingerprint signatures in the `(doc_id, sh)` store shape — the
+    * [[imageSignatures]] contract for the audio modality. */
+  def audioSignatures(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame =
+    audioHashes(withPayload, idCol).select(col("doc_id"), col("afp").as("sh"))
 }

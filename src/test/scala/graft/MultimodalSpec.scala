@@ -384,4 +384,40 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(planted.forall(p => !kept.contains(p._2)), "every twin dropped")
   }
+
+  test("incremental image dedup: persisted signature store, probe == full recompute, takedown works") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imgidx_").toString
+    val corpusIds = (0L until 30L).toDF("doc_id")
+    val corpusSigs = Multimodal.imageSignatures(Multimodal.withImagePayload(corpusIds))
+    graft.operators.Dedup.writeSignatureIndex(corpusSigs, tmp)
+    // batch: a noisy twin of stored image 8, a fresh image, an in-batch
+    // twin pair (both renders of seed 90)
+    val batch =
+      Multimodal.imageSignatures(Multimodal.withImagePayload(
+        Seq((500L, 8L)).toDF("doc_id", "seed"), seedCol = "seed", noise = 8))
+      .unionByName(Multimodal.imageSignatures(Multimodal.withImagePayload(
+        Seq((501L, 90L), (502L, 90L), (503L, 91L)).toDF("doc_id", "seed"), seedCol = "seed")))
+      .localCheckpoint()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairsOf(graft.operators.Dedup.signatureIncremental(batch, tmp, maxHamming = 10))
+    assert(inc.contains((8L, 500L)), s"stored-vs-batch twin found: $inc")
+    assert(inc.contains((501L, 502L)), s"in-batch twin pair found: $inc")
+    // incremental == full signature-pair recompute restricted to batch rows
+    val batchIds = Set(500L, 501L, 502L, 503L)
+    val full = pairsOf(graft.operators.Dedup.simHashPairsFromSignatures(
+      corpusSigs.unionByName(batch), maxHamming = 10))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+    assert(inc == full, s"incremental must equal restricted recompute: $inc vs $full")
+    // append the batch, then takedown image 8: its pair disappears from a
+    // fresh probe of the same twin under a new id
+    graft.operators.Dedup.appendToSignatureIndex(batch, tmp)
+    graft.operators.Dedup.deleteFromDocIndex(Seq(8L).toDF("doc_id"), tmp)
+    val reprobe = Multimodal.imageSignatures(Multimodal.withImagePayload(
+      Seq((600L, 8L)).toDF("doc_id", "seed"), seedCol = "seed", noise = 4))
+    val after = pairsOf(graft.operators.Dedup.signatureIncremental(reprobe, tmp, maxHamming = 10))
+    assert(!after.contains((8L, 600L)), "tombstoned image must not suppress or pair")
+    assert(after.contains((500L, 600L)), s"the appended twin still pairs: $after")
+  }
 }

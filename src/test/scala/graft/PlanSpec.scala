@@ -246,6 +246,20 @@ class PlanSpec extends AnyFunSuite {
       "the mapPartitions input must be the slim projection")
   }
 
+  test("q29r: boilerplate detection — partial-agg distinct-then-count, no nested-loop join") {
+    val df = Registry.byName("q29r_boilerplate").fn(spark, dir)
+    df.collect() // AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    // the distinct-document count must combine map-side (two-stage agg on
+    // slim (gram, id) pairs, never a per-gram set)
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"distinct-doc count must partial-aggregate:\n${p.take(1200)}")
+    // the join back to occurrences is an equi-join on gram — a nested-loop
+    // or cartesian here would be quadratic in the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"boilerplate join must stay an equi-join:\n${p.take(1200)}")
+  }
+
   test("q12: map-side partial aggregation + shipdate pushdown; codegen in final plan") {
     val df = Registry.byName("q12_agg_hash").fn(spark, dir)
     df.collect() // AQE final plan exists only post-execution

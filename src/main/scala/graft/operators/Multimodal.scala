@@ -419,7 +419,13 @@ object Multimodal {
       * (separable product + a diagonal wave) with seed-derived frequencies,
       * phases, and amplitudes — a family rich enough that unrelated seeds
       * rarely land within a dedup Hamming budget of each other. Values in
-      * [0, 255]. */
+      * [0, 255].
+      *
+      * Both components factor into per-column x per-row vectors (the
+      * diagonal via `sin(a + b) = sin a cos b + cos a sin b`), so the
+      * whole field costs O(w + h) trig + O(w*h) multiply-adds — the
+      * corpus-synthesis cost of q30c is the multiply-add pass, not 34M
+      * transcendental calls. */
     def gray(w: Int, h: Int, seed: Long, noise: Int): Array[Int] = {
       val s = Array.tabulate(8)(i => mix(seed + i))
       val fx = 1 + math.floorMod(s(0), 4L).toInt
@@ -430,15 +436,20 @@ object Multimodal {
       val p3 = math.floorMod(s(5), 628L) / 100.0
       val a1 = 60.0 + math.floorMod(s(6), 40L)
       val a2 = 25.0 + math.floorMod(s(7), 25L)
+      // component 1: a1 * sin(2pi fx x/w + p1) * cos(2pi fy y/h + p2)
+      val sx = Array.tabulate(w)(x => a1 * math.sin(2 * math.Pi * fx * x / w + p1))
+      val cy = Array.tabulate(h)(y => math.cos(2 * math.Pi * fy * y / h + p2))
+      // component 2: a2 * sin(A(x) + B(y)), A = pi fd x/w, B = pi fd y/h + p3
+      val sA = Array.tabulate(w)(x => math.sin(math.Pi * fd * x / w))
+      val cA = Array.tabulate(w)(x => math.cos(math.Pi * fd * x / w))
+      val sB = Array.tabulate(h)(y => a2 * math.sin(math.Pi * fd * y / h + p3))
+      val cB = Array.tabulate(h)(y => a2 * math.cos(math.Pi * fd * y / h + p3))
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val base = 128.0 +
-            a1 * math.sin(2 * math.Pi * fx * x / w + p1) *
-              math.cos(2 * math.Pi * fy * y / h + p2) +
-            a2 * math.sin(2 * math.Pi * fd * (x.toDouble / w + y.toDouble / h) / 2 + p3)
+          val base = 128.0 + sx(x) * cy(y) + (sA(x) * cB(y) + cA(x) * sB(y))
           val n = if (noise <= 0) 0L
             else math.floorMod(mix(seed ^ (x.toLong << 32) ^ y.toLong), 2L * noise + 1) - noise
           out(y * w + x) = math.max(0, math.min(255, base.toInt + n.toInt))

@@ -626,6 +626,46 @@ final case class Graft(spark: SparkSession, dir: String) {
     * guaranteed-recall banded Hamming search. */
   def audioDupPairs(withPayload: DataFrame, maxHamming: Int = 10): DataFrame =
     Multimodal.audioDupPairs(Multimodal.audioHashes(withPayload), maxHamming)
+
+  /** Streaming IMAGE dedup-on-write: perceptual-hash each micro-batch's
+    * payloads, drop content near-duplicates of anything already landed,
+    * fold survivors' signatures into the persisted store. Build the store
+    * first ([[Dedup.writeSignatureIndex]] over
+    * [[Multimodal.imageSignatures]] of an initial corpus — possibly
+    * empty). */
+  def ingestImageDedup(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      maxHamming: Int = 10,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startSignatureIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, indexPath,
+      Multimodal.imageSignatures(_), maxHamming,
+      availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval)
+
+  /** Streaming AUDIO dedup-on-write — [[ingestImageDedup]] with the
+    * energy-delta audio fingerprint as the signature family. */
+  def ingestAudioDedup(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      maxHamming: Int = 10,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startSignatureIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, indexPath,
+      Multimodal.audioSignatures(_), maxHamming,
+      availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval)
 }
 
 object Graft {

@@ -1139,6 +1139,20 @@ object Dedup {
     n
   }
 
+  /** Write `(doc_id, sh)` rows as a NAMED overwrite segment under
+    * `segs/<segName>` — the replay-idempotent streaming form of
+    * [[appendToSignatureIndex]] (a crash-replayed micro-batch rewrites the
+    * same directory instead of appending its rows twice), read through the
+    * same live-segment view as the MinHash doc segments and foldable
+    * beside a live ingest by [[foldDocSegments]]. Returns rows written. */
+  def writeSignatureSegment(batchSigs: DataFrame, indexPath: String, segName: String): Long = {
+    val batch = batchSigs.select(col("doc_id"), col("sh")).localCheckpoint()
+    batch.write.mode("overwrite").parquet(s"$indexPath/segs/$segName")
+    val n = batch.count()
+    graft.core.Blocks.free(batch)
+    n
+  }
+
   /** Connected components over a duplicate-pair list: every node appearing
     * in `pairs` is labeled with its component's MINIMUM id — the
     * deterministic cluster representative. This is the closure step that

@@ -514,6 +514,80 @@ object Ingest {
       .start()
   }
 
+  /** Streaming CONTENT-SIGNATURE dedup-on-write — the dedup-at-ingest
+    * family's multimodal member: each micro-batch is signed by `signer`
+    * (any batch → `(doc_id, sh)` projection —
+    * [[graft.operators.Multimodal.imageSignatures]] for perceptual image
+    * dHashes, [[graft.operators.Multimodal.audioSignatures]] for audio
+    * fingerprints, or any custom 64-bit signature family), probed against
+    * the persisted signature store within `maxHamming` bits
+    * ([[graft.operators.Dedup.signatureIncremental]] — the
+    * guaranteed-recall banding), near-dup clusters keep their
+    * FIRST-ARRIVED member ([[graft.operators.Dedup.collapseDuplicatesArrival]]),
+    * and survivors' signatures fold in as replay-idempotent named segments
+    * ([[graft.operators.Dedup.writeSignatureSegment]]) — "have I seen this
+    * image/clip?" answered at write time, with the sink as the
+    * content-deduplicated corpus and a 16-byte/item signature store as its
+    * index.
+    *
+    * Exactly-once: the [[startNearDupIngest]] contract verbatim (sink
+    * batch directory + named segment, both batchId-keyed overwrite;
+    * signatures are deterministic; self-pairs excluded by id, so a
+    * replayed batch that already appended its segment recomputes the
+    * identical kept set). The store must exist
+    * ([[graft.operators.Dedup.writeSignatureIndex]], possibly over an
+    * empty slice); fold segments beside the live ingest with
+    * [[graft.operators.Dedup.foldDocSegments]], take down ids with
+    * [[graft.operators.Dedup.deleteFromDocIndex]]. */
+  def startSignatureIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      signer: DataFrame => DataFrame,
+      maxHamming: Int = 10,
+      idCol: String = "doc_id",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    import graft.operators.Dedup
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val b = batch.localCheckpoint()
+        // sign ONCE: the signature frame feeds the probe AND the kept
+        // segment write (decode cost is the dominant term — images/audio
+        // decode exactly once per payload per batch)
+        val sigs = signer(b).localCheckpoint()
+        val pairs = Dedup.signatureIncremental(sigs, indexPath, maxHamming)
+          .localCheckpoint()
+        val kept0 = Dedup.collapseDuplicatesArrival(b, pairs, idCol)
+        val kept = kept0.localCheckpoint()
+        kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        Dedup.writeSignatureSegment(
+          sigs.join(kept.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id")),
+          indexPath, f"seg_batch_$batchId%06d")
+        Marks.write(markDir, batchId, 0L, kept.count(), hconf)
+        graft.core.Blocks.free(kept)
+        graft.core.Blocks.free(kept0) // sweeps the components label checkpoint
+        graft.core.Blocks.free(pairs)
+        graft.core.Blocks.free(sigs)
+        graft.core.Blocks.free(b)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** The STREAMING composition of the whole curation pipeline — ONE ingest
     * running filter → redact → exact dedup → near-dup → (optional
     * semantic) per micro-batch, the streaming twin of

@@ -420,4 +420,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!after.contains((8L, 600L)), "tombstoned image must not suppress or pair")
     assert(after.contains((500L, 600L)), s"the appended twin still pairs: $after")
   }
+
+  test("streaming image dedup-on-write: corpus/cross-batch/in-batch twins drop; crash replay stable") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imging_").toString
+    // store seeded with images 0..19
+    val corpusIds = (0L until 20L).toDF("doc_id")
+    graft.operators.Dedup.writeSignatureIndex(
+      Multimodal.imageSignatures(Multimodal.withImagePayload(corpusIds)), s"$tmp/idx")
+
+    def writeSrc(name: String, rows: Seq[(Long, Long, Int)]): Unit = {
+      // driver-side generation: per-row noise, alternating containers
+      val gen = rows.map { case (id, seed, nz) =>
+        (id, if (id % 3 == 0) Multimodal.ImageGen.bmp(64, 48, seed, nz)
+             else Multimodal.ImageGen.png(64, 48, seed, nz))
+      }.toDF("doc_id", "payload")
+      gen.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    writeSrc("f1", Seq(
+      (700L, 200L, 0),  // fresh -> kept
+      (701L, 5L, 4)))   // noisy twin of STORED image 5 -> dropped
+    writeSrc("f2", Seq(
+      (702L, 200L, 4),  // cross-batch twin of kept 700 -> dropped
+      (703L, 201L, 0),  // fresh -> kept
+      (704L, 202L, 0),  // in-batch twin pair: min id kept
+      (705L, 202L, 4))) // -> dropped
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startSignatureIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      graft.operators.Multimodal.imageSignatures(_), maxHamming = 10,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+    def sinkIds() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sinkIds() == Set(700L, 703L, 704L), s"got ${sinkIds()}")
+    // crash replay: drop the last streaming commit and restart
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkIds() == Set(700L, 703L, 704L), "replay must not change the kept set")
+    // the store holds corpus + kept streamed signatures only
+    val stored = spark.read.parquet(s"$tmp/idx/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val segDirs = Option(new java.io.File(s"$tmp/idx/segs").listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty).filter(_.isDirectory)
+    val streamed = segDirs.map(d => spark.read.parquet(d.toString))
+      .reduce(_ unionByName _).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored == (0L until 20L).toSet && streamed == Set(700L, 703L, 704L),
+      s"store = corpus + kept survivors: $streamed")
+  }
 }

@@ -110,7 +110,12 @@ object PipelineQueries {
         s"${p}14 AS (SELECT $idCol, ${rotl("x", 27)} AS x FROM ${p}13)",
         s"${p}15 AS (SELECT $idCol, ${add64(mul64("x", P1.toString), P4.toString)} AS x FROM ${p}14)") ++
         fmix(p, 16, idCol) ++ Seq(
-        s"${p}h AS (SELECT $idCol, ${s64("x")} AS h FROM ${p}20)")).mkString(",\n")
+        // MATERIALIZED: DuckDB inlines plain CTEs per reference, and a
+        // consumer referencing `h` several times (or feeding a join that
+        // is itself inlined twice) re-expands the whole 21-stage chain
+        // each time — measured as a multi-minute hang on the q29f shape.
+        // Materializing the final hash table caps evaluation at one pass.
+        s"${p}h AS MATERIALIZED (SELECT $idCol, ${s64("x")} AS h FROM ${p}20)")).mkString(",\n")
     }
   }
 
@@ -639,8 +644,9 @@ object PipelineQueries {
 
     // Q29f: deterministic stratified sampling — the dataset-mixing
     // selection (hash-threshold membership: reproducible, nested across
-    // rates, map-side only). xxhash64 has no DuckDB twin => rows-only;
-    // CurationSpec pins determinism/nestedness/rate accuracy.
+    // rates, map-side only). Oracle-checked via the XxSql xxhash64
+    // re-derivation (the id is a LONG, so the 8-byte twin applies);
+    // CurationSpec additionally pins determinism/nestedness/rate accuracy.
     QueryDef(
       "q29f_stratified_sample",
       (s, dir) =>
@@ -648,7 +654,13 @@ object PipelineQueries {
           Tables.documents(s, dir), rates = Map.empty, defaultRate = 0.5, seed = 42L)
           .select("doc_id", "lang")
           .orderBy("doc_id"),
-      None),
+      // membership = pmod(xxhash64(doc_id, 42), 2^20) < 0.5 * 2^20 — the
+      // XxSql re-derivation makes the exact sample oracle-checkable
+      Some(s"""WITH ${XxSql.hashCtes("xh", "(SELECT doc_id FROM documents)", "doc_id", 42L)},
+             |m AS (SELECT doc_id FROM xhh
+             |      WHERE ((h % 1048576) + 1048576) % 1048576 < 524288)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN m USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // Q29g: PII redaction — sequential email/IPv4/phone scrubbing with
     // per-pass counts. The patterns are restricted to syntax with identical

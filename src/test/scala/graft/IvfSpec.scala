@@ -255,6 +255,23 @@ class IvfSpec extends AnyFunSuite {
     assert(small.levels.isEmpty && small.c <= 4 * 32)
   }
 
+  test("rebuildIndex with branch > 0 retrains hierarchically over current contents") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfrebh_").toString
+    Ivf.writeIndex(emb, Ivf.train(emb, c = 8, iters = 2), tmp)
+    // the flat index outgrew its list count: rebuild as a tree
+    Ivf.rebuildIndex(spark, tmp, lists = 16, iters = 2, branch = 4)
+    val model = Ivf.readModel(spark, tmp)
+    assert(model.levels.nonEmpty && model.c == 16,
+      s"hier rebuild must persist the tree: levels=${model.levels.map(_.length)} c=${model.c}")
+    // probing every leaf equals brute force — the rebuilt index is complete
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Ivf.topKIndexed(spark, tmp, queries, k = 5, nProbe = 16)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact)
+    assert(Ivf.indexStats(spark, tmp)("graft.ivf.growth").toDouble == 1.0, "rebuild resets growth")
+  }
+
   test("training and search are deterministic run to run") {
     val m1 = Ivf.train(emb, c = 8, iters = 2)
     val m2 = Ivf.train(emb, c = 8, iters = 2)

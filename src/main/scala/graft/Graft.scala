@@ -384,10 +384,16 @@ final case class Graft(spark: SparkSession, dir: String) {
   /** Persist a MinHash near-dup index (signatures + shingle hashes) over
     * this directory's documents — the one expensive tokenize+sign pass,
     * stored so each day's batch probes it with [[nearDuplicatesIncremental]]
-    * and joins it with [[appendToNearDupIndex]]. */
+    * and joins it with [[appendToNearDupIndex]]. `bandBuckets > 0` adds the
+    * band-bucketed layout: streaming probes partition-prune the index side
+    * to the batch's buckets instead of scanning every stored signature —
+    * the long-uptime-ingest scale lever (see
+    * [[graft.operators.Dedup.writeMinHashIndex]]). */
   def buildNearDupIndex(
-      path: String, shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
-    Dedup.writeMinHashIndex(documents, path, shingleN, numHashes, bands)
+      path: String, shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      bandBuckets: Int = 0): Unit =
+    Dedup.writeMinHashIndex(documents, path, shingleN, numHashes, bands,
+      bandBuckets = bandBuckets)
 
   /** Near-dup pairs touching a new batch (batch-vs-corpus + batch-vs-batch)
     * against a persisted index; the corpus text is never re-read. */

@@ -561,7 +561,17 @@ object Dedup {
 
   /** Build a persisted MinHash index at `path`: signature rows plus the LSH
     * parameters. Train-once/probe-many for near-dup, mirroring
-    * [[writeExactIndex]] for exact dedup. */
+    * [[writeExactIndex]] for exact dedup.
+    *
+    * `bandBuckets > 0` additionally materializes the BAND-BUCKETED layout:
+    * a slim `bands/` store of precomputed (doc, band) rows partitioned by
+    * `bucket = pmod(band, bandBuckets)`. The micro probe then PARTITION-
+    * PRUNES the index side to the batch's buckets — per-trigger cost
+    * O(|batch| · bands · N / bandBuckets) instead of the O(N · bands) full
+    * signature scan, the same bucket-pruning design as the IVF vector
+    * index's inverted lists. Pick `bandBuckets ≈ N·bands / targetBucketRows`
+    * so per-trigger probe cost tracks the BATCH size, not the corpus; 0
+    * (the default) keeps the flat layout and the scan-everything probe. */
   def writeMinHashIndex(
       documents: DataFrame,
       path: String,
@@ -569,14 +579,46 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      bandBuckets: Int = 0): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = documents.sparkSession
-    signatureRows(documents, shingleN, numHashes, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/docs")
+    if (bandBuckets <= 0) {
+      signatureRows(documents, shingleN, numHashes, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$path/docs")
+    } else {
+      // the signing pass feeds BOTH stores — checkpoint so the corpus is
+      // tokenized exactly once
+      val rows = signatureRows(documents, shingleN, numHashes, idCol, textCol)
+        .localCheckpoint()
+      rows.write.mode("overwrite").parquet(s"$path/docs")
+      bandRows(rows, bands, numHashes / bands, bandBuckets)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+      graft.core.Blocks.free(rows)
+    }
     import spark.implicits._
-    Seq((shingleN, numHashes, bands)).toDF("shingle_n", "num_hashes", "bands")
+    Seq((shingleN, numHashes, bands, bandBuckets))
+      .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (doc, band, bucket) rows for the band-bucketed layout: each signature
+    * exploded to its band keys, bucketed by `pmod(band, buckets)` — the
+    * partition key the micro probe prunes on. */
+  private def bandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int, buckets: Int): DataFrame =
+    sigs.select(
+        col("doc"),
+        explode(TextOps.lshBands(col("sig"), bands, rowsPerBand)).as("band"))
+      .withColumn("bucket", pmod(col("band"), lit(buckets.toLong)).cast("int"))
+
+  /** The `band_buckets` of an index's meta (0 for flat / pre-bucketing
+    * indexes, whose meta lacks the column). */
+  private def metaBandBuckets(spark: SparkSession, indexPath: String): Int = {
+    val metaDf = spark.read.parquet(s"$indexPath/meta")
+    if (metaDf.columns.contains("band_buckets"))
+      metaDf.head().getAs[Int]("band_buckets")
+    else 0
   }
 
   /** All near-dup pairs TOUCHING a new batch — batch-vs-corpus and
@@ -699,15 +741,60 @@ object Dedup {
     val r = numHashes / bands
     def banded(sigs: DataFrame) = sigs
       .select(col("doc"), explode(TextOps.lshBands(col("sig"), bands, r)).as("band"))
-    val all = storedDocs(spark, indexPath, "doc").select("doc", "sig")
-      .unionByName(batchSigs.select("doc", "sig"))
-    broadcast(banded(batchSigs.select("doc", "sig"))).as("a")
-      .join(banded(all).as("b"),
-        col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
+    val bb = metaBandBuckets(spark, indexPath)
+    val pairHalf =
+      if (bb > 0) {
+        // BUCKETED path: the index side is the precomputed band store,
+        // PARTITION-PRUNED to the batch's buckets — only |batch buckets| /
+        // bandBuckets of the index's band rows are read at all (and none of
+        // its signatures), so per-trigger cost tracks the batch, not the
+        // corpus. The bucket list is a batch-bounded driver collect
+        // (<= min(|batch| · bands, bandBuckets) ints). Tombstoned docs'
+        // band rows are NOT filtered here: a candidate pair needs both
+        // docs' stored rows in the verify stage, so a stale band row can
+        // only produce a candidate that verification drops — compaction
+        // sweeps the rows physically.
+        val batchBands = bandRows(batchSigs.select("doc", "sig"), bands, r, bb)
+        val hit = batchBands.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+        val stored = storedBands(spark, indexPath,
+          if (hit.length < bb) Some(hit) else None)
+        broadcast(batchBands.select("doc", "band")).as("a")
+          .join(stored.unionByName(batchBands.select("doc", "band")).as("b"),
+            col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
+      } else {
+        val all = storedDocs(spark, indexPath, "doc").select("doc", "sig")
+          .unionByName(batchSigs.select("doc", "sig"))
+        broadcast(banded(batchSigs.select("doc", "sig"))).as("a")
+          .join(banded(all).as("b"),
+            col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
+      }
+    pairHalf
       .select(
         least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The live (doc, band) rows of a band-bucketed index: the partitioned
+    * base `bands/` store plus each live segment's `bandsegs/<name>` rows
+    * (written by [[writeMinHashSegment]] BEFORE the doc segment, so a
+    * committed doc segment always has its band rows; an orphaned band
+    * segment whose doc segment never committed pairs only into candidates
+    * the verify stage drops). `buckets` prunes the read — partition pruning
+    * on the base store, a pushed row filter on the batch-sized segments. */
+  private def storedBands(
+      spark: SparkSession, indexPath: String, buckets: Option[Seq[Int]]): DataFrame = {
+    val fs = Seg.fs(spark, indexPath)
+    val (_, live) = liveDocSegs(spark, indexPath)
+    val roots = s"$indexPath/bands" +:
+      live.map(d => s"$indexPath/bandsegs/${d.getName}")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val view = roots
+      .map(spark.read.parquet(_).select(col("doc"), col("band"), col("bucket").cast("int")))
+      .reduce(_.unionByName(_))
+    buckets.fold(view)(bs => view.filter(col("bucket").isin(bs: _*)))
+      .select("doc", "band")
   }
 
   /** The MICRO-BATCH verify stage: exact-Jaccard verification of
@@ -796,6 +883,19 @@ object Dedup {
     val kept = storedDocs(spark, indexPath, storedIdCol(spark, indexPath))
       .localCheckpoint() // materialize before overwriting the files it reads
     kept.write.mode("overwrite").parquet(s"$indexPath/docs")
+    // bucketed index: rebuild the band store from the surviving signatures
+    // (an lshBands explode, no text re-tokenization) — tombstoned docs'
+    // stale band rows are swept here
+    val bb = if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta")))
+      metaBandBuckets(spark, indexPath) else 0
+    if (bb > 0) {
+      val meta = spark.read.parquet(s"$indexPath/meta").head()
+      bandRows(kept, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bands")
+      val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
+      if (fs.exists(bandsegs)) fs.delete(bandsegs, true)
+    }
     graft.core.Blocks.free(kept)
     if (fs.exists(tombs)) fs.delete(tombs, true)
     if (fs.exists(segs)) fs.delete(segs, true)
@@ -822,10 +922,24 @@ object Dedup {
   def foldDocSegments(spark: SparkSession, indexPath: String, gc: Boolean = true): Unit = {
     val (_, live) = liveDocSegs(spark, indexPath)
     if (live.size > 1) {
+      val fs = Seg.fs(spark, indexPath)
       val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
+      // band rows first (when bucketed): the fold MARKER is the publish
+      // point for both trees, and a committed marker must find the compact
+      // band segment on disk. Folded band segments are large enough to
+      // partition by bucket (the batch segments they fold were flat).
+      val bandRoots = live
+        .map(d => s"$indexPath/bandsegs/${d.getName}")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (bandRoots.nonEmpty)
+        bandRoots
+          .map(spark.read.parquet(_).select(col("doc"), col("band"), col("bucket").cast("int")))
+          .reduce(_.unionByName(_))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bandsegs/$name")
       spark.read.parquet(live.map(_.toString): _*)
         .write.mode("overwrite").parquet(s"$indexPath/segs/$name")
-      Seg.writeAtomic(Seg.fs(spark, indexPath), Seg.conf(spark),
+      Seg.writeAtomic(fs, Seg.conf(spark),
         new org.apache.hadoop.fs.Path(s"$indexPath/_folded/$name"),
         live.map(_.getName).mkString("\n"))
     }
@@ -849,10 +963,19 @@ object Dedup {
       .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
       .toMap
     var removed = 0L
-    markers.values.flatten.toSet[String].foreach { name =>
+    // a doc segment's band twin (bucketed indexes) shares its name and its
+    // lifecycle: folded => delete both; orphaned compact_* => delete both.
+    // NON-compact band segments without a doc twin are left alone — they
+    // can be a crashed batch's pre-commit write that a replay is about to
+    // overwrite (deleting one concurrently with the ingest would lose the
+    // replayed batch's band rows).
+    def deleteSeg(name: String): Unit = {
       val d = new org.apache.hadoop.fs.Path(root, s"segs/$name")
       if (fs.exists(d)) { fs.delete(d, true); removed += 1 }
+      val b = new org.apache.hadoop.fs.Path(root, s"bandsegs/$name")
+      if (fs.exists(b)) { fs.delete(b, true); () }
     }
+    markers.values.flatten.toSet[String].foreach(deleteSeg)
     markers.keys.foreach { name =>
       if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"segs/$name")))
         fs.delete(new org.apache.hadoop.fs.Path(markerDir, name), false)
@@ -860,7 +983,16 @@ object Dedup {
     Seg.listDirs(fs, new org.apache.hadoop.fs.Path(root, "segs")).foreach { d =>
       if (d.getName.startsWith("compact_") && !markers.contains(d.getName)) {
         fs.delete(d, true); removed += 1
+        val b = new org.apache.hadoop.fs.Path(root, s"bandsegs/${d.getName}")
+        if (fs.exists(b)) fs.delete(b, true)
       }
+    }
+    // a compact band segment whose doc twin never committed (crash between
+    // the band fold and the doc fold) is unreachable — sweep it
+    Seg.listDirs(fs, new org.apache.hadoop.fs.Path(root, "bandsegs")).foreach { d =>
+      if (d.getName.startsWith("compact_") &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, s"segs/${d.getName}")))
+        fs.delete(d, true)
     }
     removed
   }
@@ -875,7 +1007,19 @@ object Dedup {
       sigs: DataFrame,
       indexPath: String,
       segName: String): Long = {
+    val spark = sigs.sparkSession
     val batch = sigs.select("doc", "sh", "sig").localCheckpoint()
+    val bb = metaBandBuckets(spark, indexPath)
+    if (bb > 0) {
+      // band rows FIRST: the doc segment's _SUCCESS is the commit point
+      // (liveDocSegs), so a committed doc segment always has its band rows
+      // on disk; a crash in between leaves an orphaned band segment the
+      // replay overwrites. Batch-bounded => one file.
+      val meta = spark.read.parquet(s"$indexPath/meta").head()
+      bandRows(batch, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexPath/bandsegs/$segName")
+    }
     batch.write.mode("overwrite").parquet(s"$indexPath/segs/$segName")
     val n = batch.count()
     graft.core.Blocks.free(batch)
@@ -894,6 +1038,11 @@ object Dedup {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val batch = signatureRows(newDocs, meta.getInt(0), meta.getInt(1), idCol, textCol)
       .localCheckpoint()
+    val bb = metaBandBuckets(spark, indexPath)
+    if (bb > 0)
+      bandRows(batch, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
     batch.write.mode("append").parquet(s"$indexPath/docs")
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
@@ -1027,7 +1176,8 @@ object Dedup {
     * Sort-merge spills gracefully and tolerates band-key skew — the plan
     * that survives any corpus size. */
   private def simHashBanded(
-      signatures: DataFrame, maxHamming: Int, comboSize: Int): DataFrame = {
+      signatures: DataFrame, maxHamming: Int, comboSize: Int,
+      hinted: Boolean = true): DataFrame = {
     require(comboSize >= 1, "comboSize must be >= 1")
     val nBlocks = maxHamming + comboSize
     require(nBlocks <= 64, "maxHamming + comboSize too large for a 64-bit signature")
@@ -1043,9 +1193,14 @@ object Dedup {
       struct(lit(ci).as("t") +:
         combo.zipWithIndex.map { case (b, j) => blockBits(b).as(s"b$j") }: _*)
     }
-    signatures
+    val banded = signatures
       .select(col("doc_id"), col("sh"), explode(array(keys: _*)).as("blk"))
-      .hint("merge")
+    // merge by default — the banded relation is |combos| x N rows and
+    // Catalyst under-estimates it (see the scaladoc above); the micro probe
+    // passes hinted = false because THERE the batch side is explicitly
+    // broadcast and the corpus side must stay un-hinted so the BHJ builds
+    // on the batch
+    if (hinted) banded.hint("merge") else banded
   }
 
   // ---- incremental SimHash: persisted signature store -----------------------
@@ -1120,6 +1275,38 @@ object Dedup {
     val all = storedDocs(spark, indexPath, "doc_id").unionByName(batch)
     simHashBanded(batch, maxHamming, comboSize).as("a")
       .join(simHashBanded(all, maxHamming, comboSize).as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        TextOps.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The MICRO-BATCH form of [[signatureIncremental]] — the streaming-probe
+    * shape of the signature store, mirroring [[minHashMicroCandidates]] on
+    * the MinHash index: the banded BATCH side is broadcast into the block
+    * join, so the stored signatures are scanned map-side only — no corpus
+    * shuffle, no corpus sort, per trigger (the merge form sorts the full
+    * |combos| x N banded corpus every probe). Sound because the caller
+    * bounds the batch (`maxFilesPerTrigger`); a corpus-sized batch belongs
+    * on [[signatureIncremental]]. Same recall guarantee and pair contract;
+    * the hamming verify rides the banded rows (8-byte signatures), so the
+    * only shuffle in the plan is the candidate-pair dedup. `batchSigs`
+    * should be checkpointed by the caller (it feeds both join sides) and
+    * freed by it — unlike the merge form, nothing is pinned internally, so
+    * per-batch loops leak no checkpoint blocks. */
+  def signatureMicroIncremental(
+      batchSigs: DataFrame,
+      indexPath: String,
+      maxHamming: Int = 6,
+      comboSize: Int = 2): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val batch = batchSigs.select(col("doc_id"), col("sh"))
+    val all = storedDocs(spark, indexPath, "doc_id").unionByName(batch)
+    broadcast(simHashBanded(batch, maxHamming, comboSize, hinted = false)).as("a")
+      .join(simHashBanded(all, maxHamming, comboSize, hinted = false).as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") =!= col("b.doc_id"))
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),

@@ -521,8 +521,9 @@ object Ingest {
     * dHashes, [[graft.operators.Multimodal.audioSignatures]] for audio
     * fingerprints, or any custom 64-bit signature family), probed against
     * the persisted signature store within `maxHamming` bits
-    * ([[graft.operators.Dedup.signatureIncremental]] — the
-    * guaranteed-recall banding), near-dup clusters keep their
+    * ([[graft.operators.Dedup.signatureMicroIncremental]] — the
+    * guaranteed-recall banding in the micro shape: batch side broadcast,
+    * store scanned map-side only), near-dup clusters keep their
     * FIRST-ARRIVED member ([[graft.operators.Dedup.collapseDuplicatesArrival]]),
     * and survivors' signatures fold in as replay-idempotent named segments
     * ([[graft.operators.Dedup.writeSignatureSegment]]) — "have I seen this
@@ -568,7 +569,11 @@ object Ingest {
         // segment write (decode cost is the dominant term — images/audio
         // decode exactly once per payload per batch)
         val sigs = signer(b).localCheckpoint()
-        val pairs = Dedup.signatureIncremental(sigs, indexPath, maxHamming)
+        // the MICRO probe shape: batch side broadcast, stored signatures
+        // scanned map-side only — no corpus shuffle or sort per trigger
+        // (the merge form would sort the full banded corpus every batch,
+        // and its internal checkpoint would leak one block set per batch)
+        val pairs = Dedup.signatureMicroIncremental(sigs, indexPath, maxHamming)
           .localCheckpoint()
         val kept0 = Dedup.collapseDuplicatesArrival(b, pairs, idCol)
         val kept = kept0.localCheckpoint()

@@ -191,6 +191,39 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(planted.subsetOf(inc))
   }
 
+  test("signature micro probe == merge-form probe; the store side never shuffles or sorts") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val batch = corpus.filter(col("doc_id") % 4 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shmicro_").toString
+    Dedup.writeSimHashIndex(corpus, tmp)
+
+    // sign the batch once (the streaming loop's shape) and probe both forms
+    val sigs = corpus.sparkSession.read.parquet(s"$tmp/docs").limit(0) // schema only
+    val batchSigs = batch.select(col("doc_id"),
+      graft.functions.TextOps.simHashFromHashes(
+        graft.functions.TextOps.tokenHashes(col("text"))).as("sh"))
+      .localCheckpoint()
+    assert(sigs.columns.toSeq == batchSigs.columns.toSeq)
+    def tri(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val micro = tri(Dedup.signatureMicroIncremental(batchSigs, tmp, maxHamming = 6))
+    val merge = tri(Dedup.signatureIncremental(batchSigs, tmp, maxHamming = 6))
+    assert(micro == merge, "micro (broadcast-batch) probe must equal the merge-form probe")
+    assert(micro.nonEmpty, "the planted copies must surface")
+
+    // plan shape: the block join broadcasts the BATCH side; the stored
+    // signatures are scanned map-side — the only shuffle in the plan is the
+    // candidate-pair dedup, and nothing sorts or merge-joins the store
+    val p = Dedup.signatureMicroIncremental(batchSigs, tmp, maxHamming = 6)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"block join must be a BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no store merge join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly the candidate-dedup shuffle:\n$p")
+    graft.core.Blocks.free(batchSigs)
+  }
+
   test("streaming dedup ingest keeps only first occurrences; crash replay is idempotent") {
     import org.apache.spark.sql.functions.lit
     val tmp = java.nio.file.Files.createTempDirectory("graft_dding_").toString
@@ -447,6 +480,165 @@ class DedupIncrementalSpec extends AnyFunSuite {
       s"candidate-id restriction must be a broadcast semi join:\n$vp")
     graft.core.Blocks.free(cands)
     graft.core.Blocks.free(sigs)
+  }
+
+  test("band-bucketed index: probe == flat probe; the base band scan partition-prunes to the batch's buckets") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val batch = corpus.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bband_").toString
+    Dedup.writeMinHashIndex(corpus, s"$tmp/flat", shingleN = 3, numHashes = 64, bands = 16)
+    Dedup.writeMinHashIndex(corpus, s"$tmp/bkt", shingleN = 3, numHashes = 64, bands = 16,
+      bandBuckets = 64)
+
+    // identical pair results through both layouts (the bucketing changes
+    // WHERE band rows live, never which pairs exist)
+    val sigs = Dedup.minHashBatchSigs(batch, s"$tmp/bkt").localCheckpoint()
+    def probe(idx: String) = {
+      val cands = Dedup.minHashMicroCandidates(sigs, idx).localCheckpoint()
+      val pairs = pairSet(Dedup.minHashMicroVerify(cands, sigs, idx, threshold = 0.5))
+      graft.core.Blocks.free(cands)
+      pairs
+    }
+    val bucketed = probe(s"$tmp/bkt")
+    assert(bucketed == probe(s"$tmp/flat"),
+      "bucketed probe must equal the flat-layout probe")
+    assert(bucketed.nonEmpty, "the planted copies must surface")
+
+    // plan shape: the candidate stage reads the precomputed band store with
+    // a PARTITION filter on bucket — the index side is pruned, not scanned
+    val one = Dedup.minHashBatchSigs(
+      corpus.filter(col("doc_id") === 0).withColumn("doc_id", col("doc_id") + 20000),
+      s"$tmp/bkt").localCheckpoint()
+    val cdf = Dedup.minHashMicroCandidates(one, s"$tmp/bkt")
+    cdf.collect()
+    val ps = cdf.queryExecution.executedPlan.toString
+    assert(ps.contains("PartitionFilters: [bucket"),
+      s"band-store scan must carry a bucket partition filter:\n$ps")
+    // quantitative: one doc => at most 16 band buckets of the 64 — the
+    // pruned read touches at most a quarter of the store's files
+    val oneBuckets = one.select(explode(
+        graft.functions.TextOps.lshBands(col("sig"), 16, 4)).as("band"))
+      .select(pmod(col("band"), lit(64L)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(oneBuckets.size <= 16)
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      df.select(input_file_name()).distinct().count()
+    }
+    val allFiles = filesRead(spark.read.parquet(s"$tmp/bkt/bands"))
+    val prunedFiles = filesRead(
+      spark.read.parquet(s"$tmp/bkt/bands").filter(col("bucket").isin(oneBuckets: _*)))
+    assert(prunedFiles <= oneBuckets.size && prunedFiles < allFiles,
+      s"pruned read must touch only the batch's buckets ($prunedFiles of $allFiles files)")
+    graft.core.Blocks.free(one)
+    graft.core.Blocks.free(sigs)
+  }
+
+  test("band-bucketed index lifecycle: segments, fold+gc, takedown, and compaction keep the probe exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bblife_").toString
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    Dedup.writeMinHashIndex(corpus, s"$tmp/idx", shingleN = 3, numHashes = 64, bands = 16,
+      bandBuckets = 64)
+    val corpusText = corpus.filter(col("doc_id") === 7).select("text").head().getString(0)
+    val freshA = "glassblowers in the harbor district timed each gather of molten glass to the rhythm of the evening tide bells"
+    val freshB = "the council's cartographers argued for a decade over where the inland sea ended and the salt marsh began"
+
+    def probePairs(rows: Seq[(Long, String)]): Set[(Long, Long, Double)] = {
+      val sigs = Dedup.minHashBatchSigs(rows.toDF("doc_id", "text"), s"$tmp/idx")
+        .localCheckpoint()
+      val cands = Dedup.minHashMicroCandidates(sigs, s"$tmp/idx").localCheckpoint()
+      val out = pairSet(Dedup.minHashMicroVerify(cands, sigs, s"$tmp/idx", threshold = 0.5))
+      graft.core.Blocks.free(cands); graft.core.Blocks.free(sigs)
+      out
+    }
+
+    // segment writes carry their band rows: a stored-vs-batch pair via the
+    // base store, then a cross-SEGMENT pair via bandsegs
+    val seg1 = Dedup.minHashBatchSigs(
+      Seq((3000L, freshA)).toDF("doc_id", "text"), s"$tmp/idx").localCheckpoint()
+    Dedup.writeMinHashSegment(seg1, s"$tmp/idx", "seg_a")
+    graft.core.Blocks.free(seg1)
+    assert(new java.io.File(s"$tmp/idx/bandsegs/seg_a").exists(),
+      "a bucketed index's segment must write its band rows")
+    assert(probePairs(Seq((4000L, corpusText))).map(p => (p._1, p._2)) == Set((7L, 4000L)),
+      "base-store pair via the pruned band path")
+    assert(probePairs(Seq((4001L, freshA))).map(p => (p._1, p._2)) == Set((3000L, 4001L)),
+      "segment pair via the bandsegs path")
+
+    // a second segment, then fold beside + gc: view unchanged, band twins folded
+    val seg2 = Dedup.minHashBatchSigs(
+      Seq((3001L, freshB)).toDF("doc_id", "text"), s"$tmp/idx").localCheckpoint()
+    Dedup.writeMinHashSegment(seg2, s"$tmp/idx", "seg_b")
+    graft.core.Blocks.free(seg2)
+    val before = probePairs(Seq((4002L, freshA), (4003L, freshB)))
+    Dedup.foldDocSegments(spark, s"$tmp/idx", gc = false)
+    assert(Dedup.gcDocIndex(spark, s"$tmp/idx") >= 2L)
+    val liveSegs = new java.io.File(s"$tmp/idx/segs").listFiles().filter(_.isDirectory)
+    assert(liveSegs.length == 1 && liveSegs.head.getName.startsWith("compact_"))
+    val liveBands = new java.io.File(s"$tmp/idx/bandsegs").listFiles().filter(_.isDirectory)
+    assert(liveBands.map(_.getName).toSeq == liveSegs.map(_.getName).toSeq,
+      "band segments must fold and gc in lockstep with their doc twins")
+    assert(probePairs(Seq((4002L, freshA), (4003L, freshB))) == before,
+      "fold + gc preserve the probe view")
+
+    // takedown: tombstoned doc stops pairing (its stale band rows only ever
+    // produce candidates the verify stage drops)
+    Dedup.deleteFromDocIndex(Seq(7L).toDF("doc_id"), s"$tmp/idx")
+    assert(probePairs(Seq((4004L, corpusText))).isEmpty,
+      "tombstoned corpus doc must not pair")
+
+    // stop-the-world compaction rebuilds the band store minus tombstones
+    Dedup.compactDocIndex(spark, s"$tmp/idx")
+    assert(!new java.io.File(s"$tmp/idx/segs").exists())
+    assert(!new java.io.File(s"$tmp/idx/bandsegs").exists())
+    assert(probePairs(Seq((4005L, corpusText))).isEmpty, "compaction folds the tombstone")
+    assert(probePairs(Seq((4006L, freshA))).map(p => (p._1, p._2)) == Set((3000L, 4006L)),
+      "segment rows survive compaction into the base band store")
+    // the rebuilt band store has no rows for the deleted doc
+    assert(spark.read.parquet(s"$tmp/idx/bands").filter(col("doc") === 7L).count() == 0L)
+  }
+
+  test("streaming near-dup ingest over a band-bucketed index: drops, replay, and fold are safe") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bbing_").toString
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    Dedup.writeMinHashIndex(corpus, s"$tmp/idx", shingleN = 3, numHashes = 64, bands = 16,
+      bandBuckets = 64)
+    val corpusText3 = corpus.filter(col("doc_id") === 3).select("text").head().getString(0)
+    val freshA = "the lighthouse keeper logged every passing freighter in a ledger bound with sailcloth and tar"
+    stageSrcFile(tmp, "f1", Seq((2000L, corpusText3), (2001L, freshA)))
+    stageSrcFile(tmp, "f2", Seq((2002L, freshA), (2003L, corpusText3)))
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startNearDupIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      threshold = 0.5, maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+    def sinkIds() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sinkIds() == Set(2001L), s"corpus + cross-batch dups drop: ${sinkIds()}")
+
+    // crash replay of the last batch recomputes identically (segment + band
+    // twin overwritten, not duplicated)
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkIds() == Set(2001L), "replay must not change the kept set")
+    Dedup.foldDocSegments(spark, s"$tmp/idx")
+    assert(sinkIds() == Set(2001L))
+    // a fresh probe of the streamed text still pairs after the fold
+    import spark.implicits._
+    val sigs = Dedup.minHashBatchSigs(
+      Seq((5000L, freshA)).toDF("doc_id", "text"), s"$tmp/idx").localCheckpoint()
+    val cands = Dedup.minHashMicroCandidates(sigs, s"$tmp/idx").localCheckpoint()
+    val pairs = pairSet(Dedup.minHashMicroVerify(cands, sigs, s"$tmp/idx", threshold = 0.5))
+    assert(pairs.map(p => (p._1, p._2)) == Set((2001L, 5000L)))
+    graft.core.Blocks.free(cands); graft.core.Blocks.free(sigs)
   }
 
   test("near-dup ingest: arrival wins over id order — a lower-id duplicate of a kept corpus doc drops") {

@@ -742,23 +742,29 @@ object Dedup {
     def banded(sigs: DataFrame) = sigs
       .select(col("doc"), explode(TextOps.lshBands(col("sig"), bands, r)).as("band"))
     val bb = metaBandBuckets(spark, indexPath)
+    // BUCKETED path only while the batch hits a MINORITY of buckets: the
+    // explicit-directory read costs O(hit) listings + footers, so once a
+    // large batch touches most buckets the flat signature scan is the
+    // cheaper plan — the operator picks per batch, making the bucketed
+    // index never worse than the flat one.
+    val batchBands0 =
+      if (bb > 0) Some(bandRows(batchSigs.select("doc", "sig"), bands, r, bb)) else None
+    val hit = batchBands0.map(_.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq)
     val pairHalf =
-      if (bb > 0) {
-        // BUCKETED path: the index side is the precomputed band store,
-        // PARTITION-PRUNED to the batch's buckets — only |batch buckets| /
-        // bandBuckets of the index's band rows are read at all (and none of
-        // its signatures), so per-trigger cost tracks the batch, not the
-        // corpus. The bucket list is a batch-bounded driver collect
+      if (bb > 0 && hit.get.length * 2 <= bb) {
+        // the index side is the precomputed band store, PRUNED to the
+        // batch's buckets by path construction — only |batch buckets| /
+        // bandBuckets of the index's band rows are read at all (and none
+        // of its signatures), so per-trigger cost tracks the batch, not
+        // the corpus. The bucket list is a batch-bounded driver collect
         // (<= min(|batch| · bands, bandBuckets) ints). Tombstoned docs'
         // band rows are NOT filtered here: a candidate pair needs both
         // docs' stored rows in the verify stage, so a stale band row can
         // only produce a candidate that verification drops — compaction
         // sweeps the rows physically.
-        val batchBands = bandRows(batchSigs.select("doc", "sig"), bands, r, bb)
-        val hit = batchBands.select("bucket").distinct()
-          .collect().map(_.getInt(0)).sorted.toSeq
-        val stored = storedBands(spark, indexPath,
-          if (hit.length < bb) Some(hit) else None)
+        val batchBands = batchBands0.get
+        val stored = storedBands(spark, indexPath, Some(hit.get))
         broadcast(batchBands.select("doc", "band")).as("a")
           .join(stored.unionByName(batchBands.select("doc", "band")).as("b"),
             col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
@@ -781,8 +787,16 @@ object Dedup {
     * (written by [[writeMinHashSegment]] BEFORE the doc segment, so a
     * committed doc segment always has its band rows; an orphaned band
     * segment whose doc segment never committed pairs only into candidates
-    * the verify stage drops). `buckets` prunes the read — partition pruning
-    * on the base store, a pushed row filter on the batch-sized segments. */
+    * the verify stage drops).
+    *
+    * `buckets` prunes the read by PATH CONSTRUCTION, not a partition
+    * filter: one listing of each root discovers its `bucket=` directories,
+    * and only the HIT ones are handed to the reader — so per-probe listing
+    * and footer cost is O(|hit buckets|), never O(bandBuckets). (The
+    * filter-on-partition-column form re-lists every bucket directory at
+    * plan time — measured at 6-12 s per probe against a 4096-bucket store,
+    * dwarfing the scan it prunes.) Flat batch segments carry `bucket` as a
+    * data column and get a pushed row filter instead. */
   private def storedBands(
       spark: SparkSession, indexPath: String, buckets: Option[Seq[Int]]): DataFrame = {
     val fs = Seg.fs(spark, indexPath)
@@ -790,11 +804,40 @@ object Dedup {
     val roots = s"$indexPath/bands" +:
       live.map(d => s"$indexPath/bandsegs/${d.getName}")
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    val view = roots
-      .map(spark.read.parquet(_).select(col("doc"), col("band"), col("bucket").cast("int")))
-      .reduce(_.unionByName(_))
-    buckets.fold(view)(bs => view.filter(col("bucket").isin(bs: _*)))
-      .select("doc", "band")
+    val views = roots.flatMap(r => readBandRoot(spark, fs, r, buckets))
+    if (views.isEmpty)
+      spark.range(0).select(col("id").as("doc"), col("id").as("band"))
+    else views.reduce(_.unionByName(_))
+  }
+
+  /** One band-store root as (doc, band), pruned to `buckets`: a
+    * bucket-partitioned root (base store, folded compact segments) reads
+    * only the hit `bucket=` subdirectories; a flat root (batch segments)
+    * reads whole with a pushed bucket row filter. None = nothing to read
+    * (no hit buckets, or an empty partitioned store). */
+  private def readBandRoot(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: String, buckets: Option[Seq[Int]]): Option[DataFrame] = {
+    val parts = Seg.listDirs(fs, new org.apache.hadoop.fs.Path(root))
+      .map(_.getName).filter(_.startsWith("bucket="))
+    if (parts.nonEmpty) buckets match {
+      case Some(bs) =>
+        val present = parts.map(_.stripPrefix("bucket=").toInt).toSet
+        val dirs = bs.filter(present).map(b => s"$root/bucket=$b")
+        if (dirs.isEmpty) None
+        else Some(spark.read.parquet(dirs: _*).select(col("doc"), col("band")))
+      case None =>
+        Some(spark.read.parquet(root).select(col("doc"), col("band")))
+    } else {
+      val hasData = Seg.listFiles(fs, new org.apache.hadoop.fs.Path(root))
+        .exists(_.getName.endsWith(".parquet"))
+      if (!hasData) None
+      else {
+        val df = spark.read.parquet(root)
+        Some(buckets.fold(df)(bs => df.filter(col("bucket").isin(bs: _*)))
+          .select(col("doc"), col("band")))
+      }
+    }
   }
 
   /** The MICRO-BATCH verify stage: exact-Jaccard verification of

@@ -117,6 +117,137 @@ object PipelineQueries {
         // Materializing the final hash table caps evaluation at one pass.
         s"${p}h AS MATERIALIZED (SELECT $idCol, ${s64("x")} AS h FROM ${p}20)")).mkString(",\n")
     }
+
+    // ---- the STRING variant: Spark xxhash64(<string col>) ----------------
+    //
+    // XXH64 over the token's UTF-8 bytes (seed 42) — the full public
+    // formula including the 32-byte stripe loop, so the twin is exact for
+    // ANY input length, not just the short tokens the testdata happens to
+    // hold. Bytes come from hex(encode(token)) (substr on a VARCHAR is
+    // character-based, so byte access must go through the hex encoding);
+    // the stripe/8-byte/1-byte phases are RECURSIVE CTEs stepping a cursor,
+    // and every multi-use intermediate is a lateral column alias inside a
+    // subquery — the naive nested-helper emission repeats each argument
+    // 4-6x per wrapper and the SQL text grows exponentially (the first cut
+    // was measured at >100 GB of query text; this form is ~35 KB).
+
+    private def byteAt(i: String) =
+      s"(CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*($i)+1 AS BIGINT), 1)) - 1) * 16 + " +
+        s"strpos('0123456789ABCDEF', substr(hx, CAST(2*($i)+2 AS BIGINT), 1)) - 1 AS HUGEINT))"
+    private def lane8(i: String) =
+      "(" + (0 until 8).map(j => s"${byteAt(s"($i)+$j")} * ${BigInt(2).pow(8 * j)}").mkString(" + ") + ")"
+    private def lane4(i: String) =
+      "(" + (0 until 4).map(j => s"${byteAt(s"($i)+$j")} * ${BigInt(2).pow(8 * j)}").mkString(" + ") + ")"
+    /** k1(src) as chained aliases `<pfx>a, <pfx>b, <pfx>k` (k = the round). */
+    private def k1Chain(src: String, pfx: String) =
+      s"${mul64(src, P2.toString)} AS ${pfx}a, ${rotl(pfx + "a", 31)} AS ${pfx}b, " +
+        s"${mul64(pfx + "b", P1.toString)} AS ${pfx}k"
+    /** One stripe lane j: lane load + accumulate into alias `nv<j>`. */
+    private def stripeLane(j: Int, v: String) =
+      s"${lane8(s"i+${8 * j}")} AS l$j, ${mul64(s"l$j", P2.toString)} AS m$j, " +
+        s"${add64(v, s"m$j")} AS s$j, ${rotl(s"s$j", 31)} AS r$j, " +
+        s"${mul64(s"r$j", P1.toString)} AS nv$j"
+
+    /** CTE definitions computing `h` = Spark `xxhash64(token)` (seed 42,
+      * UTF-8 bytes) for every row of a prior CTE `tok(did, pos, token)`.
+      * Final CTE `strh` has columns (did, pos, h) with `h` the SIGNED
+      * 64-bit result — Spark's value exactly (validated against the engine
+      * on the testdata vocabulary plus empty/stripe-length/multi-byte
+      * UTF-8 stress strings). Must run under WITH RECURSIVE. */
+    def strHashCtes: String = {
+      val seed = BigInt(42)
+      val v1i = (seed + P1 + P2) % M; val v2i = (seed + P2) % M
+      val v3i = seed; val v4i = (seed - P1 + M) % M
+      val hSmall = (seed + P5) % M
+      def mergeStep(n: Int, v: String, keep: String) =
+        s"xm$n AS (SELECT did, pos, hx, len, i$keep,\n" +
+          s"  ${add64(mul64(xor64("h", s"q${n}k"), P1.toString), P4.toString)} AS h\n" +
+          s"  FROM (SELECT *, ${k1Chain(v, s"q$n")} FROM xm${n - 1}) s)"
+      Seq(
+        s"""xb AS (SELECT did, pos, hex(encode(token)) AS hx,
+           |  CAST(octet_length(encode(token)) AS HUGEINT) AS len FROM tok)""".stripMargin,
+        // stripe phase: 4 accumulators over 32-byte chunks (len >= 32 only)
+        s"""xs AS (
+           |  SELECT did, pos, hx, len, CAST(0 AS HUGEINT) AS i,
+           |         CAST($v1i AS HUGEINT) AS v1, CAST($v2i AS HUGEINT) AS v2,
+           |         CAST($v3i AS HUGEINT) AS v3, CAST($v4i AS HUGEINT) AS v4
+           |  FROM xb WHERE len >= 32
+           |  UNION ALL
+           |  SELECT did, pos, hx, len, i + 32, nv0, nv1, nv2, nv3 FROM (
+           |    SELECT did, pos, hx, len, i,
+           |           ${stripeLane(0, "v1")}, ${stripeLane(1, "v2")},
+           |           ${stripeLane(2, "v3")}, ${stripeLane(3, "v4")}
+           |    FROM xs WHERE i + 32 <= len) s)""".stripMargin,
+        "xst AS (SELECT * FROM xs WHERE i + 32 > len)",
+        // stripe convergence: rotated sum, then one merge round per lane
+        s"""xm0 AS (SELECT did, pos, hx, len, i, v1, v2, v3, v4,
+           |  ${add64(add64(add64(rotl("v1", 1), rotl("v2", 7)), rotl("v3", 12)), rotl("v4", 18))} AS h
+           |  FROM xst)""".stripMargin,
+        mergeStep(1, "v1", ", v2, v3, v4"),
+        mergeStep(2, "v2", ", v3, v4"),
+        mergeStep(3, "v3", ", v4"),
+        mergeStep(4, "v4", ""),
+        s"""xc AS (
+           |  SELECT did, pos, hx, len, i, h FROM xm4
+           |  UNION ALL
+           |  SELECT did, pos, hx, len, CAST(0 AS HUGEINT) AS i, CAST($hSmall AS HUGEINT) AS h
+           |  FROM xb WHERE len < 32)""".stripMargin,
+        s"xl AS (SELECT did, pos, hx, len, i, ${add64("h", "len")} AS h FROM xc)",
+        // 8-byte tail rounds
+        s"""x8 AS (
+           |  SELECT did, pos, hx, len, i, h FROM xl
+           |  UNION ALL
+           |  SELECT did, pos, hx, len, i + 8, h2 AS h FROM (
+           |    SELECT did, pos, hx, len, i,
+           |           ${lane8("i")} AS ln, ${k1Chain("ln", "w")},
+           |           ${xor64("h", "wk")} AS x1a, ${rotl("x1a", 27)} AS x1b,
+           |           ${add64(mul64("x1b", P1.toString), P4.toString)} AS h2
+           |    FROM x8 WHERE i + 8 <= len) s)""".stripMargin,
+        "x8t AS (SELECT * FROM x8 WHERE i + 8 > len)",
+        // one optional 4-byte round
+        s"""x4 AS (
+           |  SELECT did, pos, hx, len,
+           |         CASE WHEN i + 4 <= len THEN i + 4 ELSE i END AS i,
+           |         CASE WHEN i + 4 <= len THEN h4 ELSE h END AS h
+           |  FROM (
+           |    SELECT *, ${lane4("i")} AS l4, ${mul64("l4", P1.toString)} AS m4,
+           |           ${xor64("h", "m4")} AS y1, ${rotl("y1", 23)} AS y2,
+           |           ${add64(mul64("y2", P2.toString), P3.toString)} AS h4
+           |    FROM x8t) s)""".stripMargin,
+        // single-byte rounds
+        s"""x1 AS (
+           |  SELECT did, pos, hx, len, i, h FROM x4
+           |  UNION ALL
+           |  SELECT did, pos, hx, len, i + 1, h1 AS h FROM (
+           |    SELECT did, pos, hx, len, i,
+           |           ${byteAt("i")} AS bv, ${mul64("bv", P5.toString)} AS mb,
+           |           ${xor64("h", "mb")} AS z1, ${rotl("z1", 11)} AS z2,
+           |           ${mul64("z2", P1.toString)} AS h1
+           |    FROM x1 WHERE i < len) s)""".stripMargin,
+        "x1t AS (SELECT did, pos, h FROM x1 WHERE i = len)",
+        // avalanche
+        s"xa1 AS (SELECT did, pos, ${xor64("h", shr("h", 33))} AS h FROM x1t)",
+        s"xa2 AS (SELECT did, pos, ${mul64("h", P2.toString)} AS h FROM xa1)",
+        s"xa3 AS (SELECT did, pos, ${xor64("h", shr("h", 29))} AS h FROM xa2)",
+        s"xa4 AS (SELECT did, pos, ${mul64("h", P3.toString)} AS h FROM xa3)",
+        s"strh AS MATERIALIZED (SELECT did, pos, ${s64(xor64("h", shr("h", 32)))} AS h FROM xa4)"
+      ).mkString(",\n")
+    }
+
+    /** The rolling-fingerprint fold of [[graft.functions.TextOps.fingerprint]]
+      * over `strh`: per doc, acc = acc * 1000003 + h(token), in token order,
+      * wrapping 64-bit — as a recursive CTE stepping one token per round
+      * across all docs in lockstep. Final CTE `fp(doc_id, fingerprint)`. */
+    def fingerprintCtes: String =
+      s"""fp0 AS (
+         |  SELECT did, CAST(1 AS BIGINT) AS nxt, ${u("h")} AS acc FROM strh WHERE pos = 0
+         |  UNION ALL
+         |  SELECT f.did, f.nxt + 1, ${add64(mul64("f.acc", "1000003"), u("s.h"))} AS acc
+         |  FROM fp0 f JOIN strh s ON s.did = f.did AND s.pos = f.nxt),
+         |fpt AS (
+         |  SELECT did, acc FROM fp0 f
+         |  WHERE nxt = (SELECT count(*) FROM strh s WHERE s.did = f.did)),
+         |fp AS (SELECT did AS doc_id, ${s64("acc")} AS fingerprint FROM fpt)""".stripMargin
   }
 
   /** The (doc_id, shard, pos) training order of
@@ -1150,8 +1281,11 @@ object PipelineQueries {
 
     // Q29d: document fingerprinting — order-sensitive rolling hash over the
     // token stream (distinguishes permutations, unlike minhash) + exact-dup
-    // grouping by fingerprint. Wrapping long arithmetic is not expressible
-    // in the oracle (DuckDB errors on int64 overflow); FunctionsSpec pins
+    // grouping by fingerprint. Oracle-checked by re-deriving Spark's
+    // STRING xxhash64 in DuckDB (XXH64 over the UTF-8 bytes, stripe loop
+    // included, as recursive-CTE cursor phases over HUGEINT modular
+    // arithmetic — XxSql.strHashCtes) and folding the wrapping rolling
+    // hash with a per-doc recursive CTE; FunctionsSpec additionally pins
     // order sensitivity and determinism.
     QueryDef(
       "q29d_text_fingerprint",
@@ -1163,7 +1297,17 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
           .orderBy("keep_id")
       },
-      None),
+      Some(s"""WITH RECURSIVE
+             |tok AS (
+             |  SELECT doc_id AS did, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+             |  FROM (SELECT doc_id,
+             |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+             |        FROM documents) t,
+             |  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g),
+             |${XxSql.strHashCtes},
+             |${XxSql.fingerprintCtes}
+             |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+             |FROM fp GROUP BY fingerprint ORDER BY keep_id""".stripMargin)),
 
     // Q28e: embedding near-dup pairs with NO natural blocking key — the LSH
     // bucket plays the blocking role (hyperplane sign hash), pairs verified

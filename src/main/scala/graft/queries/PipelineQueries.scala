@@ -234,6 +234,132 @@ object PipelineQueries {
       ).mkString(",\n")
     }
 
+    /** The whole MinHash-LSH pipeline of
+      * [[graft.operators.Dedup.minHashLsh]] (shingleN=3, numHashes=64,
+      * bands=16) as DuckDB CTEs over `strh` — banding INCLUDED, so the
+      * oracle reproduces the exact candidate set (LSH recall < 1 is
+      * deterministic given the hash family, not random): 3-gram shingle
+      * hashes (FNV-style fold over token hashes, distinct per doc),
+      * 64 signature slots (min over shingles of the splitmix64-derived
+      * affine transform, SIGNED 64-bit min exactly like the native
+      * kernel; empty docs => Long.MaxValue slots), 16 band keys (seeded
+      * FNV fold over each 4-slot slice), band-join candidates, the
+      * signature-estimate prefilter (>= threshold - 0.2, the same double
+      * arithmetic), and exact Jaccard verification. Final CTE
+      * `mh(doc_a, doc_b, jacc)` with `jacc` the UNROUNDED exact Jaccard —
+      * consumers filter on threshold and round. */
+    def minHashPairsCtes(threshold: Double): String = {
+      val FnvP = 0x100000001b3L
+      def mixCoeffs(i: Int): (BigInt, BigInt) = {
+        val (a, b) = graft.plans.TextKernels.minHashCoeffs(i)
+        def uc(x: Long) = (BigInt(x) + M) % M
+        (uc(a), uc(b))
+      }
+      val coefVals = (0 until 64)
+        .map(s => s"($s, ${mixCoeffs(s)._1}::HUGEINT, ${mixCoeffs(s)._2}::HUGEINT)")
+        .mkString(", ")
+      val bandSeeds = (0 until 16)
+        .map(b => s"WHEN $b THEN ${mixCoeffs(b)._2}::HUGEINT").mkString(" ")
+      val fold3 = add64(mul64(add64(mul64(u("s0.h"), FnvP.toString), u("s1.h")),
+        FnvP.toString), u("s2.h"))
+      def bandFold(seed: String, vs: Seq[String]): String =
+        vs.foldLeft(seed)((acc, v) => add64(mul64(acc, FnvP.toString), v))
+      val sigPivot = (0 until 4)
+        .map(j => s"MAX(CASE WHEN s = 4*b4+$j THEN v END) AS v$j").mkString(", ")
+      s"""shg AS MATERIALIZED (
+         |  SELECT DISTINCT s0.did, ${s64(fold3)} AS sh
+         |  FROM strh s0
+         |  JOIN strh s1 ON s1.did = s0.did AND s1.pos = s0.pos + 1
+         |  JOIN strh s2 ON s2.did = s0.did AND s2.pos = s0.pos + 2),
+         |coef(s, a, b) AS (VALUES $coefVals),
+         |slotv AS (
+         |  SELECT shg.did, coef.s, ${s64(add64(mul64(u("sh"), "a"), "b"))} AS v
+         |  FROM shg CROSS JOIN coef),
+         |sigs AS MATERIALIZED (
+         |  SELECT d.doc_id AS did, coef.s, coalesce(m.v, 9223372036854775807) AS v
+         |  FROM (SELECT doc_id FROM documents) d
+         |  CROSS JOIN coef
+         |  LEFT JOIN (SELECT did, s, min(v) AS v FROM slotv GROUP BY did, s) m
+         |    ON m.did = d.doc_id AND m.s = coef.s),
+         |sigp AS (
+         |  SELECT did, b4, $sigPivot
+         |  FROM (SELECT did, s, v, s // 4 AS b4 FROM sigs) t GROUP BY did, b4),
+         |bandk AS MATERIALIZED (
+         |  SELECT did, b4 AS b,
+         |         ${s64(bandFold("sd", (0 until 4).map(j => u(s"v$j"))))} AS bk
+         |  FROM (SELECT *, CASE b4 $bandSeeds END AS sd FROM sigp) t),
+         |cand AS (
+         |  SELECT DISTINCT a.did AS doc_a, b.did AS doc_b
+         |  FROM bandk a JOIN bandk b ON a.b = b.b AND a.bk = b.bk AND a.did < b.did),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sigs sa ON sa.did = c.doc_a
+         |  JOIN sigs sb ON sb.did = c.doc_b AND sb.s = sa.s
+         |  GROUP BY c.doc_a, c.doc_b
+         |  HAVING CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64
+         |         >= ($threshold - 0.2)),
+         |ver AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |         CAST(count(*) FILTER (WHERE xb.sh IS NOT NULL) AS DOUBLE) AS inter,
+         |         (SELECT count(*) FROM shg WHERE did = e.doc_a) +
+         |         (SELECT count(*) FROM shg WHERE did = e.doc_b) AS tot
+         |  FROM est e
+         |  JOIN shg xa ON xa.did = e.doc_a
+         |  LEFT JOIN shg xb ON xb.did = e.doc_b AND xb.sh = xa.sh
+         |  GROUP BY e.doc_a, e.doc_b),
+         |mh AS (
+         |  SELECT doc_a, doc_b,
+         |         CASE WHEN tot - inter = 0 THEN 0.0 ELSE inter / (tot - inter) END AS jacc
+         |  FROM ver)""".stripMargin
+    }
+
+    /** The SimHash64 construction of [[graft.plans.SimHash64]] over `strh`
+      * (per-bit +/-1 votes across the token-hash MULTISET, bit set iff the
+      * vote sum is strictly positive) as DuckDB CTEs ending in
+      * `ssig(did, sh)`. The multi-index banding needs no SQL twin: the
+      * pigeonhole guarantee makes candidate generation COMPLETE, so the
+      * pair output equals plain all-pairs Hamming filtering — which is
+      * what consumers append. */
+    def simHashSigCtes: String = {
+      val pow2 = (0 until 64).map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+      s"""pow2(b, p) AS (VALUES $pow2),
+         |sbits AS (
+         |  SELECT did, b, p,
+         |         SUM(CASE WHEN (${u("h")} // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM strh CROSS JOIN pow2 GROUP BY did, b, p),
+         |ssig AS MATERIALIZED (
+         |  SELECT did, ${s64("SUM(CASE WHEN cnt > 0 THEN p ELSE 0::HUGEINT END)")} AS sh
+         |  FROM sbits GROUP BY did)""".stripMargin
+    }
+
+    /** Positional n-gram hashes over `strh` — the
+      * [[graft.plans.PositionalNgramHashes]] fold (FNV-style polynomial
+      * over n consecutive token hashes, one value per start offset, order
+      * preserved, duplicates kept) as a CTE `png(did, offset, gram)`. */
+    def posNgramCtes(n: Int): String = {
+      val FnvP = 0x100000001b3L
+      val joins = (1 until n)
+        .map(j => s"  JOIN strh s$j ON s$j.did = s0.did AND s$j.pos = s0.pos + $j")
+        .mkString("\n")
+      val fold = (1 until n).foldLeft(u("s0.h"))((acc, j) =>
+        add64(mul64(acc, FnvP.toString), u(s"s$j.h")))
+      s"""png AS MATERIALIZED (
+         |  SELECT s0.did, s0.pos AS off, ${s64(fold)} AS gram
+         |  FROM strh s0
+         |$joins)""".stripMargin
+    }
+
+    /** The shared `tok`/`strh` prefix: whitespace tokenization of
+      * `documents` with positions, then the string-XXH64 twin. */
+    def docTokenHashCtes: String =
+      s"""tok AS (
+         |  SELECT doc_id AS did, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+         |  FROM (SELECT doc_id,
+         |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents) t,
+         |  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g),
+         |$strHashCtes""".stripMargin
+
     /** The rolling-fingerprint fold of [[graft.functions.TextOps.fingerprint]]
       * over `strh`: per doc, acc = acc * 1000003 + h(token), in token order,
       * wrapping 64-bit — as a recursive CTE stepping one token per round
@@ -457,15 +583,34 @@ object PipelineQueries {
       (s, dir) =>
         Dedup.minHashLsh(Tables.documents(s, dir), shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
           .orderBy("doc_a", "doc_b"),
-      None),
+      // the WHOLE LSH pipeline re-derived in DuckDB — string-XXH64 token
+      // hashes, shingle folds, signature mins, band keys, estimate
+      // prefilter, exact Jaccard — so banding-dependent recall is
+      // hash-compared exactly, not rows-only
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.minHashPairsCtes(0.5)}
+             |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard
+             |FROM mh WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q27d: SimHash near-dup pairs (Hamming <= 6 on 64-bit signatures).
+    // Oracle-checked: signatures re-derived bit-by-bit in DuckDB over the
+    // string-XXH64 token hashes; banding needs no twin because the
+    // pigeonhole scheme provably generates EVERY qualifying pair, so the
+    // output equals all-pairs Hamming filtering.
     QueryDef(
       "q27d_dedup_simhash",
       (s, dir) =>
         Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 6)
           .orderBy("doc_a", "doc_b"),
-      None),
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.simHashSigCtes}
+             |SELECT a.did AS doc_a, b.did AS doc_b,
+             |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+             |FROM ssig a JOIN ssig b ON a.did < b.did
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q27e: INCREMENTAL exact dedup — the daily-ingest shape: the first
     // half of the corpus (by id) is persisted as a dedup index, then the
@@ -502,9 +647,11 @@ object PipelineQueries {
 
     // Q27f: INCREMENTAL MinHash near-dup — the index-probe form of q27c:
     // sign the first half once into a persisted index, then find all pairs
-    // touching the second half without re-tokenizing the first. LSH recall
-    // < 1 by design => rows-only; DedupIncrementalSpec proves equality to
-    // the full q27c-style recompute.
+    // touching the second half without re-tokenizing the first. The
+    // incremental probe equals the full recompute restricted to pairs with
+    // a batch member (the hash family is deterministic), so the oracle is
+    // the q27c pipeline with that restriction — the index round-trip is
+    // hash-compared end to end.
     QueryDef(
       "q27f_dedup_minhash_incremental",
       (s, dir) => {
@@ -516,7 +663,14 @@ object PipelineQueries {
         Dedup.minHashIncremental(docs.filter(col("doc_id") > cut), idx, threshold = 0.5)
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.minHashPairsCtes(0.5)},
+             |cut AS (SELECT max(doc_id) // 2 AS c FROM documents)
+             |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard
+             |FROM mh WHERE jacc >= 0.5
+             |  AND (doc_a > (SELECT c FROM cut) OR doc_b > (SELECT c FROM cut))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q27g: INCREMENTAL SimHash — the signature-store probe form of q27d,
     // same pigeonhole recall guarantee across the index boundary.
@@ -532,7 +686,20 @@ object PipelineQueries {
         Dedup.simHashIncremental(docs.filter(col("doc_id") > cut), idx, maxHamming = 6)
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      // the q27d all-pairs oracle restricted to pairs touching the batch
+      // half — the incremental probe equals the full recompute there (the
+      // signatures are deterministic), so the index round-trip is
+      // hash-compared end to end
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.simHashSigCtes},
+             |cut AS (SELECT max(doc_id) // 2 AS c FROM documents)
+             |SELECT a.did AS doc_a, b.did AS doc_b,
+             |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+             |FROM ssig a JOIN ssig b ON a.did < b.did
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+             |  AND (a.did > (SELECT c FROM cut) OR b.did > (SELECT c FROM cut))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q28: brute-force top-k cosine similarity search — the exactness
     // baseline: query batch broadcast, corpus streams partition-parallel.
@@ -1139,17 +1306,26 @@ object PipelineQueries {
     // Q29r: passage-level boilerplate detection (ExactSubstr-style) — the
     // positional n-gram kernel's operator: the OFFSET of every occurrence
     // of an n-gram recurring in >= minDocs distinct documents (what
-    // excision consumes). Token hashes are string-xxhash64 (the XxSql twin
-    // covers 8-byte longs only; variable-length string hashing is a
-    // different formula) => rows-only; CurationSpec pins planted
-    // boilerplate offsets, soundness, and the catalog-interop property.
+    // excision consumes). Oracle-checked: the string-XXH64 twin supplies
+    // the token hashes, the positional 5-gram fold re-derives the kernel's
+    // combined hashes, and the distinct-document threshold is plain SQL.
+    // CurationSpec additionally pins planted boilerplate offsets,
+    // soundness, and the catalog-interop property.
     QueryDef(
       "q29r_boilerplate",
       (s, dir) =>
         graft.operators.Curation.boilerplateNgrams(
           Tables.documents(s, dir), n = 5, minDocs = 3)
           .orderBy("doc_id", "offset", "gram"),
-      None),
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.posNgramCtes(5)},
+             |hot AS (
+             |  SELECT gram, CAST(count(DISTINCT did) AS BIGINT) AS n_docs
+             |  FROM png GROUP BY gram HAVING count(DISTINCT did) >= 3)
+             |SELECT p.did AS doc_id, CAST(p.off AS BIGINT) AS "offset", p.gram, h.n_docs
+             |FROM png p JOIN hot h USING (gram)
+             |ORDER BY doc_id, "offset", gram""".stripMargin)),
 
     // Q29o: LEARNED BPE vocabulary — the trained-tokenizer half of the
     // pluggable token-counting surface: distributed word histogram, then
@@ -1298,13 +1474,7 @@ object PipelineQueries {
           .orderBy("keep_id")
       },
       Some(s"""WITH RECURSIVE
-             |tok AS (
-             |  SELECT doc_id AS did, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
-             |  FROM (SELECT doc_id,
-             |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
-             |        FROM documents) t,
-             |  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g),
-             |${XxSql.strHashCtes},
+             |${XxSql.docTokenHashCtes},
              |${XxSql.fingerprintCtes}
              |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
              |FROM fp GROUP BY fingerprint ORDER BY keep_id""".stripMargin)),

@@ -247,8 +247,10 @@ object PipelineQueries {
       * signature-estimate prefilter (>= threshold - 0.2, the same double
       * arithmetic), and exact Jaccard verification. Final CTE
       * `mh(doc_a, doc_b, jacc)` with `jacc` the UNROUNDED exact Jaccard —
-      * consumers filter on threshold and round. */
-    def minHashPairsCtes(threshold: Double): String = {
+      * consumers filter on threshold and round. `survivors` (a CTE name
+      * with a doc_id column) restricts the pipeline to that doc subset —
+      * the q29p composition runs it over the exact-dedup survivors. */
+    def minHashPairsCtes(threshold: Double, survivors: Option[String] = None): String = {
       val FnvP = 0x100000001b3L
       def mixCoeffs(i: Int): (BigInt, BigInt) = {
         val (a, b) = graft.plans.TextKernels.minHashCoeffs(i)
@@ -266,18 +268,20 @@ object PipelineQueries {
         vs.foldLeft(seed)((acc, v) => add64(mul64(acc, FnvP.toString), v))
       val sigPivot = (0 until 4)
         .map(j => s"MAX(CASE WHEN s = 4*b4+$j THEN v END) AS v$j").mkString(", ")
+      val restrict = survivors.fold("")(s => s"\n  WHERE s0.did IN (SELECT doc_id FROM $s)")
+      val docList = survivors.getOrElse("(SELECT doc_id FROM documents)")
       s"""shg AS MATERIALIZED (
          |  SELECT DISTINCT s0.did, ${s64(fold3)} AS sh
          |  FROM strh s0
          |  JOIN strh s1 ON s1.did = s0.did AND s1.pos = s0.pos + 1
-         |  JOIN strh s2 ON s2.did = s0.did AND s2.pos = s0.pos + 2),
+         |  JOIN strh s2 ON s2.did = s0.did AND s2.pos = s0.pos + 2$restrict),
          |coef(s, a, b) AS (VALUES $coefVals),
          |slotv AS (
          |  SELECT shg.did, coef.s, ${s64(add64(mul64(u("sh"), "a"), "b"))} AS v
          |  FROM shg CROSS JOIN coef),
          |sigs AS MATERIALIZED (
          |  SELECT d.doc_id AS did, coef.s, coalesce(m.v, 9223372036854775807) AS v
-         |  FROM (SELECT doc_id FROM documents) d
+         |  FROM $docList d
          |  CROSS JOIN coef
          |  LEFT JOIN (SELECT did, s, min(v) AS v FROM slotv GROUP BY did, s) m
          |    ON m.did = d.doc_id AND m.s = coef.s),
@@ -1178,9 +1182,16 @@ object PipelineQueries {
 
     // Q29p: the END-TO-END curation pipeline (filter → redact → exact
     // dedup → near-dup collapse → decontaminate → token budget), reporting
-    // the per-stage funnel. Deterministic, but the near-dup stage is not
-    // SQL-expressible => rows-only; CurationSpec pins the funnel against
-    // the manually-chained standalone operators.
+    // the per-stage funnel. Oracle-checked: the whole composition is
+    // re-derived in ONE DuckDB query chaining the per-stage oracle twins —
+    // the q29k quality cascade, the q29g redaction chain, normalized-text
+    // exact dedup, the FULL MinHash-LSH pipeline over the string-XXH64
+    // twin RESTRICTED to the exact survivors (tokenized on the REDACTED
+    // text, threshold 0.7) closed into components and collapsed to min-id
+    // representatives, 4-gram decontamination against the raw first-20
+    // benchmark, and the per-lang quality-ordered token-budget fill.
+    // CurationSpec additionally pins the funnel against the
+    // manually-chained standalone operators.
     QueryDef(
       "q29p_pipeline",
       (s, dir) => {
@@ -1193,7 +1204,101 @@ object PipelineQueries {
         graft.core.Blocks.free(corpus) // the funnel is the result here
         funnel
       },
-      None),
+      Some(s"""WITH RECURSIVE
+             |ft AS (
+             |  SELECT doc_id, lang, coalesce(text, '') AS tx,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |fg AS (
+             |  SELECT doc_id, lang, tx, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CASE WHEN len(toks) < 2 THEN 0
+             |         ELSE len(list_distinct([array_to_string(toks[i:i+1], ' ')
+             |                                 for i in range(1, len(toks))])) END AS d2
+             |  FROM ft),
+             |fdoc AS MATERIALIZED (
+             |  SELECT doc_id, lang, tx FROM fg
+             |  WHERE NOT (n_tokens < 20)
+             |    AND NOT ((CASE WHEN n_tokens - 1 <= 0 THEN 0.0
+             |              ELSE round(1.0 - CAST(d2 AS DOUBLE) / (n_tokens - 1), 6) END) > 0.05)
+             |    AND NOT (CAST(length(tx) AS DOUBLE) / n_tokens < 5.2
+             |             OR CAST(length(tx) AS DOUBLE) / n_tokens > 10.0)),
+             |ra AS (SELECT doc_id, lang,
+             |         regexp_replace(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g') AS t1
+             |       FROM fdoc),
+             |rb AS (SELECT doc_id, lang,
+             |         regexp_replace(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[PII]', 'g') AS t2
+             |       FROM ra),
+             |rdoc AS MATERIALIZED (
+             |  SELECT doc_id, lang,
+             |         regexp_replace(t2, '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '[PII]', 'g') AS text
+             |  FROM rb),
+             |tok AS (
+             |  SELECT doc_id AS did, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+             |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+             |        FROM rdoc) t,
+             |  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g),
+             |${XxSql.strHashCtes},
+             |en AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM rdoc),
+             |ek AS (SELECT norm, min(doc_id) AS keep_id FROM en GROUP BY norm),
+             |edoc AS MATERIALIZED (
+             |  SELECT n.doc_id FROM en n JOIN ek k ON n.norm = k.norm WHERE n.doc_id = k.keep_id),
+             |${XxSql.minHashPairsCtes(0.7, survivors = Some("edoc"))},
+             |mhp AS MATERIALIZED (SELECT doc_a, doc_b FROM mh WHERE jacc >= 0.7),
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhp UNION SELECT doc_b, doc_a FROM mhp),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component FROM reach GROUP BY src),
+             |ndoc AS MATERIALIZED (
+             |  SELECT doc_id FROM edoc
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)),
+             |bmdocs AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+             |bmg AS (
+             |  SELECT DISTINCT unnest(CASE WHEN len(toks) < 4 THEN []::VARCHAR[]
+             |           ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+             |                               for i in range(1, len(toks) - 2)]) END) AS ng
+             |  FROM (SELECT string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+             |        FROM bmdocs)),
+             |cg AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN []::VARCHAR[]
+             |           ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+             |                               for i in range(1, len(toks) - 2)]) END) AS ng
+             |  FROM (SELECT r.doc_id, string_split(trim(regexp_replace(r.text, '\\s+', ' ', 'g')), ' ') AS toks
+             |        FROM rdoc r JOIN ndoc USING (doc_id))),
+             |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bmg ON cg.ng = bmg.ng),
+             |cdoc AS MATERIALIZED (
+             |  SELECT doc_id FROM ndoc WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             |bt AS (
+             |  SELECT r.doc_id, r.lang, r.text,
+             |    CAST(len(string_split(trim(regexp_replace(r.text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+             |    CASE WHEN length(r.text) = 0 THEN 0.0
+             |         ELSE CAST(length(regexp_replace(r.text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             |              / CAST(length(r.text) AS DOUBLE) END AS pr
+             |  FROM rdoc r JOIN cdoc USING (doc_id)),
+             |bq AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    round(
+             |      least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+             |      (CASE WHEN n_tokens != 0
+             |                 AND CAST(length(text) AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3
+             |                 AND CAST(length(text) AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10
+             |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+             |      (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS score
+             |  FROM bt),
+             |bc AS (
+             |  SELECT doc_id,
+             |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+             |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM bq),
+             |bdoc AS (SELECT doc_id FROM bc WHERE cum_tokens <= 100000)
+             |SELECT 'filter' AS stage, CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs_in,
+             |       CAST((SELECT count(*) FROM fdoc) AS BIGINT) AS docs_out
+             |UNION ALL SELECT 'redact', (SELECT count(*) FROM fdoc), (SELECT count(*) FROM rdoc)
+             |UNION ALL SELECT 'exact', (SELECT count(*) FROM rdoc), (SELECT count(*) FROM edoc)
+             |UNION ALL SELECT 'neardup', (SELECT count(*) FROM edoc), (SELECT count(*) FROM ndoc)
+             |UNION ALL SELECT 'decontaminate', (SELECT count(*) FROM ndoc), (SELECT count(*) FROM cdoc)
+             |UNION ALL SELECT 'budget', (SELECT count(*) FROM cdoc), (SELECT count(*) FROM bdoc)""".stripMargin)),
 
     // Q29q: CCNet-style LM-perplexity quality scoring — a pruned
     // stupid-backoff bigram model trained on the corpus, every document

@@ -20,11 +20,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * measured drift is the reason the concurrent paths exist. Not part of the
   * engine.
   *
-  * Usage: runMain graft.tools.UptimeSoakProbe [nBatches] [docsPerBatch] [compactEvery] [phases]
+  * Usage: runMain graft.tools.UptimeSoakProbe [nBatches] [docsPerBatch] [compactEvery] [phases] [bandBuckets]
   *   compactEvery = 0 disables concurrent compaction (the drift control).
   *   phases = comma list of dedup,neardup,curated,semantic,pipeline
   *   (default all) — lets a long-horizon run (e.g. 1000 batches) target one
   *   phase without paying for the rest.
+  *   bandBuckets > 0 builds the near-dup phase's MinHash index with the
+  *   band-bucketed layout (partition-pruned probes) — the flat-vs-bucketed
+  *   drift comparison knob.
   */
 object UptimeSoakProbe {
 
@@ -161,7 +164,10 @@ object UptimeSoakProbe {
     // O(foldEvery) instead of O(batches), and no checkpoint blocks may
     // survive any batch.
     val ndIndex = s"$out/nd_index"
-    Dedup.writeMinHashIndex(docs.limit(0), ndIndex, shingleN = 3, numHashes = 64, bands = 16)
+    val bandBuckets = args.lift(4).map(_.toInt).getOrElse(0)
+    Dedup.writeMinHashIndex(docs.limit(0), ndIndex, shingleN = 3, numHashes = 64, bands = 16,
+      bandBuckets = bandBuckets)
+    if (bandBuckets > 0) println(s"[soak] neardup index is BAND-BUCKETED (P=$bandBuckets)")
     val cap3 = new Capture(spark)
     spark.streams.addListener(cap3)
     val t3 = System.nanoTime()

@@ -37,6 +37,14 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // push literal IN lists up to this size down to parquet instead of
+      // collapsing them to a [min,max] range (useless on uniform hash
+      // keys): the dedup-index micro probes filter the key log with the
+      // batch's literal keys, and the pushed In is evaluated against each
+      // row group's stats + the _k bloom filters every segment write
+      // enables — row groups holding none of the batch's keys are skipped.
+      // Must stay >= Dedup.MaxInProbe.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .config("spark.ui.enabled", "false")
 
   /** Local session for mains/tests. The warehouse (bucketized catalog

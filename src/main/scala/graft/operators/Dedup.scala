@@ -112,6 +112,14 @@ object Dedup {
     * the vector index's segment fold ([[graft.core.Segments]]). */
   private val Seg = graft.core.Segments
 
+  /** Max distinct batch keys the micro probe turns into a literal
+    * parquet-pushed IN filter (row-group skipping via stats + blooms);
+    * beyond it the probe falls back to the broadcast semi-join. Must stay
+    * <= the session's `spark.sql.parquet.pushdown.inFilterThreshold`
+    * (GraftSession pins 4096) or the pushed filter degrades to a useless
+    * [min,max] range over uniform hash keys. */
+  private[graft] val MaxInProbe = 4096
+
   /** Snapshot of an index's live segment set: (dir, seq) for key segments
     * and tombstone segments, plus the folded-awaiting-GC relative paths. */
   private final case class IndexSnapshot(
@@ -199,19 +207,29 @@ object Dedup {
     * key. One aggregation over slim (key, id, count) rows — never the
     * corpus text; the tombstone side is takedown-sized and broadcasts.
     *
-    * `restrictTo` (a frame with a `_k` column) pre-filters the key log via
-    * a BROADCAST SEMI-JOIN before the aggregation — the micro-batch probe
-    * shape: when the caller only needs the batch's keys, the index is
-    * scanned map-side and the merge aggregation is batch-sized instead of
-    * index-sized (no per-trigger index-wide shuffle). Semantics-preserving
-    * for any downstream join ON those keys. */
+    * `restrictTo` (a frame with a `_k` column) pre-filters the key log
+    * before the aggregation — the micro-batch probe shape. Up to
+    * [[MaxInProbe]] distinct keys it becomes a LITERAL IN filter (a
+    * batch-bounded driver collect): pushed to parquet and evaluated
+    * against each row group's min/max stats AND the `_k` bloom filter
+    * every segment write enables, so with the sorted-within-partition
+    * key layout the scan SKIPS row groups holding none of the batch's
+    * keys — per-trigger probe IO tracks the batch, not the key log.
+    * Larger batches fall back to the broadcast semi-join (map-side scan
+    * of the whole log, batch-sized shuffle). Semantics-preserving for
+    * any downstream join ON those keys either way. */
   private def mergeView(
       spark: SparkSession, s: IndexSnapshot,
       restrictTo: Option[DataFrame] = None): DataFrame = {
     require(s.keySegs.nonEmpty, "no committed index key segments")
     val adds0 = spark.read.parquet(s.keySegs.map(_._1): _*)
-    val adds = restrictTo.fold(adds0)(keys =>
-      adds0.join(broadcast(keys.select("_k").distinct()), Seq("_k"), "left_semi"))
+    val adds = restrictTo.fold(adds0) { keys =>
+      val vals = keys.select("_k").distinct().limit(MaxInProbe + 1)
+        .collect().map(_.get(0)).toIndexedSeq
+      if (vals.isEmpty) adds0.filter(lit(false))
+      else if (vals.length <= MaxInProbe) adds0.filter(col("_k").isin(vals: _*))
+      else adds0.join(broadcast(keys.select("_k").distinct()), Seq("_k"), "left_semi")
+    }
     val alive =
       if (s.tombSegs.isEmpty) adds
       else {

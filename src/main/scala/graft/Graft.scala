@@ -578,6 +578,14 @@ final case class Graft(spark: SparkSession, dir: String) {
   def decontaminate(benchmark: DataFrame, n: Int = 4, minOverlap: Long = 1L): DataFrame =
     operators.Curation.decontaminate(documents, benchmark, n, minOverlap)
 
+  /** FUZZY benchmark decontamination: MinHash/LSH banding of this
+    * directory's documents ACROSS the corpus/benchmark boundary, catching
+    * paraphrased/truncated eval leaks the exact n-gram check misses. One
+    * (doc_id, n_matches, max_jaccard, contaminated) row per document; the
+    * benchmark side broadcasts, the corpus never shuffles. */
+  def decontaminateFuzzy(benchmark: DataFrame, threshold: Double = 0.7): DataFrame =
+    operators.Curation.decontaminateFuzzy(documents, benchmark, threshold)
+
   /** Intra-document repetition stats (duplicate token/2-gram/3-gram
     * fractions + repetitive flag) over this directory's documents —
     * map-only, codegen'd. */
@@ -615,6 +623,22 @@ final case class Graft(spark: SparkSession, dir: String) {
     val lm = operators.Curation.trainNgramLm(
       reference.getOrElse(documents), maxVocab, maxBigrams, tokenizer = tokenizer)
     operators.Curation.perplexity(documents, lm)
+  }
+
+  /** Naive-Bayes "reference-like" quality scores for this directory's
+    * documents: train by pure counting on a labeled split (`positive` =
+    * curated reference docs, `negative` = raw docs — the GPT-3/LLaMA
+    * quality-classifier pattern), then score every document map-only
+    * against the broadcast log-likelihood-ratio table. One
+    * (doc_id, n_tokens, nb_logodds, is_quality) row per document. */
+  def qualityClassifierScores(
+      positive: DataFrame,
+      negative: DataFrame,
+      maxVocab: Int = 100000,
+      tokenizer: functions.Tokenizer = functions.Tokenizer.Whitespace): DataFrame = {
+    val nb = operators.Curation.trainQualityClassifier(
+      positive, negative, maxVocab, tokenizer = tokenizer)
+    operators.Curation.classifierScore(documents, nb)
   }
 
   /** Multimodal feature extraction over a binary payload column. */

@@ -210,6 +210,88 @@ object Curation {
       .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("long"))
   }
 
+  /** FUZZY benchmark decontamination — the near-duplicate complement of
+    * [[decontaminate]]: an eval document that was paraphrased, truncated,
+    * or lightly edited before leaking into the training corpus shares few
+    * exact n-grams but high shingle-set Jaccard, so it slips the exact
+    * check. This is the [[graft.operators.Dedup.minHashLsh]] machinery
+    * pointed ACROSS the corpus/benchmark boundary instead of at corpus
+    * self-pairs: shingle → MinHash(k) → LSH bands, candidates are
+    * (corpus doc, benchmark doc) band collisions, estimated from the
+    * signatures already computed (margin 0.2 below `threshold` — the
+    * verified-conservative bound of `verifyCandidates`), survivors
+    * verified by exact Jaccard over the hashed shingle sets.
+    *
+    * Returns ONE row per corpus document: (id, n_matches, max_jaccard,
+    * contaminated) — `n_matches` = benchmark docs at or above `threshold`,
+    * `max_jaccard` = the best exact Jaccard among estimate-surviving
+    * candidates (0.0 when none), `contaminated` = 1 iff any match.
+    *
+    * Scale design: the benchmark side (shingles + signatures + band keys)
+    * is eval-suite-sized and BROADCASTS — the corpus is tokenized and
+    * signed in ONE materialized pass, band-probes the broadcast map-side,
+    * and only band-colliding candidate pairs (needle-in-haystack by
+    * construction) ever reach an exchange. The expensive exact-intersect
+    * runs only on estimate survivors (a codegen'd conditional, skipped
+    * per-row otherwise). The corpus never shuffles; the two exchanges are
+    * candidate-pair-sized and per-doc-result-sized. */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.7,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val r = numHashes / bands
+    def prep(df: DataFrame): DataFrame = df
+      .select(
+        col(idCol).as("doc"),
+        TextOps.ngramHashes(TextOps.tokenHashes(coalesce(col(textCol), lit(""))), shingleN)
+          .as("sh"))
+      .withColumn("sig", TextOps.minHashFromHashes(col("sh"), numHashes))
+    // corpus: tokenize + sign ONCE (the minHashLsh discipline); bench: tiny
+    val c = prep(corpus).localCheckpoint()
+    val b = prep(benchmark).select(
+      col("doc").as("bench_doc"), col("sh").as("bench_sh"), col("sig").as("bench_sig"))
+      .localCheckpoint()
+    val bBands = b.select(
+      col("bench_doc"), col("bench_sh"), col("bench_sig"),
+      explode(TextOps.lshBands(col("bench_sig"), bands, r)).as("band"))
+    // corpus rows carry (sh, sig) THROUGH the map-side broadcast band join,
+    // so candidates need no join back against the corpus (which Catalyst
+    // would plan as a full corpus shuffle); the dedup exchange carries only
+    // band-colliding pairs
+    val cand = c
+      .select(col("doc"), col("sh"), col("sig"),
+        explode(TextOps.lshBands(col("sig"), bands, r)).as("band"))
+      .join(broadcast(bBands.select("bench_doc", "band")), Seq("band"))
+      .dropDuplicates("doc", "bench_doc")
+      .join(broadcast(b), Seq("bench_doc"))
+    val est = aggregate(
+      zip_with(col("sig"), col("bench_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m).cast("double") / numHashes
+    val scored = cand
+      .withColumn("jacc",
+        when(est < lit(threshold - 0.2), lit(null).cast("double"))
+          .otherwise(TextOps.jaccardSortedHashes(col("sh"), col("bench_sh"))))
+      .groupBy(col("doc"))
+      .agg(
+        sum(when(col("jacc") >= threshold, 1L).otherwise(0L)).as("n_matches"),
+        max(coalesce(col("jacc"), lit(0.0))).as("max_j"))
+    corpus
+      .select(col(idCol))
+      .join(scored.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        round(coalesce(col("max_j"), lit(0.0)), 6).as("max_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0L).cast("long").as("contaminated"))
+  }
+
   /** Intra-document repetition statistics (the Gopher-style repetition
     * filters): per document, the fraction of duplicate tokens / 2-grams /
     * 3-grams, plus a `repetitive` flag when the 2-gram duplicate fraction
@@ -480,6 +562,114 @@ object Curation {
       .join(broadcast(lm.bigrams), Seq("prev", "token"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), round(exp(-avg(log(sc))), 4).as("ppl"))
+  }
+
+  /** A multinomial Naive Bayes document classifier — the "reference-like
+    * quality classifier" of the large-pretraining pipelines (GPT-3 and
+    * LLaMA both score CommonCrawl by a linear classifier trained to
+    * separate curated reference text from raw crawl; multinomial NB with
+    * Laplace smoothing is the classic closed-form member of that family,
+    * trainable by pure counting — no SGD, fully deterministic, exactly
+    * reproducible in SQL). `tokenLlr` = (token, llr) for the top-`maxVocab`
+    * training tokens, where `llr = ln p(token|pos) - ln p(token|neg)` under
+    * Laplace-`alpha` smoothing; a scored token outside the table (unseen OR
+    * pruned) contributes `oovLlr` (the zero-count smoothed ratio — pruning
+    * degrades gracefully toward "uninformative", it never crashes scoring).
+    * `prior` = ln(nPosDocs / nNegDocs). The table is pruned to broadcast
+    * size by construction, so scoring is map-only + one slim per-doc agg —
+    * the corpus never shuffles, the property that lets one model score
+    * 100 TB. The model CARRIES its tokenizer ([[NgramLm]]'s contract): the
+    * stream scored is always the stream the counts came from. */
+  final case class NbClassifier(
+      tokenLlr: DataFrame,
+      prior: Double,
+      oovLlr: Double,
+      tokenizer: Tokenizer = Tokenizer.Whitespace)
+
+  /** Train an [[NbClassifier]] from a labeled split: `positive` =
+    * reference-quality documents, `negative` = raw documents. ONE counting
+    * pass over the union (map-side-combined: the shuffle carries partial
+    * per-token count pairs, ≪ the token stream), one vocabulary-sized
+    * aggregate for the totals, and a TakeOrdered prune — never a corpus
+    * sort. Smoothing uses the FULL training vocabulary size `V` (computed
+    * before the prune, so the probability model is the standard Laplace
+    * estimate regardless of how hard the table is pruned). Deterministic:
+    * counts are exact longs, ties in the prune break by token. */
+  def trainQualityClassifier(
+      positive: DataFrame,
+      negative: DataFrame,
+      maxVocab: Int = 100000,
+      alpha: Double = 1.0,
+      textCol: String = "text",
+      tokenizer: Tokenizer = Tokenizer.Whitespace): NbClassifier = {
+    require(maxVocab > 0, "maxVocab must be positive")
+    require(alpha > 0.0, "alpha must be positive")
+    def toks(df: DataFrame, isPos: Boolean): DataFrame = df.select(
+      lit(isPos).as("_isPos"),
+      explode(tokenizer.tokens(coalesce(col(textCol), lit("")))).as("token"))
+    val counts = toks(positive, isPos = true).unionByName(toks(negative, isPos = false))
+      .groupBy("token")
+      .agg(
+        sum(when(col("_isPos"), 1L).otherwise(0L)).cast("double").as("cpos"),
+        sum(when(col("_isPos"), 0L).otherwise(1L)).cast("double").as("cneg"))
+      .localCheckpoint() // vocabulary-sized; totals + prune must not re-scan
+    val tot = counts.agg(
+      coalesce(sum("cpos"), lit(0.0)), coalesce(sum("cneg"), lit(0.0)),
+      count(lit(1)).cast("double")).head()
+    val (nPos, nNeg, v) = (tot.getDouble(0), tot.getDouble(1), tot.getDouble(2))
+    require(v > 0.0, "trainQualityClassifier: empty training corpus")
+    // denominators as driver doubles: integer-valued well below 2^53, so
+    // the sums and products are exact and the oracle's SQL derivation of
+    // the same quantities lands on the identical double
+    val dPos = nPos + alpha * v
+    val dNeg = nNeg + alpha * v
+    val llr = counts
+      .orderBy((col("cpos") + col("cneg")).desc, col("token"))
+      .limit(maxVocab)
+      .select(col("token"),
+        (log((col("cpos") + lit(alpha)) / lit(dPos)) -
+          log((col("cneg") + lit(alpha)) / lit(dNeg))).as("llr"))
+      .localCheckpoint()
+    graft.core.Blocks.free(counts)
+    val oov = math.log(alpha / dPos) - math.log(alpha / dNeg)
+    val (nPosDocs, nNegDocs) = (positive.count(), negative.count())
+    require(nPosDocs > 0 && nNegDocs > 0,
+      s"trainQualityClassifier: both classes need documents (pos=$nPosDocs, neg=$nNegDocs)")
+    val prior = math.log(nPosDocs.toDouble / nNegDocs.toDouble)
+    NbClassifier(llr, prior, oov, tokenizer)
+  }
+
+  /** Score documents under a trained [[NbClassifier]]: one row per document
+    * — (id, n_tokens, nb_logodds, is_quality) with `nb_logodds = prior +
+    * Σ llr(token)` (rounded to 4 decimals) and `is_quality = 1` iff the log
+    * odds are positive (p(pos|doc) > 0.5). The per-token contributions
+    * accumulate in DECIMAL so the score is independent of partitioning and
+    * row order (the [[graft.queries.QueryDef.decSum]] discipline — a float
+    * sum would make the 4th decimal, and near zero the LABEL,
+    * nondeterministic run to run).
+    *
+    * Scale design: ONE broadcast left join against the pruned model table,
+    * then a per-document count+sum with map-side partial aggregation — the
+    * only exchange carries (doc, partial sums), slim regardless of document
+    * length. */
+  def classifierScore(
+      documents: DataFrame,
+      nb: NbClassifier,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val rows = documents.select(
+      col(idCol),
+      explode(nb.tokenizer.tokens(coalesce(col(textCol), lit("")))).as("token"))
+    val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+    val logOdds = round(
+      sum(coalesce(col("llr"), lit(nb.oovLlr)).cast(dec)).cast("double") + lit(nb.prior), 4)
+    rows
+      .join(broadcast(nb.tokenLlr), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        logOdds.as("nb_logodds"),
+        (logOdds > 0.0).cast("long").as("is_quality"))
   }
 
   /** The default document-quality rule set (too-short / too-repetitive /

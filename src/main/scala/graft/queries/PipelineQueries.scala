@@ -251,6 +251,67 @@ object PipelineQueries {
       * with a doc_id column) restricts the pipeline to that doc subset —
       * the q29p composition runs it over the exact-dedup survivors. */
     def minHashPairsCtes(threshold: Double, survivors: Option[String] = None): String = {
+      val (fold3, coefVals, bandSeeds, sigPivot, bandFold) = minHashBuildingBlocks
+      val restrict = survivors.fold("")(s => s"\n  WHERE s0.did IN (SELECT doc_id FROM $s)")
+      val docList = survivors.getOrElse("(SELECT doc_id FROM documents)")
+      minHashSigPrefix(restrict, docList, fold3, coefVals, bandSeeds, sigPivot, bandFold) +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.did AS doc_a, b.did AS doc_b
+           |  FROM bandk a JOIN bandk b ON a.b = b.b AND a.bk = b.bk AND a.did < b.did),
+           |${minHashVerifyCtes(threshold)}""".stripMargin
+    }
+
+    /** CROSS-set MinHash candidates — [[minHashPairsCtes]]'s banding and
+      * verification with candidates drawn across a corpus/benchmark split
+      * instead of corpus self-pairs (the fuzzy-decontamination twin):
+      * `cand` = band collisions with `doc_a` from `corpusCond` rows and
+      * `doc_b` from `benchCond` rows (predicates over `did`; ids may
+      * coincide — an eval doc sitting verbatim in the corpus IS the
+      * contamination case). Ends in `mh(doc_a, doc_b, jacc)` for
+      * estimate-surviving pairs. */
+    def minHashCrossCtes(threshold: Double, corpusCond: String, benchCond: String): String = {
+      val (fold3, coefVals, bandSeeds, sigPivot, bandFold) = minHashBuildingBlocks
+      minHashSigPrefix("", "(SELECT doc_id FROM documents)",
+        fold3, coefVals, bandSeeds, sigPivot, bandFold) +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.did AS doc_a, b.did AS doc_b
+           |  FROM bandk a JOIN bandk b ON a.b = b.b AND a.bk = b.bk
+           |  WHERE (a.did) ${corpusCond} AND (b.did) ${benchCond}),
+           |${minHashVerifyCtes(threshold)}""".stripMargin
+    }
+
+    /** The est → ver → mh verification tail shared by the self-pair and
+      * cross-set candidate CTEs: signature-overlap estimate at
+      * `threshold - 0.2`, exact hashed-shingle Jaccard for survivors. */
+    private def minHashVerifyCtes(threshold: Double): String =
+      s"""est AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sigs sa ON sa.did = c.doc_a
+         |  JOIN sigs sb ON sb.did = c.doc_b AND sb.s = sa.s
+         |  GROUP BY c.doc_a, c.doc_b
+         |  HAVING CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64
+         |         >= ($threshold - 0.2)),
+         |ver AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |         CAST(count(*) FILTER (WHERE xb.sh IS NOT NULL) AS DOUBLE) AS inter,
+         |         (SELECT count(*) FROM shg WHERE did = e.doc_a) +
+         |         (SELECT count(*) FROM shg WHERE did = e.doc_b) AS tot
+         |  FROM est e
+         |  JOIN shg xa ON xa.did = e.doc_a
+         |  LEFT JOIN shg xb ON xb.did = e.doc_b AND xb.sh = xa.sh
+         |  GROUP BY e.doc_a, e.doc_b),
+         |mh AS (
+         |  SELECT doc_a, doc_b,
+         |         CASE WHEN tot - inter = 0 THEN 0.0 ELSE inter / (tot - inter) END AS jacc
+         |  FROM ver)""".stripMargin
+
+    /** The literal pieces of the MinHash signature construction (shingle
+      * fold, mix coefficients, band seeds, pivot columns, band fold),
+      * derived from [[graft.plans.TextKernels.minHashCoeffs]] once per
+      * caller. */
+    private def minHashBuildingBlocks: (String, String, String, String, (String, Seq[String]) => String) = {
       val FnvP = 0x100000001b3L
       def mixCoeffs(i: Int): (BigInt, BigInt) = {
         val (a, b) = graft.plans.TextKernels.minHashCoeffs(i)
@@ -268,8 +329,15 @@ object PipelineQueries {
         vs.foldLeft(seed)((acc, v) => add64(mul64(acc, FnvP.toString), v))
       val sigPivot = (0 until 4)
         .map(j => s"MAX(CASE WHEN s = 4*b4+$j THEN v END) AS v$j").mkString(", ")
-      val restrict = survivors.fold("")(s => s"\n  WHERE s0.did IN (SELECT doc_id FROM $s)")
-      val docList = survivors.getOrElse("(SELECT doc_id FROM documents)")
+      (fold3, coefVals, bandSeeds, sigPivot, bandFold)
+    }
+
+    /** shg → coef → slotv → sigs → sigp → bandk: the shared MinHash
+      * signature construction over `strh`. */
+    private def minHashSigPrefix(
+        restrict: String, docList: String, fold3: String, coefVals: String,
+        bandSeeds: String, sigPivot: String,
+        bandFold: (String, Seq[String]) => String): String =
       s"""shg AS MATERIALIZED (
          |  SELECT DISTINCT s0.did, ${s64(fold3)} AS sh
          |  FROM strh s0
@@ -291,31 +359,7 @@ object PipelineQueries {
          |bandk AS MATERIALIZED (
          |  SELECT did, b4 AS b,
          |         ${s64(bandFold("sd", (0 until 4).map(j => u(s"v$j"))))} AS bk
-         |  FROM (SELECT *, CASE b4 $bandSeeds END AS sd FROM sigp) t),
-         |cand AS (
-         |  SELECT DISTINCT a.did AS doc_a, b.did AS doc_b
-         |  FROM bandk a JOIN bandk b ON a.b = b.b AND a.bk = b.bk AND a.did < b.did),
-         |est AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN sigs sa ON sa.did = c.doc_a
-         |  JOIN sigs sb ON sb.did = c.doc_b AND sb.s = sa.s
-         |  GROUP BY c.doc_a, c.doc_b
-         |  HAVING CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64
-         |         >= ($threshold - 0.2)),
-         |ver AS (
-         |  SELECT e.doc_a, e.doc_b,
-         |         CAST(count(*) FILTER (WHERE xb.sh IS NOT NULL) AS DOUBLE) AS inter,
-         |         (SELECT count(*) FROM shg WHERE did = e.doc_a) +
-         |         (SELECT count(*) FROM shg WHERE did = e.doc_b) AS tot
-         |  FROM est e
-         |  JOIN shg xa ON xa.did = e.doc_a
-         |  LEFT JOIN shg xb ON xb.did = e.doc_b AND xb.sh = xa.sh
-         |  GROUP BY e.doc_a, e.doc_b),
-         |mh AS (
-         |  SELECT doc_a, doc_b,
-         |         CASE WHEN tot - inter = 0 THEN 0.0 ELSE inter / (tot - inter) END AS jacc
-         |  FROM ver)""".stripMargin
-    }
+         |  FROM (SELECT *, CASE b4 $bandSeeds END AS sd FROM sigp) t)""".stripMargin
 
     /** The SimHash64 construction of [[graft.plans.SimHash64]] over `strh`
       * (per-bit +/-1 votes across the token-hash MULTISET, bit set iff the
@@ -1029,6 +1073,37 @@ object PipelineQueries {
              |FROM t LEFT JOIN ov ON t.doc_id = ov.doc_id
              |WHERE t.doc_id % 20 != 0 ORDER BY t.doc_id""".stripMargin)),
 
+    // Q29h2: FUZZY decontamination — the q29h split re-checked for
+    // paraphrased/truncated leaks: MinHash/LSH banding ACROSS the
+    // corpus/benchmark boundary (bench side broadcast), estimate
+    // prefilter, exact-Jaccard verify. Banding-dependent output is
+    // deterministic given the hash family, so the oracle re-derives the
+    // whole cross pipeline via the string-XXH64 twin (the q27c machinery
+    // with cross-set candidates) — hash-compared end to end.
+    QueryDef(
+      "q29h2_decontaminate_fuzzy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Curation.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          threshold = 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.minHashCrossCtes(0.5, "% 20 != 0", "% 20 = 0")},
+             |fz AS (
+             |  SELECT d.doc_id,
+             |         CAST(count(CASE WHEN m.jacc >= 0.5 THEN 1 END) AS BIGINT) AS n_matches,
+             |         round(coalesce(max(m.jacc), 0.0), 6) AS max_jaccard
+             |  FROM documents d LEFT JOIN mh m ON m.doc_a = d.doc_id
+             |  WHERE d.doc_id % 20 != 0
+             |  GROUP BY d.doc_id)
+             |SELECT doc_id, n_matches, max_jaccard,
+             |       CAST(n_matches > 0 AS BIGINT) AS contaminated
+             |FROM fz ORDER BY doc_id""".stripMargin)),
+
     // Q29i: intra-document repetition stats (Gopher-style duplicate
     // token/2-gram/3-gram fractions + repetitive flag). Engine counts
     // distinct hashes map-side; oracle counts distinct strings.
@@ -1431,6 +1506,60 @@ object PipelineQueries {
              |SELECT p.did AS doc_id, CAST(p.off AS BIGINT) AS "offset", p.gram, h.n_docs
              |FROM png p JOIN hot h USING (gram)
              |ORDER BY doc_id, "offset", gram""".stripMargin)),
+
+    // Q29s: Naive-Bayes quality classification — the GPT-3/LLaMA-style
+    // "reference-like" classifier, trained by pure counting on a labeled
+    // source split (src0-src3 = curated references, the rest = raw crawl)
+    // and scored map-only over the whole corpus. maxVocab = 25 genuinely
+    // prunes this corpus's ~31-token vocabulary, so the OOV path (pruned
+    // AND unseen tokens) is exercised. The oracle re-derives the counts,
+    // the Laplace log-likelihood ratios, the prune, and the decimal-sum
+    // scoring — model training AND inference both hash-compared.
+    QueryDef(
+      "q29s_quality_classifier",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isRef = col("source").isin("src0", "src1", "src2", "src3")
+        val nb = graft.operators.Curation.trainQualityClassifier(
+          docs.filter(isRef), docs.filter(!isRef), maxVocab = 25)
+        graft.operators.Curation.classifierScore(docs, nb).orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_pos,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |tok AS (SELECT doc_id, is_pos, unnest(toks) AS token FROM t),
+             |cnt AS (
+             |  SELECT token,
+             |         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE) AS cpos,
+             |         CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS DOUBLE) AS cneg
+             |  FROM tok GROUP BY token),
+             |tot AS (
+             |  SELECT sum(cpos) + CAST(count(*) AS DOUBLE) AS dpos,
+             |         sum(cneg) + CAST(count(*) AS DOUBLE) AS dneg
+             |  FROM cnt),
+             |llr AS (
+             |  SELECT token,
+             |         ln((cpos + 1.0) / (SELECT dpos FROM tot)) -
+             |         ln((cneg + 1.0) / (SELECT dneg FROM tot)) AS llr
+             |  FROM cnt ORDER BY cpos + cneg DESC, token LIMIT 25),
+             |pr AS (
+             |  SELECT ln(CAST((SELECT count(*) FROM documents
+             |                  WHERE source IN ('src0','src1','src2','src3')) AS DOUBLE) /
+             |            CAST((SELECT count(*) FROM documents
+             |                  WHERE source NOT IN ('src0','src1','src2','src3')) AS DOUBLE)) AS prior,
+             |         ln(1.0 / (SELECT dpos FROM tot)) - ln(1.0 / (SELECT dneg FROM tot)) AS oov),
+             |s AS (
+             |  SELECT tok.doc_id, coalesce(l.llr, (SELECT oov FROM pr)) AS sc
+             |  FROM tok LEFT JOIN llr l ON tok.token = l.token),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |         round(CAST(sum(CAST(sc AS DECIMAL(30,10))) AS DOUBLE)
+             |               + (SELECT prior FROM pr), 4) AS nb_logodds
+             |  FROM s GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, nb_logodds,
+             |       CAST(nb_logodds > 0 AS BIGINT) AS is_quality
+             |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // Q29o: LEARNED BPE vocabulary — the trained-tokenizer half of the
     // pluggable token-counting surface: distributed word histogram, then

@@ -576,4 +576,116 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(loose == Set((4L, 0L, 2L), (5L, 1L, 2L)), s"got $loose")
   }
+
+  test("decontaminateFuzzy flags paraphrased and truncated leaks the exact check misses") {
+    import spark.implicits._
+    // 40 distinct tokens; the "edited leak" changes one token per 13-token
+    // window (positions 8/21/34) — NO 13-gram (GPT-3's decontamination
+    // width) survives intact (longest unchanged run is 12), yet only 9 of
+    // 38 trigram shingles die: J = 29/47 ~ 0.617 >= 0.5. The exact check
+    // and the fuzzy check are provably non-redundant on this input.
+    // bands = 32 (r = 2): a J ~ 0.6 pair misses all 32 bands with
+    // probability (1 - J^2)^32 ~ 2e-7 — the fixture collides.
+    val w = (0 until 40).map(i => s"w$i")
+    val benchText = w.mkString(" ")
+    val edited = w.zipWithIndex
+      .map { case (t, i) => if (i % 13 == 8) s"x$i" else t }.mkString(" ")
+    val corpus = Seq(
+      (1L, edited),
+      (2L, w.take(25).mkString(" ")), // truncated leak: J = 23/38 ~ 0.605
+      (3L, "a completely different document about training data curation pipelines"),
+      (4L, w.reverse.mkString(" "))) // same vocabulary, reversed: zero shared shingles
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(corpus, bench, threshold = 0.5, bands = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(1L)._3 == 1L && out(1L)._2 > 0.5, s"edited leak must flag: ${out(1L)}")
+    assert(out(2L)._3 == 1L && out(2L)._2 > 0.5, s"truncated leak must flag: ${out(2L)}")
+    assert(out(3L)._3 == 0L, s"clean doc flagged: ${out(3L)}")
+    assert(out(4L)._3 == 0L, s"reversed-words doc flagged: ${out(4L)}")
+    // the exact 13-gram check misses the edited leak entirely (no shared
+    // 13-gram): the fuzzy pass is not redundant with q29h's operator
+    val exact = Curation.decontaminate(corpus, bench, n = 13, minOverlap = 1L)
+      .filter(col("doc_id") === 1L).head().getLong(3)
+    assert(exact == 0L, "planted edit should evade the exact n-gram check")
+
+    // verbatim leak: jaccard 1.0, and every corpus doc appears exactly once
+    val verbatim = Curation.decontaminateFuzzy(
+      corpus.unionByName(Seq((5L, benchText)).toDF("doc_id", "text")), bench, threshold = 0.5)
+    assert(verbatim.count() == 5L)
+    val v5 = verbatim.filter(col("doc_id") === 5L).head()
+    assert(v5.getDouble(2) == 1.0 && v5.getLong(3) == 1L, s"verbatim leak: $v5")
+  }
+
+  test("NB classifier: log odds match the hand-computed Laplace model; pruned tokens score as OOV") {
+    import spark.implicits._
+    // pos corpus: "x x y" (3 tokens), neg corpus: "z z y" (3 tokens).
+    // vocab V = 3 {x,y,z}; dPos = dNeg = 3 + 1*3 = 6.
+    // llr(x) = ln(3/6) - ln(1/6) = ln 3; llr(y) = 0; llr(z) = -ln 3;
+    // oov = ln(1/6) - ln(1/6) = 0; prior = ln(1/1) = 0.
+    val pos = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val neg = Seq((2L, "z z y")).toDF("doc_id", "text")
+    val nb = Curation.trainQualityClassifier(pos, neg, maxVocab = 10)
+    assert(nb.prior == 0.0 && nb.oovLlr == 0.0)
+    val llr = nb.tokenLlr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(llr.keySet == Set("x", "y", "z"))
+    assert(llr("x") == math.log(3.0 / 6) - math.log(1.0 / 6))
+    assert(llr("y") == 0.0)
+    assert(llr("z") == math.log(1.0 / 6) - math.log(3.0 / 6))
+
+    // "x x q z": 2*ln3 + oov(q)=0 + (-ln3) = ln3 > 0 -> quality;
+    // "z z" scores -2*ln3 < 0 -> junk
+    def pin(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = Curation.classifierScore(
+      Seq((10L, "x x q z"), (11L, "z z")).toDF("doc_id", "text"), nb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(scored(10L) == ((4L, pin(math.log(3.0)), 1L)), s"got ${scored(10L)}")
+    assert(scored(11L) == ((2L, pin(-2.0 * math.log(3.0)), 0L)), s"got ${scored(11L)}")
+
+    // prune to maxVocab = 1: only x (count 2, ties z broken by token)
+    // survives; y and z now take the OOV contribution 0 — but V and the
+    // totals are PRE-prune, so llr(x) is unchanged
+    val hard = Curation.trainQualityClassifier(pos, neg, maxVocab = 1)
+    val kept = hard.tokenLlr.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(kept.toSeq == Seq(("x", math.log(3.0 / 6) - math.log(1.0 / 6))), s"got ${kept.toSeq}")
+    val zScore = Curation.classifierScore(Seq((12L, "z z")).toDF("doc_id", "text"), hard)
+      .head().getDouble(2)
+    assert(zScore == 0.0, s"pruned z must score as OOV: $zScore")
+  }
+
+  test("NB classifier: carries its tokenizer; separates the labeled sources on the real corpus") {
+    import spark.implicits._
+    // BPE-trained model scores under the SAME subword stream: n_tokens is
+    // the BPE count, not the whitespace count
+    val pos = Seq((1L, "the data the data")).toDF("doc_id", "text")
+    val neg = Seq((2L, "zq zq")).toDF("doc_id", "text")
+    val bpe = Tokenizer.Bpe(Tokenizer.FixtureVocab)
+    val nb = Curation.trainQualityClassifier(pos, neg, tokenizer = bpe)
+    // "the data the data zq": 4 positive-class subwords outweigh zq's two
+    // fallback characters (" z","q" carry negative llr — with "the data zq"
+    // the two sides would cancel to exactly 0)
+    val doc = Seq((3L, "the data the data zq")).toDF("doc_id", "text")
+    val row = Curation.classifierScore(doc, nb).head()
+    val bpeCount = doc.select(bpe.count(col("text"))).head().getLong(0)
+    assert(row.getLong(1) == bpeCount, s"n_tokens ${row.getLong(1)} != BPE count $bpeCount")
+    assert(row.getLong(3) == 1L, "reference-like doc must classify positive")
+
+    // real corpus: training on the labeled source split must separate the
+    // classes it was trained on better than chance — mean logodds of the
+    // positive class strictly above the negative class, deterministically
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val isRef = col("source").isin("src0", "src1", "src2", "src3")
+    val model = Curation.trainQualityClassifier(
+      docs.filter(isRef), docs.filter(!isRef), maxVocab = 25)
+    val scored = Curation.classifierScore(docs, model)
+      .join(docs.select(col("doc_id"), isRef.as("is_ref")), "doc_id")
+    val means = scored.groupBy("is_ref").agg(avg("nb_logodds")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"classifier fails to separate its own training split: $means")
+    val a = Curation.classifierScore(docs, model).collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = Curation.classifierScore(docs, model).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq, "scoring is deterministic run to run")
+  }
 }

@@ -212,6 +212,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "per-doc agg must partial-combine map-side")
   }
 
+  test("q29s: NB scoring broadcasts the model; one slim per-doc exchange, no text on it") {
+    val df = Registry.byName("q29s_quality_classifier").fn(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut < 0) full else full.substring(0, cut)
+    assert(p.contains("BroadcastHashJoin"), "the llr table must broadcast: " + p.take(800))
+    assert(!p.contains("SortMergeJoin"), "the corpus must not sort-merge against the model")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.size == 1, s"one per-doc agg exchange expected: $exchanges")
+    exchanges.foreach(keys =>
+      assert(keys.contains("doc_id") && !keys.contains("text") && !keys.contains("token"),
+        s"slim doc-keyed shuffle only: $keys"))
+    assert(p.contains("partial_"), "per-doc agg must partial-combine map-side")
+  }
+
+  test("q29h2: fuzzy decontamination broadcasts the benchmark; the corpus never sort-merges") {
+    val df = Registry.byName("q29h2_decontaminate_fuzzy").fn(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut < 0) full else full.substring(0, cut)
+    // band probe + signature/shingle fetch + the keep-all-docs left join
+    // all broadcast the eval-suite side; the corpus flows map-side into
+    // the candidate dedup and the per-doc agg
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "benchmark bands and shingle/signature rows must broadcast: " + p.take(1000))
+    assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle into a sort-merge join")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    exchanges.foreach(keys =>
+      assert(!keys.contains("text"), s"no text on a shuffle: $keys"))
+  }
+
   test("q29i: repetition stats is a map-only projection (zero exchanges)") {
     val p = plan("q29i_text_repetition")
     // the query's orderBy adds one range exchange for presentation; the

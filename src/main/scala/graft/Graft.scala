@@ -641,6 +641,24 @@ final case class Graft(spark: SparkSession, dir: String) {
     operators.Curation.classifierScore(documents, nb)
   }
 
+  /** DSIR importance weights for this directory's documents against a
+    * `target` reference frame (hashed-bigram bucket models, broadcast
+    * scoring): one (doc_id, n_grams, log_weight) row per document. */
+  def dsirWeights(target: DataFrame, buckets: Int = 10007): DataFrame = {
+    val m = operators.Curation.trainDsir(target, documents, buckets)
+    operators.Curation.dsirScore(documents, m)
+  }
+
+  /** DSIR importance RESAMPLING: a reproducible `sampleSize`-document data
+    * mix drawn from this directory's documents, tilted toward `target` by
+    * the importance weights via deterministic Gumbel-top-k. */
+  def dsirSelect(
+      target: DataFrame, sampleSize: Int, seed: Long = 0L,
+      buckets: Int = 10007): DataFrame = {
+    val m = operators.Curation.trainDsir(target, documents, buckets)
+    operators.Curation.dsirResample(documents, m, sampleSize, seed)
+  }
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 

@@ -672,6 +672,128 @@ object Curation {
         (logOdds > 0.0).cast("long").as("is_quality"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public knowledge): the
+    * hashed-n-gram feature space with `buckets` buckets, a target and a raw
+    * unigram-bag model over the buckets (Laplace-`alpha` smoothed), and
+    * per-bucket log ratios `lr[b] = ln p_target(b) - ln p_raw(b)`. Unlike
+    * the pruned [[NbClassifier]] vocabulary, the HASHING TRICK bounds the
+    * model at exactly `buckets` rows no matter the corpus — no prune, no
+    * OOV path in practice (`oovLr` covers buckets unseen in BOTH sides,
+    * possible only when the scored corpus differs from the raw side).
+    * Scoring and resampling are map-only against the broadcast table. */
+  final case class DsirModel(
+      bucketLr: DataFrame,
+      buckets: Int,
+      n: Int,
+      oovLr: Double,
+      tokenizer: Tokenizer = Tokenizer.Whitespace)
+
+  /** (id?, bucket) feature rows: positional n-gram hashes (multiset — DSIR
+    * counts occurrences, not distinct grams) folded into `buckets` by
+    * pmod. `outer` keeps featureless (short) documents with a null bucket
+    * for scoring's zero row. */
+  private def dsirRows(
+      df: DataFrame, keep: Seq[Column], n: Int, buckets: Int,
+      textCol: String, tokenizer: Tokenizer, outer: Boolean): DataFrame = {
+    val th = tokenizer match {
+      case Tokenizer.Whitespace => TextOps.tokenHashes(coalesce(col(textCol), lit("")))
+      case t => transform(t.tokens(coalesce(col(textCol), lit(""))), e => xxhash64(e))
+    }
+    val grams = TextOps.positionalNgramHashes(th, n)
+    val g = if (outer) explode_outer(grams) else explode(grams)
+    df.select(keep :+ g.as("_g"): _*)
+      .withColumn("_b", pmod(col("_g"), lit(buckets.toLong)))
+  }
+
+  /** Train a [[DsirModel]]: `target` = the distribution to select FOR
+    * (curated reference text), `raw` = the pool to select FROM. One
+    * map-side-combined counting pass per side, a bucket-sized full-outer
+    * join, driver totals — the corpus never shuffles anything wider than
+    * (8-byte bucket, partial count). Deterministic end to end. */
+  def trainDsir(
+      target: DataFrame,
+      raw: DataFrame,
+      buckets: Int = 10007,
+      n: Int = 2,
+      alpha: Double = 1.0,
+      textCol: String = "text",
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DsirModel = {
+    require(buckets > 0, "buckets must be positive")
+    require(n >= 1, "n must be >= 1")
+    require(alpha > 0.0, "alpha must be positive")
+    def counts(df: DataFrame): DataFrame =
+      dsirRows(df, Seq.empty, n, buckets, textCol, tokenizer, outer = false)
+        .groupBy("_b").agg(count(lit(1)).cast("double").as("c"))
+    val joined = counts(target).select(col("_b"), col("c").as("ct"))
+      .join(counts(raw).select(col("_b"), col("c").as("cr")), Seq("_b"), "full_outer")
+      .localCheckpoint() // at most `buckets` rows; totals + lr reuse it
+    val tot = joined.agg(
+      coalesce(sum("ct"), lit(0.0)), coalesce(sum("cr"), lit(0.0))).head()
+    val (nt, nr) = (tot.getDouble(0), tot.getDouble(1))
+    require(nt > 0.0 && nr > 0.0,
+      s"trainDsir: both sides need n-gram mass (target=$nt, raw=$nr)")
+    val dT = nt + alpha * buckets
+    val dR = nr + alpha * buckets
+    val lr = joined.select(col("_b").as("bucket"),
+      (log((coalesce(col("ct"), lit(0.0)) + lit(alpha)) / lit(dT)) -
+        log((coalesce(col("cr"), lit(0.0)) + lit(alpha)) / lit(dR))).as("lr"))
+      .localCheckpoint()
+    graft.core.Blocks.free(joined)
+    DsirModel(lr, buckets, n, math.log(alpha / dT) - math.log(alpha / dR), tokenizer)
+  }
+
+  /** Per-document importance weights under a trained [[DsirModel]]:
+    * (id, n_grams, log_weight) with `log_weight = Σ lr[bucket]` over the
+    * document's hashed n-gram OCCURRENCES, decimal-accumulated
+    * (order-independent) and rounded to 4 decimals. Featureless documents
+    * weigh 0.0. One broadcast join + one slim per-doc agg; the corpus
+    * never shuffles. */
+  def dsirScore(
+      corpus: DataFrame,
+      m: DsirModel,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+    dsirRows(corpus, Seq(col(idCol)), m.n, m.buckets, textCol, m.tokenizer, outer = true)
+      .join(broadcast(m.bucketLr.withColumnRenamed("bucket", "_b")), Seq("_b"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("_g")).as("n_grams"),
+        round(sum(
+          when(col("_g").isNotNull, coalesce(col("lr"), lit(m.oovLr)))
+            .otherwise(lit(0.0)).cast(dec)).cast("double"), 4).as("log_weight"))
+  }
+
+  /** Importance RESAMPLING — the selection step of DSIR: draw `sampleSize`
+    * documents without replacement, each with probability tilted by its
+    * importance weight, via the Gumbel-top-k identity (adding standard
+    * Gumbel noise to the log weights and taking the top k IS weighted
+    * sampling without replacement — public knowledge). The noise is
+    * DETERMINISTIC: uniform from `xxhash64(id, seed)` folded into (0, 1)
+    * through the 2^53 grid (exact in a double), so the same (corpus, seed)
+    * always selects the same documents — reproducible data mixes, and the
+    * whole draw is re-derivable in SQL. Top-k lowers to
+    * TakeOrderedAndProject: no global sort at any corpus size. */
+  def dsirResample(
+      corpus: DataFrame,
+      m: DsirModel,
+      sampleSize: Int,
+      seed: Long = 0L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(sampleSize > 0, "sampleSize must be positive")
+    val m53 = 9007199254740992L // 2^53
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(m53)).cast("double") + lit(0.5)) /
+      lit(m53.toDouble)
+    dsirScore(corpus, m, textCol, idCol)
+      .withColumn("sel_key", col("log_weight") + -log(-log(u)))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(sampleSize)
+      .select(col(idCol), col("n_grams"), col("log_weight"),
+        round(col("sel_key"), 6).as("sel_key"))
+  }
+
   /** The default document-quality rule set (too-short / too-repetitive /
     * word-length), shared by the q29k query, the curated-ingest probe, and
     * available to callers as a starting cascade. Thresholds are tuned to

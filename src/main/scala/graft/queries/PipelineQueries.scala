@@ -1561,6 +1561,112 @@ object PipelineQueries {
              |       CAST(nb_logodds > 0 AS BIGINT) AS is_quality
              |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Q29t: DSIR importance weights — hashed-bigram bucket models of the
+    // curated-source target vs the whole corpus, per-doc log importance
+    // ratio. The hashing trick bounds the model at `buckets` rows, so no
+    // prune/OOV path fires here. Oracle: the positional-2-gram fold over
+    // the string-XXH64 twin, bucketed by pmod, both count models and the
+    // decimal-summed scoring re-derived in SQL.
+    QueryDef(
+      "q29t_dsir",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = graft.operators.Curation.trainDsir(
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3")), docs,
+          buckets = 10007)
+        graft.operators.Curation.dsirScore(docs, m).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.posNgramCtes(2)},
+             |bkt AS MATERIALIZED (
+             |  SELECT did, ((gram % 10007) + 10007) % 10007 AS b FROM png),
+             |tcnt AS (
+             |  SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM bkt
+             |  WHERE did IN (SELECT doc_id FROM documents
+             |                WHERE source IN ('src0','src1','src2','src3'))
+             |  GROUP BY b),
+             |rcnt AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM bkt GROUP BY b),
+             |tot AS (
+             |  SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) + 10007.0 AS dt,
+             |         (SELECT coalesce(sum(cr), 0) FROM rcnt) + 10007.0 AS dr),
+             |lr AS (
+             |  SELECT r.b,
+             |         ln((coalesce(t.ct, 0) + 1.0) / (SELECT dt FROM tot)) -
+             |         ln((r.cr + 1.0) / (SELECT dr FROM tot)) AS lr
+             |  FROM rcnt r LEFT JOIN tcnt t ON t.b = r.b),
+             |sc AS (
+             |  SELECT bkt.did,
+             |         coalesce(l.lr, ln(1.0 / (SELECT dt FROM tot)) -
+             |                        ln(1.0 / (SELECT dr FROM tot))) AS sc
+             |  FROM bkt LEFT JOIN lr l ON l.b = bkt.b),
+             |agg AS (
+             |  SELECT did, CAST(count(*) AS BIGINT) AS n_grams,
+             |         round(CAST(sum(CAST(sc AS DECIMAL(30,10))) AS DOUBLE), 4) AS log_weight
+             |  FROM sc GROUP BY did)
+             |SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+             |       CAST(coalesce(a.log_weight, 0.0) AS DOUBLE) AS log_weight
+             |FROM documents d LEFT JOIN agg a ON a.did = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Q29t2: DSIR importance RESAMPLING — Gumbel-top-k over the q29t
+    // weights with deterministic hash-derived noise: the exact 100-doc
+    // data mix is reproducible and fully re-derived in SQL (weights,
+    // noise, ordering, cut).
+    QueryDef(
+      "q29t2_dsir_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = graft.operators.Curation.trainDsir(
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3")), docs,
+          buckets = 10007)
+        graft.operators.Curation.dsirResample(docs, m, sampleSize = 100, seed = 7L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.posNgramCtes(2)},
+             |bkt AS MATERIALIZED (
+             |  SELECT did, ((gram % 10007) + 10007) % 10007 AS b FROM png),
+             |tcnt AS (
+             |  SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM bkt
+             |  WHERE did IN (SELECT doc_id FROM documents
+             |                WHERE source IN ('src0','src1','src2','src3'))
+             |  GROUP BY b),
+             |rcnt AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM bkt GROUP BY b),
+             |tot AS (
+             |  SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) + 10007.0 AS dt,
+             |         (SELECT coalesce(sum(cr), 0) FROM rcnt) + 10007.0 AS dr),
+             |lr AS (
+             |  SELECT r.b,
+             |         ln((coalesce(t.ct, 0) + 1.0) / (SELECT dt FROM tot)) -
+             |         ln((r.cr + 1.0) / (SELECT dr FROM tot)) AS lr
+             |  FROM rcnt r LEFT JOIN tcnt t ON t.b = r.b),
+             |sc AS (
+             |  SELECT bkt.did,
+             |         coalesce(l.lr, ln(1.0 / (SELECT dt FROM tot)) -
+             |                        ln(1.0 / (SELECT dr FROM tot))) AS sc
+             |  FROM bkt LEFT JOIN lr l ON l.b = bkt.b),
+             |agg AS (
+             |  SELECT did, CAST(count(*) AS BIGINT) AS n_grams,
+             |         round(CAST(sum(CAST(sc AS DECIMAL(30,10))) AS DOUBLE), 4) AS log_weight
+             |  FROM sc GROUP BY did),
+             |w AS (
+             |  SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+             |         CAST(coalesce(a.log_weight, 0.0) AS DOUBLE) AS log_weight
+             |  FROM documents d LEFT JOIN agg a ON a.did = d.doc_id),
+             |${XxSql.hashCtes("gh", "(SELECT doc_id FROM documents)", "doc_id", 7L)},
+             |keyed AS (
+             |  SELECT w.doc_id, w.n_grams, w.log_weight,
+             |         w.log_weight + (-ln(-ln(
+             |           (CAST(((h % 9007199254740992) + 9007199254740992) % 9007199254740992
+             |                 AS DOUBLE) + 0.5) / 9007199254740992.0))) AS sel_key
+             |  FROM w JOIN ghh ON ghh.doc_id = w.doc_id),
+             |top AS (
+             |  SELECT doc_id, n_grams, log_weight, round(sel_key, 6) AS sel_key
+             |  FROM keyed ORDER BY keyed.sel_key DESC, doc_id LIMIT 100)
+             |SELECT * FROM top ORDER BY doc_id""".stripMargin)),
+
     // Q29o: LEARNED BPE vocabulary — the trained-tokenizer half of the
     // pluggable token-counting surface: distributed word histogram, then
     // the Sennrich-style greedy merge loop over the bounded histogram

@@ -617,6 +617,57 @@ class CurationSpec extends AnyFunSuite {
     assert(v5.getDouble(2) == 1.0 && v5.getLong(3) == 1L, s"verbatim leak: $v5")
   }
 
+  test("DSIR: target==raw weighs every doc exactly 0; weights order target-like above raw-like") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota")) // 1 token, n=2: featureless
+      .toDF("doc_id", "text")
+    // target == raw: ct == cr and Nt == Nr bucket-for-bucket, so every
+    // lr is EXACTLY ln(x) - ln(x) = 0 and every decimal sum is 0.0
+    val self = Curation.trainDsir(docs, docs, buckets = 101)
+    val zero = Curation.dsirScore(docs, self)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(zero == Set((1L, 3L, 0.0), (2L, 3L, 0.0), (3L, 0L, 0.0)), s"got $zero")
+
+    // target matches doc 1's grams only: doc 1 must outweigh doc 2, and
+    // the featureless doc sits at exactly 0
+    val m = Curation.trainDsir(
+      Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text"), docs, buckets = 101)
+    val w = Curation.dsirScore(docs, m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L), s"target-like doc must outweigh raw-like: $w")
+    assert(w(3L) == 0.0, s"featureless doc must weigh 0: $w")
+  }
+
+  test("DSIR resampling: deterministic Gumbel-top-k, complete at full size, tilted by weight") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 4) "alpha beta gamma delta epsilon" else s"junk$i word$i noise$i filler$i end$i"))
+      .toDF("doc_id", "text")
+    // the target must carry enough mass to beat the Laplace floor (one
+    // occurrence against alpha*buckets smoothing is ~zero signal): 50
+    // copies give the target grams lr ~ +2.2 and junk grams lr ~ -0.8 —
+    // a ~12-nat weight gap Gumbel noise crosses with probability ~e^-12
+    val m = Curation.trainDsir(
+      (1L to 50L).map(i => (i, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      docs, buckets = 101)
+    // sampleSize >= corpus: everything selected, in doc order after sort
+    assert(Curation.dsirResample(docs, m, sampleSize = 100).count() == 40L)
+    // the four target-identical docs carry far more weight than the 36
+    // singleton-gram docs — a 6-doc draw must include all four, at any seed
+    for (seed <- Seq(0L, 1L, 2L)) {
+      val picked = Curation.dsirResample(docs, m, sampleSize = 6, seed = seed)
+        .collect().map(_.getLong(0)).toSet
+      assert(Set(1L, 2L, 3L, 4L).subsetOf(picked), s"seed $seed picked $picked")
+    }
+    // same seed -> identical draw; different seeds -> different fillers
+    val a = Curation.dsirResample(docs, m, 6, seed = 1L).collect().map(_.toSeq)
+    val b = Curation.dsirResample(docs, m, 6, seed = 1L).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "resampling must be deterministic per seed")
+  }
+
   test("NB classifier: log odds match the hand-computed Laplace model; pruned tokens score as OOV") {
     import spark.implicits._
     // pos corpus: "x x y" (3 tokens), neg corpus: "z z y" (3 tokens).

@@ -247,6 +247,26 @@ class PlanSpec extends AnyFunSuite {
       assert(!keys.contains("text"), s"no text on a shuffle: $keys"))
   }
 
+  test("q29t: DSIR scoring broadcasts the bucket table; q29t2 top-k is TakeOrdered, no global sort") {
+    val df = Registry.byName("q29t_dsir").fn(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut < 0) full else full.substring(0, cut)
+    assert(p.contains("BroadcastHashJoin"), "the bucket-lr table must broadcast: " + p.take(800))
+    assert(!p.contains("SortMergeJoin"), "the corpus must not sort-merge against the model")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    exchanges.foreach(keys =>
+      assert(!keys.contains("text"), s"no text on a shuffle: $keys"))
+
+    val sampled = Registry.byName("q29t2_dsir_sample").fn(spark, dir)
+    sampled.collect()
+    val sp = sampled.queryExecution.executedPlan.toString
+    assert(sp.contains("TakeOrderedAndProject"),
+      "the Gumbel-top-k cut must lower to TakeOrderedAndProject: " + sp.take(800))
+  }
+
   test("q29i: repetition stats is a map-only projection (zero exchanges)") {
     val p = plan("q29i_text_repetition")
     // the query's orderBy adds one range exchange for presentation; the

@@ -659,6 +659,13 @@ final case class Graft(spark: SparkSession, dir: String) {
     operators.Curation.dsirResample(documents, m, sampleSize, seed)
   }
 
+  /** Batch BM25 keyword retrieval over this directory's documents:
+    * (query_id, doc_id, rank, score) hits for a (query_id, query_text)
+    * frame — ad-hoc corpus inspection without an external search cluster.
+    * The query-term set broadcasts; the corpus never sort-merges. */
+  def searchDocuments(queries: DataFrame, topK: Int = 10): DataFrame =
+    operators.Search.bm25(documents, queries, topK)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 

@@ -1947,6 +1947,61 @@ object PipelineQueries {
           .select(col("doc_id"), coalesce(col("is_kept"), lit(0L)).as("is_kept"))
           .orderBy("doc_id")
       },
-      None)
+      None),
+
+    // Q32: BM25 keyword retrieval — the corpus-inspection companion to the
+    // embedding search family: three keyword queries (one with a rare
+    // discriminative term, one multi-term, one with no corpus hits) scored
+    // batch-style. The oracle re-derives N/avgdl, tf, df, the Lucene-style
+    // idf, the decimal-summed score, and the rounded-score ranking in
+    // plain SQL (no hash twin needed — the terms join as strings).
+    QueryDef(
+      "q32_bm25_search",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "dup scan"), (2L, "spark query merge"), (3L, "zebra"))
+          .toDF("query_id", "query_text")
+        graft.operators.Search.bm25(Tables.documents(s, dir), qs, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |  (CAST(1 AS BIGINT), 'dup'), (1, 'scan'),
+             |  (2, 'spark'), (2, 'query'), (2, 'merge'),
+             |  (3, 'zebra')),
+             |t AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |         CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+             |  FROM t),
+             |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
+             |tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
+             |         CAST(max(dl) AS DOUBLE) AS dl
+             |  FROM tok WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
+             |idf AS (
+             |  SELECT tok,
+             |         ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+             |  FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)),
+             |sc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |         idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+             |         (tf.tf + CAST(1.2 AS DOUBLE) *
+             |          ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c
+             |  FROM tf JOIN q ON q.term = tf.tok JOIN idf ON idf.tok = tf.tok),
+             |agg AS (
+             |  SELECT query_id, doc_id,
+             |         round(CAST(sum(CAST(c AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
+             |  FROM sc GROUP BY query_id, doc_id),
+             |rnk AS (
+             |  SELECT query_id, doc_id, score,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |  FROM agg)
+             |SELECT query_id, doc_id, rank, score FROM rnk
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Search
+import graft.queries.Registry
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 retrieval semantics: hand-computed scores, tie-breaks, disjunctive
+  * hit semantics, and the broadcast-probe plan shape.
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pin(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The operator's decimal accumulation mirrored: each per-term
+    * contribution rounds to DECIMAL(30,10), the exact sum casts back to
+    * double, the result rounds to 4 decimals. */
+  private def score(contribs: Double*): Double =
+    pin(contribs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble)
+
+  // the operator's formula re-derived in plain scalar math (identical op
+  // structure: same idf variant, same k1/b literal arithmetic)
+  private val (k1, b) = (1.2, 0.75)
+  private def idf(n: Double, df: Double): Double =
+    math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+  private def contrib(idf: Double, tf: Double, dl: Double, avgdl: Double): Double =
+    idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+
+  test("bm25 scores match the hand-derived formula; ranking and hit semantics hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian durian durian"))
+      .toDF("doc_id", "text")
+    val qs = Seq(
+      (1L, "apple"),
+      (2L, "apple durian banana"),
+      (3L, "missing"))
+      .toDF("query_id", "query_text")
+    val out = Search.bm25(docs, qs, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+
+    val (n, avgdl) = (3.0, 3.0) // dl 3 + 2 + 4 over 3 docs
+    // q1 "apple": df = 2; d1 tf=2 dl=3, d2 tf=1 dl=2; d3 no hit
+    val iA = idf(n, 2.0)
+    assert(out((1L, 1L)) == ((1L, score(contrib(iA, 2.0, 3.0, avgdl)))), s"${out((1L, 1L))}")
+    assert(out((1L, 2L)) == ((2L, score(contrib(iA, 1.0, 2.0, avgdl)))), s"${out((1L, 2L))}")
+    assert(!out.contains((1L, 3L)), "doc without the term must not be a hit")
+    // q2 "apple durian banana": d1 scores apple(2) + banana(1), d3 scores
+    // durian(4) with the rare-term idf
+    val iB = idf(n, 1.0)
+    val d1 = score(contrib(iA, 2.0, 3.0, avgdl), contrib(iB, 1.0, 3.0, avgdl))
+    val d3 = score(contrib(iB, 4.0, 4.0, avgdl))
+    assert(out((2L, 1L))._2 == d1, s"q2 d1: ${out((2L, 1L))} vs $d1")
+    assert(out((2L, 3L))._2 == d3, s"q2 d3: ${out((2L, 3L))}")
+    // q3: term absent from the corpus -> zero hits
+    assert(!out.keys.exists(_._1 == 3L), "no-hit query must return no rows")
+
+    // tie-break: two identical docs share a score; lower id ranks first
+    val tied = Seq((7L, "kiwi kiwi"), (5L, "kiwi kiwi"), (9L, "mango")).toDF("doc_id", "text")
+    val tq = Seq((1L, "kiwi")).toDF("query_id", "query_text")
+    val ranks = Search.bm25(tied, tq, topK = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(ranks == Map(5L -> 1L, 7L -> 2L), s"tie-break by id: $ranks")
+  }
+
+  test("q32 plan: query terms broadcast; no corpus sort-merge; topK bounded by rank filter") {
+    val df = Registry.byName("q32_bm25_search").fn(spark, TestSpark.Sf0001)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut < 0) full else full.substring(0, cut)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "term set and idf table must broadcast: " + p.take(1000))
+    assert(!p.contains("SortMergeJoin"), "the corpus must never sort-merge")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    exchanges.foreach(keys =>
+      assert(!keys.contains("text"), s"no text on a shuffle: $keys"))
+    // topK respected per query
+    val byQ = df.collect().groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) => assert(rows.length <= 10, s"query $q overflow") }
+  }
+}

@@ -480,6 +480,13 @@ final case class Graft(spark: SparkSession, dir: String) {
   def topKNeighborsApprox(queries: DataFrame, k: Int, dim: Int = 64): DataFrame =
     Similarity.lshTopK(embeddings, queries, k, dim)
 
+  /** Cluster-balanced sample of this directory's embeddings: at most
+    * `perList` vectors per k-means bucket in deterministic hash order —
+    * the SemDeDup-style diversity selection that stops dense embedding
+    * regions dominating a training mix. */
+  def clusterBalancedSample(perList: Int, lists: Int = 16, seed: Long = 0L): DataFrame =
+    Ivf.balancedSample(embeddings, Ivf.train(embeddings, lists), perList, seed)
+
   /** Train an IVF model over this directory's embeddings and persist the
     * index (inverted lists partitioned by bucket + centroid matrix) —
     * train once, search many. */

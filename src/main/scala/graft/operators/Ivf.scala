@@ -65,6 +65,35 @@ object Ivf {
   def probeCentroids(vec: Column, model: Model, nProbe: Int): Column =
     probes(vec, model, nProbe)
 
+  /** CLUSTER-BALANCED sampling — the diversity-aware selection step of the
+    * embedding-space curation recipes (SemDeDup and the density-pruning
+    * family sample per k-means cluster so dense regions of embedding space
+    * cannot dominate a training mix): assign each vector to its quantizer
+    * bucket and keep at most `perList` per bucket, chosen in deterministic
+    * `xxhash64(id, seed)` order — the same (corpus, model, seed) always
+    * selects the same rows. Returns (id, bucket) keep rows.
+    *
+    * Scale design: assignment is the map-side centroid kernel (beam
+    * descend for a hierarchical model); the embedding column is DROPPED
+    * before the per-bucket rank window, so the one exchange carries
+    * (id, bucket, hash) — never vectors. */
+  def balancedSample(
+      corpus: DataFrame,
+      model: Model,
+      perList: Int,
+      seed: Long = 0L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(perList > 0, "perList must be positive")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    corpus
+      .select(col(idCol), nearestCentroid(col(vecCol), model).as("bucket"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perList)
+      .select(col(idCol), col("bucket"))
+  }
+
   /** Train C centroids with `iters` Lloyd iterations. Cluster count is
     * clamped to the corpus size (requesting 32 lists over 20 vectors must
     * not crash); an empty corpus is a caller error.

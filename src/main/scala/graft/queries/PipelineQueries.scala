@@ -820,6 +820,21 @@ object PipelineQueries {
       },
       None),
 
+    // Q28h: cluster-balanced sampling — the SemDeDup-style diversity
+    // selection: at most perList vectors kept per quantizer bucket, chosen
+    // in deterministic hash order, so dense embedding regions cannot
+    // dominate a training mix. Trained model => rows-only; cap/coverage/
+    // exact-keep-set semantics are pinned in IvfSpec.
+    QueryDef(
+      "q28h_cluster_sample",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.operators.Ivf.train(emb, c = 32, iters = 3)
+        graft.operators.Ivf.balancedSample(emb, model, perList = 8, seed = 42L)
+          .orderBy("vec_id")
+      },
+      None),
+
     // Q28g: streaming SEMANTIC ingest — embedding near-dup dedup-on-write:
     // an IVF index over the first-half embeddings, the second half streamed
     // through startSemanticIngest (partition-pruned probes, arrival-order

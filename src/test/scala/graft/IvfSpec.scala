@@ -280,4 +280,48 @@ class IvfSpec extends AnyFunSuite {
     val b = Ivf.topK(emb, queries, m2, k = 3, nProbe = 4).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("balancedSample: exact hash-order keeps per bucket, cap respected, deterministic") {
+    val model = Ivf.train(emb, c = 8, iters = 2)
+    val perList = 5
+    val kept = Ivf.balancedSample(emb, model, perList, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // expected: per bucket, the perList ids smallest by (xxhash64(id, 3), id)
+    val assigned = emb
+      .select(col("vec_id"), Ivf.nearestCentroid(col("embedding"), model).as("b"),
+        xxhash64(col("vec_id"), lit(3L)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (b, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(perList).map(r => (r._1, b))
+    }.toSet
+    assert(kept.toSet == expected, "keep set must be the per-bucket hash-order prefix")
+    // every nonempty bucket contributes min(cap, size)
+    val sizes = assigned.groupBy(_._2).map { case (b, rows) => b -> rows.length }
+    val keptSizes = kept.groupBy(_._2).map { case (b, rows) => b -> rows.length }
+    sizes.foreach { case (b, n) =>
+      assert(keptSizes.getOrElse(b, 0) == math.min(n, perList), s"bucket $b: $n") }
+    // deterministic run to run; different seed selects a different prefix
+    val again = Ivf.balancedSample(emb, model, perList, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == kept.toSet)
+    // the per-bucket window must not carry the embedding vectors
+    val plan = Ivf.balancedSample(emb, model, perList, seed = 3L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    exchanges.foreach(keys =>
+      assert(!keys.contains("embedding"), s"no vectors on the sample shuffle: $keys"))
+  }
+
+  test("balancedSample under a hierarchical model uses the same quantizer as assignment") {
+    val model = Ivf.trainHier(emb, leaves = 16, branch = 4, iters = 1)
+    val kept = Ivf.balancedSample(emb, model, perList = 3, seed = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val buckets = emb
+      .select(col("vec_id"), Ivf.nearestCentroid(col("embedding"), model).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    kept.foreach { case (id, b) =>
+      assert(buckets(id) == b, s"sample bucket must equal assignment bucket for $id") }
+    assert(kept.groupBy(_._2).values.forall(_.length <= 3), "cap holds per leaf")
+  }
 }

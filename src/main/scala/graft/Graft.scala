@@ -673,6 +673,16 @@ final case class Graft(spark: SparkSession, dir: String) {
   def searchDocuments(queries: DataFrame, topK: Int = 10): DataFrame =
     operators.Search.bm25(documents, queries, topK)
 
+  /** Persist an inverted text index (postings partitioned by term-hash
+    * bucket) for [[searchDocumentsIndexed]] — tokenize once, search many. */
+  def buildTextIndex(path: String, buckets: Int = 64): Unit =
+    operators.Search.buildTextIndex(documents, path, buckets)
+
+  /** BM25 over a persisted text index: identical results to
+    * [[searchDocuments]], reading only the query terms' posting buckets. */
+  def searchDocumentsIndexed(path: String, queries: DataFrame, topK: Int = 10): DataFrame =
+    operators.Search.bm25Indexed(spark, path, queries, topK)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 

@@ -460,6 +460,50 @@ object Curation {
       .select(col(idCol), col("offset").cast("long").as("offset"), col("gram"), col("n_docs"))
   }
 
+  /** Boilerplate EXCISION — the consumer [[boilerplateNgrams]]'s scaladoc
+    * promises (the ExactSubstr recipe removes the repeated passage and
+    * keeps the document, where doc-level dedup would throw the whole page
+    * away): every token position covered by at least one hot-n-gram
+    * occurrence is cut, the remainder rejoins in order. Returns one row
+    * per document: (id, n_tokens, n_removed, text_clean) — text_clean is
+    * "" when everything was boilerplate, untouched docs pass through with
+    * n_removed = 0.
+    *
+    * Scale design: the hit offsets fold to ONE slim (id, offsets[])-row
+    * per affected document (boilerplate-doc-sized, broadcast by default —
+    * `broadcastHits = false` falls back to a shuffled join when the corpus
+    * is wall-to-wall boilerplate); the cut itself is a codegen'd
+    * higher-order filter over the token array, so document TEXT never
+    * rides any exchange. One extra corpus scan (detection) is inherent:
+    * "hot" is a corpus-wide property. */
+  def exciseBoilerplate(
+      documents: DataFrame,
+      n: Int = 5,
+      minDocs: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastHits: Boolean = true): DataFrame = {
+    val hits = boilerplateNgrams(documents, n, minDocs, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("offset")).as("_offs"))
+    val h = if (broadcastHits) broadcast(hits) else hits
+    documents
+      .join(h, Seq(idCol), "left")
+      .select(col(idCol),
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("_toks"),
+        coalesce(col("_offs"), array().cast("array<long>")).as("_offs"))
+      .withColumn("_kept", expr(
+        s"""transform(
+           |  filter(
+           |    transform(_toks, (t, i) -> struct(t AS tk, CAST(i AS BIGINT) AS i)),
+           |    s -> NOT exists(_offs, o -> s.i >= o AND s.i < o + $n)),
+           |  s -> s.tk)""".stripMargin))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("_kept")).as("text_clean"))
+  }
+
   /** A pruned stupid-backoff bigram language model — the CCNet-style
     * corpus-quality scorer's model half (Wenzek et al. 2020 score web text
     * by LM perplexity; Brants et al. 2007's "stupid backoff" is the n-gram

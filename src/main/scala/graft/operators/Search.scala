@@ -65,6 +65,16 @@ object Search {
       .join(broadcast(terms.select("tok").distinct()), Seq("tok"), "left_semi")
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"), max("dl").cast("double").as("dl"))
+    scoreAndRank(tf, terms, n, avgdl, topK, k1, b)
+  }
+
+  /** The scoring tail shared by the scan and indexed paths — ONE definition
+    * so the two can never diverge: df/idf from the matched (doc, term)
+    * rows, decimal-accumulated per-(query, doc) scores, rounded BEFORE the
+    * per-query rank window. `tf` = (doc_id, tok, tf, dl) doubles. */
+  private def scoreAndRank(
+      tf: DataFrame, terms: DataFrame, n: Long, avgdl: Double,
+      topK: Int, k1: Double, b: Double): DataFrame = {
     val idf = tf.groupBy("tok")
       .agg(count(lit(1)).cast("double").as("df"))
       .select(col("tok"),
@@ -83,5 +93,77 @@ object Search {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
+  /** Persist an INVERTED INDEX for [[bm25Indexed]]: postings
+    * (doc_id, tok, tf, dl) written `partitionBy(pb)` where
+    * `pb = pmod(xxhash64(tok), buckets)` — the term-hash analogue of the
+    * IVF inverted-file layout ([[Ivf.writeIndex]]) and the band-bucket
+    * store: a query's terms map to a handful of `pb` values, so search
+    * reads only those partition directories (path pruning) plus a
+    * `tok IN` rowgroup filter inside them, instead of re-tokenizing the
+    * corpus per batch. Corpus stats (N, Σdl, buckets) land in `meta`.
+    * Tokenize once, search many — the standing-index path where [[bm25]]
+    * is the ad-hoc scan. */
+  def buildTextIndex(
+      documents: DataFrame,
+      path: String,
+      buckets: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = documents.sparkSession
+    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
+    val m = documents.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    import spark.implicits._
+    Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    documents
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
+      .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)))
+      // one task per touched bucket => one file per bucket, not per
+      // (task x bucket)
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** BM25 over a [[buildTextIndex]] index: IDENTICAL results to [[bm25]]
+    * on the indexed corpus (same scoring tail, stats from `meta`), but the
+    * per-batch cost is a pruned postings read — only the query terms' hash
+    * buckets are listed and scanned — instead of a corpus scan. The
+    * term-bucket set is computed with one query-batch-sized job; corpus
+    * data never reaches the driver. */
+  def bm25Indexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, sumDl, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    require(n > 0, "Search.bm25Indexed: empty index")
+    val avgdl = sumDl.toDouble / n.toDouble
+    val terms = queries.select(
+      col(queryIdCol).as("query_id"),
+      explode(TextOps.tokens(coalesce(col(queryTextCol), lit("")))).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    // the terms' partition buckets — a query-batch-sized collect
+    val pbs = terms.select(pmod(xxhash64(col("tok")), lit(buckets.toLong)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val termList = terms.select("tok").distinct().collect().map(_.getString(0)).toSeq
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("pb").isin(pbs: _*) && col("tok").isin(termList: _*))
+      .select(col("doc_id"), col("tok"),
+        col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
+    scoreAndRank(tf, terms, n, avgdl, topK, k1, b)
   }
 }

@@ -1522,6 +1522,41 @@ object PipelineQueries {
              |FROM png p JOIN hot h USING (gram)
              |ORDER BY doc_id, "offset", gram""".stripMargin)),
 
+    // Q29r2: boilerplate EXCISION — the ExactSubstr consumer of q29r's
+    // hits: covered token positions cut, remainder rejoined in order
+    // (passage-level removal where doc-level dedup would discard the
+    // page). The oracle composes q29r's detection CTEs with the position
+    // cover, the NOT EXISTS cut, and an ordered string_agg rebuild — the
+    // CLEANED TEXT ITSELF is hash-compared.
+    QueryDef(
+      "q29r2_excise_boilerplate",
+      (s, dir) =>
+        graft.operators.Curation.exciseBoilerplate(
+          Tables.documents(s, dir), n = 5, minDocs = 3)
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.posNgramCtes(5)},
+             |hot AS (
+             |  SELECT gram FROM png GROUP BY gram HAVING count(DISTINCT did) >= 3),
+             |hit AS (SELECT DISTINCT p.did, p.off FROM png p JOIN hot h USING (gram)),
+             |cov AS (
+             |  SELECT DISTINCT did, off + d AS pos
+             |  FROM hit CROSS JOIN (SELECT unnest(range(0, 5)) AS d) g),
+             |kept AS (
+             |  SELECT t.did, t.pos, t.token FROM tok t
+             |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.did = t.did AND c.pos = t.pos)),
+             |agg AS (
+             |  SELECT did, CAST(count(*) AS BIGINT) AS n_kept,
+             |         coalesce(string_agg(token, ' ' ORDER BY pos), '') AS text_clean
+             |  FROM kept GROUP BY did),
+             |tot AS (SELECT did, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY did)
+             |SELECT tot.did AS doc_id, tot.n_tokens,
+             |       CAST(tot.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+             |       coalesce(a.text_clean, '') AS text_clean
+             |FROM tot LEFT JOIN agg a ON a.did = tot.did
+             |ORDER BY doc_id""".stripMargin)),
+
     // Q29s: Naive-Bayes quality classification — the GPT-3/LLaMA-style
     // "reference-like" classifier, trained by pure counting on a labeled
     // source split (src0-src3 = curated references, the rest = raw crawl)
@@ -1978,6 +2013,63 @@ object PipelineQueries {
           (1L, "dup scan"), (2L, "spark query merge"), (3L, "zebra"))
           .toDF("query_id", "query_text")
         graft.operators.Search.bm25(Tables.documents(s, dir), qs, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |  (CAST(1 AS BIGINT), 'dup'), (1, 'scan'),
+             |  (2, 'spark'), (2, 'query'), (2, 'merge'),
+             |  (3, 'zebra')),
+             |t AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |         CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+             |  FROM t),
+             |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
+             |tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
+             |         CAST(max(dl) AS DOUBLE) AS dl
+             |  FROM tok WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
+             |idf AS (
+             |  SELECT tok,
+             |         ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+             |  FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)),
+             |sc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |         idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+             |         (tf.tf + CAST(1.2 AS DOUBLE) *
+             |          ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c
+             |  FROM tf JOIN q ON q.term = tf.tok JOIN idf ON idf.tok = tf.tok),
+             |agg AS (
+             |  SELECT query_id, doc_id,
+             |         round(CAST(sum(CAST(c AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
+             |  FROM sc GROUP BY query_id, doc_id),
+             |rnk AS (
+             |  SELECT query_id, doc_id, score,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |  FROM agg)
+             |SELECT query_id, doc_id, rank, score FROM rnk
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Q32b: BM25 over the PERSISTED inverted index — buildTextIndex writes
+    // postings partitionBy(term-hash bucket) (the IVF inverted-file layout
+    // applied to terms); search reads only the query terms' bucket
+    // directories. Deterministic and IDENTICAL to q32 by construction
+    // (shared scoring tail, stats from meta), so the SAME full SQL oracle
+    // hash-checks the indexed path too.
+    QueryDef(
+      "q32b_bm25_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val idx = QueryDef.tempDirForResult("graft_text_idx_").toString
+        graft.operators.Search.buildTextIndex(Tables.documents(s, dir), idx)
+        val qs = Seq(
+          (1L, "dup scan"), (2L, "spark query merge"), (3L, "zebra"))
+          .toDF("query_id", "query_text")
+        graft.operators.Search.bm25Indexed(s, idx, qs, topK = 10)
           .orderBy("query_id", "rank")
       },
       Some("""WITH q(query_id, term) AS (VALUES

@@ -577,6 +577,44 @@ class CurationSpec extends AnyFunSuite {
     assert(loose == Set((4L, 0L, 2L), (5L, 1L, 2L)), s"got $loose")
   }
 
+  test("exciseBoilerplate cuts exactly the covered positions; clean docs untouched; converges") {
+    import spark.implicits._
+    val footer = "please subscribe to our channel"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $footer"),      // footer at tail
+      (2L, s"$footer epsilon zeta eta theta iota"), // footer at head
+      (3L, s"kappa $footer lambda mu nu xi"),       // footer mid-doc
+      (4L, "one two three four five six seven"),    // clean
+      (5L, footer))                                 // pure boilerplate
+      .toDF("doc_id", "text")
+    val out = Curation.exciseBoilerplate(docs, n = 5, minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((9L, 5L, "alpha beta gamma delta")), s"${out(1L)}")
+    assert(out(2L) == ((10L, 5L, "epsilon zeta eta theta iota")), s"${out(2L)}")
+    assert(out(3L) == ((10L, 5L, "kappa lambda mu nu xi")), s"${out(3L)}")
+    assert(out(4L) == ((7L, 0L, "one two three four five six seven")), "clean doc must pass through")
+    assert(out(5L) == ((5L, 5L, "")), s"pure boilerplate excises to empty: ${out(5L)}")
+
+    // convergence: a second pass over the cleaned corpus finds nothing
+    // hot (the footer is gone everywhere), so it removes zero tokens
+    val cleaned = Curation.exciseBoilerplate(docs, n = 5, minDocs = 3)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val second = Curation.exciseBoilerplate(cleaned, n = 5, minDocs = 3)
+      .agg(sum("n_removed")).head().getLong(0)
+    assert(second == 0L, s"second pass must be a no-op, removed $second")
+
+    // OVERLAPPING occurrences excise as the union of covers: the shared
+    // run "a b c d e f" in three docs holds two hot 5-grams (offsets 0
+    // and 1) whose covers overlap on positions 1..4 — all six tokens go
+    val over = Seq(
+      (1L, "a b c d e f x"), (2L, "y a b c d e f"), (3L, "z z a b c d e f"))
+      .toDF("doc_id", "text")
+    val o = Curation.exciseBoilerplate(over, n = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(o == Map(1L -> "x", 2L -> "y", 3L -> "z z"), s"union-of-covers: $o")
+  }
+
   test("decontaminateFuzzy flags paraphrased and truncated leaks the exact check misses") {
     import spark.implicits._
     // 40 distinct tokens; the "edited leak" changes one token per 13-token

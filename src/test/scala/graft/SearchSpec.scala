@@ -69,6 +69,37 @@ class SearchSpec extends AnyFunSuite {
     assert(ranks == Map(5L -> 1L, 7L -> 2L), s"tie-break by id: $ranks")
   }
 
+  test("bm25Indexed == bm25 exactly; the postings read is partition-pruned to term buckets") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val qs = Seq((1L, "dup scan"), (2L, "spark query merge"), (3L, "zebra"))
+      .toDF("query_id", "query_text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx_").toString
+    Search.buildTextIndex(docs, idx, buckets = 64)
+    val scan = Search.bm25(docs, qs, topK = 7).collect().map(_.toSeq)
+      .sortBy(_.mkString(","))
+    val indexed = Search.bm25Indexed(spark, idx, qs, topK = 7)
+    val got = indexed.collect().map(_.toSeq).sortBy(_.mkString(","))
+    assert(got.toSeq == scan.toSeq, "the indexed path must equal the scan path row for row")
+    // the term-bucket filter must reach the scan as PARTITION pruning:
+    // only the query terms' posting directories are listed and read
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [pb"),
+      s"pb filter must be a partition filter, plan:\n${plan.take(2000)}")
+
+    // stats come from meta, not a corpus rescan: the index answers alone
+    // (score against a rebuilt index over HALF the corpus differs — avgdl
+    // and df really derive from the indexed corpus, not the query batch)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_bm25_idx2_").toString
+    Search.buildTextIndex(half, idx2, buckets = 64)
+    val h = Search.bm25Indexed(spark, idx2, qs.filter(col("query_id") === 1L), topK = 7)
+      .collect().map(_.toSeq).sortBy(_.mkString(","))
+    val hScan = Search.bm25(half, qs.filter(col("query_id") === 1L), topK = 7)
+      .collect().map(_.toSeq).sortBy(_.mkString(","))
+    assert(h.toSeq == hScan.toSeq, "half-corpus index must equal half-corpus scan")
+  }
+
   test("q32 plan: query terms broadcast; no corpus sort-merge; topK bounded by rank filter") {
     val df = Registry.byName("q32_bm25_search").fn(spark, TestSpark.Sf0001)
     df.collect()

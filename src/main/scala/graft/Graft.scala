@@ -683,6 +683,20 @@ final case class Graft(spark: SparkSession, dir: String) {
   def searchDocumentsIndexed(path: String, queries: DataFrame, topK: Int = 10): DataFrame =
     operators.Search.bm25Indexed(spark, path, queries, topK)
 
+  /** Append new documents to a persisted text index (search after append
+    * == full rebuild; no staleness gate needed). */
+  def appendToTextIndex(newDocs: DataFrame, path: String): Long =
+    operators.Search.appendToTextIndex(newDocs, path)
+
+  /** Retract documents from a persisted text index by id (search after
+    * delete == rebuild without them; reclaim via [[compactTextIndex]]). */
+  def deleteFromTextIndex(removedIds: DataFrame, path: String): Long =
+    operators.Search.deleteFromTextIndex(removedIds, path)
+
+  /** Physically reclaim tombstoned postings (stop-the-world, idempotent). */
+  def compactTextIndex(path: String): Unit =
+    operators.Search.compactTextIndex(spark, path)
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 

@@ -131,12 +131,99 @@ object Search {
       .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
   }
 
+  /** Append new documents to a persisted text index WITHOUT rebuilding:
+    * the batch's postings land in the existing bucket partitions and the
+    * corpus stats in `meta` grow by the batch — search after append is
+    * IDENTICAL to a full [[buildTextIndex]] rebuild over the union
+    * (df/tf come from the postings themselves and N/avgdl from meta, so
+    * there is no trained state to go stale — unlike [[Ivf.appendToIndex]]
+    * this append needs no rebuild gate, ever). Ids must be fresh (not
+    * present, not tombstoned). Returns documents appended. */
+  def appendToTextIndex(
+      newDocs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Long = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n0, sd0, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
+    val batch = newDocs
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
+      .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)))
+      .localCheckpoint()
+    batch.repartition(col("pb"))
+      .write.partitionBy("pb").mode("append").parquet(s"$path/postings")
+    val bm = batch.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    graft.core.Blocks.free(batch)
+    import spark.implicits._
+    Seq((n0 + bm.getLong(0), sd0 + bm.getLong(1), buckets))
+      .toDF("n_docs", "sum_dl", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    bm.getLong(0)
+  }
+
+  /** Retract documents from a persisted text index by id — the takedown
+    * path ([[Ivf.deleteFromIndex]]'s contract): tombstones carry the
+    * removed documents' LENGTH MASS (looked up from the postings once, at
+    * delete time), so reads reconstruct exact post-deletion N/avgdl from
+    * `meta` minus the tombstone aggregate without rewriting anything —
+    * search after delete is IDENTICAL to a rebuild without those docs.
+    * Idempotent (re-deletes dedupe at read); ids must not be reused while
+    * tombstoned. Returns distinct ids tombstoned by this call. */
+  def deleteFromTextIndex(
+      removedIds: DataFrame,
+      path: String,
+      idCol: String = "doc_id"): Long = {
+    val spark = removedIds.sparkSession
+    val ids = removedIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val batch = spark.read.parquet(s"$path/postings")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .localCheckpoint()
+    batch.write.mode("append").parquet(s"$path/tombs")
+    val n = batch.count()
+    graft.core.Blocks.free(batch)
+    n
+  }
+
+  /** Physically reclaim tombstoned postings: rewrite the bucket partitions
+    * minus deleted docs, recount `meta` FROM THE LIVE POSTINGS (recount,
+    * not subtraction — so the operation is idempotent), drop the
+    * tombstones. STOP-THE-WORLD for this index (rewrites `postings/` in
+    * place, the [[Ivf.compactIndexSegments]] contract); after a crash
+    * mid-way, re-running compaction restores consistency. */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    if (!fs.exists(tombsDir)) return
+    val t = spark.read.parquet(tombsDir.toString).select("doc_id").distinct()
+    val live = spark.read.parquet(s"$path/postings")
+      .join(broadcast(t), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // materialize before overwriting the files it reads
+    live.repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
+    fs.delete(tombsDir, true)
+    val buckets = spark.read.parquet(s"$path/meta").head().getInt(2)
+    val m = live.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    graft.core.Blocks.free(live)
+    import spark.implicits._
+    Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** BM25 over a [[buildTextIndex]] index: IDENTICAL results to [[bm25]]
-    * on the indexed corpus (same scoring tail, stats from `meta`), but the
-    * per-batch cost is a pruned postings read — only the query terms' hash
-    * buckets are listed and scanned — instead of a corpus scan. The
-    * term-bucket set is computed with one query-batch-sized job; corpus
-    * data never reaches the driver. */
+    * on the indexed corpus (same scoring tail, stats from `meta` minus any
+    * tombstoned documents), but the per-batch cost is a pruned postings
+    * read — only the query terms' hash buckets are listed and scanned —
+    * instead of a corpus scan. The term-bucket set is computed with one
+    * query-batch-sized job; corpus data never reaches the driver. */
   def bm25Indexed(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -148,7 +235,20 @@ object Search {
       queryTextCol: String = "query_text"): DataFrame = {
     require(topK > 0, "topK must be positive")
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (n, sumDl, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val (n0, sd0, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    // tombstoned docs leave N/avgdl exactly as a rebuild-without-them
+    // would: their length mass rides the tombstones (takedown-sized)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    val tombs = if (fs.exists(tombsDir))
+      Some(spark.read.parquet(tombsDir.toString)
+        .groupBy("doc_id").agg(max("dl").as("dl")).localCheckpoint())
+    else None
+    val (n, sumDl) = tombs.fold((n0, sd0)) { t =>
+      val g = t.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      (n0 - g.getLong(0), sd0 - g.getLong(1))
+    }
     require(n > 0, "Search.bm25Indexed: empty index")
     val avgdl = sumDl.toDouble / n.toDouble
     val terms = queries.select(
@@ -160,10 +260,12 @@ object Search {
     val pbs = terms.select(pmod(xxhash64(col("tok")), lit(buckets.toLong)))
       .distinct().collect().map(_.getLong(0)).toSeq
     val termList = terms.select("tok").distinct().collect().map(_.getString(0)).toSeq
-    val tf = spark.read.parquet(s"$path/postings")
+    val raw = spark.read.parquet(s"$path/postings")
       .filter(col("pb").isin(pbs: _*) && col("tok").isin(termList: _*))
-      .select(col("doc_id"), col("tok"),
-        col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
+    val live = tombs.fold(raw)(t =>
+      raw.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val tf = live.select(col("doc_id"), col("tok"),
+      col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
     scoreAndRank(tf, terms, n, avgdl, topK, k1, b)
   }
 }

@@ -100,6 +100,38 @@ class SearchSpec extends AnyFunSuite {
     assert(h.toSeq == hScan.toSeq, "half-corpus index must equal half-corpus scan")
   }
 
+  test("text-index lifecycle: append == rebuild, delete == rebuild-without, compaction invariant") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val first = docs.filter(col("doc_id") % 3 =!= 0)
+    val rest = docs.filter(col("doc_id") % 3 === 0)
+    val qs = Seq((1L, "dup scan"), (2L, "spark query")).toDF("query_id", "query_text")
+    def run(path: String) = Search.bm25Indexed(spark, path, qs, topK = 9)
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+
+    // append: index(first) + append(rest) == index(all)
+    val grown = java.nio.file.Files.createTempDirectory("graft_ti_grow_").toString
+    Search.buildTextIndex(first, grown, buckets = 32)
+    val appended = Search.appendToTextIndex(rest, grown)
+    assert(appended == rest.count(), "every batch doc appended")
+    val full = java.nio.file.Files.createTempDirectory("graft_ti_full_").toString
+    Search.buildTextIndex(docs, full, buckets = 32)
+    assert(run(grown) == run(full), "append must equal a full rebuild")
+
+    // delete: index(all) - delete(rest) == index(first); idempotent re-delete
+    assert(Search.deleteFromTextIndex(rest.select("doc_id"), full) == rest.count())
+    val firstOnly = java.nio.file.Files.createTempDirectory("graft_ti_first_").toString
+    Search.buildTextIndex(first, firstOnly, buckets = 32)
+    assert(run(full) == run(firstOnly), "delete must equal a rebuild without the docs")
+    Search.deleteFromTextIndex(rest.select("doc_id"), full)
+    assert(run(full) == run(firstOnly), "double delete must change nothing")
+
+    // compaction reclaims without changing any result
+    Search.compactTextIndex(spark, full)
+    assert(run(full) == run(firstOnly), "compaction must be invisible to search")
+    assert(!new java.io.File(s"$full/tombs").exists(), "tombstones reclaimed")
+  }
+
   test("q32 plan: query terms broadcast; no corpus sort-merge; topK bounded by rank filter") {
     val df = Registry.byName("q32_bm25_search").fn(spark, TestSpark.Sf0001)
     df.collect()

@@ -693,9 +693,24 @@ final case class Graft(spark: SparkSession, dir: String) {
   def deleteFromTextIndex(removedIds: DataFrame, path: String): Long =
     operators.Search.deleteFromTextIndex(removedIds, path)
 
-  /** Physically reclaim tombstoned postings (stop-the-world, idempotent). */
+  /** Physically reclaim tombstoned postings and fold streamed segments
+    * (stop-the-world, idempotent). */
   def compactTextIndex(path: String): Unit =
     operators.Search.compactTextIndex(spark, path)
+
+  /** Streaming searchable-on-write: each micro-batch of `sourceDir` lands
+    * as a replay-idempotent postings segment of the text index at
+    * `indexPath` — [[searchDocumentsIndexed]] sees every ingested document
+    * immediately, with exactly the stats a batch rebuild would produce. */
+  def ingestSearchable(
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      indexPath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.Ingest.startTextIndexIngest(
+      spark, sourceDir, schema, indexPath, checkpointDir,
+      maxFilesPerTrigger = maxFilesPerTrigger.orElse(Some(streaming.Ingest.DefaultMaxFilesPerTrigger)))
 
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)

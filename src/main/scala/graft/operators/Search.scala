@@ -181,7 +181,8 @@ object Search {
       idCol: String = "doc_id"): Long = {
     val spark = removedIds.sparkSession
     val ids = removedIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val batch = spark.read.parquet(s"$path/postings")
+    val batch = (s"$path/postings" +: liveSegments(spark, path).map(_ + "/postings"))
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(max("dl").as("dl"))
       .localCheckpoint()
@@ -191,24 +192,87 @@ object Search {
     n
   }
 
-  /** Physically reclaim tombstoned postings: rewrite the bucket partitions
-    * minus deleted docs, recount `meta` FROM THE LIVE POSTINGS (recount,
-    * not subtraction — so the operation is idempotent), drop the
-    * tombstones. STOP-THE-WORLD for this index (rewrites `postings/` in
-    * place, the [[Ivf.compactIndexSegments]] contract); after a crash
-    * mid-way, re-running compaction restores consistency. */
+  /** The live STREAMED segments of a text index — the replay-idempotent
+    * append form ([[writePostingsSegment]]): a segment is visible iff both
+    * its postings tree and its `segmeta` committed (`segmeta` is written
+    * last, so it is the commit point; a crash mid-write leaves the segment
+    * invisible and the replay overwrites it whole). */
+  private def liveSegments(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/segs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter { d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d, "postings/_SUCCESS")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(d, "segmeta/_SUCCESS"))
+      }
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** Write a document batch's postings as a NAMED segment under
+    * `segs/<segName>` with overwrite semantics plus its own stats row —
+    * the streaming form of [[appendToTextIndex]]: a crash-replayed
+    * micro-batch rewrites the same directory (postings AND per-segment
+    * meta) instead of double-appending, and the base `meta` is never
+    * mutated, so replay cannot double-count N/avgdl. Folded into the base
+    * by [[compactTextIndex]]. Ids must be fresh. Returns docs written. */
+  def writePostingsSegment(
+      newDocs: DataFrame,
+      path: String,
+      segName: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Long = {
+    val spark = newDocs.sparkSession
+    val buckets = spark.read.parquet(s"$path/meta").head().getInt(2)
+    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
+    val batch = newDocs
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
+      .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)))
+      .localCheckpoint()
+    batch.repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(s"$path/segs/$segName/postings")
+    val m = batch.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    graft.core.Blocks.free(batch)
+    import spark.implicits._
+    Seq((m.getLong(0), m.getLong(1))).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/segs/$segName/segmeta")
+    m.getLong(0)
+  }
+
+  /** Fold streamed segments AND tombstones into the base postings: one
+    * flat bucket-partitioned tree again, deleted rows physically
+    * reclaimed, `meta` recounted FROM THE LIVE POSTINGS (recount, not
+    * subtraction — and (doc, tok)-deduped, so the operation is IDEMPOTENT:
+    * re-running after any mid-way crash restores consistency).
+    * STOP-THE-WORLD for this index (rewrites `postings/` in place, the
+    * [[Ivf.compactIndexSegments]] contract). */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
-    if (!fs.exists(tombsDir)) return
-    val t = spark.read.parquet(tombsDir.toString).select("doc_id").distinct()
-    val live = spark.read.parquet(s"$path/postings")
-      .join(broadcast(t), Seq("doc_id"), "left_anti")
+    val segs = liveSegments(spark, path)
+    if (!fs.exists(tombsDir) && segs.isEmpty) return
+    val raw = (s"$path/postings" +: segs.map(_ + "/postings"))
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      // (doc, tok) dedupe makes the fold IDEMPOTENT: a crash after the
+      // base rewrite but before the segment delete leaves segment rows in
+      // both trees, and the rerun must not double them
+      .dropDuplicates("doc_id", "tok")
+    val live = (if (!fs.exists(tombsDir)) raw
+      else raw.join(
+        broadcast(spark.read.parquet(tombsDir.toString).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti"))
       .localCheckpoint() // materialize before overwriting the files it reads
     live.repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
-    fs.delete(tombsDir, true)
+    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
+    if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
+    if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
     val buckets = spark.read.parquet(s"$path/meta").head().getInt(2)
     val m = live.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
@@ -236,6 +300,14 @@ object Search {
     require(topK > 0, "topK must be positive")
     val meta = spark.read.parquet(s"$path/meta").head()
     val (n0, sd0, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    // live streamed segments contribute their own stats rows — the base
+    // meta never mutates on the streaming path, so a replayed batch
+    // cannot double-count
+    val segs = liveSegments(spark, path)
+    val (nS, sdS) = segs.foldLeft((n0, sd0)) { case ((a, d), seg) =>
+      val r = spark.read.parquet(s"$seg/segmeta").head()
+      (a + r.getLong(0), d + r.getLong(1))
+    }
     // tombstoned docs leave N/avgdl exactly as a rebuild-without-them
     // would: their length mass rides the tombstones (takedown-sized)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -245,9 +317,9 @@ object Search {
       Some(spark.read.parquet(tombsDir.toString)
         .groupBy("doc_id").agg(max("dl").as("dl")).localCheckpoint())
     else None
-    val (n, sumDl) = tombs.fold((n0, sd0)) { t =>
+    val (n, sumDl) = tombs.fold((nS, sdS)) { t =>
       val g = t.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-      (n0 - g.getLong(0), sd0 - g.getLong(1))
+      (nS - g.getLong(0), sdS - g.getLong(1))
     }
     require(n > 0, "Search.bm25Indexed: empty index")
     val avgdl = sumDl.toDouble / n.toDouble
@@ -260,8 +332,11 @@ object Search {
     val pbs = terms.select(pmod(xxhash64(col("tok")), lit(buckets.toLong)))
       .distinct().collect().map(_.getLong(0)).toSeq
     val termList = terms.select("tok").distinct().collect().map(_.getString(0)).toSeq
-    val raw = spark.read.parquet(s"$path/postings")
-      .filter(col("pb").isin(pbs: _*) && col("tok").isin(termList: _*))
+    // base + streamed segments, each root bucket-pruned independently
+    val raw = (s"$path/postings" +: segs.map(_ + "/postings"))
+      .map(spark.read.parquet(_)
+        .filter(col("pb").isin(pbs: _*) && col("tok").isin(termList: _*)))
+      .reduce(_ unionByName _)
     val live = tombs.fold(raw)(t =>
       raw.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
     val tf = live.select(col("doc_id"), col("tok"),

@@ -593,6 +593,47 @@ object Ingest {
       .start()
   }
 
+  /** Streaming SEARCHABLE-ON-WRITE: each micro-batch's postings land as a
+    * named segment of a [[graft.operators.Search.buildTextIndex]] index
+    * ([[graft.operators.Search.writePostingsSegment]] — batchId-keyed
+    * overwrite, per-segment stats, `segmeta` as the commit point), so
+    * `bm25Indexed` sees every ingested document immediately with EXACTLY
+    * the stats a batch rebuild would produce. Exactly-once under crash
+    * replay because nothing global mutates per batch: the replayed batch
+    * rewrites its own segment (postings AND stats) in place. Fold the
+    * accumulated segments flat with
+    * [[graft.operators.Search.compactTextIndex]] while stopped. */
+  def startTextIndexIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      indexPath: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val n = graft.operators.Search.writePostingsSegment(
+          b, indexPath, f"seg_batch_$batchId%06d", idCol, textCol)
+        Marks.write(markDir, batchId, 0L, n, ss.sparkContext.hadoopConfiguration)
+        graft.core.Blocks.free(b)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** The STREAMING composition of the whole curation pipeline — ONE ingest
     * running filter → redact → exact dedup → near-dup → (optional
     * semantic) per micro-batch, the streaming twin of

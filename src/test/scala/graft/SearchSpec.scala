@@ -132,6 +132,56 @@ class SearchSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$full/tombs").exists(), "tombstones reclaimed")
   }
 
+  test("streaming text-index ingest: searchable immediately == batch rebuild; replay-idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ti_stream_").toString
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val base = docs.filter(col("doc_id") < 300)
+    val s1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val s2 = docs.filter(col("doc_id") >= 400)
+    graft.operators.Search.buildTextIndex(base, s"$tmp/idx", buckets = 32)
+
+    def writeSrc(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    writeSrc("f1", s1)
+    writeSrc("f2", s2)
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startTextIndexIngest(
+      spark, s"$tmp/src", schema, s"$tmp/idx", s"$tmp/ckpt",
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+
+    val qs = Seq((1L, "dup scan"), (2L, "spark query")).toDF("query_id", "query_text")
+    def search() = graft.operators.Search.bm25Indexed(spark, s"$tmp/idx", qs, topK = 9)
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    val full = java.nio.file.Files.createTempDirectory("graft_ti_stream_full_").toString
+    graft.operators.Search.buildTextIndex(docs, full, buckets = 32)
+    val expected = graft.operators.Search.bm25Indexed(spark, full, qs, topK = 9)
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(search() == expected, "streamed segments must equal a batch rebuild exactly")
+
+    // crash replay: drop the last commit, rerun — the segment rewrites in
+    // place (postings AND stats), results byte-identical
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(search() == expected, "a replayed batch must not change any score")
+
+    // folding the segments flat changes nothing either
+    graft.operators.Search.compactTextIndex(spark, s"$tmp/idx")
+    assert(!new java.io.File(s"$tmp/idx/segs").exists(), "segments folded away")
+    assert(search() == expected, "compaction must be invisible to search")
+  }
+
   test("q32 plan: query terms broadcast; no corpus sort-merge; topK bounded by rank filter") {
     val df = Registry.byName("q32_bm25_search").fn(spark, TestSpark.Sf0001)
     df.collect()

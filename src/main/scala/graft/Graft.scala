@@ -712,6 +712,16 @@ final case class Graft(spark: SparkSession, dir: String) {
       spark, sourceDir, schema, indexPath, checkpointDir,
       maxFilesPerTrigger = maxFilesPerTrigger.orElse(Some(streaming.Ingest.DefaultMaxFilesPerTrigger)))
 
+  /** A trained-classifier quality gate as a [[filterDocuments]] /
+    * curated-ingest RULE (violated = classified junk): the
+    * model-filter-at-ingest pattern, verdicts identical to
+    * [[qualityClassifierScores]] by construction. */
+  def qualityClassifierRule(
+      positive: DataFrame, negative: DataFrame,
+      maxVocab: Int = 10000): (String, org.apache.spark.sql.Column) =
+    operators.Curation.classifierRule(
+      operators.Curation.trainQualityClassifier(positive, negative, maxVocab))
+
   /** Multimodal feature extraction over a binary payload column. */
   def mediaFeatures(withPayload: DataFrame): DataFrame = Multimodal.extractFeatures(withPayload)
 

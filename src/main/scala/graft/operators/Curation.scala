@@ -716,6 +716,32 @@ object Curation {
         (logOdds > 0.0).cast("long").as("is_quality"))
   }
 
+  /** The [[classifierScore]] DECISION as a single self-contained COLUMN —
+    * a [[filterChain]] rule (violated = classified junk), which is what
+    * lets a trained model gate documents INSIDE the existing
+    * curation-on-ingest paths ([[graft.streaming.Ingest.startCuratedIngest]]
+    * / `startPipelineIngest` take rule columns): the model-filter-at-ingest
+    * pattern of the big pipelines, with no new streaming plumbing. The llr
+    * table collects to a literal map riding the plan (vocabulary-sized —
+    * the same broadcast-by-construction bound as the BPE vocab; keep
+    * `maxVocab` moderate for ingest rules), and the per-token
+    * contributions fold in DECIMAL over the token array — EXACTLY the
+    * accumulation [[classifierScore]] performs, so the rule's verdict
+    * equals the scoring operator's `is_quality` document for document
+    * (spec-pinned). */
+  def classifierRule(nb: NbClassifier, textCol: String = "text"): (String, Column) = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+    val llrMap = typedLit(
+      nb.tokenLlr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    val toks = nb.tokenizer.tokens(coalesce(col(textCol), lit("")))
+    val sumDec = aggregate(
+      toks,
+      lit(java.math.BigDecimal.ZERO).cast(dec),
+      (acc, t) => (acc + coalesce(element_at(llrMap, t), lit(nb.oovLlr)).cast(dec)).cast(dec))
+    val logOdds = round(sumDec.cast("double") + lit(nb.prior), 4)
+    "nb_junk" -> (logOdds <= 0.0)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public knowledge): the
     * hashed-n-gram feature space with `buckets` buckets, a target and a raw

@@ -655,6 +655,28 @@ class CurationSpec extends AnyFunSuite {
     assert(v5.getDouble(2) == 1.0 && v5.getLong(3) == 1L, s"verbatim leak: $v5")
   }
 
+  test("classifierRule verdict equals classifierScore.is_quality doc for doc; chains as a rule") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val isRef = col("source").isin("src0", "src1", "src2", "src3")
+    val nb = Curation.trainQualityClassifier(
+      docs.filter(isRef), docs.filter(!isRef), maxVocab = 25)
+    // the Column form must reproduce the join-based operator EXACTLY
+    // (same decimal accumulation, same rounding, same threshold)
+    val scored = Curation.classifierScore(docs, nb)
+      .select(col("doc_id"), col("is_quality")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (name, violated) = Curation.classifierRule(nb)
+    assert(name == "nb_junk")
+    val ruled = docs.select(col("doc_id"), violated.cast("long").as("v")).collect()
+      .map(r => r.getLong(0) -> (1L - r.getLong(1))).toMap
+    assert(ruled == scored, "rule verdict must equal the scoring operator doc for doc")
+    // and it chains: filterChain keeps exactly the quality class
+    val kept = Curation.filterChain(docs, Seq(Curation.classifierRule(nb)))
+      .filter(col("keep") === 1L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == scored.filter(_._2 == 1L).keySet, "filterChain keeps the quality class")
+  }
+
   test("DSIR: target==raw weighs every doc exactly 0; weights order target-like above raw-like") {
     import spark.implicits._
     val docs = Seq(

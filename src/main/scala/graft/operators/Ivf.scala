@@ -83,12 +83,65 @@ object Ivf {
       perList: Int,
       seed: Long = 0L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      prefilter: Boolean = true): DataFrame = {
     require(perList > 0, "perList must be positive")
-    val w = Window.partitionBy(col("bucket"))
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-    corpus
-      .select(col(idCol), nearestCentroid(col(vecCol), model).as("bucket"))
+    val assigned = corpus.select(
+      col(idCol),
+      nearestCentroid(col(vecCol), model).as("bucket"),
+      xxhash64(col(idCol), lit(seed)).as("_h"))
+    // LOSSLESS hash prefilter (the tokenBudget discipline: exactness over
+    // the shortcut): the per-bucket rank window puts a whole bucket in ONE
+    // task — fine for the slim (id, bucket, hash) rows at test scale, a
+    // one-task sort of a billion-row hot list at 100 TB. Since keeps are
+    // the perList SMALLEST uniform hashes, rows above a per-bucket
+    // threshold at ~4x the expected k-th order statistic cannot win; the
+    // verification pass falls any bucket whose survivor count dipped under
+    // min(perList, size) back to its full row set, so the output is the
+    // exact window answer regardless of how the tail probability lands.
+    val spark = corpus.sparkSession
+    val survivors = if (!prefilter) assigned else {
+      // the prefilter makes multiple passes (counts, candidates, rare
+      // fallback): materialize the slim (id, bucket, hash) rows once so
+      // the centroid-assignment kernel runs over the corpus exactly once
+      val a = assigned.localCheckpoint()
+      val counts = a.groupBy("bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)) // model-sized: one row per list
+      val span = 1.8446744073709552e19 // 2^64 as double (exact power of two)
+      val thrRows = counts.map { case (b, c) =>
+        val thr =
+          if (c <= 4L * perList) Long.MaxValue
+          else {
+            val frac = math.min(1.0, 4.0 * (perList + 1).toDouble / c.toDouble)
+            val t = Long.MinValue.toDouble + frac * span
+            if (t >= Long.MaxValue.toDouble) Long.MaxValue else t.toLong
+          }
+        org.apache.spark.sql.Row(b, thr)
+      }
+      if (thrRows.forall(_.getLong(1) == Long.MaxValue)) a
+      else {
+        val thrDf = spark.createDataFrame(
+          java.util.Arrays.asList(thrRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "bucket", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField(
+              "_thr", org.apache.spark.sql.types.LongType))))
+        val cand = a.join(broadcast(thrDf), Seq("bucket"))
+          .filter(col("_h") <= col("_thr")).drop("_thr")
+          .localCheckpoint() // verified then windowed: scan the corpus once
+        val got = cand.groupBy("bucket").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val fallback = counts.collect {
+          case (b, c) if got.getOrElse(b, 0L) < math.min(c, perList.toLong) => b
+        }
+        if (fallback.isEmpty) cand
+        else cand.filter(!col("bucket").isin(fallback: _*))
+          .unionByName(a.filter(col("bucket").isin(fallback: _*)))
+      }
+    }
+    val w = Window.partitionBy(col("bucket")).orderBy(col("_h"), col(idCol))
+    survivors
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= perList)
       .select(col(idCol), col("bucket"))

@@ -304,6 +304,18 @@ class IvfSpec extends AnyFunSuite {
     val again = Ivf.balancedSample(emb, model, perList, seed = 3L)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(again == kept.toSet)
+    // the lossless hash prefilter (engaged: sf0.001 buckets hold hundreds
+    // of rows >> 4*perList) must change NOTHING vs the full window
+    val noPf = Ivf.balancedSample(emb, model, perList, seed = 3L, prefilter = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(noPf == kept.toSet, "prefilter must be invisible in the output")
+    // perList = 1 stresses the tightest threshold (expected survivors ~8
+    // per bucket); the verification fallback keeps it exact regardless
+    val one = Ivf.balancedSample(emb, model, 1, seed = 11L).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val oneFull = Ivf.balancedSample(emb, model, 1, seed = 11L, prefilter = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(one == oneFull, "perList = 1 prefilter path must stay exact")
     // the per-bucket window must not carry the embedding vectors
     val plan = Ivf.balancedSample(emb, model, perList, seed = 3L)
       .queryExecution.executedPlan.toString

@@ -568,12 +568,18 @@ final case class Graft(spark: SparkSession, dir: String) {
         operators.Curation.defaultQualityRules(),
       benchmark: Option[DataFrame] = None,
       nearDupThreshold: Double = 0.7,
+      fuzzyThreshold: Option[Double] = None,
+      dsirTarget: Option[DataFrame] = None,
+      dsirSampleSize: Option[Int] = None,
       budgetTokens: Option[Long] = None,
       shardsDir: Option[String] = None,
       numShards: Int = 64,
       seed: Long = 0L): (DataFrame, DataFrame) =
     operators.Curation.curationPipeline(
-      documents, rules, benchmark, nearDupThreshold, budgetTokens,
+      documents, rules, benchmark, nearDupThreshold,
+      fuzzyThreshold = fuzzyThreshold,
+      dsirTarget = dsirTarget, dsirSampleSize = dsirSampleSize,
+      budgetTokens = budgetTokens,
       shardsDir = shardsDir, numShards = numShards, seed = seed)
 
   /** Benchmark decontamination: per-document distinct word n-gram overlap
@@ -697,6 +703,10 @@ final case class Graft(spark: SparkSession, dir: String) {
     * (stop-the-world, idempotent). */
   def compactTextIndex(path: String): Unit =
     operators.Search.compactTextIndex(spark, path)
+
+  /** GetProperty-style health of a persisted text index. */
+  def textIndexProperties(path: String): Map[String, String] =
+    operators.Search.textIndexStats(spark, path)
 
   /** Streaming searchable-on-write: each micro-batch of `sourceDir` lands
     * as a replay-idempotent postings segment of the text index at

@@ -1076,9 +1076,19 @@ object Curation {
     *      [[graft.operators.Dedup.collapseDuplicates]]
     *   5. `decontaminate` — [[decontaminate]] vs `benchmark` (skipped when
     *      None)
-    *   6. `budget`        — [[tokenBudget]] per-stratum token cap (skipped
+    *   6. `decontaminate_fuzzy` — [[decontaminateFuzzy]] vs the same
+    *      benchmark at `fuzzyThreshold` (skipped when None): catches the
+    *      paraphrased/truncated leaks the exact n-gram stage misses
+    *   7. `budget`        — [[tokenBudget]] per-stratum token cap (skipped
     *      when None; `budgetScore` defaults to
     *      [[graft.functions.TextOps.qualityScore]] of the redacted text)
+    *   8. `dsir_select`   — [[dsirResample]] toward `dsirTarget` (skipped
+    *      unless both `dsirTarget` and `dsirSampleSize` are set): the
+    *      importance-resampled final data mix
+    *
+    * A TRAINED-MODEL quality gate needs no stage of its own: pass
+    * [[classifierRule]] among `rules` and the filter stage applies it
+    * (the model-filter-at-ingest pattern).
     *
     * and optionally materializes the result as deterministic training
     * shards ([[writeTrainingShards]] under `shardsDir`). Returns
@@ -1098,6 +1108,9 @@ object Curation {
       rules: Seq[(String, Column)],
       benchmark: Option[DataFrame] = None,
       nearDupThreshold: Double = 0.7,
+      fuzzyThreshold: Option[Double] = None,
+      dsirTarget: Option[DataFrame] = None,
+      dsirSampleSize: Option[Int] = None,
       budgetTokens: Option[Long] = None,
       budgetScore: Option[Column] = None,
       shardsDir: Option[String] = None,
@@ -1145,6 +1158,14 @@ object Curation {
         d.join(clean, Seq(idCol), "left_semi")
       }
     }
+    for (bm <- benchmark; th <- fuzzyThreshold) {
+      stage("decontaminate_fuzzy") { d =>
+        val clean = decontaminateFuzzy(
+          d, bm, threshold = th, idCol = idCol, textCol = textCol)
+          .filter(col("contaminated") === 0L).select(col(idCol))
+        d.join(clean, Seq(idCol), "left_semi")
+      }
+    }
     budgetTokens.foreach { b =>
       stage("budget") { d =>
         val kept = tokenBudget(
@@ -1154,6 +1175,14 @@ object Curation {
           tokenizer = tokenizer)
           .select(col(idCol))
         d.join(kept, Seq(idCol), "left_semi")
+      }
+    }
+    for (target <- dsirTarget; size <- dsirSampleSize) {
+      stage("dsir_select") { d =>
+        val m = trainDsir(target, d, textCol = textCol, tokenizer = tokenizer)
+        d.join(
+          dsirResample(d, m, size, seed, textCol, idCol).select(col(idCol)),
+          Seq(idCol), "left_semi")
       }
     }
     shardsDir.foreach(dir => writeTrainingShards(cur, dir, numShards, seed, idCol))

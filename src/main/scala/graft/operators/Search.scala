@@ -282,6 +282,47 @@ object Search {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** GetProperty-style health of a persisted text index (the
+    * [[graft.operators.Dedup.exactIndexStats]] /[[Ivf.indexStats]]
+    * contract): live document count and average length (exactly what
+    * scoring will use), posting-row and distinct-term counts, streamed
+    * segments awaiting a fold, pending tombstones. The posting counts
+    * scan the slim postings trees only — never document text. */
+  def textIndexStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n0, sd0, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val segs = liveSegments(spark, path)
+    val (nS, sdS) = segs.foldLeft((n0, sd0)) { case ((a, d), seg) =>
+      val r = spark.read.parquet(s"$seg/segmeta").head()
+      (a + r.getLong(0), d + r.getLong(1))
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    val (tombN, tombDl) =
+      if (!fs.exists(tombsDir)) (0L, 0L)
+      else {
+        val g = spark.read.parquet(tombsDir.toString)
+          .groupBy("doc_id").agg(max("dl").as("dl"))
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+        (g.getLong(0), g.getLong(1))
+      }
+    val (n, sd) = (nS - tombN, sdS - tombDl)
+    val p = (s"$path/postings" +: segs.map(_ + "/postings"))
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .agg(count(lit(1)), approx_count_distinct(col("tok"))).head()
+    Map(
+      "graft.text.docs" -> n.toString,
+      "graft.text.sum-tokens" -> sd.toString,
+      "graft.text.avgdl" -> f"${if (n > 0) sd.toDouble / n else 0.0}%.4f",
+      "graft.text.postings" -> p.getLong(0).toString,
+      "graft.text.terms-approx" -> p.getLong(1).toString,
+      "graft.text.buckets" -> buckets.toString,
+      "graft.text.segments" -> segs.size.toString,
+      "graft.text.tombstones" -> tombN.toString)
+  }
+
   /** BM25 over a [[buildTextIndex]] index: IDENTICAL results to [[bm25]]
     * on the indexed corpus (same scoring tail, stats from `meta` minus any
     * tombstoned documents), but the per-batch cost is a pruned postings

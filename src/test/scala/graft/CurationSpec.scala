@@ -655,6 +655,45 @@ class CurationSpec extends AnyFunSuite {
     assert(v5.getDouble(2) == 1.0 && v5.getLong(3) == 1L, s"verbatim leak: $v5")
   }
 
+  test("extended pipeline: fuzzy-decontaminate and dsir-select stages equal the hand chain") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val bench = docs.orderBy("doc_id").limit(10)
+    val target = docs.filter(col("source").isin("src0", "src1"))
+    val (corpus, funnel) = Curation.curationPipeline(
+      docs, Curation.defaultQualityRules(), benchmark = Some(bench),
+      fuzzyThreshold = Some(0.5),
+      dsirTarget = Some(target), dsirSampleSize = Some(50), seed = 7L)
+    val f = funnel.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(f.map(_._1) ==
+      Seq("filter", "redact", "exact", "neardup", "decontaminate",
+        "decontaminate_fuzzy", "dsir_select"),
+      s"stage order: ${f.map(_._1)}")
+
+    // hand chain the two new stages from the decontaminate survivors
+    var cur = docs.localCheckpoint()
+    cur = Curation.filterChain(cur, Curation.defaultQualityRules())
+      .filter(col("keep") === 1L).drop("fail_rule", "keep")
+    cur = Curation.redact(cur).withColumn("text", col("redacted"))
+      .drop("redacted", "n_emails", "n_ips", "n_phones")
+    cur = cur.join(graft.operators.Dedup.exact(cur).filter(col("is_kept"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    cur = graft.operators.Dedup.collapseDuplicates(
+      cur, graft.operators.Dedup.minHashLsh(cur, threshold = 0.7), "doc_id")
+    cur = cur.join(Curation.decontaminate(cur, bench)
+      .filter(col("contaminated") === 0L).select("doc_id"), Seq("doc_id"), "left_semi")
+    cur = cur.join(Curation.decontaminateFuzzy(cur, bench, threshold = 0.5)
+      .filter(col("contaminated") === 0L).select("doc_id"), Seq("doc_id"), "left_semi")
+    val m = Curation.trainDsir(target, cur)
+    val hand = cur.join(Curation.dsirResample(cur, m, 50, seed = 7L)
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == hand, "pipeline output must equal the hand-chained stages")
+    assert(f.last == (("dsir_select", f(5)._3, got.size.toLong)), s"funnel tail: ${f.last}")
+    graft.core.Blocks.free(corpus)
+  }
+
   test("classifierRule verdict equals classifierScore.is_quality doc for doc; chains as a rule") {
     import spark.implicits._
     val docs = Tables.documents(spark, TestSpark.Sf0001)

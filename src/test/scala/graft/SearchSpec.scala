@@ -176,10 +176,21 @@ class SearchSpec extends AnyFunSuite {
     run()
     assert(search() == expected, "a replayed batch must not change any score")
 
+    // stats see base + streamed segments with exactly the scoring view
+    val pre = graft.operators.Search.textIndexStats(spark, s"$tmp/idx")
+    assert(pre("graft.text.docs").toLong == docs.count(), s"stats docs: $pre")
+    assert(pre("graft.text.segments").toInt == 2, s"two live segments: $pre")
+
     // folding the segments flat changes nothing either
     graft.operators.Search.compactTextIndex(spark, s"$tmp/idx")
     assert(!new java.io.File(s"$tmp/idx/segs").exists(), "segments folded away")
     assert(search() == expected, "compaction must be invisible to search")
+    val post = graft.operators.Search.textIndexStats(spark, s"$tmp/idx")
+    assert(post("graft.text.docs") == pre("graft.text.docs") &&
+      post("graft.text.avgdl") == pre("graft.text.avgdl") &&
+      post("graft.text.postings") == pre("graft.text.postings"),
+      s"fold must not change the corpus view: $pre vs $post")
+    assert(post("graft.text.segments").toInt == 0)
   }
 
   test("q32 plan: query terms broadcast; no corpus sort-merge; topK bounded by rank filter") {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Changelog, ChangelogSpec, GraftSession, Maintenance, Snapshots, Stats, Tables}
-import graft.operators.{AsOf, Dedup, Ivf, Multimodal, Similarity}
+import graft.operators.{AsOf, Dedup, Ivf, Multimodal, Pq, Similarity}
 import graft.streaming.Ingest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -486,6 +486,20 @@ final case class Graft(spark: SparkSession, dir: String) {
     * regions dominating a training mix. */
   def clusterBalancedSample(perList: Int, lists: Int = 16, seed: Long = 0L): DataFrame =
     Ivf.balancedSample(embeddings, Ivf.train(embeddings, lists), perList, seed)
+
+  /** Persist an IVF-PQ index over this directory's embeddings: coarse
+    * quantizer + product-quantized codes, no vectors stored — the
+    * compressed layout for corpora where the embeddings are the dominant
+    * bytes. Search with [[searchIndexPq]]. */
+  def buildVectorIndexPq(
+      path: String, lists: Int = 16, m: Int = 8, k: Int = 256): Unit =
+    Pq.writeIndex(embeddings,
+      Ivf.train(embeddings, lists), Pq.train(embeddings, m, k), path)
+
+  /** Approximate top-k cosine search over a [[buildVectorIndexPq]] index
+    * (partition-pruned coarse probes + ADC scoring over codes). */
+  def searchIndexPq(path: String, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
+    Pq.topKIndexed(spark, path, queries, k, nProbe)
 
   /** Train an IVF model over this directory's embeddings and persist the
     * index (inverted lists partitioned by bucket + centroid matrix) —

@@ -306,7 +306,7 @@ object Ivf {
     * scanned once, not re-read per Lloyd iteration. At 100 TB the cached
     * projection is the id + embedding columns only; the persist cost is one
     * pass, amortized over the iterations. Caller unpersists. */
-  private def sampledProj(
+  private[operators] def sampledProj(
       corpus: DataFrame, idCol: String, vecCol: String, maxTrainRows: Long): DataFrame = {
     val projAll = corpus.select(col(idCol).as("_gid"), col(vecCol).as("_gvec"))
     val projSampled =
@@ -323,7 +323,7 @@ object Ivf {
     projSampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  private def flatAssign(v: Column, cents: Array[Array[Float]]): Column =
+  private[operators] def flatAssign(v: Column, cents: Array[Array[Float]]): Column =
     element_at(call_function("graft_centroid_probes", v, typedLit(cents), lit(1)), 1)
 
   /** `iters` Lloyd refinement steps over the cached projection with a
@@ -332,7 +332,7 @@ object Ivf {
     * fuse into ONE aggregation job per iteration; decimal accumulation
     * makes centroids independent of partitioning/row order; empty clusters
     * keep their previous centroid. */
-  private def lloyd(
+  private[operators] def lloyd(
       proj: DataFrame,
       init: Array[Array[Float]],
       iters: Int,
@@ -377,23 +377,29 @@ object Ivf {
       VectorOps.normSq(col(vecCol)).as("n_nsq"),
       nearestCentroid(col(vecCol), model).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/lists")
+    writeQuantizer(spark, model, path)
     import spark.implicits._
-    // the FULL quantizer tree persists, keyed by (level, bucket) with the
-    // leaf matrix at level = levels.length: a hierarchical index reloaded by
-    // readModel probes with the SAME beam descend its buckets were assigned
-    // by — dropping the internal levels would silently degrade probing to
-    // the flat quantizer AND break probe/assignment consistency (the two
-    // quantizers can descend to different leaves for the same vector)
-    model.tree.zipWithIndex.flatMap { case (m, l) =>
-      m.zipWithIndex.map { case (v, i) => (l, i, v) }
-    }.toSeq
-      .toDF("level", "bucket", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // training-time corpus size: the baseline `needsRebuild` measures
     // growth against (footer-metadata count, no data read)
     Seq(Tuple1(spark.read.parquet(s"$path/lists").count()))
       .toDF("trained_rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Persist the quantizer tree, keyed by (level, bucket) with the leaf
+    * matrix at level = levels.length — the [[readModel]] format, shared
+    * with the PQ-compressed index writer: a hierarchical index reloaded by
+    * readModel probes with the SAME beam descend its buckets were assigned
+    * by (dropping the internal levels would silently degrade probing to
+    * the flat quantizer AND break probe/assignment consistency). */
+  private[operators] def writeQuantizer(
+      spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.tree.zipWithIndex.flatMap { case (m, l) =>
+      m.zipWithIndex.map { case (v, i) => (l, i, v) }
+    }.toSeq
+      .toDF("level", "bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Append new vectors to a persisted index WITHOUT retraining: assign with

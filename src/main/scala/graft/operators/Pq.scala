@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid 2011 — public knowledge):
+  * split each vector into `m` subspaces, k-means each subspace to `k`
+  * codewords, store each vector as `m` small codes instead of `dim`
+  * floats. Composed with the [[Ivf]] coarse quantizer this is IVF-PQ —
+  * the layout behind the classic billion-scale ANN indexes: at 100 TB of
+  * embeddings the raw vectors are the dominant storage and scan cost, and
+  * the PQ index reads `m` bytes-scale codes per row (16-32x smaller)
+  * while scoring queries against them with a per-query LOOKUP TABLE
+  * (asymmetric distance computation: the query stays exact, only the
+  * corpus side is quantized).
+  *
+  * Training reuses [[Ivf]]'s deterministic distributed Lloyd machinery
+  * per subspace — decimal-accumulated means, hash-ordered init — so PQ
+  * models are exactly reproducible run to run, like every other trained
+  * model in the engine.
+  */
+object Pq {
+
+  /** `codebooks(j)(c)` = codeword `c` of subspace `j` (k × dsub each). */
+  final case class Model(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dsub: Int = codebooks.head.head.length
+    def dim: Int = m * dsub
+  }
+
+  /** Train a PQ codebook: one deterministic Lloyd fit per subspace over
+    * the sliced projection (the same cached sample feeds every subspace —
+    * the corpus is scanned once, then `m x iters` slim aggregation jobs
+    * refine). `k` clamps to the sample size like [[Ivf.train]]. */
+  def train(
+      corpus: DataFrame,
+      m: Int = 8,
+      k: Int = 256,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxTrainRows: Long = 0L): Model = {
+    require(m >= 1, "m must be >= 1")
+    require(k >= 2, "k must be >= 2")
+    val proj = Ivf.sampledProj(corpus, idCol, vecCol, maxTrainRows)
+    try {
+      val dim = proj.select(size(col("_gvec"))).head().getInt(0)
+      require(dim % m == 0, s"Pq.train: m=$m must divide dim=$dim")
+      val dsub = dim / m
+      // shared deterministic init rows (the k smallest id-hashes), sliced
+      // per subspace — one driver pull for all m fits
+      val initRows = proj
+        .orderBy(xxhash64(col("_gid")), col("_gid"))
+        .limit(k)
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+      require(initRows.nonEmpty, "Pq.train: empty corpus")
+      val books = Array.tabulate(m) { j =>
+        val sub = proj.select(
+          col("_gid"), slice(col("_gvec"), j * dsub + 1, dsub).as("_gvec"))
+        Ivf.lloyd(sub, initRows.map(_.slice(j * dsub, (j + 1) * dsub)),
+          iters, Ivf.flatAssign)
+      }
+      Model(books)
+    } finally proj.unpersist(blocking = false)
+  }
+
+  /** Per-row PQ codes: `array<int>` of length `m`, code `j` = the nearest
+    * codeword of subspace `j` (the fused [[graft.plans.CentroidProbes]]
+    * kernel per slice — map-side, codegen'd, ties to the lowest index). */
+  def encode(vec: Column, model: Model): Column =
+    array((0 until model.m).map { j =>
+      element_at(call_function("graft_centroid_probes",
+        slice(vec, j * model.dsub + 1, model.dsub),
+        typedLit(model.codebooks(j)), lit(1)), 1)
+    }: _*)
+
+  /** The per-query ADC lookup table as a COLUMN on the query side:
+    * `lut[j*k + c] = dot(q_j, codebook[j][c])` — m*k entries computed once
+    * per query row (query-batch-sized work), then every candidate scores
+    * with `m` array lookups instead of a `dim`-float dot product. */
+  private def lutCol(qv: Column, model: Model): Column = {
+    val flat = typedLit(model.codebooks.flatten) // (m*k) rows of dsub floats
+    flatten(transform(sequence(lit(0), lit(model.m - 1)), j =>
+      transform(sequence(lit(0), lit(model.k - 1)), c =>
+        VectorOps.dot(
+          slice(qv, j * lit(model.dsub) + lit(1), lit(model.dsub)),
+          element_at(flat, j * lit(model.k) + c + lit(1))))))
+  }
+
+  /** The ADC approximate dot product: sum of `m` LUT lookups. */
+  private def adcDot(codes: Column, lut: Column, k: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), size(codes) - 1),
+        (c, j) => element_at(lut, j * lit(k) + c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Persist an IVF-PQ index: rows carry (id, m codes, exact norm,
+    * coarse bucket) — never the vectors — written `partitionBy(bucket)`
+    * like [[Ivf.writeIndex]], plus the coarse quantizer in
+    * [[Ivf.readModel]]'s format and the PQ codebooks under `pq/`. The
+    * probed-list read is both partition-pruned AND code-sized: the two
+    * multiplicative reductions that make vector search tractable when the
+    * vectors themselves are the dominant bytes. */
+  def writeIndex(
+      corpus: DataFrame,
+      coarse: Ivf.Model,
+      pq: Model,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    corpus.select(
+      col(idCol).as("n_id"),
+      encode(col(vecCol), pq).as("n_codes"),
+      VectorOps.normSq(col(vecCol)).as("n_nsq"),
+      Ivf.nearestCentroid(col(vecCol), coarse).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/lists")
+    Ivf.writeQuantizer(spark, coarse, path)
+    import spark.implicits._
+    pq.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) => (j, c, v) }
+    }.toSeq
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  /** Load the PQ codebooks of a persisted IVF-PQ index. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(s"$path/pq").collect()
+    val books = rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1).map(_._2
+      .sortBy(_.getAs[Int]("code"))
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+    Model(books.toArray)
+  }
+
+  /** Approximate top-k cosine search over a persisted IVF-PQ index:
+    * coarse probes prune to `nProbe` list directories (static partition
+    * pruning — [[Ivf.topKIndexed]]'s property), then candidates score by
+    * ADC (LUT riding the broadcast query rows; per-candidate cost is `m`
+    * lookups against `m`-code rows — no vector is ever read, because none
+    * is stored). Cosine uses the approximate dot over the EXACT stored
+    * norms; output shape and tie-breaks match the uncompressed search. */
+  def topKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val coarse = Ivf.readModel(spark, path)
+    val pq = readModel(spark, path)
+    val q = queries.select(
+      col(idCol).as("q_id"),
+      VectorOps.normSq(col(vecCol)).as("q_nsq"),
+      lutCol(col(vecCol), pq).as("q_lut"),
+      explode(Ivf.probeCentroids(col(vecCol), coarse, nProbe)).as("bucket"))
+      .localCheckpoint() // probed twice: bucket-set collect + the join probe
+    val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("bucket").isin(probed: _*))
+    val scored = lists
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (adcDot(col("n_codes"), col("q_lut"), pq.k) /
+          sqrt(col("q_nsq") * col("n_nsq"))).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
+  }
+}

@@ -820,6 +820,26 @@ object PipelineQueries {
       },
       None),
 
+    // Q28i: IVF-PQ — the coarse quantizer composed with product
+    // quantization (Jégou et al. 2011): the persisted lists hold m=8
+    // codes + the exact norm per vector, never the vectors; search is
+    // partition-pruned coarse probes + per-query ADC lookup tables. The
+    // billion-scale layout where the raw vectors are the dominant bytes.
+    // Trained models => rows-only; codes/recall/round-trip pinned by
+    // IvfSpec.
+    QueryDef(
+      "q28i_sim_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val coarse = graft.operators.Ivf.train(emb, c = 32, iters = 3)
+        val pq = graft.operators.Pq.train(emb, m = 8, k = 64, iters = 2)
+        val idx = QueryDef.tempDirForResult("graft_pq_idx_").toString
+        graft.operators.Pq.writeIndex(emb, coarse, pq, idx)
+        graft.operators.Pq.topKIndexed(s, idx, emb.filter(col("vec_id") < 8), k = 5, nProbe = 8)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Q28h: cluster-balanced sampling — the SemDeDup-style diversity
     // selection: at most perList vectors kept per quantizer bucket, chosen
     // in deterministic hash order, so dense embedding regions cannot

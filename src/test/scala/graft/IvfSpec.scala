@@ -281,6 +281,45 @@ class IvfSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVF-PQ: codes round-trip, no vectors stored, planted twins found, deterministic") {
+    import spark.implicits._
+    // corpus + exact twin copies: a twin shares its original's codes AND
+    // coarse bucket, so PQ search must surface it despite quantization
+    val twins = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(twins)
+    val coarse = Ivf.train(corpus, c = 8, iters = 2)
+    val pq = graft.operators.Pq.train(corpus, m = 8, k = 32, iters = 2)
+    assert(pq.m == 8 && pq.k == 32 && pq.dsub == 8 && pq.dim == 64)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    graft.operators.Pq.writeIndex(corpus, coarse, pq, tmp)
+    // no vector column in the persisted lists — the compression IS the point
+    val listCols = spark.read.parquet(s"$tmp/lists").columns.toSet
+    assert(listCols == Set("n_id", "n_codes", "n_nsq", "bucket"), s"got $listCols")
+    // codebooks round-trip exactly
+    val rt = graft.operators.Pq.readModel(spark, tmp)
+    assert(rt.codebooks.flatten.flatten.toSeq == pq.codebooks.flatten.flatten.toSeq)
+
+    val queries = emb.filter(col("vec_id") < 40)
+    val got = graft.operators.Pq.topKIndexed(spark, tmp, queries, k = 5, nProbe = 8)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    val recall = (0L until 40L).count { q =>
+      byQ.get(q).exists(_.exists(_.getLong(1) == q + 10000L))
+    }.toDouble / 40.0
+    assert(recall >= 0.9, s"planted-twin recall@5 under full probes: $recall")
+    // identical-code twin scores the ADC maximum achievable for its codes:
+    // its rank-1-to-5 presence must be stable run to run
+    val again = graft.operators.Pq.topKIndexed(spark, tmp, queries, k = 5, nProbe = 8)
+      .collect().map(_.toSeq).sortBy(_.mkString(","))
+    assert(again.toSeq == got.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq,
+      "PQ search is deterministic run to run")
+
+    // training determinism: same corpus -> byte-identical codebooks
+    val pq2 = graft.operators.Pq.train(corpus, m = 8, k = 32, iters = 2)
+    assert(pq2.codebooks.flatten.flatten.toSeq == pq.codebooks.flatten.flatten.toSeq)
+  }
+
   test("balancedSample: exact hash-order keeps per bucket, cap respected, deterministic") {
     val model = Ivf.train(emb, c = 8, iters = 2)
     val perList = 5

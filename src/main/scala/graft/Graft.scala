@@ -501,6 +501,19 @@ final case class Graft(spark: SparkSession, dir: String) {
   def searchIndexPq(path: String, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
     Pq.topKIndexed(spark, path, queries, k, nProbe)
 
+  /** Two-stage PQ search: ADC overfetch + exact cosine re-rank against
+    * this directory's uncompressed embeddings — near-exact quality, the
+    * corpus-wide pass still reads only codes. */
+  def searchIndexPqReranked(
+      path: String, queries: DataFrame, k: Int, nProbe: Int = 4,
+      overfetch: Int = 4): DataFrame =
+    Pq.topKIndexedReranked(spark, path, queries, embeddings, k, nProbe, overfetch)
+
+  /** Append new vectors to a persisted IVF-PQ index without retraining
+    * (assign + encode with the stored models; append == rewrite). */
+  def appendToVectorIndexPq(path: String, newVectors: DataFrame): Long =
+    Pq.appendToIndex(newVectors, path)
+
   /** Train an IVF model over this directory's embeddings and persist the
     * index (inverted lists partitioned by bucket + centroid matrix) —
     * train once, search many. */

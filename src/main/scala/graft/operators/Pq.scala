@@ -128,6 +128,68 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
   }
 
+  /** Append new vectors to a persisted IVF-PQ index WITHOUT retraining:
+    * assign + encode with the STORED models and append to the existing
+    * list partitions — search after append is IDENTICAL to a full
+    * [[writeIndex]] rewrite under the same models ([[Ivf.appendToIndex]]'s
+    * contract; spec-pinned). Returns vectors appended. */
+  def appendToIndex(
+      newVectors: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val spark = newVectors.sparkSession
+    val coarse = Ivf.readModel(spark, path)
+    val pq = readModel(spark, path)
+    val batch = newVectors.select(
+      col(idCol).as("n_id"),
+      encode(col(vecCol), pq).as("n_codes"),
+      VectorOps.normSq(col(vecCol)).as("n_nsq"),
+      Ivf.nearestCentroid(col(vecCol), coarse).as("bucket"))
+      .localCheckpoint()
+    batch.write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
+    val n = batch.count()
+    graft.core.Blocks.free(batch)
+    n
+  }
+
+  /** Two-stage retrieval: ADC over the compressed index overfetches
+    * `overfetch * k` candidates per query, then ONLY those rows pay an
+    * exact cosine against the uncompressed `corpus` vectors — the standard
+    * re-rank that recovers near-exact quality while the corpus-wide scan
+    * still touched nothing but codes. The exact pass joins candidate ids
+    * against the corpus (a candidate-sized semi-restriction; at |Q| * 4k
+    * candidates this is the small side and broadcasts). */
+  def topKIndexedReranked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nProbe: Int,
+      overfetch: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cand = topKIndexed(spark, path, queries, k * overfetch, nProbe, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+    val q = queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorOps.normSq(col(vecCol)).as("q_nsq"))
+    val exact = cand
+      .join(broadcast(q), Seq("q_id"))
+      .join(corpus.select(
+        col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorOps.normSq(col(vecCol)).as("n_nsq")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), VectorOps.cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
+  }
+
   /** Load the PQ codebooks of a persisted IVF-PQ index. */
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     val rows = spark.read.parquet(s"$path/pq").collect()

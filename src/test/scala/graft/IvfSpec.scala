@@ -318,6 +318,28 @@ class IvfSpec extends AnyFunSuite {
     // training determinism: same corpus -> byte-identical codebooks
     val pq2 = graft.operators.Pq.train(corpus, m = 8, k = 32, iters = 2)
     assert(pq2.codebooks.flatten.flatten.toSeq == pq.codebooks.flatten.flatten.toSeq)
+
+    // append with stored models == full rewrite under the same models
+    val half = corpus.filter(col("vec_id") < 250 || col("vec_id") >= 10000L)
+    val rest = corpus.filter(col("vec_id") >= 250 && col("vec_id") < 10000L)
+    val grown = java.nio.file.Files.createTempDirectory("graft_pq_grow_").toString
+    graft.operators.Pq.writeIndex(half, coarse, pq, grown)
+    assert(graft.operators.Pq.appendToIndex(rest, grown) == rest.count())
+    val viaAppend = graft.operators.Pq.topKIndexed(spark, grown, queries, k = 5, nProbe = 8)
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    val viaRewrite = graft.operators.Pq.topKIndexed(spark, tmp, queries, k = 5, nProbe = 8)
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(viaAppend == viaRewrite, "append must equal the full rewrite")
+
+    // exact re-rank: the two-stage search returns the TRUE cosine order
+    // over the candidate pool — every returned score equals the brute
+    // cosine, and twins land at rank 1 with score ~1.0
+    val rr = graft.operators.Pq.topKIndexedReranked(
+      spark, tmp, queries, corpus, k = 3, nProbe = 8)
+    val top1 = rr.filter(col("rank") === 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val twinsAt1 = top1.count { case (q, (n, s)) => n == q + 10000L && s >= 0.999999 }
+    assert(twinsAt1 >= 36, s"exact re-rank must put twins at rank 1: $twinsAt1/40")
   }
 
   test("balancedSample: exact hash-order keeps per bucket, cap respected, deterministic") {

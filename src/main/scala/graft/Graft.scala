@@ -744,10 +744,11 @@ final case class Graft(spark: SparkSession, dir: String) {
       schema: org.apache.spark.sql.types.StructType,
       indexPath: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      maxFilesPerTrigger: Option[Int] =
+        Some(streaming.Ingest.DefaultMaxFilesPerTrigger)): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.Ingest.startTextIndexIngest(
       spark, sourceDir, schema, indexPath, checkpointDir,
-      maxFilesPerTrigger = maxFilesPerTrigger.orElse(Some(streaming.Ingest.DefaultMaxFilesPerTrigger)))
+      maxFilesPerTrigger = maxFilesPerTrigger)
 
   /** A trained-classifier quality gate as a [[filterDocuments]] /
     * curated-ingest RULE (violated = classified junk): the
@@ -755,7 +756,7 @@ final case class Graft(spark: SparkSession, dir: String) {
     * [[qualityClassifierScores]] by construction. */
   def qualityClassifierRule(
       positive: DataFrame, negative: DataFrame,
-      maxVocab: Int = 10000): (String, org.apache.spark.sql.Column) =
+      maxVocab: Int = 100000): (String, org.apache.spark.sql.Column) =
     operators.Curation.classifierRule(
       operators.Curation.trainQualityClassifier(positive, negative, maxVocab))
 

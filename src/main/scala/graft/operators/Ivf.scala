@@ -100,11 +100,16 @@ object Ivf {
     // min(perList, size) back to its full row set, so the output is the
     // exact window answer regardless of how the tail probability lands.
     val spark = corpus.sparkSession
+    // corpus-length block sets pinned by the prefilter passes; freed below
+    // after the (perList x lists)-bounded result materializes, so a loop
+    // of balancedSample calls cannot accumulate corpus-sized checkpoints
+    val pinned = Seq.newBuilder[DataFrame]
     val survivors = if (!prefilter) assigned else {
       // the prefilter makes multiple passes (counts, candidates, rare
       // fallback): materialize the slim (id, bucket, hash) rows once so
       // the centroid-assignment kernel runs over the corpus exactly once
       val a = assigned.localCheckpoint()
+      pinned += a
       val counts = a.groupBy("bucket").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)) // model-sized: one row per list
       val span = 1.8446744073709552e19 // 2^64 as double (exact power of two)
@@ -130,6 +135,7 @@ object Ivf {
         val cand = a.join(broadcast(thrDf), Seq("bucket"))
           .filter(col("_h") <= col("_thr")).drop("_thr")
           .localCheckpoint() // verified then windowed: scan the corpus once
+        pinned += cand
         val got = cand.groupBy("bucket").count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val fallback = counts.collect {
@@ -141,10 +147,17 @@ object Ivf {
       }
     }
     val w = Window.partitionBy(col("bucket")).orderBy(col("_h"), col(idCol))
-    survivors
+    val keep = survivors
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= perList)
       .select(col(idCol), col("bucket"))
+    val internal = pinned.result()
+    if (internal.isEmpty) keep
+    else {
+      val out = keep.localCheckpoint() // keep-list-sized (<= perList * lists)
+      internal.foreach(graft.core.Blocks.free(_))
+      out
+    }
   }
 
   /** Train C centroids with `iters` Lloyd iterations. Cluster count is

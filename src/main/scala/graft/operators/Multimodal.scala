@@ -611,15 +611,20 @@ object Multimodal {
       }
       val stride = w * channels
       val raw = new Array[Byte]((stride + 1) * h)
+      // end() in finally: the truncated-stream early return would otherwise
+      // strand native zlib state until finalization — and malformed input
+      // is a DESIGNED path here (a corpus scan skipping what it cannot
+      // decode must not build native-memory pressure on executors)
       val inflater = new java.util.zip.Inflater()
-      inflater.setInput(idat.toByteArray)
       var off = 0
-      while (off < raw.length && !inflater.finished()) {
-        val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
-        off += n
-      }
-      inflater.end()
+      try {
+        inflater.setInput(idat.toByteArray)
+        while (off < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, off, raw.length - off)
+          if (n == 0 && inflater.needsInput()) return None // truncated stream
+          off += n
+        }
+      } finally inflater.end()
       if (off != raw.length) return None
       // defilter in place into recon rows
       val recon = new Array[Int](stride * h)

@@ -180,7 +180,10 @@ object Search {
       path: String,
       idCol: String = "doc_id"): Long = {
     val spark = removedIds.sparkSession
-    val ids = removedIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // ids pass through UNCAST: every other text-index entry point is
+    // id-type-generic, and a long cast would null out string ids — turning
+    // the takedown into a silent no-op
+    val ids = removedIds.select(col(idCol).as("doc_id")).distinct()
     val batch = (s"$path/postings" +: liveSegments(spark, path).map(_ + "/postings"))
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
@@ -270,9 +273,12 @@ object Search {
       .localCheckpoint() // materialize before overwriting the files it reads
     live.repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
-    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
-    if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
-    if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
+    // the recounted meta lands BEFORE the segment/tombstone deletes: a
+    // crash in between leaves readers double-counting segment stats until
+    // the rerun (which re-folds through the dedupe and re-deletes), but
+    // never the unrecoverable inverse — deleting the segmeta/tombstone
+    // stats first and dying before the meta write would strand a stale
+    // meta that the segs-empty early return above could never repair
     val buckets = spark.read.parquet(s"$path/meta").head().getInt(2)
     val m = live.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
@@ -280,6 +286,9 @@ object Search {
     import spark.implicits._
     Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
+    if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
+    if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
   }
 
   /** GetProperty-style health of a persisted text index (the

@@ -43,8 +43,12 @@ object GraftSession {
       // batch's literal keys, and the pushed In is evaluated against each
       // row group's stats + the _k bloom filters every segment write
       // enables — row groups holding none of the batch's keys are skipped.
-      // Must stay >= Dedup.MaxInProbe.
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      // Must stay >= Dedup.MaxInProbe — and not much higher: Spark pushes
+      // In as a LEFT-DEEP or-chain whose recursive parquet-mr evaluation
+      // overflows a 1 MiB task stack near ~2,500 values (see the
+      // Dedup.MaxInProbe stack-bound note), so this threshold is the
+      // safety net for any literal IN that reaches a parquet scan.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
 
   /** Local session for mains/tests. The warehouse (bucketized catalog

@@ -116,9 +116,18 @@ object Dedup {
     * parquet-pushed IN filter (row-group skipping via stats + blooms);
     * beyond it the probe falls back to the broadcast semi-join. Must stay
     * <= the session's `spark.sql.parquet.pushdown.inFilterThreshold`
-    * (GraftSession pins 4096) or the pushed filter degrades to a useless
-    * [min,max] range over uniform hash keys. */
-  private[graft] val MaxInProbe = 4096
+    * (GraftSession pins 1024) or the pushed filter degrades to a useless
+    * [min,max] range over uniform hash keys.
+    *
+    * STACK BOUND: Spark translates a pushed In to a LEFT-DEEP
+    * `FilterApi.or` chain (one node per value), and parquet-mr evaluates
+    * it with a recursive visitor — depth == value count. A ~2,500-value
+    * probe overflows a default 1 MiB task-thread stack (measured: q27e at
+    * sf0.1, StackOverflowError inside the row-group filter under the
+    * codegen'd scan). 1024 leaves >2x headroom while still covering the
+    * micro-batch sizes the probe exists for; larger batches take the
+    * broadcast semi-join, which is the scale path anyway. */
+  private[graft] val MaxInProbe = 1024
 
   /** Snapshot of an index's live segment set: (dir, seq) for key segments
     * and tombstone segments, plus the folded-awaiting-GC relative paths. */

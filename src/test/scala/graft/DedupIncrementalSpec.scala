@@ -525,6 +525,37 @@ class DedupIncrementalSpec extends AnyFunSuite {
       s"pushed In must skip most of the 60k-key log, materialized $scanned rows")
   }
 
+  test("exact micro probe over-cap batch falls back to semi-join (no deep pushed In)") {
+    // REGRESSION (round-8 q27e at sf0.1): Spark pushes a literal In to
+    // parquet as a LEFT-DEEP or-chain — one node per value — and
+    // parquet-mr evaluates it recursively, so a ~2,500-value probe
+    // overflows a default 1 MiB task stack. Batches over MaxInProbe must
+    // therefore take the broadcast-semi-join path, and the cap itself must
+    // stay within the measured-safe depth.
+    import spark.implicits._
+    assert(graft.operators.Dedup.MaxInProbe <= 1024,
+      "MaxInProbe must stay within the parquet or-chain stack bound")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incap_").toString
+    val corpus = spark.range(4000)
+      .select(col("id").as("doc_id"),
+        concat(lit("corpus body "), col("id")).as("text"))
+    Dedup.writeExactIndex(corpus, s"$tmp/idx")
+    // a batch with > MaxInProbe distinct keys, half duplicates of the corpus
+    val batch = spark.range(2000)
+      .select((col("id") + 10000).as("doc_id"),
+        when(col("id") % 2 === 0, concat(lit("corpus body "), col("id")))
+          .otherwise(concat(lit("fresh body "), col("id"))).as("text"))
+    val res = Dedup.exactIncremental(batch, s"$tmp/idx")
+    val rows = res.collect()
+    assert(rows.length == 2000)
+    assert(rows.count(!_.getBoolean(3)) == 1000, "the 1000 planted dups must resolve")
+    val ps = res.queryExecution.executedPlan.toString
+    assert(!ps.contains("PushedFilters: [In(_k"),
+      s"over-cap batch must not push a deep literal In:\n${ps.take(1200)}")
+    assert(ps.contains("LeftSemi"),
+      s"over-cap batch must restrict the key log via a broadcast semi join:\n${ps.take(1200)}")
+  }
+
   test("band-bucketed index: probe == flat probe; the band read is pruned to the batch's buckets") {
     val corpus = Tables.documents(spark, TestSpark.Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_bband_").toString

@@ -126,6 +126,81 @@ class SkewAndFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("facade: PQ lifecycle, auto-sized rebuild, classifier rule, searchable ingest") {
+    import spark.implicits._
+    val g = Graft(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fnew_").toString
+
+    // IVF-PQ wrappers: build, ADC search shape, exact re-rank, append
+    g.buildVectorIndexPq(s"$tmp/pq", lists = 4, m = 8, k = 16)
+    val queries = g.embeddings.filter(col("vec_id") < 2)
+    val adc = g.searchIndexPq(s"$tmp/pq", queries, k = 3, nProbe = 4).collect()
+    assert(adc.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(2)).sorted.sameElements(Seq(1L, 2L, 3L))),
+      "ADC search must return ranks 1..3 per query")
+    // re-rank scores are EXACT cosines: every pick matches brute force's
+    // score for that (q, n) pair bit-for-bit (both round to 6 decimals)
+    val exact = Similarity.bruteForceTopK(g.embeddings, queries, k = 499)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val rr = g.searchIndexPqReranked(s"$tmp/pq", queries, k = 3, nProbe = 4).collect()
+    assert(rr.length == 6)
+    rr.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key) && exact(key) == r.getDouble(3),
+        s"re-ranked score for $key must be the exact cosine")
+    }
+    // appended vectors (fresh ids) become searchable with the stored models
+    val twins = g.embeddings.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    assert(g.appendToVectorIndexPq(s"$tmp/pq", twins) == 2L)
+    val hits = g.searchIndexPq(s"$tmp/pq", queries, k = 499, nProbe = 4)
+      .filter(col("n_id") >= 900000L).count()
+    assert(hits >= 2, "each query's identical-vector twin shares its probed bucket")
+
+    // auto-sized build and explicit rebuild: probe-all == exact brute force
+    val bf = Similarity.bruteForceTopK(g.embeddings, queries, k = 3)
+      .collect().map(_.toSeq).toSet
+    g.buildVectorIndexAuto(s"$tmp/auto", targetListSize = 64, iters = 2)
+    assert(g.searchIndex(s"$tmp/auto", queries, k = 3, nProbe = 64)
+      .collect().map(_.toSeq).toSet == bf, "auto-sized probe-all == brute force")
+    g.rebuildVectorIndex(s"$tmp/auto", lists = 4, iters = 2)
+    assert(g.searchIndex(s"$tmp/auto", queries, k = 3, nProbe = 4)
+      .collect().map(_.toSeq).toSet == bf, "rebuilt probe-all == brute force")
+    val props = g.vectorIndexProperties(s"$tmp/auto")
+    assert(props("graft.ivf.rows").toLong == g.embeddings.count())
+    assert(props("graft.ivf.lists").toInt == 4)
+
+    // classifier rule wrapper: verdicts == the scoring operator's
+    val pos = g.documents.filter(col("doc_id") % 3 === 0)
+    val neg = g.documents.filter(col("doc_id") % 3 === 1)
+    val (ruleName, rule) = g.qualityClassifierRule(pos, neg, maxVocab = 500)
+    assert(ruleName == "nb_junk")
+    val viaRule = g.documents.select(col("doc_id"), rule.as("junk"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaScores = g.qualityClassifierScores(pos, neg, maxVocab = 500)
+      .select(col("doc_id"), col("is_quality"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) == 0L)).toMap
+    assert(viaRule == viaScores, "rule junk-verdicts must equal the scorer's")
+
+    // searchable-on-write wrapper: base index + one drained stream == one
+    // batch build over the union (the startTextIndexIngest contract: the
+    // stream appends segments to an EXISTING index)
+    val baseDocs = g.documents.filter(col("doc_id") < 20)
+    val streamed = g.documents.filter(col("doc_id") >= 20 && col("doc_id") < 60)
+    streamed.write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    graft.operators.Search.buildTextIndex(
+      baseDocs.unionByName(streamed), s"$tmp/tidx", buckets = 16)
+    graft.operators.Search.buildTextIndex(baseDocs, s"$tmp/sidx", buckets = 16)
+    g.ingestSearchable(s"$tmp/src", schema, s"$tmp/sidx", s"$tmp/ckpt")
+      .awaitTermination()
+    val qs = Seq((1L, "spark merge scan")).toDF("query_id", "query_text")
+    val a = g.searchDocumentsIndexed(s"$tmp/tidx", qs, topK = 5)
+      .collect().map(_.toSeq).toSeq
+    val b = g.searchDocumentsIndexed(s"$tmp/sidx", qs, topK = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty, "streamed facade index must equal a batch build")
+  }
+
   test("bounded as-of buckets exactly: negative epochs and backtick-hostile names") {
     import spark.implicits._
     // pre-1970 epochs: truncating division would put t in the wrong bucket

@@ -706,6 +706,15 @@ final case class Graft(spark: SparkSession, dir: String) {
   def searchDocuments(queries: DataFrame, topK: Int = 10): DataFrame =
     operators.Search.bm25(documents, queries, topK)
 
+  /** Hybrid keyword + dense retrieval over this directory: BM25 ranks and
+    * exact cosine ranks fused by reciprocal-rank fusion
+    * ([[operators.Search.hybridTopK]]). `queries` carries (query_id,
+    * query_text, query_vec); at index scale compute the dense ranking with
+    * [[searchIndex]]/[[searchIndexPq]] and combine via
+    * [[operators.Search.fuseRankings]]. */
+  def hybridSearch(queries: DataFrame, topK: Int = 10, fetchK: Int = 50): DataFrame =
+    operators.Search.hybridTopK(documents, embeddings, queries, topK, fetchK)
+
   /** Persist an inverted text index (postings partitioned by term-hash
     * bucket) for [[searchDocumentsIndexed]] — tokenize once, search many. */
   def buildTextIndex(path: String, buckets: Int = 64): Unit =

@@ -95,6 +95,83 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher 2009 — public
+    * knowledge) of N per-query rankings: every input frame contributes
+    * `w_i / (k0 + rank)` for each (query, doc) it ranks, contributions sum
+    * per (query, doc), and the fused top-k re-ranks by the summed score.
+    * A doc missing from some rankings simply collects fewer contributions
+    * — the standard hybrid-retrieval combiner, robust to incomparable
+    * score scales because only RANKS cross the boundary.
+    *
+    * Determinism/scale: contributions accumulate in DECIMAL (summation
+    * order cannot perturb the 6-decimal rounded score), the fused rank
+    * tie-breaks by (score desc, doc_id asc), and the only data moved is
+    * (query_id, doc_id, rank) triples — ranking frames are top-k-sized,
+    * never corpus-sized, so the union + one aggregation is
+    * query-batch-bounded no matter the corpus behind the rankings. */
+  def fuseRankings(
+      rankings: Seq[DataFrame],
+      topK: Int = 10,
+      k0: Int = 60,
+      weights: Seq[Double] = Nil): DataFrame = {
+    require(rankings.nonEmpty, "fuseRankings: no rankings")
+    require(topK > 0, "topK must be positive")
+    require(k0 >= 0, "k0 must be >= 0")
+    require(weights.isEmpty || weights.length == rankings.length,
+      s"${weights.length} weights for ${rankings.length} rankings")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      val wi = if (weights.isEmpty) 1.0 else weights(i)
+      r.select(col("query_id"), col("doc_id"),
+        (lit(wi) / (lit(k0).cast("double") + col("rank").cast("double")))
+          .cast(dec).as("c"))
+    }
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("rrf"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("rrf"))
+  }
+
+  /** Hybrid keyword + dense retrieval: BM25 ranks and cosine-similarity
+    * ranks fused by [[fuseRankings]] — the standard two-tower retrieval
+    * combiner (a doc strong on either signal surfaces; one strong on both
+    * outranks it). `queries` carries BOTH a text and a vector column;
+    * `embeddings` ids must be document ids. This convenience uses the
+    * exact brute-force dense ranking — at index scale compute the dense
+    * side with [[Ivf.topKIndexed]] / [[Pq.topKIndexed]] and fuse via
+    * [[fuseRankings]] directly (rankings are the interchange format,
+    * precisely so the dense implementation can swap). */
+  def hybridTopK(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      queries: DataFrame,
+      topK: Int = 10,
+      fetchK: Int = 50,
+      k0: Int = 60,
+      keywordWeight: Double = 1.0,
+      denseWeight: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val kw = bm25(documents, queries, fetchK, idCol = idCol, textCol = textCol,
+      queryIdCol = queryIdCol, queryTextCol = queryTextCol)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dn = Similarity.bruteForceTopK(
+      embeddings.select(col(vecIdCol).as("_hy_id"), col(vecCol).as("_hy_vec")),
+      queries.select(col(queryIdCol).as("_hy_id"), col(queryVecCol).as("_hy_vec")),
+      fetchK, idCol = "_hy_id", vecCol = "_hy_vec")
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    fuseRankings(Seq(kw, dn), topK, k0, Seq(keywordWeight, denseWeight))
+  }
+
   /** Persist an INVERTED INDEX for [[bm25Indexed]]: postings
     * (doc_id, tok, tf, dl) written `partitionBy(pb)` where
     * `pb = pmod(xxhash64(tok), buckets)` — the term-hash analogue of the

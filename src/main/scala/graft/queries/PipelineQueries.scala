@@ -2129,6 +2129,136 @@ object PipelineQueries {
              |                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
              |  FROM agg)
              |SELECT query_id, doc_id, rank, score FROM rnk
-             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Q32c: hybrid retrieval by reciprocal-rank fusion — BM25 candidate
+    // ranks fused with a quality-prior re-rank (q29b's deterministic
+    // quality score) via the generic Search.fuseRankings combiner. Fully
+    // deterministic: both component rankings and the decimal-summed RRF
+    // score re-derive exactly in SQL, so the fused top-k hash-checks end
+    // to end (the dense-vector sibling q32d is the rows-only variant).
+    QueryDef(
+      "q32c_rrf_quality",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val qs = Seq(
+          (1L, "dup scan"), (2L, "spark query merge"), (3L, "zebra"))
+          .toDF("query_id", "query_text")
+        val bm = graft.operators.Search.bm25(docs, qs, topK = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+          .localCheckpoint() // feeds both fusion inputs
+        val quality = docs.select(
+          col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+        val w2 = Window.partitionBy(col("query_id"))
+          .orderBy(col("q").desc, col("doc_id"))
+        val prior = bm.join(quality, Seq("doc_id"))
+          .select(col("query_id"), col("doc_id"),
+            row_number().over(w2).cast("long").as("rank"))
+        graft.operators.Search.fuseRankings(Seq(bm, prior), topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |  (CAST(1 AS BIGINT), 'dup'), (1, 'scan'),
+             |  (2, 'spark'), (2, 'query'), (2, 'merge'),
+             |  (3, 'zebra')),
+             |t AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |         CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+             |  FROM t),
+             |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
+             |tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
+             |         CAST(max(dl) AS DOUBLE) AS dl
+             |  FROM tok WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
+             |idf AS (
+             |  SELECT tok,
+             |         ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+             |  FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)),
+             |sc AS (
+             |  SELECT q.query_id, tf.doc_id,
+             |         idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+             |         (tf.tf + CAST(1.2 AS DOUBLE) *
+             |          ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c
+             |  FROM tf JOIN q ON q.term = tf.tok JOIN idf ON idf.tok = tf.tok),
+             |agg AS (
+             |  SELECT query_id, doc_id,
+             |         round(CAST(sum(CAST(c AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
+             |  FROM sc GROUP BY query_id, doc_id),
+             |rnk AS (
+             |  SELECT query_id, doc_id,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |  FROM agg),
+             |cand AS (SELECT query_id, doc_id, rank FROM rnk WHERE rank <= 10),
+             |qd AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_toks,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             |              / CAST(length(text) AS DOUBLE) END AS pr,
+             |    length(text) AS n_chars
+             |  FROM documents),
+             |qual AS (
+             |  SELECT doc_id,
+             |    round(
+             |      least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) * 0.4 +
+             |      (CASE WHEN n_toks != 0
+             |                 AND CAST(n_chars AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 3
+             |                 AND CAST(n_chars AS DOUBLE) / CAST(n_toks AS DOUBLE) <= 10
+             |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+             |      (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS qv
+             |  FROM qd),
+             |prior AS (
+             |  SELECT c.query_id, c.doc_id,
+             |         CAST(row_number() OVER (PARTITION BY c.query_id
+             |                                 ORDER BY qual.qv DESC, c.doc_id) AS BIGINT) AS rank
+             |  FROM cand c JOIN qual ON qual.doc_id = c.doc_id),
+             |u AS (
+             |  SELECT query_id, doc_id,
+             |         CAST(1.0 / (60.0 + CAST(rank AS DOUBLE)) AS DECIMAL(30,10)) AS c
+             |  FROM cand
+             |  UNION ALL
+             |  SELECT query_id, doc_id,
+             |         CAST(1.0 / (60.0 + CAST(rank AS DOUBLE)) AS DECIMAL(30,10)) AS c
+             |  FROM prior),
+             |f AS (
+             |  SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf
+             |  FROM u GROUP BY query_id, doc_id),
+             |r AS (
+             |  SELECT query_id, doc_id, rrf,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+             |  FROM f)
+             |SELECT query_id, doc_id, rank, rrf FROM r
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Q32d: hybrid keyword + DENSE retrieval — BM25 ranks fused with exact
+    // cosine ranks over the embeddings table (queries carry both text and
+    // the matching vector). Float cosine has no SQL twin => rows-only;
+    // SearchSpec pins the fusion algebra (weight degeneration to either
+    // component, missing-doc contributions, determinism) against
+    // hand-computed fixtures.
+    QueryDef(
+      "q32d_hybrid_dense",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val qs = Seq(
+          (1L, "dup scan"), (2L, "spark query merge"), (3L, "zebra"))
+          .toDF("query_id", "query_text")
+        val queries = qs.join(
+          emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+          Seq("query_id"))
+        graft.operators.Search.hybridTopK(docs, emb, queries, topK = 10)
+          .orderBy("query_id", "rank")
+      },
+      None)
   )
 }

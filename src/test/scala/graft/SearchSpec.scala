@@ -210,4 +210,69 @@ class SearchSpec extends AnyFunSuite {
     val byQ = df.collect().groupBy(_.getLong(0))
     byQ.foreach { case (q, rows) => assert(rows.length <= 10, s"query $q overflow") }
   }
+
+  test("fuseRankings: hand-computed RRF scores, missing docs, weight degeneration") {
+    import spark.implicits._
+    val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val r2 = Seq((1L, 11L, 1L), (1L, 13L, 2L)).toDF("query_id", "doc_id", "rank")
+    val fused = Search.fuseRankings(Seq(r1, r2), topK = 10, k0 = 60)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // hand-computed (DECIMAL(30,10) per contribution, exact sum, round 6):
+    // 11: 1/62 + 1/61 = 0.0161290323 + 0.0163934426 = 0.0325224749 -> 0.032522
+    // 10: 1/61 -> 0.016393;  13: 1/62 -> 0.016129;  12: 1/63 -> 0.015873
+    assert(fused == Map(
+      11L -> (1L, 0.032522), 10L -> (2L, 0.016393),
+      13L -> (3L, 0.016129), 12L -> (4L, 0.015873)), s"fused: $fused")
+    // a zero weight degenerates to the other ranking's order (zero-weight
+    // docs trail with score 0, tie-broken by id)
+    val kwOnly = Search.fuseRankings(Seq(r1, r2), topK = 10, weights = Seq(1.0, 0.0))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(kwOnly == Map(10L -> 1L, 11L -> 2L, 12L -> 3L, 13L -> 4L), s"kw-only: $kwOnly")
+    // per-query independence: a second query's ranks never leak into the first
+    val r3 = Seq((1L, 10L, 1L), (2L, 10L, 1L), (2L, 99L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val byQ = Search.fuseRankings(Seq(r3), topK = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byQ == Map(1L -> 1, 2L -> 2))
+  }
+
+  test("hybridTopK: degenerate weights reproduce each component ranking's order") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = Seq((1L, "spark merge"), (2L, "filter window")).toDF("query_id", "query_text")
+    val queries = qs.join(
+      emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+      Seq("query_id"))
+    def order(df: org.apache.spark.sql.DataFrame) = df
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq).toMap
+    // keyword-only fusion: the docs BM25 ranked must lead in BM25 order
+    val kw = order(Search.bm25(docs, qs, topK = 5)
+      .select(col("query_id"), col("doc_id"), col("rank")))
+    val kwOnly = order(Search.hybridTopK(docs, emb, queries, topK = 5,
+      fetchK = 5, denseWeight = 0.0))
+    kw.foreach { case (q, ids) =>
+      assert(kwOnly(q).take(ids.length) == ids,
+        s"query $q: keyword-only fusion must lead with the BM25 order") }
+    // dense-only fusion: leads with the brute-force cosine order
+    val dn = order(graft.operators.Similarity.bruteForceTopK(emb,
+      queries.select(col("query_id").as("vec_id"), col("query_vec").as("embedding")),
+      k = 5)
+      .select(col("q_id"), col("n_id"), col("rank")))
+    val dnOnly = order(Search.hybridTopK(docs, emb, queries, topK = 5,
+      fetchK = 5, keywordWeight = 0.0))
+    dn.foreach { case (q, ids) =>
+      assert(dnOnly(q).take(ids.length) == ids,
+        s"query $q: dense-only fusion must lead with the cosine order") }
+    // the balanced fusion returns exactly topK rows per query, ranks 1..k,
+    // and the facade wrapper is the same computation
+    val hy = Search.hybridTopK(docs, emb, queries, topK = 5).collect()
+    hy.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to 5L), s"query $q ranks") }
+    val viaFacade = Graft(spark, TestSpark.Sf0001).hybridSearch(queries, topK = 5)
+      .collect().map(_.toSeq).toSet
+    assert(viaFacade == hy.map(_.toSeq).toSet, "facade must equal the operator")
+  }
 }

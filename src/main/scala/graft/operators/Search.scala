@@ -164,10 +164,14 @@ object Search {
     val kw = bm25(documents, queries, fetchK, idCol = idCol, textCol = textCol,
       queryIdCol = queryIdCol, queryTextCol = queryTextCol)
       .select(col("query_id"), col("doc_id"), col("rank"))
+    // excludeSelf = false: query ids and document ids are DIFFERENT
+    // namespaces here, so an id collision is coincidental — the default
+    // self-exclusion would silently drop that document from the query's
+    // dense ranking (e.g. the document whose embedding IS the query vector)
     val dn = Similarity.bruteForceTopK(
       embeddings.select(col(vecIdCol).as("_hy_id"), col(vecCol).as("_hy_vec")),
       queries.select(col(queryIdCol).as("_hy_id"), col(queryVecCol).as("_hy_vec")),
-      fetchK, idCol = "_hy_id", vecCol = "_hy_vec")
+      fetchK, idCol = "_hy_id", vecCol = "_hy_vec", excludeSelf = false)
       .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
     fuseRankings(Seq(kw, dn), topK, k0, Seq(keywordWeight, denseWeight))
   }

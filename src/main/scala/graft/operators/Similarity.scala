@@ -26,16 +26,22 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       VectorOps.normSq(col(vecCol)).as("q_nsq"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorOps.normSq(col(vecCol)).as("n_nsq"))
+    // `excludeSelf` drops the id-equal pair — right when queries ARE corpus
+    // rows (the neighbor-search form). Pass false when query ids live in a
+    // DIFFERENT namespace than corpus ids (e.g. hybrid retrieval's query
+    // batch): there an id collision is coincidental and the exclusion would
+    // silently drop an unrelated document from that query's ranking.
     // project to (q_id, n_id, score) BEFORE the rank window: the WindowExec
     // exchange+sort would otherwise move both embedding vectors per scored
     // pair (~17x the bytes of ids+score at dim=64) as dead weight
     val scored = c
-      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .join(broadcast(q), if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .select(col("q_id"), col("n_id"), VectorOps.cosineWithNorms(
         col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)

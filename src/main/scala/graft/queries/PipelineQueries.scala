@@ -2149,11 +2149,16 @@ object PipelineQueries {
         val bm = graft.operators.Search.bm25(docs, qs, topK = 10)
           .select(col("query_id"), col("doc_id"), col("rank"))
           .localCheckpoint() // feeds both fusion inputs
-        val quality = docs.select(
-          col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
         val w2 = Window.partitionBy(col("query_id"))
           .orderBy(col("q").desc, col("doc_id"))
-        val prior = bm.join(quality, Seq("doc_id"))
+        // candidate-bounded quality: the tiny candidate set broadcasts and
+        // the regex-heavy qualityScore evaluates ONLY on the joined
+        // survivors — never as a second corpus-wide pass (quality is
+        // per-doc deterministic, so the fused output is identical)
+        val prior = broadcast(bm)
+          .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .select(col("query_id"), col("doc_id"),
+            TextOps.qualityScore(col("text")).as("q"))
           .select(col("query_id"), col("doc_id"),
             row_number().over(w2).cast("long").as("rank"))
         graft.operators.Search.fuseRankings(Seq(bm, prior), topK = 10)

@@ -256,11 +256,17 @@ class SearchSpec extends AnyFunSuite {
     kw.foreach { case (q, ids) =>
       assert(kwOnly(q).take(ids.length) == ids,
         s"query $q: keyword-only fusion must lead with the BM25 order") }
-    // dense-only fusion: leads with the brute-force cosine order
+    // dense-only fusion: leads with the brute-force cosine order.
+    // excludeSelf = false mirrors hybridTopK's dense side: query ids are a
+    // separate namespace, so the doc sharing a query's id must NOT drop —
+    // here each query's vector IS that doc's embedding, so the id-equal doc
+    // is the rank-1 dense hit (cosine 1.0) and proves the non-exclusion
     val dn = order(graft.operators.Similarity.bruteForceTopK(emb,
       queries.select(col("query_id").as("vec_id"), col("query_vec").as("embedding")),
-      k = 5)
+      k = 5, excludeSelf = false)
       .select(col("q_id"), col("n_id"), col("rank")))
+    dn.foreach { case (q, ids) =>
+      assert(ids.head == q, s"query $q: its own doc (cosine 1.0) must lead the dense ranking") }
     val dnOnly = order(Search.hybridTopK(docs, emb, queries, topK = 5,
       fetchK = 5, keywordWeight = 0.0))
     dn.foreach { case (q, ids) =>

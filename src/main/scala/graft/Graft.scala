@@ -785,6 +785,13 @@ final case class Graft(spark: SparkSession, dir: String) {
   def audioDupPairs(withPayload: DataFrame, maxHamming: Int = 10): DataFrame =
     Multimodal.audioDupPairs(Multimodal.audioHashes(withPayload), maxHamming)
 
+  /** Fixed-shape grayscale tensors from a binary image payload column —
+    * decode + box-average resize to `width x height`, [0,1] floats
+    * ([[Multimodal.resizeImages]]): the image-tower input step of a
+    * multimodal training pipeline. */
+  def imageTensors(withPayload: DataFrame, width: Int = 32, height: Int = 32): DataFrame =
+    Multimodal.resizeImages(withPayload, width, height)
+
   /** Streaming IMAGE dedup-on-write: perceptual-hash each micro-batch's
     * payloads, drop content near-duplicates of anything already landed,
     * fold survivors' signatures into the persisted store. Build the store

@@ -721,6 +721,15 @@ object Multimodal {
       sum.toDouble / n
     }
 
+    /** Box-average resample to a `tw x th` row-major grid normalized to
+      * [0, 1] — the same binning [[aHash64]]/[[dHash64]] reduce with,
+      * exposed as the RESIZE primitive (so resize semantics and dedup
+      * semantics can never diverge). Works for any source size >= 1x1:
+      * a source smaller than the target replicates pixels (each target
+      * cell covers at least one source pixel by construction). */
+    def resample(g: ImageDecoder.Gray, tw: Int, th: Int): Array[Float] =
+      Array.tabulate(th * tw)(i => (cell(g, tw, th, i % tw, i / tw) / 255.0).toFloat)
+
     /** Average hash: 8x8 grid, bit set where the cell exceeds the grid mean. */
     def aHash64(g: ImageDecoder.Gray): Option[Long] = {
       if (g.width < 8 || g.height < 8) return None
@@ -775,6 +784,40 @@ object Multimodal {
       imageGenUdf(width, height, noise, bmpEvery)(col(idCol).cast("long"), col(seedCol).cast("long")))
 
   final case class ImageHashes(doc_id: Long, width: Int, height: Int, ahash: Long, dhash: Long)
+
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int, pixels: Array[Float])
+
+  /** Decode each payload and RESIZE it to a fixed `targetW x targetH`
+    * grayscale tensor ([0, 1] row-major floats) — the decode → resize →
+    * fixed-shape step a multimodal training pipeline feeds its image
+    * tower with. Resampling is [[PerceptualHash.resample]] (box average —
+    * the exact grid the perceptual hashes bin with), so a resized tensor
+    * and the dedup hash of the same image always agree on content.
+    * Partition-parallel `mapPartitions` like [[imageHashes]]: payload
+    * bytes never leave the executors, and every output row is exactly
+    * `targetW * targetH` floats however large the source — the bounded
+    * row shape that matters when the decode pass IS the 100 TB scan.
+    * Undecodable payloads are skipped, never fatal; `width`/`height`
+    * report the SOURCE resolution for provenance filtering. */
+  def resizeImages(
+      withPayload: DataFrame,
+      targetW: Int = 32,
+      targetH: Int = 32,
+      idCol: String = "doc_id"): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, s"bad target ${targetW}x$targetH")
+    val input = withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          ImageDecoder.decode(payload).map(g =>
+            ResizedImage(id, g.width, g.height,
+              PerceptualHash.resample(g, targetW, targetH)))
+        }
+      }(Encoders.product[ResizedImage])
+      .toDF()
+  }
 
   /** Decode each payload and emit its perceptual hashes — one row per
     * DECODABLE image (undecodable/non-image rows are skipped, never fatal).

@@ -2019,6 +2019,29 @@ object PipelineQueries {
       },
       None),
 
+    // Q30e: image RESIZE to fixed-shape training tensors — decode +
+    // box-average resample to 16x16 [0,1] grayscale (the image-tower input
+    // step; same resampler the perceptual hashes bin with). The tensor
+    // itself is summarized per row (size + sequential-fold mean, both
+    // deterministic) so the dumped result stays slim; pixel values derive
+    // from PNG inflate/defilter => not SQL-expressible, rows-only;
+    // MultimodalSpec pins the resample against hand-computed fixtures.
+    QueryDef(
+      "q30e_image_resize",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        Multimodal.resizeImages(Multimodal.withImagePayload(ids), 16, 16)
+          .select(
+            col("doc_id"),
+            col("width"), col("height"),
+            size(col("pixels")).cast("long").as("n_px"),
+            round(
+              aggregate(col("pixels"), lit(0.0), (a, x) => a + x) / (16.0 * 16.0),
+              6).as("px_mean"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Q32: BM25 keyword retrieval — the corpus-inspection companion to the
     // embedding search family: three keyword queries (one with a rare
     // discriminative term, one multi-term, one with no corpus hits) scored

@@ -479,4 +479,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stored == (0L until 20L).toSet && streamed == Set(700L, 703L, 704L),
       s"store = corpus + kept survivors: $streamed")
   }
+
+  test("resample: hand-computed box averages, replication upscale, container independence") {
+    import graft.operators.Multimodal.{ImageDecoder, ImageGen, PerceptualHash}
+    // 2x2 fixture [0, 64; 128, 255]: 1x1 target = whole-image mean,
+    // 2x2 target = identity
+    val g = ImageDecoder.Gray(2, 2, Array(0, 64, 128, 255))
+    assert(PerceptualHash.resample(g, 1, 1).toSeq ==
+      Seq(((0 + 64 + 128 + 255) / 4.0 / 255.0).toFloat))
+    assert(PerceptualHash.resample(g, 2, 2).toSeq ==
+      Seq(0f, (64 / 255.0).toFloat, (128 / 255.0).toFloat, 1f))
+    // non-square target: each 1x2 column cell averages vertically
+    assert(PerceptualHash.resample(g, 2, 1).toSeq ==
+      Seq(((0 + 128) / 2.0 / 255.0).toFloat, ((64 + 255) / 2.0 / 255.0).toFloat))
+    // upscale replicates: a 1x1 source fills any target with its value
+    val one = ImageDecoder.Gray(1, 1, Array(200))
+    assert(PerceptualHash.resample(one, 3, 2).toSeq ==
+      Seq.fill(6)((200 / 255.0).toFloat))
+    // container independence: PNG and BMP of the same pixels resize equally
+    val png = ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0)).get
+    val bmp = ImageDecoder.decode(ImageGen.bmp(64, 48, 42L, 0)).get
+    assert(PerceptualHash.resample(png, 16, 16).toSeq ==
+      PerceptualHash.resample(bmp, 16, 16).toSeq)
+  }
+
+  test("resizeImages: fixed-shape tensors distributedly; undecodable rows drop") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ids = (0L until 40L).toDF("doc_id")
+    val withP = Multimodal.withImagePayload(ids)
+    val out = Multimodal.resizeImages(withP, 16, 16).collect()
+    assert(out.length == 40, "every synthesized payload decodes")
+    out.foreach { r =>
+      val px = r.getSeq[Float](3)
+      assert(px.length == 16 * 16, "fixed shape regardless of source size")
+      assert(px.forall(v => v >= 0f && v <= 1f), "normalized range")
+      assert(r.getInt(1) == 64 && r.getInt(2) == 48, "source dims reported")
+    }
+    // undecodable payloads (garbage bytes) drop, never throw
+    val garbage = Seq((900L, Array.fill[Byte](64)(0x5a))).toDF("doc_id", "payload")
+    assert(Multimodal.resizeImages(withP.select("doc_id", "payload")
+      .unionByName(garbage), 8, 8).count() == 40)
+    // facade: same computation
+    val viaFacade = Graft(spark, TestSpark.Sf0001)
+      .imageTensors(withP, 16, 16).count()
+    assert(viaFacade == 40)
+  }
 }

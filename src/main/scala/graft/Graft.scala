@@ -762,10 +762,14 @@ final case class Graft(spark: SparkSession, dir: String) {
   /** A trained-classifier quality gate as a [[filterDocuments]] /
     * curated-ingest RULE (violated = classified junk): the
     * model-filter-at-ingest pattern, verdicts identical to
-    * [[qualityClassifierScores]] by construction. */
+    * [[qualityClassifierScores]] by construction. The llr table rides the
+    * rule Column as a LITERAL map serialized into every micro-batch plan,
+    * so the default vocabulary here is deliberately smaller than the
+    * scoring operator's 100k — raise it only knowing each trigger pays the
+    * plan-serialization cost of the full table. */
   def qualityClassifierRule(
       positive: DataFrame, negative: DataFrame,
-      maxVocab: Int = 100000): (String, org.apache.spark.sql.Column) =
+      maxVocab: Int = 10000): (String, org.apache.spark.sql.Column) =
     operators.Curation.classifierRule(
       operators.Curation.trainQualityClassifier(positive, negative, maxVocab))
 

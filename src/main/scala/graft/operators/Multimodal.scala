@@ -621,7 +621,12 @@ object Multimodal {
         inflater.setInput(idat.toByteArray)
         while (off < raw.length && !inflater.finished()) {
           val n = inflater.inflate(raw, off, raw.length - off)
-          if (n == 0 && inflater.needsInput()) return None // truncated stream
+          // n == 0 without finishing means the stream cannot progress:
+          // truncated input (needsInput) OR a zlib header demanding a
+          // preset dictionary (FDICT — needsDictionary; PNG forbids it,
+          // but a crafted payload can set it and a plain needsInput check
+          // would spin this loop forever). Either way: undecodable.
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) return None
           off += n
         }
       } finally inflater.end()

@@ -200,16 +200,28 @@ object Search {
     import spark.implicits._
     Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    documents
+    postingsRows(documents, buckets, idCol, textCol)
+      // one task per touched bucket => one file per bucket, not per
+      // (task x bucket)
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** The postings derivation — ONE definition shared by the batch build,
+    * the batch append, and the streaming segment writer, so the three
+    * write paths can never diverge on tokenizer, tf accounting, or the
+    * bucket hash (the same single-definition discipline as
+    * [[scoreAndRank]] on the read side): (doc_id, tok, tf, dl, pb) rows,
+    * `pb = pmod(xxhash64(tok), buckets)`. */
+  private def postingsRows(
+      docs: DataFrame, buckets: Int, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
+    docs
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
         explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
       .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)))
-      // one task per touched bucket => one file per bucket, not per
-      // (task x bucket)
-      .repartition(col("pb"))
-      .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
   }
 
   /** Append new documents to a persisted text index WITHOUT rebuilding:
@@ -228,14 +240,7 @@ object Search {
     val spark = newDocs.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val (n0, sd0, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
-    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
-    val batch = newDocs
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
-      .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)))
-      .localCheckpoint()
+    val batch = postingsRows(newDocs, buckets, idCol, textCol).localCheckpoint()
     batch.repartition(col("pb"))
       .write.partitionBy("pb").mode("append").parquet(s"$path/postings")
     val bm = batch.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
@@ -309,14 +314,7 @@ object Search {
       textCol: String = "text"): Long = {
     val spark = newDocs.sparkSession
     val buckets = spark.read.parquet(s"$path/meta").head().getInt(2)
-    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
-    val batch = newDocs
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
-      .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)))
-      .localCheckpoint()
+    val batch = postingsRows(newDocs, buckets, idCol, textCol).localCheckpoint()
     batch.repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(s"$path/segs/$segName/postings")
     val m = batch.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))

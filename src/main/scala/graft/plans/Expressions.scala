@@ -399,9 +399,13 @@ object VectorKernels {
       }
       if (level == flats.length - 1) {
         // greedy-path containment: splice the assignment leaf into the last
-        // slot if the beam lost it. If present, sel is untouched; if spliced,
-        // ascending (distance, index) order is preserved — a leaf the top-keep
-        // selection skipped ranks after every selected one.
+        // slot if the beam lost it. If present, sel is untouched and stays
+        // ascending by (distance, index). If SPLICED, ordering is NOT
+        // guaranteed: the greedy chain diverged at an internal level, so
+        // the spliced leaf never scored in this final candidate set and
+        // its distance may beat sel(0). Consumers treat the result as a
+        // probe SET (explode + bucket join) — nothing may rely on rank
+        // order of the returned probes when k > 1.
         var found = false
         var t = 0
         while (t < keep && !found) { if (sel(t) == gNode) found = true; t += 1 }

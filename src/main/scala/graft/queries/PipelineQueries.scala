@@ -27,6 +27,76 @@ object PipelineQueries {
     "  SELECT * FROM (VALUES ('the'),('th'),('ing'),('ion'),('tion'),('ent'),('ed'),('er'),('re'),('an'),\n" +
     "                        ('or'),('at'),('en'),('es'),('st'),('ar'),('te'),('nd'),('on'),('data')) v(piece))"
 
+  /** The DSIR oracle's weight-model CTE chain (hashed-bigram buckets ->
+    * per-doc (n_grams, log_weight) in `agg`; expects `png` from
+    * `XxSql.posNgramCtes(2)` upstream) — ONE definition shared by q29t and
+    * q29t2 so a model-formula fix can never update one twin and miss the
+    * other. Margin-less like [[BpeVocabSql]]. */
+  private val DsirWeightCtes: String =
+    "bkt AS MATERIALIZED (\n" +
+    "  SELECT did, ((gram % 10007) + 10007) % 10007 AS b FROM png),\n" +
+    "tcnt AS (\n" +
+    "  SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM bkt\n" +
+    "  WHERE did IN (SELECT doc_id FROM documents\n" +
+    "                WHERE source IN ('src0','src1','src2','src3'))\n" +
+    "  GROUP BY b),\n" +
+    "rcnt AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM bkt GROUP BY b),\n" +
+    "tot AS (\n" +
+    "  SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) + 10007.0 AS dt,\n" +
+    "         (SELECT coalesce(sum(cr), 0) FROM rcnt) + 10007.0 AS dr),\n" +
+    "lr AS (\n" +
+    "  SELECT r.b,\n" +
+    "         ln((coalesce(t.ct, 0) + 1.0) / (SELECT dt FROM tot)) -\n" +
+    "         ln((r.cr + 1.0) / (SELECT dr FROM tot)) AS lr\n" +
+    "  FROM rcnt r LEFT JOIN tcnt t ON t.b = r.b),\n" +
+    "sc AS (\n" +
+    "  SELECT bkt.did,\n" +
+    "         coalesce(l.lr, ln(1.0 / (SELECT dt FROM tot)) -\n" +
+    "                        ln(1.0 / (SELECT dr FROM tot))) AS sc\n" +
+    "  FROM bkt LEFT JOIN lr l ON l.b = bkt.b),\n" +
+    "agg AS (\n" +
+    "  SELECT did, CAST(count(*) AS BIGINT) AS n_grams,\n" +
+    "         round(CAST(sum(CAST(sc AS DECIMAL(30,10))) AS DOUBLE), 4) AS log_weight\n" +
+    "  FROM sc GROUP BY did)"
+
+  /** The BM25 oracle's CTE chain (query terms -> per-(query, doc) rounded
+    * scores in `agg`) — ONE definition shared by q32, q32b, and q32c so a
+    * formula fix can never update one twin and miss another (the same
+    * single-definition discipline as the engine-side `scoreAndRank`).
+    * Margin-less like [[BpeVocabSql]]. */
+  private val Bm25AggCtes: String =
+    "q(query_id, term) AS (VALUES\n" +
+    "  (CAST(1 AS BIGINT), 'dup'), (1, 'scan'),\n" +
+    "  (2, 'spark'), (2, 'query'), (2, 'merge'),\n" +
+    "  (3, 'zebra')),\n" +
+    "t AS (\n" +
+    "  SELECT doc_id,\n" +
+    "         string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') AS toks\n" +
+    "  FROM documents),\n" +
+    "stats AS (\n" +
+    "  SELECT CAST(count(*) AS DOUBLE) AS n,\n" +
+    "         CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl\n" +
+    "  FROM t),\n" +
+    "tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),\n" +
+    "tf AS (\n" +
+    "  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,\n" +
+    "         CAST(max(dl) AS DOUBLE) AS dl\n" +
+    "  FROM tok WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),\n" +
+    "idf AS (\n" +
+    "  SELECT tok,\n" +
+    "         ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf\n" +
+    "  FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)),\n" +
+    "sc AS (\n" +
+    "  SELECT q.query_id, tf.doc_id,\n" +
+    "         idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /\n" +
+    "         (tf.tf + CAST(1.2 AS DOUBLE) *\n" +
+    "          ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c\n" +
+    "  FROM tf JOIN q ON q.term = tf.tok JOIN idf ON idf.tok = tf.tok),\n" +
+    "agg AS (\n" +
+    "  SELECT query_id, doc_id,\n" +
+    "         round(CAST(sum(CAST(c AS DECIMAL(30,10))) AS DOUBLE), 4) AS score\n" +
+    "  FROM sc GROUP BY query_id, doc_id)"
+
   /** DuckDB fragment: the greedy longest-match cursor walk as a recursive
     * CTE — per word, advance by the longest vocab piece matching at the
     * cursor (else one char), counting steps. Terminal rows (pos past the
@@ -1649,31 +1719,7 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE
              |${XxSql.docTokenHashCtes},
              |${XxSql.posNgramCtes(2)},
-             |bkt AS MATERIALIZED (
-             |  SELECT did, ((gram % 10007) + 10007) % 10007 AS b FROM png),
-             |tcnt AS (
-             |  SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM bkt
-             |  WHERE did IN (SELECT doc_id FROM documents
-             |                WHERE source IN ('src0','src1','src2','src3'))
-             |  GROUP BY b),
-             |rcnt AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM bkt GROUP BY b),
-             |tot AS (
-             |  SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) + 10007.0 AS dt,
-             |         (SELECT coalesce(sum(cr), 0) FROM rcnt) + 10007.0 AS dr),
-             |lr AS (
-             |  SELECT r.b,
-             |         ln((coalesce(t.ct, 0) + 1.0) / (SELECT dt FROM tot)) -
-             |         ln((r.cr + 1.0) / (SELECT dr FROM tot)) AS lr
-             |  FROM rcnt r LEFT JOIN tcnt t ON t.b = r.b),
-             |sc AS (
-             |  SELECT bkt.did,
-             |         coalesce(l.lr, ln(1.0 / (SELECT dt FROM tot)) -
-             |                        ln(1.0 / (SELECT dr FROM tot))) AS sc
-             |  FROM bkt LEFT JOIN lr l ON l.b = bkt.b),
-             |agg AS (
-             |  SELECT did, CAST(count(*) AS BIGINT) AS n_grams,
-             |         round(CAST(sum(CAST(sc AS DECIMAL(30,10))) AS DOUBLE), 4) AS log_weight
-             |  FROM sc GROUP BY did)
+             |$DsirWeightCtes
              |SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
              |       CAST(coalesce(a.log_weight, 0.0) AS DOUBLE) AS log_weight
              |FROM documents d LEFT JOIN agg a ON a.did = d.doc_id
@@ -1696,31 +1742,7 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE
              |${XxSql.docTokenHashCtes},
              |${XxSql.posNgramCtes(2)},
-             |bkt AS MATERIALIZED (
-             |  SELECT did, ((gram % 10007) + 10007) % 10007 AS b FROM png),
-             |tcnt AS (
-             |  SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM bkt
-             |  WHERE did IN (SELECT doc_id FROM documents
-             |                WHERE source IN ('src0','src1','src2','src3'))
-             |  GROUP BY b),
-             |rcnt AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM bkt GROUP BY b),
-             |tot AS (
-             |  SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) + 10007.0 AS dt,
-             |         (SELECT coalesce(sum(cr), 0) FROM rcnt) + 10007.0 AS dr),
-             |lr AS (
-             |  SELECT r.b,
-             |         ln((coalesce(t.ct, 0) + 1.0) / (SELECT dt FROM tot)) -
-             |         ln((r.cr + 1.0) / (SELECT dr FROM tot)) AS lr
-             |  FROM rcnt r LEFT JOIN tcnt t ON t.b = r.b),
-             |sc AS (
-             |  SELECT bkt.did,
-             |         coalesce(l.lr, ln(1.0 / (SELECT dt FROM tot)) -
-             |                        ln(1.0 / (SELECT dr FROM tot))) AS sc
-             |  FROM bkt LEFT JOIN lr l ON l.b = bkt.b),
-             |agg AS (
-             |  SELECT did, CAST(count(*) AS BIGINT) AS n_grams,
-             |         round(CAST(sum(CAST(sc AS DECIMAL(30,10))) AS DOUBLE), 4) AS log_weight
-             |  FROM sc GROUP BY did),
+             |$DsirWeightCtes,
              |w AS (
              |  SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
              |         CAST(coalesce(a.log_weight, 0.0) AS DOUBLE) AS log_weight
@@ -2058,37 +2080,7 @@ object PipelineQueries {
         graft.operators.Search.bm25(Tables.documents(s, dir), qs, topK = 10)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH q(query_id, term) AS (VALUES
-             |  (CAST(1 AS BIGINT), 'dup'), (1, 'scan'),
-             |  (2, 'spark'), (2, 'query'), (2, 'merge'),
-             |  (3, 'zebra')),
-             |t AS (
-             |  SELECT doc_id,
-             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
-             |  FROM documents),
-             |stats AS (
-             |  SELECT CAST(count(*) AS DOUBLE) AS n,
-             |         CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-             |  FROM t),
-             |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
-             |tf AS (
-             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
-             |         CAST(max(dl) AS DOUBLE) AS dl
-             |  FROM tok WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
-             |idf AS (
-             |  SELECT tok,
-             |         ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
-             |  FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)),
-             |sc AS (
-             |  SELECT q.query_id, tf.doc_id,
-             |         idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
-             |         (tf.tf + CAST(1.2 AS DOUBLE) *
-             |          ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c
-             |  FROM tf JOIN q ON q.term = tf.tok JOIN idf ON idf.tok = tf.tok),
-             |agg AS (
-             |  SELECT query_id, doc_id,
-             |         round(CAST(sum(CAST(c AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
-             |  FROM sc GROUP BY query_id, doc_id),
+      Some(s"""WITH $Bm25AggCtes,
              |rnk AS (
              |  SELECT query_id, doc_id, score,
              |         CAST(row_number() OVER (PARTITION BY query_id
@@ -2115,37 +2107,7 @@ object PipelineQueries {
         graft.operators.Search.bm25Indexed(s, idx, qs, topK = 10)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH q(query_id, term) AS (VALUES
-             |  (CAST(1 AS BIGINT), 'dup'), (1, 'scan'),
-             |  (2, 'spark'), (2, 'query'), (2, 'merge'),
-             |  (3, 'zebra')),
-             |t AS (
-             |  SELECT doc_id,
-             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
-             |  FROM documents),
-             |stats AS (
-             |  SELECT CAST(count(*) AS DOUBLE) AS n,
-             |         CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-             |  FROM t),
-             |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
-             |tf AS (
-             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
-             |         CAST(max(dl) AS DOUBLE) AS dl
-             |  FROM tok WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
-             |idf AS (
-             |  SELECT tok,
-             |         ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
-             |  FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)),
-             |sc AS (
-             |  SELECT q.query_id, tf.doc_id,
-             |         idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
-             |         (tf.tf + CAST(1.2 AS DOUBLE) *
-             |          ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c
-             |  FROM tf JOIN q ON q.term = tf.tok JOIN idf ON idf.tok = tf.tok),
-             |agg AS (
-             |  SELECT query_id, doc_id,
-             |         round(CAST(sum(CAST(c AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
-             |  FROM sc GROUP BY query_id, doc_id),
+      Some(s"""WITH $Bm25AggCtes,
              |rnk AS (
              |  SELECT query_id, doc_id, score,
              |         CAST(row_number() OVER (PARTITION BY query_id
@@ -2187,37 +2149,7 @@ object PipelineQueries {
         graft.operators.Search.fuseRankings(Seq(bm, prior), topK = 10)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH q(query_id, term) AS (VALUES
-             |  (CAST(1 AS BIGINT), 'dup'), (1, 'scan'),
-             |  (2, 'spark'), (2, 'query'), (2, 'merge'),
-             |  (3, 'zebra')),
-             |t AS (
-             |  SELECT doc_id,
-             |         string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
-             |  FROM documents),
-             |stats AS (
-             |  SELECT CAST(count(*) AS DOUBLE) AS n,
-             |         CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-             |  FROM t),
-             |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM t),
-             |tf AS (
-             |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
-             |         CAST(max(dl) AS DOUBLE) AS dl
-             |  FROM tok WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
-             |idf AS (
-             |  SELECT tok,
-             |         ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
-             |  FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)),
-             |sc AS (
-             |  SELECT q.query_id, tf.doc_id,
-             |         idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
-             |         (tf.tf + CAST(1.2 AS DOUBLE) *
-             |          ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c
-             |  FROM tf JOIN q ON q.term = tf.tok JOIN idf ON idf.tok = tf.tok),
-             |agg AS (
-             |  SELECT query_id, doc_id,
-             |         round(CAST(sum(CAST(c AS DECIMAL(30,10))) AS DOUBLE), 4) AS score
-             |  FROM sc GROUP BY query_id, doc_id),
+      Some(s"""WITH $Bm25AggCtes,
              |rnk AS (
              |  SELECT query_id, doc_id,
              |         CAST(row_number() OVER (PARTITION BY query_id
@@ -2226,7 +2158,7 @@ object PipelineQueries {
              |cand AS (SELECT query_id, doc_id, rank FROM rnk WHERE rank <= 10),
              |qd AS (
              |  SELECT doc_id,
-             |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_toks,
+             |    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_toks,
              |    CASE WHEN length(text) = 0 THEN 0.0
              |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
              |              / CAST(length(text) AS DOUBLE) END AS pr,

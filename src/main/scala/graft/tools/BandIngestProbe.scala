@@ -53,7 +53,13 @@ object BandIngestProbe {
     val corpus = gen(seedDocs, 0L).localCheckpoint()
 
     val streamed = nBatches.toLong * docsPerBatch
-    val twins = corpus.filter(col("doc_id") % (seedDocs / (streamed / 2)) === 0)
+    // guard the stride: streamed/2 > seedDocs would make it 0 (modulo-null
+    // under non-ANSI eval => silently zero twins; the printed comparison
+    // would be meaningless). max(1, ...) keeps every corpus doc eligible
+    // when more twins are requested than seeds exist.
+    require(streamed >= 2, s"need at least 2 streamed docs, got $streamed")
+    val twinStride = math.max(1L, seedDocs / (streamed / 2))
+    val twins = corpus.filter(col("doc_id") % twinStride === 0)
       .limit((streamed / 2).toInt)
       .withColumn("doc_id", col("doc_id") + 10L * seedDocs)
     val fresh = gen(streamed / 2, 77L * seedDocs)

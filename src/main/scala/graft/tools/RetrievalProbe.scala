@@ -40,16 +40,16 @@ object RetrievalProbe {
       println(f"\n[retrieval] $dir docs=$n%,d")
       val isRef = col("source").isin("src0", "src1", "src2", "src3")
 
-      val (_, tNbTrain) = time {
+      // time() returns the value: train ONCE per model — a discarded
+      // duplicate pass would double the training wall and perturb the
+      // page-cache/JIT state the recorded medians depend on
+      val (nb, tNbTrain) = time {
         Curation.trainQualityClassifier(docs.filter(isRef), docs.filter(!isRef), maxVocab = 25)
       }
-      val nb = Curation.trainQualityClassifier(
-        docs.filter(isRef), docs.filter(!isRef), maxVocab = 25)
       val (_, tNbScore) = time(noop(Curation.classifierScore(docs, nb)))
       println(f"[retrieval]   nb-train=$tNbTrain%7.2fs  nb-score=$tNbScore%7.2fs")
 
-      val (_, tDsTrain) = time(Curation.trainDsir(docs.filter(isRef), docs, buckets = 10007))
-      val ds = Curation.trainDsir(docs.filter(isRef), docs, buckets = 10007)
+      val (ds, tDsTrain) = time(Curation.trainDsir(docs.filter(isRef), docs, buckets = 10007))
       val (_, tDsScore) = time(noop(Curation.dsirScore(docs, ds)))
       println(f"[retrieval]   dsir-train=$tDsTrain%5.2fs  dsir-score=$tDsScore%6.2fs")
 

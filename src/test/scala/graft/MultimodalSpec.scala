@@ -480,6 +480,33 @@ class MultimodalSpec extends AnyFunSuite {
       s"store = corpus + kept survivors: $streamed")
   }
 
+  test("PNG: a zlib FDICT header in IDAT is undecodable, not an infinite loop") {
+    import java.util.zip.CRC32
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+      out.toByteArray
+    }
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+    val ihdr = chunk("IHDR", Array[Byte](0, 0, 0, 2, 0, 0, 0, 2, 8, 0, 0, 0, 0))
+    // zlib header 0x78 0xF9: FCHECK passes (0x78F9 % 31 == 0) and the FDICT
+    // bit is set — PNG forbids preset dictionaries, and Inflater.inflate
+    // returns 0 with needsDictionary()=true forever on such a stream; a
+    // needsInput-only break condition spins the inflate loop indefinitely
+    val idat = chunk("IDAT", Array(0x78.toByte, 0xF9.toByte, 1, 2, 3, 4))
+    val iend = chunk("IEND", Array.empty[Byte])
+    val png = sig ++ ihdr ++ idat ++ iend
+    assert(Multimodal.ImageDecoder.decode(png).isEmpty,
+      "an FDICT zlib stream must be skipped as undecodable, never spun on")
+  }
+
   test("resample: hand-computed box averages, replication upscale, container independence") {
     import graft.operators.Multimodal.{ImageDecoder, ImageGen, PerceptualHash}
     // 2x2 fixture [0, 64; 128, 255]: 1x1 target = whole-image mean,

@@ -610,7 +610,20 @@ object Multimodal {
         case _ => return None // palette
       }
       val stride = w * channels
-      val raw = new Array[Byte]((stride + 1) * h)
+      // ALLOCATION GUARDS — the decode buffers derive from the crafted-able
+      // IHDR dimensions, not from actual input bytes, so an adversarial
+      // 60-byte header declaring 20000x20000 would otherwise allocate
+      // gigabytes (and (stride+1)*h can overflow Int into a negative size).
+      // (1) deflate's max expansion is 1032:1, so the filtered image can
+      // never legitimately exceed 1032x the compressed stream — reject
+      // anything bigger (ties allocation to bytes actually present);
+      // (2) an absolute pixel cap (64M ~ 8Kx8K, recon <= 256 MB) bounds
+      // the worst case even under a large adversarial input. Both paths
+      // return None: oversized == undecodable, the corpus scan skips it.
+      val rawNeed = (stride.toLong + 1L) * h
+      if (w.toLong * h > (1L << 26) || rawNeed > idat.size().toLong * 1032L + 64L)
+        return None
+      val raw = new Array[Byte](rawNeed.toInt)
       // end() in finally: the truncated-stream early return would otherwise
       // strand native zlib state until finalization — and malformed input
       // is a DESIGNED path here (a corpus scan skipping what it cannot

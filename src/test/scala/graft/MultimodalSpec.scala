@@ -507,6 +507,65 @@ class MultimodalSpec extends AnyFunSuite {
       "an FDICT zlib stream must be skipped as undecodable, never spun on")
   }
 
+  test("PNG: header-declared gigapixel dimensions are rejected before allocating") {
+    import java.util.zip.CRC32
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+      out.toByteArray
+    }
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+    // a ~70-byte payload claiming 20000x20000 pixels: decode buffers derive
+    // from the header, so without the input-size guard this would allocate
+    // ~400 MB (and the recon pass ~1.6 GB) from nothing — a memory bomb
+    // against a corpus-scanning executor
+    def dims(w: Int, h: Int) =
+      chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0))
+    val idat = chunk("IDAT", Array[Byte](0x78, 0x01, 1, 2, 3))
+    val iend = chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.ImageDecoder.decode(sig ++ dims(20000, 20000) ++ idat ++ iend).isEmpty,
+      "gigapixel header with a 5-byte stream must be rejected, not allocated")
+    // Int-overflowing dimensions must not wrap into a negative allocation
+    assert(Multimodal.ImageDecoder.decode(sig ++ dims(0x40000, 0x40000) ++ idat ++ iend).isEmpty)
+  }
+
+  test("decoder fuzz: mutated containers and random bytes never throw") {
+    import graft.operators.Multimodal.{ContainerParser, ImageDecoder, ImageGen, WavDecoder}
+    val rnd = new scala.util.Random(12345) // fixed seed: reproducible corpus
+    val basePng = ImageGen.png(32, 24, 7L, 0)
+    val baseBmp = ImageGen.bmp(32, 24, 7L, 0)
+    val baseWav = MediaGen.wav(256)
+    (0 until 300).foreach { _ =>
+      val src = rnd.nextInt(3) match {
+        case 0 => basePng case 1 => baseBmp case _ => baseWav
+      }
+      val b = src.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+      // each call must RETURN (None or garbage-metadata), never throw
+      ImageDecoder.decode(b); WavDecoder.decode(b); ContainerParser.parse(b)
+    }
+    (0 until 100).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      ImageDecoder.decode(b); WavDecoder.decode(b); ContainerParser.parse(b)
+    }
+    // truncations of valid containers at every stride-7 prefix
+    Seq(basePng, baseBmp, baseWav).foreach { src =>
+      (0 until src.length by 7).foreach { n =>
+        val b = src.take(n)
+        ImageDecoder.decode(b); WavDecoder.decode(b); ContainerParser.parse(b)
+      }
+    }
+  }
+
   test("resample: hand-computed box averages, replication upscale, container independence") {
     import graft.operators.Multimodal.{ImageDecoder, ImageGen, PerceptualHash}
     // 2x2 fixture [0, 64; 128, 255]: 1x1 target = whole-image mean,

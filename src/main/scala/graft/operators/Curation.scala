@@ -78,8 +78,12 @@ object Curation {
           val q = r.getSeq[Double](2)
           val thr =
             // engage only for strata both over budget AND big enough that
-            // a one-task sort is the real risk; everything else keeps all
-            if (total <= budgetTokens || total < prefilterMinTokens)
+            // a one-task sort is the real risk; everything else keeps all.
+            // q == null: percentile_approx over an all-null _score stratum
+            // — no CDF to cut on, so keep the whole stratum (the lossless
+            // fallback semantics; cutting at a made-up threshold, or the
+            // NPE this guard replaces, would defeat the design)
+            if (q == null || total <= budgetTokens || total < prefilterMinTokens)
               Double.NegativeInfinity
             else {
               // keep the top fraction of docs expected to carry ~2x the
@@ -940,7 +944,7 @@ object Curation {
         checkedLong(col(shardCol), "shard", shardCol).as("_shard"),
         struct(orderCols.map(col): _*).as("_ord"),
         checkedLong(col(idCol), "id", idCol).as("_id"),
-        col(nTokensCol).cast("long").as("_nt"))
+        checkedLong(col(nTokensCol), "token-count", nTokensCol).as("_nt"))
       .repartition(col("_shard"))
       .sortWithinPartitions(col("_shard"), col("_ord"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -1126,9 +1130,17 @@ object Curation {
     var nCur = cur.count()
 
     def stage(name: String)(f: DataFrame => DataFrame): Unit = {
-      val next = f(cur).localCheckpoint()
+      val raw = f(cur)
+      val next = raw.localCheckpoint()
       val nNext = next.count()
       funnel += ((name, nCur, nNext))
+      // free the superseded stage AND the pre-checkpoint plan: the raw
+      // frame's sweep releases operator-INTERNAL checkpoints (the
+      // components label table under neardup, decontaminateFuzzy's
+      // side checkpoints, tokenBudget's base) that would otherwise
+      // survive until GC — the exact residue the pipeline ingest's
+      // toFree list was added for (measured in the uptime soak)
+      graft.core.Blocks.free(raw)
       graft.core.Blocks.free(cur)
       cur = next
       nCur = nNext

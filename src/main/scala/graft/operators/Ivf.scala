@@ -579,6 +579,61 @@ object Ivf {
     n
   }
 
+  /** The SEMANTIC MICRO-PROBE shared by
+    * [[graft.streaming.Ingest.startSemanticIngest]] and the pipeline
+    * ingest's semantic stage — ONE definition so the two streams can
+    * never diverge: assign the batch with the STORED model, prune the
+    * index to the probed buckets (batch-bounded driver metadata), and
+    * emit the >= `threshold` cosine near-dup pairs among
+    * (corpus ∪ batch) ∪ in-batch, deduped to (doc_a < doc_b).
+    *
+    * NULL-vector rows are EXCLUDED from `assigned`: they can be neither
+    * assigned nor compared, so they are never semantic duplicates —
+    * callers pass them through to the sink (collapse keeps them: they
+    * appear in no pair) and, because segment writes join against
+    * `assigned`, they never enter the index. Without this filter ONE
+    * null embedding would NPE the driver's bucket collect and, since the
+    * failed batch replays on restart, permanently wedge the stream.
+    *
+    * Returns (assigned, pairs), both locally checkpointed — the caller
+    * frees both after its batch lands. */
+  private[graft] def semanticMicroPairs(
+      batch: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
+    val ss = batch.sparkSession
+    val model = readModel(ss, indexPath)
+    val assigned = batch
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_nsq", graft.functions.VectorOps.normSq(col("n_vec")))
+      .withColumn("bucket", nearestCentroid(col("n_vec"), model))
+      .localCheckpoint()
+    // the probed bucket set is batch-bounded driver metadata (the
+    // topKIndexed pattern) — it becomes a LITERAL partition filter
+    val probed = assigned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = readListsWithSegments(ss, indexPath)
+      .filter(col("bucket").isin(probed: _*))
+    val aSide = assigned.select(col("bucket"), col("n_id").as("a_id"),
+      col("n_vec").as("a_vec"), col("n_nsq").as("a_nsq"))
+    val pairs = broadcast(aSide)
+      .join(corpus.unionByName(assigned)
+        .select(col("bucket"), col("n_id").as("b_id"),
+          col("n_vec").as("b_vec"), col("n_nsq").as("b_nsq")), Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("score", graft.functions.VectorOps.cosineWithNorms(
+        col("a_vec"), col("b_vec"), col("a_nsq"), col("b_nsq")))
+      .filter(col("score") >= threshold)
+      .select(
+        least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint()
+    (assigned, pairs)
+  }
+
   /** Write already-assigned rows ((n_id, n_vec, n_nsq, bucket) — the
     * [[appendToIndex]] projection) as a NAMED segment under
     * `segs/<segName>`, overwrite semantics — the replay-idempotent

@@ -63,6 +63,20 @@ object Ingest {
         }.toMap
     }
 
+    /** Read ONE batch's mark (base, count) — the per-trigger replay check,
+      * O(1) mark IO where [[read]] opens every committed mark. */
+    def readOne(markDir: String, batchId: Long, conf: Configuration): Option[(Long, Long)] = {
+      val p = new Path(markDir, batchId.toString)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val content =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
+        finally in.close()
+      val parts = content.trim.split(" ")
+      if (parts.length == 3) Some((parts(1).toLong, parts(2).toLong)) else None
+    }
+
     def write(markDir: String, batchId: Long, base: Long, count: Long, conf: Configuration): Unit = {
       val dir = new Path(markDir)
       val fs = dir.getFileSystem(conf)
@@ -118,16 +132,25 @@ object Ingest {
       .parquet(sourceDir)
     val markDir = s"$checkpointDir/graft-marks"
 
+    // Per-query high-water cache: ONE full mark scan on the first trigger
+    // after (re)start, then maintained in memory — per-trigger mark IO is
+    // O(1) (this batch's own file), not O(#batches). A continuous ingest
+    // would otherwise open every committed mark every second: ~86k
+    // opens/trigger after a day, quadratic cumulative metadata IO.
+    // foreachBatch calls are serialized per query, so the var is safe.
+    var highWater: Long = -1L
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val ss = batch.sparkSession
         val hconf = ss.sparkContext.hadoopConfiguration
-        val marks = Marks.read(markDir, hconf)
+        if (highWater < 0L)
+          highWater = Marks.read(markDir, hconf).values
+            .map { case (b, c) => b + c }.foldLeft(0L)(math.max)
         // crash-replayed batch: reuse its recorded base so seqs are stable;
         // fresh batch: base = max committed (base + count) so far
-        val base: Long = marks.get(batchId).map(_._1)
-          .getOrElse(marks.values.map { case (b, c) => b + c }.foldLeft(0L)(math.max))
+        val base: Long = Marks.readOne(markDir, batchId, hconf).map(_._1)
+          .getOrElse(highWater)
 
         // Contiguous seq assignment without a global window: range-partition
         // by the order columns (global order across partition indices), sort
@@ -166,6 +189,7 @@ object Ingest {
           .parquet(s"$sinkDir/batch_id=$batchId")
         sortedRdd.unpersist(blocking = false)
         Marks.write(markDir, batchId, base, n, hconf)
+        highWater = math.max(highWater, base + n)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
@@ -230,7 +254,10 @@ object Ingest {
           .exactIncrementalKeyed(keyed, indexPath, idCol)
           .filter(col("is_kept"))
           .select(idCol)
-        val kept = b.join(keptIds, Seq(idCol)).localCheckpoint()
+        // left_semi, NOT inner: a malformed batch carrying the same id
+        // twice would otherwise fan out (2 kept ids x 2 rows = 4 sink
+        // rows) — the batch pipeline's exact stage uses the same semi form
+        val kept = b.join(keptIds, Seq(idCol), "left_semi").localCheckpoint()
         kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
         graft.operators.Dedup.writeExactIndexSegment(
           b, indexPath, s"seg_batch_$batchId", idCol, textCol)
@@ -406,32 +433,12 @@ object Ingest {
         val ss = batch.sparkSession
         val hconf = ss.sparkContext.hadoopConfiguration
         val b = batch.localCheckpoint()
-        val model = Ivf.readModel(ss, indexPath)
-        val assigned = b.select(
-            col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
-          .withColumn("n_nsq", graft.functions.VectorOps.normSq(col("n_vec")))
-          .withColumn("bucket", Ivf.nearestCentroid(col("n_vec"), model))
-          .localCheckpoint()
-        // the probed bucket set is batch-bounded driver metadata (the
-        // topKIndexed pattern) — it becomes a LITERAL partition filter
-        val probed = assigned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-        val corpus = Ivf.readListsWithSegments(ss, indexPath)
-          .filter(col("bucket").isin(probed: _*))
-        val all = corpus.unionByName(assigned)
-        val aSide = assigned.select(col("bucket"), col("n_id").as("a_id"),
-          col("n_vec").as("a_vec"), col("n_nsq").as("a_nsq"))
-        val pairs = broadcast(aSide)
-          .join(all.select(col("bucket"), col("n_id").as("b_id"),
-            col("n_vec").as("b_vec"), col("n_nsq").as("b_nsq")), Seq("bucket"))
-          .filter(col("a_id") =!= col("b_id"))
-          .withColumn("score", graft.functions.VectorOps.cosineWithNorms(
-            col("a_vec"), col("b_vec"), col("a_nsq"), col("b_nsq")))
-          .filter(col("score") >= threshold)
-          .select(
-            least(col("a_id"), col("b_id")).as("doc_a"),
-            greatest(col("a_id"), col("b_id")).as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-          .localCheckpoint()
+        // shared micro-probe (Ivf.semanticMicroPairs): null-vector rows are
+        // excluded from assignment — they appear in no pair, so the
+        // collapse KEEPS them, and the segment write below (joined against
+        // `assigned`) never indexes them
+        val (assigned, pairs) =
+          Ivf.semanticMicroPairs(b, indexPath, threshold, idCol, vecCol)
         val kept0 = Dedup.collapseDuplicatesArrival(b, pairs, idCol)
         val kept = kept0.localCheckpoint()
         kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
@@ -738,7 +745,7 @@ object Ingest {
           toFree += keyed
           val keptIds = Dedup.exactIncrementalKeyed(keyed, exactIndexPath, idCol)
             .filter(col("is_kept")).select(idCol)
-          d.join(keptIds, Seq(idCol))
+          d.join(keptIds, Seq(idCol), "left_semi") // semi: duplicate-id rows must not fan out
         }
         // the exact stage's INPUT keys append (startDedupIngest's replay
         // contract); an exact copy of a doc a LATER stage drops is still
@@ -768,30 +775,14 @@ object Ingest {
         semanticIndexPath.foreach { ivfPath =>
           var assigned: DataFrame = null
           stage("semantic") { d =>
-            val model = Ivf.readModel(ss, ivfPath)
-            assigned = d.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
-              .withColumn("n_nsq", graft.functions.VectorOps.normSq(col("n_vec")))
-              .withColumn("bucket", Ivf.nearestCentroid(col("n_vec"), model))
-              .localCheckpoint()
+            // shared micro-probe (Ivf.semanticMicroPairs — identical to
+            // startSemanticIngest by construction): null-vector rows are
+            // excluded from assignment, kept by the collapse, and never
+            // indexed (the segment write joins against `assigned`)
+            val (a, pairs) =
+              Ivf.semanticMicroPairs(d, ivfPath, semanticThreshold, idCol, vecCol)
+            assigned = a
             toFree += assigned
-            val probed = assigned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-            val corpus = Ivf.readListsWithSegments(ss, ivfPath)
-              .filter(col("bucket").isin(probed: _*))
-            val aSide = assigned.select(col("bucket"), col("n_id").as("a_id"),
-              col("n_vec").as("a_vec"), col("n_nsq").as("a_nsq"))
-            val pairs = broadcast(aSide)
-              .join(corpus.unionByName(assigned)
-                .select(col("bucket"), col("n_id").as("b_id"),
-                  col("n_vec").as("b_vec"), col("n_nsq").as("b_nsq")), Seq("bucket"))
-              .filter(col("a_id") =!= col("b_id"))
-              .withColumn("score", graft.functions.VectorOps.cosineWithNorms(
-                col("a_vec"), col("b_vec"), col("a_nsq"), col("b_nsq")))
-              .filter(col("score") >= semanticThreshold)
-              .select(
-                least(col("a_id"), col("b_id")).as("doc_a"),
-                greatest(col("a_id"), col("b_id")).as("doc_b"))
-              .dropDuplicates("doc_a", "doc_b")
-              .localCheckpoint()
             toFree += pairs
             Dedup.collapseDuplicatesArrival(d, pairs, idCol)
           }
@@ -899,7 +890,20 @@ object Ingest {
     * corrupted. Each `batch_id=N` directory's seq range is re-derived
     * (min/max seq read via parquet footer stats — no data pages), and marks
     * are rewritten as (batchId, base = min-1, count = max-min+1). Returns
-    * the number of batches repaired. */
+    * the number of batches actually repaired (empty directories and
+    * incomplete writes are skipped and NOT counted).
+    *
+    * TRUST BOUNDARY — like the reference's RepairDB, repair recovers what
+    * is on disk, so it can only be as honest as the write path's
+    * visibility: a directory missing its `_SUCCESS` marker (an output
+    * commit that never finished — e.g. a crash mid-write on a
+    * direct-write committer) is SKIPPED rather than promoted to
+    * committed, because its rows may be a partial batch the original
+    * mark protocol would never have exposed. Repaired counts are derived
+    * from the seq RANGE; if an FS lost individual files inside a
+    * committed batch, the count can overstate the surviving rows — the
+    * reference's repair has the same property (recovered data is best
+    * effort, kv/db/repair.cc semantics). */
   def repairMarks(spark: SparkSession, sinkDir: String, checkpointDir: String): Int = {
     val markDir = s"$checkpointDir/graft-marks"
     val root = new org.apache.hadoop.fs.Path(sinkDir)
@@ -908,18 +912,25 @@ object Ingest {
     val batchDirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .map(_.getPath)
+    var repaired = 0
     batchDirs.foreach { p =>
       val batchId = p.getName.stripPrefix("batch_id=").toLong
-      val range = spark.read.parquet(p.toString)
-        .agg(org.apache.spark.sql.functions.min("seq"), org.apache.spark.sql.functions.max("seq"))
-        .head()
-      if (!range.isNullAt(0)) {
-        val (lo, hi) = (range.getLong(0), range.getLong(1))
-        Marks.write(markDir, batchId, lo - 1, hi - lo + 1,
-          spark.sparkContext.hadoopConfiguration)
+      // _SUCCESS is the parquet output commit's own completion marker —
+      // absent means the batch write never finished; do not promote it
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      if (committed) {
+        val range = spark.read.parquet(p.toString)
+          .agg(org.apache.spark.sql.functions.min("seq"), org.apache.spark.sql.functions.max("seq"))
+          .head()
+        if (!range.isNullAt(0)) {
+          val (lo, hi) = (range.getLong(0), range.getLong(1))
+          Marks.write(markDir, batchId, lo - 1, hi - lo + 1,
+            spark.sparkContext.hadoopConfiguration)
+          repaired += 1
+        }
       }
     }
-    batchDirs.size
+    repaired
   }
 
   /** DestroyDB analogue: remove a changelog table's data and checkpoint. */

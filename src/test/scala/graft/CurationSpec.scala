@@ -79,6 +79,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("prefilter: an all-null-score stratum falls back losslessly instead of NPEing") {
+    import spark.implicits._
+    // REGRESSION: percentile_approx over a stratum whose score is entirely
+    // null returns a null CDF; the threshold derivation must treat that as
+    // "keep the whole stratum" (the lossless fallback), not crash
+    val docs = (1L to 50L)
+      .map(i => (i, "nullscore", ("tok " * 20).trim))
+      .toDF("doc_id", "lang", "text")
+    val nullScore = lit(null).cast("double")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    // forced engagement (stratum over budget AND over minTokens = 0)
+    val pre = rows(Curation.tokenBudget(docs, budgetTokens = 100L, score = nullScore,
+      prefilterMinTokens = 0L))
+    val slow = rows(Curation.tokenBudget(docs, budgetTokens = 100L, score = nullScore,
+      prefilter = false))
+    assert(pre == slow, "null-score stratum must degrade to the unfiltered path")
+  }
+
   test("stratifiedSample: deterministic, nested across rates, rate-accurate") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSeq
@@ -245,6 +264,19 @@ class CurationSpec extends AnyFunSuite {
     // counts: a=3, b=3, c=2, d=1; total 9; ties (a,b) break by token
     assert(out.toSeq == Seq(("a", 3L, 0.333333), ("b", 3L, 0.333333), ("c", 2L, 0.222222)),
       s"got: ${out.toSeq}")
+  }
+
+  test("packSequences: a null token count fails with a descriptive error, not an opaque NPE") {
+    import spark.implicits._
+    val rows = Seq((1L, 0L, 1L, Option(5L)), (2L, 0L, 2L, Option.empty[Long]))
+      .toDF("doc_id", "shard", "pos", "n_tokens")
+    val e = intercept[Exception] {
+      Curation.packSequences(rows, 10L, "shard", Seq("pos")).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    assert(msgs(e).contains("token-count"),
+      s"the guard must name the offending column: ${msgs(e).take(400)}")
   }
 
   test("packSequences first-fits in order; oversized rows get their own example") {

@@ -847,6 +847,34 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(topHit() == ((2000L, 1.0)), "search now surfaces the re-admitted copy")
   }
 
+  test("semantic ingest: a null-embedding row is kept, never indexed, never wedges the stream") {
+    import graft.operators.Ivf
+    import spark.implicits._
+    // REGRESSION: the batch's probed-bucket collect did Row.getInt on the
+    // null bucket a null embedding produces — a driver NPE that failed the
+    // query, and since the same batch replays on restart, permanently
+    // wedged the ingest on one bad row
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semnull_").toString
+    val corpus = (0L until 8L).map(i => (i, Seq(1f, 0.01f * i, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    Ivf.writeIndex(corpus, Ivf.train(corpus, c = 2, iters = 2), s"$tmp/idx")
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      (100L, Some(Seq(0f, 1f, 0f, 0f))),    // novel direction: keeps + indexes
+      (101L, None),                         // null embedding: keeps, NOT indexed
+      (102L, Some(Seq(1f, 0.02f, 0f, 0f)))) // corpus near-dup: drops
+    rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    graft.streaming.Ingest.startSemanticIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      threshold = 0.95).awaitTermination()
+    val kept = graft.streaming.Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 101L),
+      s"the null-vec doc passes through (it is never a semantic duplicate): $kept")
+    assert(Ivf.indexStats(spark, s"$tmp/idx")("graft.ivf.rows").toLong == 9L,
+      "index = 8 corpus + 1 kept embedded vector; the null-vec doc is not indexed")
+  }
+
   test("deletion: incremental-after-delete == full recompute over the corpus minus deletions") {
     import graft.functions.TextOps
     val (corpus, batch) = split()

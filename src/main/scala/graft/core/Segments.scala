@@ -56,4 +56,44 @@ private[graft] object Segments {
     listFiles(fs, new Path(root, "_folded"))
       .map(p => p.getName -> readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
       .toMap
+
+  /** Finish a crashed [[swapInto]]: if the final tree is missing but a
+    * COMMITTED staged tree (its `_SUCCESS` present) exists, rename it
+    * into place. Call at the entry of any maintenance op that stages —
+    * the one crash window swapping leaves (between delete and rename)
+    * then self-heals on the next call instead of stranding the index. */
+  def healSwap(fs: FileSystem, stagingDir: Path, finalDir: Path): Unit =
+    if (!fs.exists(finalDir) && fs.exists(new Path(stagingDir, "_SUCCESS"))) {
+      fs.rename(stagingDir, finalDir); ()
+    }
+
+  /** Swap a fully-written staged tree into place over `finalDir`. The
+    * staged tree must be durably complete (parquet `_SUCCESS`) BEFORE
+    * this call: a crash before it leaves the old tree untouched (partial
+    * staging is overwritten on rerun), a crash between the delete and
+    * the rename leaves the complete staged tree for [[healSwap]] — at no
+    * point does neither complete tree exist on disk. This is what makes
+    * an in-place rewrite of a store FROM ITS OWN CONTENTS crash-safe:
+    * the read plan streams from the old tree while the write lands in
+    * the sibling, with no reliance on executor-memory checkpoints that a
+    * crash would lose. */
+  def swapInto(fs: FileSystem, stagingDir: Path, finalDir: Path): Unit = {
+    require(fs.exists(new Path(stagingDir, "_SUCCESS")),
+      s"staged tree $stagingDir is not committed (_SUCCESS missing)")
+    if (fs.exists(finalDir)) { fs.delete(finalDir, true); () }
+    fs.rename(stagingDir, finalDir); ()
+  }
+
+  // NAMED-SEGMENT NAME REUSE (the folded-name hazard, and why there is no
+  // write-time guard): a segment written under a name a live fold marker
+  // lists as folded is INVISIBLE to readers. For a crash-REPLAYED batch
+  // that is exactly right — its rows already live in the compacted
+  // segment, and the replayed rewrite must stay excluded (spec-pinned in
+  // the replay-after-fold tests). The writer cannot distinguish that
+  // legitimate replay from the hazardous case — a streaming-checkpoint
+  // RESET restarting batch ids at 0 against an index whose markers
+  // survived GC — so the contract lives with the operator instead: a
+  // checkpoint reset requires a fresh index (or a fresh segment-name
+  // prefix); name collisions with LIVE segments would clobber them under
+  // overwrite semantics anyway, folded or not.
 }

@@ -144,9 +144,7 @@ object Dedup {
     * first (happens-before through the rename). */
   private def snapshot(spark: SparkSession, path: String): IndexSnapshot = {
     val fs = Seg.fs(spark, path)
-    val markers = Seg.listFiles(fs, new org.apache.hadoop.fs.Path(s"$path/_folded"))
-      .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
-      .toMap
+    val markers = Seg.readMarkers(fs, new org.apache.hadoop.fs.Path(path))
     val committedCompacts = markers.keySet
     val foldedRel = markers.values.flatten.toSet
     def live(kind: String): Seq[(String, Long)] =
@@ -276,15 +274,23 @@ object Dedup {
       !segment.startsWith("compact_"), s"bad segment name: $segment")
     val spark = batchDocs.sparkSession
     val dir = s"$indexPath/keys/$segment"
+    // ONE snapshot serves both the next-seq derivation and the key-width
+    // probe: this runs once per streaming trigger, and each snapshot is a
+    // full marker + segment-dir listing against the store — on an object
+    // store the duplicate listings were the dominant per-trigger driver
+    // latency
+    val s = snapshot(spark, indexPath)
     val seq = Seg.readSeq(Seg.fs(spark, indexPath), new org.apache.hadoop.fs.Path(dir))
-      .getOrElse(nextSeq(spark, indexPath))
+      .getOrElse(((s.keySegs ++ s.tombSegs).map(_._2) :+ -1L).max + 1)
     writeSegment(
-      segmentGroups(batchDocs, idCol, textCol, indexIsWide(spark, indexPath)), dir, seq)
+      segmentGroups(batchDocs, idCol, textCol, snapshotIsWide(spark, indexPath, s)), dir, seq)
   }
 
   /** Whether a persisted index was built with the SHA-256 wide key. */
-  private def indexIsWide(spark: SparkSession, path: String): Boolean = {
-    val s = snapshot(spark, path)
+  private def indexIsWide(spark: SparkSession, path: String): Boolean =
+    snapshotIsWide(spark, path, snapshot(spark, path))
+
+  private def snapshotIsWide(spark: SparkSession, path: String, s: IndexSnapshot): Boolean = {
     require(s.keySegs.nonEmpty, s"no committed index key segments under $path")
     spark.read.parquet(s.keySegs.head._1)
       .schema("_k").dataType == org.apache.spark.sql.types.BinaryType
@@ -435,9 +441,7 @@ object Dedup {
     val fs = Seg.fs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val markerDir = new org.apache.hadoop.fs.Path(root, "_folded")
-    val markers = Seg.listFiles(fs, markerDir)
-      .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
-      .toMap
+    val markers = Seg.readMarkers(fs, root)
     var removed = 0L
     markers.values.flatten.toSet[String].foreach { rel =>
       val d = new org.apache.hadoop.fs.Path(root, rel)
@@ -735,9 +739,7 @@ object Dedup {
       spark: SparkSession, indexPath: String)
       : (Map[String, Seq[String]], Seq[org.apache.hadoop.fs.Path]) = {
     val fs = Seg.fs(spark, indexPath)
-    val markers = Seg.listFiles(fs, new org.apache.hadoop.fs.Path(s"$indexPath/_folded"))
-      .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
-      .toMap
+    val markers = Seg.readMarkers(fs, new org.apache.hadoop.fs.Path(indexPath))
     val folded = markers.values.flatten.toSet
     val live = Seg.listDirs(fs, new org.apache.hadoop.fs.Path(s"$indexPath/segs")).filter { d =>
       val name = d.getName
@@ -947,12 +949,20 @@ object Dedup {
     * one beside the live ingest, no stop needed. */
   def compactDocIndex(spark: SparkSession, indexPath: String): Unit = {
     val fs = Seg.fs(spark, indexPath)
+    val docsDir = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexPath/docs_staging")
+    Seg.healSwap(fs, staging, docsDir) // finish a crashed prior swap first
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     val segs = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
     if (!fs.exists(tombs) && !fs.exists(segs)) return
-    val kept = storedDocs(spark, indexPath, storedIdCol(spark, indexPath))
-      .localCheckpoint() // materialize before overwriting the files it reads
-    kept.write.mode("overwrite").parquet(s"$indexPath/docs")
+    // stage-then-swap (Segments.swapInto): the folded view streams from
+    // the live tree into a durable sibling; a crash at any point leaves a
+    // complete docs tree on disk, where the previous localCheckpoint +
+    // in-place overwrite lost both old and new if the JVM died mid-write
+    storedDocs(spark, indexPath, storedIdCol(spark, indexPath))
+      .write.mode("overwrite").parquet(staging.toString)
+    Seg.swapInto(fs, staging, docsDir)
+    val kept = spark.read.parquet(docsDir.toString)
     // bucketed index: rebuild the band store from the surviving signatures
     // (an lshBands explode, no text re-tokenization) — tombstoned docs'
     // stale band rows are swept here
@@ -960,13 +970,15 @@ object Dedup {
       metaBandBuckets(spark, indexPath) else 0
     if (bb > 0) {
       val meta = spark.read.parquet(s"$indexPath/meta").head()
+      val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+      val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
       bandRows(kept, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bands")
+        .write.mode("overwrite").partitionBy("bucket").parquet(bandStaging.toString)
+      Seg.swapInto(fs, bandStaging, bandsDir)
       val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
       if (fs.exists(bandsegs)) fs.delete(bandsegs, true)
     }
-    graft.core.Blocks.free(kept)
     if (fs.exists(tombs)) fs.delete(tombs, true)
     if (fs.exists(segs)) fs.delete(segs, true)
     val markers = new org.apache.hadoop.fs.Path(s"$indexPath/_folded")
@@ -1007,7 +1019,11 @@ object Dedup {
           .reduce(_.unionByName(_))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bandsegs/$name")
+      // coalesce the fold: a narrow multi-root read maps each input file
+      // to an output file, so the compacted segment would keep the same
+      // O(batches) file count it exists to consolidate
       spark.read.parquet(live.map(_.toString): _*)
+        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 2))
         .write.mode("overwrite").parquet(s"$indexPath/segs/$name")
       Seg.writeAtomic(fs, Seg.conf(spark),
         new org.apache.hadoop.fs.Path(s"$indexPath/_folded/$name"),
@@ -1029,9 +1045,7 @@ object Dedup {
     val fs = Seg.fs(spark, indexPath)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val markerDir = new org.apache.hadoop.fs.Path(root, "_folded")
-    val markers = Seg.listFiles(fs, markerDir)
-      .map(p => p.getName -> Seg.readSmall(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
-      .toMap
+    val markers = Seg.readMarkers(fs, root)
     var removed = 0L
     // a doc segment's band twin (bucketed indexes) shares its name and its
     // lifecycle: folded => delete both; orphaned compact_* => delete both.
@@ -1140,6 +1154,10 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       tokenSlack: Int = 5): DataFrame = {
+    // tokenSlack = 0 would divide the block key by zero — null blocks
+    // under non-ANSI eval, so the equi-join matches NOTHING and the
+    // function silently returns no pairs even for identical documents
+    require(tokenSlack >= 1, s"tokenSlack must be >= 1, got $tokenSlack")
     // ONE materialization holding both the blocking fields and the shingle
     // sets (shingles carried as xxhash64 longs: identical Jaccard w.h.p.,
     // long-set intersection instead of string-set per pair). The raw token

@@ -86,10 +86,15 @@ object Ivf {
       vecCol: String = "embedding",
       prefilter: Boolean = true): DataFrame = {
     require(perList > 0, "perList must be positive")
+    // un-assignable rows (null / wrong-dimension / null-element vectors
+    // make the kernel return a NULL bucket) are EXCLUDED: they belong to
+    // no cluster, and an unfiltered null bucket would NPE the driver's
+    // prefilter count collect (getInt on null) and crash the job
     val assigned = corpus.select(
       col(idCol),
       nearestCentroid(col(vecCol), model).as("bucket"),
       xxhash64(col(idCol), lit(seed)).as("_h"))
+      .filter(col("bucket").isNotNull)
     // LOSSLESS hash prefilter (the tokenBudget discipline: exactness over
     // the shortcut): the per-bucket rank window puts a whole bucket in ONE
     // task — fine for the slim (id, bucket, hash) rows at test scale, a
@@ -232,8 +237,12 @@ object Ivf {
         if (nProj <= target) proj
         else {
           val buckets = 1000000L
+          // max(1, ...): see sampledProj — a zero threshold would leave an
+          // internal level training on an EMPTY sample (its centroids
+          // frozen at init) once nProj exceeds buckets * target
           proj.filter(
-            pmod(xxhash64(col("_gid")), lit(buckets)) < lit(buckets * target / nProj))
+            pmod(xxhash64(col("_gid")), lit(buckets)) <
+              lit(math.max(1L, buckets * target / nProj)))
         }
       }
       val init0 = proj
@@ -329,8 +338,14 @@ object Ivf {
         if (n <= maxTrainRows) projAll
         else {
           val buckets = 1000000L
+          // max(1, ...): integer division floors to 0 once n exceeds
+          // buckets * maxTrainRows (a 4e9-row corpus at maxTrainRows=3200)
+          // — the sample would silently go EMPTY and train() would crash
+          // with a spurious "empty corpus". The 1-bucket floor keeps
+          // ~n/1e6 rows instead: larger than asked, never zero.
           projAll.filter(
-            pmod(xxhash64(col("_gid")), lit(buckets)) < lit(buckets * maxTrainRows / n))
+            pmod(xxhash64(col("_gid")), lit(buckets)) <
+              lit(math.max(1L, buckets * maxTrainRows / n)))
         }
       }
     projSampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -514,8 +529,12 @@ object Ivf {
     if (live.size > 1) {
       val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
       // each segment is its own bucket-partitioned tree: read per root and
-      // union (one multi-root read trips partition discovery)
+      // union (one multi-root read trips partition discovery). repartition
+      // by bucket before the write: a narrow union would map each input
+      // file to an output file, so the compacted segment would carry the
+      // SAME O(batches) tiny files it exists to consolidate
       live.map(d => spark.read.parquet(d.toString)).reduce(_ unionByName _)
+        .repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/segs/$name")
       Seg.writeAtomic(Seg.fs(spark, path), Seg.conf(spark),
         new org.apache.hadoop.fs.Path(s"$path/_folded/$name"),
@@ -606,10 +625,14 @@ object Ivf {
     val ss = batch.sparkSession
     val model = readModel(ss, indexPath)
     val assigned = batch
-      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("n_nsq", graft.functions.VectorOps.normSq(col("n_vec")))
       .withColumn("bucket", nearestCentroid(col("n_vec"), model))
+      // filter on the BUCKET, not the vector: the kernel returns a null
+      // bucket for null AND wrong-dimension AND null-element vectors — an
+      // isNotNull on the vector alone would still let the latter two NPE
+      // the probed-bucket collect below
+      .filter(col("bucket").isNotNull)
       .localCheckpoint()
     // the probed bucket set is batch-bounded driver metadata (the
     // topKIndexed pattern) — it becomes a LITERAL partition filter
@@ -665,13 +688,23 @@ object Ivf {
   def compactIndexSegments(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listsDir = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/lists_staging")
+    Seg.healSwap(fs, staging, listsDir) // finish a crashed prior swap first
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
     if (!fs.exists(segsDir) && !fs.exists(tombsDir)) return
-    val all = readListsWithSegments(spark, path)
-      .localCheckpoint() // materialize before overwriting the files it reads
-    all.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/lists")
-    graft.core.Blocks.free(all)
+    // STAGE-THEN-SWAP, not overwrite-in-place: the merged view streams
+    // from the live tree into a durable sibling (repartitioned so each
+    // bucket lands as ONE file, not one per input segment file), then one
+    // delete+rename flips it in. A crash at any point leaves a complete
+    // tree on disk — the old one, or the staged one healSwap recovers —
+    // where the previous localCheckpoint + overwrite lost BOTH if the
+    // JVM died mid-write (checkpoint blocks are executor memory only).
+    readListsWithSegments(spark, path)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+    Seg.swapInto(fs, staging, listsDir)
     if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
     if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
     val markerDir = new org.apache.hadoop.fs.Path(s"$path/_folded")
@@ -732,24 +765,34 @@ object Ivf {
       iters: Int = 3,
       branch: Int = 0,
       maxTrainRows: Long = 0L): Unit = {
-    val corpus = readListsWithSegments(spark, path)
-      .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
-      .localCheckpoint() // sever lineage from the files the rewrite replaces
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // DURABLE corpus snapshot before the rewrite: rebuild's source is the
+    // index itself, so a crash mid-writeIndex with only an
+    // executor-memory checkpoint would destroy the ONLY copy of the
+    // vectors. The live view (segments folded, tombstones applied) lands
+    // on disk first; a rerun after any crash RESUMES from the committed
+    // snapshot instead of reading the possibly-half-rewritten index.
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_rebuild_corpus")
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    if (!committed)
+      readListsWithSegments(spark, path)
+        .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
+        .write.mode("overwrite").parquet(staging.toString)
+    val corpus = spark.read.parquet(staging.toString)
     val model =
       if (branch > 0) trainHier(corpus, lists, branch, iters, maxTrainRows = maxTrainRows)
       else train(corpus, lists, iters, maxTrainRows = maxTrainRows)
     writeIndex(corpus, model, path)
-    graft.core.Blocks.free(corpus)
     // streamed segments are now part of the rewritten base lists, and
     // tombstoned rows were excluded from the retrain corpus: GC both
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
     val markerDir = new org.apache.hadoop.fs.Path(s"$path/_folded")
     if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
     if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
     if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
+    fs.delete(staging, true); ()
   }
 
   /** Load the quantizer of a persisted index — the full level tree for a

@@ -336,6 +336,10 @@ object Search {
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/postings_staging")
+    // finish a crashed prior swap before anything else
+    graft.core.Segments.healSwap(fs, staging, postingsDir)
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
     val segs = liveSegments(spark, path)
     if (!fs.exists(tombsDir) && segs.isEmpty) return
@@ -345,13 +349,19 @@ object Search {
       // base rewrite but before the segment delete leaves segment rows in
       // both trees, and the rerun must not double them
       .dropDuplicates("doc_id", "tok")
-    val live = (if (!fs.exists(tombsDir)) raw
+    val live = if (!fs.exists(tombsDir)) raw
       else raw.join(
         broadcast(spark.read.parquet(tombsDir.toString).select("doc_id").distinct()),
-        Seq("doc_id"), "left_anti"))
-      .localCheckpoint() // materialize before overwriting the files it reads
+        Seq("doc_id"), "left_anti")
+    // stage-then-swap (Segments.swapInto): the folded view streams from
+    // the live trees into a durable sibling; a crash at any point leaves
+    // a complete postings tree on disk, where the previous
+    // localCheckpoint + in-place overwrite lost both if the JVM died
+    // mid-write (checkpoint blocks are executor memory only)
     live.repartition(col("pb"))
-      .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
+      .write.partitionBy("pb").mode("overwrite").parquet(staging.toString)
+    graft.core.Segments.swapInto(fs, staging, postingsDir)
+    val liveRead = spark.read.parquet(postingsDir.toString)
     // the recounted meta lands BEFORE the segment/tombstone deletes: a
     // crash in between leaves readers double-counting segment stats until
     // the rerun (which re-folds through the dedupe and re-deletes), but
@@ -359,9 +369,8 @@ object Search {
     // stats first and dying before the meta write would strand a stale
     // meta that the segs-empty early return above could never repair
     val buckets = spark.read.parquet(s"$path/meta").head().getInt(2)
-    val m = live.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
+    val m = liveRead.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    graft.core.Blocks.free(live)
     import spark.implicits._
     Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")

@@ -118,13 +118,25 @@ object TextOps {
     * slice (band index in the seed, so bands occupy disjoint keyspaces
     * w.h.p.) — no string building, one long per band instead of the former
     * concat_ws + xxhash64 struct key. */
-  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      aggregate(
-        slice(signature, b * rowsPerBand + 1, rowsPerBand),
-        lit(minHashCoeffs(b)._2),
-        (acc, x) => acc * lit(0x100000001b3L) + x)
-    }: _*)
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    // guard the slot count: a signature SHORTER than bands * rowsPerBand
+    // would make the tail bands' slices empty, so their folds return the
+    // bare seed — the SAME constant key for every document. Every doc
+    // would then share those band keys and the candidate join silently
+    // degenerates to the full O(n^2) cross product the banding exists to
+    // avoid. Mis-wired (numHashes, bands) is a setup error: fail loudly.
+    val needed = bands * rowsPerBand
+    when(size(signature) < lit(needed),
+      raise_error(concat(
+        lit(s"lshBands: signature has "), size(signature).cast("string"),
+        lit(s" slots, needs bands*rowsPerBand = $needed"))))
+      .otherwise(array((0 until bands).map { b =>
+        aggregate(
+          slice(signature, b * rowsPerBand + 1, rowsPerBand),
+          lit(minHashCoeffs(b)._2),
+          (acc, x) => acc * lit(0x100000001b3L) + x)
+      }: _*))
+  }
 
   /** 64-bit SimHash from PRE-HASHED tokens (`array<long>`): per bit, sum
     * +/-1 over the hash bits, take sign. Callers hash each token exactly
@@ -137,11 +149,17 @@ object TextOps {
 
   /** Reference implementation of [[simHashFromHashes]] built purely from
     * higher-order built-ins (64 folds); kept for equivalence testing of the
-    * native expression. */
+    * native expression. NULL elements are SKIPPED first to match the
+    * native kernel exactly (a bare when/otherwise would count each null as
+    * -1 on every bit — `shiftright(null, i) === 1` is null, so the
+    * otherwise branch fires — silently diverging from the production
+    * hash; token-hash arrays never carry nulls in practice, but the
+    * equivalence contract must hold on any input). */
   def simHashFromHashesHof(hashes: Column): Column = {
+    val nn = filter(hashes, h => h.isNotNull)
     val bitCols = (0 until 64).map { i =>
       val bitSum = aggregate(
-        hashes,
+        nn,
         lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -191,7 +209,12 @@ object TextOps {
         }
       struct(hits.as("hits"), lit(dicts.size - idx).as("pri"), lit(lang).as("lang"))
     }
-    greatest(scored: _*).getField("lang")
+    // NULL text must yield NULL, not a confident label: with a null text
+    // every hits field is null, the structs tie on the null field, and
+    // greatest() would fall through to the priority tie-break — labeling
+    // every null-text document "de" and skewing corpus language stats
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(greatest(scored: _*).getField("lang"))
   }
 
   /** Count of tokens matching a BPE-ish word/number/punct regex — a cheap,

@@ -89,7 +89,13 @@ object Tokenizer {
       .orderBy(col("n").desc, col("word"))
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    learnFromHistogram(hist, numMerges)
+    val merges = learnFromHistogram(hist, numMerges)
+    // a corpus where no adjacent symbol pair repeats yields NO merges
+    // (every candidate is filtered at frequency < 2) — fall back to the
+    // most frequent whole words so the result still drives Bpe, whose
+    // constructor rejects an empty vocab. Only a genuinely empty corpus
+    // returns empty (and then Whitespace is the right tokenizer anyway).
+    if (merges.nonEmpty) merges else hist.take(numMerges).map(_._1)
   }
 
   /** The driver-side merge loop of [[learn]], exposed for spec-level

@@ -146,6 +146,11 @@ case class FloatVecDot(left: Expression, right: Expression)
   */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
+  // CONTRACT: element-NULL-FREE sorted arrays. A null slot reads as 0L
+  // through ArrayData.getLong (two null slots would "intersect"), unlike
+  // array_intersect which treats null as a distinct value. Every caller
+  // passes xxhash64 folds, which are never null; the branch-per-element
+  // a defensive check would cost has no payer in this engine.
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_count"
@@ -207,6 +212,11 @@ case class CentroidProbes(child: Expression, centroids: Array[Array[Float]], k: 
     extends UnaryExpression with ExpectsInputTypes {
   require(centroids.nonEmpty, "empty centroid matrix")
   require(k >= 1 && k <= centroids.length, s"k=$k out of range for ${centroids.length} centroids")
+  // ragged rows would be SILENTLY truncated by the flat copy (a longer row
+  // loses its tail in `flat` while `norms` uses the full row — wrong
+  // distances for every input) or throw deep in an executor; fail at
+  // construction like HierCentroidProbes
+  require(centroids.forall(_.length == centroids.head.length), "ragged centroid dimensions")
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -493,6 +503,50 @@ object TextKernels {
     * sequences never contain ASCII values, so a byte scan is exact. */
   @inline private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
+  /** FNV prime for the n-gram polynomial fold (odd => bijective multiply). */
+  final val NgramP = 0x100000001b3L
+
+  /** Positional n-gram polynomial fold: one combined hash per start
+    * offset, order preserved, duplicates kept, null elements fold as 0 —
+    * the ONE definition behind BOTH n-gram expressions' eval AND codegen
+    * paths, so the fold can never drift between the distinct and
+    * positional forms (catalog/probe hash interop rests on the two
+    * producing identical values for identical n-grams). */
+  def posNgramHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): UnsafeArrayData = {
+    val m = arr.numElements() - (n - 1)
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        val x = if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)
+        h = h * NgramP + x
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** [[posNgramHashes]] then sort + dedup — the distinct (catalog) form. */
+  def ngramHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): UnsafeArrayData = {
+    val pos = posNgramHashes(arr, n)
+    val m = pos.numElements()
+    if (m == 0) return pos
+    val out = pos.toLongArray()
+    java.util.Arrays.sort(out)
+    var k = 0
+    var i = 0
+    while (i < m) {
+      if (i == 0 || out(i) != out(i - 1)) { out(k) = out(i); k += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
   /** Deterministic odd multiplier + offset per minhash signature slot
     * (splitmix64 finalizer over the slot index) — the single source of the
     * constants shared by [[MinHashSlots]] and the TextOps reference form. */
@@ -687,70 +741,16 @@ case class NgramHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_ngram_hashes"
 
-  private final val P = 0x100000001b3L // FNV prime, odd => bijective multiply
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val total = arr.numElements()
-    val m = total - (n - 1)
-    if (m <= 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val out = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      var h = 0L
-      var j = 0
-      while (j < n) {
-        val x = if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)
-        h = h * P + x
-        j += 1
-      }
-      out(i) = h
-      i += 1
-    }
-    java.util.Arrays.sort(out)
-    var k = 0
-    i = 0
-    while (i < m) {
-      if (i == 0 || out(i) != out(i - 1)) { out(k) = out(i); k += 1 }
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
-      java.util.Arrays.copyOf(out, k))
-  }
+  // both paths call the ONE static TextKernels fold (the file's own
+  // static-kernel pattern): the JIT inlines it identically, and the fold
+  // can never drift from PositionalNgramHashes' — which the catalog/probe
+  // hash interop between the two forms rests on
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.ngramHashes(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, arr => {
-      val total = ctx.freshName("total")
-      val m = ctx.freshName("m")
-      val out = ctx.freshName("out")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val h = ctx.freshName("h")
-      val k = ctx.freshName("k")
-      s"""
-         |int $total = $arr.numElements();
-         |int $m = $total - ${n - 1};
-         |if ($m <= 0) {
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new long[0]);
-         |} else {
-         |  long[] $out = new long[$m];
-         |  for (int $i = 0; $i < $m; $i++) {
-         |    long $h = 0L;
-         |    for (int $j = 0; $j < $n; $j++) {
-         |      $h = $h * ${P}L + ($arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j));
-         |    }
-         |    $out[$i] = $h;
-         |  }
-         |  java.util.Arrays.sort($out);
-         |  int $k = 0;
-         |  for (int $i = 0; $i < $m; $i++) {
-         |    if ($i == 0 || $out[$i] != $out[$i - 1]) { $out[$k++] = $out[$i]; }
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
-         |    java.util.Arrays.copyOf($out, $k));
-         |}
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.TextKernels.ngramHashes($arr, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
@@ -772,52 +772,14 @@ case class PositionalNgramHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_pos_ngram_hashes"
 
-  private final val P = 0x100000001b3L // FNV prime, odd => bijective multiply
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements() - (n - 1)
-    if (m <= 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val out = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      var h = 0L
-      var j = 0
-      while (j < n) {
-        val x = if (arr.isNullAt(i + j)) 0L else arr.getLong(i + j)
-        h = h * P + x
-        j += 1
-      }
-      out(i) = h
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
-  }
+  // shared static kernel — see the NgramHashes note: one fold definition
+  // across both expressions and both eval/codegen paths
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.posNgramHashes(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, arr => {
-      val m = ctx.freshName("m")
-      val out = ctx.freshName("out")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val h = ctx.freshName("h")
-      s"""
-         |int $m = $arr.numElements() - ${n - 1};
-         |if ($m <= 0) {
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new long[0]);
-         |} else {
-         |  long[] $out = new long[$m];
-         |  for (int $i = 0; $i < $m; $i++) {
-         |    long $h = 0L;
-         |    for (int $j = 0; $j < $n; $j++) {
-         |      $h = $h * ${P}L + ($arr.isNullAt($i + $j) ? 0L : $arr.getLong($i + $j));
-         |    }
-         |    $out[$i] = $h;
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
-         |}
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.TextKernels.posNgramHashes($arr, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): PositionalNgramHashes =
     copy(child = newChild)

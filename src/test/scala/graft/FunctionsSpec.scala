@@ -367,4 +367,69 @@ class FunctionsSpec extends AnyFunSuite {
       if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
     assert(messages(bad).contains("multiple"), messages(bad))
   }
+
+  test("lshBands: a too-short signature fails loudly instead of emitting constant keys") {
+    import spark.implicits._
+    // REGRESSION: slices past the signature's end folded to the bare seed
+    // — the SAME band key for every document, silently degenerating the
+    // candidate join to an all-pairs cross product
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "sig")
+    val e = intercept[Exception] {
+      df.select(TextOps.lshBands(col("sig"), bands = 2, rowsPerBand = 2)).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(e).contains("needs bands*rowsPerBand"), messages(e).take(300))
+    // a correctly-sized signature still bands fine
+    val ok = Seq((1L, Seq(1L, 2L, 3L, 4L))).toDF("id", "sig")
+      .select(TextOps.lshBands(col("sig"), bands = 2, rowsPerBand = 2).as("b"))
+      .head().getSeq[Long](0)
+    assert(ok.length == 2)
+  }
+
+  test("langId: null text yields null, not a confident label") {
+    import spark.implicits._
+    val out = Seq((1L, Option("the cat and the dog is on it")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("en"))
+    assert(out(2L).isEmpty, "null text must not be labeled (was confidently 'de')")
+  }
+
+  test("simHash HOF reference skips null elements like the native kernel") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(Option(123456789L), Option.empty[Long], Option(987654321L))))
+      .toDF("id", "hs")
+    val r = df.select(
+      TextOps.simHashFromHashes(col("hs")).as("native"),
+      TextOps.simHashFromHashesHof(col("hs")).as("hof")).head()
+    assert(r.getLong(0) == r.getLong(1),
+      "the equivalence contract must hold on nullable-element input " +
+        s"(native=${r.getLong(0)}, hof=${r.getLong(1)})")
+  }
+
+  test("Tokenizer.learn on a no-repeating-pairs corpus still drives Bpe") {
+    import spark.implicits._
+    // every word distinct and single-occurrence: no adjacent pair reaches
+    // frequency 2, so the merge loop yields nothing — the fallback returns
+    // the most frequent whole words instead of an empty vocab Bpe rejects
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val vocab = graft.functions.Tokenizer.learn(docs, numMerges = 10)
+    assert(vocab.nonEmpty, "fallback vocab must be non-empty")
+    val bpe = graft.functions.Tokenizer.Bpe(vocab) // must not throw
+    val n = docs.select(bpe.count(col("text")).as("n")).collect().map(_.getLong(0)).sum
+    assert(n > 0)
+  }
+
+  test("CentroidProbes rejects a ragged centroid matrix at construction") {
+    val ragged = Array(Array(1f, 2f), Array(1f, 2f, 3f))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.CentroidProbes(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        ragged, 1)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
 }

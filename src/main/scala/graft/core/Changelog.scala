@@ -37,7 +37,13 @@ object Changelog {
       .groupBy(spec.keyCols.map(col): _*)
       .agg(max_by(struct(nonKey.map(col): _*), col(spec.seqCol)).as("_newest"))
       .select(spec.keyCols.map(col) ++ nonKey.map(c => col(s"_newest.$c")): _*)
-    spec.deleteCol.fold(keep)(d => keep.filter(!col(d)))
+    // null delete flags are LIVE (!coalesce, not a bare negation): a
+    // nullable flag column where null means "not deleted" — the common
+    // CDC shape — must never silently destroy rows, and
+    // Maintenance.needsCompaction already treats null as not-a-tombstone,
+    // so a bare !col(d) would make the compaction gate and the rewrite
+    // disagree on the same data
+    spec.deleteCol.fold(keep)(d => keep.filter(!coalesce(col(d), lit(false))))
   }
 
   /** Collapse as of snapshot `seq <= snapshot` (reference snapshot reads,
@@ -48,11 +54,16 @@ object Changelog {
   /** Window-based collapse variant (kept for plans that need the full row
     * ordering, e.g. "newest k versions"); prefer [[collapse]] for k = 1. */
   def collapseWindowed(df: DataFrame, spec: ChangelogSpec, k: Int = 1): DataFrame = {
+    // the helper column name is reserved (the AsOf.join discipline): a
+    // caller's same-named column would be silently overwritten and then
+    // dropped from the output
+    require(!df.columns.contains("_rn"),
+      "collapseWindowed: input must not carry a '_rn' column (reserved helper name)")
     val w = Window
       .partitionBy(spec.keyCols.map(col): _*)
       .orderBy(col(spec.seqCol).desc)
     val ranked = df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
-    spec.deleteCol.fold(ranked)(d => ranked.filter(!col(d)))
+    spec.deleteCol.fold(ranked)(d => ranked.filter(!coalesce(col(d), lit(false)))) // null flag = live (see collapse)
   }
 
   /** Point lookup at a snapshot: the reference's `DB::Get`
@@ -94,7 +105,7 @@ object Changelog {
     val newer = df.filter(col(spec.seqCol) > retention)
     val baseSpec = spec.copy(deleteCol = None)
     val base = collapseAt(df, baseSpec, retention)
-    val baseLive = spec.deleteCol.fold(base)(d => base.filter(!col(d)))
+    val baseLive = spec.deleteCol.fold(base)(d => base.filter(!coalesce(col(d), lit(false)))) // null flag = live
     baseLive.unionByName(newer)
   }
 

@@ -89,9 +89,15 @@ object Maintenance {
       spec: ChangelogSpec,
       retention: Long,
       maxRecordsPerFile: Long = 1L << 20,
-      force: Boolean = false): Option[CompactionMetrics] =
+      force: Boolean = false): Option[CompactionMetrics] = {
+    // in-place compaction is NOT supported: the overwrite write would
+    // delete the files the lazily-read input plan still reads
+    require(new org.apache.hadoop.fs.Path(inDir).toUri.normalize !=
+      new org.apache.hadoop.fs.Path(outDir).toUri.normalize,
+      s"compactTable: outDir must differ from inDir ($inDir)")
     compactFrameMetrics(spark, spark.read.parquet(inDir), outDir, spec, retention,
       maxRecordsPerFile, force)
+  }
 
   /** [[compactTableMetrics]] over an explicit input frame — the entry point
     * when the input is a FILTERED view rather than a whole directory (e.g.
@@ -176,6 +182,11 @@ object Maintenance {
     // files and resurrect tombstoned values
     require(spec.keyCols.contains(rc),
       s"compactRange: range column '$rc' must be one of the key columns ${spec.keyCols}")
+    // in-place compaction is NOT supported: the overwrite write to outDir
+    // would delete the very files the lazy touched-plan and the untouched
+    // FileUtil.copy below still read — silent loss of the out-of-range data
+    require(new Path(inDir).toUri.normalize != new Path(outDir).toUri.normalize,
+      s"compactRange: outDir must differ from inDir ($inDir)")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(inDir)
     val fs = root.getFileSystem(conf)

@@ -157,8 +157,17 @@ object AsOf {
     // then carry no right row (miss under "left", dropped under "inner"),
     // identical winners to [[join]] instead of a null-equals-null partition.
     // Also keeps the corpus's null-key mass out of one skewed hash partition.
-    val nullKey = kN.map(col(_).isNull).reduceLeft(_ || _)
-    val carried = lU.unionByName(rU.filter(!nullKey))
+    // reduceLeftOption: empty keys = ONE global partition, which [[join]]
+    // supports (its condition falls back to lit(true)) — a bare reduceLeft
+    // would throw on the empty list instead
+    val nullKey = kN.map(col(_).isNull).reduceLeftOption(_ || _).getOrElse(lit(false))
+    // a NULL-time right must also drop: `r.time <= l.time` is null in the
+    // join form (a miss), but the asc sort puts nulls FIRST, so the carry
+    // would hand the null-time right to every left before the first real
+    // right — a match [[join]] never produces. Null-time LEFTS need no
+    // filter: they sort to the head, see no prior right, and come out as
+    // misses — the join form's verdict for them too.
+    val carried = lU.unionByName(rU.filter(!nullKey && col("_asof_t").isNotNull))
       .withColumn("_asof_rc", last(col("_asof_r"), ignoreNulls = true).over(w))
       .filter(col("_asof_side") === 1)
     val matched =

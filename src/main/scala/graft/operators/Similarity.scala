@@ -41,9 +41,23 @@ object Similarity {
     // exchange+sort would otherwise move both embedding vectors per scored
     // pair (~17x the bytes of ids+score at dim=64) as dead weight
     val scored = c
-      .join(broadcast(q), if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .join(broadcast(q), if (excludeSelf) notSameId else lit(true))
       .select(col("q_id"), col("n_id"), VectorOps.cosineWithNorms(
         col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")).as("score"))
+    rankTopK(scored, k)
+  }
+
+  /** NULL-SAFE id inequality for self-exclusion: a bare =!= is null when
+    * either id is null, and the join would silently drop every pair
+    * involving a null-id row — that vector could never surface in any
+    * ranking and a null-id query would return nothing, with no error. */
+  private def notSameId = !(col("q_id") <=> col("n_id"))
+
+  /** The per-query top-k tail shared by the brute-force and LSH paths —
+    * ONE definition of the ranking contract ((score desc, id asc)
+    * tie-break, long rank, 6-decimal score), so the two stay comparable
+    * (the recall tooling diffs them). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -73,6 +87,13 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // planesPerTable caps at 62: the bucket accumulator packs one bit per
+    // plane into a Long. Zero planes would fold every vector to bucket 0
+    // (the collision join degenerates to a cross product x numTables);
+    // zero tables would silently return an empty frame.
+    require(numTables > 0, s"numTables must be positive, got $numTables")
+    require(planesPerTable > 0 && planesPerTable <= 62,
+      s"planesPerTable must be in [1, 62], got $planesPerTable")
     val rnd = new scala.util.Random(seed)
     val tables = typedLit(Array.fill(numTables, planesPerTable, dim)(rnd.nextGaussian().toFloat))
     def bucketed(df: DataFrame, id: String, vec: String, nsq: String) =
@@ -93,16 +114,12 @@ object Similarity {
     // codegen'd flops vs. an exchange full of float arrays.
     val scored = c
       .join(broadcast(q), Seq("tbl", "bucket"))
-      .filter(col("q_id") =!= col("n_id"))
+      .filter(notSameId)
       .select(col("q_id"), col("n_id"), VectorOps.cosineWithNorms(
         col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")).as("score"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(max(col("score")).as("score"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("score"), 6).as("score"))
+    rankTopK(scored, k)
   }
 
   /** All pairs with cosine >= threshold, blocked on an exact-match column

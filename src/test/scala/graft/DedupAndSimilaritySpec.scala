@@ -261,4 +261,28 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
     assert(math.abs(r.getDouble(2) - math.sqrt(2.0)) < 1e-12)
   }
+
+  test("null-id rows still rank: self-exclusion is null-safe") {
+    import spark.implicits._
+    // REGRESSION: a bare =!= is null for any pair involving a null id —
+    // the join dropped those pairs, so a null-id corpus vector could
+    // never surface in any ranking (and a null-id query returned nothing)
+    val corpus = Seq(
+      (Option(1L), Seq(0.5f, 0.5f)),
+      (Option.empty[Long], Seq(1f, 0f)), // null id, exact match of q
+      (Option(3L), Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((Option(100L), Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, q, k = 1)
+      .select("n_id").head()
+    assert(top.isNullAt(0),
+      "the null-id vector is the nearest neighbor and must rank, not vanish")
+    // lshTopK parameter guards
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(corpus, q, k = 1, dim = 2, planesPerTable = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(corpus, q, k = 1, dim = 2, numTables = 0)
+    }
+  }
 }

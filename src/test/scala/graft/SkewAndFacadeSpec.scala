@@ -252,6 +252,30 @@ class SkewAndFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("joinSorted is null-rejecting on TIME, like the equi-join form") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    // REGRESSION: the asc sort puts nulls FIRST, so a null-time right row
+    // was carried forward as the "match" for every left before the first
+    // real right — a match the join form (r.time <= l.time, null = miss)
+    // never produces
+    val left = Seq((1L, 5L, 10L), (1L, 50L, 11L)).toDF("k", "t", "id")
+    val right = Seq((1L, Option.empty[Long], 900L), (1L, Option(20L), 901L))
+      .toDF("k", "t", "rid")
+    val viaSorted = AsOf.joinSorted(left, right, Seq("k" -> "k"), "t", "t",
+      tieBreak = Seq("rid"))
+      .select(col("id"), col("r_rid")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaSorted(10L).isEmpty,
+      "a left row before every real right must MISS, not match the null-time right")
+    assert(viaSorted(11L).contains(901L))
+    // a null-time LEFT is a miss too (sorts to the head, sees no right)
+    val nullLeft = Seq((1L, Option.empty[Long], 12L)).toDF("k", "t", "id")
+    val m = AsOf.joinSorted(nullLeft, right, Seq("k" -> "k"), "t", "t",
+      tieBreak = Seq("rid")).select("r_rid").head()
+    assert(m.isNullAt(0), "null-time left must be a miss")
+  }
+
   test("joinSorted is null-rejecting on keys, like the equi-join form") {
     import graft.operators.AsOf
     import spark.implicits._

@@ -27,7 +27,14 @@ import org.apache.spark.sql.types.StructType
   * g.topKNeighbors(queries, k = 10)                   // similarity search
   * }}}
   */
-final case class Graft(spark: SparkSession, dir: String) {
+// a PLAIN class, deliberately not a case class: the facade holds
+// instance-local mutable state (the snapshot registry, lastCompaction),
+// so a compiler-generated copy() would mint an ==-equal twin with a
+// FRESH empty registry — compactAtFloor through the twin would then
+// ignore every held snapshot pin and destroy versions a reader still
+// depends on. Reference identity matches the one-facade-per-directory
+// semantics; the companion apply keeps the Graft(spark, dir) call form.
+final class Graft(val spark: SparkSession, val dir: String) {
 
   // ---- tables (the "DBs") -------------------------------------------------
   def table(name: String): DataFrame = Tables.load(spark, dir, name)
@@ -838,6 +845,11 @@ final case class Graft(spark: SparkSession, dir: String) {
 }
 
 object Graft {
+  /** The case-class-like construction form, without the case-class
+    * copy/equals that would break the snapshot registry (see the class
+    * note). */
+  def apply(spark: SparkSession, dir: String): Graft = new Graft(spark, dir)
+
   /** Build a correctly-configured local engine session (UTC, nanos parquet,
     * AQE, graft extensions). */
   def local(cores: Int, dir: String): Graft =

@@ -22,13 +22,21 @@ object Layout {
       sortCols: Seq[String] = Seq.empty): Unit = {
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
     val spark = df.sparkSession
+    // unqualified names only: a "db.tbl" name would make the backtick-
+    // wrapped DROP target one literal identifier and the stale-location
+    // path below wrong — both silently
+    require(!table.contains("."),
+      s"bucketize: unqualified table name required, got '$table'")
     // idempotent rewrite: drop any previous catalog entry AND its location
     // (an in-memory catalog forgets tables across sessions while the
     // warehouse directory persists, which would fail the managed-table
-    // location check)
+    // location check). The location uses the LOWERCASED name — the
+    // catalog's formatTableName does the same, so a mixed-case call
+    // would otherwise delete a path that never existed and leave the
+    // real stale directory to fail saveAsTable.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/${table.toLowerCase(java.util.Locale.ROOT)}")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

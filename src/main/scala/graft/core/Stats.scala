@@ -17,21 +17,37 @@ object Stats {
   def tableStats(spark: SparkSession, sfDir: String, tables: Seq[String] = Tables.names): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(sfDir), spark.sparkContext.hadoopConfiguration)
+    // existence FIRST: rowCounts eagerly resolves every path, so counting
+    // before the per-table exists check would throw PATH_NOT_FOUND for a
+    // directory that lacks one of the tables — the very case the
+    // (0 files, 0 rows) branch below reports gracefully
+    val present = tables.filter(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")))
     // ONE Spark job for all row counts (unioned per-table footer-metadata
     // aggregates), not a driver loop of N sequential count() jobs — same
     // answers, one scheduling round-trip
-    val counts = rowCounts(spark, sfDir, tables).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts =
+      if (present.isEmpty) Map.empty[String, Long]
+      else rowCounts(spark, sfDir, present).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = tables.map { t =>
       val path = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
       val (nFiles, bytes) =
         if (!fs.exists(path)) (0L, 0L)
         else {
+          // hidden/marker files (_SUCCESS, .crc) are excluded — the same
+          // convention as Maintenance.outputFootprint, so the two
+          // GetProperty surfaces agree on file counts. listFiles on a
+          // plain single-file table returns the file itself, so no
+          // separate fallback is needed.
           val it = fs.listFiles(path, true)
           var n = 0L; var b = 0L
-          while (it.hasNext) { val f = it.next(); if (f.isFile) { n += 1; b += f.getLen } }
-          // single-file tables: listFiles on a file returns the file itself
-          if (n == 0L && fs.getFileStatus(path).isFile) { n = 1; b = fs.getFileStatus(path).getLen }
+          while (it.hasNext) {
+            val f = it.next()
+            val name = f.getPath.getName
+            if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+            { n += 1; b += f.getLen }
+          }
           (n, b)
         }
       (t, nFiles, bytes, counts.getOrElse(t, 0L))

@@ -60,10 +60,19 @@ object VectorOps {
 
   /** Pre-normalized copy of a vector (unit L2); vectors should be normalized
     * once up front so batch cosine reduces to a dot product — at 100 TB this
-    * halves the per-pair flops and lets the scan cache the normalized form. */
+    * halves the per-pair flops and lets the scan cache the normalized form.
+    *
+    * zip_with against array_repeat(norm, d), NOT `transform(a, x => x/n)`:
+    * a norm referenced inside a transform lambda is re-evaluated PER
+    * ELEMENT (higher-order functions do no cross-invocation subexpression
+    * elimination), turning the O(d) normalize into O(d^2) flops per row —
+    * at d=1024 that is ~1M multiply-adds where ~2k suffice, on exactly the
+    * corpus-wide pass this function exists to make cheap. array_repeat
+    * evaluates its element argument once. */
   def normalize(a: Column): Column = {
     val n = norm(a)
-    when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+    when(n === 0.0, a).otherwise(
+      zip_with(a, array_repeat(n, size(a)), (x, nn) => (x.cast("double") / nn).cast("float")))
   }
 
   /** Sign bucket for random-hyperplane LSH: the bit vector of

@@ -100,45 +100,67 @@ object CollapseWindowToMaxBy extends Rule[LogicalPlan] with PredicateHelper {
   * built through the engine gets the collapse rewrite and the engine's
   * native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StringType}
+
+  // one arity check + one extractor per literal shape, shared by every
+  // builder below: a wrong-arity SQL call must surface as a clear
+  // argument-count error, not a raw IndexOutOfBoundsException from
+  // children(1), and the literal-extraction boilerplate must not be
+  // copy-pasted per function (it was — and drifted on which builders
+  // checked arity at all)
+  private def arity(name: String, sig: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$name($sig) takes $n arguments, got ${children.length}")
+
+  private def intLit(name: String, sig: String, role: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name($sig): $role must be an integer literal, got $other")
+  }
+
+  private def floatMatrixLit(name: String, sig: String, role: String, e: Expression): Array[Array[Float]] = e match {
+    case Literal(arr: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
+      Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+    case other => throw new IllegalArgumentException(
+      s"$name($sig): $role must be an array<array<float>> literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseWindowToMaxBy)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHash64].getName, "graft_simhash64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_simhash64", "hashes", children, 1)
+        SimHash64(children.head)
+      }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatVecDot].getName, "graft_vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatVecDot(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_vec_dot", "a, b", children, 2)
+        FloatVecDot(children(0), children(1))
+      }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sorted_intersect_count"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedLongIntersectCount].getName, "graft_sorted_intersect_count"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedLongIntersectCount(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_sorted_intersect_count", "a, b", children, 2)
+        SortedLongIntersectCount(children(0), children(1))
+      }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_centroid_probes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CentroidProbes].getName, "graft_centroid_probes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        import org.apache.spark.sql.catalyst.util.ArrayData
-        import org.apache.spark.sql.types.{ArrayType, FloatType}
-        val cents = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-              arr: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
-            Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
-          case other => throw new IllegalArgumentException(
-            s"graft_centroid_probes(vec, cents, k): cents must be an array<array<float>> literal, got $other")
-        }
-        val k = children(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_centroid_probes(vec, cents, k): k must be an integer literal, got $other")
-        }
+        arity("graft_centroid_probes", "vec, cents, k", children, 3)
+        val cents = floatMatrixLit("graft_centroid_probes", "vec, cents, k", "cents", children(1))
+        val k = intLit("graft_centroid_probes", "vec, cents, k", "k", children(2))
         CentroidProbes(children.head, cents, k)
       }))
     ext.injectFunction((
@@ -146,20 +168,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HierCentroidProbes].getName, "graft_hier_probes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        import org.apache.spark.sql.catalyst.util.ArrayData
-        import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
-        if (children.length != 4) throw new IllegalArgumentException(
-          s"graft_hier_probes(vec, cents, sizes, k) takes 4 arguments, got ${children.length}")
-        val flat = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-              arr: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
-            Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
-          case other => throw new IllegalArgumentException(
-            s"graft_hier_probes(vec, cents, sizes, k): cents must be an array<array<float>> literal, got $other")
-        }
+        arity("graft_hier_probes", "vec, cents, sizes, k", children, 4)
+        val flat = floatMatrixLit("graft_hier_probes", "vec, cents, sizes, k", "cents", children(1))
         val sizes = children(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-              arr: ArrayData, ArrayType(IntegerType, _)) => arr.toIntArray()
+          case Literal(arr: ArrayData, ArrayType(IntegerType, _)) => arr.toIntArray()
           case other => throw new IllegalArgumentException(
             s"graft_hier_probes(vec, cents, sizes, k): sizes must be an array<int> literal, got $other")
         }
@@ -168,29 +180,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val levels = sizes.scanLeft(0)(_ + _).zip(sizes).map {
           case (off, len) => flat.slice(off, off + len)
         }
-        val k = children(3) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_hier_probes(vec, cents, sizes, k): k must be an integer literal, got $other")
-        }
+        val k = intLit("graft_hier_probes", "vec, cents, sizes, k", "k", children(3))
         HierCentroidProbes(children.head, levels, k)
       }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenHashes].getName, "graft_token_hashes"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        TokenHashes(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_token_hashes", "text", children, 1)
+        TokenHashes(children.head)
+      }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_tokens"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BpeTokens].getName, "graft_bpe_tokens"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        import org.apache.spark.sql.catalyst.util.ArrayData
-        import org.apache.spark.sql.types.{ArrayType, StringType}
+        arity("graft_bpe_tokens", "text, vocab", children, 2)
         val vocab = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-              arr: ArrayData, ArrayType(StringType, _)) =>
+          case Literal(arr: ArrayData, ArrayType(StringType, _)) =>
             Array.tabulate(arr.numElements())(i =>
               if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString)
           case other => throw new IllegalArgumentException(
@@ -203,40 +211,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSlots].getName, "graft_minhash_slots"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_minhash_slots(arr, k): k must be an integer literal, got $other")
-        }
-        MinHashSlots(children(0), k)
+        arity("graft_minhash_slots", "arr, k", children, 2)
+        MinHashSlots(children(0), intLit("graft_minhash_slots", "arr, k", "k", children(1)))
       }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngram_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NgramHashes].getName, "graft_ngram_hashes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        if (children.length != 2) throw new IllegalArgumentException(
-          s"graft_ngram_hashes(arr, n) takes 2 arguments, got ${children.length}")
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_ngram_hashes(arr, n): n must be an integer literal, got $other")
-        }
-        NgramHashes(children(0), n)
+        arity("graft_ngram_hashes", "arr, n", children, 2)
+        NgramHashes(children(0), intLit("graft_ngram_hashes", "arr, n", "n", children(1)))
       }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pos_ngram_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PositionalNgramHashes].getName, "graft_pos_ngram_hashes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        if (children.length != 2) throw new IllegalArgumentException(
-          s"graft_pos_ngram_hashes(arr, n) takes 2 arguments, got ${children.length}")
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_pos_ngram_hashes(arr, n): n must be an integer literal, got $other")
-        }
-        PositionalNgramHashes(children(0), n)
+        arity("graft_pos_ngram_hashes", "arr, n", children, 2)
+        PositionalNgramHashes(children(0), intLit("graft_pos_ngram_hashes", "arr, n", "n", children(1)))
       }))
   }
 }

@@ -441,10 +441,32 @@ final class Graft(val spark: SparkSession, val dir: String) {
     Dedup.simHashPairs(documents, maxHamming)
 
   /** Persist a SimHash signature store (one long per document — the
-    * lightest incremental index; banding is query-time, so nothing goes
-    * stale). */
-  def buildSimHashIndex(path: String): Unit =
-    Dedup.writeSimHashIndex(documents, path)
+    * lightest incremental index). `sigBuckets > 0` adds the band-bucketed
+    * layout: banding at (`maxHamming`, `comboSize`) is frozen into a
+    * partition-pruned `bands/` tree so the streaming dedup-on-write probe
+    * reads only the batch's hit buckets per trigger instead of every
+    * stored signature ([[graft.operators.Dedup.writeSignatureIndex]]);
+    * probes at OTHER banding parameters fall back to the flat scan. The
+    * default keeps the flat store, where banding is query-time and nothing
+    * can go stale. */
+  def buildSimHashIndex(
+      path: String,
+      maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = 0): Unit =
+    Dedup.writeSimHashIndex(documents, path,
+      maxHamming = maxHamming, comboSize = comboSize, sigBuckets = sigBuckets)
+
+  /** Persist a generic 64-bit content-signature store from precomputed
+    * `(doc_id, sh)` rows — the image/audio dedup index
+    * ([[graft.operators.Multimodal.imageSignatures]] /
+    * `audioSignatures` output, or any custom signature family).
+    * `sigBuckets > 0` adds the band-bucketed layout (see
+    * [[buildSimHashIndex]]) so [[ingestImageDedup]]/[[ingestAudioDedup]]
+    * probe sub-linearly in the store. */
+  def buildSignatureIndex(
+      signatures: DataFrame, path: String,
+      maxHamming: Int = 10, comboSize: Int = 2, sigBuckets: Int = 0): Unit =
+    Dedup.writeSignatureIndex(signatures, path,
+      maxHamming = maxHamming, comboSize = comboSize, sigBuckets = sigBuckets)
 
   /** SimHash pairs within `maxHamming` bits touching a new batch, against
     * a persisted signature store — same recall guarantee as
@@ -517,9 +539,26 @@ final class Graft(val spark: SparkSession, val dir: String) {
     Pq.topKIndexedReranked(spark, path, queries, embeddings, k, nProbe, overfetch)
 
   /** Append new vectors to a persisted IVF-PQ index without retraining
-    * (assign + encode with the stored models; append == rewrite). */
+    * (assign + encode with the stored models; append == rewrite). Each
+    * append records its quantization error against the build-time
+    * codebooks — the drift trail [[pqIndexNeedsRebuild]] reads. */
   def appendToVectorIndexPq(path: String, newVectors: DataFrame): Long =
     Pq.appendToIndex(newVectors, path)
+
+  /** Codebook-staleness gate for a [[buildVectorIndexPq]] index: true when
+    * appended vectors quantize `maxDrift`× worse than the build corpus did
+    * — distribution drift silently degrading ADC recall. Fire =>
+    * [[rebuildVectorIndexPq]]. */
+  def pqIndexNeedsRebuild(path: String, maxDrift: Double = 2.0): Boolean =
+    Pq.needsRebuild(spark, path, maxDrift)
+
+  /** Retrain a PQ index's codebooks over this directory's uncompressed
+    * embeddings (the index stores only codes, so the rebuild feeds from
+    * the re-rank source of truth) and rewrite it in place; `retrainCoarse`
+    * refits the coarse quantizer too. */
+  def rebuildVectorIndexPq(
+      path: String, iters: Int = 3, retrainCoarse: Boolean = false): Unit =
+    Pq.rebuildIndex(embeddings, path, iters, retrainCoarse)
 
   /** Train an IVF model over this directory's embeddings and persist the
     * index (inverted lists partitioned by bucket + centroid matrix) —
@@ -769,11 +808,14 @@ final class Graft(val spark: SparkSession, val dir: String) {
   /** A trained-classifier quality gate as a [[filterDocuments]] /
     * curated-ingest RULE (violated = classified junk): the
     * model-filter-at-ingest pattern, verdicts identical to
-    * [[qualityClassifierScores]] by construction. The llr table rides the
-    * rule Column as a LITERAL map serialized into every micro-batch plan,
-    * so the default vocabulary here is deliberately smaller than the
-    * scoring operator's 100k — raise it only knowing each trigger pays the
-    * plan-serialization cost of the full table. */
+    * [[qualityClassifierScores]] by construction WHEN TRAINED AT THE SAME
+    * `maxVocab` — the default here is deliberately smaller than the
+    * scoring operator's 100k (a 10k-term model can disagree with the 100k
+    * one on documents whose decisive terms fall outside the top 10k), so
+    * pass `maxVocab = 100000` when verdict parity with default
+    * [[qualityClassifierScores]] matters. The llr table rides the rule
+    * Column as a LITERAL map serialized into every micro-batch plan, which
+    * is why the default trades vocabulary for per-trigger plan size. */
   def qualityClassifierRule(
       positive: DataFrame, negative: DataFrame,
       maxVocab: Int = 10000): (String, org.apache.spark.sql.Column) =

@@ -827,15 +827,16 @@ object Dedup {
     * dwarfing the scan it prunes.) Flat batch segments carry `bucket` as a
     * data column and get a pushed row filter instead. */
   private def storedBands(
-      spark: SparkSession, indexPath: String, buckets: Option[Seq[Int]]): DataFrame = {
+      spark: SparkSession, indexPath: String, buckets: Option[Seq[Int]],
+      cols: Seq[String] = Seq("doc", "band")): DataFrame = {
     val fs = Seg.fs(spark, indexPath)
     val (_, live) = liveDocSegs(spark, indexPath)
     val roots = s"$indexPath/bands" +:
       live.map(d => s"$indexPath/bandsegs/${d.getName}")
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    val views = roots.flatMap(r => readBandRoot(spark, fs, r, buckets))
+    val views = roots.flatMap(r => readBandRoot(spark, fs, r, buckets, cols))
     if (views.isEmpty)
-      spark.range(0).select(col("id").as("doc"), col("id").as("band"))
+      spark.range(0).select(cols.map(c => col("id").as(c)): _*)
     else views.reduce(_.unionByName(_))
   }
 
@@ -846,7 +847,9 @@ object Dedup {
     * (no hit buckets, or an empty partitioned store). */
   private def readBandRoot(
       spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      root: String, buckets: Option[Seq[Int]]): Option[DataFrame] = {
+      root: String, buckets: Option[Seq[Int]],
+      cols: Seq[String] = Seq("doc", "band")): Option[DataFrame] = {
+    val proj = cols.map(col)
     val parts = Seg.listDirs(fs, new org.apache.hadoop.fs.Path(root))
       .map(_.getName).filter(_.startsWith("bucket="))
     if (parts.nonEmpty) buckets match {
@@ -854,9 +857,9 @@ object Dedup {
         val present = parts.map(_.stripPrefix("bucket=").toInt).toSet
         val dirs = bs.filter(present).map(b => s"$root/bucket=$b")
         if (dirs.isEmpty) None
-        else Some(spark.read.parquet(dirs: _*).select(col("doc"), col("band")))
+        else Some(spark.read.parquet(dirs: _*).select(proj: _*))
       case None =>
-        Some(spark.read.parquet(root).select(col("doc"), col("band")))
+        Some(spark.read.parquet(root).select(proj: _*))
     } else {
       val hasData = Seg.listFiles(fs, new org.apache.hadoop.fs.Path(root))
         .exists(_.getName.endsWith(".parquet"))
@@ -864,7 +867,7 @@ object Dedup {
       else {
         val df = spark.read.parquet(root)
         Some(buckets.fold(df)(bs => df.filter(col("bucket").isin(bs: _*)))
-          .select(col("doc"), col("band")))
+          .select(proj: _*))
       }
     }
   }
@@ -952,27 +955,49 @@ object Dedup {
     val docsDir = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/docs_staging")
     Seg.healSwap(fs, staging, docsDir) // finish a crashed prior swap first
+    // heal a crashed BANDS swap too (bucketed indexes): a crash inside
+    // swapInto(bandStaging, bands) between delete and rename would
+    // otherwise leave the index with no bands/ tree until a later
+    // compaction happened to rerun the band rebuild
+    Seg.healSwap(fs,
+      new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging"),
+      new org.apache.hadoop.fs.Path(s"$indexPath/bands"))
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     val segs = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
     if (!fs.exists(tombs) && !fs.exists(segs)) return
     // stage-then-swap (Segments.swapInto): the folded view streams from
     // the live tree into a durable sibling; a crash at any point leaves a
     // complete docs tree on disk, where the previous localCheckpoint +
-    // in-place overwrite lost both old and new if the JVM died mid-write
-    storedDocs(spark, indexPath, storedIdCol(spark, indexPath))
+    // in-place overwrite lost both old and new if the JVM died mid-write.
+    // dropDuplicates(id): a crash after the docs swap but before the segs
+    // delete makes this rerun union the already-folded docs/ with the same
+    // segments again — duplicated doc rows (and their derived band rows)
+    // would otherwise persist; rows per id are byte-identical, so id-level
+    // dedup restores exact contents (the compactTextIndex discipline).
+    val idc = storedIdCol(spark, indexPath)
+    storedDocs(spark, indexPath, idc)
+      .dropDuplicates(idc)
       .write.mode("overwrite").parquet(staging.toString)
     Seg.swapInto(fs, staging, docsDir)
     val kept = spark.read.parquet(docsDir.toString)
     // bucketed index: rebuild the band store from the surviving signatures
-    // (an lshBands explode, no text re-tokenization) — tombstoned docs'
-    // stale band rows are swept here
+    // (an explode over stored sig/sh columns, no text or payload re-read)
+    // — tombstoned docs' stale band rows are swept here. MinHash metas
+    // carry band_buckets, signature metas sig_buckets; either way the
+    // stage-then-swap + bandsegs drop is the same.
     val bb = if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta")))
       metaBandBuckets(spark, indexPath) else 0
-    if (bb > 0) {
-      val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val rebuiltBands: Option[DataFrame] =
+      if (bb > 0) {
+        val meta = spark.read.parquet(s"$indexPath/meta").head()
+        Some(bandRows(kept, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb))
+      } else sigMetaBuckets(spark, indexPath).map { case (mh, cs, sb) =>
+        signatureBandRows(kept, mh, cs, sb)
+      }
+    rebuiltBands.foreach { rows =>
       val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
       val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
-      bandRows(kept, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
+      rows
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(bandStaging.toString)
       Seg.swapInto(fs, bandStaging, bandsDir)
@@ -1015,7 +1040,10 @@ object Dedup {
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
       if (bandRoots.nonEmpty)
         bandRoots
-          .map(spark.read.parquet(_).select(col("doc"), col("band"), col("bucket").cast("int")))
+          // schema-preserving: MinHash band rows are (doc, band, bucket),
+          // signature band rows additionally carry their 8-byte sh — the
+          // fold keeps whichever shape the segments have
+          .map(spark.read.parquet(_).withColumn("bucket", col("bucket").cast("int")))
           .reduce(_.unionByName(_))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bandsegs/$name")
@@ -1266,6 +1294,25 @@ object Dedup {
   private def simHashBanded(
       signatures: DataFrame, maxHamming: Int, comboSize: Int,
       hinted: Boolean = true): DataFrame = {
+    val banded = signatures
+      .select(col("doc_id"), col("sh"),
+        explode(simHashBlockKeys(maxHamming, comboSize)).as("blk"))
+    // merge by default — the banded relation is |combos| x N rows and
+    // Catalyst under-estimates it (see the scaladoc above); the micro probe
+    // passes hinted = false because THERE the batch side is explicitly
+    // broadcast and the corpus side must stay un-hinted so the BHJ builds
+    // on the batch
+    if (hinted) banded.hint("merge") else banded
+  }
+
+  /** The multi-index pigeonhole block-combination keys of a `sh` signature
+    * column as ONE array Column — each element a struct `(t, b0, …)` of the
+    * combo index and its blocks' bits. The single definition both the
+    * query-time banding ([[simHashBanded]]) and the persisted bucketed band
+    * store ([[signatureBandRows]]) explode, so layout and probe can never
+    * disagree on a key. */
+  private def simHashBlockKeys(
+      maxHamming: Int, comboSize: Int): org.apache.spark.sql.Column = {
     require(comboSize >= 1, "comboSize must be >= 1")
     val nBlocks = maxHamming + comboSize
     require(nBlocks <= 64, "maxHamming + comboSize too large for a 64-bit signature")
@@ -1277,18 +1324,10 @@ object Dedup {
       shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))
     }
     val combos = (0 until nBlocks).combinations(comboSize).toSeq
-    val keys = combos.zipWithIndex.map { case (combo, ci) =>
+    array(combos.zipWithIndex.map { case (combo, ci) =>
       struct(lit(ci).as("t") +:
         combo.zipWithIndex.map { case (b, j) => blockBits(b).as(s"b$j") }: _*)
-    }
-    val banded = signatures
-      .select(col("doc_id"), col("sh"), explode(array(keys: _*)).as("blk"))
-    // merge by default — the banded relation is |combos| x N rows and
-    // Catalyst under-estimates it (see the scaladoc above); the micro probe
-    // passes hinted = false because THERE the batch side is explicitly
-    // broadcast and the corpus side must stay un-hinted so the BHJ builds
-    // on the batch
-    if (hinted) banded.hint("merge") else banded
+    }: _*)
   }
 
   // ---- incremental SimHash: persisted signature store -----------------------
@@ -1305,12 +1344,18 @@ object Dedup {
       col(idCol).as("doc_id"),
       TextOps.simHashFromHashes(TextOps.tokenHashes(col(textCol))).as("sh"))
 
-  /** Persist a SimHash signature store (doc_id, sh) at `path`. */
+  /** Persist a SimHash signature store (doc_id, sh) at `path`.
+    * `sigBuckets > 0` adds the band-bucketed layout (see
+    * [[writeSignatureIndex]]): the banding at (`maxHamming`, `comboSize`)
+    * is frozen into a pruned `bands/` tree, and the streaming micro probe
+    * at those parameters reads only the batch's hit buckets instead of
+    * scanning every stored signature per trigger. */
   def writeSimHashIndex(
       documents: DataFrame, path: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
-    simHashRows(documents, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/docs")
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = 0): Unit =
+    writeSignatureIndex(simHashRows(documents, idCol, textCol), path,
+      maxHamming, comboSize, sigBuckets)
 
   /** All pairs within `maxHamming` bits TOUCHING a new batch, against a
     * persisted signature store — same recall guarantee as
@@ -1343,10 +1388,81 @@ object Dedup {
   // multimodal dedup-at-ingest composes with.
 
   /** Persist a 64-bit signature store from PRECOMPUTED `(doc_id, sh)`
-    * rows — [[writeSimHashIndex]] without the text signing step. */
-  def writeSignatureIndex(signatures: DataFrame, path: String): Unit =
-    signatures.select(col("doc_id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$path/docs")
+    * rows — [[writeSimHashIndex]] without the text signing step.
+    *
+    * `sigBuckets > 0` additionally materializes the BAND-BUCKETED layout
+    * that [[writeMinHashIndex]] pioneered for the MinHash store: a slim
+    * `bands/` tree of precomputed `(doc, band, bucket)` rows — one row per
+    * pigeonhole block-combination key of each signature, `band` the
+    * XXH64 of the key, `bucket = pmod(band, sigBuckets)` the partition
+    * directory. The micro probe ([[signatureMicroIncremental]]) then
+    * PARTITION-PRUNES the index side to the batch's hit buckets by path
+    * construction — per-trigger cost O(|batch| · combos · N / sigBuckets)
+    * instead of the O(N) full signature scan that made continuous
+    * image/audio/simhash dedup-on-write linear in the index. Banding
+    * (`maxHamming`, `comboSize`) is FROZEN into the layout (meta file);
+    * a probe at different parameters falls back to the flat scan, which
+    * stays exactly as before. Recall is untouched: band equality is key
+    * equality in the collision-free limit, and an XXH64 collision can only
+    * ADD a candidate pair that the hamming verify drops. */
+  def writeSignatureIndex(
+      signatures: DataFrame, path: String,
+      maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = 0): Unit = {
+    val spark = signatures.sparkSession
+    if (sigBuckets <= 0) {
+      signatures.select(col("doc_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$path/docs")
+    } else {
+      // the signing pass upstream already ran; this is an 8-byte/row frame,
+      // checkpoint so docs/ and bands/ don't recompute the source twice
+      val rows = signatures.select(col("doc_id"), col("sh")).localCheckpoint()
+      rows.write.mode("overwrite").parquet(s"$path/docs")
+      signatureBandRows(rows, maxHamming, comboSize, sigBuckets)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+      graft.core.Blocks.free(rows)
+      import spark.implicits._
+      Seq((maxHamming, comboSize, sigBuckets))
+        .toDF("max_hamming", "combo_size", "sig_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** `(doc, band, sh, bucket)` rows for the bucketed signature layout:
+    * each signature exploded to its pigeonhole block-combination keys
+    * ([[simHashBanded]]'s family), each key collapsed to one long by XXH64,
+    * bucketed by `pmod(band, buckets)` — the partition key the micro probe
+    * prunes on. Key equality implies band equality, so banding recall
+    * carries over; an XXH64 collision adds only candidates the hamming
+    * verify drops. Unlike the MinHash band store, the SIGNATURE itself
+    * rides each band row (8 bytes — a signature IS the verify input, where
+    * MinHash verification needs the heavyweight stored shingle arrays), so
+    * the ENTIRE probe — candidates and hamming verify — runs inside the
+    * pruned band read, with no O(N) docs-store pass at all. */
+  private def signatureBandRows(
+      sigs: DataFrame, maxHamming: Int, comboSize: Int, buckets: Int): DataFrame =
+    sigs.select(
+        col("doc_id").as("doc"), col("sh"),
+        explode(simHashBlockKeys(maxHamming, comboSize)).as("blk"))
+      .select(col("doc"), xxhash64(col("blk")).as("band"), col("sh"))
+      .withColumn("bucket", pmod(col("band"), lit(buckets.toLong)).cast("int"))
+
+  /** The frozen banding of a bucketed signature store: `(max_hamming,
+    * combo_size, sig_buckets)` from its meta file; None for flat stores
+    * (no meta, or a MinHash meta). */
+  private def sigMetaBuckets(spark: SparkSession, indexPath: String): Option[(Int, Int, Int)] = {
+    val meta = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    if (!Seg.fs(spark, indexPath).exists(meta)) None
+    else {
+      val df = spark.read.parquet(meta.toString)
+      if (!df.columns.contains("sig_buckets")) None
+      else {
+        val r = df.head()
+        Some((r.getAs[Int]("max_hamming"), r.getAs[Int]("combo_size"),
+          r.getAs[Int]("sig_buckets")))
+      }
+    }
+  }
 
   /** All pairs within `maxHamming` bits TOUCHING a batch of precomputed
     * signatures, against a persisted store — [[simHashIncremental]]'s
@@ -1392,6 +1508,64 @@ object Dedup {
       comboSize: Int = 2): DataFrame = {
     val spark = batchSigs.sparkSession
     val batch = batchSigs.select(col("doc_id"), col("sh"))
+    // BUCKETED path when the store carries a band tree FROZEN AT EXACTLY
+    // this (maxHamming, comboSize) — a probe at other parameters needs
+    // different block keys than the stored rows, so it takes the flat scan
+    // (correct at any parameters, as before). Like minHashMicroCandidates,
+    // bucketed only while the batch hits a minority of buckets: past that
+    // the flat signature scan is the cheaper plan, so the bucketed index
+    // is never worse than the flat one.
+    sigMetaBuckets(spark, indexPath) match {
+      case Some((mh, cs, bb)) if mh == maxHamming && cs == comboSize =>
+        val batchBands = signatureBandRows(batch, mh, cs, bb)
+        val hit = batchBands.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+        if (hit.length * 2 <= bb) {
+          // the whole probe runs on the persisted band rows, the index side
+          // PRUNED to the batch's buckets by path construction (storedBands
+          // — the same reader as the MinHash band store): per-trigger read
+          // is O(|batch| · combos · N / sigBuckets) band rows and ZERO
+          // stored doc rows, because each band row carries its 8-byte
+          // signature and the hamming verify rides the banded join exactly
+          // as it does in the flat probe. The batch side is broadcast, so
+          // the only shuffle in the plan is the pair dedup. Tombstones
+          // must be filtered HERE (takedown-sized broadcast anti-join) —
+          // there is no later doc-row verify stage to drop a deleted doc's
+          // stale band rows; compaction sweeps them physically.
+          val stored0 = storedBands(spark, indexPath, Some(hit),
+            cols = Seq("doc", "band", "sh"))
+          val tombsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
+          val stored =
+            if (!Seg.fs(spark, indexPath).exists(tombsPath)) stored0
+            else stored0.join(
+              broadcast(spark.read.parquet(tombsPath.toString)
+                .select(col("doc_id").as("doc"))),
+              Seq("doc"), "left_anti")
+          // dropDuplicates(doc_a, doc_b): a crash-replayed append can leave
+          // a doc's (byte-identical) band rows in both the base store and a
+          // segment, and any true pair shares several block keys anyway.
+          broadcast(batchBands.select("doc", "band", "sh")).as("a")
+            .join(stored.unionByName(batchBands.select("doc", "band", "sh")).as("b"),
+              col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
+            .select(
+              least(col("a.doc"), col("b.doc")).as("doc_a"),
+              greatest(col("a.doc"), col("b.doc")).as("doc_b"),
+              TextOps.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+            .filter(col("hamming") <= maxHamming)
+            .dropDuplicates("doc_a", "doc_b")
+        } else signatureMicroFlat(batch, indexPath, maxHamming, comboSize)
+      case _ => signatureMicroFlat(batch, indexPath, maxHamming, comboSize)
+    }
+  }
+
+  /** The flat-layout micro probe (the pre-bucketing shape): banded batch
+    * broadcast against the banded full signature scan — map-side over the
+    * store, O(N) per trigger; the fallback when no band tree matches the
+    * probe's banding or the batch hits most buckets. */
+  private def signatureMicroFlat(
+      batch: DataFrame, indexPath: String,
+      maxHamming: Int, comboSize: Int): DataFrame = {
+    val spark = batch.sparkSession
     val all = storedDocs(spark, indexPath, "doc_id").unionByName(batch)
     broadcast(simHashBanded(batch, maxHamming, comboSize, hinted = false)).as("a")
       .join(simHashBanded(all, maxHamming, comboSize, hinted = false).as("b"),
@@ -1404,10 +1578,16 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** Append precomputed `(doc_id, sh)` rows to a signature store. Returns
-    * rows appended. */
+  /** Append precomputed `(doc_id, sh)` rows to a signature store (plus
+    * their band rows on a bucketed store). Returns rows appended. */
   def appendToSignatureIndex(batchSigs: DataFrame, indexPath: String): Long = {
+    val spark = batchSigs.sparkSession
     val batch = batchSigs.select(col("doc_id"), col("sh")).localCheckpoint()
+    sigMetaBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
+      signatureBandRows(batch, mh, cs, bb)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
+    }
     batch.write.mode("append").parquet(s"$indexPath/docs")
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
@@ -1419,9 +1599,22 @@ object Dedup {
     * [[appendToSignatureIndex]] (a crash-replayed micro-batch rewrites the
     * same directory instead of appending its rows twice), read through the
     * same live-segment view as the MinHash doc segments and foldable
-    * beside a live ingest by [[foldDocSegments]]. Returns rows written. */
+    * beside a live ingest by [[foldDocSegments]]. On a bucketed store the
+    * band twin lands under `bandsegs/<segName>` FIRST (the doc segment's
+    * `_SUCCESS` is the commit point, so a committed doc segment always has
+    * its band rows; an orphaned band segment pairs only into candidates
+    * the verify stage drops, and the replay overwrites it). Returns rows
+    * written. */
   def writeSignatureSegment(batchSigs: DataFrame, indexPath: String, segName: String): Long = {
+    val spark = batchSigs.sparkSession
     val batch = batchSigs.select(col("doc_id"), col("sh")).localCheckpoint()
+    sigMetaBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
+      // batch-bounded => one flat file; `bucket` rides as a data column and
+      // gets a pushed row filter in the probe (readBandRoot's flat branch)
+      signatureBandRows(batch, mh, cs, bb)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexPath/bandsegs/$segName")
+    }
     batch.write.mode("overwrite").parquet(s"$indexPath/segs/$segName")
     val n = batch.count()
     graft.core.Blocks.free(batch)

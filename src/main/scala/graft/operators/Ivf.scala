@@ -701,7 +701,14 @@ object Ivf {
     // tree on disk — the old one, or the staged one healSwap recovers —
     // where the previous localCheckpoint + overwrite lost BOTH if the
     // JVM died mid-write (checkpoint blocks are executor memory only).
+    // dropDuplicates(n_id): a crash AFTER the swap but BEFORE the segs/tombs
+    // deletes makes this rerun read lists/ (already holding the folded rows)
+    // PLUS the same segments again — without the dedup the duplicated rows
+    // would occupy two ranks in topKIndexed permanently. Rows per n_id are
+    // byte-identical (same vector, same assignment), so id-level dedup
+    // restores exact contents; compactTextIndex uses the same discipline.
     readListsWithSegments(spark, path)
+      .dropDuplicates("n_id")
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
     Seg.swapInto(fs, staging, listsDir)
@@ -773,12 +780,28 @@ object Ivf {
     // vectors. The live view (segments folded, tombstones applied) lands
     // on disk first; a rerun after any crash RESUMES from the committed
     // snapshot instead of reading the possibly-half-rewritten index.
+    //
+    // STALENESS GUARD: a snapshot is resumable ONLY if lists/segs/tombs are
+    // byte-for-byte the trees it was taken from. If streaming appended a
+    // segment or a takedown tombstoned ids between the crash and this
+    // rerun, resuming from the old snapshot would retrain WITHOUT the new
+    // rows, then delete segs/ and tombs/ below — silently losing the
+    // post-snapshot appends and resurrecting post-snapshot deletions. The
+    // snapshot therefore carries a `_STATE` fingerprint of the source
+    // trees (written LAST — a crash in between reads as uncommitted), and
+    // a mismatch discards the snapshot and re-snapshots the live view.
     val staging = new org.apache.hadoop.fs.Path(s"$path/_rebuild_corpus")
-    val committed = fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-    if (!committed)
+    val state = rebuildSourceFingerprint(fs, path)
+    val statePath = new org.apache.hadoop.fs.Path(staging, "_STATE")
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")) &&
+      fs.exists(statePath) && Seg.readSmall(fs, statePath).trim == state
+    if (!committed) {
+      if (fs.exists(staging)) { fs.delete(staging, true); () }
       readListsWithSegments(spark, path)
         .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
         .write.mode("overwrite").parquet(staging.toString)
+      Seg.writeAtomic(fs, spark.sparkContext.hadoopConfiguration, statePath, state)
+    }
     val corpus = spark.read.parquet(staging.toString)
     val model =
       if (branch > 0) trainHier(corpus, lists, branch, iters, maxTrainRows = maxTrainRows)
@@ -793,6 +816,27 @@ object Ivf {
     if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
     if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
     fs.delete(staging, true); ()
+  }
+
+  /** Fingerprint of a rebuild's SOURCE trees (lists/, segs/, tombs/): MD5
+    * over the sorted (relative path, length) listing. Any append, segment
+    * write, fold, or tombstone between snapshot and resume changes it —
+    * the [[rebuildIndex]] snapshot-staleness check. Listing-only (no data
+    * read); recursion covers the bucket partition directories. */
+  private[graft] def rebuildSourceFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    def walk(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else Seq(s"${st.getPath.toUri.getPath}:${st.getLen}")
+      }
+    val listing = Seq("lists", "segs", "tombs", "_folded")
+      .flatMap(k => walk(new org.apache.hadoop.fs.Path(root, k)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(listing.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
   }
 
   /** Load the quantizer of a persisted index — the full level tree for a

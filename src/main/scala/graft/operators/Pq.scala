@@ -126,13 +126,46 @@ object Pq {
     }.toSeq
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    // build-time quantization error: the baseline [[needsRebuild]] compares
+    // append-time drift against. One slim aggregate over the corpus.
+    writeStatsRow(corpus, pq, path, "build", overwrite = true, vecCol)
+  }
+
+  /** Mean squared PQ reconstruction error of `vecCol` under `model`: per
+    * row, the summed squared distance of each subspace slice to its NEAREST
+    * codeword (exactly the error the encoder commits to). The scalar the
+    * codebook-staleness gate tracks — distribution drift raises it. */
+  private def mseCol(vec: Column, model: Model): Column =
+    (0 until model.m).map { j =>
+      val sub = slice(vec, j * model.dsub + 1, model.dsub)
+      val code = element_at(call_function("graft_centroid_probes",
+        sub, typedLit(model.codebooks(j)), lit(1)), 1)
+      val cw = element_at(typedLit(model.codebooks(j)), code + lit(1))
+      aggregate(zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+
+  /** Append one `(kind, mse, n)` row to the index's `pq_stats/` tree. */
+  private def writeStatsRow(
+      vectors: DataFrame, pq: Model, path: String, kind: String,
+      overwrite: Boolean, vecCol: String): Unit = {
+    val row = vectors
+      .agg(avg(mseCol(col(vecCol), pq)).as("mse"), count(lit(1)).as("n"))
+      .select(lit(kind).as("kind"), col("mse"), col("n"))
+    row.coalesce(1).write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"$path/pq_stats")
   }
 
   /** Append new vectors to a persisted IVF-PQ index WITHOUT retraining:
     * assign + encode with the STORED models and append to the existing
     * list partitions — search after append is IDENTICAL to a full
     * [[writeIndex]] rewrite under the same models ([[Ivf.appendToIndex]]'s
-    * contract; spec-pinned). Returns vectors appended. */
+    * contract; spec-pinned). Each append also records the batch's
+    * quantization error against the build-time codebooks in `pq_stats/` —
+    * the ONLY moment the uncompressed vectors exist (the lists store codes,
+    * never vectors), and therefore the only place codebook drift is
+    * observable. [[needsRebuild]] reads the trail. Returns vectors
+    * appended. */
   def appendToIndex(
       newVectors: DataFrame,
       path: String,
@@ -143,14 +176,73 @@ object Pq {
     val pq = readModel(spark, path)
     val batch = newVectors.select(
       col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"),
       encode(col(vecCol), pq).as("n_codes"),
       VectorOps.normSq(col(vecCol)).as("n_nsq"),
       Ivf.nearestCentroid(col(vecCol), coarse).as("bucket"))
       .localCheckpoint()
-    batch.write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
+    batch.drop("n_vec")
+      .write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
+    writeStatsRow(batch, pq, path, "append", overwrite = false, vecCol = "n_vec")
     val n = batch.count()
     graft.core.Blocks.free(batch)
     n
+  }
+
+  /** Codebook-staleness gate — the PQ analogue of [[Ivf.needsRebuild]]:
+    * true when the appended vectors' mean quantization error under the
+    * BUILD-TIME codebooks exceeds `maxDrift` × the build-time error
+    * (append rows weighted by size). Appends drawn from the build
+    * distribution hold the ratio near 1; a drifted distribution encodes
+    * badly (rising ADC error, sinking recall) and trips the gate — run
+    * [[rebuildIndex]] with the uncompressed corpus to retrain. Indexes
+    * written before the stats trail existed return false (no baseline). */
+  def needsRebuild(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxDrift: Double = 2.0): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq_stats"))) return false
+    val rows = spark.read.parquet(s"$path/pq_stats").collect()
+    val build = rows.filter(_.getAs[String]("kind") == "build")
+    val appends = rows.filter(_.getAs[String]("kind") == "append")
+    if (build.isEmpty || appends.isEmpty) return false
+    val buildMse = build.head.getAs[Double]("mse")
+    val n = appends.map(_.getAs[Long]("n")).sum
+    if (n == 0L) return false
+    val appendMse = appends.map(r => r.getAs[Double]("mse") * r.getAs[Long]("n")).sum / n
+    // a degenerate zero-error build (every vector IS a codeword) makes any
+    // nonzero append error infinite drift — trip on a small absolute floor
+    if (buildMse <= 1e-12) appendMse > 1e-9
+    else appendMse / buildMse > maxDrift
+  }
+
+  /** Retrain the PQ codebooks over `corpus` (the caller's uncompressed
+    * vectors — the re-rank source of truth; the index itself stores only
+    * codes, so unlike [[Ivf.rebuildIndex]] a PQ rebuild cannot feed from
+    * its own lists) and rewrite the index in place — what a caller runs
+    * when [[needsRebuild]] fires. The coarse quantizer is KEPT by default
+    * (bucket assignments survive; only the in-bucket codes re-encode);
+    * `retrainCoarse` refits it too, for drift severe enough to skew the
+    * coarse partitioning. `m`/`k` default to the stored model's shape. */
+  def rebuildIndex(
+      corpus: DataFrame,
+      path: String,
+      iters: Int = 3,
+      retrainCoarse: Boolean = false,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxTrainRows: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val old = readModel(spark, path)
+    val coarse =
+      if (retrainCoarse)
+        Ivf.train(corpus, Ivf.readModel(spark, path).centroids.length,
+          idCol = idCol, vecCol = vecCol, maxTrainRows = maxTrainRows)
+      else Ivf.readModel(spark, path)
+    val pq = train(corpus, old.m, old.k, iters, idCol, vecCol, maxTrainRows)
+    writeIndex(corpus, coarse, pq, path, idCol, vecCol)
   }
 
   /** Two-stage retrieval: ADC over the compressed index overfetches

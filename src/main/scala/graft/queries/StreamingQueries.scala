@@ -95,11 +95,20 @@ object StreamingQueries {
     (src, tmp)
   }
 
+  /** Hard bound on rows a memory-sink oracle query may materialize. The
+    * registered streaming queries emit CLOSED-WINDOW AGGREGATES (bounded by
+    * key-space x window count, thousands at any sf the correctness harness
+    * runs), so a breach means a windowing/aggregation change turned the
+    * driver-side memory sink into a raw-row collect — fail loudly HERE
+    * instead of OOMing the harness driver. */
+  private val MaxMemorySinkRows = 1000000
+
   /** Run a streaming DataFrame to a memory sink with AvailableNow, then
     * MATERIALIZE the terminal table into a local DataFrame and drop the
     * sink's temp view — no catalog residue per invocation (the memory sink
     * already holds the rows on the driver; this copies, it does not
-    * collect distributed data). */
+    * collect distributed data; [[MaxMemorySinkRows]] bounds what the sink
+    * itself may hold). */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = df.writeStream
@@ -111,6 +120,11 @@ object StreamingQueries {
     q.awaitTermination()
     val s = df.sparkSession
     val table = s.table(name)
+    val n = table.count()
+    require(n <= MaxMemorySinkRows,
+      s"memory-sink oracle query materialized $n rows (bound $MaxMemorySinkRows): " +
+        "a streaming oracle must emit closed-window aggregates, not raw rows — " +
+        "check the query's windowing/aggregation before raising the bound")
     val rows = table.collect()
     val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), table.schema)
     s.catalog.dropTempView(name)

@@ -1215,4 +1215,201 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(rows(Dedup.exactIncremental(batch, wideTmp)) ==
       rows(Dedup.exactIncremental(batch, narrowTmp)))
   }
+
+  /** Sign documents with the SimHash family — the micro-batch signer shape
+    * the bucketed-signature tests share. */
+  private def simSign(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.TextOps.simHashFromHashes(
+        graft.functions.TextOps.tokenHashes(col("text"))).as("sh"))
+
+  test("band-bucketed signature store: micro probe == flat probe; whole probe pruned to hit buckets") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgband_").toString
+    Dedup.writeSimHashIndex(corpus, s"$tmp/flat")
+    Dedup.writeSimHashIndex(corpus, s"$tmp/bkt", maxHamming = 6, comboSize = 2,
+      sigBuckets = 2048)
+
+    def tri(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // identical pair results through both layouts — a SMALL batch rides the
+    // pruned path (minority of buckets hit), a LARGE one the flat fallback
+    for (mod <- Seq(4, 50)) {
+      val sigs = simSign(corpus.filter(col("doc_id") % mod === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)).localCheckpoint()
+      val bucketed = tri(Dedup.signatureMicroIncremental(sigs, s"$tmp/bkt", maxHamming = 6))
+      assert(bucketed == tri(Dedup.signatureMicroIncremental(sigs, s"$tmp/flat", maxHamming = 6)),
+        s"bucketed probe must equal the flat-layout probe (mod=$mod)")
+      assert(bucketed.nonEmpty, s"the planted copies must surface (mod=$mod)")
+      graft.core.Blocks.free(sigs)
+    }
+    // a probe at DIFFERENT banding parameters than the frozen layout must
+    // fall back to the (correct-at-any-parameters) flat scan
+    val alt = simSign(corpus.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)).localCheckpoint()
+    assert(tri(Dedup.signatureMicroIncremental(alt, s"$tmp/bkt", maxHamming = 4)) ==
+      tri(Dedup.signatureMicroIncremental(alt, s"$tmp/flat", maxHamming = 4)),
+      "parameter-mismatched probe falls back to the flat scan")
+    graft.core.Blocks.free(alt)
+
+    // pruning mechanics: one doc has 28 block-combination keys (C(8,2) at
+    // maxHamming=6, comboSize=2), so its probe lists at most 28 of the 2048
+    // bucket directories — and because the signature rides the band rows,
+    // there is NO docs-store scan anywhere in the plan
+    val one = simSign(corpus.filter(col("doc_id") === 0)
+      .withColumn("doc_id", col("doc_id") + 20000)).localCheckpoint()
+    Dedup.signatureMicroIncremental(one, s"$tmp/bkt", maxHamming = 6).collect()
+    // fresh un-executed probe for the plan asserts: an executed AQE plan's
+    // toString prints Final AND Initial sections, double-counting exchanges
+    val ps = Dedup.signatureMicroIncremental(one, s"$tmp/bkt", maxHamming = 6)
+      .queryExecution.executedPlan.toString
+    val pathCounts = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findAllMatchIn(ps).map(_.group(1).toInt).toSeq
+    assert(pathCounts.nonEmpty, s"expected a band-store scan in the plan:\n$ps")
+    assert(pathCounts.max <= 28,
+      s"one doc's probe must read at most its 28 bucket dirs, saw $pathCounts")
+    assert(!ps.contains(s"$tmp/bkt/docs"), s"no stored-docs scan in the pruned probe:\n$ps")
+    assert(ps.contains("BroadcastHashJoin"), s"batch side must broadcast:\n$ps")
+    assert("Exchange hashpartitioning".r.findAllIn(ps).size == 1,
+      s"exactly the pair-dedup shuffle:\n$ps")
+    graft.core.Blocks.free(one)
+  }
+
+  test("band-bucketed signature store lifecycle: segments, fold+gc, takedown, compaction keep the probe exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sglife_").toString
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    Dedup.writeSimHashIndex(corpus, s"$tmp/idx", maxHamming = 6, comboSize = 2,
+      sigBuckets = 256)
+    val corpusText = corpus.filter(col("doc_id") === 7).select("text").head().getString(0)
+    val freshA = "glassblowers in the harbor district timed each gather of molten glass to the rhythm of the evening tide bells"
+    val freshB = "the council's cartographers argued for a decade over where the inland sea ended and the salt marsh began"
+
+    def probePairs(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val sigs = simSign(rows.toDF("doc_id", "text")).localCheckpoint()
+      val out = Dedup.signatureMicroIncremental(sigs, s"$tmp/idx", maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.Blocks.free(sigs)
+      out
+    }
+
+    // segment writes carry their band rows (with signatures): stored-vs-
+    // batch pair via the base store, then a cross-SEGMENT pair via bandsegs
+    val seg1 = simSign(Seq((3000L, freshA)).toDF("doc_id", "text")).localCheckpoint()
+    Dedup.writeSignatureSegment(seg1, s"$tmp/idx", "seg_a")
+    graft.core.Blocks.free(seg1)
+    assert(new java.io.File(s"$tmp/idx/bandsegs/seg_a").exists(),
+      "a bucketed signature store's segment must write its band rows")
+    assert(probePairs(Seq((4000L, corpusText))) == Set((7L, 4000L)),
+      "base-store pair via the pruned band path")
+    assert(probePairs(Seq((4001L, freshA))) == Set((3000L, 4001L)),
+      "segment pair via the bandsegs path")
+
+    // a second segment, then fold beside + gc: view unchanged, twins folded
+    val seg2 = simSign(Seq((3001L, freshB)).toDF("doc_id", "text")).localCheckpoint()
+    Dedup.writeSignatureSegment(seg2, s"$tmp/idx", "seg_b")
+    graft.core.Blocks.free(seg2)
+    val before = probePairs(Seq((4002L, freshA), (4003L, freshB)))
+    Dedup.foldDocSegments(spark, s"$tmp/idx", gc = false)
+    assert(Dedup.gcDocIndex(spark, s"$tmp/idx") >= 2L)
+    val liveSegs = new java.io.File(s"$tmp/idx/segs").listFiles().filter(_.isDirectory)
+    assert(liveSegs.length == 1 && liveSegs.head.getName.startsWith("compact_"))
+    val liveBands = new java.io.File(s"$tmp/idx/bandsegs").listFiles().filter(_.isDirectory)
+    assert(liveBands.map(_.getName).toSeq == liveSegs.map(_.getName).toSeq,
+      "band segments must fold and gc in lockstep with their doc twins")
+    assert(probePairs(Seq((4002L, freshA), (4003L, freshB))) == before,
+      "fold + gc preserve the probe view")
+    // the folded band segment kept its signatures (schema-preserving fold)
+    assert(spark.read.parquet(s"$tmp/idx/bandsegs/${liveSegs.head.getName}")
+      .columns.contains("sh"), "folded band rows must keep their signature column")
+
+    // takedown: with no doc-row verify stage in the pruned probe, the
+    // tombstone anti-join inside the probe itself must drop the pair
+    Dedup.deleteFromDocIndex(Seq(7L).toDF("doc_id"), s"$tmp/idx")
+    assert(probePairs(Seq((4004L, corpusText))).isEmpty,
+      "tombstoned corpus doc must not pair")
+
+    // stop-the-world compaction rebuilds the band store minus tombstones
+    Dedup.compactDocIndex(spark, s"$tmp/idx")
+    assert(!new java.io.File(s"$tmp/idx/segs").exists())
+    assert(!new java.io.File(s"$tmp/idx/bandsegs").exists())
+    assert(probePairs(Seq((4005L, corpusText))).isEmpty, "compaction folds the tombstone")
+    assert(probePairs(Seq((4006L, freshA))) == Set((3000L, 4006L)),
+      "segment rows survive compaction into the base band store")
+    assert(spark.read.parquet(s"$tmp/idx/bands").filter(col("doc") === 7L).count() == 0L,
+      "the rebuilt band store has no rows for the deleted doc")
+  }
+
+  test("streaming signature ingest over a band-bucketed store: drops, replay, and fold are safe") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sging_").toString
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    Dedup.writeSimHashIndex(corpus, s"$tmp/idx", maxHamming = 6, comboSize = 2,
+      sigBuckets = 256)
+    val corpusText3 = corpus.filter(col("doc_id") === 3).select("text").head().getString(0)
+    val freshA = "the lighthouse keeper logged every passing freighter in a ledger bound with sailcloth and tar"
+    stageSrcFile(tmp, "f1", Seq((2000L, corpusText3), (2001L, freshA)))
+    stageSrcFile(tmp, "f2", Seq((2002L, freshA), (2003L, corpusText3)))
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startSignatureIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      simSign(_), maxHamming = 6, maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+    def sinkIds() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sinkIds() == Set(2001L), s"corpus + cross-batch dups drop: ${sinkIds()}")
+
+    // crash replay of the last batch recomputes identically (segment + band
+    // twin overwritten, not duplicated)
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkIds() == Set(2001L), "replay must not change the kept set")
+    Dedup.foldDocSegments(spark, s"$tmp/idx")
+    assert(sinkIds() == Set(2001L))
+    // a fresh probe of the streamed text still pairs after the fold
+    import spark.implicits._
+    val sigs = simSign(Seq((5000L, freshA)).toDF("doc_id", "text")).localCheckpoint()
+    val pairs = Dedup.signatureMicroIncremental(sigs, s"$tmp/idx", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2001L, 5000L)))
+    graft.core.Blocks.free(sigs)
+  }
+
+  test("compactDocIndex rerun after a crash between docs swap and segs delete does not duplicate") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001).limit(400)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dcrash_").toString
+    Dedup.writeMinHashIndex(corpus.filter(col("doc_id") < 200), tmp,
+      shingleN = 3, numHashes = 64, bands = 16)
+    val segDocs = corpus.filter(col("doc_id") >= 200)
+    Dedup.writeMinHashSegment(
+      segDocs.select(col("doc_id").as("doc"),
+        graft.functions.TextOps.ngramHashes(
+          graft.functions.TextOps.tokenHashes(col("text")), 3).as("sh"))
+        .withColumn("sig", graft.functions.TextOps.minHashFromHashes(col("sh"), 64)),
+      tmp, "seg_batch_000000")
+    val expected = spark.read.parquet(s"$tmp/docs").count() + segDocs.count()
+    // crash simulation: compact (docs/ now holds the folded rows), then
+    // restore segs/ — the exact state a crash between the docs swap and
+    // the segs delete leaves behind — and rerun
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segsDir = new org.apache.hadoop.fs.Path(s"$tmp/segs")
+    val segsCopy = new org.apache.hadoop.fs.Path(
+      s"$tmp/../${new java.io.File(tmp).getName}_segs_copy")
+    org.apache.hadoop.fs.FileUtil.copy(fs, segsDir, fs, segsCopy, false,
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.compactDocIndex(spark, tmp)
+    org.apache.hadoop.fs.FileUtil.copy(fs, segsCopy, fs, segsDir, true,
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.compactDocIndex(spark, tmp)
+    val docs = spark.read.parquet(s"$tmp/docs")
+    assert(docs.count() == expected, "rerun must not duplicate doc rows")
+    assert(docs.groupBy("doc").count().filter(col("count") > 1).count() == 0,
+      "no doc id may appear twice after a crash-rerun compaction")
+  }
 }

@@ -397,4 +397,105 @@ class IvfSpec extends AnyFunSuite {
       assert(buckets(id) == b, s"sample bucket must equal assignment bucket for $id") }
     assert(kept.groupBy(_._2).values.forall(_.length <= 3), "cap holds per leaf")
   }
+
+  test("PQ codebook staleness: shifted appends trip needsRebuild; rebuildIndex retrains and resets") {
+    import graft.operators.Pq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqdrift_").toString
+    val coarse = Ivf.train(emb, c = 8, iters = 2)
+    val pq = Pq.train(emb, m = 8, k = 32, iters = 2)
+    Pq.writeIndex(emb, coarse, pq, tmp)
+    assert(!Pq.needsRebuild(spark, tmp), "a fresh index has no appends to drift")
+
+    // in-distribution append (the build corpus re-idd): quantizes exactly
+    // as well as the build did — the gate must stay quiet
+    val inDist = emb.filter(col("vec_id") % 2 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    Pq.appendToIndex(inDist, tmp)
+    assert(!Pq.needsRebuild(spark, tmp), "in-distribution appends must not trip the gate")
+
+    // drifted append (affine-shifted vectors): encodes badly under the
+    // build-time codebooks — the silent-ADC-degradation case the gate exists
+    // for. needsRebuild is the ONLY way to see it (the lists store codes)
+    val drifted = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("vec_id", col("vec_id") + 200000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(7.0f) + lit(3.0f)).cast("float")))
+    Pq.appendToIndex(drifted, tmp)
+    assert(Pq.needsRebuild(spark, tmp), "a shifted distribution must trip the gate")
+
+    // rebuild over the uncompressed union: codebooks retrain (the drifted
+    // region now has codewords), the baseline resets, and search still
+    // answers over the full id space
+    val full = emb.unionByName(inDist).unionByName(drifted)
+    Pq.rebuildIndex(full, tmp, iters = 2)
+    assert(!Pq.needsRebuild(spark, tmp), "rebuild must reset the staleness baseline")
+    val got = Pq.topKIndexed(spark, tmp, queries, k = 5, nProbe = 8)
+    assert(got.groupBy("q_id").count().head().getLong(1) == 5L)
+    val ids = got.select("n_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+  }
+
+  test("compactIndexSegments rerun after a crash between swap and segs delete does not duplicate") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfcrash_").toString
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val model = Ivf.train(half, c = 8, iters = 2)
+    Ivf.writeIndex(half, model, tmp)
+    val seg = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        graft.functions.VectorOps.normSq(col("embedding")).as("n_nsq"),
+        Ivf.nearestCentroid(col("embedding"), model).as("bucket"))
+    Ivf.writeListSegment(seg, tmp, "seg_batch_000000")
+    // crash simulation: run the compaction (lists now hold the folded
+    // rows), then RESTORE the segment directory — exactly the state a
+    // crash after swapInto but before the segs delete leaves behind
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segsDir = new org.apache.hadoop.fs.Path(s"$tmp/segs")
+    val segsCopy = new org.apache.hadoop.fs.Path(s"$tmp/../${new java.io.File(tmp).getName}_segs_copy")
+    org.apache.hadoop.fs.FileUtil.copy(fs, segsDir, fs, segsCopy, false,
+      spark.sparkContext.hadoopConfiguration)
+    Ivf.compactIndexSegments(spark, tmp)
+    org.apache.hadoop.fs.FileUtil.copy(fs, segsCopy, fs, segsDir, true,
+      spark.sparkContext.hadoopConfiguration)
+    // the rerun must fold WITHOUT duplicating the already-folded rows
+    Ivf.compactIndexSegments(spark, tmp)
+    val lists = spark.read.parquet(s"$tmp/lists")
+    assert(lists.count() == emb.count(), "rerun must not duplicate vectors")
+    assert(lists.groupBy("n_id").count().filter(col("count") > 1).count() == 0,
+      "no n_id may appear twice after a crash-rerun compaction")
+  }
+
+  test("rebuildIndex discards a stale crash snapshot when the index changed since") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfstale_").toString
+    val base = emb.filter(col("vec_id") < 400)
+    val model = Ivf.train(base, c = 8, iters = 2)
+    Ivf.writeIndex(base, model, tmp)
+    // simulate a rebuild that crashed AFTER committing its corpus snapshot:
+    // the snapshot and its _STATE fingerprint are exactly what rebuildIndex
+    // would have written at that moment
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = Ivf.rebuildSourceFingerprint(fs, tmp)
+    Ivf.readListsWithSegments(spark, tmp)
+      .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/_rebuild_corpus")
+    graft.core.Segments.writeAtomic(fs, spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus/_STATE"), state)
+    // between the crash and the rerun: an append AND a takedown land
+    val late = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    Ivf.appendToIndex(late, tmp)
+    import spark.implicits._
+    Ivf.deleteFromIndex(Seq(0L, 2L).toDF("vec_id"), tmp)
+    // the rerun must detect the drift, discard the snapshot, and rebuild
+    // from the LIVE view: appended ids present, deleted ids gone
+    Ivf.rebuildIndex(spark, tmp, lists = 8, iters = 2)
+    val ids = spark.read.parquet(s"$tmp/lists").select("n_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(400L) && ids.contains(449L),
+      "post-snapshot appends must survive the rebuild rerun")
+    assert(!ids.contains(0L) && !ids.contains(2L),
+      "post-snapshot deletions must not resurrect")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus")),
+      "the snapshot is cleaned up after a successful rebuild")
+  }
 }

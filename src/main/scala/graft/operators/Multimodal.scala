@@ -523,6 +523,267 @@ object Multimodal {
         chunk("IEND", Array.emptyByteArray)
     }
 
+    // ---- baseline JPEG encoder (ITU T.81, public spec) ----------------
+    //
+    // Grayscale baseline sequential JPEG of the SAME gray field: FDCT each
+    // 8x8 block, quantize with the Annex K luminance table, Huffman-encode
+    // with the Annex K luminance DC/AC tables. LOSSY — pixels decode to an
+    // approximation of [[gray]], but the perceptual hashes (8x8 box means)
+    // are designed to shrug off exactly this kind of error, so a JPEG twin
+    // of a PNG collapses in content dedup: the cross-container fixture the
+    // web-corpus-dominant format needs.
+
+    /** Annex K luminance quantization table (natural row-major order). */
+    private val JpegQuant: Array[Int] = Array(
+      16, 11, 10, 16, 24, 40, 51, 61,
+      12, 12, 14, 19, 26, 58, 60, 55,
+      14, 13, 16, 24, 40, 57, 69, 56,
+      14, 17, 22, 29, 51, 87, 80, 62,
+      18, 22, 37, 56, 68, 109, 103, 77,
+      24, 35, 55, 64, 81, 104, 113, 92,
+      49, 64, 78, 87, 103, 121, 120, 101,
+      72, 92, 95, 98, 112, 100, 103, 99)
+
+    /** Zigzag order: ZigZag(k) = natural index of the k-th zigzag coeff. */
+    private[operators] val ZigZag: Array[Int] = {
+      val out = new Array[Int](64)
+      var k = 0
+      for (s <- 0 until 15; i <- 0 to s; if s - i < 8 && i < 8) {
+        val (r, c) = if (s % 2 == 0) (s - i, i) else (i, s - i)
+        if (r < 8 && c < 8) { out(k) = r * 8 + c; k += 1 }
+      }
+      out
+    }
+
+    /** Annex K luminance DC table: 16 code-length counts + symbols. */
+    private val DcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    private val DcVals = (0 to 11).map(_.toByte).toArray
+    /** Annex K luminance AC table. */
+    private val AcBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    private val AcVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+    /** Canonical Huffman codes from a (bits, vals) table spec:
+      * symbol -> (code, length). */
+    private def huffCodes(bits: Array[Int], vals: Array[Byte]): Array[(Int, Int)] = {
+      val out = new Array[(Int, Int)](256)
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        var i = 0
+        while (i < bits(len)) {
+          out(vals(k) & 0xff) = (code, len)
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+      }
+      out
+    }
+
+    private lazy val dcCodes = huffCodes(DcBits, DcVals)
+    private lazy val acCodes = huffCodes(AcBits, AcVals)
+    private lazy val cosTab: Array[Array[Double]] =
+      Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+
+    private final class BitWriter(out: ByteArrayOutputStream) {
+      private var acc = 0; private var nbits = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+          if (nbits == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0) // byte stuffing
+            acc = 0; nbits = 0
+          }
+          i -= 1
+        }
+      }
+      def flush(): Unit = if (nbits > 0) { // pad with 1s per spec
+        acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        out.write(acc); if (acc == 0xff) out.write(0)
+        acc = 0; nbits = 0
+      }
+    }
+
+    /** Magnitude category of a coefficient (0 for 0, else bit length). */
+    private def cat(v: Int): Int = { var a = math.abs(v); var n = 0; while (a != 0) { a >>= 1; n += 1 }; n }
+
+    /** FDCT + quantize one level-shifted 8x8 block, then Huffman-encode it
+      * (DC differential vs `pred`, AC zigzag RLE). Returns the new DC
+      * predictor. */
+    private def encodeBlock(blk: Array[Double], pred: Int, bw: BitWriter): Int = {
+      val coef = new Array[Int](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { s += blk(y * 8 + x) * cosTab(x)(u) * cosTab(y)(v); x += 1 }
+            y += 1
+          }
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          val q = JpegQuant(v * 8 + u)
+          coef(v * 8 + u) = math.round(0.25 * cu * cv * s / q).toInt
+          u += 1
+        }
+        v += 1
+      }
+      val dc = coef(0); val diff = dc - pred
+      val dcat = cat(diff)
+      val (dcode, dlen) = dcCodes(dcat)
+      bw.put(dcode, dlen)
+      if (dcat > 0)
+        bw.put(if (diff >= 0) diff else diff + (1 << dcat) - 1, dcat)
+      var run = 0; var k = 1
+      while (k < 64) {
+        val ac = coef(ZigZag(k))
+        if (ac == 0) run += 1
+        else {
+          while (run >= 16) { val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 }
+          val acat = cat(ac)
+          val (c, l) = acCodes((run << 4) | acat)
+          bw.put(c, l)
+          bw.put(if (ac >= 0) ac else ac + (1 << acat) - 1, acat)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) } // EOB
+      dc
+    }
+
+    /** Level-shifted edge-replicated 8x8 block of `g` at (bx*8, by*8). */
+    private def lumaBlock(g: Array[Int], w: Int, h: Int, bx: Int, by: Int): Array[Double] = {
+      val blk = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        val y = math.min(h - 1, by * 8 + i / 8)
+        val x = math.min(w - 1, bx * 8 + i % 8)
+        blk(i) = g(y * w + x) - 128.0
+        i += 1
+      }
+      blk
+    }
+
+    private def jpegHeaders(
+        out: ByteArrayOutputStream, w: Int, h: Int, color: Boolean,
+        restartEvery: Int): Unit = {
+      def marker(m: Int, payload: Array[Byte]): Unit = {
+        out.write(0xff); out.write(m)
+        val len = payload.length + 2
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        out.write(payload, 0, payload.length)
+      }
+      out.write(0xff); out.write(0xd8) // SOI
+      marker(0xdb, Array[Byte](0) ++ ZigZag.map(n => JpegQuant(n).toByte)) // DQT, 8-bit, id 0
+      val sof =
+        if (!color) Array[Byte](8,
+          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+          1, 1, 0x11, 0) // 1 component, id 1, H=V=1, quant table 0
+        else Array[Byte](8,
+          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+          3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0) // Y 2x2, Cb/Cr 1x1 (4:2:0)
+      marker(0xc0, sof)
+      marker(0xc4, Array[Byte](0x00) ++ DcBits.drop(1).map(_.toByte) ++ DcVals) // DHT DC 0
+      marker(0xc4, Array[Byte](0x10) ++ AcBits.drop(1).map(_.toByte) ++ AcVals) // DHT AC 0
+      if (restartEvery > 0)
+        marker(0xdd, Array[Byte](((restartEvery >> 8) & 0xff).toByte,
+          (restartEvery & 0xff).toByte)) // DRI
+      val sos =
+        if (!color) Array[Byte](1, 1, 0x00, 0, 63, 0)
+        else Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0) // all tables 0
+      marker(0xda, sos)
+    }
+
+    /** Baseline grayscale JPEG of the gray field — same (w, h, seed,
+      * noise) contract as [[png]]/[[bmp]], content equal up to quantization
+      * loss. `restartEvery > 0` emits DRI + RSTn markers every that many
+      * MCUs (the robustness feature real encoders emit; exercises the
+      * decoder's restart path). */
+    def jpeg(w: Int, h: Int, seed: Long, noise: Int = 0, restartEvery: Int = 0): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val out = new ByteArrayOutputStream()
+      jpegHeaders(out, w, h, color = false, restartEvery)
+      val bw = new BitWriter(out)
+      val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+      var pred = 0
+      var mcu = 0
+      var by = 0
+      while (by < bh8) {
+        var bx = 0
+        while (bx < bw8) {
+          if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+            bw.flush()
+            out.write(0xff); out.write(0xd0 + ((mcu / restartEvery - 1) % 8))
+            pred = 0
+          }
+          pred = encodeBlock(lumaBlock(g, w, h, bx, by), pred, bw)
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Baseline COLOR (3-component YCbCr 4:2:0) JPEG of the gray field:
+      * Y carries the content, chroma is neutral (Cb = Cr = 128 → all-zero
+      * coefficients) — decodes to the same gray pixels as [[jpeg]] while
+      * exercising a decoder's subsampled-MCU walk and chroma handling,
+      * the layout of virtually every real web photo. */
+    def jpegColor(w: Int, h: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val out = new ByteArrayOutputStream()
+      jpegHeaders(out, w, h, color = true, restartEvery = 0)
+      val bw = new BitWriter(out)
+      val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+      val zeroBlk = new Array[Double](64) // neutral chroma, level-shifted
+      var predY = 0; var predCb = 0; var predCr = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var v = 0
+          while (v < 2) {
+            var u = 0
+            while (u < 2) {
+              predY = encodeBlock(lumaBlock(g, w, h, mx * 2 + u, my * 2 + v), predY, bw)
+              u += 1
+            }
+            v += 1
+          }
+          predCb = encodeBlock(zeroBlk, predCb, bw)
+          predCr = encodeBlock(zeroBlk, predCr, bw)
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
     /** 24-bit bottom-up BMP of the SAME gray field: pixel-identical to
       * [[png]] for equal (w, h, seed, noise) — the container-independence
       * fixture. */
@@ -579,6 +840,7 @@ object Multimodal {
         if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
           decodePng(b)
         else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+        else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) decodeJpeg(b)
         else None
       } catch { case _: Exception => None }
 
@@ -684,6 +946,296 @@ object Multimodal {
       Some(Gray(w, h, gray))
     }
 
+    // ---- baseline sequential JPEG decode (ITU T.81, public spec) ------
+    //
+    // Full entropy decode (DQT/DHT/SOF0/SOS walk, canonical Huffman, DC
+    // prediction, AC run-length, restart markers, byte unstuffing), then
+    // dequantize + IDCT of the LUMA component only: the engine's image
+    // operators consume grayscale, and luma IS the grayscale — chroma
+    // blocks are entropy-decoded (the bitstream demands it) but never
+    // transformed, so a 3-component web JPEG costs one IDCT per 8x8 luma
+    // block. Progressive (SOF2), arithmetic coding, 12-bit precision and
+    // hierarchical modes → None, like every other undecodable payload.
+
+    /** Canonical Huffman decode table: mincode/maxcode/valptr per length
+      * (the T.81 Annex C construction). */
+    private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+      val minCode = new Array[Int](17)
+      val maxCode = new Array[Int](17) // -1 = no codes of this length
+      val valPtr = new Array[Int](17)
+      locally {
+        var code = 0; var k = 0
+        var l = 1
+        while (l <= 16) {
+          if (bits(l) > 0) {
+            valPtr(l) = k; minCode(l) = code
+            code += bits(l); k += bits(l)
+            maxCode(l) = code - 1
+          } else maxCode(l) = -1
+          code <<= 1
+          l += 1
+        }
+      }
+      def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len)) & 0xff
+    }
+
+    /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+      * unstuffing; a non-RST marker (or end of input) ends the stream. */
+    private final class BitReader(b: Array[Byte], var pos: Int) {
+      private var acc = 0; private var nbits = 0
+      private var eos = false
+      def atMarker: Boolean = eos
+      def nextBit(): Int = {
+        if (nbits == 0) {
+          if (eos || pos >= b.length) { eos = true; return -1 }
+          var v = b(pos) & 0xff; pos += 1
+          if (v == 0xff) {
+            if (pos >= b.length) { eos = true; return -1 }
+            val m = b(pos) & 0xff
+            if (m == 0x00) pos += 1 // stuffed literal 0xff
+            else { eos = true; pos -= 1; return -1 } // a real marker
+          }
+          acc = v; nbits = 8
+        }
+        nbits -= 1
+        (acc >> nbits) & 1
+      }
+      def bits(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { val x = nextBit(); if (x < 0) return -1; v = (v << 1) | x; i += 1 }
+        v
+      }
+      /** Byte-align and consume an expected RSTn marker; false if absent. */
+      def restart(): Boolean = {
+        nbits = 0; eos = false
+        if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) return false
+        val m = b(pos + 1) & 0xff
+        if (m < 0xd0 || m > 0xd7) return false
+        pos += 2
+        true
+      }
+      def decodeHuff(t: HuffTable): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          val bit = nextBit(); if (bit < 0) return -1
+          code = (code << 1) | bit; len += 1
+          if (t.maxCode(len) >= 0 && code <= t.maxCode(len)) return t.value(len, code)
+        }
+        -1
+      }
+    }
+
+    /** Extend a `cat`-bit magnitude to its signed value (T.81 F.2.2.1). */
+    private def extend(v: Int, cat: Int): Int =
+      if (cat == 0) 0 else if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+
+    private def decodeJpeg(b: Array[Byte]): Option[Gray] = {
+      val quant = new Array[Array[Int]](4)
+      val dcTabs = new Array[HuffTable](4)
+      val acTabs = new Array[HuffTable](4)
+      var w = 0; var h = 0
+      var nComp = 0
+      // per component: id, hSamp, vSamp, quant id (luma = component 0 of SOF)
+      var compId: Array[Int] = null; var compH: Array[Int] = null
+      var compV: Array[Int] = null; var compQ: Array[Int] = null
+      var restartInterval = 0
+      val zz = ImageGen.ZigZag
+      var i = 2
+      while (i + 4 <= b.length) {
+        if (u8(b, i) != 0xff) return None
+        val m = u8(b, i + 1)
+        if (m == 0xd9) return None // EOI before SOS: no image data
+        val len = (u8(b, i + 2) << 8) | u8(b, i + 3)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (pq/tq, 64 or 128 bytes) entries
+            var p = seg
+            while (p < segEnd) {
+              val pq = u8(b, p) >> 4; val tq = u8(b, p) & 0x0f
+              if (tq > 3 || (pq != 0 && pq != 1)) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                t(zz(k)) = if (pq == 0) u8(b, p + 1 + k)
+                  else (u8(b, p + 1 + 2 * k) << 8) | u8(b, p + 2 + 2 * k)
+                k += 1
+              }
+              quant(tq) = t
+              p += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 => // DHT: one or more (tc/th, 16 counts, symbols)
+            var p = seg
+            while (p < segEnd) {
+              val tc = u8(b, p) >> 4; val th = u8(b, p) & 0x0f
+              if (th > 3 || tc > 1) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = u8(b, p + l); total += bits(l); l += 1 }
+              if (p + 17 + total > segEnd) return None
+              val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            if (u8(b, seg) != 8) return None // 12-bit precision: skip
+            h = (u8(b, seg + 1) << 8) | u8(b, seg + 2)
+            w = (u8(b, seg + 3) << 8) | u8(b, seg + 4)
+            nComp = u8(b, seg + 5)
+            if (w <= 0 || h <= 0 || nComp < 1 || nComp > 4) return None
+            if (w.toLong * h > (1L << 26)) return None // same pixel cap as PNG
+            compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = u8(b, seg + 6 + 3 * c)
+              val hv = u8(b, seg + 7 + 3 * c)
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              compQ(c) = u8(b, seg + 8 + 3 * c)
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4 ||
+                compQ(c) > 3) return None
+              c += 1
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf => return None // progressive etc.
+          case 0xdd => restartInterval = (u8(b, seg) << 8) | u8(b, seg + 1)
+          case 0xda => // SOS — entropy-coded data follows
+            if (compId == null) return None
+            val ns = u8(b, seg)
+            if (ns != nComp || seg + 1 + 2 * ns + 3 > segEnd) return None
+            // scan-order component -> (dc table, ac table)
+            val scanDc = new Array[HuffTable](nComp)
+            val scanAc = new Array[HuffTable](nComp)
+            var s = 0
+            while (s < ns) {
+              val cid = u8(b, seg + 1 + 2 * s)
+              val c = compId.indexOf(cid)
+              if (c < 0) return None
+              scanDc(c) = dcTabs(u8(b, seg + 2 + 2 * s) >> 4)
+              scanAc(c) = acTabs(u8(b, seg + 2 + 2 * s) & 0x0f)
+              if (scanDc(c) == null || scanAc(c) == null) return None
+              s += 1
+            }
+            val lumaQ = quant(compQ(0))
+            if (lumaQ == null) return None
+            return decodeScan(b, segEnd, w, h, compH, compV, lumaQ,
+              scanDc, scanAc, restartInterval, zz)
+          case _ => () // APPn / COM / unknown: skip
+        }
+        i = segEnd
+      }
+      None
+    }
+
+    private lazy val idctCos: Array[Array[Double]] =
+      Array.tabulate(8, 8)((x, u) =>
+        (if (u == 0) 1.0 / math.sqrt(2) else 1.0) * math.cos((2 * x + 1) * u * math.Pi / 16))
+
+    /** Entropy-decode all MCUs from `pos`, IDCT only component 0 (luma). */
+    private def decodeScan(
+        b: Array[Byte], pos: Int, w: Int, h: Int,
+        compH: Array[Int], compV: Array[Int], lumaQ: Array[Int],
+        scanDc: Array[HuffTable], scanAc: Array[HuffTable],
+        restartInterval: Int, zz: Array[Int]): Option[Gray] = {
+      val nComp = compH.length
+      val hMax = compH.max; val vMax = compV.max
+      val mcuW = 8 * hMax; val mcuH = 8 * vMax
+      val mcusX = (w + mcuW - 1) / mcuW
+      val mcusY = (h + mcuH - 1) / mcuH
+      // luma plane at full MCU-padded resolution (cropped at the end)
+      val lw = mcusX * (8 * compH(0)); val lh = mcusY * (8 * compV(0))
+      val luma = new Array[Int](lw * lh)
+      val r = new BitReader(b, pos)
+      val pred = new Array[Int](nComp)
+      val coef = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var mcu = 0
+      val totalMcus = mcusX * mcusY
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!r.restart()) return None
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var c = 0
+        while (c < nComp) {
+          var v = 0
+          while (v < compV(c)) {
+            var u = 0
+            while (u < compH(c)) {
+              // one 8x8 block of component c
+              val t = r.decodeHuff(scanDc(c)); if (t < 0) return None
+              val diffBits = if (t == 0) 0 else r.bits(t)
+              if (t > 0 && diffBits < 0) return None
+              pred(c) += extend(diffBits, t)
+              if (c == 0) { java.util.Arrays.fill(coef, 0); coef(0) = pred(c) * lumaQ(0) }
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = r.decodeHuff(scanAc(c)); if (rs < 0) return None
+                val run = rs >> 4; val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  val mag = r.bits(size); if (mag < 0) return None
+                  if (c == 0) coef(zz(k)) = extend(mag, size) * lumaQ(zz(k))
+                  k += 1
+                }
+              }
+              if (c == 0) {
+                // separable IDCT: rows then columns
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var s = 0.0
+                    var uu = 0
+                    while (uu < 8) { s += idctCos(x)(uu) * coef(y * 8 + uu); uu += 1 }
+                    tmp(y * 8 + x) = s * 0.5
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bx0 = (mx * compH(0) + u) * 8
+                val by0 = (my * compV(0) + v) * 8
+                var x = 0
+                while (x < 8) {
+                  var yy = 0
+                  while (yy < 8) {
+                    var s = 0.0
+                    var vv = 0
+                    while (vv < 8) { s += idctCos(yy)(vv) * tmp(vv * 8 + x); vv += 1 }
+                    val px = math.max(0, math.min(255, math.round(s * 0.5 + 128.0).toInt))
+                    luma((by0 + yy) * lw + bx0 + x) = px
+                    yy += 1
+                  }
+                  x += 1
+                }
+              }
+              u += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      // crop the padded luma plane to the declared dimensions
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(luma, y * lw, gray, y * w, w)
+        y += 1
+      }
+      Some(Gray(w, h, gray))
+    }
+
     private def decodeBmp(b: Array[Byte]): Option[Gray] = {
       val dataOff = le32(b, 10)
       val hdrSize = le32(b, 14)
@@ -779,17 +1331,23 @@ object Multimodal {
     }
   }
 
-  private def imageGenUdf(w: Int, h: Int, noise: Int, bmpEvery: Int) =
+  private def imageGenUdf(w: Int, h: Int, noise: Int, bmpEvery: Int, jpegEvery: Int) =
     udf((id: Long, seed: Long) =>
       if (bmpEvery > 0 && id % bmpEvery == 0) ImageGen.bmp(w, h, seed, noise)
+      else if (jpegEvery > 0 && id % jpegEvery == 1) ImageGen.jpeg(w, h, seed, noise)
       else ImageGen.png(w, h, seed, noise))
 
   /** Attach a deterministic PIXEL-carrying image payload ([[ImageGen]]) —
     * the image-dedup analogue of [[withBinaryPayload]]'s header-only
     * containers. `seedCol` decouples content from identity so tests and
     * queries can plant near-duplicate twins (same seed + noise, new id);
-    * every `bmpEvery`-th id gets the BMP container for the same pixels
-    * (container independence is part of what q30c exercises). */
+    * with the defaults ids rotate containers — `id % 3 == 0` BMP,
+    * `== 1` baseline JPEG (lossy: same field up to quantization error,
+    * which the perceptual hashes absorb — the web-dominant format as a
+    * first-class corpus member), `== 2` PNG — so container independence,
+    * including the lossy cross-container case, is part of what q30c
+    * exercises. An id-shifted twin generally lands in a DIFFERENT
+    * container than its original. */
   def withImagePayload(
       documents: DataFrame,
       idCol: String = "doc_id",
@@ -797,9 +1355,11 @@ object Multimodal {
       width: Int = 64,
       height: Int = 48,
       noise: Int = 0,
-      bmpEvery: Int = 3): DataFrame =
+      bmpEvery: Int = 3,
+      jpegEvery: Int = 3): DataFrame =
     documents.withColumn("payload",
-      imageGenUdf(width, height, noise, bmpEvery)(col(idCol).cast("long"), col(seedCol).cast("long")))
+      imageGenUdf(width, height, noise, bmpEvery, jpegEvery)(
+        col(idCol).cast("long"), col(seedCol).cast("long")))
 
   final case class ImageHashes(doc_id: Long, width: Int, height: Int, ahash: Long, dhash: Long)
 

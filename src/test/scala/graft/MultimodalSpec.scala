@@ -262,6 +262,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resHam <= 6, s"2x resolution must stay within the dedup budget: $resHam")
   }
 
+  test("JPEG pixel decode: grayscale, 4:2:0 color, and restart-marker streams approximate the field") {
+    val expected = ImageGen.gray(64, 48, 42L, 0)
+    def maxErr(got: Multimodal.ImageDecoder.Gray): Int =
+      got.pixels.zip(expected).map { case (a, b) => math.abs(a - b) }.max
+    // grayscale baseline: lossy, but the Annex-K-quantized error on the
+    // generator's smooth sinusoid fields stays small per pixel
+    val g = ImageDecoder.decode(ImageGen.jpeg(64, 48, 42L, 0))
+    assert(g.isDefined, "grayscale JPEG must decode")
+    assert(g.get.width == 64 && g.get.height == 48)
+    assert(maxErr(g.get) <= 24, s"per-pixel JPEG error bounded: ${maxErr(g.get)}")
+    // 3-component 4:2:0 (the web-photo layout): same luma, neutral chroma —
+    // decodes to the SAME pixels as the grayscale encoding (luma-only IDCT)
+    val c = ImageDecoder.decode(ImageGen.jpegColor(64, 48, 42L, 0))
+    assert(c.isDefined, "4:2:0 color JPEG must decode")
+    assert(c.get.pixels.sameElements(g.get.pixels),
+      "color JPEG's luma must decode identically to the grayscale encoding")
+    // restart markers: DRI/RSTn every 5 MCUs decodes identically too
+    val r = ImageDecoder.decode(ImageGen.jpeg(64, 48, 42L, 0, restartEvery = 5))
+    assert(r.isDefined, "restart-marker JPEG must decode")
+    assert(r.get.pixels.sameElements(g.get.pixels),
+      "restart markers change the stream layout, never the pixels")
+    // odd dimensions exercise edge-replicated partial MCUs on both paths
+    val odd = ImageDecoder.decode(ImageGen.jpegColor(61, 45, 9L, 0))
+    assert(odd.isDefined && odd.get.width == 61 && odd.get.height == 45)
+  }
+
+  test("JPEG hashes: pinned fixture; cross-container PNG/JPEG twins within the dedup budget") {
+    val fromPng = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0)).get).get
+    val fromJpeg = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.jpeg(64, 48, 42L, 0)).get).get
+    // pinned: any drift in encoder, decoder, IDCT rounding, or hash shows
+    // here (one bit away from the PNG fixture's 0x29993949d666c6b6 — the
+    // quantization loss flipping a single near-threshold gradient cell)
+    assert(fromJpeg == 0x29993949d666c7b6L,
+      f"pinned JPEG dHash moved: 0x$fromJpeg%016x")
+    assert(dham(fromPng, fromJpeg) <= 4,
+      s"lossy re-encode of the same content must stay within the dedup budget")
+    // and a noisy JPEG twin of PNG content — the daily-crawl cross-container
+    // shape — still lands inside q30c's maxHamming = 10
+    val noisy = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.jpeg(64, 48, 42L, 8)).get).get
+    assert(dham(fromPng, noisy) <= 10, s"noisy JPEG twin hamming ${dham(fromPng, noisy)}")
+  }
+
+  test("JPEG decoder never throws: truncated, progressive, header-only, garbage -> None") {
+    val good = ImageGen.jpeg(32, 16, 7L, 0)
+    assert(ImageDecoder.decode(good.take(20)).isEmpty, "truncated in headers")
+    assert(ImageDecoder.decode(good.take(good.length - 10)).isEmpty
+      || ImageDecoder.decode(good.take(good.length - 10)).isDefined,
+      "truncated entropy data must not throw") // decode may salvage or skip
+    assert(ImageDecoder.decode(MediaGen.jpeg(64, 48)).isEmpty,
+      "header-only JPEG (SOI+SOF0+EOI, no scan) must be skipped")
+    val progressive = good.clone()
+    // rewrite the SOF0 marker byte to SOF2 (progressive): out of scope
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(ImageDecoder.decode(progressive).isEmpty, "progressive -> None")
+  }
+
   test("near-duplicate images hash close; unrelated content hashes far") {
     val base = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0)).get).get
     // per-pixel noise (amplitude 8 gray levels) barely moves the hash

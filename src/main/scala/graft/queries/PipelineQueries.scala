@@ -2152,7 +2152,8 @@ object PipelineQueries {
     // quality score) via the generic Search.fuseRankings combiner. Fully
     // deterministic: both component rankings and the decimal-summed RRF
     // score re-derive exactly in SQL, so the fused top-k hash-checks end
-    // to end (the dense-vector sibling q32d is the rows-only variant).
+    // to end (the dense-vector sibling q32d composes the exact-cosine
+    // twin the same way).
     QueryDef(
       "q32c_rrf_quality",
       (s, dir) => {

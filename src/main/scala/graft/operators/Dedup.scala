@@ -781,7 +781,7 @@ object Dedup {
     val hit = batchBands0.map(_.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq)
     val pairHalf =
-      if (bb > 0 && hit.get.length * 2 <= bb) {
+      if (bb > 0 && hit.get.length * 2 <= bb && bandTreeUsable(spark, indexPath)) {
         // the index side is the precomputed band store, PRUNED to the
         // batch's buckets by path construction — only |batch buckets| /
         // bandBuckets of the index's band rows are read at all (and none
@@ -826,6 +826,20 @@ object Dedup {
     * plan time — measured at 6-12 s per probe against a 4096-bucket store,
     * dwarfing the scan it prunes.) Flat batch segments carry `bucket` as a
     * data column and get a pushed row filter instead. */
+  /** Bucketed-probe gate: heal a crashed band-store swap
+    * ([[compactDocIndex]]'s delete-then-rename window), then require the
+    * base `bands/` tree to exist. Absence after healing means the band
+    * layout is broken mid-maintenance: meta still advertises a bucketed
+    * store, but a bucketed probe would silently read segment band rows
+    * only and miss every base-store pair until the next compaction
+    * happened to rerun — so the caller must take the flat scan instead. */
+  private def bandTreeUsable(spark: SparkSession, indexPath: String): Boolean = {
+    val fs = Seg.fs(spark, indexPath)
+    val bands = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    Seg.healSwap(fs, new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging"), bands)
+    fs.exists(bands)
+  }
+
   private def storedBands(
       spark: SparkSession, indexPath: String, buckets: Option[Seq[Int]],
       cols: Seq[String] = Seq("doc", "band")): DataFrame = {
@@ -964,7 +978,16 @@ object Dedup {
       new org.apache.hadoop.fs.Path(s"$indexPath/bands"))
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     val segs = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
-    if (!fs.exists(tombs) && !fs.exists(segs)) return
+    val bucketed = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta")) &&
+      (metaBandBuckets(spark, indexPath) > 0 ||
+        sigMetaBuckets(spark, indexPath).isDefined)
+    // Nothing to fold AND no band tree to heal -> no-op. A BUCKETED store
+    // always proceeds to the band rebuild below even with no tombstones or
+    // segments: a crashed direct append ([[appendToSignatureIndex]] /
+    // [[appendToMinHashIndex]] — docs committed, band rows not yet
+    // written) leaves stored docs invisible to the bucketed probe, and
+    // this rebuild-from-docs is the documented heal for that window.
+    if (!fs.exists(tombs) && !fs.exists(segs) && !bucketed) return
     // stage-then-swap (Segments.swapInto): the folded view streams from
     // the live tree into a durable sibling; a crash at any point leaves a
     // complete docs tree on disk, where the previous localCheckpoint +
@@ -1409,6 +1432,21 @@ object Dedup {
       signatures: DataFrame, path: String,
       maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = 0): Unit = {
     val spark = signatures.sparkSession
+    // REBUILD-OVER-EXISTING ordering: retract the band layout FIRST — meta
+    // (so probes fall back to the flat scan over docs/ from here on), then
+    // the band tree itself. Without this, a flat rebuild over a previously
+    // bucketed store would leave the OLD corpus's meta+bands in place and
+    // every probe at the frozen banding would run against the old band
+    // rows: pairing new batches with deleted docs and missing every pair
+    // against the new corpus. In the bucketed branch the same retraction
+    // makes the write crash-safe: meta is rewritten LAST (the commit
+    // point), so a crash anywhere in between leaves a metaless store the
+    // probe treats as flat — correct over whatever docs/ holds.
+    val fsys = Seg.fs(spark, path)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    if (fsys.exists(metaDir)) { fsys.delete(metaDir, true); () }
+    if (fsys.exists(bandsDir)) { fsys.delete(bandsDir, true); () }
     if (sigBuckets <= 0) {
       signatures.select(col("doc_id"), col("sh"))
         .write.mode("overwrite").parquet(s"$path/docs")
@@ -1520,7 +1558,7 @@ object Dedup {
         val batchBands = signatureBandRows(batch, mh, cs, bb)
         val hit = batchBands.select("bucket").distinct()
           .collect().map(_.getInt(0)).sorted.toSeq
-        if (hit.length * 2 <= bb) {
+        if (hit.length * 2 <= bb && bandTreeUsable(spark, indexPath)) {
           // the whole probe runs on the persisted band rows, the index side
           // PRUNED to the batch's buckets by path construction (storedBands
           // — the same reader as the MinHash band store): per-trigger read
@@ -1583,12 +1621,22 @@ object Dedup {
   def appendToSignatureIndex(batchSigs: DataFrame, indexPath: String): Long = {
     val spark = batchSigs.sparkSession
     val batch = batchSigs.select(col("doc_id"), col("sh")).localCheckpoint()
+    // docs FIRST, band rows second — the opposite of the segment path
+    // (where the doc segment's _SUCCESS gates the band segment's
+    // visibility). A direct append into the live bands/ tree has no such
+    // gate: band-first would make a crash window leave PHANTOM band rows
+    // whose sh verifies against future twins, silently dropping genuinely
+    // new documents as duplicates of a doc that exists nowhere. Docs-first
+    // fails OPEN instead: the crash window leaves stored docs missing
+    // their band rows, so the bucketed probe admits their duplicates until
+    // [[compactDocIndex]] rebuilds the band tree from docs/ — a space
+    // cost, never a data loss, and the flat probe is unaffected.
+    batch.write.mode("append").parquet(s"$indexPath/docs")
     sigMetaBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
       signatureBandRows(batch, mh, cs, bb)
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
     }
-    batch.write.mode("append").parquet(s"$indexPath/docs")
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
     n

@@ -790,31 +790,91 @@ object Ivf {
     // snapshot therefore carries a `_STATE` fingerprint of the source
     // trees (written LAST — a crash in between reads as uncommitted), and
     // a mismatch discards the snapshot and re-snapshots the live view.
+    // WRITE-INTENT MARKER: `_rebuild_inprogress` is written immediately
+    // before [[writeIndex]] starts mutating lists/centroids/meta and
+    // deleted only after the post-rewrite cleanup. Its presence on entry
+    // means a previous rebuild crashed MID-REWRITE — the index trees are
+    // untrustworthy (lists/ may be half-overwritten), so the fingerprint
+    // check below must NOT be allowed to discard the committed snapshot
+    // (which is then the ONLY intact copy of the vectors) and re-snapshot
+    // from the corrupted trees. Instead the snapshot is REFRESHED: any
+    // segments/tombstones that arrived after the crash (a restarted
+    // ingest) are folded in, so the cleanup below never deletes rows that
+    // are not in the snapshot. Direct [[appendToIndex]] calls between a
+    // crashed rebuild and its rerun are out of contract (they would
+    // assign against a half-written quantizer anyway).
     val staging = new org.apache.hadoop.fs.Path(s"$path/_rebuild_corpus")
-    val state = rebuildSourceFingerprint(fs, path)
+    val refresh = new org.apache.hadoop.fs.Path(s"$path/_rebuild_corpus_refresh")
+    val intent = new org.apache.hadoop.fs.Path(s"$path/_rebuild_inprogress")
+    Seg.healSwap(fs, refresh, staging) // a crashed snapshot-refresh swap
+    val snapCommitted = fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
     val statePath = new org.apache.hadoop.fs.Path(staging, "_STATE")
-    val committed = fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")) &&
-      fs.exists(statePath) && Seg.readSmall(fs, statePath).trim == state
-    if (!committed) {
-      if (fs.exists(staging)) { fs.delete(staging, true); () }
-      readListsWithSegments(spark, path)
-        .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
-        .write.mode("overwrite").parquet(staging.toString)
-      Seg.writeAtomic(fs, spark.sparkContext.hadoopConfiguration, statePath, state)
+    if (fs.exists(intent) && snapCommitted) {
+      val snap = spark.read.parquet(staging.toString)
+      val segDirs = liveListSegs(spark, path)._2
+      val tombsDir0 = new org.apache.hadoop.fs.Path(s"$path/tombs")
+      val hasTombs = fs.exists(tombsDir0)
+      if (segDirs.nonEmpty || hasTombs) {
+        val withSegs =
+          if (segDirs.isEmpty) snap
+          else snap.unionByName(
+            segDirs.map(d => spark.read.parquet(d.toString)).reduce(_ unionByName _)
+              .select(col("n_id").as("vec_id"), col("n_vec").as("embedding")))
+        val minusTombs =
+          if (!hasTombs) withSegs
+          else withSegs.join(
+            broadcast(spark.read.parquet(tombsDir0.toString)
+              .select(col("n_id").as("vec_id"))),
+            Seq("vec_id"), "left_anti")
+        minusTombs.dropDuplicates("vec_id")
+          .write.mode("overwrite").parquet(refresh.toString)
+        Seg.swapInto(fs, refresh, staging)
+      }
+      Seg.writeAtomic(fs, spark.sparkContext.hadoopConfiguration, statePath,
+        rebuildSourceFingerprint(fs, path))
+    } else {
+      // No crashed rewrite: the index trees are complete and trustworthy.
+      // A leftover intent marker here means the previous run finished its
+      // rewrite and cleanup through the staging delete — drop it.
+      if (fs.exists(intent)) { fs.delete(intent, false); () }
+      // STALENESS GUARD: a snapshot is resumable ONLY if lists/segs/tombs
+      // are byte-for-byte the trees it was taken from. If streaming
+      // appended a segment or a takedown tombstoned ids between a
+      // pre-rewrite crash (e.g. during training) and this rerun, resuming
+      // from the old snapshot would retrain without the new rows — so a
+      // mismatch discards it and re-snapshots the live view.
+      // dropDuplicates(vec_id): after a crash-rerun of a fold/compaction a
+      // row can appear in both lists/ and a still-live segment.
+      val state = rebuildSourceFingerprint(fs, path)
+      val committed = snapCommitted &&
+        fs.exists(statePath) && Seg.readSmall(fs, statePath).trim == state
+      if (!committed) {
+        if (fs.exists(staging)) { fs.delete(staging, true); () }
+        readListsWithSegments(spark, path)
+          .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
+          .dropDuplicates("vec_id")
+          .write.mode("overwrite").parquet(staging.toString)
+        Seg.writeAtomic(fs, spark.sparkContext.hadoopConfiguration, statePath, state)
+      }
     }
     val corpus = spark.read.parquet(staging.toString)
     val model =
       if (branch > 0) trainHier(corpus, lists, branch, iters, maxTrainRows = maxTrainRows)
       else train(corpus, lists, iters, maxTrainRows = maxTrainRows)
+    Seg.writeAtomic(fs, spark.sparkContext.hadoopConfiguration, intent, "rebuild")
     writeIndex(corpus, model, path)
     // streamed segments are now part of the rewritten base lists, and
-    // tombstoned rows were excluded from the retrain corpus: GC both
+    // tombstoned rows were excluded from the retrain corpus: GC both.
+    // The intent marker outlives these deletes (the snapshot stays the
+    // corpus of record until cleanup completes) and dies just before the
+    // snapshot itself.
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
     val markerDir = new org.apache.hadoop.fs.Path(s"$path/_folded")
     if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
     if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
     if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
+    fs.delete(intent, false)
     fs.delete(staging, true); ()
   }
 

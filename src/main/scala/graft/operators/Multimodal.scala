@@ -1334,7 +1334,12 @@ object Multimodal {
   private def imageGenUdf(w: Int, h: Int, noise: Int, bmpEvery: Int, jpegEvery: Int) =
     udf((id: Long, seed: Long) =>
       if (bmpEvery > 0 && id % bmpEvery == 0) ImageGen.bmp(w, h, seed, noise)
-      else if (jpegEvery > 0 && id % jpegEvery == 1) ImageGen.jpeg(w, h, seed, noise)
+      // `1 % jpegEvery`, not a literal 1: the JPEG slot sits at residue 1
+      // so it interleaves with the BMP slot at the same modulus, but
+      // `jpegEvery = 1` must mean EVERY id (residue 0 is the only residue
+      // mod 1 — a literal `== 1` would silently generate no JPEGs at all)
+      else if (jpegEvery > 0 && id % jpegEvery == 1 % jpegEvery)
+        ImageGen.jpeg(w, h, seed, noise)
       else ImageGen.png(w, h, seed, noise))
 
   /** Attach a deterministic PIXEL-carrying image payload ([[ImageGen]]) —

@@ -113,11 +113,20 @@ object Pq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
+    // The build-time quantization error ([[needsRebuild]]'s baseline) is
+    // OBSERVED inside the lists-write pass — avg over a column derived
+    // from the codes the encoder just committed to — instead of a second
+    // corpus pass that would re-run the k-codeword search per subspace.
+    val obs = org.apache.spark.sql.Observation(s"pq_build_${java.util.UUID.randomUUID()}")
     corpus.select(
       col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"),
       encode(col(vecCol), pq).as("n_codes"),
       VectorOps.normSq(col(vecCol)).as("n_nsq"),
       Ivf.nearestCentroid(col(vecCol), coarse).as("bucket"))
+      .withColumn("_err", errFromCodes(col("n_vec"), col("n_codes"), pq))
+      .observe(obs, avg(col("_err")).as("mse"), count(lit(1)).as("n"))
+      .drop("n_vec", "_err")
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/lists")
     Ivf.writeQuantizer(spark, coarse, path)
     import spark.implicits._
@@ -126,31 +135,37 @@ object Pq {
     }.toSeq
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
-    // build-time quantization error: the baseline [[needsRebuild]] compares
-    // append-time drift against. One slim aggregate over the corpus.
-    writeStatsRow(corpus, pq, path, "build", overwrite = true, vecCol)
+    val metrics = obs.get
+    Seq((
+      "build",
+      Option(metrics("mse")).map(_.asInstanceOf[Double]),
+      metrics("n").asInstanceOf[Long]))
+      .toDF("kind", "mse", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_stats")
   }
 
-  /** Mean squared PQ reconstruction error of `vecCol` under `model`: per
-    * row, the summed squared distance of each subspace slice to its NEAREST
-    * codeword (exactly the error the encoder commits to). The scalar the
-    * codebook-staleness gate tracks — distribution drift raises it. */
-  private def mseCol(vec: Column, model: Model): Column =
+  /** Squared PQ reconstruction error from PRECOMPUTED codes: per row, the
+    * summed squared distance of each subspace slice to the codeword its
+    * code names — `m` codebook lookups, no re-search (the encode pass
+    * already found the nearest codeword; identical value by construction).
+    * The scalar the codebook-staleness gate tracks — drift raises it. */
+  private def errFromCodes(vec: Column, codes: Column, model: Model): Column =
     (0 until model.m).map { j =>
       val sub = slice(vec, j * model.dsub + 1, model.dsub)
-      val code = element_at(call_function("graft_centroid_probes",
-        sub, typedLit(model.codebooks(j)), lit(1)), 1)
-      val cw = element_at(typedLit(model.codebooks(j)), code + lit(1))
+      val cw = element_at(typedLit(model.codebooks(j)),
+        element_at(codes, j + 1) + lit(1))
       aggregate(zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
     }.reduce(_ + _)
 
-  /** Append one `(kind, mse, n)` row to the index's `pq_stats/` tree. */
+  /** Append one `(kind, mse, n)` row to the index's `pq_stats/` tree,
+    * with the error computed from the batch's existing vec+codes columns. */
   private def writeStatsRow(
       vectors: DataFrame, pq: Model, path: String, kind: String,
-      overwrite: Boolean, vecCol: String): Unit = {
+      overwrite: Boolean): Unit = {
     val row = vectors
-      .agg(avg(mseCol(col(vecCol), pq)).as("mse"), count(lit(1)).as("n"))
+      .agg(avg(errFromCodes(col("n_vec"), col("n_codes"), pq)).as("mse"),
+        count(lit(1)).as("n"))
       .select(lit(kind).as("kind"), col("mse"), col("n"))
     row.coalesce(1).write.mode(if (overwrite) "overwrite" else "append")
       .parquet(s"$path/pq_stats")
@@ -183,7 +198,7 @@ object Pq {
       .localCheckpoint()
     batch.drop("n_vec")
       .write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
-    writeStatsRow(batch, pq, path, "append", overwrite = false, vecCol = "n_vec")
+    writeStatsRow(batch, pq, path, "append", overwrite = false)
     val n = batch.count()
     graft.core.Blocks.free(batch)
     n

@@ -1412,4 +1412,105 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(docs.groupBy("doc").count().filter(col("count") > 1).count() == 0,
       "no doc id may appear twice after a crash-rerun compaction")
   }
+
+  test("flat rebuild over a bucketed signature store retracts the stale band layout") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgrebuild_").toString
+    val oldCorpus = corpus.filter(col("doc_id") < 100)
+    val newCorpus = corpus.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    Dedup.writeSimHashIndex(oldCorpus, s"$tmp/idx", maxHamming = 6, comboSize = 2,
+      sigBuckets = 256)
+    // rebuild the SAME path flat (defaults) over a disjoint corpus — pre-fix
+    // the old meta+bands survived the overwrite, so every frozen-banding
+    // probe ran against the OLD corpus's band rows: pairing with deleted
+    // docs and finding nothing against the new ones
+    Dedup.writeSimHashIndex(newCorpus, s"$tmp/idx")
+    val fs = graft.core.Segments.fs(spark, tmp)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/idx/meta")),
+      "a flat rebuild must retract the stale bucketed meta")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/idx/bands")),
+      "a flat rebuild must retract the stale band tree")
+    def probe(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+      import spark.implicits._
+      val sigs = simSign(rows.toDF("doc_id", "text")).localCheckpoint()
+      val out = Dedup.signatureMicroIncremental(sigs, s"$tmp/idx", maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.Blocks.free(sigs)
+      out
+    }
+    val oldText = oldCorpus.filter(col("doc_id") === 7).select("text").head().getString(0)
+    val newText = newCorpus.filter(col("doc_id") === 150).select("text").head().getString(0)
+    val viaOld = probe(Seq((90007L, oldText)))
+    assert(!viaOld.exists(p => p._1 == 7L || p._2 == 7L),
+      s"a twin of a REPLACED doc must not pair with the retired corpus: $viaOld")
+    assert(probe(Seq((90150L, newText))).contains((150L, 90150L)),
+      "a twin of a current doc must pair through the rebuilt store")
+  }
+
+  test("bucketed probe falls back to flat when bands/ is missing, and heals a staged band swap") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgheal_").toString
+    Dedup.writeSimHashIndex(corpus, s"$tmp/flat")
+    // 2048 buckets: the mod-25 batch's ~560 block keys hit a MINORITY of
+    // buckets, so the probe takes the bucketed path (the path under test)
+    Dedup.writeSimHashIndex(corpus, s"$tmp/bkt", maxHamming = 6, comboSize = 2,
+      sigBuckets = 2048)
+    val fs = graft.core.Segments.fs(spark, tmp)
+    val bands = new org.apache.hadoop.fs.Path(s"$tmp/bkt/bands")
+    val staging = new org.apache.hadoop.fs.Path(s"$tmp/bkt/bands_staging")
+    def tri(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def batch() = simSign(corpus.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 30000)).localCheckpoint()
+    // compactDocIndex's swap crash window: bands/ deleted, the complete
+    // staged tree not yet renamed — the probe must HEAL it and stay bucketed
+    assert(fs.rename(bands, staging), "simulated crash state")
+    val b1 = batch()
+    val healed = tri(Dedup.signatureMicroIncremental(b1, s"$tmp/bkt", maxHamming = 6))
+    assert(fs.exists(bands), "the probe heals the crashed band swap")
+    assert(healed == tri(Dedup.signatureMicroIncremental(b1, s"$tmp/flat", maxHamming = 6)) &&
+      healed.nonEmpty, "healed probe equals the flat-layout probe")
+    graft.core.Blocks.free(b1)
+    // bands/ gone entirely (no staged tree to heal): meta still advertises a
+    // bucketed store, but the probe must take the flat scan — pre-fix it
+    // silently read segment band rows only and missed every base-store pair
+    fs.delete(bands, true)
+    val b2 = batch()
+    assert(tri(Dedup.signatureMicroIncremental(b2, s"$tmp/bkt", maxHamming = 6)) ==
+      tri(Dedup.signatureMicroIncremental(b2, s"$tmp/flat", maxHamming = 6)),
+      "a band-less bucketed store probes through the flat scan, losing nothing")
+    graft.core.Blocks.free(b2)
+  }
+
+  test("compaction heals band rows lost by a crashed direct append") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, TestSpark.Sf0001).filter(col("doc_id") < 50)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgorphan_").toString
+    Dedup.writeSimHashIndex(corpus, s"$tmp/idx", maxHamming = 6, comboSize = 2,
+      sigBuckets = 256)
+    val fresh =
+      "the lighthouse keeper catalogued every storm by the pitch of the wind through the lantern-room shutters"
+    // the crash window appendToSignatureIndex's docs-first ordering leaves:
+    // the doc row committed, its band rows never written. The probe fails
+    // OPEN (admits the twin — a space cost), never closed (pre-swap, the
+    // bands-first ordering left PHANTOM band rows that dropped genuinely
+    // new documents as duplicates of a doc existing nowhere)
+    val orphan = simSign(Seq((5000L, fresh)).toDF("doc_id", "text")).localCheckpoint()
+    orphan.write.mode("append").parquet(s"$tmp/idx/docs")
+    graft.core.Blocks.free(orphan)
+    def probeTwin(): Set[(Long, Long)] = {
+      val sigs = simSign(Seq((6000L, fresh)).toDF("doc_id", "text")).localCheckpoint()
+      val out = Dedup.signatureMicroIncremental(sigs, s"$tmp/idx", maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.Blocks.free(sigs)
+      out
+    }
+    assert(!probeTwin().contains((5000L, 6000L)),
+      "the orphaned doc is invisible to the bucketed probe until compaction")
+    // compactDocIndex rebuilds the band tree from docs/ even with no
+    // tombstones or segments pending — the documented heal for this window
+    Dedup.compactDocIndex(spark, s"$tmp/idx")
+    assert(probeTwin().contains((5000L, 6000L)),
+      "compaction restores the orphaned doc's band rows")
+  }
 }

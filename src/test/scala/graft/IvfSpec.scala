@@ -498,4 +498,53 @@ class IvfSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus")),
       "the snapshot is cleaned up after a successful rebuild")
   }
+
+  test("rebuildIndex rerun after a crash MID-REWRITE keeps the snapshot authoritative") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfcrashrw_").toString
+    val base = emb.filter(col("vec_id") < 400)
+    val model = Ivf.train(base, c = 8, iters = 2)
+    Ivf.writeIndex(base, model, tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // the crash state rebuildIndex leaves when the JVM dies inside
+    // writeIndex: committed corpus snapshot + intent marker on disk,
+    // lists/ mid-overwrite (here: fully gone — the worst half-written
+    // state). Pre-fix, the rerun's fingerprint mismatch DISCARDED the
+    // snapshot (the only intact copy of the vectors) and re-snapshotted
+    // the destroyed tree.
+    val state = Ivf.rebuildSourceFingerprint(fs, tmp)
+    Ivf.readListsWithSegments(spark, tmp)
+      .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/_rebuild_corpus")
+    graft.core.Segments.writeAtomic(fs, conf,
+      new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus/_STATE"), state)
+    graft.core.Segments.writeAtomic(fs, conf,
+      new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_inprogress"), "rebuild")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/lists"), true)
+    // between the crash and the rerun, a restarted ingest lands a segment
+    // and a takedown tombstones two snapshot ids
+    val stored = Ivf.readModel(spark, tmp)
+    val late = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        graft.functions.VectorOps.normSq(col("embedding")).as("n_nsq"),
+        Ivf.nearestCentroid(col("embedding"), stored).as("bucket"))
+    Ivf.writeListSegment(late, tmp, "batch_00001")
+    import spark.implicits._
+    Ivf.deleteFromIndex(Seq(1L, 3L).toDF("vec_id"), tmp)
+    // the rerun recovers from the snapshot REFRESHED with the post-crash
+    // segment and tombstones: every pre-crash vector survives, appends are
+    // folded in, takedowns hold, nothing is duplicated
+    Ivf.rebuildIndex(spark, tmp, lists = 8, iters = 2)
+    val lists = spark.read.parquet(s"$tmp/lists")
+    val ids = lists.select("n_id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 400L).toSet -- Set(1L, 3L) ++ (400L until 420L).toSet
+    assert(ids == want, "snapshot vectors + post-crash appends - takedowns, exactly")
+    assert(lists.groupBy("n_id").count().filter(col("count") > 1).count() == 0,
+      "no vector may be duplicated by the recovery")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_inprogress")),
+      "the intent marker dies with the completed rebuild")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus")),
+      "the snapshot is cleaned up after a successful rebuild")
+  }
 }

@@ -669,4 +669,21 @@ class MultimodalSpec extends AnyFunSuite {
       .imageTensors(withP, 16, 16).count()
     assert(viaFacade == 40)
   }
+
+  test("withImagePayload container knobs: jpegEvery = 1 means every id, default rotation pinned") {
+    val ids = spark.range(12).select(col("id").as("doc_id"))
+    def heads(df: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Byte])] =
+      df.select("doc_id", "payload").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).take(2))).toSeq
+    // jpegEvery = 1 (with BMP off) is the all-JPEG corpus — pre-fix the
+    // residue test `id % 1 == 1` never fired and every payload was PNG
+    val allJpeg = heads(Multimodal.withImagePayload(ids, bmpEvery = 0, jpegEvery = 1))
+    assert(allJpeg.forall { case (_, h) => (h(0) & 0xFF) == 0xFF && (h(1) & 0xFF) == 0xD8 },
+      "every payload must carry the JPEG SOI marker")
+    // the default BMP/JPEG/PNG rotation is unchanged by the residue fix
+    val rot = heads(Multimodal.withImagePayload(ids)).toMap
+    assert(rot(0L).sameElements(Array[Byte]('B', 'M')), "id % 3 == 0 is BMP")
+    assert((rot(1L)(0) & 0xFF) == 0xFF && (rot(1L)(1) & 0xFF) == 0xD8, "id % 3 == 1 is JPEG")
+    assert((rot(2L)(0) & 0xFF) == 0x89 && rot(2L)(1) == 'P'.toByte, "id % 3 == 2 is PNG")
+  }
 }

@@ -603,6 +603,26 @@ object Dedup {
     * index's inverted lists. Pick `bandBuckets ≈ N·bands / targetBucketRows`
     * so per-trigger probe cost tracks the BATCH size, not the corpus; 0
     * (the default) keeps the flat layout and the scan-everything probe. */
+  /** Retract EVERY auxiliary tree of an existing doc-row store before a
+    * rebuild overwrites `docs/` — meta FIRST (from that point probes take
+    * the flat scan over whatever docs/ holds, so a crash anywhere
+    * mid-rebuild leaves a correct store; the bucketed writers re-create
+    * meta LAST as the commit point), then the band layout, then the
+    * incremental-lifecycle trees. The lifecycle retraction matters as much
+    * as the band one: without it a rebuild-over-existing kept the OLD
+    * corpus's live segments inside every probe's union (pairing new
+    * batches with docs the rebuild deleted) and the OLD tombstones'
+    * anti-join silently hiding any new doc that reuses a tombstoned id.
+    * All deletes no-op on a fresh path. */
+  private def retractIndexTrees(spark: SparkSession, path: String): Unit = {
+    val fs = Seg.fs(spark, path)
+    Seq("meta", "bands", "bands_staging", "bandsegs", "segs", "tombs",
+        "_folded", "docs_staging").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+  }
+
   def writeMinHashIndex(
       documents: DataFrame,
       path: String,
@@ -614,6 +634,7 @@ object Dedup {
       bandBuckets: Int = 0): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = documents.sparkSession
+    retractIndexTrees(spark, path)
     if (bandBuckets <= 0) {
       signatureRows(documents, shingleN, numHashes, idCol, textCol)
         .write.mode("overwrite").parquet(s"$path/docs")
@@ -978,16 +999,65 @@ object Dedup {
       new org.apache.hadoop.fs.Path(s"$indexPath/bands"))
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     val segs = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
-    val bucketed = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta")) &&
-      (metaBandBuckets(spark, indexPath) > 0 ||
-        sigMetaBuckets(spark, indexPath).isDefined)
-    // Nothing to fold AND no band tree to heal -> no-op. A BUCKETED store
-    // always proceeds to the band rebuild below even with no tombstones or
-    // segments: a crashed direct append ([[appendToSignatureIndex]] /
-    // [[appendToMinHashIndex]] — docs committed, band rows not yet
-    // written) leaves stored docs invisible to the bucketed probe, and
-    // this rebuild-from-docs is the documented heal for that window.
-    if (!fs.exists(tombs) && !fs.exists(segs) && !bucketed) return
+    val bb = if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta")))
+      metaBandBuckets(spark, indexPath) else 0
+    val sigMeta = sigMetaBuckets(spark, indexPath)
+    val bucketed = bb > 0 || sigMeta.isDefined
+    val haveFold = fs.exists(tombs) || fs.exists(segs)
+    if (!haveFold && !bucketed) return
+    // bucketed index: (re)build the band store from surviving signatures
+    // (an explode over stored sig/sh columns, no text or payload re-read)
+    // — tombstoned docs' stale band rows are swept here. MinHash metas
+    // carry band_buckets, signature metas sig_buckets; either way the
+    // stage-then-swap + bandsegs drop is the same.
+    def rebuildBands(kept: DataFrame): Unit = {
+      val rebuilt: Option[DataFrame] =
+        if (bb > 0) {
+          val meta = spark.read.parquet(s"$indexPath/meta").head()
+          Some(bandRows(kept, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb))
+        } else sigMeta.map { case (mh, cs, sb) =>
+          signatureBandRows(kept, mh, cs, sb)
+        }
+      rebuilt.foreach { rows =>
+        val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+        val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
+        rows
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(bandStaging.toString)
+        Seg.swapInto(fs, bandStaging, bandsDir)
+        val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
+        if (fs.exists(bandsegs)) fs.delete(bandsegs, true)
+      }
+    }
+    if (!haveFold) {
+      // Bucketed store with NOTHING to fold: the only possible damage is
+      // band rows lost to a crashed direct append (docs committed, band
+      // rows not yet written — [[appendToSignatureIndex]]'s fail-open
+      // window) or a vanished band tree the entry heals couldn't restore.
+      // Band rows per doc is a LAYOUT CONSTANT (MinHash: `bands`;
+      // signature: C(maxHamming+comboSize, comboSize) block combos), so a
+      // row-count compare — parquet footer metadata, no data pages —
+      // detects orphans exactly; when the counts reconcile this is a
+      // no-op, never the O(N) docs rewrite the general fold below pays.
+      val perDoc: Long =
+        if (bb > 0) spark.read.parquet(s"$indexPath/meta").head().getInt(2).toLong
+        else sigMeta.map { case (mh, cs, _) =>
+          (0 until mh + cs).combinations(cs).size.toLong
+        }.get
+      // with segs/ gone, surviving fold markers are pure hazard: a
+      // marker listing batch_N as folded would HIDE a future segment
+      // reusing that name (liveDocSegs excludes folded names) — sweep
+      // them here, exactly as the full fold's tail does
+      val markers = new org.apache.hadoop.fs.Path(s"$indexPath/_folded")
+      if (fs.exists(markers)) fs.delete(markers, true)
+      val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+      val docsCount = spark.read.parquet(docsDir.toString).count()
+      val bandsCount =
+        if (fs.exists(bandsDir)) spark.read.parquet(bandsDir.toString).count() else -1L
+      if (bandsCount == docsCount * perDoc) return
+      rebuildBands(spark.read.parquet(docsDir.toString))
+      return
+    }
     // stage-then-swap (Segments.swapInto): the folded view streams from
     // the live tree into a durable sibling; a crash at any point leaves a
     // complete docs tree on disk, where the previous localCheckpoint +
@@ -1002,31 +1072,7 @@ object Dedup {
       .dropDuplicates(idc)
       .write.mode("overwrite").parquet(staging.toString)
     Seg.swapInto(fs, staging, docsDir)
-    val kept = spark.read.parquet(docsDir.toString)
-    // bucketed index: rebuild the band store from the surviving signatures
-    // (an explode over stored sig/sh columns, no text or payload re-read)
-    // — tombstoned docs' stale band rows are swept here. MinHash metas
-    // carry band_buckets, signature metas sig_buckets; either way the
-    // stage-then-swap + bandsegs drop is the same.
-    val bb = if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta")))
-      metaBandBuckets(spark, indexPath) else 0
-    val rebuiltBands: Option[DataFrame] =
-      if (bb > 0) {
-        val meta = spark.read.parquet(s"$indexPath/meta").head()
-        Some(bandRows(kept, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb))
-      } else sigMetaBuckets(spark, indexPath).map { case (mh, cs, sb) =>
-        signatureBandRows(kept, mh, cs, sb)
-      }
-    rebuiltBands.foreach { rows =>
-      val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-      val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
-      rows
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(bandStaging.toString)
-      Seg.swapInto(fs, bandStaging, bandsDir)
-      val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
-      if (fs.exists(bandsegs)) fs.delete(bandsegs, true)
-    }
+    rebuildBands(spark.read.parquet(docsDir.toString))
     if (fs.exists(tombs)) fs.delete(tombs, true)
     if (fs.exists(segs)) fs.delete(segs, true)
     val markers = new org.apache.hadoop.fs.Path(s"$indexPath/_folded")
@@ -1174,7 +1220,16 @@ object Dedup {
     val batch = signatureRows(newDocs, meta.getInt(0), meta.getInt(1), idCol, textCol)
       .localCheckpoint()
     val bb = metaBandBuckets(spark, indexPath)
-    if (bb > 0)
+    // Heal a crashed compaction swap BEFORE touching bands/ — appending
+    // with bands/ missing would re-create the tree holding only this
+    // batch, turning [[bandTreeUsable]]'s exists-check permanently green
+    // over a store whose base band rows are gone: every bucketed probe
+    // from then on silently misses the pre-crash corpus. If no staged
+    // tree heals it (bands/ truly destroyed mid-maintenance), SKIP the
+    // band append entirely — probes fall back to the flat scan
+    // (bandTreeUsable false), correct over docs/, until [[compactDocIndex]]
+    // rebuilds the band tree.
+    if (bb > 0 && bandTreeUsable(spark, indexPath))
       bandRows(batch, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
@@ -1432,21 +1487,16 @@ object Dedup {
       signatures: DataFrame, path: String,
       maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = 0): Unit = {
     val spark = signatures.sparkSession
-    // REBUILD-OVER-EXISTING ordering: retract the band layout FIRST — meta
-    // (so probes fall back to the flat scan over docs/ from here on), then
-    // the band tree itself. Without this, a flat rebuild over a previously
-    // bucketed store would leave the OLD corpus's meta+bands in place and
-    // every probe at the frozen banding would run against the old band
-    // rows: pairing new batches with deleted docs and missing every pair
-    // against the new corpus. In the bucketed branch the same retraction
+    // REBUILD-OVER-EXISTING: retract the band layout and the whole
+    // incremental lifecycle FIRST ([[retractIndexTrees]] — meta before
+    // bands, so a flat rebuild over a previously bucketed store can never
+    // leave probes running the frozen banding against the old corpus's
+    // band rows, and stale segments/tombstones can never pollute the
+    // rebuilt store's unions). In the bucketed branch the same retraction
     // makes the write crash-safe: meta is rewritten LAST (the commit
     // point), so a crash anywhere in between leaves a metaless store the
     // probe treats as flat — correct over whatever docs/ holds.
-    val fsys = Seg.fs(spark, path)
-    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
-    if (fsys.exists(metaDir)) { fsys.delete(metaDir, true); () }
-    if (fsys.exists(bandsDir)) { fsys.delete(bandsDir, true); () }
+    retractIndexTrees(spark, path)
     if (sigBuckets <= 0) {
       signatures.select(col("doc_id"), col("sh"))
         .write.mode("overwrite").parquet(s"$path/docs")
@@ -1632,10 +1682,17 @@ object Dedup {
     // [[compactDocIndex]] rebuilds the band tree from docs/ — a space
     // cost, never a data loss, and the flat probe is unaffected.
     batch.write.mode("append").parquet(s"$indexPath/docs")
+    // bandTreeUsable: heal a crashed compaction swap before appending into
+    // bands/, and if bands/ is truly gone (mid-maintenance destruction)
+    // DON'T re-create it from this batch alone — that would mask the
+    // damage behind a tree whose exists-check passes while the base
+    // corpus's band rows are missing. Skipping leaves these docs in the
+    // fail-open orphan state below, healed by the same compaction rebuild.
     sigMetaBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
-      signatureBandRows(batch, mh, cs, bb)
-        .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
+      if (bandTreeUsable(spark, indexPath))
+        signatureBandRows(batch, mh, cs, bb)
+          .repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
     }
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch

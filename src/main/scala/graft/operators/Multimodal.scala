@@ -1043,6 +1043,13 @@ object Multimodal {
       var i = 2
       while (i + 4 <= b.length) {
         if (u8(b, i) != 0xff) return None
+        // T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+        // fill bytes — slide to the LAST 0xFF so i+1 is the marker code
+        // itself. Without this a spec-conforming "FF FF C4 …" read 0xFF as
+        // the marker, fell to the skip-unknown default, parsed a garbage
+        // length, and silently excluded the image from dedup.
+        while (i + 4 <= b.length && u8(b, i + 1) == 0xff) i += 1
+        if (i + 4 > b.length) return None
         val m = u8(b, i + 1)
         if (m == 0xd9) return None // EOI before SOS: no image data
         val len = (u8(b, i + 2) << 8) | u8(b, i + 3)

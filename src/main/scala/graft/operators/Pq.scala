@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -135,13 +135,7 @@ object Pq {
     }.toSeq
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
-    val metrics = obs.get
-    Seq((
-      "build",
-      Option(metrics("mse")).map(_.asInstanceOf[Double]),
-      metrics("n").asInstanceOf[Long]))
-      .toDF("kind", "mse", "n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_stats")
+    writeStatsMetrics(spark, path, "build", obs.get, overwrite = true)
   }
 
   /** Squared PQ reconstruction error from PRECOMPUTED codes: per row, the
@@ -158,16 +152,18 @@ object Pq {
         lit(0.0), (acc, x) => acc + x)
     }.reduce(_ + _)
 
-  /** Append one `(kind, mse, n)` row to the index's `pq_stats/` tree,
-    * with the error computed from the batch's existing vec+codes columns. */
-  private def writeStatsRow(
-      vectors: DataFrame, pq: Model, path: String, kind: String,
-      overwrite: Boolean): Unit = {
-    val row = vectors
-      .agg(avg(errFromCodes(col("n_vec"), col("n_codes"), pq)).as("mse"),
-        count(lit(1)).as("n"))
-      .select(lit(kind).as("kind"), col("mse"), col("n"))
-    row.coalesce(1).write.mode(if (overwrite) "overwrite" else "append")
+  /** Persist one `(kind, mse, n)` row to the index's `pq_stats/` tree
+    * from an Observation's collected metrics — both the build baseline and
+    * every append row go through here, so the trail's schema can never
+    * fork. `mse` is None for an empty batch (avg over zero rows). */
+  private def writeStatsMetrics(
+      spark: SparkSession, path: String, kind: String,
+      metrics: Map[String, Any], overwrite: Boolean): Unit = {
+    import spark.implicits._
+    Seq((kind, Option(metrics("mse")).map(_.asInstanceOf[Double]),
+        metrics("n").asInstanceOf[Long]))
+      .toDF("kind", "mse", "n")
+      .coalesce(1).write.mode(if (overwrite) "overwrite" else "append")
       .parquet(s"$path/pq_stats")
   }
 
@@ -189,19 +185,24 @@ object Pq {
     val spark = newVectors.sparkSession
     val coarse = Ivf.readModel(spark, path)
     val pq = readModel(spark, path)
-    val batch = newVectors.select(
+    // Single-pass like [[writeIndex]]: the drift error AND the row count
+    // are observed during the lists write itself — no localCheckpoint
+    // pinning the batch's uncompressed vectors in block-manager memory
+    // across the append, and no second aggregation job over them.
+    val obs = org.apache.spark.sql.Observation(s"pq_append_${java.util.UUID.randomUUID()}")
+    newVectors.select(
       col(idCol).as("n_id"),
       col(vecCol).as("n_vec"),
       encode(col(vecCol), pq).as("n_codes"),
       VectorOps.normSq(col(vecCol)).as("n_nsq"),
       Ivf.nearestCentroid(col(vecCol), coarse).as("bucket"))
-      .localCheckpoint()
-    batch.drop("n_vec")
+      .withColumn("_err", errFromCodes(col("n_vec"), col("n_codes"), pq))
+      .observe(obs, avg(col("_err")).as("mse"), count(lit(1)).as("n"))
+      .drop("n_vec", "_err")
       .write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
-    writeStatsRow(batch, pq, path, "append", overwrite = false)
-    val n = batch.count()
-    graft.core.Blocks.free(batch)
-    n
+    val metrics = obs.get
+    writeStatsMetrics(spark, path, "append", metrics, overwrite = false)
+    metrics("n").asInstanceOf[Long]
   }
 
   /** Codebook-staleness gate — the PQ analogue of [[Ivf.needsRebuild]]:
@@ -254,7 +255,7 @@ object Pq {
     val coarse =
       if (retrainCoarse)
         Ivf.train(corpus, Ivf.readModel(spark, path).centroids.length,
-          idCol = idCol, vecCol = vecCol, maxTrainRows = maxTrainRows)
+          iters = iters, idCol = idCol, vecCol = vecCol, maxTrainRows = maxTrainRows)
       else Ivf.readModel(spark, path)
     val pq = train(corpus, old.m, old.k, iters, idCol, vecCol, maxTrainRows)
     writeIndex(corpus, coarse, pq, path, idCol, vecCol)

@@ -1513,4 +1513,116 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(probeTwin().contains((5000L, 6000L)),
       "compaction restores the orphaned doc's band rows")
   }
+
+  test("direct append across a crashed band swap heals first and never masks the base corpus") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgappendheal_").toString
+    Dedup.writeSimHashIndex(corpus, s"$tmp/idx", maxHamming = 6, comboSize = 2,
+      sigBuckets = 2048)
+    val fs = graft.core.Segments.fs(spark, tmp)
+    val bands = new org.apache.hadoop.fs.Path(s"$tmp/idx/bands")
+    val staging = new org.apache.hadoop.fs.Path(s"$tmp/idx/bands_staging")
+    val baseText = corpus.filter(col("doc_id") === 7).select("text").head().getString(0)
+    def probeTwin(id: Long): Set[(Long, Long)] = {
+      val sigs = simSign(Seq((id, baseText)).toDF("doc_id", "text")).localCheckpoint()
+      val out = Dedup.signatureMicroIncremental(sigs, s"$tmp/idx", maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.Blocks.free(sigs)
+      out
+    }
+    // crash window: bands/ renamed away, the complete staged tree waiting.
+    // Pre-fix the append re-created bands/ holding ONLY its own batch —
+    // the staged heal was masked forever (exists-check green) and every
+    // bucketed probe silently missed the whole base corpus.
+    assert(fs.rename(bands, staging), "simulated crash state")
+    Dedup.appendToSimHashIndex(
+      corpus.filter(col("doc_id") === 7).withColumn("doc_id", lit(40007L)), s"$tmp/idx")
+    assert(fs.exists(bands) && !fs.exists(staging), "the append heals the crashed swap")
+    val healed = probeTwin(50007L)
+    assert(healed.contains((7L, 50007L)), "base-corpus band rows survive the append")
+    assert(healed.contains((40007L, 50007L)), "the appended twin's band rows are live")
+    // bands/ destroyed outright (nothing to heal): the append must NOT
+    // rebuild the tree from one batch — probes fall back flat (complete
+    // over docs/) until compaction rebuilds the full band store
+    fs.delete(bands, true)
+    Dedup.appendToSimHashIndex(
+      corpus.filter(col("doc_id") === 7).withColumn("doc_id", lit(40008L)), s"$tmp/idx")
+    assert(!fs.exists(bands), "a single batch must not masquerade as the band store")
+    val flat = probeTwin(50008L)
+    assert(flat.contains((7L, 50008L)) && flat.contains((40008L, 50008L)),
+      "the flat fallback still sees base corpus and appended docs")
+    Dedup.compactDocIndex(spark, s"$tmp/idx")
+    assert(fs.exists(bands), "compaction rebuilds the band store")
+    val rebuilt = probeTwin(50009L)
+    assert(rebuilt.contains((7L, 50009L)) && rebuilt.contains((40007L, 50009L)) &&
+      rebuilt.contains((40008L, 50009L)),
+      "the rebuilt bucketed store covers base and both appended batches")
+  }
+
+  test("rebuild over a store with live segments and tombstones retracts the whole lifecycle") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgretract_").toString
+    val idx = s"$tmp/idx"
+    val oldCorpus = corpus.filter(col("doc_id") < 100)
+    val newCorpus = corpus.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    Dedup.writeSimHashIndex(oldCorpus, idx)
+    // a live streaming segment of extra old-corpus docs + a tombstone on an
+    // id the NEW corpus will reuse (id-monotonicity holds per corpus; a
+    // rebuild starts a new id world, which is exactly why stale tombstones
+    // must not survive it)
+    val segSigs = simSign(corpus.filter(col("doc_id") >= 300 && col("doc_id") < 310))
+      .localCheckpoint()
+    Dedup.writeSignatureSegment(segSigs, idx, "batch_00000")
+    graft.core.Blocks.free(segSigs)
+    Dedup.deleteFromDocIndex(Seq(150L).toDF("doc_id"), idx)
+    Dedup.writeSimHashIndex(newCorpus, idx)
+    val fs = graft.core.Segments.fs(spark, tmp)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/segs")),
+      "rebuild retracts the old corpus's live segments")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombs")),
+      "rebuild retracts the old corpus's tombstones")
+    def probe(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val sigs = simSign(rows.toDF("doc_id", "text")).localCheckpoint()
+      val out = Dedup.signatureMicroIncremental(sigs, idx, maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.Blocks.free(sigs)
+      out
+    }
+    // pre-fix: the stale tombstone on 150 anti-joined the NEW doc 150 out
+    // of every probe, silently admitting its duplicates
+    val t150 = newCorpus.filter(col("doc_id") === 150).select("text").head().getString(0)
+    assert(probe(Seq((90150L, t150))).contains((150L, 90150L)),
+      "a doc reusing a retired tombstoned id must be probe-visible after rebuild")
+    // pre-fix: the old segment's docs stayed in the probe union, pairing
+    // new batches with documents the rebuild deleted
+    val t305 = corpus.filter(col("doc_id") === 305).select("text").head().getString(0)
+    assert(!probe(Seq((90305L, t305))).exists(p => p._1 == 305L || p._2 == 305L),
+      "a twin of a retired segment doc must find nothing")
+  }
+
+  test("compactDocIndex with nothing to fold reconciles counts, sweeps stale markers, leaves docs untouched") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001).filter(col("doc_id") < 200)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgnoop_").toString
+    val idx = s"$tmp/idx"
+    Dedup.writeSimHashIndex(corpus, idx, maxHamming = 6, comboSize = 2, sigBuckets = 256)
+    val fs = graft.core.Segments.fs(spark, tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a stale fold marker with segs/ gone is a hazard (it would HIDE a
+    // future segment reusing the name) — the no-op path must sweep it
+    graft.core.Segments.writeAtomic(fs, conf,
+      new org.apache.hadoop.fs.Path(s"$idx/_folded/stale_marker"), "batch_00000\n")
+    def tree(dir: String): Set[(String, Long, Long)] =
+      graft.core.Segments.listFiles(fs, new org.apache.hadoop.fs.Path(s"$idx/$dir"))
+        .map { p =>
+          val s = fs.getFileStatus(p); (p.getName, s.getLen, s.getModificationTime)
+        }.toSet
+    val docsBefore = tree("docs")
+    Dedup.compactDocIndex(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_folded")),
+      "the no-op path sweeps stale fold markers")
+    assert(tree("docs") == docsBefore,
+      "a healthy store's docs tree is NOT rewritten when there is nothing to fold")
+  }
 }

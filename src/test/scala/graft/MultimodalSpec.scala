@@ -686,4 +686,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert((rot(1L)(0) & 0xFF) == 0xFF && (rot(1L)(1) & 0xFF) == 0xD8, "id % 3 == 1 is JPEG")
     assert((rot(2L)(0) & 0xFF) == 0x89 && rot(2L)(1) == 'P'.toByte, "id % 3 == 2 is PNG")
   }
+
+  test("JPEG decode tolerates 0xFF fill bytes before markers (T.81 B.1.1.2)") {
+    val clean = ImageGen.jpeg(64, 48, 42L, 0)
+    val want = ImageDecoder.decode(clean).get
+    // insert fill bytes immediately before the first DHT marker (FF C4) —
+    // pre-fix the walk read the fill 0xFF as a marker code, fell to the
+    // skip-unknown default, parsed a garbage length, and returned None:
+    // the spec-conforming image was silently excluded from dedup
+    val at = clean.indices.find(i => i + 1 < clean.length &&
+      (clean(i) & 0xFF) == 0xFF && (clean(i + 1) & 0xFF) == 0xC4).get
+    val padded = clean.take(at) ++ Array(0xFF.toByte, 0xFF.toByte) ++ clean.drop(at)
+    val got = ImageDecoder.decode(padded)
+    assert(got.isDefined, "a fill-byte padded JPEG must decode")
+    assert(got.get.width == want.width && got.get.height == want.height &&
+      got.get.pixels.sameElements(want.pixels),
+      "fill bytes change the byte stream, never the pixels")
+  }
 }

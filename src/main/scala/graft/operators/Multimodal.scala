@@ -621,10 +621,12 @@ object Multimodal {
     /** Magnitude category of a coefficient (0 for 0, else bit length). */
     private def cat(v: Int): Int = { var a = math.abs(v); var n = 0; while (a != 0) { a >>= 1; n += 1 }; n }
 
-    /** FDCT + quantize one level-shifted 8x8 block, then Huffman-encode it
-      * (DC differential vs `pred`, AC zigzag RLE). Returns the new DC
-      * predictor. */
-    private def encodeBlock(blk: Array[Double], pred: Int, bw: BitWriter): Int = {
+    /** FDCT + quantize one level-shifted 8x8 block → natural-order
+      * quantized coefficients. The SAME quantization feeds the baseline
+      * and progressive writers, so the two encodings of one gray field
+      * carry identical coefficient data and decode to identical pixels —
+      * the progressive round-trip fixtures rely on this. */
+    private def quantBlock(blk: Array[Double]): Array[Int] = {
       val coef = new Array[Int](64)
       var v = 0
       while (v < 8) {
@@ -645,6 +647,14 @@ object Multimodal {
         }
         v += 1
       }
+      coef
+    }
+
+    /** FDCT + quantize one level-shifted 8x8 block, then Huffman-encode it
+      * (DC differential vs `pred`, AC zigzag RLE). Returns the new DC
+      * predictor. */
+    private def encodeBlock(blk: Array[Double], pred: Int, bw: BitWriter): Int = {
+      val coef = quantBlock(blk)
       val dc = coef(0); val diff = dc - pred
       val dcat = cat(diff)
       val (dcode, dlen) = dcCodes(dcat)
@@ -781,6 +791,325 @@ object Multimodal {
       }
       bw.flush()
       out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    // ---- progressive JPEG writer (ITU T.81 Annex G, Huffman) ----------
+    //
+    // The SAME quantized coefficients as the baseline writer
+    // ([[quantBlock]]), re-ordered into the multi-scan progressive layout
+    // real web encoders emit: a DC scan at reduced precision (point
+    // transform), AC bands by spectral selection, then successive-
+    // approximation refinement scans that sharpen every coefficient to
+    // full precision. The byte stream shares nothing with [[jpeg]]'s,
+    // but the decoded pixels are BIT-IDENTICAL — the round-trip fixture
+    // the progressive decoder is tested against.
+
+    /** AC Huffman table for the progressive scans: every (run, size)
+      * symbol the progressive coder can emit — including the EOBn
+      * symbols `r << 4` for r = 1..14 that Annex K's sequential table
+      * simply does not contain — as a flat 8-bit canonical code
+      * (176 symbols < 255; the all-ones codeword stays unused per
+      * T.81 C.2). Registered as AC table 1 by a DHT BETWEEN scans, the
+      * way real progressive files carry their optimized tables. */
+    private val ProgAcBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val ProgAcVals: Array[Byte] = {
+      val eob = (0 to 15).map(r => (r << 4).toByte)
+      val mag = for (r <- 0 to 15; s <- 1 to 10) yield ((r << 4) | s).toByte
+      (eob ++ mag).toArray
+    }
+    private lazy val progAcCodes = huffCodes(ProgAcBits, ProgAcVals)
+
+    private def markerSeg(out: ByteArrayOutputStream, m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+
+    private def sosMarker(
+        out: ByteArrayOutputStream, comps: Seq[(Int, Int, Int)],
+        ss: Int, se: Int, ah: Int, al: Int): Unit =
+      markerSeg(out, 0xda, Array[Byte](comps.length.toByte) ++
+        comps.flatMap { case (id, td, ta) =>
+          Seq(id.toByte, ((td << 4) | ta).toByte) } ++
+        Array[Byte](ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+
+    private def rstMarker(out: ByteArrayOutputStream, n: Int): Unit = {
+      out.write(0xff); out.write(0xd0 + (n % 8))
+    }
+
+    private def putMagBits(bw: BitWriter, v: Int, s: Int): Unit =
+      bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+
+    /** SOI + DQT + SOF2 + DC DHT (+ DRI). The AC table and every SOS
+      * follow per scan. */
+    private def progressiveHeaders(
+        out: ByteArrayOutputStream, w: Int, h: Int, color: Boolean,
+        restartEvery: Int): Unit = {
+      out.write(0xff); out.write(0xd8) // SOI
+      markerSeg(out, 0xdb, Array[Byte](0) ++ ZigZag.map(n => JpegQuant(n).toByte))
+      val sof =
+        if (!color) Array[Byte](8,
+          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+          1, 1, 0x11, 0)
+        else Array[Byte](8,
+          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+          3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0) // Y 2x2, Cb/Cr 1x1 (4:2:0)
+      markerSeg(out, 0xc2, sof) // SOF2: progressive, Huffman
+      markerSeg(out, 0xc4, Array[Byte](0x00) ++ DcBits.drop(1).map(_.toByte) ++ DcVals)
+      if (restartEvery > 0)
+        markerSeg(out, 0xdd, Array[Byte](((restartEvery >> 8) & 0xff).toByte,
+          (restartEvery & 0xff).toByte))
+    }
+
+    /** One progressive DC scan over restart-units (MCUs). First pass
+      * (`ah == 0`): point-transformed differentials (`dc >> al`,
+      * arithmetic shift per T.81 G.1.2.1) through the DC Huffman table.
+      * Refinement (`ah > 0`): one raw bit per block — bit `al` of the
+      * two's-complement DC. `dcs(m)(j)` is block j of unit m,
+      * `comps(m)(j)` selects its predictor chain. */
+    private def dcScanData(
+        out: ByteArrayOutputStream, bw: BitWriter,
+        dcs: Array[Array[Int]], comps: Array[Array[Int]], nPreds: Int,
+        ah: Int, al: Int, restartEvery: Int): Unit = {
+      val pred = new Array[Int](nPreds)
+      var m = 0
+      while (m < dcs.length) {
+        if (restartEvery > 0 && m > 0 && m % restartEvery == 0) {
+          bw.flush(); rstMarker(out, m / restartEvery - 1)
+          java.util.Arrays.fill(pred, 0)
+        }
+        var j = 0
+        while (j < dcs(m).length) {
+          val dc = dcs(m)(j)
+          if (ah == 0) {
+            val v = dc >> al
+            val c = comps(m)(j)
+            val diff = v - pred(c); pred(c) = v
+            val s = cat(diff)
+            val (dcode, dlen) = dcCodes(s); bw.put(dcode, dlen)
+            if (s > 0) putMagBits(bw, diff, s)
+          } else bw.put((dc >> al) & 1, 1)
+          j += 1
+        }
+        m += 1
+      }
+      bw.flush()
+    }
+
+    /** One progressive AC FIRST scan (`ah == 0`) over one component's
+      * blocks in raster order: zigzag band [ss, se] of sign-magnitude
+      * point-transformed coefficients, zero runs RLE'd, block tails and
+      * all-zero blocks folded into cross-block EOB runs (T.81 G.1.2.2). */
+    private def acFirstScanData(
+        out: ByteArrayOutputStream, bw: BitWriter, blocks: Array[Array[Int]],
+        ss: Int, se: Int, al: Int, restartEvery: Int): Unit = {
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((eobrun >> (r + 1)) != 0) r += 1
+        val (c, l) = progAcCodes(r << 4); bw.put(c, l)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      var i = 0
+      while (i < blocks.length) {
+        if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+          flushEob(); bw.flush(); rstMarker(out, i / restartEvery - 1)
+        }
+        val coef = blocks(i)
+        var run = 0
+        var k = ss
+        while (k <= se) {
+          val raw = coef(ZigZag(k))
+          val v = if (raw >= 0) raw >> al else -((-raw) >> al) // sign-magnitude
+          if (v == 0) run += 1
+          else {
+            flushEob()
+            while (run >= 16) { val (zc, zl) = progAcCodes(0xf0); bw.put(zc, zl); run -= 16 }
+            val s = cat(v)
+            val (c2, l2) = progAcCodes((run << 4) | s); bw.put(c2, l2)
+            putMagBits(bw, v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+        i += 1
+      }
+      flushEob(); bw.flush()
+    }
+
+    /** One progressive AC REFINEMENT scan (`ah == al + 1`): correction
+      * bits for already-significant coefficients, `(r << 4) | 1` symbols
+      * placing newly significant ones, EOB runs carrying the correction
+      * bits buffered inside them (T.81 G.1.2.3). Bit ORDER is the
+      * contract: each emitted symbol is chased by the correction bits of
+      * the history coefficients its run passed over, and a ZRL fires the
+      * moment the zero-history run exceeds 15 — not lazily at the next
+      * newly-significant coefficient — because the decoder consumes the
+      * interleaved correction bits while advancing. */
+    private def acRefineScanData(
+        out: ByteArrayOutputStream, bw: BitWriter, blocks: Array[Array[Int]],
+        ss: Int, se: Int, al: Int, restartEvery: Int): Unit = {
+      var eobrun = 0
+      val held = new java.util.ArrayList[Integer]() // bits riding the EOB run
+      def putHeld(buf: java.util.ArrayList[Integer]): Unit = {
+        var j = 0
+        while (j < buf.size()) { bw.put(buf.get(j), 1); j += 1 }
+        buf.clear()
+      }
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          var r = 0
+          while ((eobrun >> (r + 1)) != 0) r += 1
+          val (c, l) = progAcCodes(r << 4); bw.put(c, l)
+          if (r > 0) bw.put(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        putHeld(held)
+      }
+      val av = new Array[Int](64)
+      var i = 0
+      while (i < blocks.length) {
+        if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+          flushEob(); bw.flush(); rstMarker(out, i / restartEvery - 1)
+        }
+        val coef = blocks(i)
+        var eobPos = ss - 1 // last newly-significant position in the band
+        var k = ss
+        while (k <= se) {
+          val a = math.abs(coef(ZigZag(k))) >> al
+          av(k) = a
+          if (a == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        val pend = new java.util.ArrayList[Integer]()
+        k = ss
+        while (k <= se) {
+          val a = av(k)
+          if (a == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              flushEob()
+              val (zc, zl) = progAcCodes(0xf0); bw.put(zc, zl); r -= 16
+              putHeld(pend)
+            }
+            if (a > 1) pend.add(a & 1) // history coefficient: one correction bit
+            else {
+              flushEob()
+              val (c2, l2) = progAcCodes((r << 4) | 1); bw.put(c2, l2)
+              bw.put(if (coef(ZigZag(k)) >= 0) 1 else 0, 1)
+              putHeld(pend)
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || pend.size() > 0) {
+          eobrun += 1
+          held.addAll(pend); pend.clear()
+          if (eobrun == 0x7fff) flushEob()
+        }
+        i += 1
+      }
+      flushEob(); bw.flush()
+    }
+
+    /** PROGRESSIVE grayscale JPEG of the SAME gray field as [[jpeg]]:
+      * identical quantized coefficients re-ordered into six scans — DC
+      * first at Al=1, two spectral AC bands at Al=1, then DC and AC
+      * refinement to full precision — decoding to BIT-IDENTICAL pixels
+      * while sharing no entropy-coded bytes. `restartEvery > 0` plants
+      * DRI + RSTn in EVERY scan (a progressive restart resets both the
+      * DC predictors and the EOB run). */
+    def jpegProgressive(
+        w: Int, h: Int, seed: Long, noise: Int = 0, restartEvery: Int = 0): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+      val blocks = new Array[Array[Int]](bw8 * bh8)
+      var by = 0
+      while (by < bh8) {
+        var bx = 0
+        while (bx < bw8) {
+          blocks(by * bw8 + bx) = quantBlock(lumaBlock(g, w, h, bx, by)); bx += 1
+        }
+        by += 1
+      }
+      val out = new ByteArrayOutputStream()
+      progressiveHeaders(out, w, h, color = false, restartEvery)
+      val bw = new BitWriter(out)
+      val units = blocks.map(b => Array(b(0)))
+      val comps = blocks.map(_ => Array(0))
+      sosMarker(out, Seq((1, 0, 0)), 0, 0, 0, 1) // DC first, half precision
+      dcScanData(out, bw, units, comps, 1, 0, 1, restartEvery)
+      // the AC table arrives MID-STREAM, between scans, like real files'
+      markerSeg(out, 0xc4, Array[Byte](0x11) ++ ProgAcBits.drop(1).map(_.toByte) ++ ProgAcVals)
+      sosMarker(out, Seq((1, 0, 1)), 1, 5, 0, 1) // low AC band
+      acFirstScanData(out, bw, blocks, 1, 5, 1, restartEvery)
+      sosMarker(out, Seq((1, 0, 1)), 6, 63, 0, 1) // high AC band
+      acFirstScanData(out, bw, blocks, 6, 63, 1, restartEvery)
+      sosMarker(out, Seq((1, 0, 0)), 0, 0, 1, 0) // DC refinement
+      dcScanData(out, bw, units, comps, 1, 1, 0, restartEvery)
+      sosMarker(out, Seq((1, 0, 1)), 1, 5, 1, 0) // AC refinements
+      acRefineScanData(out, bw, blocks, 1, 5, 0, restartEvery)
+      sosMarker(out, Seq((1, 0, 1)), 6, 63, 1, 0)
+      acRefineScanData(out, bw, blocks, 6, 63, 0, restartEvery)
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** PROGRESSIVE COLOR (YCbCr 4:2:0) JPEG of the gray field — the
+      * [[jpegColor]] twin: an INTERLEAVED 3-component DC scan (MCU order,
+      * three predictor chains), non-interleaved luma AC scans over the
+      * UNPADDED luma block grid (T.81 A.2.2: non-interleaved scans cover
+      * ceil(compW/8) x ceil(compH/8) blocks, NOT the MCU-padded grid),
+      * chroma AC scans that are pure EOB runs (neutral chroma), and DC +
+      * luma-AC refinement. Decodes to the same gray pixels as
+      * [[jpegColor]] bit-for-bit. */
+    def jpegProgressiveColor(w: Int, h: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+      val lw = mcusX * 2
+      val yBlocks = new Array[Array[Int]](lw * mcusY * 2)
+      for (my <- 0 until mcusY; mx <- 0 until mcusX; v <- 0 until 2; u <- 0 until 2)
+        yBlocks((my * 2 + v) * lw + (mx * 2 + u)) =
+          quantBlock(lumaBlock(g, w, h, mx * 2 + u, my * 2 + v))
+      val zero = new Array[Int](64)
+      val units = Array.tabulate(mcusX * mcusY) { m =>
+        val mx = m % mcusX; val my = m / mcusX
+        Array(
+          yBlocks((my * 2) * lw + mx * 2)(0), yBlocks((my * 2) * lw + mx * 2 + 1)(0),
+          yBlocks((my * 2 + 1) * lw + mx * 2)(0), yBlocks((my * 2 + 1) * lw + mx * 2 + 1)(0),
+          0, 0) // neutral chroma: quantized DC of a level-shifted 128 is 0
+      }
+      val comps = Array.fill(mcusX * mcusY)(Array(0, 0, 0, 0, 1, 2))
+      // non-interleaved luma AC grid: the unpadded block raster
+      val acBlocks = (for (by2 <- 0 until (h + 7) / 8; bx2 <- 0 until (w + 7) / 8)
+        yield yBlocks(by2 * lw + bx2)).toArray
+      val cW = ((w + 1) / 2 + 7) / 8; val cH = ((h + 1) / 2 + 7) / 8
+      val chromaBlocks = Array.fill(cW * cH)(zero)
+      val out = new ByteArrayOutputStream()
+      progressiveHeaders(out, w, h, color = true, restartEvery = 0)
+      val bw = new BitWriter(out)
+      sosMarker(out, Seq((1, 0, 0), (2, 0, 0), (3, 0, 0)), 0, 0, 0, 1)
+      dcScanData(out, bw, units, comps, 3, 0, 1, 0)
+      markerSeg(out, 0xc4, Array[Byte](0x11) ++ ProgAcBits.drop(1).map(_.toByte) ++ ProgAcVals)
+      sosMarker(out, Seq((1, 0, 1)), 1, 63, 0, 1)
+      acFirstScanData(out, bw, acBlocks, 1, 63, 1, 0)
+      sosMarker(out, Seq((2, 0, 1)), 1, 63, 0, 0) // chroma: pure EOB runs
+      acFirstScanData(out, bw, chromaBlocks, 1, 63, 0, 0)
+      sosMarker(out, Seq((3, 0, 1)), 1, 63, 0, 0)
+      acFirstScanData(out, bw, chromaBlocks, 1, 63, 0, 0)
+      sosMarker(out, Seq((1, 0, 0), (2, 0, 0), (3, 0, 0)), 0, 0, 1, 0)
+      dcScanData(out, bw, units, comps, 3, 1, 0, 0)
+      sosMarker(out, Seq((1, 0, 1)), 1, 63, 1, 0)
+      acRefineScanData(out, bw, acBlocks, 1, 63, 0, 0)
+      out.write(0xff); out.write(0xd9)
       out.toByteArray
     }
 
@@ -946,16 +1275,21 @@ object Multimodal {
       Some(Gray(w, h, gray))
     }
 
-    // ---- baseline sequential JPEG decode (ITU T.81, public spec) ------
+    // ---- JPEG decode: baseline sequential + progressive (ITU T.81) ----
     //
-    // Full entropy decode (DQT/DHT/SOF0/SOS walk, canonical Huffman, DC
+    // Full entropy decode (DQT/DHT/SOF/SOS walk, canonical Huffman, DC
     // prediction, AC run-length, restart markers, byte unstuffing), then
     // dequantize + IDCT of the LUMA component only: the engine's image
-    // operators consume grayscale, and luma IS the grayscale — chroma
-    // blocks are entropy-decoded (the bitstream demands it) but never
-    // transformed, so a 3-component web JPEG costs one IDCT per 8x8 luma
-    // block. Progressive (SOF2), arithmetic coding, 12-bit precision and
-    // hierarchical modes → None, like every other undecodable payload.
+    // operators consume grayscale, and luma IS the grayscale. Baseline
+    // (SOF0/SOF1) streams decode in one pass — chroma blocks are
+    // entropy-decoded (the interleaved bitstream demands it) but never
+    // transformed. PROGRESSIVE (SOF2) streams — the other coding real web
+    // crawls are full of — decode scan by scan (Annex G: spectral
+    // selection, successive approximation, EOB runs), accumulating raw
+    // luma coefficients until EOI; chroma-only scans are byte-skipped
+    // outright since every scan is a self-contained bitstream.
+    // Arithmetic coding, 12-bit precision and hierarchical modes → None,
+    // like every other undecodable payload.
 
     /** Canonical Huffman decode table: mincode/maxcode/valptr per length
       * (the T.81 Annex C construction). */
@@ -1039,23 +1373,43 @@ object Multimodal {
       var compId: Array[Int] = null; var compH: Array[Int] = null
       var compV: Array[Int] = null; var compQ: Array[Int] = null
       var restartInterval = 0
+      // progressive (SOF2) state: raw luma coefficients accumulate across
+      // scans in `coefStore` (one 64-slot natural-order block per padded
+      // grid cell); the IDCT happens once, at EOI
+      var progressive = false
+      var sawScan = false
+      var coefStore: Array[Int] = null
+      var pBlocksW = 0; var pBlocksH = 0 // MCU-padded luma block grid
+      var lumaBW = 0; var lumaBH = 0     // unpadded grid (non-interleaved scans)
       val zz = ImageGen.ZigZag
       var i = 2
-      while (i + 4 <= b.length) {
+      while (i + 2 <= b.length) {
         if (u8(b, i) != 0xff) return None
         // T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
         // fill bytes — slide to the LAST 0xFF so i+1 is the marker code
         // itself. Without this a spec-conforming "FF FF C4 …" read 0xFF as
         // the marker, fell to the skip-unknown default, parsed a garbage
         // length, and silently excluded the image from dedup.
-        while (i + 4 <= b.length && u8(b, i + 1) == 0xff) i += 1
-        if (i + 4 > b.length) return None
+        while (i + 2 <= b.length && u8(b, i + 1) == 0xff) i += 1
+        if (i + 2 > b.length) return None
         val m = u8(b, i + 1)
-        if (m == 0xd9) return None // EOI before SOS: no image data
+        if (m == 0xd9) {
+          // EOI (2 bytes, usually the file's last two). Baseline returns
+          // from inside its (single) SOS, so landing here means no image
+          // data; progressive decodes scans in place and THIS is where
+          // the accumulated coefficients become pixels.
+          return if (progressive && sawScan && compId != null &&
+              quant(compQ(0)) != null)
+            finalizeProgressive(coefStore, pBlocksW, lumaBW, lumaBH,
+              quant(compQ(0)), w, h)
+          else None
+        }
+        if (i + 4 > b.length) return None // every other marker has a length
         val len = (u8(b, i + 2) << 8) | u8(b, i + 3)
         if (len < 2 || i + 2 + len > b.length) return None
         val seg = i + 4
         val segEnd = i + 2 + len
+        var resumeAt = -1 // progressive SOS: continue the walk past the scan data
         m match {
           case 0xdb => // DQT: one or more (pq/tq, 64 or 128 bytes) entries
             var p = seg
@@ -1087,13 +1441,17 @@ object Multimodal {
               if (tc == 0) dcTabs(th) = t else acTabs(th) = t
               p += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
             if (u8(b, seg) != 8) return None // 12-bit precision: skip
+            progressive = m == 0xc2
             h = (u8(b, seg + 1) << 8) | u8(b, seg + 2)
             w = (u8(b, seg + 3) << 8) | u8(b, seg + 4)
             nComp = u8(b, seg + 5)
             if (w <= 0 || h <= 0 || nComp < 1 || nComp > 4) return None
             if (w.toLong * h > (1L << 26)) return None // same pixel cap as PNG
+            // progressive holds EVERY luma coefficient until EOI (4 B per
+            // pixel) — cap the frame buffer at 64 MiB
+            if (progressive && w.toLong * h > (1L << 24)) return None
             compId = new Array[Int](nComp); compH = new Array[Int](nComp)
             compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
             var c = 0
@@ -1106,33 +1464,89 @@ object Multimodal {
                 compQ(c) > 3) return None
               c += 1
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
-               0xcd | 0xce | 0xcf => return None // progressive etc.
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf => return None // lossless/arithmetic/hierarchical
           case 0xdd => restartInterval = (u8(b, seg) << 8) | u8(b, seg + 1)
           case 0xda => // SOS — entropy-coded data follows
             if (compId == null) return None
             val ns = u8(b, seg)
-            if (ns != nComp || seg + 1 + 2 * ns + 3 > segEnd) return None
-            // scan-order component -> (dc table, ac table)
-            val scanDc = new Array[HuffTable](nComp)
-            val scanAc = new Array[HuffTable](nComp)
-            var s = 0
-            while (s < ns) {
-              val cid = u8(b, seg + 1 + 2 * s)
-              val c = compId.indexOf(cid)
-              if (c < 0) return None
-              scanDc(c) = dcTabs(u8(b, seg + 2 + 2 * s) >> 4)
-              scanAc(c) = acTabs(u8(b, seg + 2 + 2 * s) & 0x0f)
-              if (scanDc(c) == null || scanAc(c) == null) return None
-              s += 1
+            if (ns < 1 || seg + 1 + 2 * ns + 3 > segEnd) return None
+            if (!progressive) {
+              if (ns != nComp) return None
+              // scan-order component -> (dc table, ac table)
+              val scanDc = new Array[HuffTable](nComp)
+              val scanAc = new Array[HuffTable](nComp)
+              var s = 0
+              while (s < ns) {
+                val cid = u8(b, seg + 1 + 2 * s)
+                val c = compId.indexOf(cid)
+                if (c < 0) return None
+                scanDc(c) = dcTabs(u8(b, seg + 2 + 2 * s) >> 4)
+                scanAc(c) = acTabs(u8(b, seg + 2 + 2 * s) & 0x0f)
+                if (scanDc(c) == null || scanAc(c) == null) return None
+                s += 1
+              }
+              val lumaQ = quant(compQ(0))
+              if (lumaQ == null) return None
+              return decodeScan(b, segEnd, w, h, compH, compV, lumaQ,
+                scanDc, scanAc, restartInterval, zz)
+            } else {
+              // one progressive scan: a zigzag band [ss, se] at one
+              // successive-approximation level (ah -> al); DC scans may
+              // interleave components, AC scans are single-component
+              val ss = u8(b, segEnd - 3); val se = u8(b, segEnd - 2)
+              val ah = u8(b, segEnd - 1) >> 4; val al = u8(b, segEnd - 1) & 0x0f
+              if (se > 63 || ss > se || (ss == 0 && se != 0) || al > 13)
+                return None // a baseline-shaped 0..63 scan is illegal under SOF2
+              val hMax = compH.max; val vMax = compV.max
+              if (coefStore == null) {
+                val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+                val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+                pBlocksW = mcusX * compH(0); pBlocksH = mcusY * compV(0)
+                lumaBW = ((w * compH(0) + hMax - 1) / hMax + 7) / 8
+                lumaBH = ((h * compV(0) + vMax - 1) / vMax + 7) / 8
+                coefStore = new Array[Int](pBlocksW * pBlocksH * 64)
+              }
+              val scanComps = new Array[Int](ns)
+              var s = 0
+              while (s < ns) {
+                val c = compId.indexOf(u8(b, seg + 1 + 2 * s))
+                if (c < 0) return None
+                scanComps(s) = c
+                s += 1
+              }
+              val next: Int =
+                if (!scanComps.contains(0)) {
+                  // chroma-only scan: the engine consumes luma only, and a
+                  // scan is a self-contained bitstream — skip its entropy
+                  // data to the next marker without decoding a bit
+                  skipEntropy(b, segEnd)
+                } else if (ss == 0) {
+                  val tabs = new Array[HuffTable](ns)
+                  if (ah == 0) { // refinement reads raw bits, no tables
+                    var j = 0
+                    while (j < ns) {
+                      tabs(j) = dcTabs(u8(b, seg + 2 + 2 * j) >> 4)
+                      if (tabs(j) == null) return None
+                      j += 1
+                    }
+                  }
+                  progDcScan(b, segEnd, scanComps, tabs, coefStore, pBlocksW,
+                    compH, compV, hMax, vMax, w, h, ah, al, restartInterval)
+                } else {
+                  if (ns != 1) return None // T.81 B.2.3: AC scans never interleave
+                  val ac = acTabs(u8(b, seg + 2) & 0x0f)
+                  if (ac == null) return None
+                  progAcScan(b, segEnd, ac, coefStore, pBlocksW, lumaBW, lumaBH,
+                    ss, se, ah, al, restartInterval, zz)
+                }
+              if (next < 0 || next >= b.length) return None
+              sawScan = true
+              resumeAt = next
             }
-            val lumaQ = quant(compQ(0))
-            if (lumaQ == null) return None
-            return decodeScan(b, segEnd, w, h, compH, compV, lumaQ,
-              scanDc, scanAc, restartInterval, zz)
           case _ => () // APPn / COM / unknown: skip
         }
-        i = segEnd
+        i = if (resumeAt >= 0) resumeAt else segEnd
       }
       None
     }
@@ -1140,6 +1554,290 @@ object Multimodal {
     private lazy val idctCos: Array[Array[Double]] =
       Array.tabulate(8, 8)((x, u) =>
         (if (u == 0) 1.0 / math.sqrt(2) else 1.0) * math.cos((2 * x + 1) * u * math.Pi / 16))
+
+    /** Separable 8x8 IDCT of dequantized natural-order coefficients into
+      * the `luma` plane at (bx0, by0); `tmp` is caller scratch. Shared by
+      * the baseline streaming path and the progressive finalize so the
+      * two modes can never round differently. */
+    private def idct8x8(
+        coef: Array[Int], luma: Array[Int], lw: Int,
+        bx0: Int, by0: Int, tmp: Array[Double]): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var uu = 0
+          while (uu < 8) { s += idctCos(x)(uu) * coef(y * 8 + uu); uu += 1 }
+          tmp(y * 8 + x) = s * 0.5
+          x += 1
+        }
+        y += 1
+      }
+      var x = 0
+      while (x < 8) {
+        var yy = 0
+        while (yy < 8) {
+          var s = 0.0
+          var vv = 0
+          while (vv < 8) { s += idctCos(yy)(vv) * tmp(vv * 8 + x); vv += 1 }
+          val px = math.max(0, math.min(255, math.round(s * 0.5 + 128.0).toInt))
+          luma((by0 + yy) * lw + bx0 + x) = px
+          yy += 1
+        }
+        x += 1
+      }
+    }
+
+    // ---- progressive (SOF2) scan machinery --------------------------
+    //
+    // T.81 Annex G, Huffman mode. Each scan covers one zigzag band
+    // [Ss, Se] of one-or-interleaved components at one successive-
+    // approximation level (Ah -> Al). Raw (unscaled) luma coefficients
+    // accumulate in a per-block 64-slot store; chroma scans advance the
+    // stream but never store. Dequantize + IDCT happen once, at EOI.
+
+    /** Advance past an entropy-coded segment WITHOUT decoding: the next
+      * non-stuffing, non-RST marker starts the next segment. Used for
+      * chroma-only scans (each scan is a self-contained bitstream) and to
+      * step from a decoded scan's last bit to the following marker. */
+    private def skipEntropy(b: Array[Byte], pos: Int): Int = {
+      var p = pos
+      while (p + 1 < b.length) {
+        if ((b(p) & 0xff) == 0xff) {
+          val m = b(p + 1) & 0xff
+          if (m != 0x00 && (m < 0xd0 || m > 0xd7)) return p
+          p += 2
+        } else p += 1
+      }
+      b.length
+    }
+
+    /** Progressive DC scan (G.1.2.1): first pass (`ah == 0`) decodes
+      * point-transformed differentials — stored DC = predsum << al;
+      * refinement (`ah > 0`) reads ONE raw bit per block, OR'd in at bit
+      * `al` of the two's-complement DC. Interleaved (ns > 1) walks the
+      * frame MCU grid with per-component prediction chains; ns == 1 walks
+      * the single component's unpadded block raster. Returns the next
+      * marker position, or -1 on error. */
+    private def progDcScan(
+        b: Array[Byte], pos: Int, scanComps: Array[Int], dcTabs: Array[HuffTable],
+        coefs: Array[Int], pBlocksW: Int,
+        compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+        w: Int, h: Int, ah: Int, al: Int, restartInterval: Int): Int = {
+      val r = new BitReader(b, pos)
+      val nScan = scanComps.length
+      val pred = new Array[Int](nScan)
+      // one DC data unit of scan component s into block offset `off`
+      // (off < 0: not luma — consume the bits, store nothing)
+      def unit(s: Int, off: Int): Boolean = {
+        if (ah == 0) {
+          val t = r.decodeHuff(dcTabs(s)); if (t < 0) return false
+          val diffBits = if (t == 0) 0 else r.bits(t)
+          if (t > 0 && diffBits < 0) return false
+          pred(s) += extend(diffBits, t)
+          if (off >= 0) coefs(off) = pred(s) << al
+        } else {
+          val bit = r.nextBit(); if (bit < 0) return false
+          if (bit == 1 && off >= 0) coefs(off) |= 1 << al
+        }
+        true
+      }
+      if (nScan > 1) {
+        val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+        val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+        val total = mcusX * mcusY
+        var mcu = 0
+        while (mcu < total) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!r.restart()) return -1
+            java.util.Arrays.fill(pred, 0)
+          }
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var s = 0
+          while (s < nScan) {
+            val c = scanComps(s)
+            var v = 0
+            while (v < compV(c)) {
+              var u = 0
+              while (u < compH(c)) {
+                val off =
+                  if (c == 0)
+                    ((my * compV(0) + v) * pBlocksW + mx * compH(0) + u) * 64
+                  else -1
+                if (!unit(s, off)) return -1
+                u += 1
+              }
+              v += 1
+            }
+            s += 1
+          }
+          mcu += 1
+        }
+      } else {
+        val c = scanComps(0)
+        val bwC = ((w * compH(c) + hMax - 1) / hMax + 7) / 8
+        val bhC = ((h * compV(c) + vMax - 1) / vMax + 7) / 8
+        val total = bwC * bhC
+        var blk = 0
+        while (blk < total) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+            if (!r.restart()) return -1
+            java.util.Arrays.fill(pred, 0)
+          }
+          val off =
+            if (c == 0) ((blk / bwC) * pBlocksW + blk % bwC) * 64 else -1
+          if (!unit(0, off)) return -1
+          blk += 1
+        }
+      }
+      skipEntropy(b, r.pos)
+    }
+
+    /** Progressive AC scan over the luma block raster (always
+      * non-interleaved, T.81 B.2.3). First pass (G.1.2.2): band
+      * coefficients at reduced precision with cross-block EOB runs.
+      * Refinement (G.1.2.3): `(r << 4) | 1` symbols place newly
+      * significant coefficients while correction bits — read inline,
+      * exactly where the coefficient walk passes an already-significant
+      * slot — sharpen the rest; an EOB run still carries correction bits
+      * for every remaining nonzero slot of each covered block. Returns
+      * next marker position or -1. */
+    private def progAcScan(
+        b: Array[Byte], pos: Int, ac: HuffTable, coefs: Array[Int],
+        pBlocksW: Int, blocksW: Int, blocksH: Int,
+        ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+        zz: Array[Int]): Int = {
+      val r = new BitReader(b, pos)
+      val p1 = 1 << al; val m1 = -1 << al
+      var eobrun = 0
+      val total = blocksW * blocksH
+      var blk = 0
+      while (blk < total) {
+        if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+          if (!r.restart()) return -1
+          eobrun = 0
+        }
+        val off = ((blk / blocksW) * pBlocksW + blk % blocksW) * 64
+        if (ah == 0) {
+          if (eobrun > 0) eobrun -= 1 // whole block inside the EOB run
+          else {
+            var k = ss
+            var done = false
+            while (k <= se && !done) {
+              val rs = r.decodeHuff(ac); if (rs < 0) return -1
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << run) - 1 // current block counts itself
+                  if (run > 0) {
+                    val extra = r.bits(run); if (extra < 0) return -1
+                    eobrun += extra
+                  }
+                  done = true
+                }
+              } else {
+                k += run
+                if (k > se) return -1
+                val mag = r.bits(size); if (mag < 0) return -1
+                coefs(off + zz(k)) = extend(mag, size) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (k <= se && !done) {
+              val rs = r.decodeHuff(ac); if (rs < 0) return -1
+              var run = rs >> 4; val size = rs & 0x0f
+              var newVal = 0
+              if (size == 0) {
+                if (run != 15) {
+                  eobrun = 1 << run // full count; current block refined below
+                  if (run > 0) {
+                    val extra = r.bits(run); if (extra < 0) return -1
+                    eobrun += extra
+                  }
+                  done = true
+                } // run == 15: ZRL — pass 16 zero-history slots below
+              } else {
+                if (size != 1) return -1 // refinement places only +-1<<al
+                val sbit = r.nextBit(); if (sbit < 0) return -1
+                newVal = if (sbit == 1) p1 else m1
+              }
+              if (!done) {
+                // advance: correction-bit every nonzero slot passed, count
+                // down `run` zero-history slots, then place (if any)
+                var placed = false
+                while (k <= se && !placed) {
+                  val cur = coefs(off + zz(k))
+                  if (cur != 0) {
+                    val bit = r.nextBit(); if (bit < 0) return -1
+                    if (bit == 1 && (cur & p1) == 0)
+                      coefs(off + zz(k)) = cur + (if (cur >= 0) p1 else m1)
+                  } else if (run == 0) {
+                    if (newVal != 0) coefs(off + zz(k)) = newVal
+                    placed = true
+                  } else run -= 1
+                  k += 1
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // inside the run: remaining nonzero slots still get bits
+            while (k <= se) {
+              val cur = coefs(off + zz(k))
+              if (cur != 0) {
+                val bit = r.nextBit(); if (bit < 0) return -1
+                if (bit == 1 && (cur & p1) == 0)
+                  coefs(off + zz(k)) = cur + (if (cur >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        blk += 1
+      }
+      skipEntropy(b, r.pos)
+    }
+
+    /** Dequantize + IDCT the accumulated luma coefficients (EOI step of a
+      * progressive decode). Only the unpadded block grid renders — the
+      * MCU-padding blocks carry DC from interleaved scans but are cropped
+      * away regardless. */
+    private def finalizeProgressive(
+        coefStore: Array[Int], pBlocksW: Int, lumaBW: Int, lumaBH: Int,
+        lumaQ: Array[Int], w: Int, h: Int): Option[Gray] = {
+      if (coefStore == null || lumaBW * 8 < w || lumaBH * 8 < h) return None
+      val lw = lumaBW * 8
+      val luma = new Array[Int](lw * lumaBH * 8)
+      val coef = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var by = 0
+      while (by < lumaBH) {
+        var bx = 0
+        while (bx < lumaBW) {
+          val off = (by * pBlocksW + bx) * 64
+          var n = 0
+          while (n < 64) { coef(n) = coefStore(off + n) * lumaQ(n); n += 1 }
+          idct8x8(coef, luma, lw, bx * 8, by * 8, tmp)
+          bx += 1
+        }
+        by += 1
+      }
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(luma, y * lw, gray, y * w, w)
+        y += 1
+      }
+      Some(Gray(w, h, gray))
+    }
 
     /** Entropy-decode all MCUs from `pos`, IDCT only component 0 (luma). */
     private def decodeScan(
@@ -1195,36 +1893,9 @@ object Multimodal {
                   k += 1
                 }
               }
-              if (c == 0) {
-                // separable IDCT: rows then columns
-                var y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var s = 0.0
-                    var uu = 0
-                    while (uu < 8) { s += idctCos(x)(uu) * coef(y * 8 + uu); uu += 1 }
-                    tmp(y * 8 + x) = s * 0.5
-                    x += 1
-                  }
-                  y += 1
-                }
-                val bx0 = (mx * compH(0) + u) * 8
-                val by0 = (my * compV(0) + v) * 8
-                var x = 0
-                while (x < 8) {
-                  var yy = 0
-                  while (yy < 8) {
-                    var s = 0.0
-                    var vv = 0
-                    while (vv < 8) { s += idctCos(yy)(vv) * tmp(vv * 8 + x); vv += 1 }
-                    val px = math.max(0, math.min(255, math.round(s * 0.5 + 128.0).toInt))
-                    luma((by0 + yy) * lw + bx0 + x) = px
-                    yy += 1
-                  }
-                  x += 1
-                }
-              }
+              if (c == 0)
+                idct8x8(coef, luma, lw,
+                  (mx * compH(0) + u) * 8, (my * compV(0) + v) * 8, tmp)
               u += 1
             }
             v += 1
@@ -1345,21 +2016,28 @@ object Multimodal {
       // so it interleaves with the BMP slot at the same modulus, but
       // `jpegEvery = 1` must mean EVERY id (residue 0 is the only residue
       // mod 1 — a literal `== 1` would silently generate no JPEGs at all)
-      else if (jpegEvery > 0 && id % jpegEvery == 1 % jpegEvery)
-        ImageGen.jpeg(w, h, seed, noise)
-      else ImageGen.png(w, h, seed, noise))
+      else if (jpegEvery > 0 && id % jpegEvery == 1 % jpegEvery) {
+        // the JPEG slot itself alternates baseline / PROGRESSIVE by slot
+        // ordinal — real crawls mix both codings, and the two decode to
+        // identical pixels here, so progressive twins collapse onto
+        // baseline/PNG/BMP originals exactly like baseline ones do
+        if ((id / math.max(jpegEvery, 1)) % 2 == 0) ImageGen.jpeg(w, h, seed, noise)
+        else ImageGen.jpegProgressive(w, h, seed, noise)
+      } else ImageGen.png(w, h, seed, noise))
 
   /** Attach a deterministic PIXEL-carrying image payload ([[ImageGen]]) —
     * the image-dedup analogue of [[withBinaryPayload]]'s header-only
     * containers. `seedCol` decouples content from identity so tests and
     * queries can plant near-duplicate twins (same seed + noise, new id);
     * with the defaults ids rotate containers — `id % 3 == 0` BMP,
-    * `== 1` baseline JPEG (lossy: same field up to quantization error,
-    * which the perceptual hashes absorb — the web-dominant format as a
-    * first-class corpus member), `== 2` PNG — so container independence,
-    * including the lossy cross-container case, is part of what q30c
-    * exercises. An id-shifted twin generally lands in a DIFFERENT
-    * container than its original. */
+    * `== 1` JPEG (lossy: same field up to quantization error, which the
+    * perceptual hashes absorb — the web-dominant format as a first-class
+    * corpus member; the slot itself alternates BASELINE and PROGRESSIVE
+    * coding by slot ordinal, both decoding to identical pixels), `== 2`
+    * PNG — so container independence, including the lossy cross-container
+    * and cross-coding cases, is part of what q30c exercises. An
+    * id-shifted twin generally lands in a DIFFERENT container than its
+    * original. */
   def withImagePayload(
       documents: DataFrame,
       idCol: String = "doc_id",

@@ -312,12 +312,76 @@ class MultimodalSpec extends AnyFunSuite {
       "truncated entropy data must not throw") // decode may salvage or skip
     assert(ImageDecoder.decode(MediaGen.jpeg(64, 48)).isEmpty,
       "header-only JPEG (SOI+SOF0+EOI, no scan) must be skipped")
-    val progressive = good.clone()
-    // rewrite the SOF0 marker byte to SOF2 (progressive): out of scope
+    val mislabeled = good.clone()
+    // rewrite the SOF0 marker byte to SOF2: the baseline-shaped Ss=0..Se=63
+    // scan is ILLEGAL under a progressive frame (DC and AC never share a
+    // scan, T.81 G.1), so the stream is malformed and must skip cleanly
     val sofAt = (0 until good.length - 1).find(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
-    progressive(sofAt + 1) = 0xc2.toByte
-    assert(ImageDecoder.decode(progressive).isEmpty, "progressive -> None")
+    mislabeled(sofAt + 1) = 0xc2.toByte
+    assert(ImageDecoder.decode(mislabeled).isEmpty,
+      "SOF2 frame with a baseline 0..63 scan -> None")
+  }
+
+  test("progressive JPEG decodes to BIT-IDENTICAL pixels as the baseline encoding") {
+    // same gray field, same quantization — six scans (DC first at Al=1,
+    // two spectral AC bands, DC + AC refinement) must reassemble the
+    // exact coefficients the baseline stream carries in one scan
+    for ((w, h) <- Seq((64, 48), (65, 41), (16, 16), (8, 8), (24, 9))) {
+      val base = ImageDecoder.decode(ImageGen.jpeg(w, h, 42L, 0)).get
+      val prog = ImageDecoder.decode(ImageGen.jpegProgressive(w, h, 42L, 0))
+      assert(prog.isDefined, s"progressive ${w}x$h must decode")
+      assert(prog.get.width == w && prog.get.height == h)
+      assert(prog.get.pixels.sameElements(base.pixels),
+        s"progressive != baseline pixels at ${w}x$h")
+    }
+  }
+
+  test("progressive JPEG with restart markers in every scan decodes identically") {
+    // DRI applies to ALL scans; a progressive restart resets both the DC
+    // predictors and the EOB run mid-scan
+    val base = ImageDecoder.decode(ImageGen.jpeg(64, 48, 42L, 0)).get
+    for (re <- Seq(1, 3, 7)) {
+      val prog = ImageDecoder.decode(ImageGen.jpegProgressive(64, 48, 42L, 0, restartEvery = re))
+      assert(prog.isDefined, s"restartEvery=$re must decode")
+      assert(prog.get.pixels.sameElements(base.pixels),
+        s"restartEvery=$re changes pixels")
+    }
+  }
+
+  test("progressive COLOR JPEG (4:2:0, interleaved DC, skipped chroma scans) matches baseline color") {
+    // interleaved 3-component DC scan, non-interleaved luma AC over the
+    // UNPADDED block grid, chroma AC scans the luma-only decoder must
+    // byte-skip without decoding — and the pixels still equal the
+    // baseline color twin's bit for bit
+    for ((w, h) <- Seq((64, 48), (33, 17))) {
+      val base = ImageDecoder.decode(ImageGen.jpegColor(w, h, 42L, 0)).get
+      val prog = ImageDecoder.decode(ImageGen.jpegProgressiveColor(w, h, 42L, 0))
+      assert(prog.isDefined, s"progressive color ${w}x$h must decode")
+      assert(prog.get.pixels.sameElements(base.pixels),
+        s"progressive color != baseline color pixels at ${w}x$h")
+    }
+  }
+
+  test("progressive decoder never throws: truncation at every scan boundary and inside scans") {
+    val good = ImageGen.jpegProgressive(32, 24, 7L, 0)
+    assert(ImageDecoder.decode(good).isDefined)
+    // cut at every 37th byte: headers, mid-scan, between scans — never
+    // throw; only the full stream (with EOI) may produce pixels
+    var cut = 2
+    while (cut < good.length) {
+      val t = ImageDecoder.decode(good.take(cut))
+      assert(t.isEmpty, s"truncated progressive at $cut bytes must be skipped")
+      cut += 37
+    }
+    // flipping the EOI away must not loop or throw
+    assert(ImageDecoder.decode(good.dropRight(2)).isEmpty, "missing EOI -> None")
+  }
+
+  test("progressive JPEG is a first-class dedup citizen: hashes equal the baseline twin's") {
+    val fromBase = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.jpeg(64, 48, 42L, 0)).get).get
+    val fromProg = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.jpegProgressive(64, 48, 42L, 0)).get).get
+    assert(fromBase == fromProg, "bit-identical pixels must hash identically")
   }
 
   test("near-duplicate images hash close; unrelated content hashes far") {

@@ -692,17 +692,18 @@ object Multimodal {
       blk
     }
 
-    private def jpegHeaders(
+    /** SOI + DQT + SOF + DC DHT (+ AC DHT when baseline) (+ DRI) — ONE
+      * assembly shared by the baseline and progressive writers so the
+      * frame layout (quant table, sampling factors, component ids) can
+      * never diverge between the two fixture encodings and silently break
+      * their bit-identical round-trip invariant. Baseline additionally
+      * registers AC table 0 here (its single scan needs it up front);
+      * progressive carries its AC table in a DHT between scans. */
+    private def frameHeaders(
         out: ByteArrayOutputStream, w: Int, h: Int, color: Boolean,
-        restartEvery: Int): Unit = {
-      def marker(m: Int, payload: Array[Byte]): Unit = {
-        out.write(0xff); out.write(m)
-        val len = payload.length + 2
-        out.write((len >> 8) & 0xff); out.write(len & 0xff)
-        out.write(payload, 0, payload.length)
-      }
+        baseline: Boolean, restartEvery: Int): Unit = {
       out.write(0xff); out.write(0xd8) // SOI
-      marker(0xdb, Array[Byte](0) ++ ZigZag.map(n => JpegQuant(n).toByte)) // DQT, 8-bit, id 0
+      markerSeg(out, 0xdb, Array[Byte](0) ++ ZigZag.map(n => JpegQuant(n).toByte)) // DQT, 8-bit, id 0
       val sof =
         if (!color) Array[Byte](8,
           ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
@@ -712,16 +713,21 @@ object Multimodal {
           ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
           ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
           3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0) // Y 2x2, Cb/Cr 1x1 (4:2:0)
-      marker(0xc0, sof)
-      marker(0xc4, Array[Byte](0x00) ++ DcBits.drop(1).map(_.toByte) ++ DcVals) // DHT DC 0
-      marker(0xc4, Array[Byte](0x10) ++ AcBits.drop(1).map(_.toByte) ++ AcVals) // DHT AC 0
+      markerSeg(out, if (baseline) 0xc0 else 0xc2, sof)
+      markerSeg(out, 0xc4, Array[Byte](0x00) ++ DcBits.drop(1).map(_.toByte) ++ DcVals) // DHT DC 0
+      if (baseline)
+        markerSeg(out, 0xc4, Array[Byte](0x10) ++ AcBits.drop(1).map(_.toByte) ++ AcVals) // DHT AC 0
       if (restartEvery > 0)
-        marker(0xdd, Array[Byte](((restartEvery >> 8) & 0xff).toByte,
+        markerSeg(out, 0xdd, Array[Byte](((restartEvery >> 8) & 0xff).toByte,
           (restartEvery & 0xff).toByte)) // DRI
-      val sos =
-        if (!color) Array[Byte](1, 1, 0x00, 0, 63, 0)
-        else Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0) // all tables 0
-      marker(0xda, sos)
+    }
+
+    private def jpegHeaders(
+        out: ByteArrayOutputStream, w: Int, h: Int, color: Boolean,
+        restartEvery: Int): Unit = {
+      frameHeaders(out, w, h, color, baseline = true, restartEvery)
+      val comps = if (!color) Seq((1, 0, 0)) else Seq((1, 0, 0), (2, 0, 0), (3, 0, 0))
+      sosMarker(out, comps, 0, 63, 0, 0)
     }
 
     /** Baseline grayscale JPEG of the gray field — same (w, h, seed,
@@ -842,28 +848,13 @@ object Multimodal {
     private def putMagBits(bw: BitWriter, v: Int, s: Int): Unit =
       bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
 
-    /** SOI + DQT + SOF2 + DC DHT (+ DRI). The AC table and every SOS
+    /** SOI + DQT + SOF2 + DC DHT (+ DRI) — the shared [[frameHeaders]]
+      * assembly minus the baseline AC table. The AC table and every SOS
       * follow per scan. */
     private def progressiveHeaders(
         out: ByteArrayOutputStream, w: Int, h: Int, color: Boolean,
-        restartEvery: Int): Unit = {
-      out.write(0xff); out.write(0xd8) // SOI
-      markerSeg(out, 0xdb, Array[Byte](0) ++ ZigZag.map(n => JpegQuant(n).toByte))
-      val sof =
-        if (!color) Array[Byte](8,
-          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
-          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
-          1, 1, 0x11, 0)
-        else Array[Byte](8,
-          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
-          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
-          3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0) // Y 2x2, Cb/Cr 1x1 (4:2:0)
-      markerSeg(out, 0xc2, sof) // SOF2: progressive, Huffman
-      markerSeg(out, 0xc4, Array[Byte](0x00) ++ DcBits.drop(1).map(_.toByte) ++ DcVals)
-      if (restartEvery > 0)
-        markerSeg(out, 0xdd, Array[Byte](((restartEvery >> 8) & 0xff).toByte,
-          (restartEvery & 0xff).toByte))
-    }
+        restartEvery: Int): Unit =
+      frameHeaders(out, w, h, color, baseline = false, restartEvery)
 
     /** One progressive DC scan over restart-units (MCUs). First pass
       * (`ah == 0`): point-transformed differentials (`dc >> al`,
@@ -1377,7 +1368,8 @@ object Multimodal {
       // scans in `coefStore` (one 64-slot natural-order block per padded
       // grid cell); the IDCT happens once, at EOI
       var progressive = false
-      var sawScan = false
+      var sawScan = false  // a LUMA-carrying scan actually decoded
+      var scanWork = 0L    // accumulated per-scan block-slot budget
       var coefStore: Array[Int] = null
       var pBlocksW = 0; var pBlocksH = 0 // MCU-padded luma block grid
       var lumaBW = 0; var lumaBH = 0     // unpadded grid (non-interleaved scans)
@@ -1481,8 +1473,11 @@ object Multimodal {
                 val cid = u8(b, seg + 1 + 2 * s)
                 val c = compId.indexOf(cid)
                 if (c < 0) return None
-                scanDc(c) = dcTabs(u8(b, seg + 2 + 2 * s) >> 4)
-                scanAc(c) = acTabs(u8(b, seg + 2 + 2 * s) & 0x0f)
+                val td = u8(b, seg + 2 + 2 * s) >> 4
+                val ta = u8(b, seg + 2 + 2 * s) & 0x0f
+                if (td > 3 || ta > 3) return None // T.81 B.2.3: Td/Ta <= 3
+                scanDc(c) = dcTabs(td)
+                scanAc(c) = acTabs(ta)
                 if (scanDc(c) == null || scanAc(c) == null) return None
                 s += 1
               }
@@ -1515,8 +1510,21 @@ object Multimodal {
                 scanComps(s) = c
                 s += 1
               }
+              val lumaScan = scanComps.contains(0)
+              if (lumaScan) {
+                // CPU budget against crafted scan floods: each decoded luma
+                // scan costs O(blocks * band width); thousands of tiny
+                // refinement scans over a capped-but-large frame would
+                // otherwise pin an executor core for minutes on one
+                // "image". A fully-refined LEGAL stream (<=14 DC scans +
+                // 63 single-coefficient AC bands x 14 levels) stays under
+                // ~0.7G units at the 2^24-pixel frame cap, so the 1G
+                // ceiling never rejects a conforming file.
+                scanWork += pBlocksW.toLong * pBlocksH * (se - ss + 2)
+                if (scanWork > (1L << 30)) return None
+              }
               val next: Int =
-                if (!scanComps.contains(0)) {
+                if (!lumaScan) {
                   // chroma-only scan: the engine consumes luma only, and a
                   // scan is a self-contained bitstream — skip its entropy
                   // data to the next marker without decoding a bit
@@ -1526,7 +1534,9 @@ object Multimodal {
                   if (ah == 0) { // refinement reads raw bits, no tables
                     var j = 0
                     while (j < ns) {
-                      tabs(j) = dcTabs(u8(b, seg + 2 + 2 * j) >> 4)
+                      val td = u8(b, seg + 2 + 2 * j) >> 4
+                      if (td > 3) return None // T.81 B.2.3: Td <= 3
+                      tabs(j) = dcTabs(td)
                       if (tabs(j) == null) return None
                       j += 1
                     }
@@ -1535,13 +1545,19 @@ object Multimodal {
                     compH, compV, hMax, vMax, w, h, ah, al, restartInterval)
                 } else {
                   if (ns != 1) return None // T.81 B.2.3: AC scans never interleave
-                  val ac = acTabs(u8(b, seg + 2) & 0x0f)
+                  val ta = u8(b, seg + 2) & 0x0f
+                  if (ta > 3) return None // T.81 B.2.3: Ta <= 3
+                  val ac = acTabs(ta)
                   if (ac == null) return None
                   progAcScan(b, segEnd, ac, coefStore, pBlocksW, lumaBW, lumaBH,
                     ss, se, ah, al, restartInterval, zz)
                 }
               if (next < 0 || next >= b.length) return None
-              sawScan = true
+              // only a decoded LUMA scan makes the stream renderable: a
+              // file carrying nothing but (skipped) chroma scans must
+              // yield None, not a fabricated flat-gray image whose
+              // perceptual hashes would collide across all such files
+              if (lumaScan) sawScan = true
               resumeAt = next
             }
           case _ => () // APPn / COM / unknown: skip

@@ -378,6 +378,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageDecoder.decode(good.dropRight(2)).isEmpty, "missing EOI -> None")
   }
 
+  test("progressive stream carrying only chroma scans yields None, not a fabricated flat image") {
+    // SOI + DQT + SOF2 (3 components) + one chroma-only AC scan + EOI:
+    // nothing luma ever decodes, so the all-zero coefficient store must
+    // NOT finalize into a uniform gray image (whose perceptual hashes
+    // would collide across every such malformed file)
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, p: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = p.length + 2
+      out.write(len >> 8); out.write(len & 0xff); out.write(p, 0, p.length)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(16))
+    seg(0xc2, Array[Byte](8, 0, 16, 0, 16, 3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    seg(0xda, Array[Byte](1, 2, 0x00, 1, 5, 0)) // component 2 (Cb), band 1..5
+    out.write(0x12); out.write(0x34)             // skipped entropy bytes
+    out.write(0xff); out.write(0xd9)
+    assert(ImageDecoder.decode(out.toByteArray).isEmpty,
+      "no decoded luma scan must mean None")
+  }
+
+  test("SOS table selectors above 3 are rejected cleanly in both coding modes") {
+    def sosOffsets(b: Array[Byte]): Seq[Int] =
+      (0 until b.length - 1).filter(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)
+    // baseline: single SOS, Td/Ta byte at payload offset 2 (ns, cid, tdta)
+    val base = ImageGen.jpeg(16, 16, 7L, 0)
+    val bMut = base.clone()
+    bMut(sosOffsets(base).head + 6) = 0x50.toByte // Td = 5
+    assert(ImageDecoder.decode(bMut).isEmpty, "baseline Td=5 -> None")
+    // progressive: first SOS is the DC scan (Td high nibble), a later one
+    // an AC scan (Ta low nibble) — both must skip, never throw
+    val prog = ImageGen.jpegProgressive(16, 16, 7L, 0)
+    val offs = sosOffsets(prog)
+    val pDc = prog.clone(); pDc(offs.head + 6) = 0x50.toByte
+    assert(ImageDecoder.decode(pDc).isEmpty, "progressive DC Td=5 -> None")
+    val pAc = prog.clone(); pAc(offs(1) + 6) = 0x09.toByte
+    assert(ImageDecoder.decode(pAc).isEmpty, "progressive AC Ta=9 -> None")
+  }
+
   test("progressive JPEG is a first-class dedup citizen: hashes equal the baseline twin's") {
     val fromBase = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.jpeg(64, 48, 42L, 0)).get).get
     val fromProg = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.jpegProgressive(64, 48, 42L, 0)).get).get

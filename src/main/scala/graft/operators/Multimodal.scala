@@ -594,8 +594,9 @@ object Multimodal {
 
     private lazy val dcCodes = huffCodes(DcBits, DcVals)
     private lazy val acCodes = huffCodes(AcBits, AcVals)
+    // StrictMath for platform-stable pinned fixtures (see idctCos note)
     private lazy val cosTab: Array[Array[Double]] =
-      Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+      Array.tabulate(8, 8)((x, u) => StrictMath.cos((2 * x + 1) * u * math.Pi / 16))
 
     private final class BitWriter(out: ByteArrayOutputStream) {
       private var acc = 0; private var nbits = 0
@@ -639,8 +640,8 @@ object Multimodal {
             while (x < 8) { s += blk(y * 8 + x) * cosTab(x)(u) * cosTab(y)(v); x += 1 }
             y += 1
           }
-          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          val cu = if (u == 0) 1.0 / StrictMath.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / StrictMath.sqrt(2) else 1.0
           val q = JpegQuant(v * 8 + u)
           coef(v * 8 + u) = math.round(0.25 * cu * cv * s / q).toInt
           u += 1
@@ -1567,9 +1568,13 @@ object Multimodal {
       None
     }
 
+    // StrictMath, not Math: the pinned dHash fixture literals and the
+    // bit-identical progressive==baseline pixel assertions require the
+    // DCT/IDCT tables to be reproducible across JVMs and platforms
+    // (java.lang.Math.cos is only 1-ulp accurate and platform-dependent)
     private lazy val idctCos: Array[Array[Double]] =
       Array.tabulate(8, 8)((x, u) =>
-        (if (u == 0) 1.0 / math.sqrt(2) else 1.0) * math.cos((2 * x + 1) * u * math.Pi / 16))
+        (if (u == 0) 1.0 / StrictMath.sqrt(2) else 1.0) * StrictMath.cos((2 * x + 1) * u * math.Pi / 16))
 
     /** Separable 8x8 IDCT of dequantized natural-order coefficients into
       * the `luma` plane at (bx0, by0); `tmp` is caller scratch. Shared by
@@ -1920,7 +1925,12 @@ object Multimodal {
         }
         mcu += 1
       }
-      // crop the padded luma plane to the declared dimensions
+      // crop the padded luma plane to the declared dimensions; a conforming
+      // stream where luma is NOT the max-sampled component leaves the luma
+      // plane smaller than the frame (lw < w or lh < h) — the arraycopy
+      // below would then read across row boundaries and emit garbage
+      // pixels, so refuse (same guard as finalizeProgressive)
+      if (lw < w || lh < h) return None
       val gray = new Array[Int](w * h)
       var y = 0
       while (y < h) {

@@ -222,7 +222,10 @@ object Pq {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq_stats"))) return false
     val rows = spark.read.parquet(s"$path/pq_stats").collect()
     val build = rows.filter(_.getAs[String]("kind") == "build")
-    val appends = rows.filter(_.getAs[String]("kind") == "append")
+    // empty-batch appends carry n = 0 and a null mse — exclude them up
+    // front rather than relying on null unboxing to 0.0 in the weighted sum
+    val appends = rows.filter(r =>
+      r.getAs[String]("kind") == "append" && r.getAs[Long]("n") > 0L)
     if (build.isEmpty || appends.isEmpty) return false
     val buildMse = build.head.getAs[Double]("mse")
     val n = appends.map(_.getAs[Long]("n")).sum

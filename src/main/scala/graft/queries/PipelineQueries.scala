@@ -59,10 +59,13 @@ object PipelineQueries {
     "         round(CAST(sum(CAST(sc AS DECIMAL(30,10))) AS DOUBLE), 4) AS log_weight\n" +
     "  FROM sc GROUP BY did)"
 
-  /** q32b's built-index cache, keyed by sf dir: bench reps probe ONE warm
-    * index instead of re-paying construction per rep (construction has its
-    * own tracked row, q32b2). Correctness is unaffected — the index is a
-    * pure function of the sf dir's documents table. */
+  /** q32b's built-index cache, keyed by (sf dir, corpus fingerprint): bench
+    * reps probe ONE warm index instead of re-paying construction per rep
+    * (construction has its own tracked row, q32b2). The fingerprint (doc
+    * count + max doc_id, two parquet-footer-cheap aggregates) invalidates
+    * the cache if a harness regenerates a dir's documents table within one
+    * JVM — without it q32b would silently probe the stale index while the
+    * oracle reads the fresh table. */
   private val builtTextIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The BM25 oracle's CTE chain (query terms -> per-(query, doc) rounded
@@ -2111,9 +2114,14 @@ object PipelineQueries {
       "q32b_bm25_indexed",
       (s, dir) => {
         import s.implicits._
-        val idx = builtTextIdx.computeIfAbsent(dir, d => {
+        val docs = Tables.documents(s, dir)
+        val fp = docs.agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.max($"doc_id")).head()
+        val maxId = if (fp.isNullAt(1)) -1L else fp.getLong(1)
+        val idx = builtTextIdx.computeIfAbsent(s"$dir#${fp.getLong(0)}:$maxId", _ => {
           val p = QueryDef.tempDirForResult("graft_text_idx_").toString
-          graft.operators.Search.buildTextIndex(Tables.documents(s, d), p)
+          graft.operators.Search.buildTextIndex(docs, p)
           p
         })
         val qs = Seq(

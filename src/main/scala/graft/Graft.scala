@@ -391,14 +391,16 @@ final class Graft(val spark: SparkSession, val dir: String) {
   /** Persist a MinHash near-dup index (signatures + shingle hashes) over
     * this directory's documents — the one expensive tokenize+sign pass,
     * stored so each day's batch probes it with [[nearDuplicatesIncremental]]
-    * and joins it with [[appendToNearDupIndex]]. `bandBuckets > 0` adds the
-    * band-bucketed layout: streaming probes partition-prune the index side
-    * to the batch's buckets instead of scanning every stored signature —
-    * the long-uptime-ingest scale lever (see
-    * [[graft.operators.Dedup.writeMinHashIndex]]). */
+    * and joins it with [[appendToNearDupIndex]]. Band-bucketed BY DEFAULT
+    * with an auto-sized partition count: streaming probes partition-prune
+    * the index side to the batch's buckets instead of scanning every
+    * stored signature — the long-uptime-ingest scale lever, and
+    * [[compactDocIndex]] re-buckets a store that outgrows its layout (see
+    * [[graft.operators.Dedup.writeMinHashIndex]]). `bandBuckets = 0` is
+    * the explicit flat escape hatch. */
   def buildNearDupIndex(
       path: String, shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      bandBuckets: Int = 0): Unit =
+      bandBuckets: Int = Dedup.AutoBuckets): Unit =
     Dedup.writeMinHashIndex(documents, path, shingleN, numHashes, bands,
       bandBuckets = bandBuckets)
 
@@ -435,23 +437,42 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def gcDocIndex(path: String): Long =
     Dedup.gcDocIndex(spark, path)
 
+  /** GetProperty-style health of a persisted MinHash/SimHash/signature
+    * doc-row index — docs, segments, tombstones, band layout, and
+    * `orphan-docs` (docs a crashed append left without band rows; nonzero
+    * means bucketed probes admit their duplicates until the next
+    * [[foldDocSegments]] or [[compactDocIndex]] heals the tree). */
+  def docIndexProperties(path: String): Map[String, String] =
+    Dedup.docIndexStats(spark, path)
+
+  /** Detect (and by default heal) docs a crashed direct append left
+    * without band rows — the fail-open window of the bucketed layouts.
+    * Runs automatically inside every [[foldDocSegments]] cycle; exposed
+    * for deployments that append in batch without ever folding. Returns
+    * the orphan doc count found. */
+  def reconcileBandOrphans(path: String, heal: Boolean = true): Long =
+    Dedup.reconcileBandOrphans(spark, path, heal)
+
   /** SimHash near-duplicate pairs: all pairs within `maxHamming` bits
     * (multi-index block-combination banding, guaranteed recall). */
   def simHashDuplicates(maxHamming: Int = 6): DataFrame =
     Dedup.simHashPairs(documents, maxHamming)
 
   /** Persist a SimHash signature store (one long per document — the
-    * lightest incremental index). `sigBuckets > 0` adds the band-bucketed
-    * layout: banding at (`maxHamming`, `comboSize`) is frozen into a
-    * partition-pruned `bands/` tree so the streaming dedup-on-write probe
-    * reads only the batch's hit buckets per trigger instead of every
-    * stored signature ([[graft.operators.Dedup.writeSignatureIndex]]);
-    * probes at OTHER banding parameters fall back to the flat scan. The
-    * default keeps the flat store, where banding is query-time and nothing
-    * can go stale. */
+    * lightest incremental index). Band-bucketed BY DEFAULT with an
+    * auto-sized partition count: banding at (`maxHamming`, `comboSize`)
+    * is frozen into a partition-pruned `bands/` tree so the streaming
+    * dedup-on-write probe reads only the batch's hit buckets per trigger
+    * instead of every stored signature
+    * ([[graft.operators.Dedup.writeSignatureIndex]]), and
+    * [[compactDocIndex]] re-buckets a store that outgrows its layout;
+    * probes at OTHER banding parameters fall back to the flat scan.
+    * `sigBuckets = 0` keeps the flat store, where banding is query-time
+    * and nothing can go stale. */
   def buildSimHashIndex(
       path: String,
-      maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = 0): Unit =
+      maxHamming: Int = 6, comboSize: Int = 2,
+      sigBuckets: Int = Dedup.AutoBuckets): Unit =
     Dedup.writeSimHashIndex(documents, path,
       maxHamming = maxHamming, comboSize = comboSize, sigBuckets = sigBuckets)
 
@@ -459,12 +480,14 @@ final class Graft(val spark: SparkSession, val dir: String) {
     * `(doc_id, sh)` rows — the image/audio dedup index
     * ([[graft.operators.Multimodal.imageSignatures]] /
     * `audioSignatures` output, or any custom signature family).
-    * `sigBuckets > 0` adds the band-bucketed layout (see
+    * Band-bucketed BY DEFAULT with an auto-sized partition count (see
     * [[buildSimHashIndex]]) so [[ingestImageDedup]]/[[ingestAudioDedup]]
-    * probe sub-linearly in the store. */
+    * probe sub-linearly in the store; `sigBuckets = 0` keeps the flat
+    * layout. */
   def buildSignatureIndex(
       signatures: DataFrame, path: String,
-      maxHamming: Int = 10, comboSize: Int = 2, sigBuckets: Int = 0): Unit =
+      maxHamming: Int = 10, comboSize: Int = 2,
+      sigBuckets: Int = Dedup.AutoBuckets): Unit =
     Dedup.writeSignatureIndex(signatures, path,
       maxHamming = maxHamming, comboSize = comboSize, sigBuckets = sigBuckets)
 
@@ -755,9 +778,24 @@ final class Graft(val spark: SparkSession, val dir: String) {
   /** Hybrid keyword + dense retrieval over this directory: BM25 ranks and
     * exact cosine ranks fused by reciprocal-rank fusion
     * ([[operators.Search.hybridTopK]]). `queries` carries (query_id,
-    * query_text, query_vec); at index scale compute the dense ranking with
-    * [[searchIndex]]/[[searchIndexPq]] and combine via
-    * [[operators.Search.fuseRankings]]. */
+    * query_text, query_vec).
+    *
+    * SCALE NOTE — the dense side here is BRUTE-FORCE exact cosine over
+    * every stored embedding: right for the convenience API at query-batch
+    * sizes, WRONG as the corpus grows (the dense scan is O(corpus) per
+    * batch). At corpus scale swap in an index-backed dense ranking —
+    * rankings are the interchange format precisely so the dense
+    * implementation can change without touching fusion:
+    * {{{
+    * val dense = searchIndexPq(pqPath, queries
+    *     .select(col("query_id").as("vec_id"), col("query_vec").as("embedding")), k = 50)
+    *   .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    * val kw = searchDocumentsIndexed(textIdxPath, queries, topK = 50)
+    *   .select(col("query_id"), col("doc_id"), col("rank"))
+    * operators.Search.fuseRankings(Seq(kw, dense), topK = 10)
+    * }}}
+    * SearchSpec's IVF-PQ fusion case pins that the swap preserves the
+    * fused contract. */
   def hybridSearch(queries: DataFrame, topK: Int = 10, fetchK: Int = 50): DataFrame =
     operators.Search.hybridTopK(documents, embeddings, queries, topK, fetchK)
 
@@ -844,6 +882,18 @@ final class Graft(val spark: SparkSession, val dir: String) {
     * multimodal training pipeline. */
   def imageTensors(withPayload: DataFrame, width: Int = 32, height: Int = 32): DataFrame =
     Multimodal.resizeImages(withPayload, width, height)
+
+  /** The DECODE MATRIX of a payload corpus, per format: rows, content-
+    * decodable rows, and the ratio — the measurement that turns "formats
+    * the engine can't decode silently skip content dedup" into a number.
+    * Image content decode covers PNG, BMP, JPEG (baseline + progressive),
+    * and GIF (first frame); audio covers 8/16-bit PCM WAV. Everything else
+    * (WebP — unrecognized, MP3/AAC/FLAC, compressed/float WAV, arithmetic
+    * or 12-bit JPEG, palette/interlaced PNG) reports `decodable = false`
+    * and skips dedup; watch the ratio before trusting a corpus's dedup
+    * coverage. Per-row form: [[Multimodal.decodeStatus]]. */
+  def decodeStats(withPayload: DataFrame): DataFrame =
+    Multimodal.decodeStats(withPayload)
 
   /** Streaming IMAGE dedup-on-write: perceptual-hash each micro-batch's
     * payloads, drop content near-duplicates of anything already landed,

@@ -594,15 +594,17 @@ object Dedup {
     * parameters. Train-once/probe-many for near-dup, mirroring
     * [[writeExactIndex]] for exact dedup.
     *
-    * `bandBuckets > 0` additionally materializes the BAND-BUCKETED layout:
-    * a slim `bands/` store of precomputed (doc, band) rows partitioned by
-    * `bucket = pmod(band, bandBuckets)`. The micro probe then PARTITION-
-    * PRUNES the index side to the batch's buckets — per-trigger cost
-    * O(|batch| · bands · N / bandBuckets) instead of the O(N · bands) full
-    * signature scan, the same bucket-pruning design as the IVF vector
-    * index's inverted lists. Pick `bandBuckets ≈ N·bands / targetBucketRows`
-    * so per-trigger probe cost tracks the BATCH size, not the corpus; 0
-    * (the default) keeps the flat layout and the scan-everything probe. */
+    * The BAND-BUCKETED layout is the DEFAULT: a slim `bands/` store of
+    * precomputed (doc, band) rows partitioned by `bucket = pmod(band,
+    * P)`. The micro probe then PARTITION-PRUNES the index side to the
+    * batch's buckets — per-trigger cost O(|batch| · bands · N / P)
+    * instead of the O(N · bands) full signature scan, the same
+    * bucket-pruning design as the IVF vector index's inverted lists.
+    * `bandBuckets = AutoBuckets` (-1, the default) sizes P from the
+    * corpus so per-bucket row count stays constant
+    * ([[autoBucketCount]]); a positive count is honored verbatim; `0`
+    * is the explicit flat escape hatch (scan-everything probe). A store
+    * that outgrows its P is re-bucketed by [[compactDocIndex]]. */
   /** Retract EVERY auxiliary tree of an existing doc-row store before a
     * rebuild overwrites `docs/` — meta FIRST (from that point probes take
     * the flat scan over whatever docs/ holds, so a crash anywhere
@@ -631,28 +633,39 @@ object Dedup {
       bands: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text",
-      bandBuckets: Int = 0): Unit = {
+      bandBuckets: Int = AutoBuckets): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = documents.sparkSession
     retractIndexTrees(spark, path)
-    if (bandBuckets <= 0) {
+    if (bandBuckets == 0) {
       signatureRows(documents, shingleN, numHashes, idCol, textCol)
         .write.mode("overwrite").parquet(s"$path/docs")
+      import spark.implicits._
+      Seq((shingleN, numHashes, bands, 0))
+        .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } else {
       // the signing pass feeds BOTH stores — checkpoint so the corpus is
       // tokenized exactly once
       val rows = signatureRows(documents, shingleN, numHashes, idCol, textCol)
         .localCheckpoint()
       rows.write.mode("overwrite").parquet(s"$path/docs")
-      bandRows(rows, bands, numHashes / bands, bandBuckets)
+      // AutoBuckets: size P off the just-signed corpus — the checkpoint
+      // makes the count free of recompute. An explicit positive count is
+      // honored verbatim (probe studies, spec fixtures).
+      val p = if (bandBuckets < 0) autoBucketCount(rows.count() * bands)
+              else bandBuckets
+      bandRows(rows, bands, numHashes / bands, p)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+      writeBandTreeBuckets(Seg.fs(spark, path),
+        new org.apache.hadoop.fs.Path(s"$path/bands"), p)
       graft.core.Blocks.free(rows)
+      import spark.implicits._
+      Seq((shingleN, numHashes, bands, p))
+        .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     }
-    import spark.implicits._
-    Seq((shingleN, numHashes, bands, bandBuckets))
-      .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** (doc, band, bucket) rows for the band-bucketed layout: each signature
@@ -671,6 +684,73 @@ object Dedup {
     if (metaDf.columns.contains("band_buckets"))
       metaDf.head().getAs[Int]("band_buckets")
     else 0
+  }
+
+  // ---- bucket-count auto-sizing + the _BUCKETS tree marker ------------------
+  //
+  // `buckets = -1` (now the DEFAULT everywhere a band-bucketed layout can
+  // be requested) auto-sizes the partition count from the store's own row
+  // count so per-bucket rows — and therefore per-trigger probe cost, which
+  // reads O(|batch| · bandsPerDoc) bucket directories — stay CONSTANT as
+  // the store grows: P = clamp(N · bandsPerDoc / TargetBucketRows,
+  // MinBuckets, MaxBuckets). The scale-safe layout is what a caller gets
+  // without asking; `0` is the explicit flat escape hatch.
+
+  /** Sentinel: auto-size the bucket count from the corpus (the default). */
+  val AutoBuckets: Int = -1
+  private val TargetBucketRows = 4096L
+  private val MinBuckets = 64
+  private val MaxBuckets = 65536
+
+  /** clamp(totalBandRows / TargetBucketRows, 64, 65536) — per-bucket row
+    * count (the unit of probe read amplification) held constant across
+    * store growth; the floor keeps tiny stores from degenerating to one
+    * directory, the ceiling bounds file count on object stores. */
+  private[graft] def autoBucketCount(totalBandRows: Long): Int =
+    math.min(MaxBuckets.toLong, math.max(MinBuckets.toLong,
+      totalBandRows / TargetBucketRows)).toInt
+
+  /** Read the `_BUCKETS` marker riding INSIDE a band tree — the bucket
+    * count the tree is ACTUALLY partitioned by. Underscore-prefixed, so
+    * parquet listing ignores it; written into the staging tree and swapped
+    * WITH the rows, so unlike the meta value (which cannot be updated
+    * atomically with the tree) it can never describe a partitioning the
+    * rows don't have — a crash between a re-bucketing compaction's meta
+    * update and its bands swap would otherwise strand probes pruning
+    * `bucket=` paths that don't hold their bands (silent recall loss).
+    * Absent on pre-marker stores: callers fall back to the meta value,
+    * which for those stores is frozen-correct. */
+  private def readBandTreeBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      bandsRoot: org.apache.hadoop.fs.Path): Option[Int] = {
+    val m = new org.apache.hadoop.fs.Path(bandsRoot, "_BUCKETS")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        scala.util.Try(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+          .toOption.filter(_ > 0)
+      } finally in.close()
+    }
+  }
+
+  private def writeBandTreeBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      bandsRoot: org.apache.hadoop.fs.Path, p: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(bandsRoot, "_BUCKETS"), true)
+    try out.write(p.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The OPERATIVE bucket count of a MinHash index: the band tree's
+    * `_BUCKETS` marker when present (a re-bucketing compaction may have
+    * outgrown the build-time meta value), else meta; 0 = flat. */
+  private def effectiveBandBuckets(spark: SparkSession, indexPath: String): Int = {
+    val mb = metaBandBuckets(spark, indexPath)
+    if (mb <= 0) mb
+    else readBandTreeBuckets(Seg.fs(spark, indexPath),
+      new org.apache.hadoop.fs.Path(s"$indexPath/bands")).getOrElse(mb)
   }
 
   /** All near-dup pairs TOUCHING a new batch — batch-vs-corpus and
@@ -791,7 +871,12 @@ object Dedup {
     val r = numHashes / bands
     def banded(sigs: DataFrame) = sigs
       .select(col("doc"), explode(TextOps.lshBands(col("sig"), bands, r)).as("band"))
-    val bb = metaBandBuckets(spark, indexPath)
+    // heal any crashed band-store swap BEFORE reading the operative bucket
+    // count: a staged re-bucketed tree healed in AFTER the P read would
+    // leave this probe pruning `bucket=` paths computed at the OLD P
+    // against the new partitioning — silent recall loss
+    val usable = bandTreeUsable(spark, indexPath)
+    val bb = if (usable) effectiveBandBuckets(spark, indexPath) else 0
     // BUCKETED path only while the batch hits a MINORITY of buckets: the
     // explicit-directory read costs O(hit) listings + footers, so once a
     // large batch touches most buckets the flat signature scan is the
@@ -802,7 +887,7 @@ object Dedup {
     val hit = batchBands0.map(_.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq)
     val pairHalf =
-      if (bb > 0 && hit.get.length * 2 <= bb && bandTreeUsable(spark, indexPath)) {
+      if (bb > 0 && hit.get.length * 2 <= bb) {
         // the index side is the precomputed band store, PRUNED to the
         // batch's buckets by path construction — only |batch buckets| /
         // bandBuckets of the index's band rows are read at all (and none
@@ -985,6 +1070,126 @@ object Dedup {
     * ([[graft.streaming.Ingest.startNearDupIngest]] writes one segment per
     * micro-batch), use [[foldDocSegments]] instead: it folds segments into
     * one beside the live ingest, no stop needed. */
+  /** The band layout of a bucketed doc-row store, layout-family agnostic:
+    * (bandRowsPerDoc — a LAYOUT CONSTANT: MinHash `bands`, signature
+    * C(maxHamming+comboSize, comboSize) block combos; operative bucket
+    * count — tree marker over meta; row builder at an arbitrary P). None
+    * for flat stores (no band tree to maintain). */
+  private def bandLayout(spark: SparkSession, indexPath: String)
+      : Option[(Long, Int, (DataFrame, Int) => DataFrame)] = {
+    val fs = Seg.fs(spark, indexPath)
+    val hasMeta = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta"))
+    val bb = if (hasMeta) effectiveBandBuckets(spark, indexPath) else 0
+    if (bb > 0) {
+      val m = spark.read.parquet(s"$indexPath/meta").head()
+      val bands = m.getInt(2); val rpb = m.getInt(1) / bands
+      Some((bands.toLong, bb, (kept, p) => bandRows(kept, bands, rpb, p)))
+    } else effectiveSigBuckets(spark, indexPath).map { case (mh, cs, sb) =>
+      ((0 until mh + cs).combinations(cs).size.toLong, sb,
+        (kept: DataFrame, p: Int) => signatureBandRows(kept, mh, cs, p))
+    }
+  }
+
+  /** Rebuild a bucketed store's BASE band tree from `docs/` (an explode
+    * over stored sig/sh columns — no text or payload re-read; tombstoned
+    * docs' stale band rows are swept because the fold that precedes this
+    * dropped their doc rows), stage-then-swap. GROW-ONLY RE-BUCKET rides
+    * the rebuild: when the store has OUTGROWN its operative P (the auto
+    * size from the current doc count is >= 2x it, i.e. per-bucket rows —
+    * the probe's read-amplification unit — have doubled), the tree is
+    * re-partitioned at the new auto P. Never shrinks: an explicitly
+    * oversized P costs only small files. `dropBandSegs` additionally drops
+    * the segment band twins — correct ONLY when no live doc segments
+    * remain (the stop-the-world compaction); the beside-live-ingest orphan
+    * reconcile must leave them. */
+  private def rebuildBandTree(
+      spark: SparkSession, indexPath: String, dropBandSegs: Boolean): Unit =
+    bandLayout(spark, indexPath).foreach { case (perDoc, effP, mkRows) =>
+      val fs = Seg.fs(spark, indexPath)
+      val kept = spark.read.parquet(s"$indexPath/docs")
+      val autoP = autoBucketCount(kept.count() * perDoc)
+      val newP = if (autoP >= 2 * effP) autoP else effP
+      val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+      val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
+      // the _BUCKETS marker must be INSIDE the staged tree BEFORE its
+      // parquet `_SUCCESS` lands (swapInto/healSwap's commit gate), or a
+      // crash window could heal in a re-bucketed tree with no marker and
+      // probes would prune paths at the stale meta P — so pre-create the
+      // staging dir, drop the marker, and let the job append into it
+      if (fs.exists(bandStaging)) fs.delete(bandStaging, true)
+      fs.mkdirs(bandStaging)
+      writeBandTreeBuckets(fs, bandStaging, newP)
+      mkRows(kept, newP)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(bandStaging.toString)
+      Seg.swapInto(fs, bandStaging, bandsDir)
+      if (dropBandSegs) {
+        val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
+        if (fs.exists(bandsegs)) { fs.delete(bandsegs, true); () }
+      }
+    }
+
+  /** Footer-count orphan reconcile of a bucketed store's BASE band tree —
+    * the detector for [[appendToSignatureIndex]]'s fail-open crash window
+    * (docs committed, band rows not: the orphaned docs' duplicates are
+    * ADMITTED by bucketed probes until the tree is rebuilt). Band rows per
+    * doc is a layout constant, so `bands == docs * perDoc` — two parquet
+    * footer counts, no data pages — detects orphans exactly. Returns the
+    * orphan doc count found (0 when counts reconcile, the store is flat,
+    * or bands only carry harmless EXTRA rows — stale tombstoned bands
+    * produce candidates the verify drops and are compaction's business);
+    * `heal` rebuilds the base tree from `docs/` when orphans are found.
+    * Runs inside every [[foldDocSegments]] cycle so a streaming deployment
+    * that never stops for [[compactDocIndex]] still converges — the
+    * fail-open window is bounded by the fold cadence instead of forever. */
+  def reconcileBandOrphans(
+      spark: SparkSession, indexPath: String, heal: Boolean = true): Long =
+    bandLayout(spark, indexPath) match {
+      case None => 0L
+      case Some((perDoc, _, _)) =>
+        val fs = Seg.fs(spark, indexPath)
+        val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+        val docsCount = spark.read.parquet(s"$indexPath/docs").count()
+        val bandsCount =
+          if (fs.exists(bandsDir)) spark.read.parquet(bandsDir.toString).count() else 0L
+        val missing = docsCount * perDoc - bandsCount
+        val orphans = if (missing > 0) (missing + perDoc - 1) / perDoc else 0L
+        if (orphans > 0 && heal) rebuildBandTree(spark, indexPath, dropBandSegs = false)
+        orphans
+    }
+
+  /** GetProperty-style health of a persisted MinHash/SimHash/signature
+    * doc-row index: base docs, live segments, tombstones, the operative
+    * band layout, and — the maintenance signal — `orphan-docs`, the
+    * footer-count estimate of docs a crashed direct append left without
+    * band rows ([[reconcileBandOrphans]]'s detector, heal-free). Nonzero
+    * orphans mean bucketed probes are ADMITTING those docs' duplicates;
+    * the next [[foldDocSegments]] cycle or [[compactDocIndex]] heals. All
+    * counts are parquet footer metadata — no data pages. */
+  def docIndexStats(spark: SparkSession, indexPath: String): Map[String, String] = {
+    val fs = Seg.fs(spark, indexPath)
+    val docsCount = spark.read.parquet(s"$indexPath/docs").count()
+    val (_, live) = liveDocSegs(spark, indexPath)
+    val tombsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
+    val tombCount =
+      if (fs.exists(tombsPath)) spark.read.parquet(tombsPath.toString).count() else 0L
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    val bandsCount =
+      if (fs.exists(bandsDir)) spark.read.parquet(bandsDir.toString).count() else 0L
+    val layout = bandLayout(spark, indexPath)
+    val orphans = layout.fold(0L) { case (perDoc, _, _) =>
+      val missing = docsCount * perDoc - bandsCount
+      if (missing > 0) (missing + perDoc - 1) / perDoc else 0L
+    }
+    Map(
+      "graft.docindex.docs" -> docsCount.toString,
+      "graft.docindex.segments" -> live.size.toString,
+      "graft.docindex.tombstones" -> tombCount.toString,
+      "graft.docindex.band-buckets" -> layout.fold(0)(_._2).toString,
+      "graft.docindex.band-rows" -> bandsCount.toString,
+      "graft.docindex.orphan-docs" -> orphans.toString)
+  }
+
   def compactDocIndex(spark: SparkSession, indexPath: String): Unit = {
     val fs = Seg.fs(spark, indexPath)
     val docsDir = new org.apache.hadoop.fs.Path(s"$indexPath/docs")
@@ -999,63 +1204,31 @@ object Dedup {
       new org.apache.hadoop.fs.Path(s"$indexPath/bands"))
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     val segs = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
-    val bb = if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta")))
-      metaBandBuckets(spark, indexPath) else 0
-    val sigMeta = sigMetaBuckets(spark, indexPath)
-    val bucketed = bb > 0 || sigMeta.isDefined
+    val layout = bandLayout(spark, indexPath)
     val haveFold = fs.exists(tombs) || fs.exists(segs)
-    if (!haveFold && !bucketed) return
-    // bucketed index: (re)build the band store from surviving signatures
-    // (an explode over stored sig/sh columns, no text or payload re-read)
-    // — tombstoned docs' stale band rows are swept here. MinHash metas
-    // carry band_buckets, signature metas sig_buckets; either way the
-    // stage-then-swap + bandsegs drop is the same.
-    def rebuildBands(kept: DataFrame): Unit = {
-      val rebuilt: Option[DataFrame] =
-        if (bb > 0) {
-          val meta = spark.read.parquet(s"$indexPath/meta").head()
-          Some(bandRows(kept, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb))
-        } else sigMeta.map { case (mh, cs, sb) =>
-          signatureBandRows(kept, mh, cs, sb)
-        }
-      rebuilt.foreach { rows =>
-        val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-        val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
-        rows
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(bandStaging.toString)
-        Seg.swapInto(fs, bandStaging, bandsDir)
-        val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
-        if (fs.exists(bandsegs)) fs.delete(bandsegs, true)
-      }
-    }
+    if (!haveFold && layout.isEmpty) return
     if (!haveFold) {
       // Bucketed store with NOTHING to fold: the only possible damage is
       // band rows lost to a crashed direct append (docs committed, band
       // rows not yet written — [[appendToSignatureIndex]]'s fail-open
-      // window) or a vanished band tree the entry heals couldn't restore.
-      // Band rows per doc is a LAYOUT CONSTANT (MinHash: `bands`;
-      // signature: C(maxHamming+comboSize, comboSize) block combos), so a
-      // row-count compare — parquet footer metadata, no data pages —
-      // detects orphans exactly; when the counts reconcile this is a
-      // no-op, never the O(N) docs rewrite the general fold below pays.
-      val perDoc: Long =
-        if (bb > 0) spark.read.parquet(s"$indexPath/meta").head().getInt(2).toLong
-        else sigMeta.map { case (mh, cs, _) =>
-          (0 until mh + cs).combinations(cs).size.toLong
-        }.get
+      // window) or a vanished band tree the entry heals couldn't restore —
+      // the footer-count reconcile detects both; when the counts agree AND
+      // the store hasn't outgrown its P this is a no-op, never the O(N)
+      // docs rewrite the general fold below pays.
       // with segs/ gone, surviving fold markers are pure hazard: a
       // marker listing batch_N as folded would HIDE a future segment
       // reusing that name (liveDocSegs excludes folded names) — sweep
       // them here, exactly as the full fold's tail does
       val markers = new org.apache.hadoop.fs.Path(s"$indexPath/_folded")
       if (fs.exists(markers)) fs.delete(markers, true)
+      val (perDoc, effP, _) = layout.get
       val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
       val docsCount = spark.read.parquet(docsDir.toString).count()
       val bandsCount =
         if (fs.exists(bandsDir)) spark.read.parquet(bandsDir.toString).count() else -1L
-      if (bandsCount == docsCount * perDoc) return
-      rebuildBands(spark.read.parquet(docsDir.toString))
+      if (bandsCount == docsCount * perDoc
+          && autoBucketCount(docsCount * perDoc) < 2 * effP) return
+      rebuildBandTree(spark, indexPath, dropBandSegs = true)
       return
     }
     // stage-then-swap (Segments.swapInto): the folded view streams from
@@ -1072,7 +1245,7 @@ object Dedup {
       .dropDuplicates(idc)
       .write.mode("overwrite").parquet(staging.toString)
     Seg.swapInto(fs, staging, docsDir)
-    rebuildBands(spark.read.parquet(docsDir.toString))
+    rebuildBandTree(spark, indexPath, dropBandSegs = true)
     if (fs.exists(tombs)) fs.delete(tombs, true)
     if (fs.exists(segs)) fs.delete(segs, true)
     val markers = new org.apache.hadoop.fs.Path(s"$indexPath/_folded")
@@ -1127,6 +1300,13 @@ object Dedup {
         live.map(_.getName).mkString("\n"))
     }
     if (gc) gcDocIndex(spark, indexPath)
+    // the footer-count orphan reconcile rides every fold cycle: a crashed
+    // direct append's fail-open window (docs committed, band rows not)
+    // would otherwise persist until a stop-the-world [[compactDocIndex]]
+    // that a long-running streaming deployment may never schedule. Two
+    // footer counts when healthy; heals the base band tree when not.
+    reconcileBandOrphans(spark, indexPath, heal = true)
+    ()
   }
 
   /** Delete a doc-row index's folded (superseded) segment directories,
@@ -1190,7 +1370,10 @@ object Dedup {
       segName: String): Long = {
     val spark = sigs.sparkSession
     val batch = sigs.select("doc", "sh", "sig").localCheckpoint()
-    val bb = metaBandBuckets(spark, indexPath)
+    // heal-then-read (see writeSignatureSegment): `bucket` rides as a data
+    // column, so it must be computed at the tree's operative P
+    bandTreeUsable(spark, indexPath)
+    val bb = effectiveBandBuckets(spark, indexPath)
     if (bb > 0) {
       // band rows FIRST: the doc segment's _SUCCESS is the commit point
       // (liveDocSegs), so a committed doc segment always has its band rows
@@ -1219,7 +1402,6 @@ object Dedup {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val batch = signatureRows(newDocs, meta.getInt(0), meta.getInt(1), idCol, textCol)
       .localCheckpoint()
-    val bb = metaBandBuckets(spark, indexPath)
     // Heal a crashed compaction swap BEFORE touching bands/ — appending
     // with bands/ missing would re-create the tree holding only this
     // batch, turning [[bandTreeUsable]]'s exists-check permanently green
@@ -1228,8 +1410,12 @@ object Dedup {
     // tree heals it (bands/ truly destroyed mid-maintenance), SKIP the
     // band append entirely — probes fall back to the flat scan
     // (bandTreeUsable false), correct over docs/, until [[compactDocIndex]]
-    // rebuilds the band tree.
-    if (bb > 0 && bandTreeUsable(spark, indexPath))
+    // rebuilds the band tree. Heal-then-read: the operative bucket count
+    // is read only after the heal, never from a stale meta over a
+    // re-bucketed tree.
+    val usable = bandTreeUsable(spark, indexPath)
+    val bb = if (usable) effectiveBandBuckets(spark, indexPath) else 0
+    if (bb > 0)
       bandRows(batch, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
@@ -1422,16 +1608,16 @@ object Dedup {
       col(idCol).as("doc_id"),
       TextOps.simHashFromHashes(TextOps.tokenHashes(col(textCol))).as("sh"))
 
-  /** Persist a SimHash signature store (doc_id, sh) at `path`.
-    * `sigBuckets > 0` adds the band-bucketed layout (see
-    * [[writeSignatureIndex]]): the banding at (`maxHamming`, `comboSize`)
-    * is frozen into a pruned `bands/` tree, and the streaming micro probe
-    * at those parameters reads only the batch's hit buckets instead of
-    * scanning every stored signature per trigger. */
+  /** Persist a SimHash signature store (doc_id, sh) at `path` — band-
+    * bucketed BY DEFAULT (auto-sized P, see [[writeSignatureIndex]]): the
+    * banding at (`maxHamming`, `comboSize`) is frozen into a pruned
+    * `bands/` tree, and the streaming micro probe at those parameters
+    * reads only the batch's hit buckets instead of scanning every stored
+    * signature per trigger. `sigBuckets = 0` keeps the flat layout. */
   def writeSimHashIndex(
       documents: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = 0): Unit =
+      maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = AutoBuckets): Unit =
     writeSignatureIndex(simHashRows(documents, idCol, textCol), path,
       maxHamming, comboSize, sigBuckets)
 
@@ -1468,24 +1654,28 @@ object Dedup {
   /** Persist a 64-bit signature store from PRECOMPUTED `(doc_id, sh)`
     * rows — [[writeSimHashIndex]] without the text signing step.
     *
-    * `sigBuckets > 0` additionally materializes the BAND-BUCKETED layout
-    * that [[writeMinHashIndex]] pioneered for the MinHash store: a slim
-    * `bands/` tree of precomputed `(doc, band, bucket)` rows — one row per
-    * pigeonhole block-combination key of each signature, `band` the
-    * XXH64 of the key, `bucket = pmod(band, sigBuckets)` the partition
-    * directory. The micro probe ([[signatureMicroIncremental]]) then
-    * PARTITION-PRUNES the index side to the batch's hit buckets by path
-    * construction — per-trigger cost O(|batch| · combos · N / sigBuckets)
-    * instead of the O(N) full signature scan that made continuous
-    * image/audio/simhash dedup-on-write linear in the index. Banding
-    * (`maxHamming`, `comboSize`) is FROZEN into the layout (meta file);
-    * a probe at different parameters falls back to the flat scan, which
-    * stays exactly as before. Recall is untouched: band equality is key
-    * equality in the collision-free limit, and an XXH64 collision can only
-    * ADD a candidate pair that the hamming verify drops. */
+    * The BAND-BUCKETED layout that [[writeMinHashIndex]] pioneered for
+    * the MinHash store is the DEFAULT: a slim `bands/` tree of
+    * precomputed `(doc, band, bucket)` rows — one row per pigeonhole
+    * block-combination key of each signature, `band` the XXH64 of the
+    * key, `bucket = pmod(band, P)` the partition directory. The micro
+    * probe ([[signatureMicroIncremental]]) then PARTITION-PRUNES the
+    * index side to the batch's hit buckets by path construction —
+    * per-trigger cost O(|batch| · combos · N / P) instead of the O(N)
+    * full signature scan that made continuous image/audio/simhash
+    * dedup-on-write linear in the index. `sigBuckets = AutoBuckets`
+    * (-1, the default) sizes P from the corpus ([[autoBucketCount]]); a
+    * positive count is honored verbatim; `0` is the explicit flat
+    * escape hatch. A store that outgrows its P is re-bucketed by
+    * [[compactDocIndex]]. Banding (`maxHamming`, `comboSize`) is FROZEN
+    * into the layout (meta file); a probe at different parameters falls
+    * back to the flat scan, which stays exactly as before. Recall is
+    * untouched: band equality is key equality in the collision-free
+    * limit, and an XXH64 collision can only ADD a candidate pair that
+    * the hamming verify drops. */
   def writeSignatureIndex(
       signatures: DataFrame, path: String,
-      maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = 0): Unit = {
+      maxHamming: Int = 6, comboSize: Int = 2, sigBuckets: Int = AutoBuckets): Unit = {
     val spark = signatures.sparkSession
     // REBUILD-OVER-EXISTING: retract the band layout and the whole
     // incremental lifecycle FIRST ([[retractIndexTrees]] — meta before
@@ -1497,7 +1687,7 @@ object Dedup {
     // point), so a crash anywhere in between leaves a metaless store the
     // probe treats as flat — correct over whatever docs/ holds.
     retractIndexTrees(spark, path)
-    if (sigBuckets <= 0) {
+    if (sigBuckets == 0) {
       signatures.select(col("doc_id"), col("sh"))
         .write.mode("overwrite").parquet(s"$path/docs")
     } else {
@@ -1505,12 +1695,19 @@ object Dedup {
       // checkpoint so docs/ and bands/ don't recompute the source twice
       val rows = signatures.select(col("doc_id"), col("sh")).localCheckpoint()
       rows.write.mode("overwrite").parquet(s"$path/docs")
-      signatureBandRows(rows, maxHamming, comboSize, sigBuckets)
+      // AutoBuckets (the default): size P off the signature count and the
+      // banding's combos-per-doc; explicit positive counts honored verbatim
+      val combos = (0 until maxHamming + comboSize).combinations(comboSize).size
+      val p = if (sigBuckets < 0) autoBucketCount(rows.count() * combos)
+              else sigBuckets
+      signatureBandRows(rows, maxHamming, comboSize, p)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+      writeBandTreeBuckets(Seg.fs(spark, path),
+        new org.apache.hadoop.fs.Path(s"$path/bands"), p)
       graft.core.Blocks.free(rows)
       import spark.implicits._
-      Seq((maxHamming, comboSize, sigBuckets))
+      Seq((maxHamming, comboSize, p))
         .toDF("max_hamming", "combo_size", "sig_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     }
@@ -1551,6 +1748,15 @@ object Dedup {
       }
     }
   }
+
+  /** [[sigMetaBuckets]] with the OPERATIVE bucket count: the band tree's
+    * `_BUCKETS` marker when present (a re-bucketing compaction may have
+    * outgrown the build-time meta value), else the meta value. */
+  private def effectiveSigBuckets(spark: SparkSession, indexPath: String): Option[(Int, Int, Int)] =
+    sigMetaBuckets(spark, indexPath).map { case (mh, cs, sb) =>
+      (mh, cs, readBandTreeBuckets(Seg.fs(spark, indexPath),
+        new org.apache.hadoop.fs.Path(s"$indexPath/bands")).getOrElse(sb))
+    }
 
   /** All pairs within `maxHamming` bits TOUCHING a batch of precomputed
     * signatures, against a persisted store — [[simHashIncremental]]'s
@@ -1603,12 +1809,15 @@ object Dedup {
     // bucketed only while the batch hits a minority of buckets: past that
     // the flat signature scan is the cheaper plan, so the bucketed index
     // is never worse than the flat one.
-    sigMetaBuckets(spark, indexPath) match {
-      case Some((mh, cs, bb)) if mh == maxHamming && cs == comboSize =>
+    // heal-then-read, same order as minHashMicroCandidates: the operative
+    // bucket count must be read AFTER any crashed swap is healed in
+    val usable = bandTreeUsable(spark, indexPath)
+    effectiveSigBuckets(spark, indexPath) match {
+      case Some((mh, cs, bb)) if usable && mh == maxHamming && cs == comboSize =>
         val batchBands = signatureBandRows(batch, mh, cs, bb)
         val hit = batchBands.select("bucket").distinct()
           .collect().map(_.getInt(0)).sorted.toSeq
-        if (hit.length * 2 <= bb && bandTreeUsable(spark, indexPath)) {
+        if (hit.length * 2 <= bb) {
           // the whole probe runs on the persisted band rows, the index side
           // PRUNED to the batch's buckets by path construction (storedBands
           // — the same reader as the MinHash band store): per-trigger read
@@ -1688,12 +1897,15 @@ object Dedup {
     // damage behind a tree whose exists-check passes while the base
     // corpus's band rows are missing. Skipping leaves these docs in the
     // fail-open orphan state below, healed by the same compaction rebuild.
-    sigMetaBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
-      if (bandTreeUsable(spark, indexPath))
+    // Heal BEFORE reading the operative bucket count (effectiveSigBuckets)
+    // — a re-bucketed staged tree healed in after the read would take this
+    // batch's band rows under the wrong partitioning.
+    if (bandTreeUsable(spark, indexPath))
+      effectiveSigBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
         signatureBandRows(batch, mh, cs, bb)
           .repartition(col("bucket"))
           .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
-    }
+      }
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
     n
@@ -1713,7 +1925,11 @@ object Dedup {
   def writeSignatureSegment(batchSigs: DataFrame, indexPath: String, segName: String): Long = {
     val spark = batchSigs.sparkSession
     val batch = batchSigs.select(col("doc_id"), col("sh")).localCheckpoint()
-    sigMetaBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
+    // heal-then-read: the segment's `bucket` data column must be computed
+    // at the tree's OPERATIVE P, or the probe's pushed bucket filter
+    // (computed at the new P) would wrongly exclude these rows
+    bandTreeUsable(spark, indexPath)
+    effectiveSigBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
       // batch-bounded => one flat file; `bucket` rides as a data column and
       // gets a pushed row filter in the probe (readBandRoot's flat branch)
       signatureBandRows(batch, mh, cs, bb)

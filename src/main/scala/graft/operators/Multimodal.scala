@@ -1135,6 +1135,97 @@ object Multimodal {
       }
       out.toByteArray
     }
+
+    /** GIF89a of the SAME gray field — LOSSLESS like PNG/BMP (a 256-entry
+      * grayscale global color table, r = g = b = index, so the decoded
+      * matrix is bit-identical to [[gray]]): header + logical screen
+      * descriptor + GCT + one full-canvas image descriptor + REAL LZW
+      * (variable-width LSB-first codes, a live dictionary, CLEAR-reset at
+      * 4096, the classic output-count width-growth convention — the
+      * decoder's dictionary and width machinery are genuinely exercised,
+      * not fed root codes). `interlaced` writes the 4-pass row order. */
+    def gif(w: Int, h: Int, seed: Long, noise: Int = 0, interlaced: Boolean = false): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val out = new ByteArrayOutputStream()
+      def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write('G'); out.write('I'); out.write('F'); out.write('8'); out.write('9'); out.write('a')
+      le16w(w); le16w(h)
+      out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+      out.write(0); out.write(0) // background index, aspect ratio
+      var ci = 0
+      while (ci < 256) { out.write(ci); out.write(ci); out.write(ci); ci += 1 }
+      out.write(0x2c); le16w(0); le16w(0); le16w(w); le16w(h)
+      out.write(if (interlaced) 0x40 else 0x00)
+      out.write(8) // LZW minimum code size
+      // pixel indices in FILE row order (the 4-pass shuffle when interlaced)
+      val seq: Array[Int] =
+        if (!interlaced) g
+        else {
+          val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+          val o = new Array[Int](w * h); var dst = 0
+          var p = 0
+          while (p < 4) {
+            var y = starts(p)
+            while (y < h) {
+              var x = 0
+              while (x < w) { o(dst) = g(y * w + x); dst += 1; x += 1 }
+              y += steps(p)
+            }
+            p += 1
+          }
+          o
+        }
+      // LZW: codes into a raw byte stream, then 255-byte sub-blocks
+      val clear = 256; val eoi = 257
+      val raw = new ByteArrayOutputStream()
+      var acc = 0L; var accBits = 0
+      var width = 9
+      var maxcode = (1 << width) - 1
+      var free = eoi + 1
+      def put(code: Int): Unit = {
+        acc |= code.toLong << accBits; accBits += width
+        while (accBits >= 8) { raw.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+        // the classic convention: width grows when the table size at
+        // OUTPUT time exceeds the current code range — this is what keeps
+        // a conforming decoder (which counts codes READ) in lockstep
+        if (free > maxcode && width < 12) {
+          width += 1
+          maxcode = if (width == 12) 4096 else (1 << width) - 1
+        }
+      }
+      val dict = new java.util.HashMap[Integer, Integer](8192)
+      put(clear)
+      var prev = seq(0)
+      var i = 1
+      while (i < seq.length) {
+        val k = seq(i)
+        val key: Integer = (prev << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          if (free < 4096) { dict.put(key, free); free += 1 }
+          else { // table full: reset, exactly as a conforming decoder expects
+            put(clear)
+            dict.clear(); free = eoi + 1; width = 9; maxcode = (1 << width) - 1
+          }
+          prev = k
+        }
+        i += 1
+      }
+      put(prev); put(eoi)
+      if (accBits > 0) raw.write((acc & 0xff).toInt)
+      val codeBytes = raw.toByteArray
+      var off = 0
+      while (off < codeBytes.length) {
+        val n = math.min(255, codeBytes.length - off)
+        out.write(n); out.write(codeBytes, off, n)
+        off += n
+      }
+      out.write(0)    // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
   }
 
   /** Pure-JVM pixel decode to a grayscale matrix — the content-level step
@@ -1143,9 +1234,14 @@ object Multimodal {
     * defilter (None/Sub/Up/Average/Paeth per RFC 2083), 8-bit gray /
     * truecolor / with-alpha color types, luma = (299r + 587g + 114b)/1000.
     * BMP: BITMAPINFOHEADER, uncompressed 24/32-bit, bottom-up or top-down.
-    * Interlaced PNG, palette color, non-8-bit depths, compressed BMP →
+    * JPEG (ITU T.81): baseline sequential AND progressive, luma plane.
+    * GIF87a/89a: first-frame LZW decode, global/local palettes, interlace.
+    * The decode matrix is explicit, and everything outside it — interlaced
+    * PNG, palette PNG, non-8-bit depths, compressed BMP, arithmetic-coded
+    * / 12-bit / hierarchical JPEG, WebP (not recognized at all) — returns
     * `None` (never throws): a 100 TB corpus pass must skip what it cannot
-    * decode, not die on it. */
+    * decode, not die on it, and [[Multimodal.decodeStats]] makes the
+    * skipped share measurable instead of silent. */
   object ImageDecoder {
     final case class Gray(width: Int, height: Int, pixels: Array[Int])
 
@@ -1162,8 +1258,167 @@ object Multimodal {
           decodePng(b)
         else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
         else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) decodeJpeg(b)
+        else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a') decodeGif(b)
         else None
       } catch { case _: Exception => None }
+
+    /** GIF87a/89a FIRST-FRAME pixel decode (W3C GIF89a spec): logical-
+      * screen + block walk to the first image descriptor, LZW decompress
+      * (LSB-first variable-width codes, dictionary reset on CLEAR, the
+      * codes-read width-growth convention real encoders emit), palette
+      * lookup, the same integer luma weights as the BMP path. Interlaced
+      * frames are written back through the 4-pass row order. Returns the
+      * frame's OWN rectangle (a real-world first frame covers the canvas;
+      * later frames of an animation are deltas — metadata counts them,
+      * content dedup keys on the first). Malformed, truncated, paletteless
+      * or oversized (> 2^26 px) input returns None, never throws; LZW work
+      * is bounded by the declared frame size, so a crafted stream cannot
+      * expand past the fw*fh output buffer. */
+    private def decodeGif(b: Array[Byte]): Option[Gray] = {
+      val packed = u8(b, 10)
+      var pos = 13
+      var palOff = -1; var palSize = 0
+      if ((packed & 0x80) != 0) {
+        palOff = pos; palSize = 1 << ((packed & 7) + 1)
+        pos += 3 * palSize
+      }
+      // block walk to the first image descriptor
+      while (pos < b.length && u8(b, pos) != 0x2c) {
+        u8(b, pos) match {
+          case 0x21 if pos + 2 <= b.length => // extension: label + sub-blocks
+            pos += 2
+            while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+            pos += 1
+          case _ => return None // trailer / junk before any frame
+        }
+      }
+      if (pos + 10 > b.length) return None
+      val fw = le16(b, pos + 5); val fh = le16(b, pos + 7)
+      val ip = u8(b, pos + 9)
+      pos += 10
+      if ((ip & 0x80) != 0) { // local color table overrides the global one
+        palOff = pos; palSize = 1 << ((ip & 7) + 1)
+        pos += 3 * palSize
+      }
+      if (palOff < 0 || palOff + 3 * palSize > b.length) return None
+      if (fw <= 0 || fh <= 0 || fw.toLong * fh > (1L << 26)) return None
+      val interlaced = (ip & 0x40) != 0
+      if (pos >= b.length) return None
+      val mcs = u8(b, pos); pos += 1
+      if (mcs < 2 || mcs > 8) return None
+      // concatenate the length-prefixed sub-blocks into one code stream
+      val data = new ByteArrayOutputStream()
+      while (pos < b.length && u8(b, pos) != 0) {
+        val n = u8(b, pos)
+        if (pos + 1 + n > b.length) return None
+        data.write(b, pos + 1, n)
+        pos += 1 + n
+      }
+      val code = data.toByteArray
+      val clear = 1 << mcs; val eoi = clear + 1
+      val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+      val stack = new Array[Byte](4097)
+      val idx = new Array[Byte](fw * fh) // palette indices, file row order
+      var out = 0
+      var next = eoi + 1       // next entry STORED (lags the width counter)
+      var width = mcs + 1
+      var running = eoi + 1    // codes-READ counter: real encoders grow the
+      var maxCode1 = 1 << width // width off emitted-code count, which runs
+                                // one ahead of the decoder's stored entries
+      var acc = 0L; var accBits = 0; var bytePos = 0
+      def readCode(): Int = {
+        while (accBits < width) {
+          if (bytePos >= code.length) return -1
+          acc |= (code(bytePos) & 0xffL) << accBits
+          accBits += 8; bytePos += 1
+        }
+        val v = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width; accBits -= width
+        if (running < 4098) {
+          running += 1
+          if (running > maxCode1 && width < 12) { maxCode1 <<= 1; width += 1 }
+        }
+        v
+      }
+      var prev = -1
+      var first = 0
+      var done = false
+      while (!done) {
+        val c = readCode()
+        if (c < 0) return None // truncated before the frame filled
+        if (c == clear) {
+          next = eoi + 1; prev = -1
+          width = mcs + 1; running = eoi + 1; maxCode1 = 1 << width
+        } else if (c == eoi) done = true
+        else if (prev < 0) {
+          if (c >= clear) return None // first code after clear must be a root
+          first = c
+          if (out < idx.length) { idx(out) = c.toByte; out += 1 }
+          prev = c
+        } else {
+          var sp = 0
+          var cur = c
+          if (c >= next) { // KwKwK: only the not-yet-stored next code is legal
+            if (c != next) return None
+            stack(sp) = first.toByte; sp += 1
+            cur = prev
+          }
+          while (cur >= clear) { // composite codes chain down to a root
+            if (cur <= eoi || sp >= 4096) return None
+            stack(sp) = suffix(cur); sp += 1
+            cur = prefix(cur)
+          }
+          first = cur
+          stack(sp) = cur.toByte; sp += 1
+          while (sp > 0) {
+            sp -= 1
+            if (out < idx.length) { idx(out) = stack(sp); out += 1 }
+          }
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first.toByte
+            next += 1
+          }
+          prev = c
+          if (out >= idx.length) done = true
+        }
+      }
+      if (out < idx.length) return None // stream ended short of the frame
+      // palette -> gray, de-interlacing the 4-pass row order if flagged
+      val gray = new Array[Int](fw * fh)
+      def lum(pi: Int): Int = {
+        val o = palOff + 3 * pi
+        (u8(b, o) * 299 + u8(b, o + 1) * 587 + u8(b, o + 2) * 114) / 1000
+      }
+      if (!interlaced) {
+        var i = 0
+        while (i < idx.length) {
+          val pi = idx(i) & 0xff
+          if (pi >= palSize) return None
+          gray(i) = lum(pi)
+          i += 1
+        }
+      } else {
+        val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+        var src = 0
+        var p = 0
+        while (p < 4) {
+          var y = starts(p)
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val pi = idx(src) & 0xff; src += 1
+              if (pi >= palSize) return None
+              gray(y * fw + x) = lum(pi)
+              x += 1
+            }
+            y += steps(p)
+          }
+          p += 1
+        }
+      }
+      Some(Gray(fw, fh, gray))
+    }
 
     private def decodePng(b: Array[Byte]): Option[Gray] = {
       var i = 8
@@ -2049,7 +2304,16 @@ object Multimodal {
         // baseline/PNG/BMP originals exactly like baseline ones do
         if ((id / math.max(jpegEvery, 1)) % 2 == 0) ImageGen.jpeg(w, h, seed, noise)
         else ImageGen.jpegProgressive(w, h, seed, noise)
-      } else ImageGen.png(w, h, seed, noise))
+      } else {
+        // the lossless slot alternates PNG / GIF by slot ordinal (and GIF
+        // plain / INTERLACED by the next bit) — web corpora carry a real
+        // GIF share, so the default rotation pays LZW decode and the
+        // 4-pass row shuffle the same way the JPEG slot pays entropy
+        // decode; all three lossless containers hold identical pixels
+        val ord = if (bmpEvery > 0) id / bmpEvery else id
+        if (ord % 2 == 0) ImageGen.png(w, h, seed, noise)
+        else ImageGen.gif(w, h, seed, noise, interlaced = (ord / 2) % 2 == 1)
+      })
 
   /** Attach a deterministic PIXEL-carrying image payload ([[ImageGen]]) —
     * the image-dedup analogue of [[withBinaryPayload]]'s header-only
@@ -2060,10 +2324,12 @@ object Multimodal {
     * perceptual hashes absorb — the web-dominant format as a first-class
     * corpus member; the slot itself alternates BASELINE and PROGRESSIVE
     * coding by slot ordinal, both decoding to identical pixels), `== 2`
-    * PNG — so container independence, including the lossy cross-container
-    * and cross-coding cases, is part of what q30c exercises. An
-    * id-shifted twin generally lands in a DIFFERENT container than its
-    * original. */
+    * PNG or GIF (alternating by slot ordinal, GIF alternating plain and
+    * INTERLACED — LZW decode and the 4-pass row shuffle are first-class
+    * corpus work, and both losslessly hold the same field as PNG/BMP) —
+    * so container independence, including the lossy cross-container and
+    * cross-coding cases, is part of what q30c exercises. An id-shifted
+    * twin generally lands in a DIFFERENT container than its original. */
   def withImagePayload(
       documents: DataFrame,
       idCol: String = "doc_id",
@@ -2147,6 +2413,49 @@ object Multimodal {
     Dedup.simHashPairsFromSignatures(
       hashes.select(col("doc_id"), col("dhash").as("sh")), maxHamming)
 
+  final case class DecodeStatus(doc_id: Long, format: String, decodable: Boolean)
+
+  /** Per-row decode-matrix introspection: the container format (header
+    * parse) and whether the CONTENT decoders can actually open the payload
+    * — image formats through [[ImageDecoder]], `wav` through
+    * [[WavDecoder]]. A format the engine recognizes but cannot pixel/
+    * sample-decode (interlaced PNG, arithmetic JPEG, compressed-audio
+    * RIFF, WebP → `unknown`) reports `decodable = false` — the rows that
+    * silently skip content dedup. Partition-parallel; payload bytes never
+    * leave the executors. */
+  def decodeStatus(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val input = withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val fmt = ContainerParser.parse(payload).format
+          val ok = fmt match {
+            case "png" | "bmp" | "jpeg" | "gif" => ImageDecoder.decode(payload).isDefined
+            case "wav" => WavDecoder.decode(payload).isDefined
+            case _ => false
+          }
+          DecodeStatus(id, fmt, ok)
+        }
+      }(Encoders.product[DecodeStatus])
+      .toDF()
+  }
+
+  /** The decode matrix, aggregated: rows / decodable / skipped per format
+    * over a payload corpus — the measurement that turns "formats we can't
+    * decode silently skip dedup" into a number an operator can watch.
+    * Composes [[decodeStatus]] with a slim per-format hash aggregation
+    * (3 columns ride the shuffle, never payloads). */
+  def decodeStats(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame =
+    decodeStatus(withPayload, idCol)
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("decodable"), 1L).otherwise(0L)).as("decodable"),
+        round(avg(when(col("decodable"), 1.0).otherwise(0.0)), 4).as("decodable_ratio"))
+      .orderBy(col("format"))
+
   // -------------------------------------------------------------------
   // Content-level AUDIO dedup: PCM decode + energy-delta fingerprint
   // -------------------------------------------------------------------
@@ -2212,27 +2521,180 @@ object Multimodal {
       }
       out.toByteArray
     }
+
+    // ---- companded + block-compressed WAV variants (public specs) ------
+    //
+    // Telephony crawls carry G.711 µ-law/A-law RIFF (format tags 7/6) and
+    // IMA-ADPCM (tag 0x11) at least as often as plain PCM — these encoders
+    // render the SAME seed-derived waveform through each companding so the
+    // fingerprint's encoding-invariance is a planted, testable fact. The
+    // compand curves are the classic public G.711 reference formulas (the
+    // widely-reproduced Sun g711.c constructions); IMA-ADPCM is the IMA
+    // DVI4 algorithm (step-size table + 3-bit magnitude ladder).
+
+    /** G.711 µ-law encode of one 16-bit linear sample. */
+    private[operators] def linearToMulaw(pcm0: Int): Int = {
+      var pcm = pcm0
+      val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
+      if (pcm > 32635) pcm = 32635
+      pcm += 0x84
+      var exp = 7; var mask = 0x4000
+      while (exp > 0 && (pcm & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mant = (pcm >> (exp + 3)) & 0x0f
+      (~(sign | (exp << 4) | mant)) & 0xff
+    }
+
+    /** G.711 A-law encode of one 16-bit linear sample. */
+    private[operators] def linearToAlaw(pcm0: Int): Int = {
+      var pcm = pcm0 >> 3 // A-law operates on 13-bit magnitudes
+      val mask = if (pcm >= 0) 0xd5 else { pcm = -pcm - 1; 0x55 }
+      val segEnds = Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff)
+      var seg = 0
+      while (seg < 8 && pcm > segEnds(seg)) seg += 1
+      if (seg >= 8) 0x7f ^ mask
+      else {
+        val aval = (seg << 4) | (if (seg < 2) (pcm >> 1) & 0x0f else (pcm >> seg) & 0x0f)
+        aval ^ mask
+      }
+    }
+
+    /** One G.711-companded RIFF/WAVE: `alaw = false` -> µ-law (format tag
+      * 7), true -> A-law (tag 6); mono 8000 Hz, one byte per sample. */
+    def wavG711(n: Int, seed: Long, noise: Int = 0, gain: Double = 1.0,
+        alaw: Boolean = false): Array[Byte] = {
+      val xs = samples(n, seed, noise, gain)
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes(StandardCharsets.US_ASCII)); out.write(le32(38 + n))
+      out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+      out.write("fmt ".getBytes(StandardCharsets.US_ASCII)); out.write(le32(18))
+      out.write(le16(if (alaw) 6 else 7)); out.write(le16(1)) // tag, mono
+      out.write(le32(8000)); out.write(le32(8000))
+      out.write(le16(1)); out.write(le16(8)); out.write(le16(0)) // align, bits, cbSize
+      out.write("data".getBytes(StandardCharsets.US_ASCII)); out.write(le32(n))
+      var i = 0
+      while (i < n) {
+        val lin = (xs(i) * 32767.0).round.toInt
+        out.write(if (alaw) linearToAlaw(lin) else linearToMulaw(lin))
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** The IMA-ADPCM step-size table (89 entries, public IMA DVI4 spec). */
+    private[operators] val ImaSteps: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private[operators] val ImaIndexAdjust: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** IMA-ADPCM mono RIFF/WAVE (format tag 0x11): 4-byte block headers
+      * (predictor + step index) then 4-bit deltas, `blockAlign`-byte
+      * blocks, a `fact` chunk carrying the true sample count. The encoder
+      * runs the DECODER's predictor update (the algorithm is symmetric),
+      * so decode error is the quantizer's, never drift. */
+    def wavAdpcm(n: Int, seed: Long, noise: Int = 0, gain: Double = 1.0,
+        blockAlign: Int = 256): Array[Byte] = {
+      require(blockAlign >= 8 && blockAlign % 4 == 0, s"blockAlign=$blockAlign")
+      val xs = samples(n, seed, noise, gain)
+      val spb = (blockAlign - 4) * 2 + 1 // samples per mono block
+      val nBlocks = (n + spb - 1) / spb
+      val dataLen = nBlocks * blockAlign
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
+      out.write(le32(4 + 8 + 20 + 8 + 4 + 8 + dataLen))
+      out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+      out.write("fmt ".getBytes(StandardCharsets.US_ASCII)); out.write(le32(20))
+      out.write(le16(0x11)); out.write(le16(1)) // IMA-ADPCM, mono
+      out.write(le32(8000)); out.write(le32(8000 * blockAlign / spb))
+      out.write(le16(blockAlign)); out.write(le16(4)) // align, bits
+      out.write(le16(2)); out.write(le16(spb)) // cbSize, samplesPerBlock
+      out.write("fact".getBytes(StandardCharsets.US_ASCII)); out.write(le32(4))
+      out.write(le32(n))
+      out.write("data".getBytes(StandardCharsets.US_ASCII)); out.write(le32(dataLen))
+      var s = 0
+      var index = 0
+      while (s < n) { // one block
+        var predictor = (xs(s) * 32767.0).round.toInt
+        out.write(le16(predictor & 0xffff)); out.write(index); out.write(0)
+        var k = 1 // header carried sample 0
+        var nibbles = 0; var pending = 0
+        while (k < spb) {
+          val target = if (s + k < n) (xs(s + k) * 32767.0).round.toInt else predictor
+          val step = ImaSteps(index)
+          var diff = target - predictor
+          var code = 0
+          if (diff < 0) { code = 8; diff = -diff }
+          if (diff >= step) { code |= 4; diff -= step }
+          if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+          if (diff >= (step >> 2)) { code |= 1 }
+          // decoder-identical reconstruction
+          var delta = step >> 3
+          if ((code & 4) != 0) delta += step
+          if ((code & 2) != 0) delta += step >> 1
+          if ((code & 1) != 0) delta += step >> 2
+          predictor = math.max(-32768, math.min(32767,
+            if ((code & 8) != 0) predictor - delta else predictor + delta))
+          index = math.max(0, math.min(88, index + ImaIndexAdjust(code & 7)))
+          if (nibbles == 0) { pending = code; nibbles = 1 }
+          else { out.write(pending | (code << 4)); nibbles = 0 } // low nibble first
+          k += 1
+        }
+        if (nibbles == 1) out.write(pending)
+        s += spb
+      }
+      out.toByteArray
+    }
   }
 
-  /** PCM sample decode for RIFF/WAVE — the content-level step beyond
+  /** Sample decode for RIFF/WAVE — the content-level step beyond
     * [[ContainerParser]]'s duration metadata: chunk walk to `fmt `/`data`,
-    * uncompressed mono/stereo PCM at 8 or 16 bits (stereo averages to
-    * mono), normalized to [-1, 1]. Anything else (compressed, float,
-    * truncated) → None, never throws. */
+    * then per format tag: 1 = uncompressed mono/stereo PCM at 8/16 bits
+    * (stereo averages to mono), 6/7 = G.711 A-law/µ-law (telephony-crawl
+    * WAVs — the classic public compand curves), 0x11 = IMA-ADPCM mono
+    * (4-byte block headers + 4-bit deltas, `fact`-chunk sample count).
+    * All normalized to [-1, 1]. Anything else (MP3/float/stereo-ADPCM,
+    * truncated) → None, never throws — and [[Multimodal.decodeStats]]
+    * makes the skipped share measurable. */
   object WavDecoder {
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
     private def le32(b: Array[Byte], i: Int): Int =
       u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
 
+    /** G.711 µ-law byte → 16-bit linear (the public reference expansion;
+      * e.g. 0x00 → -32124, 0xff → 0 — the published anchor values). */
+    private def mulawToLinear(uIn: Int): Int = {
+      val u = ~uIn & 0xff
+      var t = ((u & 0x0f) << 3) + 0x84
+      t <<= (u & 0x70) >> 4
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** G.711 A-law byte → 16-bit linear. */
+    private def alawToLinear(aIn: Int): Int = {
+      val a = (aIn ^ 0x55) & 0xff
+      var t = (a & 0x0f) << 4
+      val seg = (a & 0x70) >> 4
+      if (seg == 0) t += 8
+      else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+
     def decode(b: Array[Byte]): Option[Array[Double]] =
       try {
         if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
           b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
         var i = 12
-        var fmtOk = false
+        var audioFormat = 0
         var channels = 0
         var bits = 0
+        var blockAlign = 0
+        var samplesPerBlock = 0
+        var factSamples = -1
         var dataOff = -1
         var dataLen = 0
         while (i + 8 <= b.length) {
@@ -2244,37 +2706,93 @@ object Multimodal {
           } else {
             id match {
               case "fmt " if len >= 16 =>
-                val audioFormat = le16(b, i + 8)
+                audioFormat = le16(b, i + 8)
                 channels = le16(b, i + 10)
+                blockAlign = le16(b, i + 20)
                 bits = le16(b, i + 22)
-                fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
-                  (channels == 1 || channels == 2)
+                if (audioFormat == 0x11 && len >= 20) samplesPerBlock = le16(b, i + 26)
+              case "fact" if len >= 4 => factSamples = le32(b, i + 8)
               case "data" => dataOff = i + 8; dataLen = len
               case _ => ()
             }
             i += 8 + len + (len & 1) // RIFF chunks are word-aligned
           }
         }
-        if (!fmtOk || dataOff < 0 || dataLen <= 0) return None
-        val bytesPer = bits / 8
-        val frame = bytesPer * channels
-        val n = dataLen / frame
-        if (n == 0) return None
-        val out = new Array[Double](n)
-        var s = 0
-        while (s < n) {
-          var acc = 0.0
-          var c = 0
-          while (c < channels) {
-            val o = dataOff + s * frame + c * bytesPer
-            acc += (if (bits == 8) (u8(b, o) - 128) / 128.0
-              else (le16(b, o).toShort.toInt) / 32768.0)
-            c += 1
-          }
-          out(s) = acc / channels
-          s += 1
+        if (dataOff < 0 || dataLen <= 0) return None
+        audioFormat match {
+          case 1 if (bits == 8 || bits == 16) && (channels == 1 || channels == 2) =>
+            val bytesPer = bits / 8
+            val frame = bytesPer * channels
+            val n = dataLen / frame
+            if (n == 0) return None
+            val out = new Array[Double](n)
+            var s = 0
+            while (s < n) {
+              var acc = 0.0
+              var c = 0
+              while (c < channels) {
+                val o = dataOff + s * frame + c * bytesPer
+                acc += (if (bits == 8) (u8(b, o) - 128) / 128.0
+                  else (le16(b, o).toShort.toInt) / 32768.0)
+                c += 1
+              }
+              out(s) = acc / channels
+              s += 1
+            }
+            Some(out)
+          case 6 | 7 if channels == 1 && bits == 8 =>
+            val out = new Array[Double](dataLen)
+            var s = 0
+            while (s < dataLen) {
+              val lin = if (audioFormat == 7) mulawToLinear(u8(b, dataOff + s))
+                        else alawToLinear(u8(b, dataOff + s))
+              out(s) = lin / 32768.0
+              s += 1
+            }
+            Some(out)
+          case 0x11 if channels == 1 && bits == 4 && blockAlign >= 8 =>
+            // mono IMA-ADPCM: samplesPerBlock from fmt when present, else
+            // the mono layout constant (blockAlign - 4) * 2 + 1
+            val spb = if (samplesPerBlock > 0) samplesPerBlock
+                      else (blockAlign - 4) * 2 + 1
+            if (spb < 1 || spb > (blockAlign - 4) * 2 + 1) return None
+            val nBlocks = dataLen / blockAlign
+            if (nBlocks == 0) return None
+            val total0 = nBlocks * spb
+            val total = if (factSamples > 0 && factSamples <= total0) factSamples else total0
+            val out = new Array[Double](total)
+            var outPos = 0
+            var blk = 0
+            while (blk < nBlocks && outPos < total) {
+              val base = dataOff + blk * blockAlign
+              var predictor = le16(b, base).toShort.toInt
+              var index = math.max(0, math.min(88, u8(b, base + 2)))
+              if (outPos < total) { out(outPos) = predictor / 32768.0; outPos += 1 }
+              var k = 1
+              var byteAt = base + 4
+              var low = true // low nibble first per the IMA WAV layout
+              while (k < spb && outPos < total) {
+                val code =
+                  if (low) u8(b, byteAt) & 0x0f
+                  else { val v = (u8(b, byteAt) >> 4) & 0x0f; byteAt += 1; v }
+                low = !low
+                val step = AudioGen.ImaSteps(index)
+                var delta = step >> 3
+                if ((code & 4) != 0) delta += step
+                if ((code & 2) != 0) delta += step >> 1
+                if ((code & 1) != 0) delta += step >> 2
+                predictor = math.max(-32768, math.min(32767,
+                  if ((code & 8) != 0) predictor - delta else predictor + delta))
+                index = math.max(0, math.min(88, index + AudioGen.ImaIndexAdjust(code & 7)))
+                out(outPos) = predictor / 32768.0; outPos += 1
+                k += 1
+              }
+              blk += 1
+            }
+            if (outPos < total) return None
+            Some(out)
+          case _ => None
         }
-        Some(out)
       } catch { case _: Exception => None }
   }
 
@@ -2306,26 +2824,30 @@ object Multimodal {
     Some(h)
   }
 
-  private def audioGenUdf(n: Int, noise: Int, bits: Int) =
-    udf((seed: Long) => AudioGen.wav(n, seed, noise, bits))
+  private def audioGenUdf(n: Int, noise: Int) =
+    udf((id: Long, seed: Long) => (id % 5) match {
+      case 0 => AudioGen.wav(n, seed, noise, bits = 8)
+      case 1 | -1 => AudioGen.wav(n, seed, noise, bits = 16)
+      case 2 | -2 => AudioGen.wavG711(n, seed, noise, alaw = false) // µ-law
+      case 3 | -3 => AudioGen.wavG711(n, seed, noise, alaw = true)  // A-law
+      case _ => AudioGen.wavAdpcm(n, seed, noise)
+    })
 
-  /** Attach a deterministic PCM WAV payload — the audio analogue of
+  /** Attach a deterministic WAV payload — the audio analogue of
     * [[withImagePayload]]; `seedCol` decouples content from identity so
-    * noisy twins can be planted; every other id gets 16-bit samples of the
-    * same waveform (sample-width independence is part of what q30d
-    * exercises). */
+    * noisy twins can be planted. Ids rotate the ENCODING of the same
+    * waveform — `id % 5`: 8-bit PCM, 16-bit PCM, G.711 µ-law, G.711
+    * A-law, IMA-ADPCM — so sample-width AND companding/block-compression
+    * independence are part of what q30d exercises (an id-shifted twin
+    * generally lands in a different encoding than its original). */
   def withAudioPayload(
       documents: DataFrame,
       idCol: String = "doc_id",
       seedCol: String = "doc_id",
       nSamples: Int = 4000,
-      noise: Int = 0): DataFrame = {
-    val w8 = audioGenUdf(nSamples, noise, 8)
-    val w16 = audioGenUdf(nSamples, noise, 16)
+      noise: Int = 0): DataFrame =
     documents.withColumn("payload",
-      when(col(idCol).cast("long") % 2 === 0, w8(col(seedCol).cast("long")))
-        .otherwise(w16(col(seedCol).cast("long"))))
-  }
+      audioGenUdf(nSamples, noise)(col(idCol).cast("long"), col(seedCol).cast("long")))
 
   final case class AudioHash(doc_id: Long, n_samples: Int, afp: Long)
 

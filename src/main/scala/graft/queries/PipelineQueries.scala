@@ -2073,6 +2073,46 @@ object PipelineQueries {
       },
       None),
 
+    // Q30f: the DECODE MATRIX — per-format rows / content-decodable rows /
+    // ratio over a mixed media corpus (the full image rotation, an audio
+    // corpus, and a planted slice of 8-byte-truncated payloads that parse
+    // as nothing). This is the introspection that turns "formats the
+    // engine can't decode silently skip content dedup" into a measurable
+    // number. FULLY ORACLE-CHECKED: the generator's container rotation and
+    // the decoder's format matrix are both deterministic functions of
+    // doc_id, so DuckDB re-derives every count — if a format ever starts
+    // silently failing to decode, the ratio row hash-mismatches.
+    QueryDef(
+      "q30f_decode_stats",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val img = Multimodal.withImagePayload(ids.filter(col("doc_id") % 17 =!= 0))
+        val trunc = Multimodal.withImagePayload(ids.filter(col("doc_id") % 17 === 0))
+          .withColumn("payload", expr("substring(payload, 1, 8)"))
+        val aud = Multimodal.withAudioPayload(ids)
+        Multimodal.decodeStats(img.unionByName(trunc).unionByName(aud))
+          .select(col("format"), col("rows").as("n_rows"),
+            col("decodable"), col("decodable_ratio"))
+          .orderBy("format")
+      },
+      Some("""WITH img AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+             |              WHEN doc_id % 3 = 1 THEN 'jpeg'
+             |              WHEN (doc_id // 3) % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+             |         1 AS ok
+             |  FROM documents WHERE doc_id % 17 <> 0),
+             |trunc AS (
+             |  SELECT doc_id, 'unknown' AS format, 0 AS ok
+             |  FROM documents WHERE doc_id % 17 = 0),
+             |aud AS (SELECT doc_id, 'wav' AS format, 1 AS ok FROM documents),
+             |u AS (SELECT * FROM img UNION ALL SELECT * FROM trunc
+             |      UNION ALL SELECT * FROM aud)
+             |SELECT format, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(ok) AS BIGINT) AS decodable,
+             |       round(avg(CAST(ok AS DOUBLE)), 4) AS decodable_ratio
+             |FROM u GROUP BY format ORDER BY format""".stripMargin)),
+
     // Q32: BM25 keyword retrieval — the corpus-inspection companion to the
     // embedding search family: three keyword queries (one with a rare
     // discriminative term, one multi-term, one with no corpus hits) scored

@@ -44,7 +44,11 @@ object BandProbe {
     val sizes = args.lift(0).getOrElse("100000,400000")
       .split(",").map(_.trim.toLong).toSeq
     val batchDocs = args.lift(1).map(_.toInt).getOrElse(50)
-    val buckets = args.lift(2).map(_.toInt).getOrElse(4096)
+    // "auto" probes the DEFAULT layout (AutoBuckets — P sized off the store)
+    val buckets = args.lift(2) match {
+      case Some("auto") => Dedup.AutoBuckets
+      case v => v.map(_.toInt).getOrElse(4096)
+    }
     val reps = args.lift(3).map(_.toInt).getOrElse(9)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-band-probe")
@@ -56,7 +60,8 @@ object BandProbe {
       val flat = s"$out/flat_$n"
       val bkt = s"$out/bkt_$n"
       var t0 = System.nanoTime()
-      Dedup.writeMinHashIndex(docs, flat, shingleN = 3, numHashes = 64, bands = 16)
+      Dedup.writeMinHashIndex(docs, flat, shingleN = 3, numHashes = 64, bands = 16,
+        bandBuckets = 0) // explicit flat baseline
       val buildFlat = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       Dedup.writeMinHashIndex(docs, bkt, shingleN = 3, numHashes = 64, bands = 16,

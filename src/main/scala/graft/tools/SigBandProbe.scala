@@ -43,7 +43,11 @@ object SigBandProbe {
     val sizes = args.lift(0).getOrElse("1000000,4000000")
       .split(",").map(_.trim.toLong).toSeq
     val batchDocs = args.lift(1).map(_.toInt).getOrElse(50)
-    val buckets = args.lift(2).map(_.toInt).getOrElse(4096)
+    // "auto" probes the DEFAULT layout (AutoBuckets — P sized off the store)
+    val buckets = args.lift(2) match {
+      case Some("auto") => Dedup.AutoBuckets
+      case v => v.map(_.toInt).getOrElse(4096)
+    }
     val reps = args.lift(3).map(_.toInt).getOrElse(9)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-sigband-probe")
@@ -55,7 +59,7 @@ object SigBandProbe {
       val flat = s"$out/flat_$n"
       val bkt = s"$out/bkt_$n"
       var t0 = System.nanoTime()
-      Dedup.writeSignatureIndex(sigs, flat)
+      Dedup.writeSignatureIndex(sigs, flat, sigBuckets = 0) // explicit flat baseline
       val buildFlat = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       Dedup.writeSignatureIndex(sigs, bkt, maxHamming = 6, comboSize = 2,

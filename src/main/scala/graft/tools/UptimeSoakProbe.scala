@@ -346,7 +346,8 @@ object UptimeSoakProbe {
     val pxIdx = s"$out/p_xidx"
     val pmIdx = s"$out/p_midx"
     Dedup.writeExactIndex(docs.limit(0), pxIdx)
-    Dedup.writeMinHashIndex(docs.limit(0), pmIdx, shingleN = 3, numHashes = 64, bands = 16)
+    Dedup.writeMinHashIndex(docs.limit(0), pmIdx, shingleN = 3, numHashes = 64, bands = 16,
+      bandBuckets = 0) // pipeline-phase soak measures the flat layout
     val cap5 = new Capture(spark)
     spark.streams.addListener(cap5)
     val t5 = System.nanoTime()

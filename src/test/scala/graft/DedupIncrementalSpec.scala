@@ -559,7 +559,8 @@ class DedupIncrementalSpec extends AnyFunSuite {
   test("band-bucketed index: probe == flat probe; the band read is pruned to the batch's buckets") {
     val corpus = Tables.documents(spark, TestSpark.Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_bband_").toString
-    Dedup.writeMinHashIndex(corpus, s"$tmp/flat", shingleN = 3, numHashes = 64, bands = 16)
+    Dedup.writeMinHashIndex(corpus, s"$tmp/flat", shingleN = 3, numHashes = 64, bands = 16,
+      bandBuckets = 0) // explicit flat baseline
     Dedup.writeMinHashIndex(corpus, s"$tmp/bkt", shingleN = 3, numHashes = 64, bands = 16,
       bandBuckets = 512)
 
@@ -1226,7 +1227,7 @@ class DedupIncrementalSpec extends AnyFunSuite {
   test("band-bucketed signature store: micro probe == flat probe; whole probe pruned to hit buckets") {
     val corpus = Tables.documents(spark, TestSpark.Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_sgband_").toString
-    Dedup.writeSimHashIndex(corpus, s"$tmp/flat")
+    Dedup.writeSimHashIndex(corpus, s"$tmp/flat", sigBuckets = 0) // explicit flat baseline
     Dedup.writeSimHashIndex(corpus, s"$tmp/bkt", maxHamming = 6, comboSize = 2,
       sigBuckets = 2048)
 
@@ -1424,7 +1425,7 @@ class DedupIncrementalSpec extends AnyFunSuite {
     // the old meta+bands survived the overwrite, so every frozen-banding
     // probe ran against the OLD corpus's band rows: pairing with deleted
     // docs and finding nothing against the new ones
-    Dedup.writeSimHashIndex(newCorpus, s"$tmp/idx")
+    Dedup.writeSimHashIndex(newCorpus, s"$tmp/idx", sigBuckets = 0) // FLAT rebuild over the bucketed store
     val fs = graft.core.Segments.fs(spark, tmp)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/idx/meta")),
       "a flat rebuild must retract the stale bucketed meta")
@@ -1450,7 +1451,7 @@ class DedupIncrementalSpec extends AnyFunSuite {
   test("bucketed probe falls back to flat when bands/ is missing, and heals a staged band swap") {
     val corpus = Tables.documents(spark, TestSpark.Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_sgheal_").toString
-    Dedup.writeSimHashIndex(corpus, s"$tmp/flat")
+    Dedup.writeSimHashIndex(corpus, s"$tmp/flat", sigBuckets = 0) // explicit flat baseline
     // 2048 buckets: the mod-25 batch's ~560 block keys hit a MINORITY of
     // buckets, so the probe takes the bucketed path (the path under test)
     Dedup.writeSimHashIndex(corpus, s"$tmp/bkt", maxHamming = 6, comboSize = 2,
@@ -1624,5 +1625,117 @@ class DedupIncrementalSpec extends AnyFunSuite {
       "the no-op path sweeps stale fold markers")
     assert(tree("docs") == docsBefore,
       "a healthy store's docs tree is NOT rewritten when there is nothing to fold")
+  }
+
+  /** The `_BUCKETS` marker riding inside a band tree (the tree's operative
+    * partition count, swapped atomically with its rows). */
+  private def treeBuckets(idx: String): Option[Int] = {
+    val f = new java.io.File(s"$idx/bands/_BUCKETS")
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt)
+  }
+
+  test("auto-sized bucketing is the default; flat is the explicit escape hatch; probes agree") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_autobkt_").toString
+
+    // default SimHash build: bucketed at the auto floor for a tiny corpus
+    Dedup.writeSimHashIndex(corpus, s"$tmp/sauto")
+    val sMeta = spark.read.parquet(s"$tmp/sauto/meta").head()
+    assert(sMeta.getAs[Int]("sig_buckets") == 64,
+      "a tiny corpus auto-sizes to the 64-bucket floor")
+    assert(treeBuckets(s"$tmp/sauto").contains(64),
+      "the band tree carries its operative bucket count")
+    // default MinHash build: same posture, meta column band_buckets
+    Dedup.writeMinHashIndex(corpus, s"$tmp/mauto", shingleN = 3, numHashes = 64, bands = 16)
+    assert(spark.read.parquet(s"$tmp/mauto/meta").head().getAs[Int]("band_buckets") == 64)
+    assert(treeBuckets(s"$tmp/mauto").contains(64))
+    // explicit flat: no band tree at all
+    Dedup.writeSimHashIndex(corpus, s"$tmp/sflat", sigBuckets = 0)
+    assert(!new java.io.File(s"$tmp/sflat/bands").exists(), "sigBuckets = 0 keeps the flat layout")
+
+    // the default-built store probes identically to the flat one (a ONE-DOC
+    // batch, so it rides the pruned path even at 64 buckets)
+    def tri(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val one = simSign(corpus.filter(col("doc_id") === 7)
+      .withColumn("doc_id", col("doc_id") + 30000)).localCheckpoint()
+    val auto = tri(Dedup.signatureMicroIncremental(one, s"$tmp/sauto", maxHamming = 6))
+    assert(auto == tri(Dedup.signatureMicroIncremental(one, s"$tmp/sflat", maxHamming = 6)),
+      "auto-bucketed probe must equal the flat probe")
+    assert(auto.exists(p => p._1 == 7L), "the planted twin must surface")
+    graft.core.Blocks.free(one)
+  }
+
+  test("compactDocIndex re-buckets a store that outgrew its P; meta stays frozen, probes stay exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rebkt_").toString
+    val idx = s"$tmp/idx"
+    // 20k synthetic signatures at P=64: auto size is 20_000 * 28 / 4096 =
+    // 136 >= 2 * 64, so the store has OUTGROWN its layout
+    val sigs = spark.range(0, 20000)
+      .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
+    Dedup.writeSignatureIndex(sigs, idx, maxHamming = 6, comboSize = 2, sigBuckets = 64)
+    assert(treeBuckets(idx).contains(64))
+    // plant a twin of doc 42 and pin the pre-re-bucket probe result
+    val twin = Seq((90042L, 42L * 2654435761L)).toDF("doc_id", "sh").localCheckpoint()
+    def probe() = Dedup.signatureMicroIncremental(twin, idx, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before.contains((42L, 90042L)), "the planted twin pairs before re-bucketing")
+
+    Dedup.compactDocIndex(spark, idx) // nothing to fold — pure layout catch-up
+    assert(treeBuckets(idx).contains(136),
+      s"compaction re-buckets the outgrown store (saw ${treeBuckets(idx)})")
+    assert(spark.read.parquet(s"$idx/meta").head().getAs[Int]("sig_buckets") == 64,
+      "meta keeps the build-time value — the tree marker is the operative one")
+    assert(probe() == before, "the probe is exact across the re-bucket")
+    // appends and segments land at the NEW P (heal-then-read): their bucket
+    // column must agree with the re-bucketed tree's partitioning
+    Dedup.appendToSignatureIndex(
+      Seq((95000L, 777L)).toDF("doc_id", "sh"), idx)
+    val appended = spark.read.parquet(s"$idx/bands")
+      .filter(col("doc") === 95000L).select("band", "bucket").collect()
+    assert(appended.nonEmpty &&
+      appended.forall(r => ((r.getLong(0) % 136) + 136) % 136 == r.getInt(1)),
+      "direct appends bucket at the re-bucketed P")
+    // idempotence: a second compaction with nothing outgrown is a no-op
+    Dedup.compactDocIndex(spark, idx)
+    assert(treeBuckets(idx).contains(136))
+  }
+
+  test("orphaned docs from a crashed append are reported, and the fold cycle heals them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orph_").toString
+    val idx = s"$tmp/idx"
+    val corpus = Tables.documents(spark, TestSpark.Sf0001).filter(col("doc_id") < 200)
+    Dedup.writeSimHashIndex(corpus, idx) // auto-bucketed default
+    assert(Dedup.docIndexStats(spark, idx)("graft.docindex.orphan-docs") == "0")
+
+    // simulate appendToSignatureIndex dying between the docs append and the
+    // band append: doc rows land, band rows never do (the fail-open window)
+    val t7 = corpus.filter(col("doc_id") === 7).select("text").head().getString(0)
+    val orphanSigs = simSign(Seq((60007L, t7)).toDF("doc_id", "text")).localCheckpoint()
+    orphanSigs.write.mode("append").parquet(s"$idx/docs")
+
+    val stats = Dedup.docIndexStats(spark, idx)
+    assert(stats("graft.docindex.orphan-docs") == "1",
+      s"the footer-count reconcile must surface the orphan: $stats")
+    // the window FAILS OPEN: a twin of the orphan is admitted (no pair)
+    // by the bucketed probe — exactly what the reconcile exists to bound
+    val twin = simSign(Seq((70007L, t7)).toDF("doc_id", "text")).localCheckpoint()
+    def pairs() = Dedup.signatureMicroIncremental(twin, idx, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs().contains((60007L, 70007L)),
+      "before the heal, the orphan's band rows are missing (fail-open)")
+
+    // the fold cycle heals it — no stop-the-world compaction needed
+    Dedup.foldDocSegments(spark, idx)
+    assert(Dedup.docIndexStats(spark, idx)("graft.docindex.orphan-docs") == "0",
+      "the fold cycle's reconcile rebuilds the band tree")
+    assert(pairs().contains((60007L, 70007L)),
+      "after the heal, the orphan doc pairs like any stored doc")
+    assert(pairs().contains((7L, 70007L)), "the base corpus still pairs")
+    graft.core.Blocks.free(twin); graft.core.Blocks.free(orphanSigs)
   }
 }

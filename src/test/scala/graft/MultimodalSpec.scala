@@ -244,6 +244,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bmp.get.pixels.sameElements(expected), "BMP decode must be bit-exact")
   }
 
+  test("GIF pixel decode round-trips the generator exactly; interlace and LZW resets are bit-exact") {
+    // plain + INTERLACED (4-pass row order) — both lossless, both bit-exact
+    val expected = ImageGen.gray(64, 48, 42L, 0)
+    for (il <- Seq(false, true)) {
+      val g = ImageDecoder.decode(ImageGen.gif(64, 48, 42L, 0, interlaced = il))
+      assert(g.isDefined, s"GIF (interlaced=$il) must decode")
+      assert(g.get.width == 64 && g.get.height == 48)
+      assert(g.get.pixels.sameElements(expected), s"GIF decode bit-exact (interlaced=$il)")
+    }
+    // a frame large enough to fill the 4096-entry LZW table forces the
+    // CLEAR-code dictionary reset path through encode AND decode
+    val bigField = ImageGen.gray(512, 400, 7L, 3)
+    val big = ImageDecoder.decode(ImageGen.gif(512, 400, 7L, 3)).get
+    assert(big.pixels.sameElements(bigField), "table-reset GIF decode bit-exact")
+    // odd dims + degenerate 1x1 exercise the interlace pass bounds
+    for ((w, h) <- Seq((17, 13), (1, 1), (300, 5)); il <- Seq(false, true)) {
+      val f = ImageGen.gray(w, h, 3L, 0)
+      val d = ImageDecoder.decode(ImageGen.gif(w, h, 3L, 0, interlaced = il))
+      assert(d.isDefined && d.get.pixels.sameElements(f), s"${w}x$h il=$il")
+    }
+  }
+
+  test("GIF hashes equal the lossless twins'; GIF decoder never throws on corrupt input") {
+    // lossless => the dHash IS the PNG fixture value, not merely close
+    val fromGif = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.gif(64, 48, 42L, 0)).get).get
+    assert(fromGif == 0x29993949d666c6b6L, f"pinned GIF dHash moved: 0x$fromGif%016x")
+    val good = ImageGen.gif(32, 24, 7L, 0)
+    // truncation at every stride-5 prefix: None or a salvage, never a throw
+    (0 until good.length by 5).foreach(n => ImageDecoder.decode(good.take(n)))
+    // corrupt LZW bytes inside the sub-blocks: must return, never throw/spin
+    val rnd = new scala.util.Random(777)
+    (0 until 200).foreach { _ =>
+      val b = good.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach(_ =>
+        b(13 + 768 + rnd.nextInt(b.length - 13 - 768)) = rnd.nextInt(256).toByte)
+      ImageDecoder.decode(b)
+    }
+    // ALLOCATION BOMB: a 60-byte stream declaring a 20000x20000 frame must
+    // reject before allocating the index buffer (same posture as PNG)
+    val bomb = java.nio.ByteBuffer.allocate(64)
+    bomb.put("GIF89a".getBytes("US-ASCII"))
+    bomb.putShort(java.lang.Short.reverseBytes(100.toShort))  // LE canvas w
+    bomb.putShort(java.lang.Short.reverseBytes(100.toShort))
+    bomb.put(0x80.toByte); bomb.put(0.toByte); bomb.put(0.toByte) // GCT size 2
+    bomb.put(Array[Byte](0, 0, 0, -1, -1, -1)) // 2-entry GCT
+    bomb.put(0x2c.toByte)
+    bomb.putShort(0); bomb.putShort(0)
+    bomb.putShort(java.lang.Short.reverseBytes(20000.toShort)) // frame w
+    bomb.putShort(java.lang.Short.reverseBytes(20000.toShort)) // frame h
+    bomb.put(0.toByte); bomb.put(2.toByte) // no LCT; mcs = 2
+    assert(ImageDecoder.decode(java.util.Arrays.copyOf(bomb.array(), bomb.position()))
+      .isEmpty, "gigapixel image descriptor must be rejected")
+    // palette-less GIF (no GCT, no LCT): indices have no colors -> None
+    val noPal = java.nio.ByteBuffer.allocate(64)
+    noPal.put("GIF89a".getBytes("US-ASCII"))
+    noPal.putShort(java.lang.Short.reverseBytes(4.toShort))
+    noPal.putShort(java.lang.Short.reverseBytes(4.toShort))
+    noPal.put(0.toByte); noPal.put(0.toByte); noPal.put(0.toByte) // GCT absent
+    noPal.put(0x2c.toByte); noPal.putShort(0); noPal.putShort(0)
+    noPal.putShort(java.lang.Short.reverseBytes(4.toShort))
+    noPal.putShort(java.lang.Short.reverseBytes(4.toShort))
+    noPal.put(0.toByte); noPal.put(2.toByte)
+    noPal.put(1.toByte); noPal.put(0.toByte); noPal.put(0.toByte) // 1 data byte, terminator
+    assert(ImageDecoder.decode(java.util.Arrays.copyOf(noPal.array(), noPal.position()))
+      .isEmpty, "a GIF with neither global nor local palette must be skipped")
+  }
+
   test("perceptual hashes: fixture-pinned values, container independence, resolution invariance") {
     val g = ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0)).get
     // pinned fixtures: any change to generator, decoder, downsample, or bit
@@ -423,6 +490,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fromBase == fromProg, "bit-identical pixels must hash identically")
   }
 
+  test("progressive decoder fuzz soak: corrupt/truncate/splice/duplicate never throw, bounded work") {
+    // the PNG fuzz playbook pointed at the progressive path: seed-
+    // randomized byte corruption, truncation, cross-stream splices, and
+    // scan duplication over a fixture corpus covering gray/color/restart
+    // progressive streams. Every decode must RETURN (None or pixels) under
+    // the never-throw contract, inside the scan-work CPU budget.
+    // GRAFT_SOAK=n multiplies the iteration count for soak runs.
+    val iters = 400 * math.max(1, sys.env.get("GRAFT_SOAK").map(_.toInt / 8).getOrElse(1))
+    val rnd = new scala.util.Random(20260815L)
+    val seeds = Seq(
+      ImageGen.jpegProgressive(32, 24, 7L, 0),
+      ImageGen.jpegProgressive(48, 32, 11L, 4, restartEvery = 3),
+      ImageGen.jpegProgressiveColor(32, 24, 13L, 0),
+      ImageGen.jpeg(32, 24, 7L, 0))
+    def sosOffsets(b: Array[Byte]): Seq[Int] =
+      (0 until b.length - 1).filter(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)
+    var i = 0
+    while (i < iters) {
+      val src = seeds(rnd.nextInt(seeds.length))
+      val mode = rnd.nextInt(4)
+      val b: Array[Byte] = mode match {
+        case 0 => // byte corruption anywhere (headers, tables, entropy)
+          val c = src.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach(_ =>
+            c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+          c
+        case 1 => // truncation at an arbitrary point
+          src.take(2 + rnd.nextInt(src.length - 2))
+        case 2 => // splice: the tail of ANOTHER stream grafted mid-stream
+          val other = seeds(rnd.nextInt(seeds.length))
+          src.take(2 + rnd.nextInt(src.length - 2)) ++ other.drop(rnd.nextInt(other.length))
+        case _ => // scan duplication: a repeated SOS..next-SOS span
+          val offs = sosOffsets(src)
+          if (offs.isEmpty) src
+          else {
+            val at = offs(rnd.nextInt(offs.length))
+            val end = offs.find(_ > at).getOrElse(src.length - 2)
+            src.take(end) ++ src.slice(at, end) ++ src.drop(end)
+          }
+      }
+      val t0 = System.nanoTime()
+      ImageDecoder.decode(b) // None or pixels — never a throw
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms < 3000, s"decode exceeded the work budget: $ms ms (iter $i mode $mode)")
+      i += 1
+    }
+  }
+
   test("near-duplicate images hash close; unrelated content hashes far") {
     val base = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0)).get).get
     // per-pixel noise (amplitude 8 gray levels) barely moves the hash
@@ -523,12 +638,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(WavDecoder.decode(Multimodal.MediaGen.png(32, 32)).isEmpty, "wrong container")
   }
 
+  test("G.711 and IMA-ADPCM WAVs decode to the spec curves; fingerprints invariant across encodings") {
+    // published G.711 anchor values through a hand-built container:
+    // µ-law 0x00 -> -32124, 0xff -> 0; A-law 0x55 -> -8, 0xd5 -> +8
+    def g711wav(tag: Int, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16(v >>> 16) }
+      out.write("RIFF".getBytes("US-ASCII")); le32(38 + data.length)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); le32(18)
+      le16(tag); le16(1); le32(8000); le32(8000); le16(1); le16(8); le16(0)
+      out.write("data".getBytes("US-ASCII")); le32(data.length)
+      out.write(data)
+      // pad: the decoder requires >= 44 bytes of container
+      out.write(new Array[Byte](8))
+      out.toByteArray
+    }
+    val mu = WavDecoder.decode(g711wav(7, Array(0x00, 0xff.toByte, 0x80.toByte))).get
+    assert(math.round(mu(0) * 32768).toInt == -32124, s"mu-law 0x00 anchor: ${mu(0) * 32768}")
+    assert(math.round(mu(1) * 32768).toInt == 0, "mu-law 0xff anchor")
+    assert(math.round(mu(2) * 32768).toInt == 32124, "mu-law 0x80 anchor")
+    val al = WavDecoder.decode(g711wav(6, Array(0x55, 0xd5.toByte))).get
+    assert(math.round(al(0) * 32768).toInt == -8 && math.round(al(1) * 32768).toInt == 8,
+      s"A-law smallest-step anchors: ${al.toSeq.map(_ * 32768)}")
+
+    // all five encodings of one waveform: bounded reconstruction error and
+    // a fingerprint inside the dedup budget of the PCM reference
+    val ref = AudioGen.samples(4000, 42L, 0)
+    val refFp = Multimodal.audioFingerprint64(
+      WavDecoder.decode(AudioGen.wav(4000, 42L, 0, bits = 16)).get).get
+    val encodings = Seq(
+      ("mulaw", AudioGen.wavG711(4000, 42L, 0), 0.016, 0.005),
+      ("alaw", AudioGen.wavG711(4000, 42L, 0, alaw = true), 0.016, 0.005),
+      ("adpcm", AudioGen.wavAdpcm(4000, 42L, 0), 0.2, 0.01))
+    for ((name, bytes, maxBound, meanBound) <- encodings) {
+      val got = WavDecoder.decode(bytes)
+      assert(got.isDefined && got.get.length == 4000, s"$name decodes full length")
+      val d = ref.zip(got.get).map(p => math.abs(p._1 - p._2))
+      assert(d.max <= maxBound, s"$name max err ${d.max}")
+      assert(d.sum / d.length <= meanBound, s"$name mean err ${d.sum / d.length}")
+      val fp = Multimodal.audioFingerprint64(got.get).get
+      assert(dham(fp, refFp) <= 6, s"$name fingerprint hamming ${dham(fp, refFp)}")
+    }
+
+    // never-throw over the new encodings: truncations + byte corruption
+    val rnd = new scala.util.Random(4242)
+    for (src <- Seq(AudioGen.wavG711(500, 3L, 0), AudioGen.wavG711(500, 3L, 0, alaw = true),
+        AudioGen.wavAdpcm(500, 3L, 0))) {
+      (0 until src.length by 7).foreach(n => WavDecoder.decode(src.take(n)))
+      (0 until 100).foreach { _ =>
+        val b = src.clone()
+        (0 until 1 + rnd.nextInt(6)).foreach(_ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+        WavDecoder.decode(b) // None or garbage samples, never a throw
+      }
+    }
+    // stereo ADPCM is out of the decode matrix: flip channels to 2 -> None
+    val stereo = AudioGen.wavAdpcm(500, 3L, 0).clone()
+    stereo(22) = 2
+    assert(WavDecoder.decode(stereo).isEmpty, "stereo ADPCM is declared out, not garbled")
+  }
+
   test("audio dedup end-to-end: noisy twins collapse onto originals across sample widths") {
     import spark.implicits._
     val ids = (0L until 40L).toDF("doc_id")
     val base = Multimodal.withAudioPayload(ids)
-    // odd offset: every twin lands in the OTHER sample-width container
-    // than its (even-id, 8-bit) original — matching must cross widths
+    // +1001 ≡ +1 (mod 5): every twin lands in a DIFFERENT encoding slot
+    // than its original — matching must cross sample widths, G.711
+    // companding, and ADPCM block compression
     val twins = Multimodal.withAudioPayload(
       ids.filter(col("doc_id") % 4 === 0)
         .select((col("doc_id") + 1001L).as("doc_id"), col("doc_id").as("seed")),
@@ -702,10 +880,13 @@ class MultimodalSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(12345) // fixed seed: reproducible corpus
     val basePng = ImageGen.png(32, 24, 7L, 0)
     val baseBmp = ImageGen.bmp(32, 24, 7L, 0)
+    val baseGif = ImageGen.gif(32, 24, 7L, 0)
+    val baseGifIl = ImageGen.gif(32, 24, 7L, 0, interlaced = true)
     val baseWav = MediaGen.wav(256)
     (0 until 300).foreach { _ =>
-      val src = rnd.nextInt(3) match {
-        case 0 => basePng case 1 => baseBmp case _ => baseWav
+      val src = rnd.nextInt(5) match {
+        case 0 => basePng case 1 => baseBmp case 2 => baseGif
+        case 3 => baseGifIl case _ => baseWav
       }
       val b = src.clone()
       (0 until 1 + rnd.nextInt(8)).foreach { _ =>
@@ -719,7 +900,7 @@ class MultimodalSpec extends AnyFunSuite {
       ImageDecoder.decode(b); WavDecoder.decode(b); ContainerParser.parse(b)
     }
     // truncations of valid containers at every stride-7 prefix
-    Seq(basePng, baseBmp, baseWav).foreach { src =>
+    Seq(basePng, baseBmp, baseGif, baseGifIl, baseWav).foreach { src =>
       (0 until src.length by 7).foreach { n =>
         val b = src.take(n)
         ImageDecoder.decode(b); WavDecoder.decode(b); ContainerParser.parse(b)
@@ -783,11 +964,15 @@ class MultimodalSpec extends AnyFunSuite {
     val allJpeg = heads(Multimodal.withImagePayload(ids, bmpEvery = 0, jpegEvery = 1))
     assert(allJpeg.forall { case (_, h) => (h(0) & 0xFF) == 0xFF && (h(1) & 0xFF) == 0xD8 },
       "every payload must carry the JPEG SOI marker")
-    // the default BMP/JPEG/PNG rotation is unchanged by the residue fix
+    // the default BMP/JPEG/(PNG|GIF) rotation: the lossless slot alternates
+    // PNG and GIF by slot ordinal
     val rot = heads(Multimodal.withImagePayload(ids)).toMap
     assert(rot(0L).sameElements(Array[Byte]('B', 'M')), "id % 3 == 0 is BMP")
     assert((rot(1L)(0) & 0xFF) == 0xFF && (rot(1L)(1) & 0xFF) == 0xD8, "id % 3 == 1 is JPEG")
-    assert((rot(2L)(0) & 0xFF) == 0x89 && rot(2L)(1) == 'P'.toByte, "id % 3 == 2 is PNG")
+    assert((rot(2L)(0) & 0xFF) == 0x89 && rot(2L)(1) == 'P'.toByte, "slot ordinal 0 is PNG")
+    assert(rot(5L)(0) == 'G'.toByte && rot(5L)(1) == 'I'.toByte, "slot ordinal 1 is GIF")
+    assert((rot(8L)(0) & 0xFF) == 0x89, "slot ordinal 2 is PNG again")
+    assert(rot(11L)(0) == 'G'.toByte, "slot ordinal 3 is GIF (interlaced)")
   }
 
   test("JPEG decode tolerates 0xFF fill bytes before markers (T.81 B.1.1.2)") {

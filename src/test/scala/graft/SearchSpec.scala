@@ -281,4 +281,43 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaFacade == hy.map(_.toSeq).toSet, "facade must equal the operator")
   }
+
+  test("hybrid fusion with an INDEX-BACKED dense side: IVF-PQ ranking swaps in via fuseRankings") {
+    // the scale path the hybridSearch scaladoc documents: rankings are the
+    // interchange format, so the brute-force dense side swaps for a PQ
+    // index ranking without touching fusion
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+    val coarse = graft.operators.Ivf.train(emb, c = 8, iters = 2)
+    val pqm = graft.operators.Pq.train(emb, m = 8, k = 32, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hypq_").toString
+    graft.operators.Pq.writeIndex(emb, coarse, pqm, tmp)
+
+    val qs = Seq((1L, "spark merge"), (2L, "filter window")).toDF("query_id", "query_text")
+    val queries = qs.join(
+      emb.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+      Seq("query_id"))
+    // exactly the scaladoc's swap, shapes included
+    val dense = graft.operators.Pq.topKIndexed(spark, tmp,
+      queries.select(col("query_id").as("vec_id"), col("query_vec").as("embedding")),
+      k = 5, nProbe = 8)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    val kw = Search.bm25(docs, qs, topK = 5)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val fused = Search.fuseRankings(Seq(kw, dense), topK = 5)
+    val byQ = fused.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to 5L), s"query $q fused ranks") }
+    // each query's vector IS a stored embedding, so the PQ ranking leads
+    // with that doc (ADC maximum for identical codes) — dense-only fusion
+    // must surface it at rank 1, proving the index ranking actually drives
+    // the fused order
+    val denseLead = dense.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dnOnly = Search.fuseRankings(Seq(kw, dense), topK = 5, weights = Seq(0.0, 1.0))
+      .filter(col("rank") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dnOnly == denseLead, s"dense-only fusion leads with the PQ order: $dnOnly vs $denseLead")
+  }
 }

@@ -895,6 +895,19 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def decodeStats(withPayload: DataFrame): DataFrame =
     Multimodal.decodeStats(withPayload)
 
+  /** Content-level VIDEO near-dup pairs over an MJPEG-AVI payload column:
+    * stride-sampled frame decode (bounded work per clip however long),
+    * per-frame perceptual dHash — a temporal fingerprint — and a
+    * slot-aligned banded Hamming search with a match-ratio verify
+    * ([[Multimodal.videoDupPairs]]). MJPEG is the one codec a pure-JVM
+    * engine honestly decodes; H.264/VP9/AV1 clips report undecodable in
+    * [[decodeStats]] instead of silently skipping. */
+  def videoDupPairs(
+      withPayload: DataFrame, maxHamming: Int = 10,
+      minMatchRatio: Double = 0.6): DataFrame =
+    Multimodal.videoDupPairs(
+      Multimodal.videoHashes(withPayload), maxHamming, minMatchRatio)
+
   /** Streaming IMAGE dedup-on-write: perceptual-hash each micro-batch's
     * payloads, drop content near-duplicates of anything already landed,
     * fold survivors' signatures into the persisted store. Build the store

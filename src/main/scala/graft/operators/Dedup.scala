@@ -1090,6 +1090,21 @@ object Dedup {
     }
   }
 
+  /** Footer-only row count of a band tree, 0 when it holds no data files —
+    * a partitionBy write of ZERO rows (an index built over an empty corpus,
+    * the streaming-ingest starting state) leaves just `_SUCCESS`, and
+    * reading such a tree cannot infer a schema (throws). */
+  private def bandTreeCount(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    if (!fs.exists(dir)) return 0L
+    var hasData = false
+    val it = fs.listFiles(dir, true)
+    while (!hasData && it.hasNext)
+      hasData = it.next().getPath.getName.endsWith(".parquet")
+    if (!hasData) 0L else spark.read.parquet(dir.toString).count()
+  }
+
   /** Rebuild a bucketed store's BASE band tree from `docs/` (an explode
     * over stored sig/sh columns — no text or payload re-read; tombstoned
     * docs' stale band rows are swept because the fold that precedes this
@@ -1150,8 +1165,7 @@ object Dedup {
         val fs = Seg.fs(spark, indexPath)
         val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
         val docsCount = spark.read.parquet(s"$indexPath/docs").count()
-        val bandsCount =
-          if (fs.exists(bandsDir)) spark.read.parquet(bandsDir.toString).count() else 0L
+        val bandsCount = bandTreeCount(spark, fs, bandsDir)
         val missing = docsCount * perDoc - bandsCount
         val orphans = if (missing > 0) (missing + perDoc - 1) / perDoc else 0L
         if (orphans > 0 && heal) rebuildBandTree(spark, indexPath, dropBandSegs = false)
@@ -1174,8 +1188,7 @@ object Dedup {
     val tombCount =
       if (fs.exists(tombsPath)) spark.read.parquet(tombsPath.toString).count() else 0L
     val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-    val bandsCount =
-      if (fs.exists(bandsDir)) spark.read.parquet(bandsDir.toString).count() else 0L
+    val bandsCount = bandTreeCount(spark, fs, bandsDir)
     val layout = bandLayout(spark, indexPath)
     val orphans = layout.fold(0L) { case (perDoc, _, _) =>
       val missing = docsCount * perDoc - bandsCount
@@ -1225,7 +1238,7 @@ object Dedup {
       val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
       val docsCount = spark.read.parquet(docsDir.toString).count()
       val bandsCount =
-        if (fs.exists(bandsDir)) spark.read.parquet(bandsDir.toString).count() else -1L
+        if (fs.exists(bandsDir)) bandTreeCount(spark, fs, bandsDir) else -1L
       if (bandsCount == docsCount * perDoc
           && autoBucketCount(docsCount * perDoc) < 2 * effP) return
       rebuildBandTree(spark, indexPath, dropBandSegs = true)
@@ -1575,7 +1588,7 @@ object Dedup {
     * query-time banding ([[simHashBanded]]) and the persisted bucketed band
     * store ([[signatureBandRows]]) explode, so layout and probe can never
     * disagree on a key. */
-  private def simHashBlockKeys(
+  private[operators] def simHashBlockKeys(
       maxHamming: Int, comboSize: Int): org.apache.spark.sql.Column = {
     require(comboSize >= 1, "comboSize must be >= 1")
     val nBlocks = maxHamming + comboSize

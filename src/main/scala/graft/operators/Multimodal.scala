@@ -66,6 +66,7 @@ object Multimodal {
           (b(4) == '7' || b(4) == '9') && b(5) == 'a') parseGif(b)
         else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') parseBmp(b)
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57415645) parseWav(b)
+        else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x41564920) parseAvi(b)
         else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) parseJpeg(b)
         else if (b.length >= 12 && be32(b, 4) == 0x66747970) parseMp4(b) // "ftyp"
         else Unknown
@@ -162,6 +163,35 @@ object Multimodal {
         }
       }
       Unknown
+    }
+
+    /** AVI (RIFF): chunk walk to LIST `hdrl` -> `avih` (the 56-byte main
+      * header: µs/frame at 0, total frames at 16, width/height at 32/36)
+      * — duration = frames x µs/frame. Same truncation posture as the WAV
+      * walk: sizes read as unsigned LE32, steps computed in Long. */
+    private def parseAvi(b: Array[Byte]): Meta = {
+      var w = 0; var h = 0; var frames = 0; var durMs = 0L
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        if (depth > 3) return
+        var pos = from
+        while (pos + 8 <= to) {
+          val p = pos.toInt
+          val id = be32(b, p)
+          val size = le32(b, p + 4).toLong & 0xffffffffL
+          if (pos + 8 + size > to) return
+          if (id == 0x4c495354 && size >= 4) { // "LIST"
+            if (be32(b, p + 8) == 0x6864726c) walk(pos + 12, pos + 8 + size, depth + 1) // hdrl
+          } else if (id == 0x61766968 && size >= 40) { // "avih"
+            val usPerFrame = le32(b, p + 8).toLong & 0xffffffffL
+            frames = le32(b, p + 8 + 16)
+            w = le32(b, p + 8 + 32); h = le32(b, p + 8 + 36)
+            durMs = frames.toLong * usPerFrame / 1000L
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      walk(12L, b.length.toLong, 0)
+      Meta("avi", w, h, frames, durMs)
     }
 
     /** MP4/ISO-BMFF (ISO/IEC 14496-12): a box walk to `moov`, then `mvhd`
@@ -2434,6 +2464,9 @@ object Multimodal {
           val ok = fmt match {
             case "png" | "bmp" | "jpeg" | "gif" => ImageDecoder.decode(payload).isDefined
             case "wav" => WavDecoder.decode(payload).isDefined
+            // MJPEG frames decode; H.264/VP9 etc. report false — the
+            // skipped share a video corpus must watch
+            case "avi" => VideoDecoder.sampleFrames(payload, 1).nonEmpty
             case _ => false
           }
           DecodeStatus(id, fmt, ok)
@@ -2889,4 +2922,218 @@ object Multimodal {
     * [[imageSignatures]] contract for the audio modality. */
   def audioSignatures(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame =
     audioHashes(withPayload, idCol).select(col("doc_id"), col("afp").as("sh"))
+
+  // -------------------------------------------------------------------
+  // Content-level VIDEO dedup: MJPEG-in-AVI frame decode + temporal
+  // perceptual fingerprint
+  // -------------------------------------------------------------------
+  //
+  // The one video codec a pure-JVM engine can honestly decode is MJPEG
+  // (every frame is a standalone T.81 JPEG — the decoder already exists),
+  // and its standard container is AVI (RIFF, a public Microsoft spec:
+  // LIST 'hdrl' with the avih main header, LIST 'movi' with '##dc' frame
+  // chunks). H.264/VP9/AV1 payloads are explicitly OUT of the decode
+  // matrix (their `avi`/`mp4` rows report decodable = false in
+  // [[decodeStats]]) — but MJPEG-AVI gives the video modality the full
+  // treatment: frame sampling, per-frame perceptual hashes, and a
+  // temporal near-dup contract over aligned samples.
+
+  /** MJPEG-in-AVI frame access: locate the `movi` LIST and return each
+    * video frame chunk (`##dc`/`##db`) as an (offset, length) slice —
+    * every slice is a complete JPEG stream for [[ImageDecoder]]. Walks
+    * nested `rec ` LISTs; malformed sizes stop the walk with the frames
+    * found so far, never throw. */
+  object VideoDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    private def isAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x41564920 // RIFF..AVI
+
+    /** (offset, length) of every video frame chunk, document order.
+      * Bounded: stops after `maxFrames` frames are located — a crafted
+      * chunk list cannot make discovery itself unbounded. */
+    def frameSlices(b: Array[Byte], maxFrames: Int = 4096): Seq[(Int, Int)] = {
+      if (!isAvi(b)) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def isFrameId(id: Int): Boolean = {
+        // '##dc' / '##db' where ## are ASCII digits (stream number)
+        val c0 = (id >>> 24) & 0xff; val c1 = (id >>> 16) & 0xff
+        val tail = id & 0xffff
+        c0 >= '0' && c0 <= '9' && c1 >= '0' && c1 <= '9' &&
+          (tail == 0x6463 || tail == 0x6462) // "dc" | "db"
+      }
+      // walk one chunk run in [from, to)
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        if (depth > 4) return
+        var pos = from
+        while (pos + 8 <= to && out.length < maxFrames) {
+          val p = pos.toInt
+          val id = be32(b, p)
+          val size = le32(b, p + 4).toLong & 0xffffffffL
+          if (pos + 8 + size > to) return // truncated: keep what we have
+          if (id == 0x4c495354) { // "LIST"
+            if (size >= 4) {
+              val lt = be32(b, p + 8)
+              // descend into movi and its rec  groups; skip hdrl/idx1 etc.
+              if (lt == 0x6d6f7669 || lt == 0x72656320 || depth == 0)
+                walk(pos + 12, pos + 8 + size, depth + 1)
+            }
+          } else if (isFrameId(id) && size > 0 && size <= Int.MaxValue.toLong)
+            out += ((p + 8, size.toInt))
+          pos += 8 + size + (size & 1) // RIFF word alignment
+        }
+      }
+      walk(12L, b.length.toLong, 0)
+      out.toSeq
+    }
+
+    /** Decode up to `maxFrames` STRIDE-SAMPLED frames to gray matrices —
+      * the bounded-work contract: however long the video, at most
+      * `maxFrames` JPEG decodes run (each under [[ImageDecoder]]'s own
+      * allocation/CPU guards), evenly spread across the timeline so a
+      * temporal fingerprint sees the whole clip, not its head. Frames
+      * that fail to decode are skipped. */
+    def sampleFrames(b: Array[Byte], maxFrames: Int = 8): Seq[ImageDecoder.Gray] = {
+      val slices = frameSlices(b)
+      if (slices.isEmpty) return Nil
+      val stride = math.max(1, slices.length / maxFrames)
+      slices.indices.by(stride).take(maxFrames).flatMap { i =>
+        val (off, len) = slices(i)
+        ImageDecoder.decode(java.util.Arrays.copyOfRange(b, off, off + len))
+      }
+    }
+  }
+
+  /** MJPEG-in-AVI synthesis — the video analogue of [[ImageGen]]: a real
+    * RIFF AVI (avih main header, a `vids`/`MJPG` stream header pair, and
+    * one baseline JPEG per frame in the `movi` LIST) of a seed-derived
+    * SLOWLY EVOLVING field: frame f renders [[ImageGen.gray]] at
+    * `seed` with a phase nudge, so consecutive frames are near-twins
+    * (as in real video) while different seeds decorrelate. */
+  object VideoGen {
+    private def le16b(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32b(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+    private def fourcc(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      fourcc(id) ++ le32b(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    private def list(listType: String, children: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ le32b(children.length + 4) ++ fourcc(listType) ++ children
+
+    def aviMjpeg(w: Int, h: Int, nFrames: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+      require(nFrames >= 1, s"nFrames=$nFrames")
+      val frames: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+        // per-frame field keyed on (seed, f) with seeds spread so no two
+        // documents' frame sequences overlap shifted — same seed => same
+        // clip (twins), different seeds => decorrelated clips
+        ImageGen.jpeg(w, h, seed * 1000003L + f, noise)
+      }
+      val usPerFrame = 100000 // 10 fps
+      val avih = le32b(usPerFrame) ++ le32b(0) ++ le32b(0) ++ le32b(0x10) ++
+        le32b(nFrames) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++
+        le32b(w) ++ le32b(h) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(0)
+      val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32b(0) ++ le16b(0) ++ le16b(0) ++
+        le32b(0) ++ le32b(1) ++ le32b(10) ++ le32b(0) ++ le32b(nFrames) ++
+        le32b(0) ++ le32b(0) ++ le32b(0) ++ le16b(0) ++ le16b(0) ++ le16b(w) ++ le16b(h)
+      val strf = le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+        fourcc("MJPG") ++ le32b(w * h * 3) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32b(body.length) ++ body
+    }
+  }
+
+  private def videoGenUdf(w: Int, h: Int, frames: Int, noise: Int) =
+    udf((seed: Long) => VideoGen.aviMjpeg(w, h, frames, seed, noise))
+
+  /** Attach a deterministic MJPEG-AVI payload — the video analogue of
+    * [[withImagePayload]]; `seedCol` decouples content from identity so
+    * near-duplicate clips (same seed, new id, per-pixel noise) can be
+    * planted. */
+  def withVideoPayload(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      seedCol: String = "doc_id",
+      width: Int = 48,
+      height: Int = 32,
+      frames: Int = 6,
+      noise: Int = 0): DataFrame =
+    documents.withColumn("payload",
+      videoGenUdf(width, height, frames, noise)(col(seedCol).cast("long")))
+
+  final case class VideoHashes(
+      doc_id: Long, n_frames: Int, width: Int, height: Int, fhashes: Array[Long])
+
+  /** Decode up to `maxFrames` stride-sampled frames per payload and emit
+    * one row of per-frame dHashes — the TEMPORAL perceptual fingerprint
+    * (each slot a frame's 64-bit dHash, clip order). Partition-parallel;
+    * output is <= 8 longs + metadata per row however long the video, so
+    * everything downstream (banding, clustering) runs on slim rows —
+    * the [[imageHashes]] shape extended with a time axis. Payloads with
+    * no decodable frame are skipped. */
+  def videoHashes(
+      withPayload: DataFrame, maxFrames: Int = 8, idCol: String = "doc_id"): DataFrame = {
+    val input = withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val n = VideoDecoder.frameSlices(payload).length
+          val grays = VideoDecoder.sampleFrames(payload, maxFrames)
+          val hs = grays.flatMap(PerceptualHash.dHash64)
+          if (hs.isEmpty) None
+          else Some(VideoHashes(id, n, grays.head.width, grays.head.height, hs.toArray))
+        }
+      }(Encoders.product[VideoHashes])
+      .toDF()
+  }
+
+  /** Content-level VIDEO near-dup pairs over [[videoHashes]] rows: frames
+    * band per SLOT (the sample index rides the band key, so ONE join
+    * aligns slot i only with slot i — a shifted re-encode of the same
+    * clip matches where its sampled timeline matches), each slot-pair
+    * hamming-verified <= `maxHamming` as the join emits, then a pair
+    * qualifies when at least `minMatchRatio` of its alignable slots
+    * matched. RECALL: a pair whose every aligned sampled frame is within
+    * `maxHamming` is provably generated (the per-slot pigeonhole
+    * guarantee), and partially-matching clips surface down to the ratio
+    * floor. Returns (doc_a, doc_b, matched_slots, match_ratio). */
+  def videoDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 10,
+      minMatchRatio: Double = 0.6,
+      comboSize: Int = 2): DataFrame = {
+    val frames = hashes.select(
+      col("doc_id"), size(col("fhashes")).as("nslots"),
+      posexplode(col("fhashes")).as(Seq("slot", "sh")))
+    val banded = frames
+      .select(col("doc_id"), col("nslots"), col("slot"), col("sh"),
+        explode(Dedup.simHashBlockKeys(maxHamming, comboSize)).as("blk"))
+      .hint("merge") // the banded relation is |combos| x frames rows — never broadcast
+    val slotPairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.slot") === col("b.slot") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(graft.functions.TextOps.hamming64(col("a.sh"), col("b.sh")) <= maxHamming)
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.slot").as("slot"),
+        least(col("a.nslots"), col("b.nslots")).as("alignable"))
+      .dropDuplicates("doc_a", "doc_b", "slot")
+    slotPairs
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("matched_slots"), max(col("alignable")).as("alignable"))
+      .withColumn("match_ratio",
+        round(col("matched_slots").cast("double") / col("alignable"), 6))
+      .filter(col("match_ratio") >= minMatchRatio)
+      .select(col("doc_a"), col("doc_b"), col("matched_slots"), col("match_ratio"))
+  }
 }

@@ -2113,6 +2113,36 @@ object PipelineQueries {
              |       round(avg(CAST(ok AS DOUBLE)), 4) AS decodable_ratio
              |FROM u GROUP BY format ORDER BY format""".stripMargin)),
 
+    // Q30g: CONTENT-level VIDEO dedup — MJPEG-in-AVI frame slicing,
+    // stride-sampled per-frame JPEG decode (the existing T.81 decoder),
+    // per-frame perceptual dHash as a TEMPORAL fingerprint, slot-aligned
+    // banded Hamming candidates with a match-ratio verify. Twins are the
+    // same clip re-encoded with per-pixel noise under a new id. JPEG
+    // decode is not SQL-expressible => rows-only; MultimodalSpec pins
+    // frame slicing, decode closeness, and twin collapse.
+    QueryDef(
+      "q30g_video_dedup",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val base = Multimodal.withVideoPayload(ids)
+        val twins = Multimodal.withVideoPayload(
+          ids.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100002L).as("doc_id"), col("doc_id").as("seed")),
+          seedCol = "seed", noise = 8)
+          .drop("seed")
+        val hashes = Multimodal.videoHashes(base.unionByName(twins)).localCheckpoint()
+        val kept = graft.operators.Dedup.collapseDuplicates(
+          hashes.select("doc_id"),
+          Multimodal.videoDupPairs(hashes, maxHamming = 10)
+            .select("doc_a", "doc_b"),
+          idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+        hashes.select("doc_id")
+          .join(kept.withColumn("is_kept", lit(1L)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("is_kept"), lit(0L)).as("is_kept"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Q32: BM25 keyword retrieval — the corpus-inspection companion to the
     // embedding search family: three keyword queries (one with a rare
     // discriminative term, one multi-term, one with no corpus hits) scored

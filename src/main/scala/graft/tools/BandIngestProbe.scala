@@ -32,7 +32,11 @@ object BandIngestProbe {
     val seedDocs = args.lift(0).map(_.toLong).getOrElse(400000L)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(60)
     val docsPerBatch = args.lift(2).map(_.toInt).getOrElse(50)
-    val buckets = args.lift(3).map(_.toInt).getOrElse(4096)
+    // "auto" streams against the DEFAULT layout (auto-sized P)
+    val buckets = args.lift(3) match {
+      case Some("auto") => Dedup.AutoBuckets
+      case v => v.map(_.toInt).getOrElse(4096)
+    }
     val foldEvery = args.lift(4).map(_.toInt).getOrElse(20)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-band-ingest")

@@ -1704,6 +1704,36 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(treeBuckets(idx).contains(136))
   }
 
+  test("empty-corpus bucketed store: fold-cycle reconcile, compaction, and stats all no-op cleanly") {
+    // the streaming-ingest STARTING STATE: an index built over limit(0) —
+    // its bands/ tree has no part files (a partitionBy write of zero rows
+    // leaves just _SUCCESS), which the footer-count reconcile must treat
+    // as zero rows, not an unreadable tree (the soak-probe regression)
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_emptybkt_").toString
+    val idx = s"$tmp/idx"
+    Dedup.writeMinHashIndex(corpus.limit(0), idx, shingleN = 3, numHashes = 64, bands = 16,
+      bandBuckets = 16384)
+    assert(Dedup.reconcileBandOrphans(spark, idx) == 0L)
+    Dedup.foldDocSegments(spark, idx) // the fold cycle runs the reconcile
+    Dedup.compactDocIndex(spark, idx)
+    val stats = Dedup.docIndexStats(spark, idx)
+    assert(stats("graft.docindex.docs") == "0" && stats("graft.docindex.orphan-docs") == "0",
+      s"empty store stats: $stats")
+    // and the store still works: a segment lands, the probe finds twins
+    val seg = Dedup.minHashBatchSigs(corpus.filter(col("doc_id") === 7), idx).localCheckpoint()
+    Dedup.writeMinHashSegment(seg, idx, "batch_00000")
+    graft.core.Blocks.free(seg)
+    val twin = Dedup.minHashBatchSigs(
+      corpus.filter(col("doc_id") === 7).withColumn("doc_id", col("doc_id") + 5000),
+      idx).localCheckpoint()
+    val cands = Dedup.minHashMicroCandidates(twin, idx).localCheckpoint()
+    val pairs = Dedup.minHashMicroVerify(cands, twin, idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((7L, 5007L)), s"segment twin must pair on the empty-base store: $pairs")
+    graft.core.Blocks.free(cands); graft.core.Blocks.free(twin)
+  }
+
   test("orphaned docs from a crashed append are reported, and the fold cycle heals them") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_orph_").toString

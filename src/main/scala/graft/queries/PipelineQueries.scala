@@ -2147,6 +2147,41 @@ object PipelineQueries {
       },
       None),
 
+    // Q30h: video dedup ACROSS THE INDEX BOUNDARY — the q30g semantics
+    // re-derived through the PERSISTED slot store: base clips indexed once
+    // (slot-encoded rows in the generic signature store, so the full
+    // incremental lifecycle — segments, fold/GC, takedown, compaction,
+    // auto bucketing — applies verbatim), then the twin batch probed with
+    // Multimodal.videoIncremental: only the batch is decoded, the corpus
+    // contributes stored slot rows. Kept = arrival-order collapse (stored
+    // clips always win over the later-arriving twins). Decode-derived =>
+    // rows-only; MultimodalSpec proves probe == full recompute, takedown,
+    // fold, and crash replay.
+    QueryDef(
+      "q30h_video_dedup_indexed",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val idx = QueryDef.tempDirForResult("graft_vid_idx_").toString
+        val baseHashes = Multimodal.videoHashes(
+          Multimodal.withVideoPayload(ids, frames = 4)).localCheckpoint()
+        Multimodal.writeVideoIndex(baseHashes, idx)
+        graft.core.Blocks.free(baseHashes)
+        val twinHashes = Multimodal.videoHashes(
+          Multimodal.withVideoPayload(
+            ids.filter(col("doc_id") % 10 === 0)
+              .select((col("doc_id") + 100002L).as("doc_id"), col("doc_id").as("seed")),
+            seedCol = "seed", frames = 4, noise = 8)
+            .drop("seed")).localCheckpoint()
+        val pairs = Multimodal.videoIncremental(twinHashes, idx, maxHamming = 10)
+        val kept = graft.operators.Dedup.collapseDuplicatesArrival(
+          twinHashes.select("doc_id"), pairs)
+        twinHashes.select("doc_id")
+          .join(kept.withColumn("is_kept", lit(1L)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("is_kept"), lit(0L)).as("is_kept"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Q32: BM25 keyword retrieval — the corpus-inspection companion to the
     // embedding search family: three keyword queries (one with a rare
     // discriminative term, one multi-term, one with no corpus hits) scored

@@ -600,6 +600,82 @@ object Ingest {
       .start()
   }
 
+  /** Streaming VIDEO dedup-on-write — [[startSignatureIngest]] for clip
+    * corpora: each micro-batch's `payload` column (MJPEG-AVI) is decoded
+    * ONCE into per-slot temporal fingerprints
+    * ([[graft.operators.Multimodal.videoHashes]] — bounded work: at most
+    * `maxFrames` JPEG decodes per clip however long the video), probed
+    * per-CLIP against a persisted slot store
+    * ([[graft.operators.Multimodal.videoIncremental]] — slot-aligned
+    * hamming matches aggregated to a `match_ratio`, partition-pruned on a
+    * bucketed store), near-dup clip clusters keep their FIRST-ARRIVED
+    * member, and survivors' slot rows fold in as a replay-idempotent
+    * named segment. The hash frame feeds the probe AND the kept-segment
+    * write, so each payload decodes exactly once per batch. Clips with no
+    * decodable frame are always kept and never indexed (the never-throw
+    * decode posture: an undecodable payload can't claim twins).
+    *
+    * Exactly-once: the [[startSignatureIngest]] contract verbatim (sink
+    * batch directory + named segment, both batchId-keyed overwrite; the
+    * fingerprints are deterministic, so a replayed batch recomputes the
+    * identical kept set). The store must exist
+    * ([[graft.operators.Multimodal.writeVideoIndex]], possibly over an
+    * empty slice); fold segments beside the live ingest with
+    * [[graft.operators.Dedup.foldDocSegments]], take down clips with
+    * [[graft.operators.Multimodal.deleteVideoFromIndex]]. */
+  def startVideoIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      maxHamming: Int = 10,
+      minMatchRatio: Double = 0.6,
+      maxFrames: Int = 8,
+      idCol: String = "doc_id",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    import graft.operators.{Dedup, Multimodal}
+    require(maxFrames <= Multimodal.VideoSlotCap,
+      s"maxFrames must fit the slot encoding (<= ${Multimodal.VideoSlotCap})")
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val b = batch.localCheckpoint()
+        // decode ONCE: the slim hash frame feeds the probe and the kept
+        // segment write (per-frame JPEG decode is the dominant term)
+        val hashes = Multimodal.videoHashes(b, maxFrames, idCol).localCheckpoint()
+        val pairs = Multimodal.videoIncremental(
+            hashes, indexPath, maxHamming, minMatchRatio)
+          .localCheckpoint()
+        val kept0 = Dedup.collapseDuplicatesArrival(b, pairs, idCol)
+        val kept = kept0.localCheckpoint()
+        kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        Dedup.writeSignatureSegment(
+          Multimodal.videoSlotSignatures(
+            hashes.join(kept.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"))),
+          indexPath, f"seg_batch_$batchId%06d")
+        Marks.write(markDir, batchId, 0L, kept.count(), hconf)
+        graft.core.Blocks.free(kept)
+        graft.core.Blocks.free(kept0) // sweeps the components label checkpoint
+        graft.core.Blocks.free(pairs)
+        graft.core.Blocks.free(hashes)
+        graft.core.Blocks.free(b)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** Streaming SEARCHABLE-ON-WRITE: each micro-batch's postings land as a
     * named segment of a [[graft.operators.Search.buildTextIndex]] index
     * ([[graft.operators.Search.writePostingsSegment]] — batchId-keyed

@@ -885,6 +885,133 @@ class MultimodalSpec extends AnyFunSuite {
       s"store = corpus + kept survivors: $streamed")
   }
 
+  test("incremental video dedup: persisted slot store, probe == full recompute, takedown works") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vidx_").toString
+    val corpusIds = (0L until 20L).toDF("doc_id")
+    val corpusHashes = Multimodal.videoHashes(
+      Multimodal.withVideoPayload(corpusIds, frames = 4)).localCheckpoint()
+    Multimodal.writeVideoIndex(corpusHashes, tmp)
+    // the stored rows are slot-encoded: clip 0 with 4 sampled slots owns
+    // ids 0*256 + 4*16 + {0..3}
+    val storedIds = spark.read.parquet(s"$tmp/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storedIds.contains(4L * 16), s"slot-encoded ids expected: ${storedIds.take(5)}")
+    assert(storedIds.size == 20 * 4, "one row per sampled slot")
+
+    // batch: a noisy twin of stored clip 8, an in-batch twin pair (both
+    // renders of seed 90), and a fresh clip
+    val batchHashes = Multimodal.videoHashes(
+      Multimodal.withVideoPayload(
+          Seq((500L, 8L)).toDF("doc_id", "seed"), seedCol = "seed", frames = 4, noise = 8)
+        .unionByName(Multimodal.withVideoPayload(
+          Seq((501L, 90L), (502L, 90L), (503L, 91L)).toDF("doc_id", "seed"),
+          seedCol = "seed", frames = 4))
+        .drop("seed")).localCheckpoint()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "matched_slots")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = pairsOf(Multimodal.videoIncremental(batchHashes, tmp, maxHamming = 10))
+    assert(inc.exists(p => p._1 == 8L && p._2 == 500L), s"stored-vs-batch clip twin found: $inc")
+    assert(inc.exists(p => p._1 == 501L && p._2 == 502L), s"in-batch clip twin found: $inc")
+    // incremental == full per-clip recompute restricted to batch pairs,
+    // slot counts included (the slot-encoded round trip loses nothing)
+    val batchIds = Set(500L, 501L, 502L, 503L)
+    val full = pairsOf(Multimodal.videoDupPairs(
+        corpusHashes.unionByName(batchHashes), maxHamming = 10))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+    assert(inc == full, s"incremental must equal restricted recompute: $inc vs $full")
+
+    // append the batch, then takedown clip 8: its pair disappears from a
+    // fresh probe of the same twin under a new id, while the appended
+    // batch twin still pairs
+    Multimodal.appendToVideoIndex(batchHashes, tmp)
+    assert(Multimodal.deleteVideoFromIndex(Seq(8L).toDF("doc_id"), tmp) == 1L)
+    val reprobe = Multimodal.videoHashes(Multimodal.withVideoPayload(
+      Seq((600L, 8L)).toDF("doc_id", "seed"), seedCol = "seed", frames = 4, noise = 4))
+    val after = pairsOf(Multimodal.videoIncremental(reprobe, tmp, maxHamming = 10))
+    assert(!after.exists(p => p._1 == 8L || p._2 == 8L),
+      s"tombstoned clip must not suppress or pair: $after")
+    assert(after.exists(p => p._1 == 500L && p._2 == 600L),
+      s"the appended twin still pairs: $after")
+    // compaction folds the tombstone into a physical rewrite; the probe
+    // result is unchanged
+    graft.operators.Dedup.compactDocIndex(spark, tmp)
+    assert(pairsOf(Multimodal.videoIncremental(reprobe, tmp, maxHamming = 10)) == after,
+      "probe unchanged across compaction")
+    graft.core.Blocks.free(batchHashes); graft.core.Blocks.free(corpusHashes)
+  }
+
+  test("streaming video dedup-on-write: corpus/cross-batch/in-batch clip twins drop; crash replay stable") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_viding_").toString
+    // store seeded with clips 0..9
+    val corpusIds = (0L until 10L).toDF("doc_id")
+    Multimodal.writeVideoIndex(
+      Multimodal.videoHashes(Multimodal.withVideoPayload(corpusIds, frames = 4)), s"$tmp/idx")
+
+    def writeSrc(name: String, rows: Seq[(Long, Long, Int)]): Unit = {
+      val gen = rows.map { case (id, seed, nz) =>
+        (id, Multimodal.VideoGen.aviMjpeg(48, 32, 4, seed, nz))
+      }.toDF("doc_id", "payload")
+      gen.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/$name")
+      val dst = new java.io.File(s"$tmp/src"); dst.mkdirs()
+      new java.io.File(s"$tmp/stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dst, s"$name.parquet").toPath))
+    }
+    writeSrc("f1", Seq(
+      (700L, 200L, 0),  // fresh -> kept
+      (701L, 5L, 4)))   // noisy twin of STORED clip 5 -> dropped
+    writeSrc("f2", Seq(
+      (702L, 200L, 4),  // cross-batch twin of kept 700 -> dropped
+      (703L, 201L, 0),  // fresh -> kept
+      (704L, 202L, 0),  // in-batch twin pair: min id kept
+      (705L, 202L, 4))) // -> dropped
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startVideoIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      maxHamming = 10, maxFrames = 4,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+    def sinkIds() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sinkIds() == Set(700L, 703L, 704L), s"got ${sinkIds()}")
+    // crash replay: drop the last streaming commit and restart
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkIds() == Set(700L, 703L, 704L), "replay must not change the kept set")
+    // the store holds corpus + kept streamed SLOT rows only (decoded clip
+    // ids: slot-encoded id >> 8)
+    val storedClips = spark.read.parquet(s"$tmp/idx/docs")
+      .select(org.apache.spark.sql.functions.shiftright(col("doc_id"), 8).as("clip"))
+      .collect().map(_.getLong(0)).toSet
+    val segDirs = Option(new java.io.File(s"$tmp/idx/segs").listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty).filter(_.isDirectory)
+    val streamedClips = segDirs.map(d => spark.read.parquet(d.toString))
+      .reduce(_ unionByName _)
+      .select(org.apache.spark.sql.functions.shiftright(col("doc_id"), 8).as("clip"))
+      .collect().map(_.getLong(0)).toSet
+    assert(storedClips == (0L until 10L).toSet && streamedClips == Set(700L, 703L, 704L),
+      s"store = corpus + kept survivors: $streamedClips")
+    // fold the segments beside nothing live, then re-probe a twin of a
+    // streamed survivor: still pairs through the folded store
+    graft.operators.Dedup.foldDocSegments(spark, s"$tmp/idx")
+    val reprobe = Multimodal.videoHashes(Multimodal.withVideoPayload(
+      Seq((800L, 200L)).toDF("doc_id", "seed"), seedCol = "seed", frames = 4, noise = 4))
+    val pairs = Multimodal.videoIncremental(reprobe, s"$tmp/idx", maxHamming = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((700L, 800L)),
+      s"a streamed survivor's twin pairs after the fold: $pairs")
+  }
+
   test("PNG: a zlib FDICT header in IDAT is undecodable, not an infinite loop") {
     import java.util.zip.CRC32
     def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,

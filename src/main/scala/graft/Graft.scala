@@ -892,8 +892,9 @@ final class Graft(val spark: SparkSession, val dir: String) {
     * decodable rows, and the ratio — the measurement that turns "formats
     * the engine can't decode silently skip content dedup" into a number.
     * Image content decode covers PNG, BMP, JPEG (baseline + progressive),
-    * and GIF (first frame); audio covers 8/16-bit PCM WAV. Everything else
-    * (WebP — unrecognized, MP3/AAC/FLAC, compressed/float WAV, arithmetic
+    * GIF (first frame), and lossless WebP (VP8L, all four transforms);
+    * audio covers 8/16-bit PCM WAV. Everything else
+    * (lossy-VP8 WebP, MP3/AAC/FLAC, compressed/float WAV, arithmetic
     * or 12-bit JPEG, palette/interlaced PNG) reports `decodable = false`
     * and skips dedup; watch the ratio before trusting a corpus's dedup
     * coverage. Per-row form: [[Multimodal.decodeStatus]]. */

@@ -67,10 +67,39 @@ object Multimodal {
         else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') parseBmp(b)
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57415645) parseWav(b)
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x41564920) parseAvi(b)
+        else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57454250) parseWebp(b)
         else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) parseJpeg(b)
         else if (b.length >= 12 && be32(b, 4) == 0x66747970) parseMp4(b) // "ftyp"
         else Unknown
       } catch { case _: ArrayIndexOutOfBoundsException => Unknown }
+
+    /** WebP (RIFF/WEBP): chunk walk to the first image-bearing chunk.
+      * `VP8L` (lossless): 1-byte 0x2f signature, then 14-bit LSB-first
+      * width-1 / height-1. `VP8 ` (lossy keyframe): 3-byte frame tag,
+      * 0x9d012a start code, 14-bit LE width/height. `VP8X` (extended):
+      * 24-bit LE canvas width-1 / height-1 after 4 flag bytes. */
+    private def parseWebp(b: Array[Byte]): Meta = {
+      var pos = 12L
+      while (pos + 8 <= b.length) {
+        val p = pos.toInt
+        val id = be32(b, p)
+        val size = le32(b, p + 4).toLong & 0xffffffffL
+        if (pos + 8 + size > b.length) return Unknown
+        if (id == 0x5650384c && size >= 5 && u8(b, p + 8) == 0x2f) { // "VP8L"
+          val bits = le32(b, p + 9)
+          return Meta("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1, 1, 0L)
+        } else if (id == 0x56503820 && size >= 10 &&
+            u8(b, p + 11) == 0x9d && u8(b, p + 12) == 0x01 && u8(b, p + 13) == 0x2a) { // "VP8 "
+          return Meta("webp", le16(b, p + 14) & 0x3fff, le16(b, p + 16) & 0x3fff, 1, 0L)
+        } else if (id == 0x56503858 && size >= 10) { // "VP8X"
+          val w = (u8(b, p + 12) | (u8(b, p + 13) << 8) | (u8(b, p + 14) << 16)) + 1
+          val h = (u8(b, p + 15) | (u8(b, p + 16) << 8) | (u8(b, p + 17) << 16)) + 1
+          return Meta("webp", w, h, 1, 0L)
+        }
+        pos += 8 + size + (size & 1)
+      }
+      Unknown
+    }
 
     /** PNG: 8-byte signature, then the IHDR chunk (must be first): 4-byte
       * length, "IHDR", 4-byte BE width, 4-byte BE height. */
@@ -1260,6 +1289,249 @@ object Multimodal {
       out.write(0x3b) // trailer
       out.toByteArray
     }
+
+    // ---- WebP VP8L (lossless) fixture encoder -----------------------------
+    //
+    // A real, minimal VP8L encoder (the decoder's adversarial twin, like
+    // the PNG/GIF/JPEG generators): canonical length-limited prefix codes
+    // built by package-merge, code-length-coded trees, and two transform
+    // postures — [[webp]] codes the gray field through SUBTRACT-GREEN
+    // (red/blue residuals collapse to one-symbol codes, so only the green
+    // tree carries entropy), [[webpPredictor]] through the PREDICTOR
+    // transform (uniform top-predict tiles + the forced edge rules).
+    // Both decode bit-exactly back to [[gray]], so WebP joins the
+    // lossless cross-container twin family (same pinned dHash as PNG).
+
+    private final class LsbWriter {
+      private val out = new ByteArrayOutputStream()
+      private var acc = 0
+      private var nb = 0
+      /** `n` bits of `v`, LSB first (the VP8L stream convention). */
+      def put(v: Int, n: Int): Unit = {
+        var i = 0
+        while (i < n) {
+          acc |= ((v >> i) & 1) << nb
+          nb += 1
+          if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+          i += 1
+        }
+      }
+      /** A prefix code: its bits go MSB first. */
+      def putCode(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) { put((code >> i) & 1, 1); i -= 1 }
+      }
+      def bytes: Array[Byte] = {
+        if (nb > 0) { out.write(acc); acc = 0; nb = 0 }
+        out.toByteArray
+      }
+    }
+
+    /** Optimal length-limited prefix-code lengths (package-merge); needs
+      * >= 2 live symbols, produces a Kraft-complete code within `limit`. */
+    private def huffLengths(freq: Array[Int], limit: Int): Array[Int] = {
+      val items = (0 until freq.length).filter(freq(_) > 0)
+      val lengths = new Array[Int](freq.length)
+      val base = items.map(i => (freq(i).toLong, List(i))).sortBy(_._1).toVector
+      var prev = Vector.empty[(Long, List[Int])]
+      var lvl = 0
+      while (lvl < limit) {
+        val pkgs = prev.grouped(2)
+          .collect { case Seq(a, b) => (a._1 + b._1, a._2 ::: b._2) }.toVector
+        prev = (base ++ pkgs).sortBy(_._1)
+        lvl += 1
+      }
+      prev.take(2 * (items.size - 1)).foreach(_._2.foreach(s => lengths(s) += 1))
+      lengths
+    }
+
+    /** Canonical codes for a length array — the (length, symbol)-sorted
+      * sequential assignment the decoder rebuilds. */
+    private def canonCodes(lengths: Array[Int]): Array[Int] = {
+      val maxLen = lengths.max
+      val cnt = new Array[Int](maxLen + 1)
+      lengths.foreach(l => if (l > 0) cnt(l) += 1)
+      val next = new Array[Int](maxLen + 1)
+      var code = 0
+      var l = 1
+      while (l <= maxLen) { code = (code + cnt(l - 1)) << 1; next(l) = code; l += 1 }
+      val codes = new Array[Int](lengths.length)
+      var i = 0
+      while (i < lengths.length) {
+        if (lengths(i) > 0) { codes(i) = next(lengths(i)); next(lengths(i)) += 1 }
+        i += 1
+      }
+      codes
+    }
+
+    private def writeSingleCode(bw: LsbWriter, sym: Int): Unit = {
+      bw.put(1, 1); bw.put(0, 1) // simple, one symbol
+      if (sym <= 1) { bw.put(0, 1); bw.put(sym, 1) }
+      else { bw.put(1, 1); bw.put(sym, 8) }
+    }
+
+    /** Write one channel's prefix code (simple or code-length-coded);
+      * returns (codes, lengths) for the pixel emission pass. */
+    private def writeHuffCode(bw: LsbWriter, freq: Array[Int]): (Array[Int], Array[Int]) = {
+      val live = (0 until freq.length).filter(freq(_) > 0)
+      val codes = new Array[Int](freq.length)
+      val lens = new Array[Int](freq.length)
+      if (live.size == 1) {
+        writeSingleCode(bw, live.head) // zero bits per symbol
+        return (codes, lens)
+      }
+      if (live.size == 2 && live.last < 256) {
+        val s0 = live(0); val s1 = live(1)
+        bw.put(1, 1); bw.put(1, 1) // simple, two symbols
+        if (s0 <= 1) { bw.put(0, 1); bw.put(s0, 1) } else { bw.put(1, 1); bw.put(s0, 8) }
+        bw.put(s1, 8)
+        codes(s0) = 0; lens(s0) = 1; codes(s1) = 1; lens(s1) = 1
+        return (codes, lens)
+      }
+      val lengths = huffLengths(freq, 15)
+      // RLE over the whole alphabet (17/18 for zero runs; no max_symbol)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      var i = 0
+      while (i < lengths.length) {
+        if (lengths(i) == 0) {
+          var j = i
+          while (j < lengths.length && lengths(j) == 0) j += 1
+          var run = j - i
+          while (run >= 11) { val take = math.min(run, 138); toks += ((18, 7, take - 11)); run -= take }
+          if (run >= 3) { toks += ((17, 3, run - 3)); run = 0 }
+          while (run > 0) { toks += ((0, 0, 0)); run -= 1 }
+          i = j
+        } else { toks += ((lengths(i), 0, 0)); i += 1 }
+      }
+      val clFreq = new Array[Int](19)
+      toks.foreach(t => clFreq(t._1) += 1)
+      val clLens =
+        if ((0 until 19).count(clFreq(_) > 0) == 1) {
+          // one distinct code-length symbol: give it and a dummy 1-bit
+          // codes so the code-length code stays complete
+          val a = new Array[Int](19)
+          val s = (0 until 19).find(clFreq(_) > 0).get
+          a(s) = 1; a((s + 1) % 19) = 1
+          a
+        } else huffLengths(clFreq, 7)
+      val clCodes = canonCodes(clLens)
+      var numCl = 19
+      while (numCl > 4 && clLens(Vp8lClOrder(numCl - 1)) == 0) numCl -= 1
+      bw.put(0, 1) // not simple
+      bw.put(numCl - 4, 4)
+      var k = 0
+      while (k < numCl) { bw.put(clLens(Vp8lClOrder(k)), 3); k += 1 }
+      bw.put(0, 1) // no max_symbol
+      toks.foreach { case (sym, eb, ev) =>
+        bw.putCode(clCodes(sym), clLens(sym))
+        if (eb > 0) bw.put(ev, eb)
+      }
+      (canonCodes(lengths), lengths)
+    }
+
+    /** One entropy-coded image: no color cache, no meta prefix image,
+      * literal-only pixel stream (the trees carry all the compression). */
+    private def writeVp8lImage(bw: LsbWriter, px: Array[Int], isMain: Boolean): Unit = {
+      bw.put(0, 1)             // no color cache
+      if (isMain) bw.put(0, 1) // no meta prefix image
+      val gf = new Array[Int](280); val rf = new Array[Int](256)
+      val bf = new Array[Int](256); val af = new Array[Int](256)
+      px.foreach { p =>
+        gf((p >> 8) & 0xff) += 1; rf((p >> 16) & 0xff) += 1
+        bf(p & 0xff) += 1; af((p >>> 24) & 0xff) += 1
+      }
+      val (gc, gl) = writeHuffCode(bw, gf)
+      val (rc, rl) = writeHuffCode(bw, rf)
+      val (bc, bl) = writeHuffCode(bw, bf)
+      val (ac, al) = writeHuffCode(bw, af)
+      writeSingleCode(bw, 0) // distance: unused, one-symbol (zero-bit) code
+      px.foreach { p =>
+        val g = (p >> 8) & 0xff; val r = (p >> 16) & 0xff
+        val b = p & 0xff; val a = (p >>> 24) & 0xff
+        if (gl(g) > 0) bw.putCode(gc(g), gl(g))
+        if (rl(r) > 0) bw.putCode(rc(r), rl(r))
+        if (bl(b) > 0) bw.putCode(bc(b), bl(b))
+        if (al(a) > 0) bw.putCode(ac(a), al(a))
+      }
+    }
+
+    private def riffWebp(payload: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      def le32w(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
+      }
+      val pad = payload.length & 1
+      out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
+      le32w(4 + 8 + payload.length + pad)
+      out.write("WEBP".getBytes(StandardCharsets.US_ASCII))
+      out.write("VP8L".getBytes(StandardCharsets.US_ASCII))
+      le32w(payload.length)
+      out.write(payload)
+      if (pad == 1) out.write(0)
+      out.toByteArray
+    }
+
+    /** Lossless WebP (VP8L) of the gray field, coded through the
+      * SUBTRACT-GREEN transform: r = b = luma collapse to zero residuals
+      * (one-symbol codes), the green channel carries the image. */
+    def webp(w: Int, h: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val px = g.map(v => 0xff000000 | (v << 8))
+      val bw = new LsbWriter
+      bw.put(0x2f, 8)
+      bw.put(w - 1, 14); bw.put(h - 1, 14)
+      bw.put(0, 1) // alpha hint
+      bw.put(0, 3) // version
+      bw.put(1, 1); bw.put(2, 2) // transform: subtract-green
+      bw.put(0, 1)               // no more transforms
+      writeVp8lImage(bw, px, isMain = true)
+      riffWebp(bw.bytes)
+    }
+
+    /** The same pixels through the PREDICTOR transform: 16x16 tiles all
+      * using mode 2 (top), residuals against the reconstructed neighbors
+      * with the forced edge rules — exercises the subresolution mode
+      * image and the predictor inverse end to end. */
+    def webpPredictor(w: Int, h: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+      val g = gray(w, h, seed, noise)
+      val px = g.map(v => 0xff000000 | (v << 16) | (v << 8) | v)
+      def subPixels(a: Int, b: Int): Int = {
+        val aa = ((a >>> 24) - (b >>> 24)) & 0xff
+        val rr = (((a >> 16) & 0xff) - ((b >> 16) & 0xff)) & 0xff
+        val gg = (((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff
+        val bb = ((a & 0xff) - (b & 0xff)) & 0xff
+        (aa << 24) | (rr << 16) | (gg << 8) | bb
+      }
+      val bits = 4 // 16x16 tiles
+      val sw = (w + 15) >> 4; val sh = (h + 15) >> 4
+      val modes = Array.fill(sw * sh)(0xff000000 | (2 << 8)) // mode 2 = T
+      val res = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val pos = y * w + x
+          val pred =
+            if (x == 0 && y == 0) 0xff000000
+            else if (y == 0) px(pos - 1)
+            else px(pos - w) // column 0 forced T == tile mode T
+          res(pos) = subPixels(px(pos), pred)
+          x += 1
+        }
+        y += 1
+      }
+      val bw = new LsbWriter
+      bw.put(0x2f, 8)
+      bw.put(w - 1, 14); bw.put(h - 1, 14)
+      bw.put(0, 1); bw.put(0, 3)
+      bw.put(1, 1); bw.put(0, 2)  // transform: predictor
+      bw.put(bits - 2, 3)
+      writeVp8lImage(bw, modes, isMain = false)
+      bw.put(0, 1)                // no more transforms
+      writeVp8lImage(bw, res, isMain = true)
+      riffWebp(bw.bytes)
+    }
   }
 
   /** Pure-JVM pixel decode to a grayscale matrix — the content-level step
@@ -1270,9 +1542,11 @@ object Multimodal {
     * BMP: BITMAPINFOHEADER, uncompressed 24/32-bit, bottom-up or top-down.
     * JPEG (ITU T.81): baseline sequential AND progressive, luma plane.
     * GIF87a/89a: first-frame LZW decode, global/local palettes, interlace.
-    * The decode matrix is explicit, and everything outside it — interlaced
-    * PNG, palette PNG, non-8-bit depths, compressed BMP, arithmetic-coded
-    * / 12-bit / hierarchical JPEG, WebP (not recognized at all) — returns
+    * WebP: lossless VP8L (prefix codes, color cache, meta prefix image,
+    * LZ77 with the 2D distance map, all four transforms). The decode
+    * matrix is explicit, and everything outside it — interlaced PNG,
+    * palette PNG, non-8-bit depths, compressed BMP, arithmetic-coded
+    * / 12-bit / hierarchical JPEG, lossy-VP8 WebP — returns
     * `None` (never throws): a 100 TB corpus pass must skip what it cannot
     * decode, not die on it, and [[Multimodal.decodeStats]] makes the
     * skipped share measurable instead of silent. */
@@ -1294,6 +1568,8 @@ object Multimodal {
         else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) decodeJpeg(b)
         else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
           (b(4) == '7' || b(4) == '9') && b(5) == 'a') decodeGif(b)
+        else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57454250)
+          decodeWebp(b) // RIFF....WEBP
         else None
       } catch { case _: Exception => None }
 
@@ -2258,7 +2534,533 @@ object Multimodal {
       }
       Some(Gray(w, h, gray))
     }
+
+    /** WebP VP8L (lossless) pixel decode — the public WebP Lossless
+      * Bitstream Specification (RFC 9649 §3): LSB-first bitstream;
+      * canonical prefix codes, either "simple" (1–2 symbols) or
+      * code-length-coded in the VP8L code-length-code order; optional
+      * color cache (hash-indexed recent-pixel dictionary); an optional
+      * meta prefix (entropy) image selecting per-tile code groups; LZ77
+      * backward references whose short distances map through the
+      * 120-entry 2D neighborhood table; and all four transforms —
+      * predictor (14 modes with the forced edge rules), color
+      * (green→red/blue cross-channel deltas), subtract-green, and color
+      * indexing (palette, with sub-byte pixel bundling) — applied in
+      * reverse coding order. Lossy `VP8 ` and `VP8X`-wrapped payloads
+      * return None (the decode matrix reports them undecodable), as does
+      * anything malformed, truncated, or beyond the 2^26-pixel cap —
+      * never a throw; work is bounded by the declared dimensions (every
+      * decode loop is output-driven, and the bit reader saturates at
+      * end-of-stream instead of spinning). */
+    private def decodeWebp(b: Array[Byte]): Option[Gray] = {
+      var pos = 12
+      var off = -1; var end = -1
+      while (off < 0 && pos + 8 <= b.length) {
+        val id = be32(b, pos)
+        val size = le32(b, pos + 4).toLong & 0xffffffffL
+        if (pos + 8 + size > b.length) return None
+        if (id == 0x5650384c) { off = pos + 8; end = (pos + 8 + size).toInt } // "VP8L"
+        pos += (8 + size + (size & 1)).toInt
+      }
+      if (off < 0 || end - off < 5 || u8(b, off) != 0x2f) return None
+      val r = new Vp8l.Reader(b, off + 1, end)
+      val w = r.bits(14) + 1
+      val h = r.bits(14) + 1
+      r.bits(1) // alpha hint
+      if (r.bits(3) != 0) return None // version must be 0
+      if (w.toLong * h > (1L << 26)) return None // same pixel cap as PNG
+      val argb = Vp8l.decodeMain(r, w, h)
+      if (argb == null || argb.length != w * h) return None
+      val gray = new Array[Int](w * h)
+      var i = 0
+      while (i < gray.length) {
+        val p = argb(i)
+        gray(i) = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        i += 1
+      }
+      Some(Gray(w, h, gray))
+    }
+
+    /** VP8L bitstream machinery (see [[decodeWebp]]). */
+    private[graft] object Vp8l {
+      /** LSB-first bit reader; saturates (returns zero bits, sets `eof`)
+        * past the end instead of throwing — every caller loop is bounded
+        * by output size and aborts on `eof`. */
+      final class Reader(b: Array[Byte], start: Int, end: Int) {
+        private var pos = start
+        private var bit = 0
+        var eof = false
+        def bits(n: Int): Int = {
+          var v = 0; var i = 0
+          while (i < n) {
+            if (pos >= end) { eof = true; return v }
+            v |= ((b(pos) >> bit) & 1) << i
+            bit += 1
+            if (bit == 8) { bit = 0; pos += 1 }
+            i += 1
+          }
+          v
+        }
+        def one(): Int = bits(1)
+      }
+
+      sealed trait PCode { def read(r: Reader): Int }
+      /** Degenerate one-symbol code: zero bits per symbol (VP8L-legal). */
+      private final case class Single(sym: Int) extends PCode {
+        def read(r: Reader): Int = sym
+      }
+      /** Two-symbol simple code: one bit selects, in WRITTEN order. */
+      private final case class Pair(s0: Int, s1: Int) extends PCode {
+        def read(r: Reader): Int = if (r.one() == 0) s0 else s1
+      }
+      /** Canonical prefix code (lengths sorted by (length, symbol), codes
+        * assigned sequentially per length — the DEFLATE construction);
+        * read bit-by-bit, MSB of the code first. */
+      private final class Canon(maxLen: Int, cnt: Array[Int],
+          firstCode: Array[Int], firstIdx: Array[Int], syms: Array[Int]) extends PCode {
+        def read(r: Reader): Int = {
+          var code = 0; var len = 0
+          while (len < maxLen) {
+            code = (code << 1) | r.one()
+            len += 1
+            if (cnt(len) > 0) {
+              val o = code - firstCode(len)
+              if (o >= 0 && o < cnt(len)) return syms(firstIdx(len) + o)
+            }
+            if (r.eof) return -1
+          }
+          -1
+        }
+      }
+      /** Build a code from a length array; null when unusable (empty,
+        * over-subscribed, or over the 15-bit cap). */
+      private def buildCode(lengths: Array[Int]): PCode = {
+        var live = 0; var lastSym = -1; var maxLen = 0
+        var i = 0
+        while (i < lengths.length) {
+          val l = lengths(i)
+          if (l > 0) { live += 1; lastSym = i; if (l > maxLen) maxLen = l }
+          i += 1
+        }
+        if (live == 0) return null
+        if (live == 1) return Single(lastSym)
+        if (maxLen > 15) return null
+        val cnt = new Array[Int](maxLen + 1)
+        lengths.foreach(l => if (l > 0) cnt(l) += 1)
+        var kraft = 0L
+        var l = 1
+        while (l <= maxLen) { kraft += cnt(l).toLong << (maxLen - l); l += 1 }
+        if (kraft > (1L << maxLen)) return null
+        val firstCode = new Array[Int](maxLen + 1)
+        val firstIdx = new Array[Int](maxLen + 1)
+        var code = 0; var idx = 0
+        l = 1
+        while (l <= maxLen) {
+          code = (code + cnt(l - 1)) << 1
+          firstCode(l) = code; firstIdx(l) = idx; idx += cnt(l)
+          l += 1
+        }
+        val syms = new Array[Int](live)
+        val fill = firstIdx.clone()
+        i = 0
+        while (i < lengths.length) {
+          if (lengths(i) > 0) { syms(fill(lengths(i))) = i; fill(lengths(i)) += 1 }
+          i += 1
+        }
+        new Canon(maxLen, cnt, firstCode, firstIdx, syms)
+      }
+
+      /** One prefix code from the stream: "simple" (1–2 listed symbols)
+        * or code-length-coded. Null on any malformation. */
+      private def readCode(r: Reader, alphabetSize: Int): PCode = {
+        if (r.one() == 1) {
+          val num = r.bits(1) + 1
+          val s0 = if (r.one() == 1) r.bits(8) else r.bits(1)
+          if (num == 1) { if (s0 >= alphabetSize) null else Single(s0) }
+          else {
+            val s1 = r.bits(8)
+            if (s0 >= alphabetSize || s1 >= alphabetSize || s0 == s1) null
+            else Pair(s0, s1)
+          }
+        } else {
+          val numCl = r.bits(4) + 4
+          val clLen = new Array[Int](19)
+          var i = 0
+          while (i < numCl) { clLen(Multimodal.Vp8lClOrder(i)) = r.bits(3); i += 1 }
+          if (r.eof) return null
+          val clCode = buildCode(clLen)
+          if (clCode == null) return null
+          var budget = alphabetSize
+          if (r.one() == 1) {
+            val nb = 2 + 2 * r.bits(3)
+            budget = 2 + r.bits(nb)
+            if (budget > alphabetSize) return null
+          }
+          val lengths = new Array[Int](alphabetSize)
+          var prev = 8
+          var sym = 0
+          while (sym < alphabetSize && budget > 0 && !r.eof) {
+            budget -= 1
+            val c = clCode.read(r)
+            if (c < 0 || c > 18) return null
+            if (c < 16) {
+              lengths(sym) = c; sym += 1
+              if (c != 0) prev = c
+            } else {
+              var rep = 0; var v = 0
+              if (c == 16) { rep = 3 + r.bits(2); v = prev }
+              else if (c == 17) { rep = 3 + r.bits(3) }
+              else { rep = 11 + r.bits(7) }
+              if (sym + rep > alphabetSize) return null
+              var k = 0
+              while (k < rep) { lengths(sym) = v; sym += 1; k += 1 }
+            }
+          }
+          buildCode(lengths)
+        }
+      }
+
+      /** LZ77 length/distance prefix decoding (the 24-code family). */
+      private def prefixValue(code: Int, r: Reader): Int =
+        if (code < 4) code + 1
+        else {
+          val extra = (code - 2) >> 1
+          val offset = (2 + (code & 1)) << extra
+          offset + r.bits(extra) + 1
+        }
+
+      /** (dy, 8-dx) plane position -> distance code, from the spec's 2D
+        * neighborhood mapping (255 = unmapped); inverted at init into
+        * (dx, dy) per 0-based code. */
+      private val PlaneToCode: Array[Int] = Array(
+        96, 73, 55, 39, 23, 13, 5, 1, 255, 255, 255, 255, 255, 255, 255, 255,
+        101, 78, 58, 42, 26, 16, 8, 2, 0, 3, 9, 17, 27, 43, 59, 79,
+        102, 86, 62, 46, 32, 20, 10, 6, 4, 7, 11, 21, 33, 47, 63, 87,
+        105, 90, 70, 52, 37, 28, 18, 14, 12, 15, 19, 29, 38, 53, 71, 91,
+        110, 99, 82, 66, 48, 35, 30, 24, 22, 25, 31, 36, 49, 67, 83, 100,
+        115, 108, 94, 76, 64, 50, 44, 40, 34, 41, 45, 51, 65, 77, 95, 109,
+        118, 113, 103, 92, 80, 68, 60, 56, 54, 57, 61, 69, 81, 93, 104, 114,
+        119, 116, 111, 106, 97, 88, 84, 74, 72, 75, 85, 89, 98, 107, 112, 117)
+      private val (distXOff, distYOff) = {
+        val xs = new Array[Int](120); val ys = new Array[Int](120)
+        var i = 0
+        while (i < PlaneToCode.length) {
+          val c = PlaneToCode(i)
+          if (c != 255) { xs(c) = 8 - (i & 15); ys(c) = i >> 4 }
+          i += 1
+        }
+        (xs, ys)
+      }
+
+      private def sub(size: Int, bits: Int): Int = (size + (1 << bits) - 1) >> bits
+      private def cacheIdx(p: Int, bits: Int): Int = (0x1e35a7bd * p) >>> (32 - bits)
+
+      private def addPixels(a: Int, b: Int): Int = {
+        val aa = ((a >>> 24) + (b >>> 24)) & 0xff
+        val rr = (((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff
+        val gg = (((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff
+        val bb = ((a & 0xff) + (b & 0xff)) & 0xff
+        (aa << 24) | (rr << 16) | (gg << 8) | bb
+      }
+
+      private final case class Group(g: PCode, r: PCode, b: PCode, a: PCode, d: PCode)
+
+      /** One entropy-coded image: color-cache header, (main role only)
+        * the meta prefix image, per-group codes, then the literal /
+        * backward-reference / cache-hit pixel stream. Null on any
+        * malformation or truncation. */
+      private def decodeImg(r: Reader, xsize: Int, ysize: Int, isMain: Boolean): Array[Int] = {
+        if (xsize <= 0 || ysize <= 0) return null
+        var cacheBits = 0
+        if (r.one() == 1) {
+          cacheBits = r.bits(4)
+          if (cacheBits < 1 || cacheBits > 11) return null
+        }
+        val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+        val cache = if (cacheBits > 0) new Array[Int](cacheSize) else null
+        var huffBits = 0; var huffImg: Array[Int] = null; var huffXs = 0
+        if (isMain && r.one() == 1) {
+          huffBits = r.bits(3) + 2
+          huffXs = sub(xsize, huffBits)
+          huffImg = decodeImg(r, huffXs, sub(ysize, huffBits), isMain = false)
+          if (huffImg == null) return null
+        }
+        var nGroups = 1
+        if (huffImg != null) {
+          var i = 0
+          while (i < huffImg.length) {
+            val m = (huffImg(i) >> 8) & 0xffff
+            if (m + 1 > nGroups) nGroups = m + 1
+            i += 1
+          }
+        }
+        val groups = new Array[Group](nGroups)
+        var gi = 0
+        while (gi < nGroups) {
+          val g = readCode(r, 256 + 24 + cacheSize)
+          val red = readCode(r, 256); val blue = readCode(r, 256)
+          val alpha = readCode(r, 256); val dist = readCode(r, 40)
+          if (g == null || red == null || blue == null || alpha == null || dist == null)
+            return null
+          groups(gi) = Group(g, red, blue, alpha, dist)
+          gi += 1
+        }
+        val n = xsize * ysize
+        val out = new Array[Int](n)
+        var pos = 0
+        while (pos < n) {
+          if (r.eof) return null
+          val grp = if (huffImg == null) groups(0) else {
+            val x = pos % xsize; val y = pos / xsize
+            groups((huffImg((y >> huffBits) * huffXs + (x >> huffBits)) >> 8) & 0xffff)
+          }
+          val s = grp.g.read(r)
+          if (s < 0) return null
+          if (s < 256) {
+            val red = grp.r.read(r); val blue = grp.b.read(r); val alpha = grp.a.read(r)
+            if ((red | blue | alpha) < 0) return null
+            val p = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out(pos) = p
+            if (cache != null) cache(cacheIdx(p, cacheBits)) = p
+            pos += 1
+          } else if (s < 280) {
+            val len = prefixValue(s - 256, r)
+            val dc = grp.d.read(r)
+            if (dc < 0) return null
+            val dcode = prefixValue(dc, r)
+            val dist =
+              if (dcode > 120) dcode - 120
+              else {
+                val d = distYOff(dcode - 1) * xsize + distXOff(dcode - 1)
+                if (d < 1) 1 else d
+              }
+            if (dist > pos || pos + len > n) return null
+            var k = 0
+            while (k < len) {
+              val p = out(pos - dist)
+              out(pos) = p
+              if (cache != null) cache(cacheIdx(p, cacheBits)) = p
+              pos += 1; k += 1
+            }
+          } else {
+            val ci = s - 280
+            if (cache == null || ci >= cacheSize) return null
+            out(pos) = cache(ci)
+            pos += 1
+          }
+        }
+        out
+      }
+
+      /** Transform headers + main image + inverse application (reverse
+        * coding order; color-indexing updates the coded width for
+        * everything read after it). */
+      def decodeMain(r: Reader, w0: Int, h: Int): Array[Int] = {
+        var w = w0
+        var seen = 0
+        val transforms =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int], Int, Int)]
+        var guard = 0
+        while (guard < 5 && r.one() == 1) {
+          guard += 1
+          val t = r.bits(2)
+          if ((seen & (1 << t)) != 0) return null
+          seen |= 1 << t
+          t match {
+            case 0 | 1 =>
+              val bits = r.bits(3) + 2
+              val img = decodeImg(r, sub(w, bits), sub(h, bits), isMain = false)
+              if (img == null) return null
+              transforms += ((t, bits, img, w, 0))
+            case 2 =>
+              transforms += ((2, 0, null, w, 0))
+            case _ =>
+              val tableSize = r.bits(8) + 1
+              val pal = decodeImg(r, tableSize, 1, isMain = false)
+              if (pal == null) return null
+              var i = 1
+              while (i < tableSize) { pal(i) = addPixels(pal(i), pal(i - 1)); i += 1 }
+              val wb =
+                if (tableSize <= 2) 3 else if (tableSize <= 4) 2
+                else if (tableSize <= 16) 1 else 0
+              transforms += ((3, wb, pal, w, tableSize))
+              w = sub(w, wb)
+          }
+          if (r.eof) return null
+        }
+        var px = decodeImg(r, w, h, isMain = true)
+        if (px == null) return null
+        var ti = transforms.length - 1
+        while (ti >= 0) {
+          val (t, bits, data, wAt, tableSize) = transforms(ti)
+          t match {
+            case 0 => if (!inversePredictor(px, wAt, h, bits, data)) return null
+            case 1 => inverseColor(px, wAt, h, bits, data)
+            case 2 => inverseSubtractGreen(px)
+            case _ => px = inverseColorIndex(px, wAt, h, bits, data, tableSize)
+          }
+          ti -= 1
+        }
+        px
+      }
+
+      private def inverseSubtractGreen(px: Array[Int]): Unit = {
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val g = (p >> 8) & 0xff
+          val rr = (((p >> 16) & 0xff) + g) & 0xff
+          val bb = ((p & 0xff) + g) & 0xff
+          px(i) = (p & 0xff00ff00) | (rr << 16) | bb
+          i += 1
+        }
+      }
+
+      /** (int8 pred * int8 channel) >> 5 — the spec's cross-channel delta. */
+      private def cdelta(t: Int, c: Int): Int = (t.toByte.toInt * c.toByte.toInt) >> 5
+
+      private def inverseColor(
+          px: Array[Int], w: Int, h: Int, bits: Int, cteImg: Array[Int]): Unit = {
+        val sw = sub(w, bits)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cte = cteImg((y >> bits) * sw + (x >> bits))
+            val p = px(y * w + x)
+            val g = (p >> 8) & 0xff
+            var rr = (p >> 16) & 0xff
+            var bb = p & 0xff
+            rr = (rr + cdelta(cte & 0xff, g)) & 0xff
+            bb = (bb + cdelta((cte >> 8) & 0xff, g) + cdelta((cte >> 16) & 0xff, rr)) & 0xff
+            px(y * w + x) = (p & 0xff00ff00) | (rr << 16) | bb
+            x += 1
+          }
+          y += 1
+        }
+      }
+
+      private def avg2(a: Int, b: Int): Int =
+        (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+      private def clampByte(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+      private def select(l: Int, t: Int, tl: Int): Int = {
+        val pa = (l >>> 24) + (t >>> 24) - (tl >>> 24)
+        val pr = ((l >> 16) & 0xff) + ((t >> 16) & 0xff) - ((tl >> 16) & 0xff)
+        val pg = ((l >> 8) & 0xff) + ((t >> 8) & 0xff) - ((tl >> 8) & 0xff)
+        val pb = (l & 0xff) + (t & 0xff) - (tl & 0xff)
+        val pL = math.abs(pa - (l >>> 24)) + math.abs(pr - ((l >> 16) & 0xff)) +
+          math.abs(pg - ((l >> 8) & 0xff)) + math.abs(pb - (l & 0xff))
+        val pT = math.abs(pa - (t >>> 24)) + math.abs(pr - ((t >> 16) & 0xff)) +
+          math.abs(pg - ((t >> 8) & 0xff)) + math.abs(pb - (t & 0xff))
+        if (pL < pT) l else t
+      }
+
+      private def clampAddSubFull(l: Int, t: Int, tl: Int): Int = {
+        val aa = clampByte((l >>> 24) + (t >>> 24) - (tl >>> 24))
+        val rr = clampByte(((l >> 16) & 0xff) + ((t >> 16) & 0xff) - ((tl >> 16) & 0xff))
+        val gg = clampByte(((l >> 8) & 0xff) + ((t >> 8) & 0xff) - ((tl >> 8) & 0xff))
+        val bb = clampByte((l & 0xff) + (t & 0xff) - (tl & 0xff))
+        (aa << 24) | (rr << 16) | (gg << 8) | bb
+      }
+
+      private def clampAddSubHalf(c: Int, d: Int): Int = {
+        def ch(cc: Int, dc: Int): Int = clampByte(cc + (cc - dc) / 2)
+        (ch(c >>> 24, d >>> 24) << 24) |
+          (ch((c >> 16) & 0xff, (d >> 16) & 0xff) << 16) |
+          (ch((c >> 8) & 0xff, (d >> 8) & 0xff) << 8) |
+          ch(c & 0xff, d & 0xff)
+      }
+
+      /** In-place predictor inverse: forced modes on the edges (top-left
+        * = opaque black, row 0 = L, column 0 = T), the tile's mode from
+        * the subresolution image elsewhere; TR of the rightmost column
+        * reads the already-reconstructed first pixel of the current row
+        * (the buffer-arithmetic behavior real decoders share). False on
+        * an out-of-range mode. */
+      private def inversePredictor(
+          px: Array[Int], w: Int, h: Int, bits: Int, modes: Array[Int]): Boolean = {
+        val sw = sub(w, bits)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pos = y * w + x
+            val pred =
+              if (x == 0 && y == 0) 0xff000000
+              else if (y == 0) px(pos - 1)
+              else if (x == 0) px(pos - w)
+              else {
+                val mode = (modes((y >> bits) * sw + (x >> bits)) >> 8) & 0xff
+                val l = px(pos - 1); val t = px(pos - w)
+                val tl = px(pos - w - 1); val tr = px(pos - w + 1)
+                mode match {
+                  case 0 => 0xff000000
+                  case 1 => l
+                  case 2 => t
+                  case 3 => tr
+                  case 4 => tl
+                  case 5 => avg2(avg2(l, tr), t)
+                  case 6 => avg2(l, tl)
+                  case 7 => avg2(l, t)
+                  case 8 => avg2(tl, t)
+                  case 9 => avg2(t, tr)
+                  case 10 => avg2(avg2(l, tl), avg2(t, tr))
+                  case 11 => select(l, t, tl)
+                  case 12 => clampAddSubFull(l, t, tl)
+                  case 13 => clampAddSubHalf(avg2(l, t), tl)
+                  case _ => return false
+                }
+              }
+            px(pos) = addPixels(px(pos), pred)
+            x += 1
+          }
+          y += 1
+        }
+        true
+      }
+
+      /** Palette inverse, expanding sub-byte pixel bundling (indices ride
+        * the green channel; out-of-table indices decode to transparent
+        * black, the lenient convention). */
+      private def inverseColorIndex(px: Array[Int], w: Int, h: Int, wb: Int,
+          pal: Array[Int], tableSize: Int): Array[Int] = {
+        if (wb == 0) {
+          var i = 0
+          while (i < px.length) {
+            val idx = (px(i) >> 8) & 0xff
+            px(i) = if (idx < tableSize) pal(idx) else 0
+            i += 1
+          }
+          px
+        } else {
+          val packedW = sub(w, wb)
+          val bpp = 8 >> wb
+          val mask = (1 << bpp) - 1
+          val perByte = 1 << wb
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val green = (px(y * packedW + (x >> wb)) >> 8) & 0xff
+              val idx = (green >> ((x & (perByte - 1)) * bpp)) & mask
+              out(y * w + x) = if (idx < tableSize) pal(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      }
+    }
   }
+
+  /** The VP8L code-length-code symbol order (shared by the decoder and
+    * the fixture encoder). */
+  private[graft] val Vp8lClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** Perceptual hashes over a decoded gray matrix — the standard public
     * aHash/dHash constructions: box-average the image onto a coarse grid,
@@ -2339,14 +3141,18 @@ object Multimodal {
         if ((id / math.max(jpegEvery, 1)) % 2 == 0) ImageGen.jpeg(w, h, seed, noise)
         else ImageGen.jpegProgressive(w, h, seed, noise)
       } else {
-        // the lossless slot alternates PNG / GIF by slot ordinal (and GIF
-        // plain / INTERLACED by the next bit) — web corpora carry a real
-        // GIF share, so the default rotation pays LZW decode and the
-        // 4-pass row shuffle the same way the JPEG slot pays entropy
-        // decode; all three lossless containers hold identical pixels
+        // the lossless slot rotates PNG / GIF / WEBP by slot ordinal (GIF
+        // alternating plain / INTERLACED, WebP alternating subtract-green
+        // / PREDICTOR coding) — web corpora carry real GIF and WebP
+        // shares, so the default rotation pays LZW decode, the 4-pass row
+        // shuffle, and VP8L prefix-code decode the same way the JPEG slot
+        // pays entropy decode; all four lossless containers hold
+        // identical pixels
         val ord = if (bmpEvery > 0) id / bmpEvery else id
-        if (ord % 2 == 0) ImageGen.png(w, h, seed, noise)
-        else ImageGen.gif(w, h, seed, noise, interlaced = (ord / 2) % 2 == 1)
+        if (ord % 3 == 0) ImageGen.png(w, h, seed, noise)
+        else if (ord % 3 == 1) ImageGen.gif(w, h, seed, noise, interlaced = (ord / 3) % 2 == 1)
+        else if ((ord / 3) % 2 == 0) ImageGen.webp(w, h, seed, noise)
+        else ImageGen.webpPredictor(w, h, seed, noise)
       })
 
   /** Attach a deterministic PIXEL-carrying image payload ([[ImageGen]]) —
@@ -2454,7 +3260,7 @@ object Multimodal {
     * — image formats through [[ImageDecoder]], `wav` through
     * [[WavDecoder]]. A format the engine recognizes but cannot pixel/
     * sample-decode (interlaced PNG, arithmetic JPEG, compressed-audio
-    * RIFF, WebP → `unknown`) reports `decodable = false` — the rows that
+    * RIFF, lossy-VP8 WebP) reports `decodable = false` — the rows that
     * silently skip content dedup. Partition-parallel; payload bytes never
     * leave the executors. */
   def decodeStatus(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
@@ -2466,7 +3272,7 @@ object Multimodal {
         rows.map { case (id, payload) =>
           val fmt = ContainerParser.parse(payload).format
           val ok = fmt match {
-            case "png" | "bmp" | "jpeg" | "gif" => ImageDecoder.decode(payload).isDefined
+            case "png" | "bmp" | "jpeg" | "gif" | "webp" => ImageDecoder.decode(payload).isDefined
             case "wav" => WavDecoder.decode(payload).isDefined
             // MJPEG frames decode; H.264/VP9 etc. report false — the
             // skipped share a video corpus must watch

@@ -2100,7 +2100,8 @@ object PipelineQueries {
              |  SELECT doc_id,
              |         CASE WHEN doc_id % 3 = 0 THEN 'bmp'
              |              WHEN doc_id % 3 = 1 THEN 'jpeg'
-             |              WHEN (doc_id // 3) % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+             |              WHEN (doc_id // 3) % 3 = 0 THEN 'png'
+             |              WHEN (doc_id // 3) % 3 = 1 THEN 'gif' ELSE 'webp' END AS format,
              |         1 AS ok
              |  FROM documents WHERE doc_id % 17 <> 0),
              |trunc AS (

@@ -311,6 +311,161 @@ class MultimodalSpec extends AnyFunSuite {
       .isEmpty, "a GIF with neither global nor local palette must be skipped")
   }
 
+  test("WebP/VP8L: bit-exact round-trip through subtract-green AND predictor coding; odd sizes") {
+    for ((w, h) <- Seq((64, 48), (17, 13), (1, 1), (300, 5), (9, 8)); nz <- Seq(0, 8)) {
+      val ref = ImageGen.gray(w, h, 42L, nz)
+      val sg = ImageDecoder.decode(ImageGen.webp(w, h, 42L, nz))
+      assert(sg.exists(g => g.width == w && g.height == h && g.pixels.sameElements(ref)),
+        s"subtract-green ${w}x$h nz=$nz")
+      val pr = ImageDecoder.decode(ImageGen.webpPredictor(w, h, 42L, nz))
+      assert(pr.exists(g => g.width == w && g.height == h && g.pixels.sameElements(ref)),
+        s"predictor ${w}x$h nz=$nz")
+    }
+  }
+
+  /** Test-local LSB-first bit writer for HAND-BUILT VP8L streams (the
+    * transform paths the fixture encoder does not emit). */
+  private final class Vp8lHand {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var nb = 0
+    def put(v: Int, n: Int): Unit = (0 until n).foreach { i =>
+      acc |= ((v >> i) & 1) << nb; nb += 1
+      if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+    }
+    /** simple prefix code, one symbol (zero bits per read). */
+    def single(sym: Int): Unit = {
+      put(1, 1); put(0, 1)
+      if (sym <= 1) { put(0, 1); put(sym, 1) } else { put(1, 1); put(sym, 8) }
+    }
+    /** simple prefix code, two symbols (one bit per read: 0 -> s0). */
+    def pair(s0: Int, s1: Int): Unit = {
+      put(1, 1); put(1, 1)
+      if (s0 <= 1) { put(0, 1); put(s0, 1) } else { put(1, 1); put(s0, 8) }
+      put(s1, 8)
+    }
+    def riff: Array[Byte] = {
+      if (nb > 0) { out.write(acc); acc = 0; nb = 0 }
+      val payload = out.toByteArray
+      val o2 = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = { o2.write(v & 0xff); o2.write((v >> 8) & 0xff)
+        o2.write((v >> 16) & 0xff); o2.write((v >>> 24) & 0xff) }
+      o2.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + payload.length + (payload.length & 1))
+      o2.write("WEBP".getBytes("US-ASCII")); o2.write("VP8L".getBytes("US-ASCII"))
+      le32(payload.length); o2.write(payload)
+      if ((payload.length & 1) == 1) o2.write(0)
+      o2.toByteArray
+    }
+  }
+
+  test("VP8L color-indexing (palette + sub-byte bundling) and color transform decode hand-built streams") {
+    // ---- palette: 4x2, three colors, widthBits=2 (4 indices per byte) ----
+    val hw = new Vp8lHand
+    hw.put(0x2f, 8); hw.put(3, 14); hw.put(1, 14); hw.put(0, 1); hw.put(0, 3) // 4x2
+    hw.put(1, 1); hw.put(3, 2)   // transform: color indexing
+    hw.put(2, 8)                 // table size - 1 = 2
+    // palette image (3x1, delta-coded): c0=(255,10,20,30); deltas (0,30,30,30)
+    hw.put(0, 1)                 // no color cache
+    hw.pair(20, 30)              // green: 20 once, 30 twice
+    hw.pair(10, 30)              // red
+    hw.single(30)                // blue: always 30
+    hw.pair(255, 0)              // alpha: 255 then 0, 0
+    hw.single(0)                 // distance (unused)
+    // pixels (g,r,b,a per literal): (20,10,30,255), (30,30,30,0), (30,30,30,0)
+    hw.put(0, 1); hw.put(0, 1)   // green=20, red=10 (pair bit 0)
+    hw.put(0, 1)                 // alpha=255
+    hw.put(1, 1); hw.put(1, 1); hw.put(1, 1) // (30,30,_,0)
+    hw.put(1, 1); hw.put(1, 1); hw.put(1, 1)
+    hw.put(0, 1)                 // no more transforms
+    // main image: packed width sub(4,2)=1, so 2 packed pixels; indices
+    // row0 [0,1,2,0] -> green 0b00100100=36, row1 [2,2,1,1] -> 0b01011010=90
+    hw.put(0, 1)                 // no color cache
+    hw.put(0, 1)                 // no meta prefix image
+    hw.pair(36, 90)              // green
+    hw.single(0); hw.single(0); hw.single(0) // red, blue, alpha
+    hw.single(0)                 // distance
+    hw.put(0, 1); hw.put(1, 1)   // the two packed pixels
+    val d = ImageDecoder.decode(hw.riff)
+    assert(d.isDefined, "hand-built palette stream must decode")
+    def luma(r: Int, g: Int, b: Int) = (r * 299 + g * 587 + b * 114) / 1000
+    val c = Array(luma(10, 20, 30), luma(40, 50, 60), luma(70, 80, 90))
+    val want = Array(c(0), c(1), c(2), c(0), c(2), c(2), c(1), c(1))
+    assert(d.get.width == 4 && d.get.height == 2 && d.get.pixels.sameElements(want),
+      s"palette-mapped pixels: got ${d.get.pixels.toSeq} want ${want.toSeq}")
+
+    // ---- color transform: 2x1, one cte tile, known cross-channel deltas ----
+    val ct = new Vp8lHand
+    ct.put(0x2f, 8); ct.put(1, 14); ct.put(0, 14); ct.put(0, 1); ct.put(0, 3) // 2x1
+    ct.put(1, 1); ct.put(1, 2)   // transform: color
+    ct.put(2, 3)                 // size_bits - 2 = 2 -> 16px tiles, 1 tile
+    // cte image (1x1): green_to_red=32 (blue ch), green_to_blue=16 (green
+    // ch), red_to_blue=8 (red ch)
+    ct.put(0, 1)
+    ct.single(16); ct.single(8); ct.single(32); ct.single(255); ct.single(0)
+    // (no pixel bits: all four channels are one-symbol codes)
+    ct.put(0, 1)                 // no more transforms
+    // main: residual pixels (a=255, r=100, g=200, b=50) and (255,10,20,30)
+    ct.put(0, 1); ct.put(0, 1)
+    ct.pair(200, 20)             // green
+    ct.pair(100, 10)             // red
+    ct.pair(50, 30)              // blue
+    ct.single(255)               // alpha
+    ct.single(0)                 // distance
+    ct.put(0, 1); ct.put(0, 1)   // pixel 0: green bit, red bit -> (200,100)
+    ct.put(0, 1)                 // blue bit -> 50
+    ct.put(1, 1); ct.put(1, 1); ct.put(1, 1) // pixel 1 -> (20,10,30)
+    val cd = ImageDecoder.decode(ct.riff)
+    assert(cd.isDefined, "hand-built color-transform stream must decode")
+    // inverse per spec: delta(t,c) = (int8(t)*int8(c)) >> 5
+    def cdelta(t: Int, cc: Int) = (t.toByte.toInt * cc.toByte.toInt) >> 5
+    def inv(r0: Int, g0: Int, b0: Int) = {
+      val r1 = (r0 + cdelta(32, g0)) & 0xff
+      val b1 = (b0 + cdelta(16, g0) + cdelta(8, r1)) & 0xff
+      luma(r1, g0, b1)
+    }
+    val cw = Array(inv(100, 200, 50), inv(10, 20, 30))
+    assert(cd.get.pixels.sameElements(cw),
+      s"color-transform inverse: got ${cd.get.pixels.toSeq} want ${cw.toSeq}")
+  }
+
+  test("WebP hashes equal the lossless twins'; decoder rejects bombs/lossy and never throws on corrupt input") {
+    // lossless => the dHash IS the PNG fixture value, not merely close
+    val fromWebp = PerceptualHash.dHash64(ImageDecoder.decode(ImageGen.webp(64, 48, 42L, 0)).get).get
+    assert(fromWebp == 0x29993949d666c6b6L, f"pinned WebP dHash moved: 0x$fromWebp%016x")
+    val fromPred = PerceptualHash.dHash64(
+      ImageDecoder.decode(ImageGen.webpPredictor(64, 48, 42L, 0)).get).get
+    assert(fromPred == 0x29993949d666c6b6L, f"predictor-coded WebP dHash moved: 0x$fromPred%016x")
+    // container metadata
+    val meta = ContainerParser.parse(ImageGen.webp(64, 48, 42L, 0))
+    assert(meta.format == "webp" && meta.width == 64 && meta.height == 48, s"$meta")
+    // truncation at every stride-5 prefix: None, never a throw
+    val good = ImageGen.webp(32, 24, 7L, 0)
+    (0 until good.length by 5).foreach(n => ImageDecoder.decode(good.take(n)))
+    // corrupt bytes inside the coded stream: return, never throw/spin
+    val rnd = new scala.util.Random(778)
+    (0 until 200).foreach { _ =>
+      val b = good.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach(_ =>
+        b(20 + rnd.nextInt(b.length - 20)) = rnd.nextInt(256).toByte)
+      ImageDecoder.decode(b)
+    }
+    // ALLOCATION BOMB: a 30-byte stream declaring 16384x16384 must reject
+    // before allocating (past the 2^26 pixel cap)
+    val bomb = new Vp8lHand
+    bomb.put(0x2f, 8); bomb.put(16383, 14); bomb.put(16383, 14); bomb.put(0, 1); bomb.put(0, 3)
+    assert(ImageDecoder.decode(bomb.riff).isEmpty, "gigapixel VP8L header must be rejected")
+    // lossy VP8 is recognized as webp but reports undecodable
+    val lossy = new java.io.ByteArrayOutputStream()
+    def le32b(v: Int): Unit = { lossy.write(v & 0xff); lossy.write((v >> 8) & 0xff)
+      lossy.write((v >> 16) & 0xff); lossy.write((v >>> 24) & 0xff) }
+    lossy.write("RIFF".getBytes("US-ASCII")); le32b(24)
+    lossy.write("WEBP".getBytes("US-ASCII")); lossy.write("VP8 ".getBytes("US-ASCII")); le32b(12)
+    lossy.write(Array[Byte](0, 0, 0)); lossy.write(Array(0x9d.toByte, 0x01.toByte, 0x2a.toByte))
+    lossy.write(Array[Byte](64, 0, 48, 0, 0, 0))
+    val lb = lossy.toByteArray
+    assert(ImageDecoder.decode(lb).isEmpty, "lossy VP8 must report undecodable, not throw")
+    assert(ContainerParser.parse(lb).format == "webp" && ContainerParser.parse(lb).width == 64)
+  }
+
   test("perceptual hashes: fixture-pinned values, container independence, resolution invariance") {
     val g = ImageDecoder.decode(ImageGen.png(64, 48, 42L, 0)).get
     // pinned fixtures: any change to generator, decoder, downsample, or bit
@@ -1157,15 +1312,15 @@ class MultimodalSpec extends AnyFunSuite {
     val allJpeg = heads(Multimodal.withImagePayload(ids, bmpEvery = 0, jpegEvery = 1))
     assert(allJpeg.forall { case (_, h) => (h(0) & 0xFF) == 0xFF && (h(1) & 0xFF) == 0xD8 },
       "every payload must carry the JPEG SOI marker")
-    // the default BMP/JPEG/(PNG|GIF) rotation: the lossless slot alternates
-    // PNG and GIF by slot ordinal
+    // the default BMP/JPEG/(PNG|GIF|WEBP) rotation: the lossless slot
+    // rotates PNG, GIF, WEBP by slot ordinal
     val rot = heads(Multimodal.withImagePayload(ids)).toMap
     assert(rot(0L).sameElements(Array[Byte]('B', 'M')), "id % 3 == 0 is BMP")
     assert((rot(1L)(0) & 0xFF) == 0xFF && (rot(1L)(1) & 0xFF) == 0xD8, "id % 3 == 1 is JPEG")
     assert((rot(2L)(0) & 0xFF) == 0x89 && rot(2L)(1) == 'P'.toByte, "slot ordinal 0 is PNG")
     assert(rot(5L)(0) == 'G'.toByte && rot(5L)(1) == 'I'.toByte, "slot ordinal 1 is GIF")
-    assert((rot(8L)(0) & 0xFF) == 0x89, "slot ordinal 2 is PNG again")
-    assert(rot(11L)(0) == 'G'.toByte, "slot ordinal 3 is GIF (interlaced)")
+    assert(rot(8L)(0) == 'R'.toByte && rot(8L)(1) == 'I'.toByte, "slot ordinal 2 is WEBP")
+    assert((rot(11L)(0) & 0xFF) == 0x89, "slot ordinal 3 is PNG again")
   }
 
   test("JPEG decode tolerates 0xFF fill bytes before markers (T.81 B.1.1.2)") {

@@ -68,6 +68,7 @@ object Multimodal {
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57415645) parseWav(b)
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x41564920) parseAvi(b)
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57454250) parseWebp(b)
+        else if (b.length >= 42 && be32(b, 0) == 0x664c6143) parseFlac(b) // "fLaC"
         else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) parseJpeg(b)
         else if (b.length >= 12 && be32(b, 4) == 0x66747970) parseMp4(b) // "ftyp"
         else Unknown
@@ -169,6 +170,17 @@ object Multimodal {
       }
       val durMs = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
       Meta("wav", 0, 0, 0, durMs)
+    }
+
+    /** FLAC: STREAMINFO (the mandatory first metadata block) carries the
+      * 20-bit sample rate and 36-bit total sample count → duration. */
+    private def parseFlac(b: Array[Byte]): Meta = {
+      if ((b(4) & 0x7f) != 0) return Meta("flac", 0, 0, 0, 0L) // STREAMINFO must be first
+      val o = 8
+      val rate = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) | ((b(o + 12) & 0xff) >> 4)
+      val total = ((b(o + 13) & 0x0fL) << 32) | ((b(o + 14) & 0xffL) << 24) |
+        ((b(o + 15) & 0xffL) << 16) | ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
+      Meta("flac", 0, 0, 0, if (rate > 0) total * 1000L / rate else 0L)
     }
 
     /** JPEG: scan segment markers from SOI; any SOF marker (C0–CF except the
@@ -3274,6 +3286,7 @@ object Multimodal {
           val ok = fmt match {
             case "png" | "bmp" | "jpeg" | "gif" | "webp" => ImageDecoder.decode(payload).isDefined
             case "wav" => WavDecoder.decode(payload).isDefined
+            case "flac" => FlacDecoder.decode(payload).isDefined
             // MJPEG frames decode; H.264/VP9 etc. report false — the
             // skipped share a video corpus must watch
             case "avi" => VideoDecoder.sampleFrames(payload, 1).nonEmpty
@@ -3491,6 +3504,144 @@ object Multimodal {
       }
       out.toByteArray
     }
+
+    // ---- FLAC fixture encoder (RFC 9639) ----------------------------------
+    //
+    // A real, minimal FLAC of the SAME waveform at the 16-bit PCM
+    // quantization wav(bits = 16) uses, so FLAC joins the cross-encoding
+    // fingerprint-invariance family losslessly. Frames rotate their
+    // subframe coding — VERBATIM, FIXED order 2 + Rice, LPC order 1 +
+    // Rice — so all three decode paths (and the Rice fold) are exercised
+    // by every payload longer than one block. Correct CRC-8/CRC-16
+    // framing per the spec.
+
+    private val FlacCrc8: Array[Int] = Array.tabulate(256) { i =>
+      var c = i; var k = 0
+      while (k < 8) { c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff; k += 1 }
+      c
+    }
+    private val FlacCrc16: Array[Int] = Array.tabulate(256) { i =>
+      var c = i << 8; var k = 0
+      while (k < 8) {
+        c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff
+        k += 1
+      }
+      c
+    }
+    private def crc8(bs: Array[Byte]): Int = {
+      var c = 0
+      bs.foreach(x => c = FlacCrc8(c ^ (x & 0xff)))
+      c
+    }
+    private def crc16(bs: Array[Byte]): Int = {
+      var c = 0
+      bs.foreach(x => c = (FlacCrc16(((c >> 8) ^ (x & 0xff)) & 0xff) ^ (c << 8)) & 0xffff)
+      c
+    }
+
+    private final class MsbWriter {
+      private val out = new ByteArrayOutputStream()
+      private var acc = 0; private var nb = 0
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1L).toInt
+          nb += 1
+          if (nb == 8) { out.write(acc & 0xff); acc = 0; nb = 0 }
+          i -= 1
+        }
+      }
+      def bytes: Array[Byte] = { // zero-pad to byte alignment
+        if (nb > 0) { acc <<= (8 - nb); out.write(acc & 0xff); acc = 0; nb = 0 }
+        out.toByteArray
+      }
+    }
+
+    private def putUtf8(w: MsbWriter, v: Int): Unit =
+      if (v < 0x80) w.put(v, 8)
+      else if (v < 0x800) { w.put(0xc0 | (v >> 6), 8); w.put(0x80 | (v & 0x3f), 8) }
+      else if (v < 0x10000) {
+        w.put(0xe0 | (v >> 12), 8); w.put(0x80 | ((v >> 6) & 0x3f), 8); w.put(0x80 | (v & 0x3f), 8)
+      } else {
+        w.put(0xf0 | (v >> 18), 8); w.put(0x80 | ((v >> 12) & 0x3f), 8)
+        w.put(0x80 | ((v >> 6) & 0x3f), 8); w.put(0x80 | (v & 0x3f), 8)
+      }
+
+    /** Partition-order-0 Rice residual block: 2-bit method (4-bit
+      * params), mean-sized parameter, zigzag fold + unary/remainder. */
+    private def putRice(w: MsbWriter, res: Array[Int]): Unit = {
+      w.put(0, 2) // 4-bit Rice parameters
+      w.put(0, 4) // partition order 0
+      val zz = res.map(e => ((e << 1) ^ (e >> 31)).toLong & 0xffffffffL)
+      val mean = if (zz.isEmpty) 0L else zz.sum / math.max(1, zz.length)
+      var p = 0
+      while ((mean >> p) > 0 && p < 14) p += 1
+      w.put(p, 4)
+      zz.foreach { u =>
+        val q = (u >>> p).toInt
+        var k = 0
+        while (k < q) { w.put(0, 1); k += 1 }
+        w.put(1, 1)
+        if (p > 0) w.put(u & ((1L << p) - 1), p)
+      }
+    }
+
+    /** One real FLAC stream: fLaC marker + STREAMINFO, then frames whose
+      * mono subframes rotate VERBATIM / FIXED-2 / LPC-1 per frame. */
+    def flac(n: Int, seed: Long, noise: Int = 0, gain: Double = 1.0, block: Int = 1024): Array[Byte] = {
+      val xs = samples(n, seed, noise, gain)
+      val pcm = xs.map(x => (x * 32767.0).round.toInt)
+      val out = new ByteArrayOutputStream()
+      out.write("fLaC".getBytes(StandardCharsets.US_ASCII))
+      val si = new MsbWriter
+      si.put(block, 16); si.put(block, 16) // min/max block size
+      si.put(0, 24); si.put(0, 24)         // frame sizes unknown
+      si.put(8000, 20)                     // sample rate
+      si.put(0, 3); si.put(15, 5)          // channels-1, bps-1
+      si.put(n.toLong, 36)                 // total samples
+      (0 until 16).foreach(_ => si.put(0, 8)) // md5 unknown
+      out.write(0x80); out.write(0); out.write(0); out.write(34) // last block, STREAMINFO, len 34
+      out.write(si.bytes)
+      var frame = 0
+      var off = 0
+      while (off < n) {
+        val bs = math.min(block, n - off)
+        val hw = new MsbWriter
+        hw.put(0x3ffe, 14); hw.put(0, 1); hw.put(0, 1) // sync, reserved, fixed-blocking
+        hw.put(7, 4)  // block size: 16-bit value-1 follows
+        hw.put(4, 4)  // sample rate code: 8 kHz
+        hw.put(0, 4)  // channel assignment: mono
+        hw.put(4, 3)  // sample size: 16-bit
+        hw.put(0, 1)  // reserved
+        putUtf8(hw, frame)
+        hw.put(bs - 1, 16)
+        val header = hw.bytes
+        val bw = new MsbWriter
+        val kind = if (bs <= 4) 0 else frame % 3
+        if (kind == 0) { // VERBATIM
+          bw.put(0, 1); bw.put(1, 6); bw.put(0, 1)
+          var i = 0
+          while (i < bs) { bw.put(pcm(off + i).toLong & 0xffff, 16); i += 1 }
+        } else if (kind == 1) { // FIXED order 2
+          bw.put(0, 1); bw.put(8 + 2, 6); bw.put(0, 1)
+          bw.put(pcm(off).toLong & 0xffff, 16); bw.put(pcm(off + 1).toLong & 0xffff, 16)
+          putRice(bw, Array.tabulate(bs - 2)(i =>
+            pcm(off + i + 2) - 2 * pcm(off + i + 1) + pcm(off + i)))
+        } else { // LPC order 1: precision 15, shift 5, coefficient 32 -> prev
+          bw.put(0, 1); bw.put(32, 6); bw.put(0, 1)
+          bw.put(pcm(off).toLong & 0xffff, 16)
+          bw.put(14, 4)  // precision - 1
+          bw.put(5, 5)   // shift
+          bw.put(32, 15) // qlp coefficient
+          putRice(bw, Array.tabulate(bs - 1)(i => pcm(off + i + 1) - pcm(off + i)))
+        }
+        val frameBytes = header ++ Array(crc8(header).toByte) ++ bw.bytes
+        val c16 = crc16(frameBytes)
+        out.write(frameBytes); out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+        off += bs; frame += 1
+      }
+      out.toByteArray
+    }
   }
 
   /** Sample decode for RIFF/WAVE — the content-level step beyond
@@ -3639,6 +3790,275 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** FLAC sample decode (RFC 9639) — the native-FLAC member of the audio
+    * decode matrix: STREAMINFO metadata walk, byte-aligned frames (sync,
+    * coded block size / sample rate / channel assignment / sample size,
+    * UTF-8 frame number), and per-channel subframes — CONSTANT, VERBATIM,
+    * FIXED predictors order 0–4, and LPC to order 32 (quantized
+    * coefficients, arithmetic-shift prediction on Long accumulators) —
+    * with partitioned Rice residuals (4- and 5-bit parameters, escape
+    * partitions) and the left/side, side/right, mid/side stereo
+    * decorrelations. Output is mono-averaged samples normalized to
+    * [-1, 1], matching [[WavDecoder]] semantics. CRCs are parsed but not
+    * verified (sample reconstruction does not need them). Malformed /
+    * truncated input → None, never throws; work is bounded by the
+    * declared sample counts (2^26 cap) and the unary reads saturate at
+    * end-of-stream. */
+  object FlacDecoder {
+    private final class MsbReader(b: Array[Byte], start: Int, end: Int) {
+      var pos = start
+      private var bit = 0
+      var eof = false
+      def bits(n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) {
+          if (pos >= end) { eof = true; return v << (n - i) }
+          v = (v << 1) | ((b(pos) >> (7 - bit)) & 1)
+          bit += 1
+          if (bit == 8) { bit = 0; pos += 1 }
+          i += 1
+        }
+        v
+      }
+      /** Zero-run count before the terminating 1; -1 past `max` or eof. */
+      def unary(max: Int): Int = {
+        var q = 0
+        while (q <= max) {
+          if (eof) return -1
+          if (bits(1) == 1L) return q
+          q += 1
+        }
+        -1
+      }
+      def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+    }
+
+    private def signExtend(v: Long, n: Int): Long = (v << (64 - n)) >> (64 - n)
+
+    def decode(b: Array[Byte]): Option[Array[Double]] =
+      try {
+        if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+        var pos = 4
+        var bps = 0; var channels = 0; var total = 0L; var haveSI = false
+        var last = false
+        while (!last && pos + 4 <= b.length) {
+          val h = b(pos) & 0xff
+          last = (h & 0x80) != 0
+          val typ = h & 0x7f
+          val len = ((b(pos + 1) & 0xff) << 16) | ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+          if (pos + 4 + len > b.length) return None
+          if (typ == 0 && len >= 34) {
+            val o = pos + 4
+            channels = (((b(o + 12) & 0xff) >> 1) & 0x07) + 1
+            bps = (((b(o + 12) & 1) << 4) | ((b(o + 13) & 0xff) >> 4)) + 1
+            total = ((b(o + 13) & 0x0fL) << 32) | ((b(o + 14) & 0xffL) << 24) |
+              ((b(o + 15) & 0xffL) << 16) | ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
+            haveSI = true
+          }
+          pos += 4 + len
+        }
+        if (!haveSI || channels < 1 || channels > 8 || bps < 4 || bps > 32) return None
+        if (total > (1L << 26)) return None
+        val maxSamples = if (total > 0) total.toInt else (1 << 26)
+        val out = new scala.collection.mutable.ArrayBuffer[Double]()
+        val r = new MsbReader(b, pos, b.length)
+        var done = false
+        while (!done && out.length < maxSamples && !r.eof && r.pos < b.length) {
+          if (r.bits(14) != 0x3ffe) done = true // junk / padding after last frame
+          else {
+            r.bits(2) // reserved + blocking strategy
+            val bsCode = r.bits(4).toInt
+            val srCode = r.bits(4).toInt
+            val chAsgn = r.bits(4).toInt
+            val ssCode = r.bits(3).toInt
+            r.bits(1)
+            val first = r.bits(8).toInt // UTF-8-coded frame/sample number
+            if (first >= 0x80) {
+              var m = first << 1
+              while ((m & 0x80) != 0) { r.bits(8); m <<= 1 }
+            }
+            val blockSize = bsCode match {
+              case 0 => -1 // reserved
+              case 1 => 192
+              case c if c >= 2 && c <= 5 => 576 << (c - 2)
+              case 6 => r.bits(8).toInt + 1
+              case 7 => r.bits(16).toInt + 1
+              case c => 256 << (c - 8)
+            }
+            if (srCode == 12) r.bits(8)
+            else if (srCode == 13 || srCode == 14) r.bits(16)
+            val frameBps = ssCode match {
+              case 0 => bps
+              case 1 => 8
+              case 2 => 12
+              case 4 => 16
+              case 5 => 20
+              case 6 => 24
+              case 7 => 32
+              case _ => -1
+            }
+            r.bits(8) // header CRC-8 (not verified)
+            if (blockSize <= 0 || frameBps <= 0 || chAsgn > 10 ||
+              out.length + blockSize > (1 << 26)) return None
+            val nch = if (chAsgn < 8) chAsgn + 1 else 2
+            if (nch != channels) return None
+            val chData = new Array[Array[Long]](nch)
+            var c = 0
+            while (c < nch) {
+              // the side channel of a decorrelated pair carries one extra bit
+              val extra = chAsgn match {
+                case 8 => if (c == 1) 1 else 0  // left/side
+                case 9 => if (c == 0) 1 else 0  // side/right
+                case 10 => if (c == 1) 1 else 0 // mid/side
+                case _ => 0
+              }
+              val sub = decodeSubframe(r, blockSize, frameBps + extra)
+              if (sub == null) return None
+              chData(c) = sub
+              c += 1
+            }
+            r.align()
+            r.bits(16) // frame CRC-16 (not verified)
+            if (r.eof) return None
+            val scale = (1L << (frameBps - 1)).toDouble
+            var i = 0
+            chAsgn match {
+              case 8 => // left/side: right = left - side
+                while (i < blockSize) {
+                  val l = chData(0)(i); val rr = l - chData(1)(i)
+                  out += (l + rr) / 2.0 / scale; i += 1
+                }
+              case 9 => // side/right: left = right + side
+                while (i < blockSize) {
+                  val rr = chData(1)(i); val l = rr + chData(0)(i)
+                  out += (l + rr) / 2.0 / scale; i += 1
+                }
+              case 10 => // mid/side
+                while (i < blockSize) {
+                  val side = chData(1)(i)
+                  val mid2 = (chData(0)(i) << 1) | (side & 1L)
+                  out += (((mid2 + side) >> 1) + ((mid2 - side) >> 1)) / 2.0 / scale
+                  i += 1
+                }
+              case _ =>
+                while (i < blockSize) {
+                  var acc = 0.0; var c2 = 0
+                  while (c2 < nch) { acc += chData(c2)(i) / scale; c2 += 1 }
+                  out += acc / nch; i += 1
+                }
+            }
+          }
+        }
+        if (out.isEmpty || (total > 0 && out.length < total)) None
+        else Some(out.take(maxSamples).toArray)
+      } catch { case _: Exception => None }
+
+    /** One subframe: header (type, wasted bits), warmup samples, model
+      * parameters, residuals, prediction reconstruction. Null on any
+      * malformation. */
+    private def decodeSubframe(r: MsbReader, bs: Int, bps: Int): Array[Long] = {
+      if (r.bits(1) != 0L) return null // mandatory zero padding bit
+      val typ = r.bits(6).toInt
+      var wasted = 0
+      if (r.bits(1) == 1L) {
+        val u = r.unary(64)
+        if (u < 0) return null
+        wasted = u + 1
+      }
+      val ebps = bps - wasted
+      if (ebps <= 0 || ebps > 33) return null
+      val out = new Array[Long](bs)
+      if (typ == 0) {
+        java.util.Arrays.fill(out, signExtend(r.bits(ebps), ebps))
+      } else if (typ == 1) {
+        var i = 0
+        while (i < bs) { out(i) = signExtend(r.bits(ebps), ebps); i += 1 }
+      } else if (typ >= 8 && typ <= 12) {
+        val order = typ - 8
+        if (order > bs) return null
+        var i = 0
+        while (i < order) { out(i) = signExtend(r.bits(ebps), ebps); i += 1 }
+        if (!readResiduals(r, out, order, bs)) return null
+        i = order
+        while (i < bs) {
+          out(i) += (order match {
+            case 0 => 0L
+            case 1 => out(i - 1)
+            case 2 => 2 * out(i - 1) - out(i - 2)
+            case 3 => 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3)
+            case _ => 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) - out(i - 4)
+          })
+          i += 1
+        }
+      } else if (typ >= 32) {
+        val order = (typ & 31) + 1
+        if (order > bs) return null
+        var i = 0
+        while (i < order) { out(i) = signExtend(r.bits(ebps), ebps); i += 1 }
+        val precRaw = r.bits(4).toInt
+        if (precRaw == 15) return null // forbidden
+        val precision = precRaw + 1
+        val shift = signExtend(r.bits(5), 5).toInt
+        if (shift < 0) return null
+        val coefs = new Array[Long](order)
+        i = 0
+        while (i < order) { coefs(i) = signExtend(r.bits(precision), precision); i += 1 }
+        if (!readResiduals(r, out, order, bs)) return null
+        i = order
+        while (i < bs) {
+          var acc = 0L; var j = 0
+          while (j < order) { acc += coefs(j) * out(i - 1 - j); j += 1 }
+          out(i) += acc >> shift
+          i += 1
+        }
+      } else return null
+      if (r.eof) return null
+      if (wasted > 0) {
+        var i = 0
+        while (i < bs) { out(i) <<= wasted; i += 1 }
+      }
+      out
+    }
+
+    /** Partitioned Rice residuals into `out(order until bs)`; escape
+      * partitions are fixed-width verbatim. */
+    private def readResiduals(r: MsbReader, out: Array[Long], order: Int, bs: Int): Boolean = {
+      val method = r.bits(2).toInt
+      if (method > 1) return false
+      val pbits = if (method == 0) 4 else 5
+      val escape = (1 << pbits) - 1
+      val po = r.bits(4).toInt
+      val parts = 1 << po
+      if ((bs % parts) != 0 || (bs >> po) < order) return false
+      var idx = order
+      var p = 0
+      while (p < parts) {
+        val cnt = (bs >> po) - (if (p == 0) order else 0)
+        val param = r.bits(pbits).toInt
+        if (param == escape) {
+          val nbits = r.bits(5).toInt
+          var k = 0
+          while (k < cnt) {
+            out(idx) = if (nbits == 0) 0L else signExtend(r.bits(nbits), nbits)
+            idx += 1; k += 1
+          }
+        } else {
+          var k = 0
+          while (k < cnt) {
+            val q = r.unary(1 << 24) // bound: a 16M-bit zero run is garbage
+            if (q < 0) return false
+            val u = (q.toLong << param) | r.bits(param)
+            out(idx) = (u >>> 1) ^ -(u & 1L)
+            idx += 1; k += 1
+          }
+        }
+        if (r.eof) return false
+        p += 1
+      }
+      idx == bs
+    }
+  }
+
   /** 64-bit energy-delta audio fingerprint — the temporal-energy-profile
     * construction of the Philips/Haitsma-Kalker robust-hash family (public
     * literature): split the signal into 65 equal frames, compute per-frame
@@ -3668,21 +4088,23 @@ object Multimodal {
   }
 
   private def audioGenUdf(n: Int, noise: Int) =
-    udf((id: Long, seed: Long) => (id % 5) match {
+    udf((id: Long, seed: Long) => (id % 6) match {
       case 0 => AudioGen.wav(n, seed, noise, bits = 8)
       case 1 | -1 => AudioGen.wav(n, seed, noise, bits = 16)
       case 2 | -2 => AudioGen.wavG711(n, seed, noise, alaw = false) // µ-law
       case 3 | -3 => AudioGen.wavG711(n, seed, noise, alaw = true)  // A-law
-      case _ => AudioGen.wavAdpcm(n, seed, noise)
+      case 4 | -4 => AudioGen.wavAdpcm(n, seed, noise)
+      case _ => AudioGen.flac(n, seed, noise)
     })
 
   /** Attach a deterministic WAV payload — the audio analogue of
     * [[withImagePayload]]; `seedCol` decouples content from identity so
     * noisy twins can be planted. Ids rotate the ENCODING of the same
-    * waveform — `id % 5`: 8-bit PCM, 16-bit PCM, G.711 µ-law, G.711
-    * A-law, IMA-ADPCM — so sample-width AND companding/block-compression
-    * independence are part of what q30d exercises (an id-shifted twin
-    * generally lands in a different encoding than its original). */
+    * waveform — `id % 6`: 8-bit PCM, 16-bit PCM, G.711 µ-law, G.711
+    * A-law, IMA-ADPCM, FLAC — so sample-width, companding/block-
+    * compression AND native-lossless-container independence are part of
+    * what q30d exercises (an id-shifted twin generally lands in a
+    * different encoding than its original). */
   def withAudioPayload(
       documents: DataFrame,
       idCol: String = "doc_id",
@@ -3697,6 +4119,14 @@ object Multimodal {
   /** Decode each payload and emit its fingerprint — one row per decodable
     * PCM WAV, partition-parallel, 20 bytes/row out whatever the audio
     * length (the [[imageHashes]] shape for the audio modality). */
+  /** Audio sample dispatch: RIFF/WAVE families via [[WavDecoder]],
+    * native FLAC via [[FlacDecoder]] — one normalized mono [-1, 1]
+    * contract either way, so the fingerprint is encoding-blind. */
+  private[graft] def decodeAudioSamples(b: Array[Byte]): Option[Array[Double]] =
+    if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      FlacDecoder.decode(b)
+    else WavDecoder.decode(b)
+
   def audioHashes(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val input = withPayload
       .select(col(idCol).cast("long"), col("payload"))
@@ -3705,7 +4135,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           for {
-            xs <- WavDecoder.decode(payload)
+            xs <- decodeAudioSamples(payload)
             fp <- audioFingerprint64(xs)
           } yield AudioHash(id, xs.length, fp)
         }

@@ -2107,7 +2107,10 @@ object PipelineQueries {
              |trunc AS (
              |  SELECT doc_id, 'unknown' AS format, 0 AS ok
              |  FROM documents WHERE doc_id % 17 = 0),
-             |aud AS (SELECT doc_id, 'wav' AS format, 1 AS ok FROM documents),
+             |aud AS (SELECT doc_id,
+             |               CASE WHEN doc_id % 6 = 5 THEN 'flac' ELSE 'wav' END AS format,
+             |               1 AS ok
+             |        FROM documents),
              |u AS (SELECT * FROM img UNION ALL SELECT * FROM trunc
              |      UNION ALL SELECT * FROM aud)
              |SELECT format, CAST(count(*) AS BIGINT) AS n_rows,

@@ -780,6 +780,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dists.min >= 15, s"unrelated audio must hash far: ${dists.sorted.take(3)}")
   }
 
+  test("FLAC decode: bit-exact vs 16-bit PCM; fingerprint invariant; never throws on corrupt input") {
+    import graft.operators.Multimodal.FlacDecoder
+    // every subframe coding (VERBATIM / FIXED-2 / LPC-1 rotate per frame)
+    // reconstructs the exact 16-bit quantization the WAV path carries
+    for (n <- Seq(4000, 1024, 1023, 3, 1); nz <- Seq(0, 8)) {
+      val d = FlacDecoder.decode(AudioGen.flac(n, 42L, nz))
+      val w = WavDecoder.decode(AudioGen.wav(n, 42L, nz, bits = 16)).get
+      assert(d.exists(xs => xs.length == n && xs.sameElements(w)),
+        s"FLAC n=$n nz=$nz must decode bit-exactly to the 16-bit PCM samples")
+    }
+    // the fingerprint is therefore encoding-blind across ALL SIX encodings
+    val viaFlac = Multimodal.audioFingerprint64(
+      FlacDecoder.decode(AudioGen.flac(4000, 42L, 0)).get).get
+    val viaWav = Multimodal.audioFingerprint64(
+      WavDecoder.decode(AudioGen.wav(4000, 42L, 0, 8)).get).get
+    assert(viaFlac == viaWav && viaWav == 0xae76b52959dc84f4L,
+      f"FLAC fingerprint must equal the pinned WAV family value: 0x$viaFlac%016x")
+    // container metadata: 8000 samples at 8 kHz = 1000 ms
+    val meta = ContainerParser.parse(AudioGen.flac(8000, 7L, 0))
+    assert(meta.format == "flac" && meta.durationMs == 1000L, s"$meta")
+    // truncation at every stride-7 prefix: None, never a throw
+    val good = AudioGen.flac(2000, 3L, 0)
+    (0 until good.length by 7).foreach(n => FlacDecoder.decode(good.take(n)))
+    // corrupt bytes anywhere past the marker: return, never throw/spin
+    val rnd = new scala.util.Random(779)
+    (0 until 200).foreach { _ =>
+      val b = good.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach(_ =>
+        b(4 + rnd.nextInt(b.length - 4)) = rnd.nextInt(256).toByte)
+      FlacDecoder.decode(b)
+    }
+    // declared-sample-count bomb: STREAMINFO claiming 2^35 samples rejects
+    val bomb = good.clone()
+    bomb(8 + 13) = (bomb(8 + 13) | 0x08).toByte // set a high total-samples bit
+    assert(FlacDecoder.decode(bomb).isEmpty, "gigasample STREAMINFO must be rejected")
+    assert(FlacDecoder.decode(Array[Byte]('f', 'L', 'a', 'C')).isEmpty)
+  }
+
   test("WAV decode never throws: truncated, compressed, float, garbage -> None") {
     val good = AudioGen.wav(500, 3L, 0, 8)
     assert(WavDecoder.decode(good).isDefined)

@@ -956,6 +956,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(VideoDecoder.frameSlices(ImageGen.png(8, 8, 1L, 0)).isEmpty, "non-AVI -> no frames")
   }
 
+  test("AVI/GIF walker fuzz soak: corrupt/truncate/splice/duplicate never throw, bounded work") {
+    // the progressive-JPEG fuzz playbook pointed at the two CHUNK WALKERS:
+    // seed-randomized byte corruption (headers, chunk sizes, LZW/JPEG
+    // payloads), truncation, cross-container splices, and chunk-list
+    // duplication over AVI and GIF fixture corpora. Every walk + decode
+    // must RETURN under the never-throw contract inside the work budget —
+    // a corrupted RIFF size or LZW width must not spin or allocate wild.
+    // GRAFT_SOAK=n multiplies iterations for soak runs.
+    import graft.operators.Multimodal.{VideoDecoder, VideoGen}
+    val iters = 400 * math.max(1, sys.env.get("GRAFT_SOAK").map(_.toInt / 8).getOrElse(1))
+    val rnd = new scala.util.Random(20260815L)
+    val avis = Seq(
+      VideoGen.aviMjpeg(48, 32, 6, 42L, 0),
+      VideoGen.aviMjpeg(32, 24, 24, 7L, 4),
+      VideoGen.aviMjpeg(16, 16, 1, 3L, 0))
+    val gifs = Seq(
+      ImageGen.gif(32, 24, 7L, 0),
+      ImageGen.gif(17, 13, 11L, 4, interlaced = true),
+      ImageGen.gif(300, 5, 3L, 0))
+    var i = 0
+    while (i < iters) {
+      val fromAvi = rnd.nextBoolean()
+      val pool = if (fromAvi) avis else gifs
+      val src = pool(rnd.nextInt(pool.length))
+      val b: Array[Byte] = rnd.nextInt(4) match {
+        case 0 => // byte corruption anywhere
+          val c = src.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach(_ =>
+            c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+          c
+        case 1 => // truncation
+          src.take(1 + rnd.nextInt(src.length - 1))
+        case 2 => // splice: the tail of the OTHER container family grafted in
+          val other = (avis ++ gifs)(rnd.nextInt(avis.length + gifs.length))
+          src.take(1 + rnd.nextInt(src.length - 1)) ++ other.drop(rnd.nextInt(other.length))
+        case _ => // duplication: a mid-stream span repeated (chunk-list bombs)
+          val at = rnd.nextInt(src.length - 1)
+          val end = at + 1 + rnd.nextInt(src.length - at - 1)
+          src.take(end) ++ src.slice(at, end) ++ src.drop(end)
+      }
+      val t0 = System.nanoTime()
+      if (fromAvi) {
+        VideoDecoder.sampleFrames(b, maxFrames = 4)
+        Multimodal.ContainerParser.parse(b)
+      } else {
+        ImageDecoder.decode(b)
+        Multimodal.ContainerParser.parse(b)
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms < 3000, s"walk exceeded the work budget: $ms ms (iter $i)")
+      i += 1
+    }
+  }
+
   test("video dedup end-to-end: noisy re-encoded clips collapse onto originals, unrelated clips apart") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("doc_id")

@@ -392,7 +392,7 @@ final class Graft(val spark: SparkSession, val dir: String) {
     * this directory's documents — the one expensive tokenize+sign pass,
     * stored so each day's batch probes it with [[nearDuplicatesIncremental]]
     * and joins it with [[appendToNearDupIndex]]. The default layout is
-    * AUTO: flat below the measured ~5M-band-row crossover (where the flat
+    * AUTO: flat below the family's measured crossover (where the flat
     * scan is the faster probe), band-bucketed at an auto-sized partition
     * count above it — streaming probes then partition-prune the index
     * side to the batch's buckets instead of scanning every stored
@@ -463,7 +463,7 @@ final class Graft(val spark: SparkSession, val dir: String) {
 
   /** Persist a SimHash signature store (one long per document — the
     * lightest incremental index). The default layout is AUTO — flat
-    * below the ~5M-band-row crossover, else band-bucketed at an
+    * below the family's measured crossover, else band-bucketed at an
     * auto-sized partition count: banding at (`maxHamming`, `comboSize`)
     * is frozen into a partition-pruned `bands/` tree so the streaming
     * dedup-on-write probe reads only the batch's hit buckets per trigger
@@ -978,17 +978,23 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def videoDupPairsIncremental(
       withPayload: DataFrame, path: String,
       maxHamming: Int = 10, minMatchRatio: Double = 0.6,
-      maxFrames: Int = 8): DataFrame =
+      maxFrames: Int = 8): DataFrame = {
+    require(maxFrames <= Multimodal.VideoSlotCap,
+      s"maxFrames must fit the slot encoding (<= ${Multimodal.VideoSlotCap})")
     Multimodal.videoIncremental(
       Multimodal.videoHashes(withPayload, maxFrames), path,
       maxHamming, minMatchRatio)
+  }
 
   /** Decode a batch and append its slot rows to a persisted video index.
     * Returns slot rows appended. */
   def appendToVideoIndex(
-      withPayload: DataFrame, path: String, maxFrames: Int = 8): Long =
+      withPayload: DataFrame, path: String, maxFrames: Int = 8): Long = {
+    require(maxFrames <= Multimodal.VideoSlotCap,
+      s"maxFrames must fit the slot encoding (<= ${Multimodal.VideoSlotCap})")
     Multimodal.appendToVideoIndex(
       Multimodal.videoHashes(withPayload, maxFrames), path)
+  }
 
   /** Takedown clips from a persisted video index by clip id
     * ([[Multimodal.deleteVideoFromIndex]]). Returns clips tombstoned. */

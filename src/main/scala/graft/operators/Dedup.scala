@@ -595,9 +595,10 @@ object Dedup {
     * [[writeExactIndex]] for exact dedup.
     *
     * The AUTO layout is the DEFAULT (`bandBuckets = AutoBuckets`, -1):
-    * FLAT below the measured ~5M-band-row crossover — there the
-    * scan-everything probe is cheaper than per-bucket directory reads
-    * ([[FlatCrossoverRows]]) — and BAND-BUCKETED above it: a slim
+    * FLAT below the family's measured crossover
+    * ([[FlatCrossoverRowsMinHash]] — there the scan-everything probe is
+    * cheaper than per-bucket directory reads) and BAND-BUCKETED above
+    * it: a slim
     * `bands/` store of precomputed (doc, band) rows partitioned by
     * `bucket = pmod(band, P)`, which the micro probe PARTITION-PRUNES to
     * the batch's buckets — per-trigger cost O(|batch| · bands · N / P)
@@ -660,7 +661,8 @@ object Dedup {
       // the whole scan, bucketed at the constant-per-bucket auto P above
       // it. An explicit positive count is honored verbatim (probe
       // studies, spec fixtures).
-      val p = if (bandBuckets < 0) autoLayoutBuckets(rows.count() * bands)
+      val p = if (bandBuckets < 0)
+                autoLayoutBuckets(rows.count() * bands, FlatCrossoverRowsMinHash)
               else bandBuckets
       if (p > 0) {
         bandRows(rows, bands, numHashes / bands, p)
@@ -716,20 +718,36 @@ object Dedup {
   private val MinBuckets = 64
   private val MaxBuckets = 65536
 
-  /** Below this many total band rows the FLAT layout measurably wins: the
-    * bucketed probe's per-bucket directory listings + footer reads cost
-    * more than just scanning the whole (small) band relation — the
-    * signature-store probe study measured the crossover at ~5M band rows
-    * (1M sigs × 5 combos: bucketed 1.3× SLOWER; 4M sigs × 5: bucketed
-    * 2.4× faster, BASELINE.md round-10 SigBandProbe). AutoBuckets
-    * therefore resolves to flat below this line and the store PROMOTES to
-    * bucketed at its first [[compactDocIndex]] past it. */
-  private[graft] val FlatCrossoverRows = 5000000L
+  // Below a FAMILY-SPECIFIC band-row count the FLAT layout measurably
+  // wins: the bucketed probe's cost is roughly CONSTANT in the store
+  // (per-trigger hit-bucket listings + footer reads dominate), the flat
+  // probe's is linear with a family-specific slope — so the crossover
+  // sits where the flat line crosses the bucketed constant, and the
+  // slope differs 20x between the families. Round-10 probe study
+  // (local[32], 9-rep medians, auto P):
+  //  - MinHash (512-byte signature arrays re-banded per flat probe):
+  //    flat 1.84 s vs bucketed 1.43 s ALREADY at 100k docs = 1.6M band
+  //    rows — the crossover extrapolates to ~1.3M band rows (~80k docs).
+  //  - signature store (8-byte signatures, cheap flat scan): flat 3.35 s
+  //    vs bucketed 4.36 s at 1M sigs = 28M band rows (bucketed LOSES),
+  //    flat 13.3 s vs bucketed 4.45 s at 4M sigs = 112M rows (bucketed
+  //    3x ahead) — the flat line crosses the ~4.4 s probe constant at
+  //    ~37M band rows (~1.3M sigs).
+  // AutoBuckets resolves to flat below the family's line and the store
+  // PROMOTES to bucketed at its first [[compactDocIndex]] past it.
 
-  /** The auto LAYOUT decision: flat (0) below [[FlatCrossoverRows]] —
+  /** MinHash flat/bucketed crossover (band rows); the system property is
+    * a deployment-tuning + spec-fixture knob. */
+  private[graft] def FlatCrossoverRowsMinHash: Long =
+    sys.props.get("graft.crossover.minhash").map(_.toLong).getOrElse(1000000L)
+  /** Signature-store flat/bucketed crossover (band rows). */
+  private[graft] def FlatCrossoverRowsSig: Long =
+    sys.props.get("graft.crossover.sig").map(_.toLong).getOrElse(32000000L)
+
+  /** The auto LAYOUT decision: flat (0) below the family's crossover —
     * where flat is measurably faster — else [[autoBucketCount]]. */
-  private[graft] def autoLayoutBuckets(totalBandRows: Long): Int =
-    if (totalBandRows < FlatCrossoverRows) 0 else autoBucketCount(totalBandRows)
+  private[graft] def autoLayoutBuckets(totalBandRows: Long, crossover: Long): Int =
+    if (totalBandRows < crossover) 0 else autoBucketCount(totalBandRows)
 
   /** clamp(totalBandRows / TargetBucketRows, 64, 65536) — per-bucket row
     * count (the unit of probe read amplification) held constant across
@@ -1188,8 +1206,10 @@ object Dedup {
   }
 
   /** Promote an AUTO-FLAT store — auto layout requested at build time but
-    * the corpus was below [[FlatCrossoverRows]], recorded as meta bucket
-    * value [[AutoBuckets]] — to the band-bucketed layout once growth has
+    * the corpus was below its family's crossover
+    * ([[FlatCrossoverRowsMinHash]] / [[FlatCrossoverRowsSig]]), recorded
+    * as meta bucket value [[AutoBuckets]] — to the band-bucketed layout
+    * once growth has
     * carried it past the crossover. STOP-THE-WORLD ONLY (runs from
     * [[compactDocIndex]], after the fold has collapsed all segments into
     * `docs/`): a mid-ingest promotion would have the same old-P /
@@ -1214,7 +1234,7 @@ object Dedup {
       if (m.getAs[Int]("band_buckets") != AutoBuckets) return
       val (sn, nh, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
       val kept = spark.read.parquet(s"$indexPath/docs")
-      val p = autoLayoutBuckets(kept.count() * bands)
+      val p = autoLayoutBuckets(kept.count() * bands, FlatCrossoverRowsMinHash)
       if (p <= 0) return
       stageBandTree(fs, indexPath, bandRows(kept, bands, nh / bands, p), p)
       Seq((sn, nh, bands, p))
@@ -1226,7 +1246,7 @@ object Dedup {
       val (mh, cs) = (m.getInt(0), m.getInt(1))
       val combos = (0 until mh + cs).combinations(cs).size
       val kept = spark.read.parquet(s"$indexPath/docs")
-      val p = autoLayoutBuckets(kept.count() * combos)
+      val p = autoLayoutBuckets(kept.count() * combos, FlatCrossoverRowsSig)
       if (p <= 0) return
       stageBandTree(fs, indexPath, signatureBandRows(kept, mh, cs, p), p)
       Seq((mh, cs, p)).toDF("max_hamming", "combo_size", "sig_buckets")
@@ -1770,9 +1790,9 @@ object Dedup {
     *
     * The AUTO layout that [[writeMinHashIndex]] pioneered for the
     * MinHash store is the DEFAULT (`sigBuckets = AutoBuckets`, -1): FLAT
-    * below the measured ~5M-band-row crossover
-    * ([[FlatCrossoverRows]] — there the full scan beats per-bucket
-    * directory reads), else BAND-BUCKETED: a slim `bands/` tree of
+    * below the family's measured crossover
+    * ([[FlatCrossoverRowsSig]] — there the cheap 8-byte-signature full
+    * scan beats per-bucket directory reads), else BAND-BUCKETED: a slim `bands/` tree of
     * precomputed `(doc, band, bucket)` rows — one row per pigeonhole
     * block-combination key of each signature, `band` the XXH64 of the
     * key, `bucket = pmod(band, P)` the partition directory. The micro
@@ -1812,10 +1832,11 @@ object Dedup {
       val rows = signatures.select(col("doc_id"), col("sh")).localCheckpoint()
       rows.write.mode("overwrite").parquet(s"$path/docs")
       // AutoBuckets (the default): the LAYOUT decision — flat below the
-      // measured ~5M-band-row crossover (where the flat scan wins), else
+      // family's measured crossover (where the flat scan wins), else
       // auto-sized P; explicit positive counts honored verbatim
       val combos = (0 until maxHamming + comboSize).combinations(comboSize).size
-      val p = if (sigBuckets < 0) autoLayoutBuckets(rows.count() * combos)
+      val p = if (sigBuckets < 0)
+                autoLayoutBuckets(rows.count() * combos, FlatCrossoverRowsSig)
               else sigBuckets
       if (p > 0) {
         signatureBandRows(rows, maxHamming, comboSize, p)

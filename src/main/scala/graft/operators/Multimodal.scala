@@ -4413,11 +4413,19 @@ object Multimodal {
   /** [[videoHashes]] rows exploded to one generic signature row per
     * sampled slot, the clip id slot-encoded (see the section comment).
     * The output is exactly the `(doc_id, sh)` shape every
-    * [[Dedup.writeSignatureIndex]] lifecycle entry point takes. */
+    * [[Dedup.writeSignatureIndex]] lifecycle entry point takes. Clips
+    * with more than [[VideoSlotCap]] sampled slots are DROPPED here (the
+    * choke point every lifecycle path funnels through): their nslots
+    * would not fit the nibble and the overflow would silently corrupt a
+    * NEIGHBORING clip's id — un-indexed (like an undecodable payload) is
+    * safe, mis-indexed is not. Entry points that control the sampling
+    * also `require(maxFrames <= VideoSlotCap)` so the drop never fires
+    * on the built-in paths. */
   def videoSlotSignatures(hashes: DataFrame): DataFrame =
     hashes.select(
         col("doc_id"), size(col("fhashes")).as("nslots"),
         posexplode(col("fhashes")).as(Seq("slot", "sh")))
+      .filter(col("nslots") <= VideoSlotCap)
       .select(
         (col("doc_id") * 256 + col("nslots") * 16 + col("slot")).as("doc_id"),
         col("sh"))

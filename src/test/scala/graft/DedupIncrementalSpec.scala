@@ -1664,14 +1664,19 @@ class DedupIncrementalSpec extends AnyFunSuite {
       "an explicit bucket count is honored verbatim")
 
     // a corpus whose band rows land ABOVE the crossover buckets directly
-    // at build time (200k sigs x 28 combos = 5.6M band rows)
-    val bigSigs = spark.range(0, 200000)
-      .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
-    Dedup.writeSignatureIndex(bigSigs, s"$tmp/big", maxHamming = 6, comboSize = 2)
-    val bigMeta = spark.read.parquet(s"$tmp/big/meta").head()
-    assert(bigMeta.getAs[Int]("sig_buckets") == 200000 * 28 / 4096,
-      s"above the crossover auto buckets at the constant-per-bucket P (saw $bigMeta)")
-    assert(treeBuckets(s"$tmp/big") == Some(200000 * 28 / 4096))
+    // at build time (200k sigs x 28 combos = 5.6M band rows; the fixture
+    // pins the crossover at 5M via the tuning property so the suite does
+    // not pay a >1M-signature build)
+    sys.props("graft.crossover.sig") = "5000000"
+    try {
+      val bigSigs = spark.range(0, 200000)
+        .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
+      Dedup.writeSignatureIndex(bigSigs, s"$tmp/big", maxHamming = 6, comboSize = 2)
+      val bigMeta = spark.read.parquet(s"$tmp/big/meta").head()
+      assert(bigMeta.getAs[Int]("sig_buckets") == 200000 * 28 / 4096,
+        s"above the crossover auto buckets at the constant-per-bucket P (saw $bigMeta)")
+      assert(treeBuckets(s"$tmp/big") == Some(200000 * 28 / 4096))
+    } finally sys.props.remove("graft.crossover.sig")
 
     // auto-flat, explicit-flat and explicit-bucketed stores all probe
     // identically (a ONE-DOC batch, so the bucketed store rides its
@@ -1691,6 +1696,8 @@ class DedupIncrementalSpec extends AnyFunSuite {
 
   test("compactDocIndex PROMOTES an auto-flat store that grew past the crossover; probes stay exact") {
     import spark.implicits._
+    sys.props("graft.crossover.sig") = "5000000" // fixture-sized crossover
+    try {
     val tmp = java.nio.file.Files.createTempDirectory("graft_promote_").toString
     val idx = s"$tmp/idx"
     // 150k sigs x 28 combos = 4.2M band rows: below the crossover -> auto-flat
@@ -1731,6 +1738,7 @@ class DedupIncrementalSpec extends AnyFunSuite {
     Dedup.compactDocIndex(spark, idx)
     assert(treeBuckets(idx) == Some(p))
     graft.core.Blocks.free(twin)
+    } finally sys.props.remove("graft.crossover.sig")
   }
 
   test("beside-live orphan heal never changes P: live segments' band rows keep pairing") {

@@ -924,17 +924,21 @@ object Dedup {
     // against the new partitioning — silent recall loss
     val usable = bandTreeUsable(spark, indexPath)
     val bb = if (usable) effectiveBandBuckets(spark, indexPath) else 0
-    // BUCKETED path only while the batch hits a MINORITY of buckets: the
-    // explicit-directory read costs O(hit) listings + footers, so once a
-    // large batch touches most buckets the flat signature scan is the
-    // cheaper plan — the operator picks per batch, making the bucketed
-    // index never worse than the flat one.
+    // BUCKETED path only while the batch hits under a THIRD of the
+    // buckets: the explicit-directory read costs O(hit) listings +
+    // footers, so once a large batch touches a substantial share the
+    // flat signature scan is the cheaper plan — the operator picks per
+    // batch, keeping the bucketed index no worse than the flat one. The
+    // 1/3 gate is measured, not guessed (round-11 BandProbe sweep at a
+    // 400k-doc store): at hit/P = 0.08 the pruned read is 2.2x AHEAD, at
+    // hit/P = 0.49 it is 9% BEHIND — the old half-the-buckets gate
+    // admitted that losing band.
     val batchBands0 =
       if (bb > 0) Some(bandRows(batchSigs.select("doc", "sig"), bands, r, bb)) else None
     val hit = batchBands0.map(_.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq)
     val pairHalf =
-      if (bb > 0 && hit.get.length * 2 <= bb) {
+      if (bb > 0 && hit.get.length * 3 <= bb) {
         // the index side is the precomputed band store, PRUNED to the
         // batch's buckets by path construction — only |batch buckets| /
         // bandBuckets of the index's band rows are read at all (and none
@@ -1950,9 +1954,10 @@ object Dedup {
     // this (maxHamming, comboSize) — a probe at other parameters needs
     // different block keys than the stored rows, so it takes the flat scan
     // (correct at any parameters, as before). Like minHashMicroCandidates,
-    // bucketed only while the batch hits a minority of buckets: past that
-    // the flat signature scan is the cheaper plan, so the bucketed index
-    // is never worse than the flat one.
+    // bucketed only while the batch hits under a THIRD of the buckets
+    // (the measured gate — see the sweep note there): past that the flat
+    // signature scan is the cheaper plan, so the bucketed index stays no
+    // worse than the flat one.
     // heal-then-read, same order as minHashMicroCandidates: the operative
     // bucket count must be read AFTER any crashed swap is healed in
     val usable = bandTreeUsable(spark, indexPath)
@@ -1961,7 +1966,7 @@ object Dedup {
         val batchBands = signatureBandRows(batch, mh, cs, bb)
         val hit = batchBands.select("bucket").distinct()
           .collect().map(_.getInt(0)).sorted.toSeq
-        if (hit.length * 2 <= bb) {
+        if (hit.length * 3 <= bb) {
           // the whole probe runs on the persisted band rows, the index side
           // PRUNED to the batch's buckets by path construction (storedBands
           // — the same reader as the MinHash band store): per-trigger read

@@ -1659,8 +1659,10 @@ class DedupIncrementalSpec extends AnyFunSuite {
     Dedup.writeSimHashIndex(corpus, s"$tmp/sflat", sigBuckets = 0)
     assert(!new java.io.File(s"$tmp/sflat/bands").exists(), "sigBuckets = 0 keeps the flat layout")
     // explicit positive count: honored verbatim even below the crossover
-    Dedup.writeSimHashIndex(corpus, s"$tmp/sbkt", sigBuckets = 64)
-    assert(treeBuckets(s"$tmp/sbkt").contains(64),
+    // (128: a one-doc probe hits <= 28 buckets, 28*3 <= 128, so the
+    // equality check below exercises the PRUNED path too)
+    Dedup.writeSimHashIndex(corpus, s"$tmp/sbkt", sigBuckets = 128)
+    assert(treeBuckets(s"$tmp/sbkt").contains(128),
       "an explicit bucket count is honored verbatim")
 
     // a corpus whose band rows land ABOVE the crossover buckets directly
@@ -1745,13 +1747,16 @@ class DedupIncrementalSpec extends AnyFunSuite {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_healp_").toString
     val idx = s"$tmp/idx"
-    // 20k sigs at explicit P=64 — OUTGROWN (auto size 136 >= 2*64), so a
-    // grow-happy rebuild would re-bucket; the beside-live heal must not
+    // 100k sigs at explicit P=256 — OUTGROWN (auto size 683 >= 2*256), so
+    // a grow-happy rebuild would re-bucket; the beside-live heal must
+    // not. P=256 also keeps a one-doc probe on the PRUNED path
+    // (28 hit buckets * 3 <= 256) — the path whose pushed bucket filter
+    // a mid-heal re-bucket would silently break.
     def synth(from: Long, until: Long) = spark.range(from, until)
       .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
-    Dedup.writeSignatureIndex(synth(0, 20000), idx, maxHamming = 6, comboSize = 2,
-      sigBuckets = 64)
-    // a LIVE streaming segment: its band rows are computed at P=64 and
+    Dedup.writeSignatureIndex(synth(0, 100000), idx, maxHamming = 6, comboSize = 2,
+      sigBuckets = 256)
+    // a LIVE streaming segment: its band rows are computed at P=256 and
     // carried as data-column buckets the probe's pushed filter must match
     val segSh = 424242L * 2654435761L
     Dedup.writeSignatureSegment(
@@ -1762,9 +1767,9 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(Dedup.docIndexStats(spark, idx)("graft.docindex.orphan-docs") == "1")
 
     assert(Dedup.reconcileBandOrphans(spark, idx, heal = true) == 1L)
-    assert(treeBuckets(idx).contains(64),
+    assert(treeBuckets(idx).contains(256),
       "the beside-live heal must keep the OLD P — live segments' band rows " +
-        s"were bucketed at 64 (saw ${treeBuckets(idx)})")
+        s"were bucketed at 256 (saw ${treeBuckets(idx)})")
     def pairs(id: Long, sh: Long) = Dedup.signatureMicroIncremental(
         Seq((id, sh)).toDF("doc_id", "sh"), idx, maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1778,8 +1783,8 @@ class DedupIncrementalSpec extends AnyFunSuite {
     // the stop-the-world compaction MAY then grow: it drops the segment
     // band twins wholesale, so no old-P rows survive it
     Dedup.compactDocIndex(spark, idx)
-    assert(treeBuckets(idx).contains(136),
-      s"compaction re-buckets the outgrown store: 20002 docs x 28 / 4096 = 136 " +
+    assert(treeBuckets(idx).contains(683),
+      s"compaction re-buckets the outgrown store: 100002 docs x 28 / 4096 = 683 " +
         s"(saw ${treeBuckets(idx)})")
   }
 

@@ -623,8 +623,10 @@ object Dedup {
     * All deletes no-op on a fresh path. */
   private def retractIndexTrees(spark: SparkSession, path: String): Unit = {
     val fs = Seg.fs(spark, path)
-    Seq("meta", "bands", "bands_staging", "bandsegs", "segs", "tombs",
-        "_folded", "docs_staging").foreach { t =>
+    val gens = Seg.listDirs(fs, new org.apache.hadoop.fs.Path(path))
+      .map(_.getName).filter(_.startsWith("bands_v"))
+    (Seq("meta", "bands", "bands_staging", "bandsegs", "segs", "tombs",
+        "_folded", "docs_staging", BandsPointer) ++ gens).foreach { t =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$t")
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
@@ -714,7 +716,13 @@ object Dedup {
 
   /** Sentinel: auto-size the bucket count from the corpus (the default). */
   val AutoBuckets: Int = -1
-  private val TargetBucketRows = 4096L
+  /** Per-bucket row target (the probe's read-amplification unit); the
+    * system property is a deployment-tuning + spec-fixture knob — a
+    * large-batch deployment can trade smaller buckets (more, finer
+    * `bucket=` directories) for a wider pruned-probe regime, since the
+    * pruned path engages only while `hitBuckets x 3 <= P`. */
+  private def TargetBucketRows: Long =
+    sys.props.get("graft.bucket.target.rows").map(_.toLong).getOrElse(4096L)
   private val MinBuckets = 64
   private val MaxBuckets = 65536
 
@@ -757,16 +765,40 @@ object Dedup {
     math.min(MaxBuckets.toLong, math.max(MinBuckets.toLong,
       totalBandRows / TargetBucketRows)).toInt
 
+  /** The `_BANDS` pointer file at an index root: names the CURRENT base
+    * band root (a generation dir `bands_v<k>` once any re-bucket has
+    * published; absent on build-time stores, whose root is the legacy
+    * `bands/`). A re-bucket WRITES A NEW GENERATION and flips this pointer
+    * atomically instead of delete-then-renaming `bands/` in place — the
+    * in-place swap has a window where a concurrently-planned probe's file
+    * list points at deleted paths (FAILED_READ_FILE under a live ingest,
+    * and non-atomic on object stores where rename is a copy). The
+    * superseded generation outlives the flip until readers drain, swept by
+    * [[gcDocIndex]] (the drain-safe maintenance slot, same contract as
+    * folded segment dirs) or immediately by the stop-the-world
+    * [[compactDocIndex]]. */
+  private val BandsPointer = "_BANDS"
+
+  /** Resolve an index's CURRENT base band root: the `_BANDS` pointer's
+    * target when present, else the legacy `bands/`. */
+  private def baseBandRoot(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String): org.apache.hadoop.fs.Path = {
+    val ptr = new org.apache.hadoop.fs.Path(indexPath, BandsPointer)
+    val rel =
+      if (!fs.exists(ptr)) "bands"
+      else scala.util.Try(Seg.readSmall(fs, ptr).trim).toOption
+        .filter(n => n.nonEmpty && !n.contains('/')).getOrElse("bands")
+    new org.apache.hadoop.fs.Path(indexPath, rel)
+  }
+
   /** Read the `_BUCKETS` marker riding INSIDE a band tree — the bucket
     * count the tree is ACTUALLY partitioned by. Underscore-prefixed, so
-    * parquet listing ignores it; written into the staging tree and swapped
-    * WITH the rows, so unlike the meta value (which cannot be updated
-    * atomically with the tree) it can never describe a partitioning the
-    * rows don't have — a crash between a re-bucketing compaction's meta
-    * update and its bands swap would otherwise strand probes pruning
-    * `bucket=` paths that don't hold their bands (silent recall loss).
-    * Absent on pre-marker stores: callers fall back to the meta value,
-    * which for those stores is frozen-correct. */
+    * parquet listing ignores it; written into a new generation BEFORE the
+    * pointer flips to it (and into `bandsegs/<name>` before the doc
+    * segment commits), so it can never describe a partitioning the rows
+    * don't have — unlike the meta value, which cannot be updated
+    * atomically with any tree. Absent on pre-marker stores: callers fall
+    * back to the meta value, which for those stores is frozen-correct. */
   private def readBandTreeBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       bandsRoot: org.apache.hadoop.fs.Path): Option[Int] = {
@@ -790,14 +822,16 @@ object Dedup {
     try out.write(p.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The OPERATIVE bucket count of a MinHash index: the band tree's
-    * `_BUCKETS` marker when present (a re-bucketing compaction may have
-    * outgrown the build-time meta value), else meta; 0 = flat. */
+  /** The OPERATIVE bucket count of a MinHash index: the CURRENT base band
+    * root's `_BUCKETS` marker when present (a re-bucket may have outgrown
+    * the build-time meta value), else meta; 0 = flat. */
   private def effectiveBandBuckets(spark: SparkSession, indexPath: String): Int = {
     val mb = metaBandBuckets(spark, indexPath)
     if (mb <= 0) mb
-    else readBandTreeBuckets(Seg.fs(spark, indexPath),
-      new org.apache.hadoop.fs.Path(s"$indexPath/bands")).getOrElse(mb)
+    else {
+      val fs = Seg.fs(spark, indexPath)
+      readBandTreeBuckets(fs, baseBandRoot(fs, indexPath)).getOrElse(mb)
+    }
   }
 
   /** All near-dup pairs TOUCHING a new batch — batch-vs-corpus and
@@ -935,10 +969,15 @@ object Dedup {
     // admitted that losing band.
     val batchBands0 =
       if (bb > 0) Some(bandRows(batchSigs.select("doc", "sig"), bands, r, bb)) else None
-    val hit = batchBands0.map(_.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq)
+    // the batch's raw band VALUES (not buckets): per-root hit buckets are
+    // derived from these at each root's own P (storedBands) — a
+    // batch-bounded driver collect (<= |batch| · bands longs)
+    val bandVals = batchBands0.map(_.select("band").distinct()
+      .collect().map(_.getLong(0)))
+    val hit = bandVals.map(_.map(v => java.lang.Math.floorMod(v, bb.toLong).toInt)
+      .distinct.length)
     val pairHalf =
-      if (bb > 0 && hit.get.length * 3 <= bb) {
+      if (bb > 0 && hit.get * 3 <= bb) {
         // the index side is the precomputed band store, PRUNED to the
         // batch's buckets by path construction — only |batch buckets| /
         // bandBuckets of the index's band rows are read at all (and none
@@ -950,7 +989,7 @@ object Dedup {
         // only produce a candidate that verification drops — compaction
         // sweeps the rows physically.
         val batchBands = batchBands0.get
-        val stored = storedBands(spark, indexPath, Some(hit.get))
+        val stored = storedBands(spark, indexPath, bandVals, bb)
         broadcast(batchBands.select("doc", "band")).as("a")
           .join(stored.unionByName(batchBands.select("doc", "band")).as("b"),
             col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
@@ -992,20 +1031,39 @@ object Dedup {
     * happened to rerun — so the caller must take the flat scan instead. */
   private def bandTreeUsable(spark: SparkSession, indexPath: String): Boolean = {
     val fs = Seg.fs(spark, indexPath)
-    val bands = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-    Seg.healSwap(fs, new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging"), bands)
-    fs.exists(bands)
+    // legacy staging heal: pre-generation stores re-bucketed with the
+    // in-place swap may have crashed mid-swap; generation publishes have
+    // no such window (the pointer flips only after the new root is whole)
+    Seg.healSwap(fs, new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging"),
+      new org.apache.hadoop.fs.Path(s"$indexPath/bands"))
+    fs.exists(baseBandRoot(fs, indexPath))
   }
 
   private def storedBands(
-      spark: SparkSession, indexPath: String, buckets: Option[Seq[Int]],
-      cols: Seq[String] = Seq("doc", "band")): DataFrame = {
+      spark: SparkSession, indexPath: String, bandVals: Option[Array[Long]],
+      baseP: Int, cols: Seq[String] = Seq("doc", "band")): DataFrame = {
     val fs = Seg.fs(spark, indexPath)
     val (_, live) = liveDocSegs(spark, indexPath)
-    val roots = s"$indexPath/bands" +:
+    val roots = baseBandRoot(fs, indexPath).toString +:
       live.map(d => s"$indexPath/bandsegs/${d.getName}")
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    val views = roots.flatMap(r => readBandRoot(spark, fs, r, buckets, cols))
+    // EACH ROOT PRUNES AT ITS OWN P: a live segment written before a
+    // re-bucket carries bucket values computed at the P operative at ITS
+    // write (recorded in its own `_BUCKETS` marker), so the hit-bucket
+    // list must be derived per root from the batch's raw band values —
+    // one driver-side pmod over a batch-bounded long array. Marker-less
+    // roots (pre-marker stores) fall back to the base P, which for them
+    // is frozen-correct: growth is gated on every live segment carrying a
+    // marker ([[rebuildBandTree]]), so a legacy segment and a moved P can
+    // never coexist.
+    val views = roots.flatMap { r =>
+      val hit = bandVals.map { vs =>
+        val p = readBandTreeBuckets(fs, new org.apache.hadoop.fs.Path(r))
+          .getOrElse(baseP).toLong
+        vs.map(v => java.lang.Math.floorMod(v, p).toInt).distinct.sorted.toSeq
+      }
+      readBandRoot(spark, fs, r, hit, cols)
+    }
     if (views.isEmpty)
       spark.range(0).select(cols.map(c => col("id").as(c)): _*)
     else views.reduce(_.unionByName(_))
@@ -1156,57 +1214,102 @@ object Dedup {
     if (!hasData) 0L else spark.read.parquet(dir.toString).count()
   }
 
+  /** Every live segment's band twin carries its own `_BUCKETS` marker —
+    * the gate for re-bucketing BESIDE live segments: a marker-less twin
+    * (pre-marker store) was written at the then-operative base P, and its
+    * rows would be mis-pruned the moment that P moved, so growth is held
+    * back until a fold or compaction has retired it. */
+  private def liveBandsegsMarked(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Boolean = {
+    val (_, live) = liveDocSegs(spark, indexPath)
+    live.map(d => new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/${d.getName}"))
+      .filter(fs.exists)
+      .forall(b => readBandTreeBuckets(fs, b).isDefined)
+  }
+
   /** Rebuild a bucketed store's BASE band tree from `docs/` (an explode
     * over stored sig/sh columns — no text or payload re-read; tombstoned
     * docs' stale band rows are swept because the fold that precedes this
-    * dropped their doc rows), stage-then-swap. GROW-ONLY RE-BUCKET rides
-    * the rebuild: when the store has OUTGROWN its operative P (the auto
-    * size from the current doc count is >= 2x it, i.e. per-bucket rows —
-    * the probe's read-amplification unit — have doubled), the tree is
-    * re-partitioned at the new auto P. Never shrinks: an explicitly
-    * oversized P costs only small files. `dropBandSegs` additionally drops
+    * dropped their doc rows), published as a NEW GENERATION behind the
+    * `_BANDS` pointer. GROW-ONLY RE-BUCKET rides the rebuild: when the
+    * store has OUTGROWN its operative P (the auto size from the current
+    * doc count is >= 2x it, i.e. per-bucket rows — the probe's
+    * read-amplification unit — have doubled), the new generation is
+    * partitioned at the new auto P. Never shrinks: an explicitly oversized
+    * P costs only small files. Growing BESIDE LIVE SEGMENTS is safe
+    * because probes prune each band root at its OWN marker P
+    * ([[storedBands]]) — a live segment written at the old P keeps exact
+    * recall through its own marker — gated only on every live twin
+    * CARRYING a marker ([[liveBandsegsMarked]]; pre-marker segments have
+    * no record of their write-time P). `dropBandSegs` additionally drops
     * the segment band twins — correct ONLY when no live doc segments
-    * remain (the stop-the-world compaction); the beside-live-ingest orphan
-    * reconcile must leave them — AND must also pin `newP = effP`: live
-    * segments' `bandsegs` rows (including any just-folded segment) carry
-    * bucket values computed at the OLD P, and probes compute hit buckets
-    * at the tree's `_BUCKETS` P before path-pruning segment roots, so a
-    * mid-reconcile grow would silently exclude every matching live-segment
-    * band row (admitted duplicates) until a stop-the-world
-    * [[compactDocIndex]]. Growing is therefore gated on `dropBandSegs`:
-    * only the path that erases all old-P rows may change P. */
+    * remain (the stop-the-world compaction). */
   private def rebuildBandTree(
-      spark: SparkSession, indexPath: String, dropBandSegs: Boolean): Unit =
+      spark: SparkSession, indexPath: String, dropBandSegs: Boolean,
+      targetP: Option[Int] = None): Unit =
     bandLayout(spark, indexPath).foreach { case (perDoc, effP, mkRows) =>
       val fs = Seg.fs(spark, indexPath)
       val kept = spark.read.parquet(s"$indexPath/docs")
-      val autoP = autoBucketCount(kept.count() * perDoc)
-      val newP = if (dropBandSegs && autoP >= 2 * effP) autoP else effP
-      stageBandTree(fs, indexPath, mkRows(kept, newP), newP)
+      // `targetP` sizes growth off the TOTAL live store (docs/ + live
+      // segments — [[reconcileBandOrphans]] computes it): a pure-streaming
+      // deployment's rows accumulate in SEGMENTS while docs/ stays frozen,
+      // so sizing off docs/ alone would never grow exactly where growth
+      // matters most
+      val autoP = targetP.getOrElse(autoBucketCount(kept.count() * perDoc))
+      val canGrow = dropBandSegs || liveBandsegsMarked(spark, fs, indexPath)
+      val newP = if (canGrow && autoP >= 2 * effP) autoP else effP
+      publishBandTree(spark, fs, indexPath, mkRows(kept, newP), newP)
       if (dropBandSegs) {
         val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
         if (fs.exists(bandsegs)) { fs.delete(bandsegs, true); () }
       }
     }
 
-  /** Stage-then-swap a COMPLETE band tree: `rowsAtP` (already carrying
-    * `bucket` computed at `p`) land in `bands_staging/`, with the
-    * `_BUCKETS` marker dropped INSIDE the staged tree BEFORE its parquet
-    * `_SUCCESS` lands (swapInto/healSwap's commit gate) — a crash window
-    * could otherwise heal in a re-bucketed tree with no marker and probes
-    * would prune paths at the stale meta P — then one atomic swap into
-    * `bands/`. */
-  private def stageBandTree(
-      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
-      rowsAtP: DataFrame, p: Int): Unit = {
-    val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-    val bandStaging = new org.apache.hadoop.fs.Path(s"$indexPath/bands_staging")
-    if (fs.exists(bandStaging)) fs.delete(bandStaging, true)
-    fs.mkdirs(bandStaging)
-    writeBandTreeBuckets(fs, bandStaging, p)
+  /** Publish a COMPLETE band tree as a new generation: `rowsAtP` (already
+    * carrying `bucket` computed at `p`) land in a fresh `bands_v<k>` dir
+    * with the `_BUCKETS` marker written BEFORE the rows (append-mode
+    * parquet preserves it), then the `_BANDS` pointer flips to it in one
+    * atomic rename — the commit point. Readers planned against the old
+    * root keep reading it untouched (it is swept only after they drain,
+    * [[gcDocIndex]] / stop-the-world compaction); a crash before the flip
+    * leaves an unreferenced generation the same sweep collects. Publishers
+    * are serialized by the maintenance contract (one maintenance actor, or
+    * stop-the-world), so the generation counter cannot race. */
+  private def publishBandTree(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, rowsAtP: DataFrame, p: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val nextGen = 1 + Seg.listDirs(fs, root).map(_.getName)
+      .filter(_.startsWith("bands_v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("bands_v").toInt).toOption)
+      .foldLeft(0)(math.max)
+    val gen = s"bands_v$nextGen"
+    val dir = new org.apache.hadoop.fs.Path(root, gen)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    writeBandTreeBuckets(fs, dir, p)
     rowsAtP.repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(bandStaging.toString)
-    Seg.swapInto(fs, bandStaging, bandsDir)
+      .write.mode("append").partitionBy("bucket").parquet(dir.toString)
+    Seg.writeAtomic(fs, Seg.conf(spark),
+      new org.apache.hadoop.fs.Path(root, BandsPointer), gen)
+  }
+
+  /** Delete every band root the `_BANDS` pointer does NOT reference —
+    * superseded generations, the legacy `bands/` once a generation took
+    * over, and crashed unreferenced publishes. DRAIN-GATED like folded
+    * segment dirs: call only from the maintenance slot after concurrent
+    * readers planned against the old root have drained ([[gcDocIndex]]),
+    * or under stop-the-world ([[compactDocIndex]]). */
+  private def sweepStaleBandRoots(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val current = baseBandRoot(fs, indexPath).getName
+    val stale = Seg.listDirs(fs, root).map(_.getName)
+      .filter(n => (n.startsWith("bands_v") || n == "bands") && n != current)
+    stale.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, n), true); ()
+    }
   }
 
   /** Promote an AUTO-FLAT store — auto layout requested at build time but
@@ -1240,7 +1343,7 @@ object Dedup {
       val kept = spark.read.parquet(s"$indexPath/docs")
       val p = autoLayoutBuckets(kept.count() * bands, FlatCrossoverRowsMinHash)
       if (p <= 0) return
-      stageBandTree(fs, indexPath, bandRows(kept, bands, nh / bands, p), p)
+      publishBandTree(spark, fs, indexPath, bandRows(kept, bands, nh / bands, p), p)
       Seq((sn, nh, bands, p))
         .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
         .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
@@ -1252,7 +1355,7 @@ object Dedup {
       val kept = spark.read.parquet(s"$indexPath/docs")
       val p = autoLayoutBuckets(kept.count() * combos, FlatCrossoverRowsSig)
       if (p <= 0) return
-      stageBandTree(fs, indexPath, signatureBandRows(kept, mh, cs, p), p)
+      publishBandTree(spark, fs, indexPath, signatureBandRows(kept, mh, cs, p), p)
       Seq((mh, cs, p)).toDF("max_hamming", "combo_size", "sig_buckets")
         .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
     }
@@ -1275,14 +1378,34 @@ object Dedup {
       spark: SparkSession, indexPath: String, heal: Boolean = true): Long =
     bandLayout(spark, indexPath) match {
       case None => 0L
-      case Some((perDoc, _, _)) =>
+      case Some((perDoc, effP, _)) =>
         val fs = Seg.fs(spark, indexPath)
-        val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
         val docsCount = spark.read.parquet(s"$indexPath/docs").count()
-        val bandsCount = bandTreeCount(spark, fs, bandsDir)
+        val bandsCount = bandTreeCount(spark, fs, baseBandRoot(fs, indexPath))
         val missing = docsCount * perDoc - bandsCount
         val orphans = if (missing > 0) (missing + perDoc - 1) / perDoc else 0L
-        if (orphans > 0 && heal) rebuildBandTree(spark, indexPath, dropBandSegs = false)
+        // GROWTH rides the same fold-cycle slot as the heal: a store that
+        // has outgrown its P (auto size >= 2x operative — per-bucket rows
+        // doubled) re-buckets HERE, beside the live ingest, so a
+        // deployment that never stops for [[compactDocIndex]] still rides
+        // the flat per-trigger cost curve (the round-11 soak measured the
+        // fixed-P alternative at Theta(N/P) per trigger — linear drift).
+        // Sized off the TOTAL live store: a streaming deployment's rows
+        // accumulate in segments while docs/ stays frozen (the fold keeps
+        // the base store untouched by contract), so the doubling test must
+        // see segment docs too — footer counts over the (post-fold, O(1))
+        // live segment list. The moved P reaches segment rows through the
+        // NEXT fold's compact twin (re-bucketed at the operative P, its
+        // own marker); until then old segments prune exactly at their
+        // recorded P. Safe beside live segments by the same markers.
+        val liveDocs = liveDocSegs(spark, indexPath)._2
+          .map(d => spark.read.parquet(d.toString).count()).sum
+        val autoP = autoBucketCount((docsCount + liveDocs) * perDoc)
+        val growDue = heal && autoP >= 2 * effP &&
+          liveBandsegsMarked(spark, fs, indexPath)
+        if ((orphans > 0 && heal) || growDue)
+          rebuildBandTree(spark, indexPath, dropBandSegs = false,
+            targetP = if (growDue) Some(autoP) else None)
         orphans
     }
 
@@ -1301,8 +1424,7 @@ object Dedup {
     val tombsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     val tombCount =
       if (fs.exists(tombsPath)) spark.read.parquet(tombsPath.toString).count() else 0L
-    val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-    val bandsCount = bandTreeCount(spark, fs, bandsDir)
+    val bandsCount = bandTreeCount(spark, fs, baseBandRoot(fs, indexPath))
     val layout = bandLayout(spark, indexPath)
     val orphans = layout.fold(0L) { case (perDoc, _, _) =>
       val missing = docsCount * perDoc - bandsCount
@@ -1354,13 +1476,17 @@ object Dedup {
       val markers = new org.apache.hadoop.fs.Path(s"$indexPath/_folded")
       if (fs.exists(markers)) fs.delete(markers, true)
       val (perDoc, effP, _) = layout.get
-      val bandsDir = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+      val bandsDir = baseBandRoot(fs, indexPath)
       val docsCount = spark.read.parquet(docsDir.toString).count()
       val bandsCount =
         if (fs.exists(bandsDir)) bandTreeCount(spark, fs, bandsDir) else -1L
       if (bandsCount == docsCount * perDoc
-          && autoBucketCount(docsCount * perDoc) < 2 * effP) return
+          && autoBucketCount(docsCount * perDoc) < 2 * effP) {
+        sweepStaleBandRoots(fs, indexPath) // stop-the-world: drain-free
+        return
+      }
       rebuildBandTree(spark, indexPath, dropBandSegs = true)
+      sweepStaleBandRoots(fs, indexPath)
       return
     }
     // stage-then-swap (Segments.swapInto): the folded view streams from
@@ -1384,9 +1510,13 @@ object Dedup {
     if (fs.exists(markers)) fs.delete(markers, true)
     // AFTER the fold (so the promotion decision sees the folded row
     // count): an auto-flat store that has grown past the crossover gets
-    // its band tree here — the stop-the-world window is the only safe
-    // place to change the operative P (or to introduce one).
+    // its band tree here. (Bucketed stores grow P on the BESIDE-LIVE fold
+    // cycle too — [[reconcileBandOrphans]] — but the flat -> bucketed
+    // promotion stays stop-the-world-only: a flat store has no band roots
+    // at all, so mid-ingest segments would have been written without band
+    // twins and the freshly-introduced tree would miss them.)
     promoteAutoFlat(spark, indexPath)
+    sweepStaleBandRoots(fs, indexPath) // stop-the-world: drain-free
   }
 
   /** Fold the LIVE streaming segments of a doc-row index into one —
@@ -1417,15 +1547,28 @@ object Dedup {
       val bandRoots = live
         .map(d => s"$indexPath/bandsegs/${d.getName}")
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      if (bandRoots.nonEmpty)
-        bandRoots
+      if (bandRoots.nonEmpty) {
+        // the folded segments may have been written at DIFFERENT P's (a
+        // beside-live re-bucket moves the operative P between batches), so
+        // the compact twin recomputes `bucket` from the P-independent
+        // `band` value at the CURRENT operative P and records it in its
+        // own `_BUCKETS` marker — one compact segment, one P, exact probes
+        val foldP = bandLayout(spark, indexPath).fold(0)(_._2)
+        val folded = bandRoots
           // schema-preserving: MinHash band rows are (doc, band, bucket),
           // signature band rows additionally carry their 8-byte sh — the
           // fold keeps whichever shape the segments have
           .map(spark.read.parquet(_).withColumn("bucket", col("bucket").cast("int")))
           .reduce(_.unionByName(_))
+        (if (foldP > 0)
+           folded.withColumn("bucket", pmod(col("band"), lit(foldP.toLong)).cast("int"))
+         else folded)
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bandsegs/$name")
+        if (foldP > 0)
+          writeBandTreeBuckets(fs,
+            new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/$name"), foldP)
+      }
       // coalesce the fold: a narrow multi-root read maps each input file
       // to an output file, so the compacted segment would keep the same
       // O(batches) file count it exists to consolidate
@@ -1492,6 +1635,12 @@ object Dedup {
           !fs.exists(new org.apache.hadoop.fs.Path(root, s"segs/${d.getName}")))
         fs.delete(d, true)
     }
+    // superseded base band GENERATIONS (a beside-live re-bucket published
+    // a new root and flipped the `_BANDS` pointer, leaving the old root
+    // for readers planned before the flip) and crashed unreferenced
+    // publishes: GC is the drain-safe slot, so they sweep here alongside
+    // the folded segment dirs
+    sweepStaleBandRoots(fs, indexPath)
     removed
   }
 
@@ -1507,19 +1656,25 @@ object Dedup {
       segName: String): Long = {
     val spark = sigs.sparkSession
     val batch = sigs.select("doc", "sh", "sig").localCheckpoint()
-    // heal-then-read (see writeSignatureSegment): `bucket` rides as a data
-    // column, so it must be computed at the tree's operative P
+    // heal-then-read: `bucket` rides as a data column, computed at the
+    // CURRENT operative P and recorded in the segment's own `_BUCKETS`
+    // marker — probes prune this root at the marker P, so the segment
+    // stays exactly readable even after a later re-bucket moves the base P
     bandTreeUsable(spark, indexPath)
     val bb = effectiveBandBuckets(spark, indexPath)
     if (bb > 0) {
       // band rows FIRST: the doc segment's _SUCCESS is the commit point
       // (liveDocSegs), so a committed doc segment always has its band rows
       // on disk; a crash in between leaves an orphaned band segment the
-      // replay overwrites. Batch-bounded => one file.
+      // replay overwrites. Batch-bounded => one file. The marker lands
+      // after the parquet overwrite (which wipes the dir) and before the
+      // doc segment commits — a committed segment always carries its P.
       val meta = spark.read.parquet(s"$indexPath/meta").head()
       bandRows(batch, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$indexPath/bandsegs/$segName")
+      writeBandTreeBuckets(Seg.fs(spark, indexPath),
+        new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/$segName"), bb)
     }
     batch.write.mode("overwrite").parquet(s"$indexPath/segs/$segName")
     val n = batch.count()
@@ -1555,7 +1710,8 @@ object Dedup {
     if (bb > 0)
       bandRows(batch, meta.getInt(2), meta.getInt(1) / meta.getInt(2), bb)
         .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
+        .write.mode("append").partitionBy("bucket")
+        .parquet(baseBandRoot(Seg.fs(spark, indexPath), indexPath).toString)
     batch.write.mode("append").parquet(s"$indexPath/docs")
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
@@ -1902,8 +2058,8 @@ object Dedup {
     * outgrown the build-time meta value), else the meta value. */
   private def effectiveSigBuckets(spark: SparkSession, indexPath: String): Option[(Int, Int, Int)] =
     sigMetaBuckets(spark, indexPath).map { case (mh, cs, sb) =>
-      (mh, cs, readBandTreeBuckets(Seg.fs(spark, indexPath),
-        new org.apache.hadoop.fs.Path(s"$indexPath/bands")).getOrElse(sb))
+      val fs = Seg.fs(spark, indexPath)
+      (mh, cs, readBandTreeBuckets(fs, baseBandRoot(fs, indexPath)).getOrElse(sb))
     }.filter(_._3 > 0) // AUTO-FLAT meta (sig_buckets = -1, no tree): flat
 
   /** All pairs within `maxHamming` bits TOUCHING a batch of precomputed
@@ -1964,9 +2120,13 @@ object Dedup {
     effectiveSigBuckets(spark, indexPath) match {
       case Some((mh, cs, bb)) if usable && mh == maxHamming && cs == comboSize =>
         val batchBands = signatureBandRows(batch, mh, cs, bb)
-        val hit = batchBands.select("bucket").distinct()
-          .collect().map(_.getInt(0)).sorted.toSeq
-        if (hit.length * 3 <= bb) {
+        // raw band values, not buckets: storedBands derives each root's
+        // hit buckets at that root's own P (batch-bounded driver collect)
+        val bandVals = batchBands.select("band").distinct()
+          .collect().map(_.getLong(0))
+        val hit = bandVals.map(v => java.lang.Math.floorMod(v, bb.toLong).toInt)
+          .distinct.length
+        if (hit * 3 <= bb) {
           // the whole probe runs on the persisted band rows, the index side
           // PRUNED to the batch's buckets by path construction (storedBands
           // — the same reader as the MinHash band store): per-trigger read
@@ -1978,7 +2138,7 @@ object Dedup {
           // must be filtered HERE (takedown-sized broadcast anti-join) —
           // there is no later doc-row verify stage to drop a deleted doc's
           // stale band rows; compaction sweeps them physically.
-          val stored0 = storedBands(spark, indexPath, Some(hit),
+          val stored0 = storedBands(spark, indexPath, Some(bandVals), bb,
             cols = Seq("doc", "band", "sh"))
           val tombsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
           val stored =
@@ -2053,7 +2213,8 @@ object Dedup {
       effectiveSigBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
         signatureBandRows(batch, mh, cs, bb)
           .repartition(col("bucket"))
-          .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/bands")
+          .write.mode("append").partitionBy("bucket")
+          .parquet(baseBandRoot(Seg.fs(spark, indexPath), indexPath).toString)
       }
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
@@ -2074,9 +2235,11 @@ object Dedup {
   def writeSignatureSegment(batchSigs: DataFrame, indexPath: String, segName: String): Long = {
     val spark = batchSigs.sparkSession
     val batch = batchSigs.select(col("doc_id"), col("sh")).localCheckpoint()
-    // heal-then-read: the segment's `bucket` data column must be computed
-    // at the tree's OPERATIVE P, or the probe's pushed bucket filter
-    // (computed at the new P) would wrongly exclude these rows
+    // heal-then-read: the segment's `bucket` data column is computed at
+    // the CURRENT operative P and recorded in the segment's own `_BUCKETS`
+    // marker (after the parquet overwrite, before the doc segment commits)
+    // — probes prune this root at the marker P, so a later base re-bucket
+    // can never mis-filter these rows
     bandTreeUsable(spark, indexPath)
     effectiveSigBuckets(spark, indexPath).foreach { case (mh, cs, bb) =>
       // batch-bounded => one flat file; `bucket` rides as a data column and
@@ -2084,6 +2247,8 @@ object Dedup {
       signatureBandRows(batch, mh, cs, bb)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$indexPath/bandsegs/$segName")
+      writeBandTreeBuckets(Seg.fs(spark, indexPath),
+        new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/$segName"), bb)
     }
     batch.write.mode("overwrite").parquet(s"$indexPath/segs/$segName")
     val n = batch.count()

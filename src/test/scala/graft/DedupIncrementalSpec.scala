@@ -664,7 +664,7 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(probePairs(Seq((4006L, freshA))).map(p => (p._1, p._2)) == Set((3000L, 4006L)),
       "segment rows survive compaction into the base band store")
     // the rebuilt band store has no rows for the deleted doc
-    assert(spark.read.parquet(s"$tmp/idx/bands").filter(col("doc") === 7L).count() == 0L)
+    assert(spark.read.parquet(bandRootPath(s"$tmp/idx")).filter(col("doc") === 7L).count() == 0L)
   }
 
   test("streaming near-dup ingest over a band-bucketed index: drops, replay, and fold are safe") {
@@ -1337,7 +1337,7 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(probePairs(Seq((4005L, corpusText))).isEmpty, "compaction folds the tombstone")
     assert(probePairs(Seq((4006L, freshA))) == Set((3000L, 4006L)),
       "segment rows survive compaction into the base band store")
-    assert(spark.read.parquet(s"$tmp/idx/bands").filter(col("doc") === 7L).count() == 0L,
+    assert(spark.read.parquet(bandRootPath(s"$tmp/idx")).filter(col("doc") === 7L).count() == 0L,
       "the rebuilt band store has no rows for the deleted doc")
   }
 
@@ -1554,7 +1554,8 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(flat.contains((7L, 50008L)) && flat.contains((40008L, 50008L)),
       "the flat fallback still sees base corpus and appended docs")
     Dedup.compactDocIndex(spark, s"$tmp/idx")
-    assert(fs.exists(bands), "compaction rebuilds the band store")
+    assert(new java.io.File(bandRootPath(s"$tmp/idx")).exists(),
+      "compaction rebuilds the band store (as a published generation)")
     val rebuilt = probeTwin(50009L)
     assert(rebuilt.contains((7L, 50009L)) && rebuilt.contains((40007L, 50009L)) &&
       rebuilt.contains((40008L, 50009L)),
@@ -1627,10 +1628,22 @@ class DedupIncrementalSpec extends AnyFunSuite {
       "a healthy store's docs tree is NOT rewritten when there is nothing to fold")
   }
 
-  /** The `_BUCKETS` marker riding inside a band tree (the tree's operative
-    * partition count, swapped atomically with its rows). */
+  /** The CURRENT base band root of an index: the `_BANDS` pointer's target
+    * when present (a re-bucket published a generation dir and flipped the
+    * pointer), else the legacy `bands/`. */
+  private def bandRootPath(idx: String): String = {
+    val ptr = new java.io.File(s"$idx/_BANDS")
+    val rel =
+      if (!ptr.exists()) "bands"
+      else new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+    s"$idx/$rel"
+  }
+
+  /** The `_BUCKETS` marker riding inside the current base band root (the
+    * tree's operative partition count, published atomically with its
+    * rows). */
   private def treeBuckets(idx: String): Option[Int] = {
-    val f = new java.io.File(s"$idx/bands/_BUCKETS")
+    val f = new java.io.File(s"${bandRootPath(idx)}/_BUCKETS")
     if (!f.exists()) None
     else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt)
   }
@@ -1731,7 +1744,7 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(probe() == before, "the probe is exact across the promotion")
     // appends now land band rows at the promoted P
     Dedup.appendToSignatureIndex(Seq((950000L, 777L)).toDF("doc_id", "sh"), idx)
-    val appended = spark.read.parquet(s"$idx/bands")
+    val appended = spark.read.parquet(bandRootPath(idx))
       .filter(col("doc") === 950000L).select("band", "bucket").collect()
     assert(appended.nonEmpty &&
       appended.forall(r => ((r.getLong(0) % p) + p) % p == r.getInt(1)),
@@ -1743,49 +1756,96 @@ class DedupIncrementalSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.crossover.sig")
   }
 
-  test("beside-live orphan heal never changes P: live segments' band rows keep pairing") {
+  test("beside-live heal GROWS an outgrown P: mixed-P live segments keep exact recall") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_healp_").toString
     val idx = s"$tmp/idx"
-    // 100k sigs at explicit P=256 — OUTGROWN (auto size 683 >= 2*256), so
-    // a grow-happy rebuild would re-bucket; the beside-live heal must
-    // not. P=256 also keeps a one-doc probe on the PRUNED path
-    // (28 hit buckets * 3 <= 256) — the path whose pushed bucket filter
-    // a mid-heal re-bucket would silently break.
+    // 100k sigs at explicit P=256 — OUTGROWN (auto size 683 >= 2*256). The
+    // beside-live reconcile now RE-BUCKETS (a new generation behind the
+    // `_BANDS` pointer) because live segments prune at their OWN marker P;
+    // P=256 keeps a one-doc probe on the PRUNED path (28 hit buckets * 3
+    // <= 256), the path a mis-filtered segment root would silently break.
     def synth(from: Long, until: Long) = spark.range(from, until)
       .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
     Dedup.writeSignatureIndex(synth(0, 100000), idx, maxHamming = 6, comboSize = 2,
       sigBuckets = 256)
-    // a LIVE streaming segment: its band rows are computed at P=256 and
-    // carried as data-column buckets the probe's pushed filter must match
+    // a LIVE streaming segment: its band rows are computed at P=256,
+    // recorded in its own `_BUCKETS` marker
     val segSh = 424242L * 2654435761L
     Dedup.writeSignatureSegment(
       Seq((500000L, segSh)).toDF("doc_id", "sh"), idx, "batch_00007")
+    assert(new java.io.File(s"$idx/bandsegs/batch_00007/_BUCKETS").exists(),
+      "a committed segment's band twin carries its write-time P")
     // orphan: appendToSignatureIndex's crash window (docs landed, bands not)
     Seq((600000L, 999999L * 7919L)).toDF("doc_id", "sh")
       .write.mode("append").parquet(s"$idx/docs")
     assert(Dedup.docIndexStats(spark, idx)("graft.docindex.orphan-docs") == "1")
 
     assert(Dedup.reconcileBandOrphans(spark, idx, heal = true) == 1L)
-    assert(treeBuckets(idx).contains(256),
-      "the beside-live heal must keep the OLD P — live segments' band rows " +
-        s"were bucketed at 256 (saw ${treeBuckets(idx)})")
+    assert(treeBuckets(idx).contains(683),
+      "the beside-live heal grows the outgrown store: 100002 docs x 28 / " +
+        s"4096 = 683 (saw ${treeBuckets(idx)})")
+    assert(bandRootPath(idx).endsWith("bands_v1"),
+      "growth publishes a generation behind the pointer, never an in-place swap")
+    assert(new java.io.File(s"$idx/bands").exists(),
+      "the superseded root outlives the flip until readers drain")
     def pairs(id: Long, sh: Long) = Dedup.signatureMicroIncremental(
         Seq((id, sh)).toDF("doc_id", "sh"), idx, maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the live segment's twin still pairs through the bucketed probe —
-    // the exact recall a mid-heal re-bucket would silently lose
+    // the live segment's twin still pairs through the MIXED-P store: the
+    // base root prunes at 683, the segment root at its marker's 256 —
+    // the exact recall a single-P hit-bucket filter would silently lose
     assert(pairs(910000L, segSh).contains((500000L, 910000L)),
-      "the live segment's doc must stay probe-visible after the heal")
-    // and the healed orphan pairs too
+      "the live segment's doc must stay probe-visible across the grow")
+    // and the healed orphan pairs too (via the new generation)
     assert(pairs(920000L, 999999L * 7919L).contains((600000L, 920000L)),
       "the healed orphan's band rows are restored")
-    // the stop-the-world compaction MAY then grow: it drops the segment
-    // band twins wholesale, so no old-P rows survive it
+    // GC is the drain-safe slot: the superseded root sweeps there
+    Dedup.gcDocIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/bands").exists(),
+      "gc sweeps the superseded band root after readers drain")
+    assert(pairs(910000L, segSh).contains((500000L, 910000L)) &&
+      pairs(930000L, 42L * 2654435761L).contains((42L, 930000L)),
+      "probes stay exact after the sweep")
+    // idempotence: compaction over the already-grown store keeps P
     Dedup.compactDocIndex(spark, idx)
     assert(treeBuckets(idx).contains(683),
-      s"compaction re-buckets the outgrown store: 100002 docs x 28 / 4096 = 683 " +
-        s"(saw ${treeBuckets(idx)})")
+      s"nothing left to grow at compaction (saw ${treeBuckets(idx)})")
+  }
+
+  test("growth is HELD BACK while a live segment lacks a P marker (pre-marker stores)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_heallegacy_").toString
+    val idx = s"$tmp/idx"
+    def synth(from: Long, until: Long) = spark.range(from, until)
+      .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
+    Dedup.writeSignatureIndex(synth(0, 100000), idx, maxHamming = 6, comboSize = 2,
+      sigBuckets = 256)
+    val segSh = 424242L * 2654435761L
+    Dedup.writeSignatureSegment(
+      Seq((500000L, segSh)).toDF("doc_id", "sh"), idx, "batch_00007")
+    // simulate a segment written by pre-marker code: its band rows were
+    // bucketed at SOME past P nothing recorded — a moved P would silently
+    // mis-prune them, so growth must wait until a fold retires the segment
+    assert(new java.io.File(s"$idx/bandsegs/batch_00007/_BUCKETS").delete())
+    Dedup.reconcileBandOrphans(spark, idx, heal = true)
+    assert(treeBuckets(idx).contains(256),
+      s"growth is pinned while a marker-less live segment exists (saw ${treeBuckets(idx)})")
+    def pairs(id: Long, sh: Long) = Dedup.signatureMicroIncremental(
+        Seq((id, sh)).toDF("doc_id", "sh"), idx, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(910000L, segSh).contains((500000L, 910000L)),
+      "the legacy segment reads at the (unchanged) base P")
+    // the fold retires the legacy segment into a MARKED compact twin, so
+    // the SAME reconcile that rides it can now grow
+    Dedup.writeSignatureSegment(
+      Seq((500001L, 31337L * 2654435761L)).toDF("doc_id", "sh"), idx, "batch_00008")
+    Dedup.foldDocSegments(spark, idx) // fold -> marked compact twin -> reconcile grows
+    assert(treeBuckets(idx).contains(683),
+      s"once all live twins carry markers the fold cycle grows P (saw ${treeBuckets(idx)})")
+    assert(pairs(910000L, segSh).contains((500000L, 910000L)) &&
+      pairs(911000L, 31337L * 2654435761L).contains((500001L, 911000L)),
+      "folded segment docs keep pairing across the growth")
   }
 
   test("compactDocIndex re-buckets a store that outgrew its P; meta stays frozen, probes stay exact") {
@@ -1815,7 +1875,7 @@ class DedupIncrementalSpec extends AnyFunSuite {
     // column must agree with the re-bucketed tree's partitioning
     Dedup.appendToSignatureIndex(
       Seq((95000L, 777L)).toDF("doc_id", "sh"), idx)
-    val appended = spark.read.parquet(s"$idx/bands")
+    val appended = spark.read.parquet(bandRootPath(idx))
       .filter(col("doc") === 95000L).select("band", "bucket").collect()
     assert(appended.nonEmpty &&
       appended.forall(r => ((r.getLong(0) % 136) + 136) % 136 == r.getInt(1)),

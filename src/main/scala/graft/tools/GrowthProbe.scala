@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   *   - frozen: `graft.bucket.target.rows` pinned huge, so autoP collapses
   *             to the 64-bucket floor and the seed P never moves (the
   *             round-11 behavior, the control)
-  * At each corpus doubling both arms run the 8-doc micro probe (the
-  * streaming dedup-on-write shape) and print median seconds + operative P.
+  * At each corpus doubling both arms run the `batchDocs`-doc micro probe
+  * (the streaming dedup-on-write shape) and print median seconds +
+  * operative P. batchDocs = 8 is the deep-pruned regime; batchDocs past
+  * ~seedP/(3·bands) puts the FROZEN arm on the flat fallback (the
+  * round-11 soak's large-batch regime) while the grown arm's moved P
+  * keeps the same batch pruned.
   *
-  * Usage: runMain graft.tools.GrowthProbe [startDocs] [horizonDocs] [chunkDocs] [foldEvery] [reps]
+  * Usage: runMain graft.tools.GrowthProbe [startDocs] [horizonDocs] [chunkDocs] [foldEvery] [reps] [batchDocs]
   */
 object GrowthProbe {
 
@@ -47,6 +51,7 @@ object GrowthProbe {
     val chunkDocs = args.lift(2).map(_.toLong).getOrElse(25000L)
     val foldEvery = args.lift(3).map(_.toInt).getOrElse(4)
     val reps = args.lift(4).map(_.toInt).getOrElse(9)
+    val batchDocs = args.lift(5).map(_.toInt).getOrElse(8)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-growth-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,13 +60,17 @@ object GrowthProbe {
     def operativeP(idx: String): String =
       Dedup.docIndexStats(spark, idx)("graft.docindex.band-buckets")
 
-    // the 8-doc micro probe (4 id-shifted twins + 4 fresh), BandProbe's shape
+    // the micro probe (half id-shifted twins + half fresh), BandProbe's
+    // shape; batchDocs > ~P/(3·bands) puts the FROZEN arm past the pruned
+    // gate (flat fallback — the round-11 soak's large-batch regime) while
+    // the grown arm's moved P keeps the same batch pruned
     def probe(idx: String, n: Long, rep: Int): Double = {
+      val half = math.max(1, batchDocs / 2)
       val twins = corpus(spark, 0, horizon)
-        .filter(pmod(col("doc_id") + lit(rep * 7919), lit(n / 4)) === 0)
-        .limit(4)
+        .filter(pmod(col("doc_id") + lit(rep * 7919), lit(n / (2L * half))) === 0)
+        .limit(half)
         .withColumn("doc_id", col("doc_id") + lit(10L * horizon))
-      val fresh = corpus(spark, 0, 4)
+      val fresh = corpus(spark, 0, half)
         .withColumn("doc_id", col("doc_id") + lit(20L * horizon + rep * 100000L))
         .withColumn("text", concat(col("text"), lit(s" fresh$rep")))
       val sigs = Dedup.minHashBatchSigs(twins.unionByName(fresh), idx).localCheckpoint()
@@ -90,7 +99,7 @@ object GrowthProbe {
       var nextCheckpoint = startDocs * 2
       var batch = 0
       probe(idx, n, 0) // warmup listing + codegen
-      println(f"[growth] arm=$arm n=$n%,d P=${operativeP(idx)} " +
+      println(f"[growth] arm=$arm batchDocs=$batchDocs n=$n%,d P=${operativeP(idx)} " +
         f"probe=${median((1 to reps).map(r => probe(idx, n, r)))}%.3f s")
       while (n < horizon) {
         val sigs = Dedup.minHashBatchSigs(corpus(spark, n, n + chunkDocs), idx)

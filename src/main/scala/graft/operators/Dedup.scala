@@ -129,6 +129,17 @@ object Dedup {
     * broadcast semi-join, which is the scale path anyway. */
   private[graft] val MaxInProbe = 1024
 
+  /** Writer options for doc-row stores (MinHash (doc, sh, sig) rows): an
+    * id bloom filter plus SMALL row groups (~2 MB vs the 128 MB default),
+    * so the micro verify's pushed-In candidate filter skips row groups at
+    * candidate granularity — the rows are ~1 KB heavyweights (512-byte
+    * signatures + shingle arrays), and a 128 MB group would make every
+    * pushed filter read most of the store anyway. Paired with the
+    * sorted-by-id layout every doc-row write path maintains. */
+  private def docRowOptions(idCol: String): Map[String, String] =
+    graft.core.Maintenance.bloomOptions(Seq(idCol)) +
+      ("parquet.block.size" -> (2 << 20).toString)
+
   /** Snapshot of an index's live segment set: (dir, seq) for key segments
     * and tombstone segments, plus the folded-awaiting-GC relative paths. */
   private final case class IndexSnapshot(
@@ -646,7 +657,9 @@ object Dedup {
     retractIndexTrees(spark, path)
     if (bandBuckets == 0) {
       signatureRows(documents, shingleN, numHashes, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$path/docs")
+        .sortWithinPartitions("doc")
+        .write.mode("overwrite").options(docRowOptions("doc"))
+        .parquet(s"$path/docs")
       import spark.implicits._
       Seq((shingleN, numHashes, bands, 0))
         .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
@@ -656,7 +669,9 @@ object Dedup {
       // tokenized exactly once
       val rows = signatureRows(documents, shingleN, numHashes, idCol, textCol)
         .localCheckpoint()
-      rows.write.mode("overwrite").parquet(s"$path/docs")
+      rows.sortWithinPartitions("doc")
+        .write.mode("overwrite").options(docRowOptions("doc"))
+        .parquet(s"$path/docs")
       // AutoBuckets: the LAYOUT decision rides the just-signed corpus size
       // (the checkpoint makes the count free of recompute) — flat below
       // the measured crossover where per-bucket listings cost more than
@@ -764,6 +779,16 @@ object Dedup {
   private[graft] def autoBucketCount(totalBandRows: Long): Int =
     math.min(MaxBuckets.toLong, math.max(MinBuckets.toLong,
       totalBandRows / TargetBucketRows)).toInt
+
+  /** Below this many rows PER BUCKET a partitioned band root is mostly
+    * tiny files (a probe of B hit buckets pays B sub-row-group reads for
+    * a few KB each — the measured 1.6M-row base tree at P=5859 cost more
+    * in per-file overhead than its whole 25 MB scan), so re-publishes
+    * write such a root FLAT: one sorted-by-bucket file whose pushed
+    * bucket-In filter skips row groups. Partitioned vs flat is a PER-ROOT
+    * choice the readers already handle (dirs => path pruning, data column
+    * => pushed filter); the operative P rides the marker either way. */
+  private val MinBucketFileRows = 1024L
 
   /** The `_BANDS` pointer file at an index root: names the CURRENT base
     * band root (a generation dir `bands_v<k>` once any re-bucket has
@@ -1118,7 +1143,16 @@ object Dedup {
     val numHashes = spark.read.parquet(s"$indexPath/meta").head().getInt(1)
     val candIds = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
-    val all = storedDocs(spark, indexPath, "doc").unionByName(batchSigs)
+    // candidate ids are micro-batch-bounded (the existing broadcast
+    // contract), so up to MaxInProbe of them ALSO ride a literal In pushed
+    // into the corpus scan: with the sorted-by-id + bloom doc layout the
+    // heavyweight (sig, sh) read skips row groups holding no candidate —
+    // the last O(store) term of the micro probe (the band side is already
+    // bucket-pruned). Past the valve the pushed filter is dropped and the
+    // broadcast semi-join alone restricts (the pre-round-12 plan).
+    val idVals = candIds.limit(MaxInProbe + 1).collect().map(_.getLong(0)).toSeq
+    val restrict = if (idVals.length <= MaxInProbe) Some(idVals) else None
+    val all = storedDocs(spark, indexPath, "doc", restrict).unionByName(batchSigs)
       .join(broadcast(candIds), Seq("doc"), "left_semi")
       .dropDuplicates("doc") // replayed append: batch rows can shadow stored rows
     verifyCandidates(
@@ -1135,9 +1169,22 @@ object Dedup {
     * tombstones the read is the plain parquet scan. The stored id column
     * name is inferred (the MinHash index stores `doc`, the SimHash store
     * `doc_id`). */
-  private def storedDocs(spark: SparkSession, indexPath: String, idCol: String): DataFrame = {
+  private def storedDocs(
+      spark: SparkSession, indexPath: String, idCol: String,
+      restrictTo: Option[Seq[Long]] = None): DataFrame = {
     val paths = s"$indexPath/docs" +: liveDocSegs(spark, indexPath)._2.map(_.toString)
-    val docs = spark.read.parquet(paths: _*)
+    val docs0 = spark.read.parquet(paths: _*)
+    // `restrictTo` (<= MaxInProbe candidate ids — the micro-verify shape)
+    // becomes a LITERAL IN pushed to parquet, evaluated against each row
+    // group's min/max stats AND the id bloom filter the doc-row writers
+    // enable — with the sorted-by-id layout the verify's corpus read SKIPS
+    // row groups holding none of the candidates, so per-trigger verify IO
+    // tracks the CANDIDATES, not the store (the mergeView/exact-index
+    // discipline applied to the heavyweight (sig, sh) rows; the stack
+    // bound on pushed In sizes is the MaxInProbe note there). Unsorted
+    // pre-round-12 stores evaluate the same filter as a scan — correct,
+    // just unpruned.
+    val docs = restrictTo.fold(docs0)(ids => docs0.filter(col(idCol).isin(ids: _*)))
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     if (!Seg.fs(spark, indexPath).exists(tombs)) docs
     else docs.join(
@@ -1256,10 +1303,11 @@ object Dedup {
       // deployment's rows accumulate in SEGMENTS while docs/ stays frozen,
       // so sizing off docs/ alone would never grow exactly where growth
       // matters most
-      val autoP = targetP.getOrElse(autoBucketCount(kept.count() * perDoc))
+      val rowCount = kept.count() * perDoc
+      val autoP = targetP.getOrElse(autoBucketCount(rowCount))
       val canGrow = dropBandSegs || liveBandsegsMarked(spark, fs, indexPath)
       val newP = if (canGrow && autoP >= 2 * effP) autoP else effP
-      publishBandTree(spark, fs, indexPath, mkRows(kept, newP), newP)
+      publishBandTree(spark, fs, indexPath, mkRows(kept, newP), newP, rowCount)
       if (dropBandSegs) {
         val bandsegs = new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs")
         if (fs.exists(bandsegs)) { fs.delete(bandsegs, true); () }
@@ -1278,7 +1326,7 @@ object Dedup {
     * stop-the-world), so the generation counter cannot race. */
   private def publishBandTree(
       spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String, rowsAtP: DataFrame, p: Int): Unit = {
+      indexPath: String, rowsAtP: DataFrame, p: Int, rowCount: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val nextGen = 1 + Seg.listDirs(fs, root).map(_.getName)
       .filter(_.startsWith("bands_v"))
@@ -1289,8 +1337,15 @@ object Dedup {
     if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     writeBandTreeBuckets(fs, dir, p)
-    rowsAtP.repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(dir.toString)
+    if (rowCount / math.max(1, p) >= MinBucketFileRows)
+      rowsAtP.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(dir.toString)
+    else
+      // thin root (e.g. the docs/-only base tree of a streaming-heavy
+      // store after a growth re-bucket): one sorted-by-bucket file —
+      // probes push a bucket-In filter instead of listing hit dirs
+      rowsAtP.coalesce(1).sortWithinPartitions("bucket")
+        .write.mode("append").parquet(dir.toString)
     Seg.writeAtomic(fs, Seg.conf(spark),
       new org.apache.hadoop.fs.Path(root, BandsPointer), gen)
   }
@@ -1341,9 +1396,10 @@ object Dedup {
       if (m.getAs[Int]("band_buckets") != AutoBuckets) return
       val (sn, nh, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
       val kept = spark.read.parquet(s"$indexPath/docs")
-      val p = autoLayoutBuckets(kept.count() * bands, FlatCrossoverRowsMinHash)
+      val rowCount = kept.count() * bands
+      val p = autoLayoutBuckets(rowCount, FlatCrossoverRowsMinHash)
       if (p <= 0) return
-      publishBandTree(spark, fs, indexPath, bandRows(kept, bands, nh / bands, p), p)
+      publishBandTree(spark, fs, indexPath, bandRows(kept, bands, nh / bands, p), p, rowCount)
       Seq((sn, nh, bands, p))
         .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
         .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
@@ -1353,9 +1409,10 @@ object Dedup {
       val (mh, cs) = (m.getInt(0), m.getInt(1))
       val combos = (0 until mh + cs).combinations(cs).size
       val kept = spark.read.parquet(s"$indexPath/docs")
-      val p = autoLayoutBuckets(kept.count() * combos, FlatCrossoverRowsSig)
+      val rowCount = kept.count() * combos
+      val p = autoLayoutBuckets(rowCount, FlatCrossoverRowsSig)
       if (p <= 0) return
-      publishBandTree(spark, fs, indexPath, signatureBandRows(kept, mh, cs, p), p)
+      publishBandTree(spark, fs, indexPath, signatureBandRows(kept, mh, cs, p), p, rowCount)
       Seq((mh, cs, p)).toDF("max_hamming", "combo_size", "sig_buckets")
         .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
     }
@@ -1501,7 +1558,10 @@ object Dedup {
     val idc = storedIdCol(spark, indexPath)
     storedDocs(spark, indexPath, idc)
       .dropDuplicates(idc)
-      .write.mode("overwrite").parquet(staging.toString)
+      .repartitionByRange(col(idc))
+      .sortWithinPartitions(idc)
+      .write.mode("overwrite").options(docRowOptions(idc))
+      .parquet(staging.toString)
     Seg.swapInto(fs, staging, docsDir)
     rebuildBandTree(spark, indexPath, dropBandSegs = true)
     if (fs.exists(tombs)) fs.delete(tombs, true)
@@ -1554,27 +1614,45 @@ object Dedup {
         // `band` value at the CURRENT operative P and records it in its
         // own `_BUCKETS` marker — one compact segment, one P, exact probes
         val foldP = bandLayout(spark, indexPath).fold(0)(_._2)
-        val folded = bandRoots
+        // parquet-footer row count per root (no data pages) — feeds the
+        // per-root flat floor below
+        val foldRows = bandRoots.map(r => spark.read.parquet(r).count()).sum
+        val folded0 = bandRoots
           // schema-preserving: MinHash band rows are (doc, band, bucket),
           // signature band rows additionally carry their 8-byte sh — the
           // fold keeps whichever shape the segments have
           .map(spark.read.parquet(_).withColumn("bucket", col("bucket").cast("int")))
           .reduce(_.unionByName(_))
-        (if (foldP > 0)
-           folded.withColumn("bucket", pmod(col("band"), lit(foldP.toLong)).cast("int"))
-         else folded)
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bandsegs/$name")
+        val folded =
+          if (foldP > 0)
+            folded0.withColumn("bucket", pmod(col("band"), lit(foldP.toLong)).cast("int"))
+          else folded0
+        // per-root flat floor, same rule as publishBandTree: a small fold
+        // partitioned across a grown P would be all tiny files
+        if (foldP > 0 && foldRows / math.max(1, foldP) < MinBucketFileRows)
+          folded.coalesce(1).sortWithinPartitions("bucket")
+            .write.mode("overwrite").parquet(s"$indexPath/bandsegs/$name")
+        else
+          folded
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bandsegs/$name")
         if (foldP > 0)
           writeBandTreeBuckets(fs,
             new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/$name"), foldP)
       }
-      // coalesce the fold: a narrow multi-root read maps each input file
-      // to an output file, so the compacted segment would keep the same
-      // O(batches) file count it exists to consolidate
+      // range-cluster the fold by id (replacing the earlier plain
+      // coalesce, which only consolidated file count): the compact doc
+      // segment is the BULK of a long-running store, and the sorted-by-id
+      // + bloom + small-row-group layout is what lets the micro verify's
+      // pushed-In candidate filter skip its row groups — without it every
+      // trigger's verify re-scans the whole folded corpus
+      val idc = storedIdCol(spark, indexPath)
       spark.read.parquet(live.map(_.toString): _*)
-        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 2))
-        .write.mode("overwrite").parquet(s"$indexPath/segs/$name")
+        .repartitionByRange(
+          math.max(1, spark.sparkContext.defaultParallelism / 2), col(idc))
+        .sortWithinPartitions(idc)
+        .write.mode("overwrite").options(docRowOptions(idc))
+        .parquet(s"$indexPath/segs/$name")
       Seg.writeAtomic(fs, Seg.conf(spark),
         new org.apache.hadoop.fs.Path(s"$indexPath/_folded/$name"),
         live.map(_.getName).mkString("\n"))
@@ -1676,7 +1754,9 @@ object Dedup {
       writeBandTreeBuckets(Seg.fs(spark, indexPath),
         new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/$segName"), bb)
     }
-    batch.write.mode("overwrite").parquet(s"$indexPath/segs/$segName")
+    batch.sortWithinPartitions("doc")
+      .write.mode("overwrite").options(docRowOptions("doc"))
+      .parquet(s"$indexPath/segs/$segName")
     val n = batch.count()
     graft.core.Blocks.free(batch)
     n
@@ -1712,7 +1792,9 @@ object Dedup {
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket")
         .parquet(baseBandRoot(Seg.fs(spark, indexPath), indexPath).toString)
-    batch.write.mode("append").parquet(s"$indexPath/docs")
+    batch.sortWithinPartitions("doc")
+      .write.mode("append").options(docRowOptions("doc"))
+      .parquet(s"$indexPath/docs")
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
     n

@@ -52,6 +52,7 @@ object GrowthProbe {
     val foldEvery = args.lift(3).map(_.toInt).getOrElse(4)
     val reps = args.lift(4).map(_.toInt).getOrElse(9)
     val batchDocs = args.lift(5).map(_.toInt).getOrElse(8)
+    val arms = args.lift(6).map(_.split(",").toSeq).getOrElse(Seq("grow", "frozen"))
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-growth-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -82,7 +83,7 @@ object GrowthProbe {
       secs
     }
 
-    for (arm <- Seq("grow", "frozen")) {
+    for (arm <- arms) {
       if (arm == "frozen") sys.props("graft.bucket.target.rows") = "1000000000000"
       else sys.props.remove("graft.bucket.target.rows")
       val idx = s"$out/$arm"

@@ -1217,6 +1217,28 @@ class DedupIncrementalSpec extends AnyFunSuite {
       rows(Dedup.exactIncremental(batch, narrowTmp)))
   }
 
+  test("micro verify pushes the candidate-id In filter into the doc-row scan") {
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vprune_").toString
+    Dedup.writeMinHashIndex(corpus, tmp, shingleN = 3, numHashes = 64, bands = 16,
+      bandBuckets = 128)
+    val twin = Dedup.minHashBatchSigs(
+      corpus.filter(col("doc_id") === 7).withColumn("doc_id", col("doc_id") + 9000),
+      tmp).localCheckpoint()
+    val cands = Dedup.minHashMicroCandidates(twin, tmp).localCheckpoint()
+    val verified = Dedup.minHashMicroVerify(cands, twin, tmp, threshold = 0.5)
+    // the heavyweight (sig, sh) corpus read carries the candidates' ids as
+    // a PUSHED In: evaluated against each row group's min/max + the doc
+    // bloom filter the sorted doc-row layout writes, so per-trigger verify
+    // IO tracks the candidates, not the store
+    val ps = verified.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[.*In\\(doc,".r.findFirstIn(ps).isDefined,
+      s"the verify's corpus scan must push the candidate-id In filter:\n$ps")
+    assert(verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((7L, 9007L)), "the pruned verify still confirms the planted twin")
+    graft.core.Blocks.free(cands); graft.core.Blocks.free(twin)
+  }
+
   /** Sign documents with the SimHash family — the micro-batch signer shape
     * the bucketed-signature tests share. */
   private def simSign(df: DataFrame): DataFrame =

@@ -486,11 +486,29 @@ object Curation {
       minDocs: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id",
-      broadcastHits: Boolean = true): DataFrame = {
-    val hits = boilerplateNgrams(documents, n, minDocs, textCol, idCol)
+      broadcastHits: Boolean = true): DataFrame =
+    exciseAt(
+      documents, boilerplateNgrams(documents, n, minDocs, textCol, idCol),
+      n, textCol, idCol, broadcastHits)
+
+  /** The shared excision fold: every token position covered by a
+    * `[offset, offset + n)` window of `hits` (rows carrying `idCol` +
+    * `offset`) is cut, the remainder rejoins in order. Hit offsets fold
+    * to ONE slim (id, offsets[]) row per affected document (broadcast by
+    * default, shuffled-join fallback for wall-to-wall-hit corpora); the
+    * cut is a codegen'd higher-order filter over the token array, so
+    * document TEXT never rides any exchange. */
+  private def exciseAt(
+      documents: DataFrame,
+      hits: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String,
+      broadcastHits: Boolean): DataFrame = {
+    val folded = hits
       .groupBy(col(idCol))
       .agg(collect_list(col("offset")).as("_offs"))
-    val h = if (broadcastHits) broadcast(hits) else hits
+    val h = if (broadcastHits) broadcast(folded) else folded
     documents
       .join(h, Seq(idCol), "left")
       .select(col(idCol),
@@ -507,6 +525,64 @@ object Curation {
         (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("_kept")).as("text_clean"))
   }
+
+  /** Sub-document DUPLICATE-SPAN detection — the first-occurrence-keeping
+    * half of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": token spans of length >= n that
+    * already occurred EARLIER in the corpus are duplicates; earlier =
+    * smaller (id, offset), so exactly one occurrence of every repeated
+    * span survives). Distinct from [[boilerplateNgrams]] in both
+    * threshold and retention: boilerplate flags EVERY occurrence of a
+    * passage hot in >= minDocs documents (the cleanup posture — templates
+    * should vanish everywhere), while this flags every occurrence EXCEPT
+    * THE GLOBAL FIRST of any span seen >= 2 times, within-document repeats
+    * included (the dedup posture — one copy of the content must survive).
+    * Output: one row per non-first occurrence, (id, offset, gram) with
+    * `gram` the positional n-gram hash covering tokens
+    * `[offset, offset + n)`.
+    *
+    * Scale design: only (gram, id, offset) triples ride the exchange —
+    * ~24 bytes per token position regardless of document size. The
+    * first-occurrence reduction is a map-side-combinable `min` over a
+    * (id, offset) struct, and the mark-back join shares its shuffle key
+    * (`gram`) with that aggregate, so AQE plans one exchange feeding
+    * both. Never all-pairs; corpus text never shuffles. */
+  def duplicateSpans(
+      documents: DataFrame,
+      n: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val occ = documents.select(
+      col(idCol),
+      posexplode(TextOps.positionalNgramHashes(
+        TextOps.tokenHashes(coalesce(col(textCol), lit(""))), n)).as(Seq("offset", "gram")))
+    val firsts = occ
+      .groupBy("gram")
+      .agg(min(struct(col(idCol), col("offset"))).as("_first"))
+    occ.join(firsts, Seq("gram"))
+      // any occurrence differing from the per-gram minimum is strictly
+      // after it; equality test beats a struct comparison in codegen
+      .filter(struct(col(idCol), col("offset")) =!= col("_first"))
+      .select(col(idCol), col("offset").cast("long").as("offset"), col("gram"))
+  }
+
+  /** ExactSubstr dedup EXCISION — the consumer of [[duplicateSpans]]:
+    * every token position covered by a non-first duplicated window is
+    * cut, the remainder rejoins in order; the global first occurrence of
+    * each repeated span is untouched, so repeated content survives
+    * exactly once corpus-wide (within-document repeats collapse too).
+    * Returns one row per document: (id, n_tokens, n_removed, text_clean),
+    * untouched docs passing through with n_removed = 0. */
+  def exciseDuplicateSpans(
+      documents: DataFrame,
+      n: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastHits: Boolean = true): DataFrame =
+    exciseAt(
+      documents, duplicateSpans(documents, n, textCol, idCol),
+      n, textCol, idCol, broadcastHits)
 
   /** A pruned stupid-backoff bigram language model — the CCNet-style
     * corpus-quality scorer's model half (Wenzek et al. 2020 score web text

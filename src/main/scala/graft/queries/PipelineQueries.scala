@@ -746,6 +746,63 @@ object PipelineQueries {
           .orderBy("doc_id"),
       None),
 
+    // Q27j: sub-document duplicate-SPAN detection (ExactSubstr, Lee et al.
+    // 2022) — every non-first occurrence of a >= 6-token window, within-
+    // and cross-document, keeping the global (id, offset)-first copy.
+    // Oracle-checked exactly: the positional 6-gram fold over the
+    // string-XXH64 twin re-derives the kernel's combined hashes, and
+    // first-occurrence retention is a row_number over (did, off).
+    QueryDef(
+      "q27j_dedup_spans",
+      (s, dir) =>
+        graft.operators.Curation.duplicateSpans(Tables.documents(s, dir), n = 6)
+          .orderBy("doc_id", "offset", "gram"),
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.posNgramCtes(6)},
+             |r AS (
+             |  SELECT did, off, gram,
+             |         row_number() OVER (PARTITION BY gram ORDER BY did, off) AS rn
+             |  FROM png)
+             |SELECT did AS doc_id, CAST(off AS BIGINT) AS "offset", gram
+             |FROM r WHERE rn > 1 ORDER BY doc_id, "offset", gram""".stripMargin)),
+
+    // Q27k: ExactSubstr EXCISION — q27j's consumer: tokens covered by a
+    // non-first duplicated window are cut, the remainder rejoins in
+    // order, the first occurrence survives untouched (the dedup posture;
+    // q29r2's boilerplate excision removes ALL occurrences). The CLEANED
+    // TEXT ITSELF is hash-compared.
+    QueryDef(
+      "q27k_dedup_substring",
+      (s, dir) =>
+        graft.operators.Curation.exciseDuplicateSpans(Tables.documents(s, dir), n = 6)
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.posNgramCtes(6)},
+             |hit AS (
+             |  SELECT did, off FROM (
+             |    SELECT did, off,
+             |           row_number() OVER (PARTITION BY gram ORDER BY did, off) AS rn
+             |    FROM png) r
+             |  WHERE rn > 1),
+             |cov AS (
+             |  SELECT DISTINCT did, off + d AS pos
+             |  FROM hit CROSS JOIN (SELECT unnest(range(0, 6)) AS d) g),
+             |kept AS (
+             |  SELECT t.did, t.pos, t.token FROM tok t
+             |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.did = t.did AND c.pos = t.pos)),
+             |agg AS (
+             |  SELECT did, CAST(count(*) AS BIGINT) AS n_kept,
+             |         coalesce(string_agg(token, ' ' ORDER BY pos), '') AS text_clean
+             |  FROM kept GROUP BY did),
+             |tot AS (SELECT did, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY did)
+             |SELECT tot.did AS doc_id, tot.n_tokens,
+             |       CAST(tot.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+             |       coalesce(a.text_clean, '') AS text_clean
+             |FROM tot LEFT JOIN agg a ON a.did = tot.did
+             |ORDER BY doc_id""".stripMargin)),
+
     // Q27c: MinHash-LSH near-dup pairs — the 100 TB path (banded equi-join,
     // no quadratic scan). Probabilistic recall => no SQL oracle; DedupSpec
     // asserts recall vs q27b's exact pairs.

@@ -647,6 +647,99 @@ class CurationSpec extends AnyFunSuite {
     assert(o == Map(1L -> "x", 2L -> "y", 3L -> "z z"), s"union-of-covers: $o")
   }
 
+  test("duplicateSpans keeps the global first occurrence, flags every later one (within-doc included)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),   // the original
+      (2L, "x alpha beta gamma delta epsilon zeta"),     // cross-doc copy at offset 1
+      (3L, "p q r s t u v p q r s t u"))                 // within-doc repeat at offset 7
+      .toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(docs, n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (3L, 7L)),
+      s"exactly the two non-first occurrences, keepers absent: $out")
+    // contrast with the boilerplate posture: minDocs=2 boilerplate flags the
+    // ORIGINAL too (cleanup removes every copy; dedup must keep one)
+    val boiler = Curation.boilerplateNgrams(docs, n = 6, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boiler.contains((1L, 0L)) && boiler.contains((2L, 1L)),
+      s"boilerplate flags both occurrences: $boiler")
+    // catalog interop: the flagged gram is the kernel's combined hash of
+    // the copied 6-token span
+    val gram = Seq(Tuple1("alpha beta gamma delta epsilon zeta")).toDF("text")
+      .select(TextOps.ngramHashes(TextOps.tokenHashes(col("text")), 6))
+      .head().getSeq[Long](0).head
+    val withGram = Curation.duplicateSpans(docs, n = 6)
+      .filter(col("doc_id") === 2L).head()
+    assert(withGram.getLong(2) == gram, "gram hash interops with the n-gram catalog")
+  }
+
+  test("exciseDuplicateSpans cuts later copies only; overlapping covers union; short docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // original: untouched
+      (2L, "x alpha beta gamma delta epsilon zeta"),   // copy excised, "x" survives
+      (3L, "p q r s t u v p q r s t u"),               // second in-doc occurrence cut
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8"),                 // original 8-token run
+      (5L, "zz c1 c2 c3 c4 c5 c6 c7 c8 yy"),           // 3 overlapping windows -> 8 cut
+      (6L, "c1 c2 c3"))                                // < n tokens: no windows
+      .toDF("doc_id", "text")
+    val out = Curation.exciseDuplicateSpans(docs, n = 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 0L, "alpha beta gamma delta epsilon zeta eta")), s"${out(1L)}")
+    assert(out(2L) == ((7L, 6L, "x")), s"${out(2L)}")
+    assert(out(3L) == ((13L, 6L, "p q r s t u v")), s"${out(3L)}")
+    assert(out(4L) == ((8L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8")), s"${out(4L)}")
+    assert(out(5L) == ((10L, 8L, "zz yy")), s"union of overlapping covers: ${out(5L)}")
+    assert(out(6L) == ((3L, 0L, "c1 c2 c3")), s"short doc passes through: ${out(6L)}")
+    // this fixture's cleaned corpus holds no repeated 6-gram: second pass no-op
+    val cleaned = Curation.exciseDuplicateSpans(docs, n = 6)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val second = Curation.exciseDuplicateSpans(cleaned, n = 6)
+      .agg(sum("n_removed")).head().getLong(0)
+    assert(second == 0L, s"second pass removed $second")
+    // the shuffled-join fallback is the same operator
+    val shuffled = Curation.exciseDuplicateSpans(docs, n = 6, broadcastHits = false)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(shuffled == out, "broadcastHits=false must change nothing")
+  }
+
+  test("exciseDuplicateSpans equals the brute-force first-occurrence model on a random corpus") {
+    import spark.implicits._
+    val n = 4
+    val vocab = Array("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(20260816L)
+    val corpus: Seq[(Long, String)] = (0 until 40).map { i =>
+      val len = 1 + rnd.nextInt(18)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ (40L -> "")
+    // model: string n-grams, global (id, pos)-first keeps, cover union, rebuild
+    val toks: Map[Long, Seq[String]] =
+      corpus.map { case (id, t) =>
+        id -> (if (t.trim.isEmpty) Seq("") else t.trim.split("\\s+").toSeq)
+      }.toMap
+    val occ = for {
+      (id, ts) <- toks.toSeq
+      p <- 0 to ts.length - n
+    } yield (ts.slice(p, p + n).mkString(" "), id, p)
+    val firsts = occ.groupBy(_._1).map { case (g, os) => g -> os.map(o => (o._2, o._3)).min }
+    val markedByDoc = occ.filter(o => (o._2, o._3) != firsts(o._1))
+      .groupBy(_._2).map { case (id, os) => id -> os.map(_._3).toSet }
+    val expected = toks.map { case (id, ts) =>
+      val cover = markedByDoc.getOrElse(id, Set.empty[Int])
+        .flatMap(p => p until p + n)
+      val kept = ts.zipWithIndex.collect { case (t, i) if !cover(i) => t }
+      id -> ((ts.length.toLong, cover.size.toLong, kept.mkString(" ")))
+    }
+    val got = Curation.exciseDuplicateSpans(corpus.toDF("doc_id", "text"), n = n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected,
+      s"operator and model disagree on ${got.keySet.filter(k => got(k) != expected(k))}")
+  }
+
   test("decontaminateFuzzy flags paraphrased and truncated leaks the exact check misses") {
     import spark.implicits._
     // 40 distinct tokens; the "edited leak" changes one token per 13-token

@@ -300,7 +300,152 @@ object Multimodal {
         }
       }
       walk(0L, b.length.toLong, 0)
-      Meta("mp4", width, height, 0, durMs)
+      Meta("mp4", width, height, IsoBmff.videoTrak(b, 1).map(_.sampleCount).getOrElse(0), durMs)
+    }
+  }
+
+  /** ISO-BMFF SAMPLE-TABLE walk (ISO/IEC 14496-12 §8.5–8.7) — the MP4
+    * counterpart of the AVI `movi` chunk walk: locate the first `trak`
+    * whose `hdlr` handler type is 'vide', then join its `stsz` (sample
+    * sizes) × `stsc` (sample→chunk runs) × `stco`/`co64` (chunk offsets)
+    * into per-sample (offset, length) slices. Shared by
+    * [[ContainerParser]] (sample count as frame-count metadata, coding
+    * fourcc for the decode matrix) and [[VideoDecoder]] (each MJPEG
+    * sample is a standalone T.81 stream the JPEG decoder opens).
+    *
+    * Safety posture matches every walker here: all offsets computed in
+    * Long, declared table counts clamped to what their box bodies can
+    * actually hold, at most 512 boxes per level and bounded recursion, a
+    * malformed size/offset stops the walk with the slices found so far —
+    * crafted headers can truncate the result but never throw, spin, or
+    * allocate beyond the emitted slice list. */
+  private[operators] object IsoBmff {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def be32L(b: Array[Byte], i: Int): Long = be32(b, i).toLong & 0xffffffffL
+
+    /** Child boxes of `[from, to)` as (fourcc, bodyFrom, bodyEnd). Size 1
+      * = 64-bit largesize, size 0 = to-end-of-enclosure; a box whose size
+      * dips below its own header or overruns the enclosure ends the
+      * listing (truncation tolerance). */
+    private def boxes(b: Array[Byte], from: Long, to: Long): Vector[(Int, Long, Long)] = {
+      val out = Vector.newBuilder[(Int, Long, Long)]
+      var pos = from
+      var n = 0
+      while (pos + 8 <= to && n < 512) {
+        val p = pos.toInt
+        val size32 = be32L(b, p)
+        val typ = be32(b, p + 4)
+        var header = 8L
+        val size =
+          if (size32 == 0L) to - pos
+          else if (size32 == 1L) {
+            if (pos + 16 > to) return out.result()
+            header = 16L
+            (be32(b, p + 8).toLong << 32) | be32L(b, p + 12)
+          } else size32
+        if (size < header || pos + size > to) return out.result()
+        out += ((typ, pos + header, pos + size))
+        pos += size
+        n += 1
+      }
+      out.result()
+    }
+
+    private def find(b: Array[Byte], from: Long, to: Long, typ: Int): Option[(Long, Long)] =
+      boxes(b, from, to).collectFirst { case (t, f, e) if t == typ => (f, e) }
+
+    /** `coding` = the stsd first entry's fourcc; `sampleCount` = stsz's
+      * DECLARED count (metadata even when slices truncate); `slices` =
+      * per-sample (offset, length), document order, ≤ maxSlices. */
+    final case class VideoTrak(coding: String, sampleCount: Int, slices: IndexedSeq[(Int, Int)])
+
+    def videoTrak(b: Array[Byte], maxSlices: Int): Option[VideoTrak] = {
+      if (b.length < 12 || be32(b, 4) != 0x66747970) return None // "ftyp"
+      val (mf, mt) = find(b, 0L, b.length.toLong, 0x6d6f6f76).getOrElse(return None) // moov
+      boxes(b, mf, mt).iterator.collect { case (0x7472616b, tf, tt) => (tf, tt) } // trak
+        .flatMap { case (tf, tt) =>
+          for {
+            (df, dt) <- find(b, tf, tt, 0x6d646961) // mdia
+            (hf, ht) <- find(b, df, dt, 0x68646c72) // hdlr
+            if ht - hf >= 12 && be32(b, (hf + 8).toInt) == 0x76696465 // 'vide'
+            (nf, nt) <- find(b, df, dt, 0x6d696e66) // minf
+            (sf, st) <- find(b, nf, nt, 0x7374626c) // stbl
+            vt <- tables(b, sf, st, maxSlices)
+          } yield vt
+        }
+        .nextOption()
+    }
+
+    private def tables(
+        b: Array[Byte], sf: Long, st: Long, maxSlices: Int): Option[VideoTrak] = {
+      val kids = boxes(b, sf, st)
+      def body(typ: Int): Option[(Long, Long)] =
+        kids.collectFirst { case (t, f, e) if t == typ => (f, e) }
+
+      val coding = body(0x73747364).collect { // stsd: first entry's format fourcc
+        case (f, e) if e - f >= 16 =>
+          new String(b, (f + 12).toInt, 4, StandardCharsets.US_ASCII)
+      }.getOrElse("")
+
+      val (zf, zt) = body(0x7374737a).getOrElse(return None) // stsz
+      if (zt - zf < 12) return None
+      val uniform = be32L(b, (zf + 4).toInt)
+      val declared = be32L(b, (zf + 8).toInt)
+      val declaredCount = math.min(declared, Int.MaxValue.toLong).toInt
+      // slices derivable only for samples whose size the table body holds
+      val count: Int =
+        if (uniform > 0) declaredCount
+        else math.min(declared, (zt - zf - 12) / 4).toInt
+      def sizeOf(i: Int): Long =
+        if (uniform > 0) uniform else be32L(b, (zf + 12 + 4L * i).toInt)
+
+      val (coF, coT, coWide) = body(0x7374636f).map { case (f, e) => (f, e, false) } // stco
+        .orElse(body(0x636f3634).map { case (f, e) => (f, e, true) }) // co64
+        .getOrElse(return None)
+      if (coT - coF < 8) return None
+      val entryW = if (coWide) 8 else 4
+      val nChunks = math.min(be32L(b, (coF + 4).toInt), (coT - coF - 8) / entryW).toInt
+      def chunkOff(c: Int): Long =
+        if (coWide)
+          (be32(b, (coF + 8 + 8L * c).toInt).toLong << 32) | be32L(b, (coF + 12 + 8L * c).toInt)
+        else be32L(b, (coF + 8 + 4L * c).toInt)
+
+      val (cf, ct) = body(0x73747363).getOrElse(return None) // stsc
+      if (ct - cf < 8) return None
+      val nRuns = math.min(be32L(b, (cf + 4).toInt), (ct - cf - 8) / 12).toInt
+      def runFirstChunk(i: Int): Long = be32L(b, (cf + 8 + 12L * i).toInt)
+      def runPerChunk(i: Int): Long = be32L(b, (cf + 12 + 12L * i).toInt)
+
+      val out = IndexedSeq.newBuilder[(Int, Int)]
+      var emitted = 0
+      var sample = 0
+      var runIdx = 0
+      var chunk = 1L
+      var done = nRuns == 0 || runFirstChunk(0) != 1L // §8.7.4: runs start at chunk 1
+      while (!done && chunk <= nChunks && sample < count && emitted < maxSlices) {
+        while (runIdx + 1 < nRuns && runFirstChunk(runIdx + 1) <= chunk) runIdx += 1
+        val spc = runPerChunk(runIdx)
+        if (spc <= 0L) done = true
+        else {
+          var off = chunkOff((chunk - 1).toInt)
+          var k = 0L
+          while (!done && k < spc && sample < count && emitted < maxSlices) {
+            val len = sizeOf(sample)
+            if (len <= 0 || off < 0 || off + len > b.length) done = true
+            else {
+              out += ((off.toInt, len.toInt))
+              emitted += 1
+              off += len
+              sample += 1
+            }
+            k += 1
+          }
+          chunk += 1
+        }
+      }
+      Some(VideoTrak(coding, declaredCount, out.result()))
     }
   }
 
@@ -3287,9 +3432,9 @@ object Multimodal {
             case "png" | "bmp" | "jpeg" | "gif" | "webp" => ImageDecoder.decode(payload).isDefined
             case "wav" => WavDecoder.decode(payload).isDefined
             case "flac" => FlacDecoder.decode(payload).isDefined
-            // MJPEG frames decode; H.264/VP9 etc. report false — the
-            // skipped share a video corpus must watch
-            case "avi" => VideoDecoder.sampleFrames(payload, 1).nonEmpty
+            // MJPEG frames decode (both containers); H.264/VP9/AV1 etc.
+            // report false — the skipped share a video corpus must watch
+            case "avi" | "mp4" => VideoDecoder.sampleFrames(payload, 1).nonEmpty
             case _ => false
           }
           DecodeStatus(id, fmt, ok)
@@ -4193,10 +4338,32 @@ object Multimodal {
     private def isAvi(b: Array[Byte]): Boolean =
       b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x41564920 // RIFF..AVI
 
-    /** (offset, length) of every video frame chunk, document order.
-      * Bounded: stops after `maxFrames` frames are located — a crafted
-      * chunk list cannot make discovery itself unbounded. */
-    def frameSlices(b: Array[Byte], maxFrames: Int = 4096): Seq[(Int, Int)] = {
+    private def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && be32(b, 4) == 0x66747970 // size + "ftyp"
+
+    /** Codings whose samples are standalone T.81 streams — the MJPEG
+      * family fourccs (QuickTime 'jpeg'/'mjpa', AVI-style 'MJPG'/'AVDJ',
+      * DMB 'dmb1'). Any other coding (avc1, vp09, av01, …) yields no
+      * slices: those clips stay a measured decode-matrix gap. */
+    private val MjpegCodings = Set("jpeg", "mjpa", "MJPG", "AVDJ", "dmb1")
+
+    /** (offset, length) of every video frame, document order, for BOTH
+      * containers the engine opens: MJPEG-in-AVI (`movi` chunk walk) and
+      * MJPEG-in-MP4 ([[IsoBmff]] sample-table join) — so a clip's
+      * temporal fingerprint is container-independent exactly as an
+      * image's pixel hash is. Bounded: stops after `maxFrames` frames
+      * are located — a crafted chunk list or sample table cannot make
+      * discovery itself unbounded. */
+    def frameSlices(b: Array[Byte], maxFrames: Int = 4096): Seq[(Int, Int)] =
+      if (isAvi(b)) aviFrameSlices(b, maxFrames)
+      else if (isMp4(b))
+        IsoBmff.videoTrak(b, maxFrames)
+          .filter(t => MjpegCodings(t.coding))
+          .map(_.slices)
+          .getOrElse(Nil)
+      else Nil
+
+    private def aviFrameSlices(b: Array[Byte], maxFrames: Int): Seq[(Int, Int)] = {
       if (!isAvi(b)) return Nil
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       def isFrameId(id: Int): Boolean = {
@@ -4295,15 +4462,91 @@ object Multimodal {
       val body = fourcc("AVI ") ++ hdrl ++ movi
       fourcc("RIFF") ++ le32b(body.length) ++ body
     }
+
+    private def be16b(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be32b(v: Int): Array[Byte] = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def mbox(t: String, data: Array[Byte]): Array[Byte] =
+      be32b(data.length + 8) ++ fourcc(t) ++ data
+
+    /** The SAME clip as an MJPEG-in-MP4 — genuine ISO-BMFF (ftyp, mdat
+      * holding one baseline JPEG per frame, moov with mvhd/tkhd and a
+      * full 'vide' trak: mdhd/hdlr/minf/stbl with stsd('jpeg'), stts,
+      * stsc, stsz, stco). Frame bytes are IDENTICAL to [[aviMjpeg]]'s
+      * for the same (w, h, nFrames, seed, noise), so a clip re-wrapped
+      * in the other container carries the same temporal fingerprint —
+      * the cross-container twin the image family plants with
+      * PNG/GIF/WEBP/BMP rotations. Samples pack 3 per chunk so the
+      * stsc run table (uniform runs + a remainder run) is genuinely
+      * exercised, not a single-chunk degenerate. 10 fps like the AVI:
+      * mvhd timescale 1000, duration nFrames × 100 ms. */
+    def mp4Mjpeg(w: Int, h: Int, nFrames: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+      require(nFrames >= 1, s"nFrames=$nFrames")
+      val frames: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+        ImageGen.jpeg(w, h, seed * 1000003L + f, noise)
+      }
+      val ftyp = mbox("ftyp",
+        fourcc("isom") ++ be32b(0x200) ++ fourcc("isom") ++ fourcc("mp41"))
+      val mdat = mbox("mdat", frames.reduce(_ ++ _))
+      val per = 3
+      val nChunks = (nFrames + per - 1) / per
+      val mdatStart = ftyp.length + 8
+      val chunkOffs = (0 until nChunks).map { c =>
+        mdatStart + frames.take(c * per).map(_.length).sum
+      }
+      val durMs = nFrames * 100
+      val mvhd = mbox("mvhd", be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(1000) ++ be32b(durMs) ++
+        be32b(0x00010000) ++ be16b(0x0100) ++ be16b(0) ++ be32b(0) ++ be32b(0) ++
+        Array.tabulate[Byte](36)(i => 0) ++ Array.fill[Byte](24)(0) ++ be32b(2))
+      val tkhd = mbox("tkhd", be32b(0x000007) ++ be32b(0) ++ be32b(0) ++ be32b(1) ++ be32b(0) ++
+        be32b(durMs) ++ be32b(0) ++ be32b(0) ++ be16b(0) ++ be16b(0) ++ be16b(0) ++ be16b(0) ++
+        Array.fill[Byte](36)(0) ++ be32b(w << 16) ++ be32b(h << 16))
+      val mdhd = mbox("mdhd", be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(10) ++ be32b(nFrames) ++
+        be16b(0x55c4) ++ be16b(0))
+      val hdlr = mbox("hdlr", be32b(0) ++ be32b(0) ++ fourcc("vide") ++
+        be32b(0) ++ be32b(0) ++ be32b(0) ++ Array[Byte](0))
+      val vmhd = mbox("vmhd", be32b(0x1) ++ be16b(0) ++ be16b(0) ++ be16b(0) ++ be16b(0))
+      val dref = mbox("dref", be32b(0) ++ be32b(1) ++ mbox("url ", be32b(0x000001)))
+      val dinf = mbox("dinf", dref)
+      // VisualSampleEntry 'jpeg': 78-byte body per 14496-12 §12.1.3
+      val entry = be32b(86) ++ fourcc("jpeg") ++ Array.fill[Byte](6)(0) ++ be16b(1) ++
+        be16b(0) ++ be16b(0) ++ Array.fill[Byte](12)(0) ++ be16b(w) ++ be16b(h) ++
+        be32b(0x00480000) ++ be32b(0x00480000) ++ be32b(0) ++ be16b(1) ++
+        Array.fill[Byte](32)(0) ++ be16b(24) ++ be16b(0xffff)
+      val stsd = mbox("stsd", be32b(0) ++ be32b(1) ++ entry)
+      val stts = mbox("stts", be32b(0) ++ be32b(1) ++ be32b(nFrames) ++ be32b(1))
+      val runs =
+        if (nFrames <= per) be32b(1) ++ be32b(nFrames) ++ be32b(1)
+        else if (nFrames % per == 0) be32b(1) ++ be32b(per) ++ be32b(1)
+        else be32b(1) ++ be32b(per) ++ be32b(1) ++
+          be32b(nChunks) ++ be32b(nFrames % per) ++ be32b(1)
+      val nRuns = runs.length / 12
+      val stsc = mbox("stsc", be32b(0) ++ be32b(nRuns) ++ runs)
+      val stsz = mbox("stsz", be32b(0) ++ be32b(0) ++ be32b(nFrames) ++
+        frames.map(f => be32b(f.length)).reduce(_ ++ _))
+      val stco = mbox("stco", be32b(0) ++ be32b(nChunks) ++
+        chunkOffs.map(be32b).reduce(_ ++ _))
+      val stbl = mbox("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val minf = mbox("minf", vmhd ++ dinf ++ stbl)
+      val mdia = mbox("mdia", mdhd ++ hdlr ++ minf)
+      val trak = mbox("trak", tkhd ++ mdia)
+      val moov = mbox("moov", mvhd ++ trak)
+      ftyp ++ mdat ++ moov
+    }
   }
 
   private def videoGenUdf(w: Int, h: Int, frames: Int, noise: Int) =
-    udf((seed: Long) => VideoGen.aviMjpeg(w, h, frames, seed, noise))
+    udf((id: Long, seed: Long) =>
+      if (java.lang.Math.floorMod(id, 4L) < 2L) VideoGen.aviMjpeg(w, h, frames, seed, noise)
+      else VideoGen.mp4Mjpeg(w, h, frames, seed, noise))
 
-  /** Attach a deterministic MJPEG-AVI payload — the video analogue of
-    * [[withImagePayload]]; `seedCol` decouples content from identity so
-    * near-duplicate clips (same seed, new id, per-pixel noise) can be
-    * planted. */
+  /** Attach a deterministic MJPEG clip payload — the video analogue of
+    * [[withImagePayload]], container ROTATING on identity (id mod 4 in
+    * {0,1} → AVI, {2,3} → MP4; frame bytes identical either way), so a
+    * planted twin — `seedCol` decouples content from identity; twin ids
+    * shift by 100002 ≡ 2 (mod 4) — always lands in the OTHER container
+    * and matching is cross-container by construction, exactly as the
+    * image family's id-shifted twins cross PNG/GIF/WEBP/BMP. */
   def withVideoPayload(
       documents: DataFrame,
       idCol: String = "doc_id",
@@ -4313,7 +4556,8 @@ object Multimodal {
       frames: Int = 6,
       noise: Int = 0): DataFrame =
     documents.withColumn("payload",
-      videoGenUdf(width, height, frames, noise)(col(seedCol).cast("long")))
+      videoGenUdf(width, height, frames, noise)(
+        col(idCol).cast("long"), col(seedCol).cast("long")))
 
   final case class VideoHashes(
       doc_id: Long, n_frames: Int, width: Int, height: Int, fhashes: Array[Long])

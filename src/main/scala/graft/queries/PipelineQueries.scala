@@ -2196,7 +2196,13 @@ object PipelineQueries {
           .withColumn("payload", expr("substring(payload, 1, 8)"))
         val aud = cachedPayloads(s, dir, "aud")(
           Multimodal.withAudioPayload(Tables.documents(s, dir).select("doc_id")))
-        Multimodal.decodeStats(img.unionByName(trunc).unionByName(aud))
+        // the q30g/q30h clip corpus rides in too (cache shared), so BOTH
+        // video containers (avi/mp4, rotation on id mod 4) are measured
+        // decodable rows, not just declared ones
+        val vid = cachedPayloads(s, dir, "vid4")(
+          Multimodal.withVideoPayload(Tables.documents(s, dir).select("doc_id"), frames = 4))
+        Multimodal.decodeStats(
+            img.unionByName(trunc).unionByName(aud).unionByName(vid))
           .select(col("format"), col("rows").as("n_rows"),
             col("decodable"), col("decodable_ratio"))
           .orderBy("format")
@@ -2216,8 +2222,12 @@ object PipelineQueries {
              |               CASE WHEN doc_id % 6 = 5 THEN 'flac' ELSE 'wav' END AS format,
              |               1 AS ok
              |        FROM documents),
+             |vid AS (SELECT doc_id,
+             |               CASE WHEN doc_id % 4 IN (0, 1) THEN 'avi' ELSE 'mp4' END AS format,
+             |               1 AS ok
+             |        FROM documents),
              |u AS (SELECT * FROM img UNION ALL SELECT * FROM trunc
-             |      UNION ALL SELECT * FROM aud)
+             |      UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
              |SELECT format, CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(sum(ok) AS BIGINT) AS decodable,
              |       round(avg(CAST(ok AS DOUBLE)), 4) AS decodable_ratio

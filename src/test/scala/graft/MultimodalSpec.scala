@@ -956,6 +956,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(VideoDecoder.frameSlices(ImageGen.png(8, 8, 1L, 0)).isEmpty, "non-AVI -> no frames")
   }
 
+  test("MP4 MJPEG: sample tables slice every frame; fingerprints equal the AVI twin's; stsd gates") {
+    import graft.operators.Multimodal.{PerceptualHash, VideoDecoder, VideoGen}
+    // 7 frames at 3 samples/chunk: two full stsc runs + a remainder run
+    val mp4 = VideoGen.mp4Mjpeg(48, 32, 7, 42L, 0)
+    val meta = Multimodal.ContainerParser.parse(viaFile(mp4))
+    assert(meta.format == "mp4" && meta.width == 48 && meta.height == 32)
+    assert(meta.nFrames == 7 && meta.durationMs == 700, s"mp4 metadata: $meta")
+    assert(VideoDecoder.frameSlices(mp4).length == 7)
+    // container independence — the video analogue of the image family's
+    // cross-container pinned hashes: per-frame dHashes equal the AVI
+    // twin's for every chunking shape (single run, exact runs, remainder)
+    for (n <- Seq(1, 3, 4, 6)) {
+      val hm = VideoDecoder.sampleFrames(VideoGen.mp4Mjpeg(48, 32, n, 77L, 0), 8)
+        .flatMap(PerceptualHash.dHash64)
+      val ha = VideoDecoder.sampleFrames(VideoGen.aviMjpeg(48, 32, n, 77L, 0), 8)
+        .flatMap(PerceptualHash.dHash64)
+      assert(hm.nonEmpty && hm == ha, s"n=$n: mp4/avi fingerprints diverge")
+    }
+    // the stsd coding gate: a non-MJPEG fourcc (avc1) yields no slices —
+    // the clip stays a measured decode-matrix gap — while the sample
+    // COUNT still reads as metadata (codec-agnostic)
+    val avc = mp4.clone()
+    val stsdAt = mp4.indices.find(i => i + 20 <= mp4.length &&
+      mp4(i) == 's' && mp4(i + 1) == 't' && mp4(i + 2) == 's' && mp4(i + 3) == 'd').get
+    "avc1".getBytes.copyToArray(avc, stsdAt + 16) // entry fourcc: +4 ver/flags +4 count +4 size
+    assert(VideoDecoder.frameSlices(avc).isEmpty, "non-MJPEG coding must not slice")
+    assert(Multimodal.ContainerParser.parse(avc).nFrames == 7, "sample count is codec-agnostic")
+    // metadata-only fixtures (no sample tables) still report zero frames
+    assert(Multimodal.ContainerParser.parse(MediaGen.mp4(10, 8, 1234)).nFrames == 0)
+    // never-throw: truncation sweep (moov rides last: a cut body loses
+    // the tables and yields zero slices, never an exception) + corruption
+    (0 until mp4.length by 7).foreach { n =>
+      VideoDecoder.sampleFrames(mp4.take(n)); Multimodal.ContainerParser.parse(mp4.take(n))
+    }
+    val rnd = new scala.util.Random(4242)
+    (0 until 150).foreach { _ =>
+      val b = mp4.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+      VideoDecoder.sampleFrames(b); Multimodal.ContainerParser.parse(b)
+    }
+  }
+
   test("AVI/GIF walker fuzz soak: corrupt/truncate/splice/duplicate never throw, bounded work") {
     // the progressive-JPEG fuzz playbook pointed at the two CHUNK WALKERS:
     // seed-randomized byte corruption (headers, chunk sizes, LZW/JPEG
@@ -970,7 +1012,13 @@ class MultimodalSpec extends AnyFunSuite {
     val avis = Seq(
       VideoGen.aviMjpeg(48, 32, 6, 42L, 0),
       VideoGen.aviMjpeg(32, 24, 24, 7L, 4),
-      VideoGen.aviMjpeg(16, 16, 1, 3L, 0))
+      VideoGen.aviMjpeg(16, 16, 1, 3L, 0),
+      // the MP4 sample-table walker rides the same soak: crafted box
+      // sizes, stsz/stsc/stco counts, and spliced moov trees must stay
+      // inside the never-throw + bounded-work contract too
+      VideoGen.mp4Mjpeg(48, 32, 6, 42L, 0),
+      VideoGen.mp4Mjpeg(32, 24, 24, 7L, 4),
+      VideoGen.mp4Mjpeg(16, 16, 1, 3L, 0))
     val gifs = Seq(
       ImageGen.gif(32, 24, 7L, 0),
       ImageGen.gif(17, 13, 11L, 4, interlaced = true),

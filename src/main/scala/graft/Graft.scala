@@ -384,6 +384,46 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def dedupIndexProperties(path: String): Map[String, String] =
     Dedup.exactIndexStats(spark, path)
 
+  /** SUB-DOCUMENT duplicate spans (ExactSubstr, Lee et al. 2022): every
+    * non-first occurrence of an n-token window across the corpus —
+    * within-document repeats included; the global first occurrence of
+    * each repeated span is never flagged. */
+  def duplicateSpans(n: Int = 6): DataFrame =
+    operators.Curation.duplicateSpans(documents, n)
+
+  /** ExactSubstr EXCISION: tokens covered by a non-first duplicated
+    * window are cut and the remainder rejoins in order, so repeated
+    * content survives exactly once corpus-wide — the passage-level
+    * dedup that keeps the page where [[exactDuplicates]] would only
+    * drop whole documents. */
+  def exciseDuplicateSpans(n: Int = 6): DataFrame =
+    operators.Curation.exciseDuplicateSpans(documents, n)
+
+  /** Persist the ExactSubstr SPAN CATALOG over this directory's
+    * documents: one row per distinct n-token window with its first
+    * occurrence, gram-sorted + bloom-indexed so daily batches excise
+    * against it ([[exciseSpansAgainstCatalog]]) reading only their own
+    * grams' row groups — never the corpus text. n freezes in meta. */
+  def buildSpanCatalog(path: String, n: Int = 6): Unit =
+    Dedup.writeSpanCatalog(documents, path, n)
+
+  /** Excise a new batch against a persisted span catalog (and nothing
+    * else): spans already cataloged or earlier in the batch are cut,
+    * first occurrences kept. Fold the batch in afterwards with
+    * [[appendToSpanCatalog]]. */
+  def exciseSpansAgainstCatalog(newDocs: DataFrame, path: String): DataFrame =
+    operators.Curation.exciseDuplicateSpansIncremental(newDocs, path)
+
+  /** Append a batch's own per-gram first occurrences to the span
+    * catalog as a new segment; returns rows appended. */
+  def appendToSpanCatalog(newDocs: DataFrame, path: String): Long =
+    Dedup.appendToSpanCatalog(newDocs, path)
+
+  /** Fold appended span-catalog segments into one (merged view
+    * unchanged; same fold-marker protocol as [[compactDedupIndex]]). */
+  def compactSpanCatalog(path: String, gc: Boolean = true): Unit =
+    Dedup.compactSpanCatalog(spark, path, gc)
+
   /** MinHash-LSH near-duplicate pairs (banded join, two-stage verify). */
   def nearDuplicates(threshold: Double = 0.7): DataFrame =
     Dedup.minHashLsh(documents, threshold = threshold)

@@ -498,7 +498,7 @@ object Curation {
     * default, shuffled-join fallback for wall-to-wall-hit corpora); the
     * cut is a codegen'd higher-order filter over the token array, so
     * document TEXT never rides any exchange. */
-  private def exciseAt(
+  private[operators] def exciseAt(
       documents: DataFrame,
       hits: DataFrame,
       n: Int,
@@ -547,16 +547,24 @@ object Curation {
     * (id, offset) struct, and the mark-back join shares its shuffle key
     * (`gram`) with that aggregate, so AQE plans one exchange feeding
     * both. Never all-pairs; corpus text never shuffles. */
+  /** One row per n-token window occurrence: (idCol, offset, gram) — the
+    * shared kernel of [[duplicateSpans]] and the persisted span catalog
+    * ([[graft.operators.Dedup.writeSpanCatalog]]). */
+  private[operators] def spanOccurrences(
+      documents: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    documents.select(
+      col(idCol),
+      posexplode(TextOps.positionalNgramHashes(
+        TextOps.tokenHashes(coalesce(col(textCol), lit(""))), n)).as(Seq("offset", "gram")))
+  }
+
   def duplicateSpans(
       documents: DataFrame,
       n: Int = 6,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(n >= 1, "need n >= 1")
-    val occ = documents.select(
-      col(idCol),
-      posexplode(TextOps.positionalNgramHashes(
-        TextOps.tokenHashes(coalesce(col(textCol), lit(""))), n)).as(Seq("offset", "gram")))
+    val occ = spanOccurrences(documents, n, textCol, idCol)
     val firsts = occ
       .groupBy("gram")
       .agg(min(struct(col(idCol), col("offset"))).as("_first"))
@@ -583,6 +591,26 @@ object Curation {
     exciseAt(
       documents, duplicateSpans(documents, n, textCol, idCol),
       n, textCol, idCol, broadcastHits)
+
+  /** INCREMENTAL ExactSubstr excision — the daily-ingest shape: only the
+    * batch is tokenized; spans already present in the persisted catalog
+    * ([[graft.operators.Dedup.writeSpanCatalog]]) or earlier in the batch
+    * are cut, the remainder rejoins. Window length comes from the
+    * catalog's frozen meta, so probe and build can never disagree on n.
+    * Equals [[exciseDuplicateSpans]] over (corpus UNION batch) restricted
+    * to batch rows when batch ids follow corpus ids (the arrival-order
+    * convention every incremental dedup form here shares). */
+  def exciseDuplicateSpansIncremental(
+      newDocs: DataFrame,
+      catalogPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastHits: Boolean = true): DataFrame =
+    exciseAt(
+      newDocs,
+      Dedup.duplicateSpansIncremental(newDocs, catalogPath, textCol, idCol),
+      Dedup.spanCatalogN(newDocs.sparkSession, catalogPath),
+      textCol, idCol, broadcastHits)
 
   /** A pruned stupid-backoff bigram language model — the CCNet-style
     * corpus-quality scorer's model half (Wenzek et al. 2020 score web text

@@ -236,18 +236,25 @@ object Dedup {
     * Larger batches fall back to the broadcast semi-join (map-side scan
     * of the whole log, batch-sized shuffle). Semantics-preserving for
     * any downstream join ON those keys either way. */
+  /** Restrict a key log to a probe batch's keys — up to [[MaxInProbe]]
+    * distinct keys as a LITERAL IN (pushed to parquet: row-group min/max +
+    * the `_k` bloom filter skip groups holding none of them), larger
+    * batches as a broadcast semi-join (map-side scan, batch-sized
+    * shuffle). Shared by every keyed store probe here. */
+  private def restrictKeys(adds0: DataFrame, keys: DataFrame): DataFrame = {
+    val vals = keys.select("_k").distinct().limit(MaxInProbe + 1)
+      .collect().map(_.get(0)).toIndexedSeq
+    if (vals.isEmpty) adds0.filter(lit(false))
+    else if (vals.length <= MaxInProbe) adds0.filter(col("_k").isin(vals: _*))
+    else adds0.join(broadcast(keys.select("_k").distinct()), Seq("_k"), "left_semi")
+  }
+
   private def mergeView(
       spark: SparkSession, s: IndexSnapshot,
       restrictTo: Option[DataFrame] = None): DataFrame = {
     require(s.keySegs.nonEmpty, "no committed index key segments")
     val adds0 = spark.read.parquet(s.keySegs.map(_._1): _*)
-    val adds = restrictTo.fold(adds0) { keys =>
-      val vals = keys.select("_k").distinct().limit(MaxInProbe + 1)
-        .collect().map(_.get(0)).toIndexedSeq
-      if (vals.isEmpty) adds0.filter(lit(false))
-      else if (vals.length <= MaxInProbe) adds0.filter(col("_k").isin(vals: _*))
-      else adds0.join(broadcast(keys.select("_k").distinct()), Seq("_k"), "left_semi")
-    }
+    val adds = restrictTo.fold(adds0)(restrictKeys(adds0, _))
     val alive =
       if (s.tombSegs.isEmpty) adds
       else {
@@ -427,12 +434,20 @@ object Dedup {
     * folded directories — safe only when no concurrent reader planned its
     * scan before the marker; pass `gc = false` beside live readers and run
     * [[gcExactIndex]] after a grace period. */
-  def compactExactIndex(spark: SparkSession, path: String, gc: Boolean = true): Unit = {
+  def compactExactIndex(spark: SparkSession, path: String, gc: Boolean = true): Unit =
+    compactIndexWith(spark, path, gc)(s => mergeView(spark, s))
+
+  /** The fold shared by every keyed store here: `merged` supplies the
+    * store's own merge semantics, the publish/marker/GC protocol is
+    * identical. */
+  private def compactIndexWith(
+      spark: SparkSession, path: String, gc: Boolean)(
+      merged: IndexSnapshot => DataFrame): Unit = {
     val s = snapshot(spark, path)
     if (s.keySegs.size > 1 || s.tombSegs.nonEmpty) {
       val seq = (s.keySegs ++ s.tombSegs).map(_._2).max
       val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
-      writeSegment(mergeView(spark, s).sortWithinPartitions("_k"), s"$path/keys/$name", seq)
+      writeSegment(merged(s).sortWithinPartitions("_k"), s"$path/keys/$name", seq)
       val folded = s.keySegs.map(p => "keys/" + new org.apache.hadoop.fs.Path(p._1).getName) ++
         s.tombSegs.map(p => "tombs/" + new org.apache.hadoop.fs.Path(p._1).getName)
       Seg.writeAtomic(Seg.fs(spark, path), Seg.conf(spark),
@@ -498,6 +513,133 @@ object Dedup {
       "graft.dedup.dup-ratio" ->
         f"${if (docs > 0) 1.0 - keys.toDouble / docs else 0.0}%.4f",
       "graft.dedup.wide-key" -> indexIsWide(spark, path).toString)
+  }
+
+  // -------------------------------------------------------------------
+  // ExactSubstr SPAN CATALOG: persisted first-occurrence gram index
+  // -------------------------------------------------------------------
+
+  /** One catalog row per distinct n-token window in `documents`: the
+    * gram hash as `_k` (the store key column, so segment writes bloom it)
+    * plus the FIRST occurrence by (id, offset). Sorted within partitions
+    * so each parquet file covers a tight gram range. */
+  private def spanCatalogRows(
+      documents: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    Curation.spanOccurrences(documents, n, textCol, idCol)
+      .select(col("gram").as("_k"), struct(col(idCol), col("offset")).as("_o"))
+      .groupBy("_k")
+      .agg(min(col("_o")).as("_f"))
+      .select(col("_k"),
+        col(s"_f.$idCol").cast("long").as("first_id"),
+        col("_f.offset").cast("long").as("first_off"))
+      .sortWithinPartitions("_k")
+
+  /** Build the SPAN CATALOG at `path`: the persisted half of INCREMENTAL
+    * ExactSubstr dedup ([[graft.operators.Curation.duplicateSpans]]'s
+    * daily-ingest shape — yesterday's corpus rides the catalog, today's
+    * batch probes it without re-reading any corpus text). One slim row
+    * per distinct n-token window with its global first occurrence; the
+    * window length is FROZEN in `meta` so probe, append, and build can
+    * never sign with different n. Same append-log discipline as the
+    * exact index (sorted-by-`_k` segments with bloom filters, `_SEQ`
+    * commit marks, fold markers, [[gcExactIndex]]-compatible layout).
+    *
+    * Scale: catalog rows are corpus-token-scale — inherent to
+    * ExactSubstr (a suffix array is corpus-sized too) — but they live in
+    * storage sorted and bloom-indexed, and a probe reads only row groups
+    * holding the BATCH's grams ([[restrictKeys]]), so per-trigger IO
+    * tracks the batch. */
+  def writeSpanCatalog(
+      documents: DataFrame,
+      path: String,
+      n: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = documents.sparkSession
+    val fs = Seg.fs(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true) // rebuild = fresh catalog
+    import spark.implicits._
+    Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeSegment(spanCatalogRows(documents, n, textCol, idCol), s"$path/keys/base", 0L)
+  }
+
+  /** The catalog's frozen window length. */
+  private[operators] def spanCatalogN(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getInt(0)
+
+  private def spanMergeView(
+      spark: SparkSession, s: IndexSnapshot,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
+    require(s.keySegs.nonEmpty, "no committed span-catalog segments")
+    val adds0 = spark.read.parquet(s.keySegs.map(_._1): _*)
+    val adds = restrictTo.fold(adds0)(restrictKeys(adds0, _))
+    adds
+      .select(col("_k"), struct(col("first_id"), col("first_off")).as("_o"))
+      .groupBy("_k")
+      .agg(min(col("_o")).as("_f"))
+      .select(col("_k"), col("_f.first_id").as("first_id"), col("_f.first_off").as("first_off"))
+  }
+
+  /** The merged read view: per gram, the minimum (first_id, first_off)
+    * across all live segments. */
+  def readSpanCatalog(spark: SparkSession, path: String): DataFrame =
+    spanMergeView(spark, snapshot(spark, path))
+
+  /** Append a batch's own per-gram firsts as a new committed segment —
+    * after this, the batch's spans are "seen" and later batches
+    * deduplicate against them. Returns rows appended. */
+  def appendToSpanCatalog(
+      newDocs: DataFrame,
+      catalogPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    val spark = newDocs.sparkSession
+    val seq = nextSeq(spark, catalogPath)
+    val seg = spanCatalogRows(
+        newDocs, spanCatalogN(spark, catalogPath), textCol, idCol)
+      .localCheckpoint()
+    writeSegment(seg,
+      f"$catalogPath/keys/seg_$seq%06d_${java.util.UUID.randomUUID().toString.take(8)}", seq)
+    val n = seg.count()
+    graft.core.Blocks.free(seg)
+    n
+  }
+
+  /** Fold all live catalog segments into one; merge semantics are the
+    * per-gram minimum, publish/marker/GC protocol shared with the exact
+    * index (safe beside a live appender — see [[compactExactIndex]]). */
+  def compactSpanCatalog(spark: SparkSession, path: String, gc: Boolean = true): Unit =
+    compactIndexWith(spark, path, gc)(s => spanMergeView(spark, s))
+
+  /** INCREMENTAL duplicate-span detection — the probe half: a batch
+    * occurrence is a duplicate iff its gram is already in the catalog
+    * (the corpus arrived first: arrival-order retention, the convention
+    * every incremental dedup form here shares) or an earlier batch
+    * occurrence exists (smaller (id, offset) within the batch). Equals
+    * [[graft.operators.Curation.duplicateSpans]] over (corpus UNION
+    * batch) restricted to batch rows when batch ids follow corpus ids.
+    * Only the batch is tokenized; the catalog contributes bloom-pruned
+    * row groups for the batch's grams only. */
+  def duplicateSpansIncremental(
+      newDocs: DataFrame,
+      catalogPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val n = spanCatalogN(spark, catalogPath)
+    val occ = Curation.spanOccurrences(newDocs, n, textCol, idCol)
+      .select(col(idCol), col("offset"), col("gram").as("_k"))
+    val bFirst = occ
+      .groupBy("_k")
+      .agg(min(struct(col(idCol), col("offset"))).as("_bfirst"))
+    val known = spanMergeView(spark, snapshot(spark, catalogPath), Some(occ.select("_k")))
+      .select(col("_k"), lit(true).as("_in_catalog"))
+    occ
+      .join(bFirst, Seq("_k"))
+      .join(known, Seq("_k"), "left")
+      .filter(col("_in_catalog").isNotNull ||
+        struct(col(idCol), col("offset")) =!= col("_bfirst"))
+      .select(col(idCol), col("offset").cast("long").as("offset"), col("_k").as("gram"))
   }
 
   /** MinHash-LSH near-duplicate pairs.

@@ -803,6 +803,51 @@ object PipelineQueries {
              |FROM tot LEFT JOIN agg a ON a.did = tot.did
              |ORDER BY doc_id""".stripMargin)),
 
+    // Q27l: INCREMENTAL ExactSubstr — the daily-ingest shape: the first
+    // half of the corpus persists as a span CATALOG (one row per distinct
+    // 6-token window with its first occurrence, gram-sorted + bloomed),
+    // then the second half is excised against it without re-reading any
+    // corpus text (catalog row groups bloom-pruned to the batch's grams).
+    // Equals q27k over the union restricted to batch rows (the oracle
+    // states exactly that; ids follow arrival order in this corpus).
+    QueryDef(
+      "q27l_dedup_substring_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cut = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
+        val cat = QueryDef.tempDirForResult("graft_span_cat_").toString
+        Dedup.writeSpanCatalog(docs.filter(col("doc_id") <= cut), cat, n = 6)
+        graft.operators.Curation.exciseDuplicateSpansIncremental(
+          docs.filter(col("doc_id") > cut), cat)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |${XxSql.docTokenHashCtes},
+             |${XxSql.posNgramCtes(6)},
+             |hit AS (
+             |  SELECT did, off FROM (
+             |    SELECT did, off,
+             |           row_number() OVER (PARTITION BY gram ORDER BY did, off) AS rn
+             |    FROM png) r
+             |  WHERE rn > 1),
+             |cov AS (
+             |  SELECT DISTINCT did, off + d AS pos
+             |  FROM hit CROSS JOIN (SELECT unnest(range(0, 6)) AS d) g),
+             |kept AS (
+             |  SELECT t.did, t.pos, t.token FROM tok t
+             |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.did = t.did AND c.pos = t.pos)),
+             |agg AS (
+             |  SELECT did, CAST(count(*) AS BIGINT) AS n_kept,
+             |         coalesce(string_agg(token, ' ' ORDER BY pos), '') AS text_clean
+             |  FROM kept GROUP BY did),
+             |tot AS (SELECT did, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY did)
+             |SELECT tot.did AS doc_id, tot.n_tokens,
+             |       CAST(tot.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+             |       coalesce(a.text_clean, '') AS text_clean
+             |FROM tot LEFT JOIN agg a ON a.did = tot.did
+             |WHERE tot.did > (SELECT max(doc_id) // 2 FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Q27c: MinHash-LSH near-dup pairs — the 100 TB path (banded equi-join,
     // no quadratic scan). Probabilistic recall => no SQL oracle; DedupSpec
     // asserts recall vs q27b's exact pairs.

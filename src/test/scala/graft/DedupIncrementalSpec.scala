@@ -105,6 +105,63 @@ class DedupIncrementalSpec extends AnyFunSuite {
       Tables.documents(spark, TestSpark.Sf0001).count())
   }
 
+  test("span catalog: incremental ExactSubstr excision == full recompute over the union, batch rows") {
+    import graft.operators.Curation
+    val (corpus, batch) = split()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spancat_").toString
+    Dedup.writeSpanCatalog(corpus, tmp, n = 6)
+
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    def excised(df: DataFrame): Set[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val full = excised(
+      Curation.exciseDuplicateSpans(corpus.unionByName(batch), n = 6))
+      .filter(r => batchIds.contains(r._1))
+    val inc = excised(Curation.exciseDuplicateSpansIncremental(batch, tmp))
+    assert(inc == full, "incremental excision must equal the full recompute")
+    assert(inc.exists(_._3 > 0L), "the split corpus plants cross-half duplicated spans")
+    // span detection agrees too (the excision consumed exactly these hits)
+    val spans = Curation.duplicateSpans(corpus.unionByName(batch), n = 6)
+      .filter(col("doc_id").isin(batchIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incSpans = Dedup.duplicateSpansIncremental(batch, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incSpans == spans)
+  }
+
+  test("span catalog: append + merged view == rebuild; compaction preserves it; n frozen in meta") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val gen0 = docs.filter(col("doc_id") <= c1)
+    val gen1 = docs.filter(col("doc_id") > c1 && col("doc_id") <= c2)
+    val gen2 = docs.filter(col("doc_id") > c2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spcgen_").toString
+    val fullTmp = java.nio.file.Files.createTempDirectory("graft_spcfull_").toString
+    // n = 4 here: meta must carry it so probes can never sign with the default
+    Dedup.writeSpanCatalog(gen0, tmp, n = 4)
+    assert(Dedup.appendToSpanCatalog(gen1, tmp) > 0L)
+    Dedup.writeSpanCatalog(gen0.unionByName(gen1), fullTmp, n = 4)
+    def view(p: String) = Dedup.readSpanCatalog(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(view(tmp) == view(fullTmp),
+      "appended catalog's merged view must equal a from-scratch rebuild")
+
+    val gen2Ids = gen2.select("doc_id").collect().map(_.getLong(0)).toSet
+    def excised(df: DataFrame): Set[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val full = excised(Curation.exciseDuplicateSpans(docs, n = 4))
+      .filter(r => gen2Ids.contains(r._1))
+    assert(excised(Curation.exciseDuplicateSpansIncremental(gen2, tmp)) == full,
+      "probe after append must equal the full n=4 recompute (meta n, not the default)")
+
+    Dedup.compactSpanCatalog(spark, tmp)
+    assert(view(tmp) == view(fullTmp), "compaction must not change the merged view")
+    assert(excised(Curation.exciseDuplicateSpansIncremental(gen2, tmp)) == full,
+      "probe after compaction unchanged")
+  }
+
   private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 

@@ -94,6 +94,27 @@ final class Graft(val spark: SparkSession, val dir: String) {
       availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
       triggerInterval = triggerInterval)
 
+  /** Streaming SUB-DOCUMENT dedup-on-write (ExactSubstr): each
+    * micro-batch is excised against the span catalog at `indexPath`
+    * (spans already cataloged or earlier in the batch are cut, first
+    * occurrences kept), cleaned rows land in the sink, and the cleaned
+    * batch's windows fold into the catalog — so the catalog always
+    * equals the catalog of the sink corpus. Exactly-once under crash
+    * replay. Build the catalog first with [[buildSpanCatalog]]. */
+  def ingestSpanDedup(
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(Ingest.DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery =
+    Ingest.startSpanIngest(
+      spark, sourceDir, schema, sinkDir, checkpointDir, indexPath,
+      availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger,
+      triggerInterval = triggerInterval)
+
   /** Streaming near-dup-on-write: MinHash/LSH dedup at ingest time — each
     * micro-batch is probed against the persisted signature index at
     * `indexPath` (plus its own batch), and near-duplicate clusters keep

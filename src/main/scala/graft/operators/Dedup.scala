@@ -605,6 +605,28 @@ object Dedup {
     n
   }
 
+  /** Append a batch's per-gram firsts as a NAMED segment with overwrite
+    * semantics — the exactly-once form of [[appendToSpanCatalog]] for
+    * replayable writers (streaming foreachBatch): a crash-replayed batch
+    * rewrites the SAME segment (reusing its original sequence) instead of
+    * appending a duplicate, so the merged view is replay-idempotent. */
+  def writeSpanCatalogSegment(
+      batchDocs: DataFrame,
+      catalogPath: String,
+      segment: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    require(segment.nonEmpty && !segment.contains("/") && !segment.startsWith(".") &&
+      !segment.startsWith("compact_"), s"bad segment name: $segment")
+    val spark = batchDocs.sparkSession
+    val dir = s"$catalogPath/keys/$segment"
+    val s = snapshot(spark, catalogPath)
+    val seq = Seg.readSeq(Seg.fs(spark, catalogPath), new org.apache.hadoop.fs.Path(dir))
+      .getOrElse(((s.keySegs ++ s.tombSegs).map(_._2) :+ -1L).max + 1)
+    writeSegment(
+      spanCatalogRows(batchDocs, spanCatalogN(spark, catalogPath), textCol, idCol), dir, seq)
+  }
+
   /** Fold all live catalog segments into one; merge semantics are the
     * per-gram minimum, publish/marker/GC protocol shared with the exact
     * index (safe beside a live appender — see [[compactExactIndex]]). */
@@ -613,9 +635,14 @@ object Dedup {
 
   /** INCREMENTAL duplicate-span detection — the probe half: a batch
     * occurrence is a duplicate iff its gram is already in the catalog
-    * (the corpus arrived first: arrival-order retention, the convention
-    * every incremental dedup form here shares) or an earlier batch
-    * occurrence exists (smaller (id, offset) within the batch). Equals
+    * under ANOTHER document (the corpus arrived first: arrival-order
+    * retention, the convention every incremental dedup form here shares)
+    * or an earlier batch occurrence exists (smaller (id, offset) within
+    * the batch). A cataloged first occurrence belonging to the probing
+    * document ITSELF does not mark it duplicate — the self-recognition
+    * that makes crash-replayed streaming batches idempotent after their
+    * own segment landed (the exact index gets this from `keep_id`; the
+    * span catalog from `first_id`). Equals
     * [[graft.operators.Curation.duplicateSpans]] over (corpus UNION
     * batch) restricted to batch rows when batch ids follow corpus ids.
     * Only the batch is tokenized; the catalog contributes bloom-pruned
@@ -633,12 +660,13 @@ object Dedup {
       .groupBy("_k")
       .agg(min(struct(col(idCol), col("offset"))).as("_bfirst"))
     val known = spanMergeView(spark, snapshot(spark, catalogPath), Some(occ.select("_k")))
-      .select(col("_k"), lit(true).as("_in_catalog"))
+      .select(col("_k"), col("first_id").as("_cat_first_id"))
     occ
       .join(bFirst, Seq("_k"))
       .join(known, Seq("_k"), "left")
-      .filter(col("_in_catalog").isNotNull ||
-        struct(col(idCol), col("offset")) =!= col("_bfirst"))
+      .filter(
+        (col("_cat_first_id").isNotNull && col("_cat_first_id") =!= col(idCol)) ||
+          struct(col(idCol), col("offset")) =!= col("_bfirst"))
       .select(col(idCol), col("offset").cast("long").as("offset"), col("_k").as("gram"))
   }
 

@@ -459,6 +459,73 @@ object Ingest {
       .start()
   }
 
+  /** Streaming ExactSubstr ingest — SUB-DOCUMENT dedup-on-write: each
+    * micro-batch is excised against the persisted span catalog (token
+    * windows already cataloged, or earlier in the batch by (id, offset),
+    * are cut and the remainder rejoins — the first occurrence of every
+    * repeated span survives exactly once corpus-wide), the CLEANED rows
+    * land in the sink with `textCol` replaced (untouched documents pass
+    * through whitespace-normalized; fully-excised ones land with empty
+    * text for the caller to filter), and the cleaned batch's own windows
+    * fold into the catalog as a named segment. The catalog therefore
+    * always equals [[graft.operators.Dedup.writeSpanCatalog]] run over
+    * the SINK corpus (spec-pinned), and the sink IS the
+    * passage-level-deduplicated corpus — the streaming shape of
+    * q27l's batch probe.
+    *
+    * Exactly-once: sink batch directory and catalog segment are both
+    * keyed by batchId (per-path overwrite + segment-sequence reuse), so a
+    * crash-replayed batch rewrites both identically. Window length n is
+    * the catalog's frozen meta — a stream can never sign with a
+    * different n than the store it probes. */
+  def startSpanIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+    val markDir = s"$checkpointDir/graft-marks"
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val ss = batch.sparkSession
+        val hconf = ss.sparkContext.hadoopConfiguration
+        val b = batch.localCheckpoint() // one source read feeds probe + rebuild
+        val cleaned = graft.operators.Curation
+          .exciseDuplicateSpansIncremental(b, indexPath, textCol, idCol)
+          .select(col(idCol), col("text_clean"))
+          .localCheckpoint()
+        // splice the cleaned text back under the batch's own schema (and
+        // column order) — the sink looks exactly like the source, deduped
+        val out = b.drop(textCol)
+          .join(cleaned.withColumnRenamed("text_clean", textCol), Seq(idCol))
+          .select(b.columns.map(col).toIndexedSeq: _*)
+          .localCheckpoint()
+        out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        // catalog the SINK rows (not the raw batch): the catalog stays the
+        // exact span catalog of what actually landed
+        graft.operators.Dedup.writeSpanCatalogSegment(
+          out, indexPath, s"seg_batch_$batchId", textCol, idCol)
+        Marks.write(markDir, batchId, 0L, out.count(), hconf)
+        graft.core.Blocks.free(out)
+        graft.core.Blocks.free(cleaned)
+        graft.core.Blocks.free(b)
+        ()
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** Curation-on-ingest: each micro-batch runs the ordered quality
     * [[graft.operators.Curation.filterChain]] (and, when `redactPii`, PII
     * redaction of the text column) BEFORE anything lands — the sink is the

@@ -162,6 +162,75 @@ class DedupIncrementalSpec extends AnyFunSuite {
       "probe after compaction unchanged")
   }
 
+  test("streaming span ingest: cross-batch/in-batch span excision; catalog == sink catalog; replay") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.Curation
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sping_").toString
+    // seed catalog: one corpus doc whose 6-token run is the planted span
+    val run6 = "alpha bravo charlie delta echo foxtrot"
+    import spark.implicits._
+    val corpus = Seq((1L, s"intro $run6 outro")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    Dedup.writeSpanCatalog(corpus, s"$tmp/idx", n = 6)
+
+    def writeSrc(name: String, rows: Seq[(Long, String)]): Unit =
+      stageSrcFile(tmp, name, rows)
+    val run6b = "golf hotel india juliet kilo lima"
+    writeSrc("f1", Seq(
+      (1000L, s"fresh words only here nothing repeated at all"),
+      (1001L, s"prefix $run6 suffix")))          // corpus span dup: run6 cut
+    writeSrc("f2", Seq(
+      (1002L, s"aa $run6b bb"),                  // first occurrence of run6b: kept whole
+      (1003L, s"cc $run6b dd"),                  // in-batch span dup: run6b cut
+      (1004L, s"ee $run6 ff")))                  // cross-batch/corpus span dup
+
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = graft.streaming.Ingest.startSpanIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx",
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    run()
+
+    def sinkRows() = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = sinkRows()
+    assert(got(1000L) == "fresh words only here nothing repeated at all")
+    assert(got(1001L) == "prefix suffix", s"corpus span cut: ${got(1001L)}")
+    assert(got(1002L) == s"aa $run6b bb", s"first occurrence kept whole: ${got(1002L)}")
+    assert(got(1003L) == "cc dd", s"in-batch span cut: ${got(1003L)}")
+    assert(got(1004L) == "ee ff", s"cross-batch span cut: ${got(1004L)}")
+
+    // the invariant the ingest documents: catalog == span catalog OF THE
+    // SINK corpus (plus the pre-stream corpus)
+    def catView() = Dedup.readSpanCatalog(spark, s"$tmp/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sinkDocs = graft.streaming.Ingest
+      .readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt").select("doc_id", "text")
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_sping_rb_").toString
+    Dedup.writeSpanCatalog(
+      corpus.select("doc_id", "text").unionByName(sinkDocs), rebuilt, n = 6)
+    assert(catView() == Dedup.readSpanCatalog(spark, rebuilt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "catalog must equal a rebuild over corpus + sink")
+
+    // crash replay: drop the last commit marker, rerun — sink and catalog
+    // views unchanged (named segment + per-path overwrite)
+    val before = catView()
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    last.delete(); if (crc.exists()) crc.delete()
+    run()
+    assert(sinkRows() == got, "replayed batch must not change the sink")
+    assert(catView() == before, "replay must overwrite its segment, not append")
+
+    // compaction beside the (stopped) ingest: views unchanged
+    Dedup.compactSpanCatalog(spark, s"$tmp/idx")
+    assert(catView() == before, "compaction must not change the catalog view")
+  }
+
   private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 

@@ -440,8 +440,17 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def appendToSpanCatalog(newDocs: DataFrame, path: String): Long =
     Dedup.appendToSpanCatalog(newDocs, path)
 
-  /** Fold appended span-catalog segments into one (merged view
-    * unchanged; same fold-marker protocol as [[compactDedupIndex]]). */
+  /** Retract passages from the span catalog (takedown/opt-out):
+    * tombstone every window gram of `removedDocs` so later batches
+    * carrying those passages re-enter fresh instead of being excised
+    * against content that no longer exists. Newest-wins: passages
+    * re-appended after the deletion re-enter naturally. */
+  def deleteFromSpanCatalog(removedDocs: DataFrame, path: String): Long =
+    Dedup.deleteFromSpanCatalog(removedDocs, path)
+
+  /** Fold appended span-catalog segments (and gram tombstones) into one
+    * (merged view unchanged; same fold-marker protocol as
+    * [[compactDedupIndex]]). */
   def compactSpanCatalog(path: String, gc: Boolean = true): Unit =
     Dedup.compactSpanCatalog(spark, path, gc)
 

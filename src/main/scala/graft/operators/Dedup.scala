@@ -573,7 +573,19 @@ object Dedup {
     require(s.keySegs.nonEmpty, "no committed span-catalog segments")
     val adds0 = spark.read.parquet(s.keySegs.map(_._1): _*)
     val adds = restrictTo.fold(adds0)(restrictKeys(adds0, _))
-    adds
+    // gram tombstones apply newest-wins exactly as the exact index's key
+    // tombstones: an addition survives iff no tombstone of its gram has
+    // _seq >= the addition's (takedown-sized side, broadcast)
+    val alive =
+      if (s.tombSegs.isEmpty) adds
+      else {
+        val del = spark.read.parquet(s.tombSegs.map(_._1): _*)
+          .groupBy("_k").agg(max("_seq").as("_del_seq"))
+        adds.join(broadcast(del), Seq("_k"), "left")
+          .filter(col("_del_seq").isNull || col("_seq") > col("_del_seq"))
+          .drop("_del_seq")
+      }
+    alive
       .select(col("_k"), struct(col("first_id"), col("first_off")).as("_o"))
       .groupBy("_k")
       .agg(min(col("_o")).as("_f"))
@@ -627,9 +639,38 @@ object Dedup {
       spanCatalogRows(batchDocs, spanCatalogN(spark, catalogPath), textCol, idCol), dir, seq)
   }
 
-  /** Fold all live catalog segments into one; merge semantics are the
-    * per-gram minimum, publish/marker/GC protocol shared with the exact
-    * index (safe beside a live appender — see [[compactExactIndex]]). */
+  /** Retract content from a span catalog — the takedown/opt-out path:
+    * tombstone every window gram of `removedDocs`, so LATER batches
+    * carrying those passages are treated as fresh (their own occurrence
+    * becomes the kept first) instead of being excised against content
+    * that no longer exists. Deletion is by GRAM (content-level, like the
+    * exact index's key tombstones): pass the removed documents
+    * themselves; n comes from meta. Newest-wins — passages re-appended
+    * after the deletion re-enter the catalog naturally. Tombstones fold
+    * away in [[compactSpanCatalog]]. Returns distinct grams tombstoned. */
+  def deleteFromSpanCatalog(
+      removedDocs: DataFrame,
+      catalogPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Long = {
+    val spark = removedDocs.sparkSession
+    val seq = nextSeq(spark, catalogPath)
+    val keys = Curation
+      .spanOccurrences(removedDocs, spanCatalogN(spark, catalogPath), textCol, idCol)
+      .select(col("gram").as("_k"))
+      .distinct()
+      .sortWithinPartitions("_k")
+      .localCheckpoint()
+    writeSegment(keys, f"$catalogPath/tombs/del_$seq%06d", seq)
+    val n = keys.count()
+    graft.core.Blocks.free(keys)
+    n
+  }
+
+  /** Fold all live catalog segments (and gram tombstones) into one; merge
+    * semantics are the per-gram minimum with tombstones applied
+    * newest-wins, publish/marker/GC protocol shared with the exact index
+    * (safe beside a live appender — see [[compactExactIndex]]). */
   def compactSpanCatalog(spark: SparkSession, path: String, gc: Boolean = true): Unit =
     compactIndexWith(spark, path, gc)(s => spanMergeView(spark, s))
 

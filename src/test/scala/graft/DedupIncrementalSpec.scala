@@ -162,6 +162,46 @@ class DedupIncrementalSpec extends AnyFunSuite {
       "probe after compaction unchanged")
   }
 
+  test("span catalog takedown: deleted passages re-enter fresh; re-append is newest-wins") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val run6 = "alpha bravo charlie delta echo foxtrot"
+    val corpus = Seq(
+      (1L, s"intro $run6 outro"),
+      (2L, "completely unrelated filler words occupy this document end"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spandel_").toString
+    Dedup.writeSpanCatalog(corpus, tmp, n = 6)
+
+    def probe(id: Long, text: String): (Long, String) = {
+      val r = Curation.exciseDuplicateSpansIncremental(
+        Seq((id, text)).toDF("doc_id", "text"), tmp).head()
+      (r.getLong(2), r.getString(3))
+    }
+    assert(probe(100L, s"aa $run6 bb") == ((6L, "aa bb")), "cataloged passage excises")
+
+    // content-level takedown of doc 1: its window grams tombstone, so the
+    // SAME passage arriving later is fresh (kept whole)
+    assert(Dedup.deleteFromSpanCatalog(corpus.filter(col("doc_id") === 1L), tmp) > 0L)
+    assert(probe(100L, s"aa $run6 bb") == ((0L, s"aa $run6 bb")),
+      "deleted passage re-enters fresh")
+    // untouched content (doc 2's grams) still excises
+    val t2 = corpus.filter(col("doc_id") === 2L).select("text").head().getString(0)
+    assert(probe(101L, t2)._1 > 0L, "unrelated catalog entries survive the takedown")
+
+    // newest-wins: append a batch carrying the passage AFTER the deletion —
+    // it re-enters the catalog and later arrivals excise against it
+    Dedup.appendToSpanCatalog(Seq((100L, s"aa $run6 bb")).toDF("doc_id", "text"), tmp)
+    assert(probe(200L, s"cc $run6 dd") == ((6L, "cc dd")),
+      "re-appended passage outranks its tombstone")
+
+    // compaction folds the tombstones away without changing any probe
+    Dedup.compactSpanCatalog(spark, tmp)
+    assert(probe(200L, s"cc $run6 dd") == ((6L, "cc dd")))
+    assert(probe(300L, s"intro filler never seen anywhere at all") ==
+      ((0L, "intro filler never seen anywhere at all")))
+  }
+
   test("streaming span ingest: cross-batch/in-batch span excision; catalog == sink catalog; replay") {
     import org.apache.spark.sql.functions.lit
     import graft.operators.Curation

@@ -454,6 +454,11 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def compactSpanCatalog(path: String, gc: Boolean = true): Unit =
     Dedup.compactSpanCatalog(spark, path, gc)
 
+  /** GetProperty-style health of a span catalog: segments, tombstones,
+    * folded dirs awaiting GC, live grams, frozen window length. */
+  def spanCatalogProperties(path: String): Map[String, String] =
+    Dedup.spanCatalogStats(spark, path)
+
   /** MinHash-LSH near-duplicate pairs (banded join, two-stage verify). */
   def nearDuplicates(threshold: Double = 0.7): DataFrame =
     Dedup.minHashLsh(documents, threshold = threshold)

@@ -674,6 +674,24 @@ object Dedup {
   def compactSpanCatalog(spark: SparkSession, path: String, gc: Boolean = true): Unit =
     compactIndexWith(spark, path, gc)(s => spanMergeView(spark, s))
 
+  /** GetProperty-style health of a span catalog: live segments, gram
+    * tombstone segments, folded directories awaiting GC, distinct live
+    * grams, and the frozen window length — the introspection parity of
+    * [[exactIndexStats]]. */
+  def spanCatalogStats(spark: SparkSession, path: String): Map[String, String] = {
+    val s = snapshot(spark, path)
+    val grams = spanMergeView(spark, s).count()
+    val fs = Seg.fs(spark, path)
+    val awaitingGc = s.folded.count(rel =>
+      fs.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), rel)))
+    Map(
+      "graft.spans.segments" -> s.keySegs.size.toString,
+      "graft.spans.tomb-segments" -> s.tombSegs.size.toString,
+      "graft.spans.folded-awaiting-gc" -> awaitingGc.toString,
+      "graft.spans.grams" -> grams.toString,
+      "graft.spans.n" -> spanCatalogN(spark, path).toString)
+  }
+
   /** INCREMENTAL duplicate-span detection — the probe half: a batch
     * occurrence is a duplicate iff its gram is already in the catalog
     * under ANOTHER document (the corpus arrived first: arrival-order

@@ -160,6 +160,11 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(view(tmp) == view(fullTmp), "compaction must not change the merged view")
     assert(excised(Curation.exciseDuplicateSpansIncremental(gen2, tmp)) == full,
       "probe after compaction unchanged")
+
+    val stats = Dedup.spanCatalogStats(spark, tmp)
+    assert(stats("graft.spans.segments").toLong == 1L, s"compacted to one segment: $stats")
+    assert(stats("graft.spans.n").toInt == 4)
+    assert(stats("graft.spans.grams").toLong == view(tmp).size.toLong)
   }
 
   test("span catalog takedown: deleted passages re-enter fresh; re-append is newest-wins") {

@@ -51,6 +51,20 @@ class PlanSpec extends AnyFunSuite {
       "horizon buckets must appear as join keys: " + p.take(800))
   }
 
+  test("duplicateSpans: one exchange (the gram agg), firsts broadcast back, text never shuffles") {
+    // the unordered operator (the registered q27j adds an output orderBy,
+    // whose range exchange is presentation, not the algorithm)
+    val p = graft.operators.Curation
+      .duplicateSpans(graft.core.Tables.documents(spark, dir), n = 6)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"firsts must broadcast back:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "occurrences must not shuffle into the mark-back join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly the per-gram min exchange:\n${p.take(800)}")
+    assert("partial_min".r.findAllIn(p).nonEmpty,
+      "the first-occurrence min must combine map-side")
+  }
+
   test("q05: LWW collapse is an aggregate (partial combine), not a window sort") {
     val p = plan("q05_lww_collapse")
     assert(p.contains("max_by") || p.contains("ObjectHashAggregate"), p.take(800))

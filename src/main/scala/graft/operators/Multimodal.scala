@@ -68,6 +68,8 @@ object Multimodal {
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57415645) parseWav(b)
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x41564920) parseAvi(b)
         else if (b.length >= 12 && be32(b, 0) == 0x52494646 && be32(b, 8) == 0x57454250) parseWebp(b)
+        else if (b.length >= 12 && be32(b, 0) == 0x464f524d &&
+          (be32(b, 8) == 0x41494646 || be32(b, 8) == 0x41494643)) parseAiff(b) // FORM/AIF[FC]
         else if (b.length >= 42 && be32(b, 0) == 0x664c6143) parseFlac(b) // "fLaC"
         else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) parseJpeg(b)
         else if (b.length >= 12 && be32(b, 4) == 0x66747970) parseMp4(b) // "ftyp"
@@ -170,6 +172,32 @@ object Multimodal {
       }
       val durMs = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
       Meta("wav", 0, 0, 0, durMs)
+    }
+
+    /** AIFF (FORM/AIFF|AIFC, IFF-85: big-endian sizes, even-padded): COMM
+      * carries numSampleFrames and the 80-bit extended-float sample rate;
+      * duration = frames / rate. The extended float decodes as
+      * mantissa(top 32 bits, explicit leading 1) × 2^(exp − 16383 − 31). */
+    private def parseAiff(b: Array[Byte]): Meta = {
+      var frames = 0L
+      var rate = 0.0
+      var pos = 12L
+      while (pos + 8 <= b.length) {
+        val p = pos.toInt
+        val id = be32(b, p)
+        val size = be32(b, p + 4).toLong & 0xffffffffL
+        if (pos + 8 + size > b.length) return Meta("aiff", 0, 0, 0, 0L) // truncated
+        if (id == 0x434f4d4d && size >= 18) { // COMM
+          frames = be32(b, p + 10).toLong & 0xffffffffL
+          val exp = ((u8(b, p + 16) & 0x7f) << 8) | u8(b, p + 17)
+          val mant = (be32(b, p + 18).toLong & 0xffffffffL)
+          if (exp != 0 && mant != 0)
+            rate = mant.toDouble * math.pow(2.0, exp - 16383 - 31)
+        }
+        pos += 8 + size + (size & 1)
+      }
+      val durMs = if (rate > 0) (frames * 1000L / rate).toLong else 0L
+      Meta("aiff", 0, 0, 0, durMs)
     }
 
     /** FLAC: STREAMINFO (the mandatory first metadata block) carries the
@@ -3432,6 +3460,7 @@ object Multimodal {
             case "png" | "bmp" | "jpeg" | "gif" | "webp" => ImageDecoder.decode(payload).isDefined
             case "wav" => WavDecoder.decode(payload).isDefined
             case "flac" => FlacDecoder.decode(payload).isDefined
+            case "aiff" => AiffDecoder.decode(payload).isDefined
             // MJPEG frames decode (both containers); H.264/VP9/AV1 etc.
             // report false — the skipped share a video corpus must watch
             case "avi" | "mp4" => VideoDecoder.sampleFrames(payload, 1).nonEmpty
@@ -3786,6 +3815,31 @@ object Multimodal {
         off += bs; frame += 1
       }
       out.toByteArray
+    }
+
+    /** Genuine AIFF (Apple/EA IFF-85): FORM/AIFF with a COMM chunk
+      * (channels 1, numSampleFrames, sampleSize 16, sample rate as the
+      * format's 80-bit extended float — 8000 Hz = 0x400B FA00…) and an
+      * SSND chunk of big-endian 16-bit PCM. The 16-bit quantization is
+      * the SAME rounding as [[wav]](bits = 16) and [[flac]], so the
+      * decoded samples — and therefore the fingerprint — are EXACTLY
+      * equal across all three lossless containers. */
+    def aiff(n: Int, seed: Long, noise: Int = 0, gain: Double = 1.0): Array[Byte] = {
+      val xs = samples(n, seed, noise, gain)
+      def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      // 8000 Hz as 80-bit extended: 8000 = 1.953125 * 2^12 -> exponent
+      // 16383 + 12 = 0x400B, mantissa (explicit leading 1) 0xFA00 << 48
+      val rate80 = Array(0x40, 0x0b, 0xfa, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+      val comm = be16(1) ++ be32(n) ++ be16(16) ++ rate80
+      val ssnd = be32(0) ++ be32(0) ++ xs.flatMap(x => be16(((x * 32767.0).round.toInt) & 0xffff))
+      def chunk(id: String, data: Array[Byte]) =
+        id.getBytes(StandardCharsets.US_ASCII) ++ be32(data.length) ++ data ++
+          (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+      val body = "AIFF".getBytes(StandardCharsets.US_ASCII) ++
+        chunk("COMM", comm) ++ chunk("SSND", ssnd)
+      "FORM".getBytes(StandardCharsets.US_ASCII) ++ be32(body.length) ++ body
     }
   }
 
@@ -4233,23 +4287,25 @@ object Multimodal {
   }
 
   private def audioGenUdf(n: Int, noise: Int) =
-    udf((id: Long, seed: Long) => (id % 6) match {
+    udf((id: Long, seed: Long) => (id % 7) match {
       case 0 => AudioGen.wav(n, seed, noise, bits = 8)
       case 1 | -1 => AudioGen.wav(n, seed, noise, bits = 16)
       case 2 | -2 => AudioGen.wavG711(n, seed, noise, alaw = false) // µ-law
       case 3 | -3 => AudioGen.wavG711(n, seed, noise, alaw = true)  // A-law
       case 4 | -4 => AudioGen.wavAdpcm(n, seed, noise)
-      case _ => AudioGen.flac(n, seed, noise)
+      case 5 | -5 => AudioGen.flac(n, seed, noise)
+      case _ => AudioGen.aiff(n, seed, noise)
     })
 
-  /** Attach a deterministic WAV payload — the audio analogue of
+  /** Attach a deterministic audio payload — the audio analogue of
     * [[withImagePayload]]; `seedCol` decouples content from identity so
-    * noisy twins can be planted. Ids rotate the ENCODING of the same
-    * waveform — `id % 6`: 8-bit PCM, 16-bit PCM, G.711 µ-law, G.711
-    * A-law, IMA-ADPCM, FLAC — so sample-width, companding/block-
-    * compression AND native-lossless-container independence are part of
-    * what q30d exercises (an id-shifted twin generally lands in a
-    * different encoding than its original). */
+    * noisy twins can be planted. Ids rotate the ENCODING/CONTAINER of
+    * the same waveform — `id % 7`: 8-bit PCM, 16-bit PCM, G.711 µ-law,
+    * G.711 A-law, IMA-ADPCM, FLAC, AIFF — so sample-width,
+    * companding/block-compression AND native-lossless- plus
+    * big-endian-container independence are part of what q30d exercises
+    * (an id-shifted twin generally lands in a different encoding than
+    * its original). */
   def withAudioPayload(
       documents: DataFrame,
       idCol: String = "doc_id",
@@ -4264,12 +4320,75 @@ object Multimodal {
   /** Decode each payload and emit its fingerprint — one row per decodable
     * PCM WAV, partition-parallel, 20 bytes/row out whatever the audio
     * length (the [[imageHashes]] shape for the audio modality). */
+  /** Sample decode for AIFF (Apple/EA IFF-85, the big-endian sibling of
+    * RIFF/WAVE): FORM/AIFF chunk walk to COMM (channels, frames,
+    * sampleSize) and SSND (offset + blocksize header, then PCM), 8/16-bit
+    * big-endian mono/stereo (stereo averages to mono), normalized to
+    * [-1, 1]. AIFF-C compressed forms, other widths, truncation → None,
+    * never throws. */
+  object AiffDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    private[operators] def isAiff(b: Array[Byte]): Boolean =
+      b.length >= 12 && be32(b, 0) == 0x464f524d &&
+        (be32(b, 8) == 0x41494646 || be32(b, 8) == 0x41494643) // AIFF | AIFC
+
+    def decode(b: Array[Byte]): Option[Array[Double]] = {
+      if (!isAiff(b) || be32(b, 8) != 0x41494646) return None // plain AIFF only
+      var channels = 0; var bits = 0; var frames = 0
+      var dataOff = -1; var dataLen = 0
+      var pos = 12L
+      while (pos + 8 <= b.length) {
+        val id = be32(b, pos.toInt)
+        val size = be32(b, pos.toInt + 4).toLong & 0xffffffffL
+        if (pos + 8 + size > b.length) return None // truncated
+        if (id == 0x434f4d4d && size >= 18) { // COMM
+          channels = be16(b, pos.toInt + 8)
+          frames = be32(b, pos.toInt + 10)
+          bits = be16(b, pos.toInt + 14)
+        } else if (id == 0x53534e44 && size >= 8) { // SSND
+          val off = be32(b, pos.toInt + 8) // into the sound data
+          dataOff = pos.toInt + 16 + off
+          dataLen = (size - 8 - off).toInt
+        }
+        pos += 8 + size + (size & 1) // IFF word alignment
+      }
+      if (dataOff < 0 || dataLen <= 0 || frames <= 0) return None
+      if ((bits != 8 && bits != 16) || (channels != 1 && channels != 2)) return None
+      val bytesPer = bits / 8
+      val frame = bytesPer * channels
+      val n = math.min(frames, dataLen / frame)
+      if (n == 0) return None
+      val out = new Array[Double](n)
+      var s = 0
+      while (s < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val o = dataOff + s * frame + c * bytesPer
+          // AIFF 8-bit is SIGNED (unlike WAV's unsigned 8-bit)
+          acc += (if (bits == 8) b(o).toInt / 128.0
+            else (be16(b, o).toShort.toInt) / 32768.0)
+          c += 1
+        }
+        out(s) = acc / channels
+        s += 1
+      }
+      Some(out)
+    }
+  }
+
   /** Audio sample dispatch: RIFF/WAVE families via [[WavDecoder]],
-    * native FLAC via [[FlacDecoder]] — one normalized mono [-1, 1]
-    * contract either way, so the fingerprint is encoding-blind. */
+    * native FLAC via [[FlacDecoder]], FORM/AIFF via [[AiffDecoder]] —
+    * one normalized mono [-1, 1] contract each way, so the fingerprint
+    * is encoding- AND container-blind. */
   private[graft] def decodeAudioSamples(b: Array[Byte]): Option[Array[Double]] =
     if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
       FlacDecoder.decode(b)
+    else if (AiffDecoder.isAiff(b)) AiffDecoder.decode(b)
     else WavDecoder.decode(b)
 
   def audioHashes(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {

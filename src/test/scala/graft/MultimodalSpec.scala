@@ -818,6 +818,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(FlacDecoder.decode(Array[Byte]('f', 'L', 'a', 'C')).isEmpty)
   }
 
+  test("AIFF decode: bit-exact vs 16-bit WAV; fingerprint container-blind; metadata; never throws") {
+    import graft.operators.Multimodal.{AiffDecoder, AudioGen, WavDecoder}
+    val a = AiffDecoder.decode(AudioGen.aiff(4000, 7L)).get
+    val w = WavDecoder.decode(AudioGen.wav(4000, 7L, bits = 16)).get
+    assert(a.sameElements(w), "AIFF PCM16 must decode bit-exactly to the WAV16 quantization")
+    // the dispatch + fingerprint are container-blind: AIFF == WAV16 == FLAC
+    def fp(b: Array[Byte]) =
+      Multimodal.audioFingerprint64(Multimodal.decodeAudioSamples(b).get).get
+    assert(fp(AudioGen.aiff(4000, 42L)) == fp(AudioGen.wav(4000, 42L, bits = 16)))
+    assert(fp(AudioGen.aiff(4000, 42L)) == fp(AudioGen.flac(4000, 42L)))
+    // container metadata: 4000 frames at 8000 Hz = 500 ms, via the 80-bit
+    // extended-float sample rate
+    val meta = ContainerParser.parse(viaFile(AudioGen.aiff(4000, 7L)))
+    assert(meta.format == "aiff" && meta.durationMs == 500L, s"$meta")
+    // never-throw: truncation sweep + corruption + AIFF-C (compressed) out
+    val full = AudioGen.aiff(2000, 9L)
+    (0 until full.length by 13).foreach { n =>
+      AiffDecoder.decode(full.take(n)); ContainerParser.parse(full.take(n))
+    }
+    val rnd = new scala.util.Random(77)
+    (0 until 150).foreach { _ =>
+      val b = full.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+      AiffDecoder.decode(b); ContainerParser.parse(b)
+    }
+    val aifc = full.clone()
+    "AIFC".getBytes.copyToArray(aifc, 8)
+    assert(AiffDecoder.decode(aifc).isEmpty, "AIFF-C (compressed families) stays out")
+    assert(ContainerParser.parse(aifc).format == "aiff", "AIFC still identifies as aiff metadata")
+  }
+
   test("WAV decode never throws: truncated, compressed, float, garbage -> None") {
     val good = AudioGen.wav(500, 3L, 0, 8)
     assert(WavDecoder.decode(good).isDefined)

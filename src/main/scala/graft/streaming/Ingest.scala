@@ -501,9 +501,14 @@ object Ingest {
         val ss = batch.sparkSession
         val hconf = ss.sparkContext.hadoopConfiguration
         val b = batch.localCheckpoint() // one source read feeds probe + rebuild
+        // min-fold per id: a malformed batch carrying the same id twice
+        // must not fan out through the rejoin (2x2 rows), and the
+        // reduction must be DETERMINISTIC or crash replay would rewrite a
+        // different sink (dropDuplicates picks an arbitrary row)
         val cleaned = graft.operators.Curation
           .exciseDuplicateSpansIncremental(b, indexPath, textCol, idCol)
-          .select(col(idCol), col("text_clean"))
+          .groupBy(col(idCol))
+          .agg(min(col("text_clean")).as("text_clean"))
           .localCheckpoint()
         // splice the cleaned text back under the batch's own schema (and
         // column order) — the sink looks exactly like the source, deduped

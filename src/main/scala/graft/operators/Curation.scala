@@ -453,10 +453,7 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
-    val occ = documents.select(
-      col(idCol),
-      posexplode(TextOps.positionalNgramHashes(
-        TextOps.tokenHashes(coalesce(col(textCol), lit(""))), n)).as(Seq("offset", "gram")))
+    val occ = spanOccurrences(documents, n, textCol, idCol)
     val hot = occ.select(col(idCol), col("gram")).distinct()
       .groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -548,8 +545,10 @@ object Curation {
     * (`gram`) with that aggregate, so AQE plans one exchange feeding
     * both. Never all-pairs; corpus text never shuffles. */
   /** One row per n-token window occurrence: (idCol, offset, gram) — the
-    * shared kernel of [[duplicateSpans]] and the persisted span catalog
-    * ([[graft.operators.Dedup.writeSpanCatalog]]). */
+    * shared kernel of [[boilerplateNgrams]], [[duplicateSpans]], and the
+    * persisted span catalog ([[graft.operators.Dedup.writeSpanCatalog]]):
+    * one definition, so tokenization/hashing can never skew between the
+    * detection families. */
   private[operators] def spanOccurrences(
       documents: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
     require(n >= 1, "need n >= 1")

@@ -282,14 +282,28 @@ object Dedup {
     * replay-idempotent. A replay also REUSES the segment's original
     * sequence number, so a deletion issued between the crash and the replay
     * still outranks the replayed rows. */
+  /** The shared named-segment replay protocol: name validation plus the
+    * sequence derivation every exactly-once writer relies on — a replayed
+    * segment REUSES its original `_SEQ` (so a deletion issued between the
+    * crash and the replay still outranks the replayed rows), a fresh one
+    * takes one past the snapshot's max live seq. One definition, or the
+    * stores' exactly-once invariants could diverge. */
+  private def requireSegmentName(segment: String): Unit =
+    require(segment.nonEmpty && !segment.contains("/") && !segment.startsWith(".") &&
+      !segment.startsWith("compact_"), s"bad segment name: $segment")
+
+  private def replaySegmentSeq(
+      spark: SparkSession, indexPath: String, dir: String, s: IndexSnapshot): Long =
+    Seg.readSeq(Seg.fs(spark, indexPath), new org.apache.hadoop.fs.Path(dir))
+      .getOrElse(((s.keySegs ++ s.tombSegs).map(_._2) :+ -1L).max + 1)
+
   def writeExactIndexSegment(
       batchDocs: DataFrame,
       indexPath: String,
       segment: String,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    require(segment.nonEmpty && !segment.contains("/") && !segment.startsWith(".") &&
-      !segment.startsWith("compact_"), s"bad segment name: $segment")
+    requireSegmentName(segment)
     val spark = batchDocs.sparkSession
     val dir = s"$indexPath/keys/$segment"
     // ONE snapshot serves both the next-seq derivation and the key-width
@@ -298,8 +312,7 @@ object Dedup {
     // store the duplicate listings were the dominant per-trigger driver
     // latency
     val s = snapshot(spark, indexPath)
-    val seq = Seg.readSeq(Seg.fs(spark, indexPath), new org.apache.hadoop.fs.Path(dir))
-      .getOrElse(((s.keySegs ++ s.tombSegs).map(_._2) :+ -1L).max + 1)
+    val seq = replaySegmentSeq(spark, indexPath, dir, s)
     writeSegment(
       segmentGroups(batchDocs, idCol, textCol, snapshotIsWide(spark, indexPath, s)), dir, seq)
   }
@@ -558,14 +571,21 @@ object Dedup {
     val spark = documents.sparkSession
     val fs = Seg.fs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(path), true) // rebuild = fresh catalog
+    spanNCache.remove(path) // the ONLY meta writer invalidates the memo
     import spark.implicits._
     Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     writeSegment(spanCatalogRows(documents, n, textCol, idCol), s"$path/keys/base", 0L)
   }
 
-  /** The catalog's frozen window length. */
+  /** The catalog's frozen window length. n never changes for a catalog's
+    * lifetime (meta is written exactly once, by [[writeSpanCatalog]],
+    * which also invalidates this memo on rebuild), so the per-JVM cache
+    * spares every probe/append/excise a meta parquet read — a streaming
+    * trigger otherwise paid it three times. */
+  private val spanNCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private[operators] def spanCatalogN(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getInt(0)
+    spanNCache.computeIfAbsent(path,
+      _ => Int.box(spark.read.parquet(s"$path/meta").head().getInt(0))).intValue()
 
   private def spanMergeView(
       spark: SparkSession, s: IndexSnapshot,
@@ -628,13 +648,11 @@ object Dedup {
       segment: String,
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
-    require(segment.nonEmpty && !segment.contains("/") && !segment.startsWith(".") &&
-      !segment.startsWith("compact_"), s"bad segment name: $segment")
+    requireSegmentName(segment)
     val spark = batchDocs.sparkSession
     val dir = s"$catalogPath/keys/$segment"
     val s = snapshot(spark, catalogPath)
-    val seq = Seg.readSeq(Seg.fs(spark, catalogPath), new org.apache.hadoop.fs.Path(dir))
-      .getOrElse(((s.keySegs ++ s.tombSegs).map(_._2) :+ -1L).max + 1)
+    val seq = replaySegmentSeq(spark, catalogPath, dir, s)
     writeSegment(
       spanCatalogRows(batchDocs, spanCatalogN(spark, catalogPath), textCol, idCol), dir, seq)
   }

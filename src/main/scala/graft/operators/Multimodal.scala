@@ -3462,8 +3462,13 @@ object Multimodal {
             case "flac" => FlacDecoder.decode(payload).isDefined
             case "aiff" => AiffDecoder.decode(payload).isDefined
             // MJPEG frames decode (both containers); H.264/VP9/AV1 etc.
-            // report false — the skipped share a video corpus must watch
-            case "avi" | "mp4" => VideoDecoder.sampleFrames(payload, 1).nonEmpty
+            // report false — the skipped share a video corpus must watch.
+            // Decodability needs ONE frame: bound slice DISCOVERY at 1 too
+            // (the full chunk list / sample-table join would cost thousands
+            // of slice computations per long clip just to answer yes/no)
+            case "avi" | "mp4" =>
+              VideoDecoder.sampleFromSlices(
+                payload, VideoDecoder.frameSlices(payload, 1), 1).nonEmpty
             case _ => false
           }
           DecodeStatus(id, fmt, ok)
@@ -4350,9 +4355,14 @@ object Multimodal {
           frames = be32(b, pos.toInt + 10)
           bits = be16(b, pos.toInt + 14)
         } else if (id == 0x53534e44 && size >= 8) { // SSND
-          val off = be32(b, pos.toInt + 8) // into the sound data
-          dataOff = pos.toInt + 16 + off
-          dataLen = (size - 8 - off).toInt
+          // offset into the sound data: unsigned per spec — a crafted
+          // negative value must not walk dataOff back into the chunk
+          // header (header bytes decoded as PCM); reject out-of-chunk
+          val off = be32(b, pos.toInt + 8).toLong & 0xffffffffL
+          if (off <= size - 8) {
+            dataOff = pos.toInt + 16 + off.toInt
+            dataLen = (size - 8 - off).toInt
+          }
         }
         pos += 8 + size + (size & 1) // IFF word alignment
       }

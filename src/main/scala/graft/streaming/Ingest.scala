@@ -511,9 +511,15 @@ object Ingest {
           .agg(min(col("text_clean")).as("text_clean"))
           .localCheckpoint()
         // splice the cleaned text back under the batch's own schema (and
-        // column order) — the sink looks exactly like the source, deduped
+        // column order) — the sink looks exactly like the source, deduped.
+        // NULL-SAFE key equality: a row with a null id must pass through
+        // like every other untouched row (a plain equi-join would silently
+        // drop it from the sink — null never equals null)
+        val c = cleaned
+          .withColumnRenamed(idCol, "_graft_cid")
+          .withColumnRenamed("text_clean", textCol)
         val out = b.drop(textCol)
-          .join(cleaned.withColumnRenamed("text_clean", textCol), Seq(idCol))
+          .join(c, col(idCol) <=> col("_graft_cid"))
           .select(b.columns.map(col).toIndexedSeq: _*)
           .localCheckpoint()
         out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")

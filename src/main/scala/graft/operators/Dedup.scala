@@ -537,7 +537,18 @@ object Dedup {
     * plus the FIRST occurrence by (id, offset). Sorted within partitions
     * so each parquet file covers a tight gram range. */
   private def spanCatalogRows(
-      documents: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+      documents: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
+    // first_id rides the catalog as a long; a non-numeric id would cast to
+    // null and silently disable every isNotNull-guarded probe downstream —
+    // fail fast at write time instead of under-deduplicating forever
+    val idType = documents.schema(idCol).dataType
+    require(
+      idType.isInstanceOf[org.apache.spark.sql.types.ByteType] ||
+        idType.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
+        idType.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+        idType.isInstanceOf[org.apache.spark.sql.types.LongType],
+      s"span catalog requires an integral id column; '$idCol' is $idType " +
+        "(wide/string keys are supported by the exact index, not the span catalog)")
     Curation.spanOccurrences(documents, n, textCol, idCol)
       .select(col("gram").as("_k"), struct(col(idCol), col("offset")).as("_o"))
       .groupBy("_k")
@@ -546,6 +557,7 @@ object Dedup {
         col(s"_f.$idCol").cast("long").as("first_id"),
         col("_f.offset").cast("long").as("first_off"))
       .sortWithinPartitions("_k")
+  }
 
   /** Build the SPAN CATALOG at `path`: the persisted half of INCREMENTAL
     * ExactSubstr dedup ([[graft.operators.Curation.duplicateSpans]]'s
@@ -578,14 +590,28 @@ object Dedup {
   }
 
   /** The catalog's frozen window length. n never changes for a catalog's
-    * lifetime (meta is written exactly once, by [[writeSpanCatalog]],
-    * which also invalidates this memo on rebuild), so the per-JVM cache
-    * spares every probe/append/excise a meta parquet read — a streaming
-    * trigger otherwise paid it three times. */
-  private val spanNCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private[operators] def spanCatalogN(spark: SparkSession, path: String): Int =
-    spanNCache.computeIfAbsent(path,
-      _ => Int.box(spark.read.parquet(s"$path/meta").head().getInt(0))).intValue()
+    * lifetime (meta is written exactly once, by [[writeSpanCatalog]]), so
+    * the per-JVM cache spares every probe/append/excise a meta parquet
+    * read — a streaming trigger otherwise paid it three times. The memo is
+    * stamped with the meta directory's modification time: a catalog
+    * REBUILT at the same path by ANOTHER process (this JVM's
+    * [[writeSpanCatalog]] also invalidates directly) refreshes the cached
+    * n on the next probe — one FS metadata call instead of a parquet read,
+    * never a silently stale window length. */
+  private val spanNCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+  private[operators] def spanCatalogN(spark: SparkSession, path: String): Int = {
+    val stamp = Seg.fs(spark, path)
+      .getFileStatus(new org.apache.hadoop.fs.Path(s"$path/meta"))
+      .getModificationTime
+    val cached = spanNCache.get(path)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val n = spark.read.parquet(s"$path/meta").head().getInt(0)
+      spanNCache.put(path, (stamp, n))
+      n
+    }
+  }
 
   private def spanMergeView(
       spark: SparkSession, s: IndexSnapshot,

@@ -296,7 +296,9 @@ object Multimodal {
               header = 16L
               (be32(b, p + 8).toLong << 32) | (be32(b, p + 12).toLong & 0xffffffffL)
             } else size32
-          if (size < header || pos + size > to) return // malformed: stop, keep what we have
+          // overflow-safe (`to - pos` is non-negative): a largesize near
+          // Long.MaxValue must stop the walk, not wrap the comparison
+          if (size < header || size > to - pos) return // malformed: stop, keep what we have
           val body = pos + header
           typ match {
             case 0x6d6f6f76 => walk(body, pos + size, depth + 1) // "moov"
@@ -373,7 +375,9 @@ object Multimodal {
             header = 16L
             (be32(b, p + 8).toLong << 32) | be32L(b, p + 12)
           } else size32
-        if (size < header || pos + size > to) return out.result()
+        // overflow-safe: `to - pos` is non-negative here, so a crafted
+        // largesize near Long.MaxValue can't wrap the comparison
+        if (size < header || size > to - pos) return out.result()
         out += ((typ, pos + header, pos + size))
         pos += size
         n += 1
@@ -461,7 +465,9 @@ object Multimodal {
           var k = 0L
           while (!done && k < spc && sample < count && emitted < maxSlices) {
             val len = sizeOf(sample)
-            if (len <= 0 || off < 0 || off + len > b.length) done = true
+            // overflow-safe: a 64-bit co64 offset near Long.MaxValue plus a
+            // 32-bit length must not wrap past the bounds check
+            if (len <= 0 || off < 0 || off > b.length || len > b.length - off) done = true
             else {
               out += ((off.toInt, len.toInt))
               emitted += 1
@@ -4484,13 +4490,21 @@ object Multimodal {
       * are located — a crafted chunk list or sample table cannot make
       * discovery itself unbounded. */
     def frameSlices(b: Array[Byte], maxFrames: Int = 4096): Seq[(Int, Int)] =
-      if (isAvi(b)) aviFrameSlices(b, maxFrames)
-      else if (isMp4(b))
-        IsoBmff.videoTrak(b, maxFrames)
-          .filter(t => MjpegCodings(t.coding))
-          .map(_.slices)
-          .getOrElse(Nil)
-      else Nil
+      // defense in depth for the never-throw contract: the walkers guard
+      // their own arithmetic, but a crafted container must fail to Nil,
+      // not fail the Spark task, even if a guard is ever missed
+      try {
+        if (isAvi(b)) aviFrameSlices(b, maxFrames)
+        else if (isMp4(b))
+          IsoBmff.videoTrak(b, maxFrames)
+            .filter(t => MjpegCodings(t.coding))
+            .map(_.slices)
+            .getOrElse(Nil)
+        else Nil
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+            _: IllegalArgumentException => Nil
+      }
 
     private def aviFrameSlices(b: Array[Byte], maxFrames: Int): Seq[(Int, Int)] = {
       if (!isAvi(b)) return Nil

@@ -501,26 +501,34 @@ object Ingest {
         val ss = batch.sparkSession
         val hconf = ss.sparkContext.hadoopConfiguration
         val b = batch.localCheckpoint() // one source read feeds probe + rebuild
+        // null-id rows bypass the dedup fold entirely: the min-fold below
+        // keys by id, so two DISTINCT-text null-id rows would collapse to
+        // one text and fan it back to both. They pass through with the
+        // same whitespace normalization every untouched row gets from the
+        // excision (token re-join), nothing else.
+        val bIds = b.filter(col(idCol).isNotNull)
+        val bNulls = b.filter(col(idCol).isNull)
+          .withColumn(textCol, concat_ws(" ",
+            graft.functions.TextOps.tokens(coalesce(col(textCol), lit("")))))
+          .select(b.columns.map(col).toIndexedSeq: _*)
         // min-fold per id: a malformed batch carrying the same id twice
         // must not fan out through the rejoin (2x2 rows), and the
         // reduction must be DETERMINISTIC or crash replay would rewrite a
         // different sink (dropDuplicates picks an arbitrary row)
         val cleaned = graft.operators.Curation
-          .exciseDuplicateSpansIncremental(b, indexPath, textCol, idCol)
+          .exciseDuplicateSpansIncremental(bIds, indexPath, textCol, idCol)
           .groupBy(col(idCol))
           .agg(min(col("text_clean")).as("text_clean"))
           .localCheckpoint()
         // splice the cleaned text back under the batch's own schema (and
-        // column order) — the sink looks exactly like the source, deduped.
-        // NULL-SAFE key equality: a row with a null id must pass through
-        // like every other untouched row (a plain equi-join would silently
-        // drop it from the sink — null never equals null)
+        // column order) — the sink looks exactly like the source, deduped
         val c = cleaned
           .withColumnRenamed(idCol, "_graft_cid")
           .withColumnRenamed("text_clean", textCol)
-        val out = b.drop(textCol)
-          .join(c, col(idCol) <=> col("_graft_cid"))
+        val out = bIds.drop(textCol)
+          .join(c, col(idCol) === col("_graft_cid"))
           .select(b.columns.map(col).toIndexedSeq: _*)
+          .unionByName(bNulls)
           .localCheckpoint()
         out.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
         // catalog the SINK rows (not the raw batch): the catalog stays the

@@ -276,6 +276,58 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(catView() == before, "compaction must not change the catalog view")
   }
 
+  test("streaming span ingest: distinct-text null-id rows pass through untouched") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spnull_").toString
+    val run6 = "alpha bravo charlie delta echo foxtrot"
+    Dedup.writeSpanCatalog(
+      Seq((1L, s"intro $run6 outro")).toDF("doc_id", "text"), s"$tmp/idx", n = 6)
+    // a batch with TWO distinct-text null-id rows: a fold keyed on the id
+    // would collapse them to one min text and fan it back to both
+    Seq(
+      (Option(1000L), s"prefix $run6 suffix"),
+      (None: Option[Long], "first null id document text"),
+      (None: Option[Long], "second null id document body"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    graft.streaming.Ingest.startSpanIngest(
+      spark, s"$tmp/src", schema, s"$tmp/sink", s"$tmp/ckpt", s"$tmp/idx")
+      .awaitTermination()
+    val got = graft.streaming.Ingest.readCommitted(spark, s"$tmp/sink", s"$tmp/ckpt")
+      .select("doc_id", "text").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+    assert(got.length == 3, s"all three rows land: ${got.toSeq}")
+    assert(got.filter(_._1.isEmpty).map(_._2).toSet ==
+      Set("first null id document text", "second null id document body"),
+      s"distinct null-id texts must pass through untouched: ${got.toSeq}")
+    assert(got.find(_._1.contains(1000L)).get._2 == "prefix suffix",
+      "non-null rows still excise against the catalog")
+  }
+
+  test("span catalog rejects a non-integral id column at write time") {
+    import spark.implicits._
+    val docs = Seq(("a", "one two three four five six seven")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spstr_").toString
+    val e = intercept[IllegalArgumentException](Dedup.writeSpanCatalog(docs, tmp, n = 6))
+    assert(e.getMessage.contains("integral id column"),
+      s"misuse must fail fast, not cast ids to null: ${e.getMessage}")
+  }
+
+  test("spanCatalogN refreshes after an out-of-band meta rebuild") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha bravo charlie delta echo foxtrot golf")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spn_").toString
+    Dedup.writeSpanCatalog(docs, tmp, n = 6)
+    assert(Dedup.spanCatalogStats(spark, tmp)("graft.spans.n") == "6") // warms the memo
+    // simulate ANOTHER process rebuilding the catalog at the same path:
+    // replace meta directly, bypassing this JVM's write-side invalidation
+    Thread.sleep(1100) // clear coarse FS modtime granularity
+    Seq(4).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    assert(Dedup.spanCatalogStats(spark, tmp)("graft.spans.n") == "4",
+      "a long-lived driver must not keep probing with a stale window length")
+  }
+
   private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 

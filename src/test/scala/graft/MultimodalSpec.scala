@@ -165,6 +165,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(cutMeta.format == "mp4") // never throws
   }
 
+  test("MP4: largesize near Long.MaxValue and co64 offset wrap never throw") {
+    import graft.operators.Multimodal.{VideoDecoder, VideoGen}
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32((v >>> 32).toInt) ++ be32(v.toInt)
+    // a 64-bit largesize close to Long.MaxValue: pos + size wraps negative
+    // without overflow-safe guards, turning pos.toInt into a wild index
+    val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "mp42".getBytes("US-ASCII") ++ be32(0)
+    val wrap = ftyp ++ be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be64(Long.MaxValue - 7L) ++ Array.fill(32)(0.toByte)
+    assert(VideoDecoder.frameSlices(wrap).isEmpty)
+    assert(ContainerParser.parse(wrap).format == "mp4") // both walkers return
+    // co64 chunk offset at Long.MaxValue: off + len wraps negative in the
+    // slice loop; the bounds check must stop the walk, not emit a slice
+    // whose truncated Int offset feeds Arrays.copyOfRange
+    val mp4 = VideoGen.mp4Mjpeg(48, 32, 7, 42L, 0) // 3 chunks -> >=8 entry bytes
+    val at = mp4.indices.find(i => i + 4 <= mp4.length &&
+      mp4(i) == 's' && mp4(i + 1) == 't' && mp4(i + 2) == 'c' && mp4(i + 3) == 'o').get
+    val c = mp4.clone()
+    "co64".getBytes("US-ASCII").copyToArray(c, at)
+    be32(0x7fffffff).copyToArray(c, at + 12) // entry 0 high word
+    be32(0xffffffff).copyToArray(c, at + 16) // entry 0 low word -> Long.MaxValue
+    assert(VideoDecoder.frameSlices(c).isEmpty)
+    VideoDecoder.sampleFrames(c) // returns (no frames), never throws
+  }
+
   test("withBinaryPayload coalesces NULL text instead of NPEing in the UDF") {
     import spark.implicits._
     val docs = Seq((1L, Option("a" * 20)), (2L, None: Option[String])).toDF("doc_id", "text")

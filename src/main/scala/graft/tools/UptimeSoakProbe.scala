@@ -68,6 +68,9 @@ object UptimeSoakProbe {
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(40)
     val phases = args.lift(3).map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "neardup", "curated", "semantic", "pipeline"))
+    // span/video are opt-in long-horizon phases (run them with their own
+    // docsPerBatch: span wants the micro literal-In regime, video pays a
+    // per-clip synthesis cost in source generation)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-uptime-soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -399,6 +402,203 @@ object UptimeSoakProbe {
     require(f5 == 0 || l5 / f5 < 1.8, f"pipeline per-batch cost drifted ${l5 / f5}%.2fx " +
       "(index-probe growth is bounded by the standalone phases' own gates)")
     require(peak5 <= 10, s"pipeline per-batch storage must stay bounded, saw $peak5")
+    }
+
+    // ---- phase 5: ExactSubstr SPAN ingest with concurrent catalog folds ----
+    // The catalog is the one store whose rows scale with corpus TOKENS;
+    // this phase drives startSpanIngest through the full horizon with
+    // compactSpanCatalog(gc = false) beside the live ingest (gc one
+    // trigger later — the drain protocol) AND a mid-soak crash replay
+    // (stop at half-horizon, drop the last commit marker, restart).
+    // Ground truth is exact: whole-doc duplicates excise to empty text
+    // (every position of a 24-token dup is covered by a seen 6-window),
+    // so kept tokens == 24 x distinct texts and no row is ever dropped.
+    if (phases("span")) {
+    val catPath = s"$out/span_cat"
+    Dedup.writeSpanCatalog(docs.limit(0), catPath, n = 6)
+    val cap6 = new Capture(spark)
+    spark.streams.addListener(cap6)
+    val t6 = System.nanoTime()
+    def startSpan() = Ingest.startSpanIngest(
+      spark, srcDir, schema, s"$out/ssink", s"$out/sckpt", catPath,
+      maxFilesPerTrigger = Some(1))
+    var q6 = startSpan()
+    var lastFold6 = 0
+    var folds6 = 0
+    var gcRemoved6 = 0L
+    var pendingGcAt6 = -1
+    var crashed = false
+    while (q6.isActive) {
+      Thread.sleep(500)
+      val done = cap6.rows.size()
+      if (!crashed && done >= nBatches / 2) {
+        crashed = true
+        q6.stop(); q6.awaitTermination()
+        val commits = new java.io.File(s"$out/sckpt/commits").listFiles()
+          .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+        if (commits.nonEmpty) {
+          val last = commits.last
+          val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+          last.delete(); if (crc.exists()) crc.delete()
+        }
+        println(s"[soak] span     crash replay at done=$done (dropped last commit, restarting)")
+        q6 = startSpan()
+      }
+      if (pendingGcAt6 >= 0 && done >= pendingGcAt6) {
+        gcRemoved6 += Dedup.gcExactIndex(spark, catPath)
+        pendingGcAt6 = -1
+      }
+      if (compactEvery > 0 && done - lastFold6 >= compactEvery) {
+        lastFold6 = done
+        Dedup.compactSpanCatalog(spark, catPath, gc = false) // beside live ingest
+        folds6 += 1
+        pendingGcAt6 = cap6.rows.size() + 2
+      }
+    }
+    q6.awaitTermination()
+    val spanWall = (System.nanoTime() - t6) / 1e9
+    spark.streams.removeListener(cap6)
+    gcRemoved6 += Dedup.gcExactIndex(spark, catPath)
+    val (f6, l6, peak6) = report("span", cap6, 50)
+    val catStats = Dedup.spanCatalogStats(spark, catPath)
+    println(f"[soak] span     wall=$spanWall%.1f s folds=$folds6 gc-removed=$gcRemoved6 " +
+      f"grams=${catStats("graft.spans.grams")}%s live-segs=${catStats("graft.spans.segments")}%s")
+    val sink6 = spark.read
+      .parquet((0L until nBatches.toLong).map(b => s"$out/ssink/batch_id=$b"): _*)
+    val sinkRows6 = sink6.count()
+    val keptTokens = sink6
+      .select(sum(when(length(col("text")) === 0, 0)
+        .otherwise(size(split(col("text"), " "))))).head().getLong(0)
+    println(f"[soak] span     rows=$sinkRows6%,d kept-tokens=$keptTokens%,d " +
+      f"(expect $n%,d rows / ${24L * expectKeys}%,d tokens)")
+    require(sinkRows6 == n, "span ingest must never drop a row (it excises text)")
+    require(keptTokens == 24L * expectKeys,
+      s"kept tokens diverged: $keptTokens vs ${24L * expectKeys}")
+    // the ingest's documented invariant AT THE HORIZON: catalog == span
+    // catalog of the sink corpus
+    val rebuilt = s"$out/span_cat_rebuild"
+    Dedup.writeSpanCatalog(sink6.select("doc_id", "text"), rebuilt, n = 6)
+    val live = Dedup.readSpanCatalog(spark, catPath)
+    val ref = Dedup.readSpanCatalog(spark, rebuilt)
+    val diff = live.exceptAll(ref).count() + ref.exceptAll(live).count()
+    require(diff == 0L, s"catalog != sink rebuild at the horizon ($diff rows differ)")
+    println(f"[soak] span     catalog == sink rebuild (${catStats("graft.spans.grams")}%s grams)")
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs after span soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+    require(peak6 <= 8, s"span per-batch storage must stay bounded, saw $peak6")
+    // drift reported above; micro batches ride the literal-In path and are
+    // expected ~flat — gate at the dedup phase's bound
+    require(compactEvery == 0 || f6 == 0 || l6 / f6 < 1.6,
+      f"span per-batch cost drifted ${l6 / f6}%.2fx")
+    }
+
+    // ---- phase 6: VIDEO ingest with folds, gc, and mid-soak takedown ----
+    // Clip payloads are a pure function of the KEY (seed = key), so
+    // duplicate keys are fingerprint-identical clips (possibly in the
+    // other container — ids rotate AVI/MP4) and the arrival-order keep
+    // set is the distinct-key ground truth, exactly like the text phases.
+    // Mid-soak, singleton-key clips (no later duplicates, so the expected
+    // kept set is unchanged) are taken down via deleteVideoFromIndex —
+    // the takedown path running BESIDE the live ingest.
+    if (phases("video")) {
+    import graft.operators.Multimodal
+    val vIdx = s"$out/video_idx"
+    val vsrcDir = s"$out/video_src"
+    val clips = spark.range(n)
+      .select(col("id").as("doc_id"))
+      .withColumn("_key", pmod(xxhash64(col("doc_id")), lit(uniqueKeys)))
+    Multimodal.withVideoPayload(clips, seedCol = "_key").drop("_key")
+      .repartition(nBatches).write.parquet(vsrcDir)
+    val vschema = spark.read.parquet(vsrcDir).schema
+    Multimodal.writeVideoIndex(
+      Multimodal.videoHashes(Multimodal.withVideoPayload(clips.limit(0))), vIdx)
+    // singleton keys: exactly one arrival in the whole corpus
+    val singletons = clips.groupBy("_key").agg(min("doc_id").as("doc_id"), count(lit(1)).as("c"))
+      .filter(col("c") === 1).select("doc_id").limit(48)
+      .collect().map(_.getLong(0))
+    val expectVKeys = clips.select("_key").distinct().count()
+    println(f"[soak] video    clips=$n%,d distinct-keys=$expectVKeys%,d " +
+      f"takedown-candidates=${singletons.length}%d")
+    val cap7 = new Capture(spark)
+    spark.streams.addListener(cap7)
+    val t7 = System.nanoTime()
+    val q7 = Ingest.startVideoIngest(
+      spark, vsrcDir, vschema, s"$out/vsink2", s"$out/vckpt2", vIdx,
+      maxFilesPerTrigger = Some(1))
+    var lastFold7 = 0
+    var folds7 = 0
+    var gcRemoved7 = 0L
+    var pendingGcAt7 = -1
+    var peakSegs7 = 0
+    var tookDown = false
+    var takedownCount = 0L
+    def liveSegCount7(): Int = {
+      val d = new java.io.File(s"$vIdx/segs")
+      Option(d.listFiles()).map(_.count(f => f.isDirectory && !f.getName.startsWith("."))).getOrElse(0)
+    }
+    while (q7.isActive) {
+      Thread.sleep(500)
+      peakSegs7 = math.max(peakSegs7, liveSegCount7())
+      val done = cap7.rows.size()
+      if (!tookDown && done >= nBatches / 2) {
+        tookDown = true
+        import spark.implicits._
+        takedownCount = Multimodal.deleteVideoFromIndex(
+          singletons.toSeq.toDF("doc_id"), vIdx)
+        println(s"[soak] video    takedown of $takedownCount singleton clips at done=$done")
+      }
+      if (pendingGcAt7 >= 0 && done >= pendingGcAt7) {
+        gcRemoved7 += Dedup.gcDocIndex(spark, vIdx)
+        pendingGcAt7 = -1
+      }
+      if (compactEvery > 0 && done - lastFold7 >= compactEvery) {
+        lastFold7 = done
+        Dedup.foldDocSegments(spark, vIdx, gc = false) // beside live ingest
+        folds7 += 1
+        pendingGcAt7 = cap7.rows.size() + 2
+      }
+    }
+    q7.awaitTermination()
+    val vidWall = (System.nanoTime() - t7) / 1e9
+    spark.streams.removeListener(cap7)
+    gcRemoved7 += Dedup.gcDocIndex(spark, vIdx)
+    val (f7, l7, peak7) = report("video", cap7, 50)
+    println(f"[soak] video    wall=$vidWall%.1f s folds=$folds7 gc-removed=$gcRemoved7 " +
+      f"peak-live-segs=$peakSegs7 takedown=$takedownCount")
+    val vKept = spark.read
+      .parquet((0L until nBatches.toLong).map(b => s"$out/vsink2/batch_id=$b"): _*)
+    val vRows = vKept.count()
+    val vKeys = vKept.select(pmod(xxhash64(col("doc_id")), lit(uniqueKeys))).distinct().count()
+    println(f"[soak] video    kept=$vRows%,d distinct-keys=$vKeys%,d (expect $expectVKeys%,d)")
+    require(vRows == expectVKeys && vKeys == expectVKeys,
+      "video soak kept set diverged from the distinct-key ground truth")
+    // takedown semantics: a twin of a deleted singleton re-enters fresh
+    // (no pairs); a twin of a kept clip still matches
+    if (takedownCount > 0) {
+      import spark.implicits._
+      // clip content is a pure function of the KEY (seed = key in the
+      // source generator), so twins must be seeded with the clip's key
+      def keyOf(id: Long): Long = spark.range(id, id + 1)
+        .select(pmod(xxhash64(col("id")), lit(uniqueKeys))).head().getLong(0)
+      val deletedTwin = Multimodal.videoHashes(Multimodal.withVideoPayload(
+        Seq((99000001L, keyOf(singletons.head))).toDF("doc_id", "seed"), seedCol = "seed"))
+      require(Multimodal.videoIncremental(deletedTwin, vIdx).count() == 0L,
+        "a taken-down clip's twin must re-enter fresh")
+      val deletedSet = singletons.toSet
+      val keptClip = vKept.select(col("doc_id").cast("long"))
+        .collect().map(_.getLong(0)).find(!deletedSet(_)).get
+      val keptTwin = Multimodal.videoHashes(Multimodal.withVideoPayload(
+        Seq((99000002L, keyOf(keptClip))).toDF("doc_id", "seed"), seedCol = "seed"))
+      require(Multimodal.videoIncremental(keptTwin, vIdx).count() > 0L,
+        "a kept clip's twin must still match the store")
+    }
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs after video soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+    require(peak7 <= 8, s"video per-batch storage must stay bounded, saw $peak7")
+    require(compactEvery == 0 || peakSegs7 <= 4 * compactEvery + 4,
+      s"fold loop must bound live segments at O(foldEvery), saw $peakSegs7")
+    require(compactEvery == 0 || f7 == 0 || l7 / f7 < 1.6,
+      f"video per-batch cost drifted ${l7 / f7}%.2fx")
     }
 
     graft.queries.QueryDef.deleteRecursively(out)

@@ -1,0 +1,1311 @@
+package graft.operators
+
+/** MPEG-1 Audio Layer III (MP3) sample decode + fixture encoder — the
+  * lossy member of the audio decode matrix (ISO/IEC 11172-3 is a public
+  * ISO spec; the Layer III patents expired in 2017). The reference's value
+  * model (opaque payload columns the engine must open itself — see
+  * `kv/include/db.h:41-116`'s byte-string values) makes MP3 the single
+  * most common audio payload a scraped corpus carries.
+  *
+  * What is EXACT here (bit-level spec structure):
+  *   - frame header / CRC skip / frame-length walk, ID3v2 skip
+  *   - MPEG-1 side info layout (mono 17 / stereo 32 bytes), the bit
+  *     reservoir (`main_data_begin` back-pointer into prior frames'
+  *     main-data bytes), scfsi scalefactor sharing
+  *   - scalefactor coding (slen pairs, long/short/mixed layouts),
+  *     preflag/pretab, scalefac_scale
+  *   - Huffman coding: big-value pair regions with per-region table
+  *     select, ESC/linbits layout, count1 quadruples, rzero
+  *   - requantization (is^(4/3), global_gain, subblock_gain), short-block
+  *     reorder, MS stereo, alias-reduction butterflies (the closed-form
+  *     ci/cs/ca set), 36/12-point IMDCT with all four window types,
+  *     frequency inversion
+  *   - Xing/Info first-frame tag with LAME gapless delay/padding (how a
+  *     decoder recovers the exact source sample count)
+  *
+  * What is APPROXIMATE, and why (no spec text or reference data is
+  * available in this environment; nothing here is copied):
+  *   - The Huffman codebooks (spec Table B.7) are pure DATA. Each table
+  *     transcribed here is VALIDATED at init: its code must be a complete
+  *     prefix code (Kraft sum exactly 1, no code a prefix of another) —
+  *     a transcription error almost surely breaks one of the two. Tables
+  *     failing validation (and the large tables 13/15 and the two ESC
+  *     codebooks, deliberately not reproduced from uncertain memory) are
+  *     DISABLED: a frame selecting one decodes to None — the decode
+  *     matrix reports the gap instead of emitting wrong samples.
+  *   - The 512-tap polyphase prototype is a Kaiser-windowed sinc
+  *     pseudo-QMF design (the published design family of the MPEG
+  *     filterbank) rather than spec Table 3-B.3's tabulated values; the
+  *     analysis/synthesis pair is gain-calibrated at init and verified
+  *     near-PR by spec test. Fixtures round-trip through the matched
+  *     pair; an external spec-window stream decodes with a slightly
+  *     different (still lowpass, still stable) reconstruction filter.
+  *
+  * The fixture encoder emits fully valid Layer III streams within the
+  * validated-table subset: mono, 32 kHz, 320 kbps, long blocks,
+  * per-band scalefactors chosen for maximum quantizer resolution, an
+  * Info first frame carrying frame count + gapless delay/padding.
+  * MultimodalSpec pins decoded-output determinism, fingerprint closeness
+  * to the PCM twin, codebook validity, and never-throw fuzz.
+  */
+private[graft] object Mp3 {
+
+  // ---- constant tables (derivable or spec data, see header note) -----
+
+  /** MPEG-1 Layer III bitrates, kbps, header index 1-14 (0 = free). */
+  private[graft] val Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  /** MPEG-1 sample rates, header index 0-2. */
+  private[graft] val SampleRates = Array(44100, 48000, 32000)
+
+  /** Long-block scalefactor band boundaries per sample-rate index
+    * (22 bands + end; spec Table B.8). */
+  private val SfbLong: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+      162, 196, 238, 288, 342, 418, 576), // 44100
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128,
+      156, 190, 230, 276, 330, 384, 576), // 48000
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
+      194, 240, 296, 364, 448, 550, 576)) // 32000
+
+  /** Short-block scalefactor band boundaries (13 bands + end, per
+    * window; spec Table B.8). */
+  private val SfbShort: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192))
+
+  /** preflag pretab additions, long bands 0-21. */
+  private val Pretab =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+  /** scalefac_compress -> (slen1, slen2). */
+  private val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+  private val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+
+  /** Alias-reduction butterflies: the eight ci values are the spec's
+    * closed-form list; cs/ca derive from them. */
+  private val AliasCs = new Array[Double](8)
+  private val AliasCa = new Array[Double](8)
+  locally {
+    val ci = Array(-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+    var i = 0
+    while (i < 8) {
+      val cs = 1.0 / math.sqrt(1.0 + ci(i) * ci(i))
+      AliasCs(i) = cs
+      AliasCa(i) = ci(i) * cs
+      i += 1
+    }
+  }
+
+  /** is^(4/3) for is 0..8206 (the max with 13 linbits), lazily sliced:
+    * the first 256 cover every non-ESC table. */
+  private val Pow43 = Array.tabulate(256)(i => math.pow(i.toDouble, 4.0 / 3.0))
+  private def pow43(v: Int): Double =
+    if (v < 256) Pow43(v) else math.pow(v.toDouble, 4.0 / 3.0)
+
+  // ---- Huffman codebooks --------------------------------------------
+
+  /** One big-value codebook: entry (x, y) at index x*ylen + y. `valid`
+    * is the init-time completeness check — Kraft sum exactly 1 and
+    * prefix-freeness — that gates every use. */
+  private[graft] final class HuffTable(
+      val xlen: Int, val ylen: Int, val linbits: Int,
+      val hlen: Array[Int], val hcod: Array[Int]) {
+
+    /** Bit-trie: node i has kids trie(2i+bit); negative = ~leafIndex. */
+    private val trie = scala.collection.mutable.ArrayBuffer[Int](0, 0)
+    val valid: Boolean = {
+      var kraft = 0.0
+      var ok = hlen.length == xlen * ylen && hcod.length == xlen * ylen
+      var e = 0
+      while (ok && e < hlen.length) {
+        val len = hlen(e)
+        val code = hcod(e)
+        ok = len >= 1 && len <= 19 && code >= 0 && (code >> len) == 0
+        if (ok) {
+          kraft += math.pow(2.0, -len)
+          // insert into the trie; hitting a leaf mid-path or replacing a
+          // non-empty subtree = prefix violation
+          var node = 0
+          var bit = len - 1
+          while (ok && bit >= 0) {
+            val b = (code >> bit) & 1
+            val slot = 2 * node + b
+            val cur = trie(slot)
+            if (bit == 0) {
+              ok = cur == 0
+              if (ok) trie(slot) = ~e
+            } else {
+              if (cur < 0) ok = false
+              else if (cur == 0) {
+                trie(slot) = trie.length / 2
+                trie += 0; trie += 0
+              }
+              node = trie(slot)
+            }
+            bit -= 1
+          }
+        }
+        e += 1
+      }
+      ok && math.abs(kraft - 1.0) < 1e-9
+    }
+
+    /** Decode one (x, y) pair index from `r`; -1 on invalid/eof. */
+    def decodePair(r: BitReader): Int = {
+      var node = 0
+      var steps = 0
+      while (steps < 20) {
+        if (r.eof) return -1
+        val v = trie(2 * node + r.bit1())
+        if (v < 0) return ~v
+        if (v == 0) return -1
+        node = v
+        steps += 1
+      }
+      -1
+    }
+  }
+
+  /** ISO 11172-3 Table B.7 codebooks, transcribed (see the header note on
+    * validation). Array index = spec table number where present. */
+  private[graft] val Tab1 = new HuffTable(2, 2, 0,
+    Array(1, 3, 2, 3), Array(1, 1, 1, 0))
+  private[graft] val Tab2 = new HuffTable(3, 3, 0,
+    Array(1, 3, 6, 3, 3, 5, 5, 5, 6), Array(1, 2, 1, 3, 1, 1, 3, 2, 0))
+  private[graft] val Tab3 = new HuffTable(3, 3, 0,
+    Array(2, 2, 6, 3, 2, 5, 5, 5, 6), Array(3, 2, 1, 1, 1, 1, 3, 2, 0))
+  private[graft] val Tab5 = new HuffTable(4, 4, 0,
+    Array(1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8),
+    Array(1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0))
+  private[graft] val Tab6 = new HuffTable(4, 4, 0,
+    Array(3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7),
+    Array(7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0))
+  private[graft] val Tab7 = new HuffTable(6, 6, 0,
+    Array(1, 3, 6, 8, 8, 9, 3, 4, 6, 7, 7, 8, 6, 5, 7, 8, 8, 9,
+      7, 7, 8, 9, 9, 10, 8, 8, 9, 10, 10, 10, 9, 9, 10, 10, 11, 11),
+    Array(1, 2, 10, 19, 16, 10, 3, 3, 7, 10, 5, 3, 11, 4, 13, 17, 8, 4,
+      12, 11, 18, 15, 11, 2, 7, 6, 9, 14, 3, 1, 6, 4, 5, 3, 2, 0))
+  private[graft] val Tab8 = new HuffTable(6, 6, 0,
+    Array(2, 3, 6, 8, 8, 9, 3, 2, 4, 8, 8, 8, 6, 4, 6, 8, 8, 9,
+      8, 8, 8, 9, 9, 10, 8, 7, 8, 9, 10, 10, 9, 8, 9, 9, 11, 11),
+    Array(3, 4, 6, 18, 12, 5, 5, 1, 2, 16, 9, 3, 7, 3, 5, 14, 7, 3,
+      19, 17, 15, 13, 10, 4, 13, 5, 8, 11, 5, 1, 12, 4, 4, 1, 1, 0))
+  private[graft] val Tab9 = new HuffTable(6, 6, 0,
+    Array(3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8, 4, 4, 5, 6, 7, 8,
+      6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9),
+    Array(7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
+      15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0))
+  private[graft] val Tab10 = new HuffTable(8, 8, 0,
+    Array(1, 3, 6, 8, 9, 9, 9, 10, 3, 4, 6, 7, 8, 9, 8, 8,
+      6, 6, 7, 8, 9, 10, 9, 9, 7, 7, 8, 9, 10, 10, 9, 10,
+      8, 8, 9, 10, 10, 10, 10, 10, 9, 9, 10, 10, 11, 11, 10, 11,
+      8, 8, 9, 10, 10, 10, 11, 11, 9, 8, 9, 10, 10, 11, 11, 11),
+    Array(1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7,
+      11, 9, 15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7,
+      20, 19, 33, 47, 27, 22, 39, 12, 19, 16, 26, 37, 11, 10, 17, 6,
+      14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0))
+  private[graft] val Tab11 = new HuffTable(8, 8, 0,
+    Array(2, 3, 5, 7, 8, 9, 8, 9, 3, 3, 4, 6, 8, 8, 7, 8,
+      5, 5, 6, 7, 8, 9, 8, 8, 7, 6, 7, 9, 8, 10, 8, 9,
+      8, 8, 8, 9, 9, 10, 9, 10, 8, 9, 10, 10, 11, 11, 10, 11,
+      8, 7, 7, 8, 9, 10, 10, 10, 8, 7, 8, 9, 10, 10, 10, 10),
+    Array(3, 4, 10, 24, 34, 33, 21, 15, 5, 3, 4, 10, 32, 17, 11, 10,
+      11, 7, 13, 18, 30, 31, 20, 5, 25, 11, 19, 59, 27, 18, 12, 5,
+      35, 33, 31, 58, 30, 16, 7, 5, 28, 26, 32, 19, 17, 15, 8, 14,
+      14, 12, 9, 13, 14, 9, 4, 1, 11, 4, 6, 6, 6, 3, 2, 0))
+  private[graft] val Tab12 = new HuffTable(8, 8, 0,
+    Array(4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8,
+      5, 4, 5, 6, 7, 8, 7, 8, 6, 5, 6, 6, 7, 8, 8, 8,
+      7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8, 8, 9, 8, 9,
+      8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10),
+    Array(9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11,
+      17, 7, 11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5,
+      32, 13, 22, 19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2,
+      27, 12, 11, 15, 10, 7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0))
+
+  /** count1 table A (variable-length quadruples). */
+  private[graft] val TabC1A = new HuffTable(4, 4, 0,
+    Array(1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6),
+    Array(1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1))
+  /** count1 table B: fixed 4-bit codes, value complemented. */
+  private[graft] val TabC1B = new HuffTable(4, 4, 0,
+    Array.fill(16)(4), Array.tabulate(16)(i => i ^ 0xf))
+
+  /** table_select -> codebook. Entries whose Table B.7 data is not
+    * reproduced here (4/14 are unused by spec; 13/15 and the 16/24 ESC
+    * codebooks are deliberately absent — see the header note) are null:
+    * a frame selecting one is honestly undecodable. Tables 17-23 / 25-31
+    * share the 16 / 24 codebooks with these linbits. */
+  private[graft] val EscLinbits16 = Array(1, 2, 3, 4, 6, 8, 10, 13)
+  private[graft] val EscLinbits24 = Array(4, 5, 6, 7, 8, 9, 11, 13)
+  private[graft] val BigTables: Array[HuffTable] = {
+    val t = new Array[HuffTable](32)
+    t(1) = Tab1; t(2) = Tab2; t(3) = Tab3; t(5) = Tab5; t(6) = Tab6
+    t(7) = Tab7; t(8) = Tab8; t(9) = Tab9; t(10) = Tab10; t(11) = Tab11
+    t(12) = Tab12
+    // validation gate: a mis-transcribed table must disable itself
+    var i = 0
+    while (i < 32) { if (t(i) != null && !t(i).valid) t(i) = null; i += 1 }
+    t
+  }
+  private[graft] def count1Table(select: Int): HuffTable = {
+    val t = if (select == 0) TabC1A else TabC1B
+    if (t.valid) t else null
+  }
+
+  // ---- bit reader ----------------------------------------------------
+
+  private[graft] final class BitReader(b: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bit = 0
+    var eof = false
+    def bitsRead: Int = (pos - start) * 8 + bit
+    def bit1(): Int = {
+      if (pos >= end) { eof = true; return 0 }
+      val v = (b(pos) >> (7 - bit)) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit1(); i += 1 }
+      v
+    }
+    /** Skip forward without reading. */
+    def skip(n: Int): Unit = {
+      val t = bitsRead + n
+      pos = start + t / 8
+      bit = t % 8
+      if (pos >= end && bit > 0) eof = true
+    }
+  }
+
+  // ---- frame header / side info --------------------------------------
+
+  private[graft] final case class Header(
+      bitrateKbps: Int, sampleRate: Int, srIdx: Int, padding: Int,
+      channels: Int, mode: Int, modeExt: Int, crc: Boolean) {
+    def frameBytes: Int = 144 * bitrateKbps * 1000 / sampleRate + padding
+    def sideInfoBytes: Int = if (channels == 1) 17 else 32
+  }
+
+  /** Parse an MPEG-1 Layer III header at `off`; None if not one. */
+  private[graft] def header(b: Array[Byte], off: Int): Option[Header] = {
+    if (off + 4 > b.length) return None
+    val h0 = b(off) & 0xff; val h1 = b(off + 1) & 0xff
+    val h2 = b(off + 2) & 0xff; val h3 = b(off + 3) & 0xff
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None
+    if ((h1 & 0x18) != 0x18) return None // MPEG-1 only
+    if ((h1 & 0x06) != 0x02) return None // Layer III only
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // no free format
+    val mode = (h3 >> 6) & 0x3
+    Some(Header(
+      Bitrates(brIdx), SampleRates(srIdx), srIdx, (h2 >> 1) & 1,
+      if (mode == 3) 1 else 2, mode, (h3 >> 4) & 0x3, (h1 & 1) == 0))
+  }
+
+  /** Per-(granule, channel) side info. */
+  private final class GrInfo {
+    var part23Length = 0
+    var bigValues = 0
+    var globalGain = 0
+    var scalefacCompress = 0
+    var windowSwitching = false
+    var blockType = 0
+    var mixedBlock = false
+    val tableSelect = new Array[Int](3)
+    val subblockGain = new Array[Int](3)
+    var region0Count = 0
+    var region1Count = 0
+    var preflag = 0
+    var scalefacScale = 0
+    var count1Select = 0
+  }
+
+  private final class SideInfo(channels: Int) {
+    var mainDataBegin = 0
+    val scfsi = Array.ofDim[Int](channels, 4)
+    val gr = Array.fill(2, channels)(new GrInfo)
+  }
+
+  private def readSideInfo(r: BitReader, channels: Int): SideInfo = {
+    val s = new SideInfo(channels)
+    s.mainDataBegin = r.bits(9)
+    r.skip(if (channels == 1) 5 else 3) // private bits
+    var ch = 0
+    while (ch < channels) {
+      var i = 0
+      while (i < 4) { s.scfsi(ch)(i) = r.bits(1); i += 1 }
+      ch += 1
+    }
+    var g = 0
+    while (g < 2) {
+      ch = 0
+      while (ch < channels) {
+        val gi = s.gr(g)(ch)
+        gi.part23Length = r.bits(12)
+        gi.bigValues = r.bits(9)
+        gi.globalGain = r.bits(8)
+        gi.scalefacCompress = r.bits(4)
+        gi.windowSwitching = r.bits(1) == 1
+        if (gi.windowSwitching) {
+          gi.blockType = r.bits(2)
+          gi.mixedBlock = r.bits(1) == 1
+          gi.tableSelect(0) = r.bits(5)
+          gi.tableSelect(1) = r.bits(5)
+          gi.tableSelect(2) = 0 // region 2 empty under window switching
+          var w = 0
+          while (w < 3) { gi.subblockGain(w) = r.bits(3); w += 1 }
+          // spec-fixed region split under window switching
+          gi.region0Count = if (gi.blockType == 2 && !gi.mixedBlock) 8 else 7
+          gi.region1Count = 20 - gi.region0Count
+        } else {
+          gi.blockType = 0
+          gi.tableSelect(0) = r.bits(5)
+          gi.tableSelect(1) = r.bits(5)
+          gi.tableSelect(2) = r.bits(5)
+          gi.region0Count = r.bits(4)
+          gi.region1Count = r.bits(3)
+        }
+        gi.preflag = r.bits(1)
+        gi.scalefacScale = r.bits(1)
+        gi.count1Select = r.bits(1)
+        ch += 1
+      }
+      g += 1
+    }
+    s
+  }
+
+  // ---- scalefactors ----------------------------------------------------
+
+  /** Decoded scalefactors: long bands 0-21 and short (band, window). */
+  private final class Scalefacs {
+    val l = new Array[Int](23)
+    val s = Array.ofDim[Int](13, 3)
+  }
+
+  private def readScalefacs(
+      r: BitReader, gi: GrInfo, scfsi: Array[Int], gr: Int,
+      prev: Scalefacs): Scalefacs = {
+    val out = new Scalefacs
+    val slen1 = Slen1(gi.scalefacCompress)
+    val slen2 = Slen2(gi.scalefacCompress)
+    if (gi.windowSwitching && gi.blockType == 2) {
+      if (gi.mixedBlock) {
+        var b = 0
+        while (b < 8) { out.l(b) = r.bits(slen1); b += 1 }
+        b = 3
+        while (b < 6) {
+          var w = 0
+          while (w < 3) { out.s(b)(w) = r.bits(slen1); w += 1 }
+          b += 1
+        }
+        b = 6
+        while (b < 12) {
+          var w = 0
+          while (w < 3) { out.s(b)(w) = r.bits(slen2); w += 1 }
+          b += 1
+        }
+      } else {
+        var b = 0
+        while (b < 6) {
+          var w = 0
+          while (w < 3) { out.s(b)(w) = r.bits(slen1); w += 1 }
+          b += 1
+        }
+        b = 6
+        while (b < 12) {
+          var w = 0
+          while (w < 3) { out.s(b)(w) = r.bits(slen2); w += 1 }
+          b += 1
+        }
+      }
+    } else {
+      // long blocks; scfsi groups are bands 0-5, 6-10, 11-15, 16-20 —
+      // a set bit on granule 1 reuses granule 0's values (no bits read)
+      val groups = Array((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+      var gIdx = 0
+      while (gIdx < 4) {
+        val (from, until, slen) = groups(gIdx)
+        if (gr == 1 && scfsi(gIdx) == 1 && prev != null) {
+          var b = from
+          while (b < until) { out.l(b) = prev.l(b); b += 1 }
+        } else {
+          var b = from
+          while (b < until) { out.l(b) = r.bits(slen); b += 1 }
+        }
+        gIdx += 1
+      }
+    }
+    out
+  }
+
+  /** Scalefactor part2 bit count actually consumed (needed to bound the
+    * Huffman region). */
+  private def part2Bits(gi: GrInfo, scfsi: Array[Int], gr: Int): Int = {
+    val slen1 = Slen1(gi.scalefacCompress)
+    val slen2 = Slen2(gi.scalefacCompress)
+    if (gi.windowSwitching && gi.blockType == 2) {
+      if (gi.mixedBlock) 8 * slen1 + 9 * slen1 + 18 * slen2
+      else 18 * slen1 + 18 * slen2
+    } else {
+      var bits = 0
+      val lens = Array(6 * slen1, 5 * slen1, 5 * slen2, 5 * slen2)
+      var g = 0
+      while (g < 4) {
+        if (!(gr == 1 && scfsi(g) == 1)) bits += lens(g)
+        g += 1
+      }
+      bits
+    }
+  }
+
+  // ---- Huffman region --------------------------------------------------
+
+  /** Decode one granule-channel's spectrum into `is576`; returns false on
+    * a disabled/invalid codebook or malformed stream. */
+  private def readHuffman(
+      r: BitReader, gi: GrInfo, srIdx: Int, partStartBits: Int,
+      is576: Array[Int]): Boolean = {
+    java.util.Arrays.fill(is576, 0)
+    val partEnd = partStartBits + gi.part23Length
+    // region boundaries in line numbers
+    val sfb = SfbLong(srIdx)
+    val bigLines = math.min(576, gi.bigValues * 2)
+    val r0 = math.min(sfb(math.min(gi.region0Count + 1, 22)), bigLines)
+    val r1 =
+      if (gi.windowSwitching) bigLines
+      else math.min(
+        sfb(math.min(gi.region0Count + gi.region1Count + 2, 22)), bigLines)
+    var line = 0
+    var region = 0
+    while (line < bigLines) {
+      val bound = if (line < r0) r0 else if (line < r1) r1 else bigLines
+      val select = gi.tableSelect(region)
+      if (select == 0) {
+        line = bound // table 0: all zero
+      } else {
+        val (tab, linbits) =
+          if (select < 16) (BigTables(select), 0)
+          else if (select < 24) (BigTables(16), EscLinbits16(select - 16))
+          else (BigTables(24), EscLinbits24(select - 24))
+        if (tab == null) return false // disabled codebook: honest None
+        while (line < bound) {
+          if (r.bitsRead >= partEnd) return false // ran out inside big values
+          val pair = tab.decodePair(r)
+          if (pair < 0) return false
+          var x = pair / tab.ylen
+          var y = pair % tab.ylen
+          if (x == 15 && linbits > 0) x += r.bits(linbits)
+          if (x != 0 && r.bits(1) == 1) x = -x
+          if (y == 15 && linbits > 0) y += r.bits(linbits)
+          if (y != 0 && r.bits(1) == 1) y = -y
+          is576(line) = x
+          if (line + 1 < 576) is576(line + 1) = y
+          line += 2
+        }
+      }
+      region += 1
+      if (region > 2) region = 2
+    }
+    // count1: quadruples of +-1 until the part2_3 budget is consumed
+    val c1 = count1Table(gi.count1Select)
+    if (c1 == null) return false
+    while (r.bitsRead < partEnd && line + 3 < 576) {
+      val q = c1.decodePair(r)
+      if (q < 0) return false
+      if (r.bitsRead > partEnd) {
+        // the last quad overran the budget: spec behavior is to discard it
+        var i = 0
+        while (i < 4) { if (line + i < 576) is576(line + i) = 0; i += 1 }
+        line += 4
+      } else {
+        // q bits map (v,w,x,y) msb-first
+        var i = 0
+        while (i < 4) {
+          if ((q & (8 >> i)) != 0) {
+            var v = 1
+            if (r.bits(1) == 1) v = -1
+            is576(line + i) = v
+          }
+          i += 1
+        }
+        line += 4
+      }
+    }
+    // position the reader at the end of this granule's budget (stuffing)
+    val rest = partEnd - r.bitsRead
+    if (rest > 0) r.skip(rest)
+    true
+  }
+
+  // ---- requantize / reorder / stereo / alias ---------------------------
+
+  /** is -> xr for one granule-channel (long, short, and mixed layouts). */
+  private def requantize(
+      is576: Array[Int], gi: GrInfo, sf: Scalefacs, srIdx: Int,
+      xr: Array[Double]): Unit = {
+    val gain = math.pow(2.0, 0.25 * (gi.globalGain - 210))
+    val mult = if (gi.scalefacScale == 0) 0.5 else 1.0
+    val short = gi.windowSwitching && gi.blockType == 2
+    val longEnd = if (!short) 576 else if (gi.mixedBlock) 36 else 0
+    val sfbL = SfbLong(srIdx)
+    // long region
+    var band = 0
+    var i = 0
+    while (i < longEnd) {
+      while (band < 21 && sfbL(band + 1) <= i) band += 1
+      val exp = -mult * (sf.l(band) + gi.preflag * Pretab(band))
+      val g = gain * math.pow(2.0, exp)
+      val v = is576(i)
+      xr(i) = (if (v < 0) -pow43(-v) else pow43(v)) * g
+      i += 1
+    }
+    if (short) {
+      // short region: huffman order is per band, windows interleaved —
+      // requantize in that order, REORDER below into window-major lines
+      val sfbS = SfbShort(srIdx)
+      val startBand = if (gi.mixedBlock) 3 else 0
+      var src = longEnd
+      var b = startBand
+      while (b < 13 && src < 576) {
+        val width = sfbS(b + 1) - sfbS(b)
+        var w = 0
+        while (w < 3 && src < 576) {
+          val sfv = if (b < 12) sf.s(b)(w) else 0
+          val g = math.pow(2.0,
+            0.25 * (gi.globalGain - 210 - 8 * gi.subblockGain(w))) *
+            math.pow(2.0, -mult * sfv)
+          var k = 0
+          while (k < width && src < 576) {
+            val v = is576(src)
+            xr(src) = (if (v < 0) -pow43(-v) else pow43(v)) * g
+            src += 1
+            k += 1
+          }
+          w += 1
+        }
+        b += 1
+      }
+      while (src < 576) { xr(src) = 0.0; src += 1 }
+      // reorder: (band, window, line) -> window-major within each band
+      // triple so the 12-point IMDCTs see contiguous window lines
+      val tmp = new Array[Double](576)
+      System.arraycopy(xr, 0, tmp, 0, 576)
+      var dst = longEnd
+      b = startBand
+      while (b < 13) {
+        val width = sfbS(b + 1) - sfbS(b)
+        val base = longEnd + (sfbS(b) - sfbS(startBand)) * 3
+        var k = 0
+        while (k < width) {
+          var w = 0
+          while (w < 3) {
+            val srcAt = base + w * width + k
+            if (dst < 576 && srcAt < 576) xr(dst) = tmp(srcAt)
+            dst += 1
+            w += 1
+          }
+          k += 1
+        }
+        b += 1
+      }
+    }
+  }
+
+  /** MS stereo: mid/side -> left/right in place over all 576 lines. */
+  private def msStereo(xrL: Array[Double], xrR: Array[Double]): Unit = {
+    val s2 = math.sqrt(2.0)
+    var i = 0
+    while (i < 576) {
+      val m = xrL(i); val s = xrR(i)
+      xrL(i) = (m + s) / s2
+      xrR(i) = (m - s) / s2
+      i += 1
+    }
+  }
+
+  /** Alias-reduction butterflies across long-block subband boundaries. */
+  private def aliasReduce(xr: Array[Double], gi: GrInfo): Unit = {
+    val sblimit =
+      if (gi.windowSwitching && gi.blockType == 2)
+        (if (gi.mixedBlock) 1 else 0) // short blocks: no aliasing butterflies
+      else 32
+    var sb = 1
+    while (sb < sblimit) {
+      val base = 18 * sb
+      var i = 0
+      while (i < 8) {
+        val a = xr(base - 1 - i)
+        val b = xr(base + i)
+        xr(base - 1 - i) = a * AliasCs(i) - b * AliasCa(i)
+        xr(base + i) = b * AliasCs(i) + a * AliasCa(i)
+        i += 1
+      }
+      sb += 1
+    }
+  }
+
+  // ---- IMDCT / MDCT (closed-form spec formulas) ------------------------
+
+  /** cos(pi/72 (2p+1+18)(2m+1)), 36x18, shared by MDCT and IMDCT. */
+  private val CosLong = Array.tabulate(36, 18)((p, m) =>
+    math.cos(math.Pi / 72.0 * (2 * p + 1 + 18) * (2 * m + 1)))
+  /** cos(pi/24 (2p+1+6)(2m+1)), 12x6, the short twin. */
+  private val CosShort = Array.tabulate(12, 6)((p, m) =>
+    math.cos(math.Pi / 24.0 * (2 * p + 1 + 6) * (2 * m + 1)))
+
+  /** The four block-type windows over 36 taps (spec closed forms). */
+  private[graft] val Win: Array[Array[Double]] = {
+    val w = Array.ofDim[Double](4, 36)
+    var p = 0
+    while (p < 36) {
+      val long = math.sin(math.Pi / 36.0 * (p + 0.5))
+      w(0)(p) = long
+      w(1)(p) =
+        if (p < 18) long
+        else if (p < 24) 1.0
+        else if (p < 30) math.sin(math.Pi / 12.0 * (p - 18 + 0.5))
+        else 0.0
+      w(3)(p) =
+        if (p < 6) 0.0
+        else if (p < 12) math.sin(math.Pi / 12.0 * (p - 6 + 0.5))
+        else if (p < 18) 1.0
+        else long
+      p += 1
+    }
+    // type 2 is the 12-tap short window, applied in imdctShort
+    w
+  }
+  private val WinShort = Array.tabulate(12)(p => math.sin(math.Pi / 12.0 * (p + 0.5)))
+
+  /** 36-point IMDCT + window into `out(36)`; PR scale 4/36. */
+  private def imdctLong(x: Array[Double], off: Int, blockType: Int, out: Array[Double]): Unit = {
+    val w = Win(blockType)
+    var p = 0
+    while (p < 36) {
+      var acc = 0.0
+      var m = 0
+      while (m < 18) { acc += x(off + m) * CosLong(p)(m); m += 1 }
+      out(p) = acc * w(p) * (4.0 / 36.0)
+      p += 1
+    }
+  }
+
+  /** Three overlapped 12-point IMDCTs (input interleaved stride 3). */
+  private def imdctShort(x: Array[Double], off: Int, out: Array[Double]): Unit = {
+    java.util.Arrays.fill(out, 0.0)
+    var w = 0
+    while (w < 3) {
+      var p = 0
+      while (p < 12) {
+        var acc = 0.0
+        var m = 0
+        while (m < 6) { acc += x(off + 3 * m + w) * CosShort(p)(m); m += 1 }
+        out(6 + 6 * w + p) += acc * WinShort(p) * (4.0 / 12.0)
+        p += 1
+      }
+      w += 1
+    }
+  }
+
+  // ---- polyphase filterbank (pseudo-QMF; see header note) --------------
+
+  /** 512-tap pseudo-QMF prototype, designed by frequency sampling with a
+    * raised-cosine AMPLITUDE transition about the band edge pi/64 — so
+    * adjacent-band responses are power-complementary by construction
+    * (cos^2 + sin^2 across the crossover), the condition near-perfect
+    * reconstruction of a cosine-modulated bank requires. This is the
+    * published design family of the MPEG polyphase window; the spec's
+    * tabulated Table 3-B.3 values are not reproduced here (see header). */
+  private val Prototype: Array[Double] = {
+    val L = 8192
+    val edge = math.Pi / 64.0
+    val tw = 0.5 * edge // transition half-width
+    def amp(w: Double): Double =
+      if (w <= edge - tw) 1.0
+      else if (w >= edge + tw) 0.0
+      else math.cos(math.Pi / 2.0 * (w - (edge - tw)) / (2.0 * tw))
+    Array.tabulate(512) { i =>
+      val t = i - 255.5
+      var acc = amp(0.0) / 2.0
+      var j = 1
+      while (j < L / 2) {
+        val w = 2.0 * math.Pi * j / L
+        if (w < edge + tw) acc += amp(w) * math.cos(w * t)
+        j += 1
+      }
+      2.0 * acc / L
+    }
+  }
+
+  /** Analysis filters A(k)(i) and synthesis F(k)(i) — the classic
+    * Rothweiler pseudo-QMF pair (modulation about the prototype's
+    * symmetry center, +-(-1)^k pi/4 phases, which is the published design
+    * family MPEG's bank belongs to); F gain-calibrated at init so
+    * analysis+synthesis is unity in-band. */
+  private[graft] val (analysisF, synthesisF): (Array[Array[Double]], Array[Array[Double]]) = {
+    // the analysis step is a CORRELATION (sum over x[32t + i] * A(k)(i)),
+    // i.e. convolution with the time-reversed filter — and reversing a
+    // symmetric-prototype modulated filter flips its phase sign. Both
+    // arrays therefore carry the SAME (-theta_k) phase: the effective
+    // convolution pair is (+theta analysis, -theta synthesis), the
+    // phase-opposed pairing alias cancellation requires.
+    val a = Array.tabulate(32, 512)((k, i) =>
+      Prototype(i) * math.cos(
+        (2 * k + 1) * math.Pi / 64.0 * (i - 255.5) - (if ((k & 1) == 0) 1 else -1) * math.Pi / 4.0))
+    val f = Array.tabulate(32, 512)((k, i) =>
+      Prototype(i) * math.cos(
+        (2 * k + 1) * math.Pi / 64.0 * (i - 255.5) - (if ((k & 1) == 0) 1 else -1) * math.Pi / 4.0))
+    // numeric gain calibration: a mid-band sine through analysis+synthesis
+    val n = 4096
+    val freq = 5.0 / 128.0 // center of subband 2
+    val x = Array.tabulate(n)(t => math.sin(2 * math.Pi * freq * t))
+    val steps = (n - 512) / 32
+    val acc = new Array[Double](n + 512)
+    var t = 0
+    while (t < steps) {
+      var k = 0
+      while (k < 32) {
+        var s = 0.0
+        var i = 0
+        while (i < 512) { s += x(32 * t + i) * a(k)(i); i += 1 }
+        if (s != 0.0) {
+          i = 0
+          while (i < 512) { acc(32 * t + i) += s * f(k)(i); i += 1 }
+        }
+        k += 1
+      }
+      t += 1
+    }
+    // steady-state RMS ratio (skip the ramp-in/out)
+    var e = 0.0
+    var cnt = 0
+    var j = 1024
+    while (j < n - 1024) { e += acc(j) * acc(j); cnt += 1; j += 1 }
+    val gain = math.sqrt(e / cnt) / math.sqrt(0.5)
+    var k = 0
+    while (k < 32) {
+      var i = 0
+      while (i < 512) { f(k)(i) /= gain; i += 1 }
+      k += 1
+    }
+    (a, f)
+  }
+
+  /** Per-channel decoder DSP state. */
+  private final class ChannelState {
+    val prev = Array.ofDim[Double](32, 18) // IMDCT overlap (second halves)
+    val acc = new Array[Double](512) // synthesis accumulation ring
+    var accBase = 0
+  }
+
+  /** One granule: xr (aliased) -> 576 PCM samples appended to `out`. */
+  private def granuleToPcm(
+      xr: Array[Double], gi: GrInfo, st: ChannelState,
+      out: Array[Double], outOff: Int): Unit = {
+    val block = new Array[Double](36)
+    val sShort = gi.windowSwitching && gi.blockType == 2
+    // IMDCT + overlap per subband -> S[t][sb]
+    val s = Array.ofDim[Double](18, 32)
+    var sb = 0
+    while (sb < 32) {
+      val shortHere = sShort && (!gi.mixedBlock || sb >= 2)
+      if (shortHere) imdctShort(xr, 18 * sb, block)
+      else imdctLong(xr, 18 * sb,
+        if (sShort && gi.mixedBlock) 0 else gi.blockType, block)
+      var t = 0
+      while (t < 18) {
+        var v = block(t) + st.prev(sb)(t)
+        // frequency inversion: odd subbands, odd time samples
+        if ((sb & 1) == 1 && (t & 1) == 1) v = -v
+        s(t)(sb) = v
+        st.prev(sb)(t) = block(18 + t)
+        t += 1
+      }
+      sb += 1
+    }
+    // polyphase synthesis, 32 PCM per time step
+    var t = 0
+    while (t < 18) {
+      val in = s(t)
+      var k = 0
+      while (k < 32) {
+        val v = in(k)
+        if (v != 0.0) {
+          val fk = synthesisF(k)
+          var i = 0
+          while (i < 512) {
+            st.acc((st.accBase + i) & 511) += v * fk(i)
+            i += 1
+          }
+        }
+        k += 1
+      }
+      var j = 0
+      while (j < 32) {
+        val at = (st.accBase + j) & 511
+        out(outOff + 32 * t + j) = st.acc(at)
+        st.acc(at) = 0.0
+        j += 1
+      }
+      st.accBase = (st.accBase + 32) & 511
+      t += 1
+    }
+  }
+
+  // ---- stream walk / Xing tag / main decode ----------------------------
+
+  /** Skip a leading ID3v2 container if present (syncsafe size). */
+  private[graft] def skipId3(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      math.min(b.length, 10 + sz)
+    } else 0
+
+  /** LAME-style gapless info from a first-frame Xing/Info tag:
+    * (frames, encoderDelay, endPadding); None when absent. */
+  private[graft] def xingInfo(b: Array[Byte], off: Int, h: Header): Option[(Int, Int, Int)] = {
+    val at = off + 4 + (if (h.crc) 2 else 0) + h.sideInfoBytes
+    if (at + 8 > b.length) return None
+    val tag = new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag != "Xing" && tag != "Info") return None
+    def be32(i: Int) = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val flags = be32(at + 4)
+    var p = at + 8
+    var frames = -1
+    if ((flags & 1) != 0) { if (p + 4 > b.length) return None; frames = be32(p); p += 4 }
+    if ((flags & 2) != 0) p += 4 // bytes
+    if ((flags & 4) != 0) p += 100 // TOC
+    if ((flags & 8) != 0) p += 4 // quality
+    // LAME extension: 9-byte version string, then delay/padding packed in
+    // 3 bytes at offset 21 of the tag
+    val lameAt = p
+    if (lameAt + 24 > b.length) return Some((frames, 0, 0))
+    val d0 = b(lameAt + 21) & 0xff; val d1 = b(lameAt + 22) & 0xff; val d2 = b(lameAt + 23) & 0xff
+    val delay = (d0 << 4) | (d1 >> 4)
+    val padding = ((d1 & 0xf) << 8) | d2
+    Some((frames, delay, padding))
+  }
+
+  /** Work bound: at most this many frames decode (a crafted stream cannot
+    * allocate unbounded output; ~8.5 minutes at 48 kHz). */
+  private val MaxFrames = 24000
+
+  /** Decode an MPEG-1 Layer III stream to normalized mono samples in
+    * [-1, 1] (stereo averages), the [[Multimodal.WavDecoder]] contract.
+    * Returns None on anything malformed, never throws. */
+  def decode(b: Array[Byte]): Option[Array[Double]] =
+    try decodeImpl(b)
+    catch { case _: Exception => None }
+
+  private def decodeImpl(b: Array[Byte]): Option[Array[Double]] = {
+    var off = skipId3(b)
+    val h0 = header(b, off).getOrElse(return None)
+    // gapless tag (and skip the Info frame itself when present)
+    val tag = xingInfo(b, off, h0)
+    if (tag.isDefined) off += h0.frameBytes
+    var delay = 0
+    var padding = 0
+    tag.foreach { case (_, d, p) => delay = d; padding = p }
+
+    var resBytes = new Array[Byte](0)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val states = Array.fill(2)(new ChannelState)
+    val prevSf = new Array[Scalefacs](2)
+    val is576 = new Array[Int](576)
+    val xrCh = Array.ofDim[Double](2, 576)
+    var frames = 0
+    var badFrame = false
+
+    while (!badFrame && frames < MaxFrames && off + 4 <= b.length) {
+      header(b, off) match {
+        case None =>
+          off = b.length // trailing garbage/tag: stop at the last clean frame
+        case Some(h) =>
+          if (h.sampleRate != h0.sampleRate || h.channels != h0.channels) {
+            off = b.length // parameter change mid-stream: stop cleanly
+          } else {
+            val frameEnd = off + h.frameBytes
+            if (frameEnd > b.length) { off = b.length }
+            else {
+              val siStart = off + 4 + (if (h.crc) 2 else 0)
+              val si = readSideInfo(
+                new BitReader(b, siStart, siStart + h.sideInfoBytes), h.channels)
+              val mainStart = siStart + h.sideInfoBytes
+              val mainLen = frameEnd - mainStart
+              if (mainLen < 0) badFrame = true
+              else {
+                // bit reservoir: this frame's granules read from
+                // [reservoirEnd - mainDataBegin, ...] + this frame's bytes
+                val avail = resBytes.length
+                if (si.mainDataBegin > avail) {
+                  // not enough history (stream start): skip frame, emit
+                  // silence to keep sample accounting aligned
+                  chunks += new Array[Double](1152)
+                  frames += 1
+                  resBytes = appendReservoir(resBytes, b, mainStart, mainLen)
+                } else {
+                  val data = new Array[Byte](si.mainDataBegin + mainLen)
+                  System.arraycopy(resBytes, avail - si.mainDataBegin, data, 0, si.mainDataBegin)
+                  System.arraycopy(b, mainStart, data, si.mainDataBegin, mainLen)
+                  val r = new BitReader(data, 0, data.length)
+                  val pcm = new Array[Double](1152)
+                  val pcmCh = Array.ofDim[Double](2, 576)
+                  var ok = true
+                  var g = 0
+                  while (ok && g < 2) {
+                    var ch = 0
+                    while (ok && ch < h.channels) {
+                      val gi = si.gr(g)(ch)
+                      val p2Start = r.bitsRead
+                      val sf = readScalefacs(r, gi, si.scfsi(ch), g, prevSf(ch))
+                      if (g == 0) prevSf(ch) = sf
+                      ok = readHuffman(r, gi, h.srIdx, p2Start, is576)
+                      if (ok) {
+                        requantize(is576, gi, sf, h.srIdx, xrCh(ch))
+                        ch += 1
+                      }
+                    }
+                    if (ok && h.channels == 2) {
+                      if ((h.modeExt & 1) != 0) ok = false // intensity: out of scope
+                      else if ((h.modeExt & 2) != 0) msStereo(xrCh(0), xrCh(1))
+                    }
+                    if (ok) {
+                      ch = 0
+                      while (ch < h.channels) {
+                        val gi = si.gr(g)(ch)
+                        aliasReduce(xrCh(ch), gi)
+                        granuleToPcm(xrCh(ch), gi, states(ch), pcmCh(ch), 0)
+                        ch += 1
+                      }
+                      var j = 0
+                      while (j < 576) {
+                        pcm(576 * g + j) =
+                          if (h.channels == 1) pcmCh(0)(j)
+                          else 0.5 * (pcmCh(0)(j) + pcmCh(1)(j))
+                        j += 1
+                      }
+                    }
+                    g += 1
+                  }
+                  if (!ok) badFrame = true
+                  else {
+                    chunks += pcm
+                    frames += 1
+                  }
+                  resBytes = appendReservoir(resBytes, b, mainStart, mainLen)
+                }
+              }
+              off = frameEnd
+            }
+          }
+      }
+    }
+    if (chunks.isEmpty) return None
+    val total = chunks.length * 1152
+    val all = new Array[Double](total)
+    var i = 0
+    while (i < chunks.length) {
+      System.arraycopy(chunks(i), 0, all, i * 1152, 1152)
+      i += 1
+    }
+    // gapless trim from the tag; without one, return everything
+    val from = math.min(delay, total)
+    val until = math.max(from, total - padding)
+    if (until - from <= 0) return None
+    Some(java.util.Arrays.copyOfRange(all, from, until))
+  }
+
+  /** Keep the last <=511 bytes of reservoir history plus this frame's
+    * main data (511 = the 9-bit main_data_begin reach). */
+  private def appendReservoir(
+      prev: Array[Byte], b: Array[Byte], start: Int, len: Int): Array[Byte] = {
+    val keep = math.min(prev.length + len, 511)
+    val out = new Array[Byte](keep)
+    var src = prev.length + len - keep // global offset of first kept byte
+    var i = 0
+    while (i < keep) {
+      out(i) = if (src < prev.length) prev(src) else b(start + (src - prev.length))
+      src += 1
+      i += 1
+    }
+    out
+  }
+
+  // =====================================================================
+  // Fixture ENCODER — valid Layer III mono 32 kHz 320 kbps, long blocks,
+  // the validated-codebook subset (see the object header).
+  // =====================================================================
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) { buf.write(cur); cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    def bitLength: Int = buf.size * 8 + nbits
+    def padToByte(): Unit = if (nbits > 0) bits(0, 8 - nbits)
+    def toBytes: Array[Byte] = { padToByte(); buf.toByteArray }
+  }
+
+  /** The encoder's big-value codebook (largest validated non-ESC table)
+    * and its magnitude cap. */
+  private[graft] val EncTableSelect = 12
+  private val EncTable = BigTables(EncTableSelect)
+  private val EncCap = EncTable.xlen - 1 // 7
+
+  /** Measured total chain latency (analysis + MDCT overlap + synthesis)
+    * in PCM samples — written into the LAME gapless tag so the decoder
+    * recovers exactly the source samples. Pinned by MultimodalSpec
+    * against a fresh cross-correlation measurement. */
+  private[graft] val ChainDelay = 576 // MDCT granule overlap; the correlation-form filterbank pair is zero-delay
+
+  private def quantizeGranule(
+      xr: Array[Double], sfbL: Array[Int],
+      is576: Array[Int], sfOut: Array[Int]): (Int, Int) = {
+    var amaxAll = 0.0
+    var i = 0
+    while (i < 576) { val a = math.abs(xr(i)); if (a > amaxAll) amaxAll = a; i += 1 }
+    java.util.Arrays.fill(is576, 0)
+    java.util.Arrays.fill(sfOut, 0)
+    if (amaxAll == 0.0) return (0, 0) // silent: (globalGain, lastNonzero+1)
+    // G so the loudest line quantizes to the cap at sf = 0
+    val targetQ = EncCap + 0.49
+    val gRaw = amaxAll / math.pow(targetQ, 4.0 / 3.0)
+    val gg = math.max(0, math.min(255,
+      math.ceil(210.0 + 4.0 * (math.log(gRaw) / math.log(2.0))).toInt))
+    val g = math.pow(2.0, 0.25 * (gg - 210))
+    var band = 0
+    while (band < 22) {
+      val from = sfbL(band)
+      val until = sfbL(band + 1)
+      var amax = 0.0
+      i = from
+      while (i < until) { val a = math.abs(xr(i)); if (a > amax) amax = a; i += 1 }
+      val cap = if (band < 11) 15 else if (band < 21) 7 else 0
+      var sf = 0
+      if (amax > 0.0) {
+        // the largest sf whose band max still quantizes within the cap
+        // (scalefac_scale = 0: each step scales the quantizer by sqrt(2))
+        while (sf < cap &&
+          math.pow(amax * math.pow(2.0, 0.5 * (sf + 1)) / g, 0.75) <= targetQ) sf += 1
+      }
+      sfOut(band) = sf
+      val scale = math.pow(2.0, 0.5 * sf) / g
+      i = from
+      while (i < until) {
+        val a = math.abs(xr(i)) * scale
+        // optimal rounding in the RECONSTRUCTION domain: pick the
+        // neighbor of a^(3/4) whose is^(4/3) lands closer to a (plain
+        // rounding of the power-law index is biased)
+        val fl = math.min(EncCap, math.pow(a, 0.75).toInt)
+        val ce = math.min(EncCap, fl + 1)
+        val v =
+          if (math.abs(a - math.pow(fl.toDouble, 4.0 / 3.0)) <=
+            math.abs(a - math.pow(ce.toDouble, 4.0 / 3.0))) fl
+          else ce
+        is576(i) = v * (if (xr(i) < 0) -1 else 1)
+        i += 1
+      }
+      band += 1
+    }
+    var last = 575
+    while (last >= 0 && is576(last) == 0) last -= 1
+    (gg, last + 1)
+  }
+
+  /** Write one granule's main data; returns part2_3_length in bits. */
+  private def writeGranule(
+      w: BitWriter, is576: Array[Int], sf: Array[Int], silent: Boolean): Int = {
+    val start = w.bitLength
+    if (silent) return 0 // scalefac_compress 0 -> zero part2, no spectrum
+    // scalefactors: compress 15 -> slen1 = 4 (bands 0-10), slen2 = 3 (11-20)
+    var b = 0
+    while (b < 11) { w.bits(sf(b), 4); b += 1 }
+    while (b < 21) { w.bits(sf(b), 3); b += 1 }
+    // big values: pairs through the encoder table, sign bits after each
+    var last = 575
+    while (last >= 0 && is576(last) == 0) last -= 1
+    val lines = ((last + 2) / 2) * 2
+    var i = 0
+    while (i < lines) {
+      val x = is576(i)
+      val y = if (i + 1 < 576) is576(i + 1) else 0
+      val ax = math.abs(x)
+      val ay = math.abs(y)
+      val e = ax * EncTable.ylen + ay
+      w.bits(EncTable.hcod(e), EncTable.hlen(e))
+      if (ax != 0) w.bits(if (x < 0) 1 else 0, 1)
+      if (ay != 0) w.bits(if (y < 0) 1 else 0, 1)
+      i += 2
+    }
+    w.bitLength - start
+  }
+
+  /** Encode mono samples (normalized [-1, 1]) as an MPEG-1 Layer III
+    * stream: Info first frame with frame count + gapless delay/padding,
+    * then audio frames. */
+  def encode(xs: Array[Double]): Array[Byte] = {
+    val n = xs.length
+    val granules = (n + ChainDelay) / 576 + 3 // +overlap margin
+    val audioFrames = (granules + 1) / 2
+    val steps = 18 * (audioFrames * 2)
+    val padded = new Array[Double](32 * (steps - 1) + 512 + 32)
+    System.arraycopy(xs, 0, padded, 0, n)
+
+    // analysis: S(t)(k)
+    val s = Array.ofDim[Double](steps, 32)
+    var t = 0
+    while (t < steps) {
+      var k = 0
+      while (k < 32) {
+        val ak = analysisF(k)
+        var acc = 0.0
+        var i = 0
+        while (i < 512) { acc += padded(32 * t + i) * ak(i); i += 1 }
+        // frequency inversion mirrors the decoder's (odd sb, odd t)
+        s(t)(k) = if ((k & 1) == 1 && (t & 1) == 1) -acc else acc
+        k += 1
+      }
+      t += 1
+    }
+
+    val sfbL = SfbLong(2) // 32000 Hz
+    val out = new java.io.ByteArrayOutputStream()
+    val frameBytes = 144 * 320000 / 32000 // 1440, no padding
+    // ---- Info frame: frame count + LAME-style gapless delay/padding ----
+    val totalOut = audioFrames * 1152
+    val delay = ChainDelay
+    val padEnd = math.max(0, totalOut - delay - n)
+    out.write(infoFrame(frameBytes, audioFrames, delay, padEnd))
+
+    // ---- audio frames ----
+    val prevS = Array.ofDim[Double](32, 18)
+    val xr = new Array[Double](576)
+    val is576 = new Array[Int](576)
+    val sfArr = new Array[Int](22)
+    var f = 0
+    while (f < audioFrames) {
+      val w = new BitWriter
+      // header (0xFF 0xFB: MPEG-1 Layer III no-CRC; 320 kbps, 32 kHz, mono)
+      w.bits(0xff, 8); w.bits(0xfb, 8); w.bits(0xe8, 8); w.bits(0xc0, 8)
+      val gInfo = new Array[(Int, Int, Int)](2) // (part23, bigValues, gg)
+      val main = new BitWriter
+      var g = 0
+      while (g < 2) {
+        val gIdx = 2 * f + g
+        // MDCT over [prev 18 | cur 18] per subband, then inverse alias
+        var sb = 0
+        while (sb < 32) {
+          var m = 0
+          while (m < 18) {
+            var acc = 0.0
+            var p = 0
+            while (p < 36) {
+              val sv = if (p < 18) prevS(sb)(p) else s(18 * gIdx + p - 18)(sb)
+              acc += Win(0)(p) * sv * CosLong(p)(m)
+              p += 1
+            }
+            xr(18 * sb + m) = acc
+            m += 1
+          }
+          m = 0
+          while (m < 18) { prevS(sb)(m) = s(18 * gIdx + m)(sb); m += 1 }
+          sb += 1
+        }
+        // inverse alias butterflies (the decoder's rotation, transposed)
+        sb = 1
+        while (sb < 32) {
+          val base = 18 * sb
+          var i = 0
+          while (i < 8) {
+            val ap = xr(base - 1 - i)
+            val bp = xr(base + i)
+            xr(base - 1 - i) = ap * AliasCs(i) + bp * AliasCa(i)
+            xr(base + i) = bp * AliasCs(i) - ap * AliasCa(i)
+            i += 1
+          }
+          sb += 1
+        }
+        val (gg, lines) = quantizeGranule(xr, sfbL, is576, sfArr)
+        val silent = lines == 0
+        val p23 = writeGranule(main, is576, sfArr, silent)
+        gInfo(g) = (p23, (lines + 1) / 2, gg)
+        g += 1
+      }
+      // side info (17 bytes mono)
+      w.bits(0, 9) // main_data_begin
+      w.bits(0, 5) // private
+      w.bits(0, 4) // scfsi
+      g = 0
+      while (g < 2) {
+        val (p23, bigV, gg) = gInfo(g)
+        val silent = p23 == 0
+        w.bits(p23, 12)
+        w.bits(if (silent) 0 else bigV, 9)
+        w.bits(gg, 8)
+        w.bits(if (silent) 0 else 15, 4) // scalefac_compress
+        w.bits(0, 1) // window switching: long blocks
+        w.bits(if (silent) 0 else EncTableSelect, 5)
+        w.bits(if (silent) 0 else EncTableSelect, 5)
+        w.bits(if (silent) 0 else EncTableSelect, 5)
+        w.bits(3, 4) // region0_count
+        w.bits(3, 3) // region1_count
+        w.bits(0, 1) // preflag
+        w.bits(0, 1) // scalefac_scale
+        w.bits(0, 1) // count1table_select
+        g += 1
+      }
+      // main data + stuffing to the fixed frame size
+      val mainBytes = main.toBytes
+      var i = 0
+      while (i < mainBytes.length) { w.bits(mainBytes(i) & 0xff, 8); i += 1 }
+      val frame = w.toBytes
+      require(frame.length <= frameBytes,
+        s"granule pair overflowed the frame (${frame.length} > $frameBytes)")
+      out.write(frame)
+      out.write(new Array[Byte](frameBytes - frame.length))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** A valid frame whose main data is an Info/Xing tag (frame count) plus
+    * the LAME gapless fields at tag offset 21. */
+  private def infoFrame(frameBytes: Int, frames: Int, delay: Int, padding: Int): Array[Byte] = {
+    val b = new Array[Byte](frameBytes)
+    b(0) = 0xff.toByte; b(1) = 0xfb.toByte; b(2) = 0xe8.toByte; b(3) = 0xc0.toByte
+    // side info: all zero (17 bytes) — part2_3_length 0 everywhere
+    val at = 4 + 17
+    "Info".getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(b, at)
+    def be32(v: Int, o: Int): Unit = {
+      b(o) = (v >>> 24).toByte; b(o + 1) = ((v >> 16) & 0xff).toByte
+      b(o + 2) = ((v >> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+    }
+    be32(1, at + 4) // flags: frames only
+    be32(frames, at + 8)
+    val lameAt = at + 12
+    "GRAFT1.0 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(b, lameAt)
+    b(lameAt + 21) = (delay >> 4).toByte
+    b(lameAt + 22) = (((delay & 0xf) << 4) | (padding >> 8)).toByte
+    b(lameAt + 23) = (padding & 0xff).toByte
+    b
+  }
+}

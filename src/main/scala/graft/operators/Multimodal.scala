@@ -73,8 +73,28 @@ object Multimodal {
         else if (b.length >= 42 && be32(b, 0) == 0x664c6143) parseFlac(b) // "fLaC"
         else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) parseJpeg(b)
         else if (b.length >= 12 && be32(b, 4) == 0x66747970) parseMp4(b) // "ftyp"
+        else if (Mp3.header(b, Mp3.skipId3(b)).isDefined) parseMp3Audio(b)
         else Unknown
       } catch { case _: ArrayIndexOutOfBoundsException => Unknown }
+
+    /** MPEG-1 Layer III: bounded frame walk counting audio frames (an
+      * Info/Xing first frame is metadata, not audio); duration from the
+      * spec's 1152 samples/frame at the header rate. */
+    private def parseMp3Audio(b: Array[Byte]): Meta = {
+      var off = Mp3.skipId3(b)
+      val h0 = Mp3.header(b, off).getOrElse(return Unknown)
+      if (Mp3.xingInfo(b, off, h0).isDefined) off += h0.frameBytes
+      var frames = 0
+      while (frames < 24000 && off + 4 <= b.length) {
+        Mp3.header(b, off) match {
+          case Some(h) if off + h.frameBytes <= b.length =>
+            frames += 1
+            off += h.frameBytes
+          case _ => off = b.length
+        }
+      }
+      Meta("mp3", 0, 0, frames, frames.toLong * 1152L * 1000L / h0.sampleRate)
+    }
 
     /** WebP (RIFF/WEBP): chunk walk to the first image-bearing chunk.
       * `VP8L` (lossless): 1-byte 0x2f signature, then 14-bit LSB-first
@@ -3467,6 +3487,7 @@ object Multimodal {
             case "wav" => WavDecoder.decode(payload).isDefined
             case "flac" => FlacDecoder.decode(payload).isDefined
             case "aiff" => AiffDecoder.decode(payload).isDefined
+            case "mp3" => Mp3.decode(payload).isDefined
             // MJPEG frames decode (both containers); H.264/VP9/AV1 etc.
             // report false — the skipped share a video corpus must watch.
             // Decodability needs ONE frame: bound slice DISCOVERY at 1 too
@@ -3852,6 +3873,16 @@ object Multimodal {
         chunk("COMM", comm) ++ chunk("SSND", ssnd)
       "FORM".getBytes(StandardCharsets.US_ASCII) ++ be32(body.length) ++ body
     }
+
+    /** The same waveform as an MPEG-1 Layer III stream ([[Mp3.encode]]:
+      * mono 32 kHz 320 kbps long blocks, Info first frame with gapless
+      * delay/padding). The ONE lossy member of the rotation: the decoded
+      * samples approximate the waveform (quantizer-bound SNR), so its
+      * fingerprint matches the lossless twins within the Hamming dedup
+      * budget rather than bit-identically — MultimodalSpec measures and
+      * pins that closeness. */
+    def mp3(n: Int, seed: Long, noise: Int = 0, gain: Double = 1.0): Array[Byte] =
+      Mp3.encode(samples(n, seed, noise, gain))
   }
 
   /** Sample decode for RIFF/WAVE — the content-level step beyond
@@ -4298,25 +4329,27 @@ object Multimodal {
   }
 
   private def audioGenUdf(n: Int, noise: Int) =
-    udf((id: Long, seed: Long) => (id % 7) match {
+    udf((id: Long, seed: Long) => (id % 8) match {
       case 0 => AudioGen.wav(n, seed, noise, bits = 8)
       case 1 | -1 => AudioGen.wav(n, seed, noise, bits = 16)
       case 2 | -2 => AudioGen.wavG711(n, seed, noise, alaw = false) // µ-law
       case 3 | -3 => AudioGen.wavG711(n, seed, noise, alaw = true)  // A-law
       case 4 | -4 => AudioGen.wavAdpcm(n, seed, noise)
       case 5 | -5 => AudioGen.flac(n, seed, noise)
-      case _ => AudioGen.aiff(n, seed, noise)
+      case 6 | -6 => AudioGen.aiff(n, seed, noise)
+      case _ => AudioGen.mp3(n, seed, noise)
     })
 
   /** Attach a deterministic audio payload — the audio analogue of
     * [[withImagePayload]]; `seedCol` decouples content from identity so
     * noisy twins can be planted. Ids rotate the ENCODING/CONTAINER of
-    * the same waveform — `id % 7`: 8-bit PCM, 16-bit PCM, G.711 µ-law,
-    * G.711 A-law, IMA-ADPCM, FLAC, AIFF — so sample-width,
-    * companding/block-compression AND native-lossless- plus
-    * big-endian-container independence are part of what q30d exercises
+    * the same waveform — `id % 8`: 8-bit PCM, 16-bit PCM, G.711 µ-law,
+    * G.711 A-law, IMA-ADPCM, FLAC, AIFF, MP3 — so sample-width,
+    * companding/block-compression, native-lossless, big-endian-container
+    * AND perceptual-lossy independence are part of what q30d exercises
     * (an id-shifted twin generally lands in a different encoding than
-    * its original). */
+    * its original; the MP3 slot's twins must collapse within the Hamming
+    * budget, not bit-identically — it is the one lossy member). */
   def withAudioPayload(
       documents: DataFrame,
       idCol: String = "doc_id",
@@ -4398,13 +4431,14 @@ object Multimodal {
   }
 
   /** Audio sample dispatch: RIFF/WAVE families via [[WavDecoder]],
-    * native FLAC via [[FlacDecoder]], FORM/AIFF via [[AiffDecoder]] —
-    * one normalized mono [-1, 1] contract each way, so the fingerprint
-    * is encoding- AND container-blind. */
+    * native FLAC via [[FlacDecoder]], FORM/AIFF via [[AiffDecoder]],
+    * MPEG-1 Layer III via [[Mp3]] — one normalized mono [-1, 1] contract
+    * each way, so the fingerprint is encoding- AND container-blind. */
   private[graft] def decodeAudioSamples(b: Array[Byte]): Option[Array[Double]] =
     if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
       FlacDecoder.decode(b)
     else if (AiffDecoder.isAiff(b)) AiffDecoder.decode(b)
+    else if (Mp3.header(b, Mp3.skipId3(b)).isDefined) Mp3.decode(b)
     else WavDecoder.decode(b)
 
   def audioHashes(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {

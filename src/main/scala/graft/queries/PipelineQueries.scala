@@ -2274,8 +2274,9 @@ object PipelineQueries {
              |  SELECT doc_id, 'unknown' AS format, 0 AS ok
              |  FROM documents WHERE doc_id % 17 = 0),
              |aud AS (SELECT doc_id,
-             |               CASE WHEN doc_id % 7 = 5 THEN 'flac'
-             |                    WHEN doc_id % 7 = 6 THEN 'aiff' ELSE 'wav' END AS format,
+             |               CASE WHEN doc_id % 8 = 5 THEN 'flac'
+             |                    WHEN doc_id % 8 = 6 THEN 'aiff'
+             |                    WHEN doc_id % 8 = 7 THEN 'mp3' ELSE 'wav' END AS format,
              |               1 AS ok
              |        FROM documents),
              |vid AS (SELECT doc_id,

@@ -876,6 +876,117 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ContainerParser.parse(aifc).format == "aiff", "AIFC still identifies as aiff metadata")
   }
 
+  test("MP3 codec: Layer III round-trip, gapless count, pinned fingerprints, dedup-budget closeness") {
+    import graft.operators.Mp3
+    // codebook gate: every SHIPPED table must be a complete prefix code
+    // (Kraft sum 1, prefix-free) — and the tables whose transcription
+    // FAILED that validation must have self-disabled (honest None, never
+    // wrong samples from a bad codebook)
+    assert(Seq(Mp3.Tab1, Mp3.Tab2, Mp3.Tab3, Mp3.Tab5, Mp3.Tab6, Mp3.Tab8,
+      Mp3.Tab9, Mp3.Tab12, Mp3.TabC1A, Mp3.TabC1B).forall(_.valid),
+      "shipped codebooks must pass Kraft/prefix validation")
+    assert(Mp3.BigTables(7) == null && Mp3.BigTables(10) == null &&
+      Mp3.BigTables(11) == null, "failed transcriptions must self-disable")
+    assert(Mp3.BigTables(Mp3.EncTableSelect) != null, "the encoder's codebook must be live")
+
+    // exact source-sample-count recovery through the Info/LAME gapless
+    // tag, including lengths nowhere near a 1152-frame multiple
+    for (n <- Seq(4000, 1153, 577, 65)) {
+      val d = Mp3.decode(Mp3.encode(AudioGen.samples(n, 5L, 0))).get
+      assert(d.length == n, s"gapless length: got ${d.length}, want $n")
+    }
+
+    // determinism + pinned fingerprints: decoded PCM is a pure function
+    // of the payload bytes
+    val enc1 = AudioGen.mp3(4000, 1L)
+    assert(Mp3.decode(enc1).get.sameElements(Mp3.decode(enc1).get))
+    def afp(b: Array[Byte]) =
+      Multimodal.audioFingerprint64(Multimodal.decodeAudioSamples(b).get).get
+    assert(afp(AudioGen.mp3(4000, 1L)) == 0x754d9d1b252e8dbdL,
+      f"pinned mp3 fingerprint moved: 0x${afp(AudioGen.mp3(4000, 1L))}%016x")
+    assert(afp(AudioGen.mp3(4000, 7L)) == 0x7ab542eb554d54d4L)
+
+    // the ONE lossy member of the rotation: fingerprints sit within the
+    // dedup Hamming budget of the lossless family (not bit-equal) — both
+    // clean and the q30d noisy-twin shape, across seeds
+    def dham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val worst = (0L until 25L).map { s =>
+      math.max(
+        dham(afp(AudioGen.mp3(4000, s)), afp(AudioGen.wav(4000, s, 0, 16))),
+        dham(afp(AudioGen.mp3(4000, s, noise = 8)), afp(AudioGen.wav(4000, s, 0, 16))))
+    }.max
+    assert(worst <= 10, s"mp3 twins must collapse within the dedup budget: worst=$worst")
+    // quantizer-bound SNR floor on the decode itself (the largest
+    // VALIDATED codebook caps magnitudes at 7 — see Mp3's header note)
+    val src = AudioGen.samples(4000, 3L, 0)
+    val dec = Mp3.decode(Mp3.encode(src)).get
+    var se = 0.0; var sx = 0.0
+    var i = 0
+    while (i < 4000) { val e = dec(i) - src(i); se += e * e; sx += src(i) * src(i); i += 1 }
+    assert(10 * math.log10(sx / se) > 8.0, "decode SNR floor")
+
+    // container metadata + decode-matrix row + ID3v2 skip
+    val meta = ContainerParser.parse(viaFile(AudioGen.mp3(4000, 7L)))
+    assert(meta.format == "mp3" && meta.nFrames >= 4 && meta.durationMs >= 125L, s"$meta")
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++ enc1
+    assert(Mp3.decode(id3).exists(_.length == 4000), "ID3v2 container must skip")
+    assert(ContainerParser.parse(id3).format == "mp3")
+  }
+
+  test("MP3 honesty + never-throw: disabled/invalid codebook selects reject; fuzz returns") {
+    import graft.operators.Mp3
+    val good = AudioGen.mp3(2000, 11L)
+    val frameBytes = 144 * 320000 / 32000
+    // patch granule 0's table_select(0) (side-info bits [52, 57) of the
+    // first AUDIO frame, after the Info frame) to a DISABLED (7) and a
+    // spec-unused (4) table: both must reject the frame, never emit
+    // samples decoded with a codebook that failed validation
+    def withSelect(sel: Int): Array[Byte] = {
+      val b = good.clone()
+      val base = (frameBytes + 4).toLong * 8 + 52
+      var k = 0
+      while (k < 5) {
+        val bit = base + k
+        val at = (bit / 8).toInt
+        val mask = 0x80 >> (bit % 8).toInt
+        val v = (sel >> (4 - k)) & 1
+        b(at) = (if (v == 1) b(at) | mask else b(at) & ~mask).toByte
+        k += 1
+      }
+      b
+    }
+    assert(Mp3.decode(good).isDefined)
+    assert(Mp3.decode(withSelect(7)).isEmpty, "disabled codebook must reject")
+    assert(Mp3.decode(withSelect(4)).isEmpty, "spec-unused table 4 must reject")
+
+    // never-throw fuzz: truncation sweep + byte corruption + splices,
+    // bounded work
+    (0 until good.length by 11).foreach { k =>
+      Mp3.decode(good.take(k)); ContainerParser.parse(good.take(k))
+    }
+    val rnd = new scala.util.Random(3141)
+    (0 until 250).foreach { _ =>
+      val b = rnd.nextInt(3) match {
+        case 0 =>
+          val c = good.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach(_ =>
+            c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+          c
+        case 1 => good.take(1 + rnd.nextInt(good.length - 1)) ++
+          good.drop(rnd.nextInt(good.length))
+        case _ =>
+          val other = AudioGen.wav(500, 3L, 0, 8)
+          good.take(1 + rnd.nextInt(good.length - 1)) ++ other
+      }
+      val t0 = System.nanoTime()
+      Mp3.decode(b); ContainerParser.parse(b)
+      assert((System.nanoTime() - t0) / 1e6 < 3000, "bounded work under fuzz")
+    }
+    assert(Mp3.decode(Array[Byte](0xff.toByte, 0xfb.toByte)).isEmpty)
+    assert(Mp3.decode(AudioGen.wav(100, 1L, 0, 8)).isEmpty, "wrong container")
+  }
+
   test("WAV decode never throws: truncated, compressed, float, garbage -> None") {
     val good = AudioGen.wav(500, 3L, 0, 8)
     assert(WavDecoder.decode(good).isDefined)

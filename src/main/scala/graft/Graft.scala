@@ -619,6 +619,14 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def clusterBalancedSample(perList: Int, lists: Int = 16, seed: Long = 0L): DataFrame =
     Ivf.balancedSample(embeddings, Ivf.train(embeddings, lists), perList, seed)
 
+  /** Group-balanced sample of this directory's documents: at most
+    * `perGroup` rows per distinct `groupCol` value (domain, language,
+    * source, ...) in deterministic hash order — the model-free diversity
+    * cap, same keep kernel as [[clusterBalancedSample]]. */
+  def groupBalancedSample(
+      groupCol: String, perGroup: Int, seed: Long = 0L): DataFrame =
+    Ivf.balancedSampleBy(documents, groupCol, perGroup, seed, idCol = "doc_id")
+
   /** Persist an IVF-PQ index over this directory's embeddings: coarse
     * quantizer + product-quantized codes, no vectors stored — the
     * compressed layout for corpora where the embeddings are the dominant

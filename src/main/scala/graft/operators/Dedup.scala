@@ -1461,7 +1461,7 @@ object Dedup {
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     if (!Seg.fs(spark, indexPath).exists(tombs)) docs
     else docs.join(
-      broadcast(spark.read.parquet(tombs.toString).withColumnRenamed("doc_id", idCol)),
+      broadcast(readDocTombs(spark, indexPath).withColumnRenamed("doc_id", idCol)),
       Seq(idCol), "left_anti")
   }
 
@@ -1478,6 +1478,17 @@ object Dedup {
     * id-monotonicity contract ids are never reused, so a tombstone needs no
     * sequence ordering. Returns distinct ids tombstoned (idempotent —
     * re-deleting is harmless). */
+  /** Read a doc-row index's tombstone dir with an EXPLICIT schema: a
+    * takedown appending BESIDE a live probe creates the dir before any
+    * parquet file commits, and schema inference over a file-less dir
+    * fails the reading job (measured: UNABLE_TO_INFER_SCHEMA racing
+    * [[graft.operators.Multimodal.deleteVideoFromIndex]] against a live
+    * video ingest in the 1000-batch soak). A schema'd read of zero files
+    * is simply empty — the correct transient view of an in-flight
+    * takedown. */
+  private def readDocTombs(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.schema("doc_id LONG").parquet(s"$indexPath/tombs")
+
   def deleteFromDocIndex(
       removedIds: DataFrame,
       indexPath: String,
@@ -1753,7 +1764,7 @@ object Dedup {
     val (_, live) = liveDocSegs(spark, indexPath)
     val tombsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     val tombCount =
-      if (fs.exists(tombsPath)) spark.read.parquet(tombsPath.toString).count() else 0L
+      if (fs.exists(tombsPath)) readDocTombs(spark, indexPath).count() else 0L
     val bandsCount = bandTreeCount(spark, fs, baseBandRoot(fs, indexPath))
     val layout = bandLayout(spark, indexPath)
     val orphans = layout.fold(0L) { case (perDoc, _, _) =>
@@ -2499,7 +2510,7 @@ object Dedup {
           val stored =
             if (!Seg.fs(spark, indexPath).exists(tombsPath)) stored0
             else stored0.join(
-              broadcast(spark.read.parquet(tombsPath.toString)
+              broadcast(readDocTombs(spark, indexPath)
                 .select(col("doc_id").as("doc"))),
               Seq("doc"), "left_anti")
           // dropDuplicates(doc_a, doc_b): a crash-replayed append can leave

@@ -85,16 +85,49 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       prefilter: Boolean = true): DataFrame = {
-    require(perList > 0, "perList must be positive")
     // un-assignable rows (null / wrong-dimension / null-element vectors
     // make the kernel return a NULL bucket) are EXCLUDED: they belong to
     // no cluster, and an unfiltered null bucket would NPE the driver's
-    // prefilter count collect (getInt on null) and crash the job
+    // prefilter count collect (get on null) and crash the job
     val assigned = corpus.select(
       col(idCol),
       nearestCentroid(col(vecCol), model).as("bucket"),
       xxhash64(col(idCol), lit(seed)).as("_h"))
       .filter(col("bucket").isNotNull)
+    balancedKeep(assigned, perList, idCol, prefilter)
+  }
+
+  /** [[balancedSample]] generalized to an ARBITRARY grouping column — the
+    * model-free diversity cap ("at most `perGroup` documents per domain /
+    * language / source"): keep at most `perGroup` rows per distinct
+    * `groupCol` value, chosen in deterministic `xxhash64(id, seed)` order.
+    * Same lossless hash prefilter and exact-window semantics as the
+    * quantizer-bucket form; null groups are excluded (a null key is no
+    * group). Returns (id, bucket) keep rows. Being closed-form (no trained
+    * model), this form is fully oracle-checkable end to end. */
+  def balancedSampleBy(
+      corpus: DataFrame,
+      groupCol: String,
+      perGroup: Int,
+      seed: Long = 0L,
+      idCol: String = "vec_id",
+      prefilter: Boolean = true): DataFrame =
+    balancedKeep(
+      corpus.select(
+        col(idCol),
+        col(groupCol).as("bucket"),
+        xxhash64(col(idCol), lit(seed)).as("_h"))
+        .filter(col("bucket").isNotNull),
+      perGroup, idCol, prefilter)
+
+  /** The shared keep kernel over (id, bucket, _h) rows, generic in the
+    * bucket type. */
+  private def balancedKeep(
+      assigned: DataFrame,
+      perList: Int,
+      idCol: String,
+      prefilter: Boolean): DataFrame = {
+    require(perList > 0, "perList must be positive")
     // LOSSLESS hash prefilter (the tokenBudget discipline: exactness over
     // the shortcut): the per-bucket rank window puts a whole bucket in ONE
     // task — fine for the slim (id, bucket, hash) rows at test scale, a
@@ -104,7 +137,7 @@ object Ivf {
     // verification pass falls any bucket whose survivor count dipped under
     // min(perList, size) back to its full row set, so the output is the
     // exact window answer regardless of how the tail probability lands.
-    val spark = corpus.sparkSession
+    val spark = assigned.sparkSession
     // corpus-length block sets pinned by the prefilter passes; freed below
     // after the (perList x lists)-bounded result materializes, so a loop
     // of balancedSample calls cannot accumulate corpus-sized checkpoints
@@ -112,11 +145,11 @@ object Ivf {
     val survivors = if (!prefilter) assigned else {
       // the prefilter makes multiple passes (counts, candidates, rare
       // fallback): materialize the slim (id, bucket, hash) rows once so
-      // the centroid-assignment kernel runs over the corpus exactly once
+      // the assignment kernel runs over the corpus exactly once
       val a = assigned.localCheckpoint()
       pinned += a
       val counts = a.groupBy("bucket").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)) // model-sized: one row per list
+        .map(r => r.get(0) -> r.getLong(1)) // model-sized: one row per list
       val span = 1.8446744073709552e19 // 2^64 as double (exact power of two)
       val thrRows = counts.map { case (b, c) =>
         val thr =
@@ -134,7 +167,7 @@ object Ivf {
           java.util.Arrays.asList(thrRows: _*),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField(
-              "bucket", org.apache.spark.sql.types.IntegerType),
+              "bucket", assigned.schema("bucket").dataType),
             org.apache.spark.sql.types.StructField(
               "_thr", org.apache.spark.sql.types.LongType))))
         val cand = a.join(broadcast(thrDf), Seq("bucket"))
@@ -142,7 +175,7 @@ object Ivf {
           .localCheckpoint() // verified then windowed: scan the corpus once
         pinned += cand
         val got = cand.groupBy("bucket").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          .map(r => r.get(0) -> r.getLong(1)).toMap[Any, Long]
         val fallback = counts.collect {
           case (b, c) if got.getOrElse(b, 0L) < math.min(c, perList.toLong) => b
         }

@@ -1090,6 +1090,29 @@ object PipelineQueries {
       },
       None),
 
+    // Q28h2: the SAME balanced-keep kernel (lossless hash prefilter +
+    // exact per-bucket window) over a CLOSED-FORM grouping column — the
+    // "at most k per domain/language" diversity cap. Unlike q28h's
+    // trained-quantizer buckets (a float k-means model is not soundly
+    // SQL-expressible), this form is fully oracle-checked: DuckDB
+    // re-derives Spark's xxhash64(vec_id, 42) via the XxSql twin and
+    // replays the per-group smallest-hash keep rule end to end — which
+    // also verifies the prefilter is lossless (any dropped survivor would
+    // hash-mismatch).
+    QueryDef(
+      "q28h2_sample_by_group",
+      (s, dir) =>
+        graft.operators.Ivf.balancedSampleBy(
+          Tables.embeddings(s, dir), "label", perGroup = 8, seed = 42L)
+          .orderBy("vec_id"),
+      Some(s"""WITH ${XxSql.hashCtes("bs", "embeddings", "vec_id", 42L)},
+             |ranked AS (
+             |  SELECT e.vec_id, e.label AS bucket,
+             |         row_number() OVER (PARTITION BY e.label ORDER BY h.h, e.vec_id) AS rn
+             |  FROM embeddings e JOIN bsh h ON e.vec_id = h.vec_id
+             |  WHERE e.label IS NOT NULL)
+             |SELECT vec_id, bucket FROM ranked WHERE rn <= 8 ORDER BY vec_id""".stripMargin)),
+
     // Q28g: streaming SEMANTIC ingest — embedding near-dup dedup-on-write:
     // an IVF index over the first-half embeddings, the second half streamed
     // through startSemanticIngest (partition-pruned probes, arrival-order

@@ -447,6 +447,23 @@ class DedupIncrementalSpec extends AnyFunSuite {
     graft.core.Blocks.free(batchSigs)
   }
 
+  test("in-flight takedown (tombs dir exists, no files yet) never fails a live probe") {
+    // the pre-commit window of deleteFromDocIndex beside a live ingest:
+    // the tombstone dir is created before any parquet file lands, and a
+    // schema-INFERRING read of a file-less dir fails the probing job
+    // (measured in the 1000-batch video soak). Probes and stats must read
+    // tombstones with an explicit schema — empty dir == no tombstones yet.
+    import spark.implicits._
+    val sigs = (0L until 200L).map(i => (i, i * 2654435761L)).toDF("doc_id", "sh")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tombrace_").toString
+    Dedup.writeSignatureIndex(sigs, tmp, maxHamming = 6, comboSize = 2, sigBuckets = 64)
+    assert(new java.io.File(s"$tmp/tombs").mkdirs()) // the in-flight window
+    val batch = Seq((9001L, 2L * 2654435761L)).toDF("doc_id", "sh") // twin of doc 2
+    assert(Dedup.signatureMicroIncremental(batch, tmp, maxHamming = 6).count() >= 1L,
+      "probe must run (and match) across the file-less tombstone dir")
+    assert(Dedup.docIndexStats(spark, tmp)("graft.docindex.tombstones") == "0")
+  }
+
   test("streaming dedup ingest keeps only first occurrences; crash replay is idempotent") {
     import org.apache.spark.sql.functions.lit
     val tmp = java.nio.file.Files.createTempDirectory("graft_dding_").toString

@@ -386,6 +386,36 @@ class IvfSpec extends AnyFunSuite {
       assert(!keys.contains("embedding"), s"no vectors on the sample shuffle: $keys"))
   }
 
+  test("balancedSampleBy: the model-free group cap matches the model form's keep rule exactly") {
+    import spark.implicits._
+    val perGroup = 4
+    val kept = Ivf.balancedSampleBy(emb, "label", perGroup, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // expected: per label, the perGroup ids smallest by (xxhash64(id, 7), id)
+    val rows = emb
+      .select(col("vec_id"), col("label"), xxhash64(col("vec_id"), lit(7L)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (b, rs) =>
+      rs.sortBy(r => (r._3, r._1)).take(perGroup).map(r => (r._1, b))
+    }.toSet
+    assert(kept.toSet == expected, "keep set must be the per-group hash-order prefix")
+    // prefilter invisible here too (string/int group keys ride the same
+    // generic threshold frame)
+    val noPf = Ivf.balancedSampleBy(emb, "label", perGroup, seed = 7L, prefilter = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(noPf == kept.toSet, "prefilter must be invisible in the output")
+    // a STRING group column exercises the generic bucket type end to end,
+    // and null groups are excluded (a null key is no group)
+    val tagged = emb.withColumn("dom",
+      when(col("vec_id") % 5 === 0, lit(null: String))
+        .otherwise(concat(lit("d"), (col("vec_id") % 3).cast("string"))))
+    val byDom = Ivf.balancedSampleBy(tagged, "dom", 2, seed = 1L, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(byDom.groupBy(_._2).values.forall(_.length <= 2), "cap holds per string group")
+    assert(byDom.forall(_._2 != null), "null groups are excluded")
+    assert(byDom.map(_._2).toSet == Set("d0", "d1", "d2"))
+  }
+
   test("balancedSample under a hierarchical model uses the same quantizer as assignment") {
     val model = Ivf.trainHier(emb, leaves = 16, branch = 4, iters = 1)
     val kept = Ivf.balancedSample(emb, model, perList = 3, seed = 0L)

@@ -430,6 +430,27 @@ object Multimodal {
         .nextOption()
     }
 
+    /** The FIRST trak's stsd entry fourcc, ANY handler type — the
+      * container-declared codec the decode matrix itemizes (avc1 / vp09 /
+      * av01 / mp4a / jpeg / ...), readable even when the engine declares
+      * the codec out and decodes nothing. "" when no stsd is found. */
+    def firstCoding(b: Array[Byte]): String = {
+      if (b.length < 12 || be32(b, 4) != 0x66747970) return ""
+      val (mf, mt) = find(b, 0L, b.length.toLong, 0x6d6f6f76).getOrElse(return "")
+      boxes(b, mf, mt).iterator.collect { case (0x7472616b, tf, tt) => (tf, tt) }
+        .flatMap { case (tf, tt) =>
+          for {
+            (df, dt) <- find(b, tf, tt, 0x6d646961) // mdia
+            (nf, nt) <- find(b, df, dt, 0x6d696e66) // minf
+            (sf, st) <- find(b, nf, nt, 0x7374626c) // stbl
+            (ef, et) <- find(b, sf, st, 0x73747364) // stsd
+            if et - ef >= 16
+          } yield new String(b, (ef + 12).toInt, 4, StandardCharsets.US_ASCII)
+        }
+        .nextOption()
+        .getOrElse("")
+    }
+
     private def tables(
         b: Array[Byte], sf: Long, st: Long, maxSlices: Int): Option[VideoTrak] = {
       val kids = boxes(b, sf, st)
@@ -3464,16 +3485,20 @@ object Multimodal {
     Dedup.simHashPairsFromSignatures(
       hashes.select(col("doc_id"), col("dhash").as("sh")), maxHamming)
 
-  final case class DecodeStatus(doc_id: Long, format: String, decodable: Boolean)
+  final case class DecodeStatus(
+      doc_id: Long, format: String, coding: String, decodable: Boolean)
 
   /** Per-row decode-matrix introspection: the container format (header
-    * parse) and whether the CONTENT decoders can actually open the payload
-    * — image formats through [[ImageDecoder]], `wav` through
-    * [[WavDecoder]]. A format the engine recognizes but cannot pixel/
-    * sample-decode (interlaced PNG, arithmetic JPEG, compressed-audio
-    * RIFF, lossy-VP8 WebP) reports `decodable = false` — the rows that
-    * silently skip content dedup. Partition-parallel; payload bytes never
-    * leave the executors. */
+    * parse), the container-declared CODEC for the a/v containers (AVI
+    * strh fccHandler / MP4 stsd fourcc — "" elsewhere), and whether the
+    * CONTENT decoders can actually open the payload — image formats
+    * through [[ImageDecoder]], `wav` through [[WavDecoder]]. A format the
+    * engine recognizes but cannot pixel/sample-decode (interlaced PNG,
+    * arithmetic JPEG, compressed-audio RIFF, lossy-VP8 WebP, and the
+    * declared-out video codecs avc1/vp09/av01/mp4a) reports
+    * `decodable = false` — and the coding column turns that aggregated
+    * share into PER-CODEC rows an operator can watch. Partition-parallel;
+    * payload bytes never leave the executors. */
   def decodeStatus(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val input = withPayload
       .select(col(idCol).cast("long"), col("payload"))
@@ -3498,25 +3523,32 @@ object Multimodal {
                 payload, VideoDecoder.frameSlices(payload, 1), 1).nonEmpty
             case _ => false
           }
-          DecodeStatus(id, fmt, ok)
+          val coding = fmt match {
+            case "avi" | "mp4" => VideoDecoder.containerCoding(payload)
+            case _ => ""
+          }
+          DecodeStatus(id, fmt, coding, ok)
         }
       }(Encoders.product[DecodeStatus])
       .toDF()
   }
 
-  /** The decode matrix, aggregated: rows / decodable / skipped per format
-    * over a payload corpus — the measurement that turns "formats we can't
-    * decode silently skip dedup" into a number an operator can watch.
-    * Composes [[decodeStatus]] with a slim per-format hash aggregation
-    * (3 columns ride the shuffle, never payloads). */
+  /** The decode matrix, aggregated: rows / decodable / skipped per
+    * (format, coding) over a payload corpus — the measurement that turns
+    * "formats we can't decode silently skip dedup" into a number an
+    * operator can watch, itemized per declared codec for the a/v
+    * containers (a corpus that is 40% avc1 shows a 40% `mp4 avc1 0.0`
+    * row, not an aggregate). Composes [[decodeStatus]] with a slim
+    * per-group hash aggregation (4 columns ride the shuffle, never
+    * payloads). */
   def decodeStats(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame =
     decodeStatus(withPayload, idCol)
-      .groupBy(col("format"))
+      .groupBy(col("format"), col("coding"))
       .agg(
         count(lit(1)).as("rows"),
         sum(when(col("decodable"), 1L).otherwise(0L)).as("decodable"),
         round(avg(when(col("decodable"), 1.0).otherwise(0.0)), 4).as("decodable_ratio"))
-      .orderBy(col("format"))
+      .orderBy(col("format"), col("coding"))
 
   // -------------------------------------------------------------------
   // Content-level AUDIO dedup: PCM decode + energy-delta fingerprint
@@ -4516,6 +4548,49 @@ object Multimodal {
       * slices: those clips stay a measured decode-matrix gap. */
     private val MjpegCodings = Set("jpeg", "mjpa", "MJPG", "AVDJ", "dmb1")
 
+    /** The container-declared CODEC of a payload, for the decode matrix's
+      * per-codec itemization: the AVI first stream's strh fccHandler, or
+      * the MP4 first trak's stsd entry fourcc ([[IsoBmff.firstCoding]]).
+      * "" when no stream header is found; never throws. */
+    private[operators] def containerCoding(b: Array[Byte]): String =
+      try {
+        if (isAvi(b)) aviCoding(b)
+        else if (isMp4(b)) IsoBmff.firstCoding(b)
+        else ""
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => ""
+      }
+
+    /** Walk RIFF -> LIST hdrl -> LIST strl -> strh and read the first
+      * stream's fccHandler (strh body bytes 4-8). Bounded, truncation ->
+      * "". */
+    private def aviCoding(b: Array[Byte]): String = {
+      def walk(from: Long, to: Long, depth: Int): String = {
+        if (depth > 4) return ""
+        var pos = from
+        var n = 0
+        while (pos + 8 <= to && n < 256) {
+          val p = pos.toInt
+          val id = be32(b, p)
+          val size = le32(b, p + 4).toLong & 0xffffffffL
+          if (size > to - pos - 8) return "" // truncated
+          if (id == 0x4c495354 && size >= 4) { // LIST
+            val lt = be32(b, p + 8)
+            // descend hdrl and strl (and the top level)
+            if (lt == 0x6864726c || lt == 0x7374726c || depth == 0) {
+              val r = walk(pos + 12, pos + 8 + size, depth + 1)
+              if (r.nonEmpty) return r
+            }
+          } else if (id == 0x73747268 && size >= 8) // strh
+            return new String(b, p + 12, 4, StandardCharsets.US_ASCII)
+          pos += 8 + size + (size & 1)
+          n += 1
+        }
+        ""
+      }
+      if (b.length < 12) "" else walk(12L, b.length.toLong, 0)
+    }
+
     /** (offset, length) of every video frame, document order, for BOTH
       * containers the engine opens: MJPEG-in-AVI (`movi` chunk walk) and
       * MJPEG-in-MP4 ([[IsoBmff]] sample-table join) — so a clip's
@@ -4657,8 +4732,18 @@ object Multimodal {
       * stsc run table (uniform runs + a remainder run) is genuinely
       * exercised, not a single-chunk degenerate. 10 fps like the AVI:
       * mvhd timescale 1000, duration nFrames × 100 ms. */
-    def mp4Mjpeg(w: Int, h: Int, nFrames: Int, seed: Long, noise: Int = 0): Array[Byte] = {
+    /** `codec` parameterizes the stsd entry fourcc (and the hdlr handler
+      * type: 'soun' for mp4a, 'vide' otherwise) — the fixture for the
+      * DECLARED-OUT codecs (avc1 / vp09 / av01 / mp4a): a fully-valid
+      * container whose samples the engine must refuse to decode, so the
+      * decode matrix can itemize the gap per codec. Sample bytes stay the
+      * JPEG fields (opaque: the stsd gate rejects them before any decode
+      * looks at a byte). */
+    def mp4Mjpeg(
+        w: Int, h: Int, nFrames: Int, seed: Long, noise: Int = 0,
+        codec: String = "jpeg"): Array[Byte] = {
       require(nFrames >= 1, s"nFrames=$nFrames")
+      require(codec.length == 4, s"codec fourcc: $codec")
       val frames: Seq[Array[Byte]] = (0 until nFrames).map { f =>
         ImageGen.jpeg(w, h, seed * 1000003L + f, noise)
       }
@@ -4680,13 +4765,14 @@ object Multimodal {
         Array.fill[Byte](36)(0) ++ be32b(w << 16) ++ be32b(h << 16))
       val mdhd = mbox("mdhd", be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(10) ++ be32b(nFrames) ++
         be16b(0x55c4) ++ be16b(0))
-      val hdlr = mbox("hdlr", be32b(0) ++ be32b(0) ++ fourcc("vide") ++
+      val hdlr = mbox("hdlr", be32b(0) ++ be32b(0) ++
+        fourcc(if (codec == "mp4a") "soun" else "vide") ++
         be32b(0) ++ be32b(0) ++ be32b(0) ++ Array[Byte](0))
       val vmhd = mbox("vmhd", be32b(0x1) ++ be16b(0) ++ be16b(0) ++ be16b(0) ++ be16b(0))
       val dref = mbox("dref", be32b(0) ++ be32b(1) ++ mbox("url ", be32b(0x000001)))
       val dinf = mbox("dinf", dref)
       // VisualSampleEntry 'jpeg': 78-byte body per 14496-12 §12.1.3
-      val entry = be32b(86) ++ fourcc("jpeg") ++ Array.fill[Byte](6)(0) ++ be16b(1) ++
+      val entry = be32b(86) ++ fourcc(codec) ++ Array.fill[Byte](6)(0) ++ be16b(1) ++
         be16b(0) ++ be16b(0) ++ Array.fill[Byte](12)(0) ++ be16b(w) ++ be16b(h) ++
         be32b(0x00480000) ++ be32b(0x00480000) ++ be32b(0) ++ be16b(1) ++
         Array.fill[Byte](32)(0) ++ be16b(24) ++ be16b(0xffff)
@@ -4735,6 +4821,23 @@ object Multimodal {
     documents.withColumn("payload",
       videoGenUdf(width, height, frames, noise)(
         col(idCol).cast("long"), col(seedCol).cast("long")))
+
+  /** The four DECLARED-OUT codecs the decode matrix itemizes: modern
+    * inter-frame video (needs a reference-frame decoder a pure-JVM engine
+    * does not honestly have) and AAC audio. */
+  private[graft] val DeclaredOutCodecs = Array("avc1", "vp09", "av01", "mp4a")
+
+  /** Attach fully-valid MP4 payloads whose stsd declares a codec the
+    * engine refuses to decode — `id % 4` rotates [[DeclaredOutCodecs]] —
+    * so q30f's matrix carries one measured `decodable = 0` row PER
+    * declared-out codec instead of an aggregate (the rotation is
+    * closed-form: the oracle re-derives it from ids). */
+  private val codedVideoUdf = udf { (id: Long) =>
+    VideoGen.mp4Mjpeg(32, 24, 2, id,
+      codec = DeclaredOutCodecs(math.floorMod(id, 4L).toInt))
+  }
+  def withCodedVideoPayload(documents: DataFrame, idCol: String = "doc_id"): DataFrame =
+    documents.withColumn("payload", codedVideoUdf(col(idCol).cast("long")))
 
   final case class VideoHashes(
       doc_id: Long, n_frames: Int, width: Int, height: Int, fhashes: Array[Long])

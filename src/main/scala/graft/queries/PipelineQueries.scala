@@ -2279,11 +2279,17 @@ object PipelineQueries {
         // decodable rows, not just declared ones
         val vid = cachedPayloads(s, dir, "vid4")(
           Multimodal.withVideoPayload(Tables.documents(s, dir).select("doc_id"), frames = 4))
+        // plus a planted slice of the four DECLARED-OUT codecs
+        // (avc1/vp09/av01/mp4a — fully-valid containers the engine must
+        // refuse), so the skipped share is itemized PER CODEC
+        val vidc = cachedPayloads(s, dir, "vidc")(
+          Multimodal.withCodedVideoPayload(
+            Tables.documents(s, dir).select("doc_id").filter(col("doc_id") % 13 === 0)))
         Multimodal.decodeStats(
-            img.unionByName(trunc).unionByName(aud).unionByName(vid))
-          .select(col("format"), col("rows").as("n_rows"),
+            img.unionByName(trunc).unionByName(aud).unionByName(vid).unionByName(vidc))
+          .select(col("format"), col("coding"), col("rows").as("n_rows"),
             col("decodable"), col("decodable_ratio"))
-          .orderBy("format")
+          .orderBy("format", "coding")
       },
       Some("""WITH img AS (
              |  SELECT doc_id,
@@ -2291,27 +2297,34 @@ object PipelineQueries {
              |              WHEN doc_id % 3 = 1 THEN 'jpeg'
              |              WHEN (doc_id // 3) % 3 = 0 THEN 'png'
              |              WHEN (doc_id // 3) % 3 = 1 THEN 'gif' ELSE 'webp' END AS format,
-             |         1 AS ok
+             |         '' AS coding, 1 AS ok
              |  FROM documents WHERE doc_id % 17 <> 0),
              |trunc AS (
-             |  SELECT doc_id, 'unknown' AS format, 0 AS ok
+             |  SELECT doc_id, 'unknown' AS format, '' AS coding, 0 AS ok
              |  FROM documents WHERE doc_id % 17 = 0),
              |aud AS (SELECT doc_id,
              |               CASE WHEN doc_id % 8 = 5 THEN 'flac'
              |                    WHEN doc_id % 8 = 6 THEN 'aiff'
              |                    WHEN doc_id % 8 = 7 THEN 'mp3' ELSE 'wav' END AS format,
-             |               1 AS ok
+             |               '' AS coding, 1 AS ok
              |        FROM documents),
              |vid AS (SELECT doc_id,
              |               CASE WHEN doc_id % 4 IN (0, 1) THEN 'avi' ELSE 'mp4' END AS format,
+             |               CASE WHEN doc_id % 4 IN (0, 1) THEN 'MJPG' ELSE 'jpeg' END AS coding,
              |               1 AS ok
              |        FROM documents),
+             |vidc AS (SELECT doc_id, 'mp4' AS format,
+             |                CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'vp09'
+             |                     WHEN 2 THEN 'av01' ELSE 'mp4a' END AS coding,
+             |                0 AS ok
+             |         FROM documents WHERE doc_id % 13 = 0),
              |u AS (SELECT * FROM img UNION ALL SELECT * FROM trunc
-             |      UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
-             |SELECT format, CAST(count(*) AS BIGINT) AS n_rows,
+             |      UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+             |      UNION ALL SELECT * FROM vidc)
+             |SELECT format, coding, CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(sum(ok) AS BIGINT) AS decodable,
              |       round(avg(CAST(ok AS DOUBLE)), 4) AS decodable_ratio
-             |FROM u GROUP BY format ORDER BY format""".stripMargin)),
+             |FROM u GROUP BY format, coding ORDER BY format, coding""".stripMargin)),
 
     // Q30g: CONTENT-level VIDEO dedup — MJPEG-in-AVI frame slicing,
     // stride-sampled per-frame JPEG decode (the existing T.81 decoder),

@@ -876,6 +876,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ContainerParser.parse(aifc).format == "aiff", "AIFC still identifies as aiff metadata")
   }
 
+  test("decode matrix itemizes declared-out codecs per (format, coding) row") {
+    import spark.implicits._
+    // the planted declared-out rotation: one measured zero-decodable row
+    // PER codec — valid containers, refused samples
+    val coded = Multimodal.decodeStats(
+        Multimodal.withCodedVideoPayload((0L until 8L).toDF("doc_id")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(coded == Set(
+      ("mp4", "avc1", 2L, 0L), ("mp4", "vp09", 2L, 0L),
+      ("mp4", "av01", 2L, 0L), ("mp4", "mp4a", 2L, 0L)), s"$coded")
+    // decodable clips carry their coding too (AVI strh / MP4 stsd)
+    val mjpeg = Multimodal.decodeStats(
+        Multimodal.withVideoPayload((0L until 4L).toDF("doc_id"), frames = 2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    assert(mjpeg == Set(("avi", "MJPG", 2L), ("mp4", "jpeg", 2L)), s"$mjpeg")
+    // non-a/v formats report an empty coding
+    val img = Multimodal.decodeStats(
+        Multimodal.withImagePayload((0L until 3L).toDF("doc_id")))
+      .collect().map(_.getString(1)).toSet
+    assert(img == Set(""))
+  }
+
   test("MP3 codec: Layer III round-trip, gapless count, pinned fingerprints, dedup-budget closeness") {
     import graft.operators.Mp3
     // codebook gate: every SHIPPED table must be a complete prefix code

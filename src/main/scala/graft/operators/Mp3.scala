@@ -447,26 +447,6 @@ private[graft] object Mp3 {
     out
   }
 
-  /** Scalefactor part2 bit count actually consumed (needed to bound the
-    * Huffman region). */
-  private def part2Bits(gi: GrInfo, scfsi: Array[Int], gr: Int): Int = {
-    val slen1 = Slen1(gi.scalefacCompress)
-    val slen2 = Slen2(gi.scalefacCompress)
-    if (gi.windowSwitching && gi.blockType == 2) {
-      if (gi.mixedBlock) 8 * slen1 + 9 * slen1 + 18 * slen2
-      else 18 * slen1 + 18 * slen2
-    } else {
-      var bits = 0
-      val lens = Array(6 * slen1, 5 * slen1, 5 * slen2, 5 * slen2)
-      var g = 0
-      while (g < 4) {
-        if (!(gr == 1 && scfsi(g) == 1)) bits += lens(g)
-        g += 1
-      }
-      bits
-    }
-  }
-
   // ---- Huffman region --------------------------------------------------
 
   /** Decode one granule-channel's spectrum into `is576`; returns false on
@@ -476,10 +456,14 @@ private[graft] object Mp3 {
       is576: Array[Int]): Boolean = {
     java.util.Arrays.fill(is576, 0)
     val partEnd = partStartBits + gi.part23Length
-    // region boundaries in line numbers
+    // region boundaries in line numbers; under window switching the
+    // split is the spec-fixed 36-line boundary (region2 is empty), not a
+    // long-sfb lookup
     val sfb = SfbLong(srIdx)
     val bigLines = math.min(576, gi.bigValues * 2)
-    val r0 = math.min(sfb(math.min(gi.region0Count + 1, 22)), bigLines)
+    val r0 =
+      if (gi.windowSwitching) math.min(36, bigLines)
+      else math.min(sfb(math.min(gi.region0Count + 1, 22)), bigLines)
     val r1 =
       if (gi.windowSwitching) bigLines
       else math.min(

@@ -549,7 +549,13 @@ object Dedup {
         idType.isInstanceOf[org.apache.spark.sql.types.LongType],
       s"span catalog requires an integral id column; '$idCol' is $idType " +
         "(wide/string keys are supported by the exact index, not the span catalog)")
-    Curation.spanOccurrences(documents, n, textCol, idCol)
+    // null-id rows never enter the catalog: min(struct(id, offset)) sorts a
+    // null id FIRST, so one null-id row would win first_id for every gram it
+    // shares with a real doc — and probes treat a null first_id as "no
+    // entry" (isNotNull guard), silently disabling cross-batch excision for
+    // that gram. Null-id text is unattributable, so it cannot claim a
+    // first occurrence.
+    Curation.spanOccurrences(documents.filter(col(idCol).isNotNull), n, textCol, idCol)
       .select(col("gram").as("_k"), struct(col(idCol), col("offset")).as("_o"))
       .groupBy("_k")
       .agg(min(col("_o")).as("_f"))
@@ -593,17 +599,20 @@ object Dedup {
     * lifetime (meta is written exactly once, by [[writeSpanCatalog]]), so
     * the per-JVM cache spares every probe/append/excise a meta parquet
     * read — a streaming trigger otherwise paid it three times. The memo is
-    * stamped with the meta directory's modification time: a catalog
-    * REBUILT at the same path by ANOTHER process (this JVM's
-    * [[writeSpanCatalog]] also invalidates directly) refreshes the cached
-    * n on the next probe — one FS metadata call instead of a parquet read,
-    * never a silently stale window length. */
+    * stamped with the meta directory's full file listing (names + lengths
+    * + mtimes): a catalog REBUILT at the same path by ANOTHER process
+    * (this JVM's [[writeSpanCatalog]] also invalidates directly) refreshes
+    * the cached n on the next probe — parquet part-file names are
+    * rewrite-unique, so even a rebuild landing within the same mtime
+    * second moves the stamp. One FS listing call instead of a parquet
+    * read, never a silently stale window length. */
   private val spanNCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
   private[operators] def spanCatalogN(spark: SparkSession, path: String): Int = {
     val stamp = Seg.fs(spark, path)
-      .getFileStatus(new org.apache.hadoop.fs.Path(s"$path/meta"))
-      .getModificationTime
+      .listStatus(new org.apache.hadoop.fs.Path(s"$path/meta"))
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString(",")
     val cached = spanNCache.get(path)
     if (cached != null && cached._1 == stamp) cached._2
     else {

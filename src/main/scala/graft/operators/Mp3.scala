@@ -293,6 +293,21 @@ private[graft] object Mp3 {
     def sideInfoBytes: Int = if (channels == 1) 17 else 32
   }
 
+  /** What a 2-channel granule does with the stereo coupling bits.
+    * mode_extension is only MEANINGFUL in joint stereo (mode 1): plain
+    * stereo (0) and dual channel (2) may legally carry nonzero
+    * mode_extension bits that must neither reject the frame nor trigger an
+    * MS transform — the channels are independent. Intensity stereo
+    * (mode 1, ext bit 0) is out of decode scope and rejects honestly. */
+  private[graft] val StereoNone = 0
+  private[graft] val StereoMs = 1
+  private[graft] val StereoReject = 2
+  private[graft] def stereoDecision(mode: Int, modeExt: Int): Int =
+    if (mode != 1) StereoNone
+    else if ((modeExt & 1) != 0) StereoReject
+    else if ((modeExt & 2) != 0) StereoMs
+    else StereoNone
+
   /** Parse an MPEG-1 Layer III header at `off`; None if not one. */
   private[graft] def header(b: Array[Byte], off: Int): Option[Header] = {
     if (off + 4 > b.length) return None
@@ -961,8 +976,11 @@ private[graft] object Mp3 {
                       }
                     }
                     if (ok && h.channels == 2) {
-                      if ((h.modeExt & 1) != 0) ok = false // intensity: out of scope
-                      else if ((h.modeExt & 2) != 0) msStereo(xrCh(0), xrCh(1))
+                      stereoDecision(h.mode, h.modeExt) match {
+                        case StereoReject => ok = false // intensity: out of scope
+                        case StereoMs     => msStereo(xrCh(0), xrCh(1))
+                        case _            => () // independent channels
+                      }
                     }
                     if (ok) {
                       ch = 0

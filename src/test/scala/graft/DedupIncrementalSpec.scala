@@ -305,6 +305,28 @@ class DedupIncrementalSpec extends AnyFunSuite {
       "non-null rows still excise against the catalog")
   }
 
+  test("null-id rows never shadow a real doc's first occurrence in the catalog") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spshadow_").toString
+    val run6 = "alpha bravo charlie delta echo foxtrot"
+    // a null-id row and a real doc SHARE the gram: min(struct(id, offset))
+    // sorts the null id first, so without the catalog-side null filter the
+    // gram's first_id would be null — and every downstream probe treats a
+    // null first_id as "no entry", silently disabling excision forever
+    Dedup.writeSpanCatalog(
+      Seq(
+        (None: Option[Long], s"shadow $run6 tail"),
+        (Option(7L), s"real $run6 body")).toDF("doc_id", "text"),
+      s"$tmp/idx", n = 6)
+    val probe = Seq((99L, s"probe $run6 end")).toDF("doc_id", "text")
+    val cleaned = graft.operators.Curation
+      .exciseDuplicateSpansIncremental(probe, s"$tmp/idx", "text", "doc_id")
+      .select("text_clean").head().getString(0)
+    assert(cleaned == "probe end",
+      s"the gram's first occurrence belongs to doc 7, not the null-id row; " +
+        s"excision must fire: got '$cleaned'")
+  }
+
   test("span catalog rejects a non-integral id column at write time") {
     import spark.implicits._
     val docs = Seq(("a", "one two three four five six seven")).toDF("doc_id", "text")
@@ -321,8 +343,9 @@ class DedupIncrementalSpec extends AnyFunSuite {
     Dedup.writeSpanCatalog(docs, tmp, n = 6)
     assert(Dedup.spanCatalogStats(spark, tmp)("graft.spans.n") == "6") // warms the memo
     // simulate ANOTHER process rebuilding the catalog at the same path:
-    // replace meta directly, bypassing this JVM's write-side invalidation
-    Thread.sleep(1100) // clear coarse FS modtime granularity
+    // replace meta directly, bypassing this JVM's write-side invalidation.
+    // No sleep: the stamp is the meta FILE LISTING (rewrite-unique part
+    // names), so even a rebuild within the same mtime second must be seen
     Seq(4).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     assert(Dedup.spanCatalogStats(spark, tmp)("graft.spans.n") == "4",
       "a long-lived driver must not keep probing with a stale window length")

@@ -911,6 +911,17 @@ class MultimodalSpec extends AnyFunSuite {
       Mp3.BigTables(11) == null, "failed transcriptions must self-disable")
     assert(Mp3.BigTables(Mp3.EncTableSelect) != null, "the encoder's codebook must be live")
 
+    // stereo coupling decision matrix: mode_extension only acts in JOINT
+    // stereo (mode 1) — plain stereo (0) / dual channel (2) streams may
+    // carry nonzero ext bits and must decode as independent channels
+    for (ext <- 0 to 3; mode <- Seq(0, 2))
+      assert(Mp3.stereoDecision(mode, ext) == Mp3.StereoNone,
+        s"mode $mode ext $ext must not reject or MS-transform")
+    assert(Mp3.stereoDecision(1, 0) == Mp3.StereoNone)
+    assert(Mp3.stereoDecision(1, 2) == Mp3.StereoMs)
+    assert(Mp3.stereoDecision(1, 1) == Mp3.StereoReject, "intensity is out of scope")
+    assert(Mp3.stereoDecision(1, 3) == Mp3.StereoReject)
+
     // exact source-sample-count recovery through the Info/LAME gapless
     // tag, including lengths nowhere near a 1152-frame multiple
     for (n <- Seq(4000, 1153, 577, 65)) {

@@ -899,10 +899,12 @@ object Dedup {
     * bucket-pruning design as the IVF vector index's inverted lists; P
     * auto-sized so per-bucket row count stays constant
     * ([[autoBucketCount]]). A positive count is honored verbatim; `0`
-    * pins flat forever. [[compactDocIndex]] PROMOTES an auto-flat store
-    * that grows past the crossover and re-buckets a bucketed one that
-    * outgrows its P — so a store's layout tracks its size across its
-    * whole lifetime with no operator input. */
+    * pins flat forever. An auto-flat store that grows past the crossover
+    * PROMOTES at its next fold cycle ([[foldDocSegments]], online, beside
+    * a live ingest) or [[compactDocIndex]]; a bucketed one that outgrows
+    * its P re-buckets on the same slots — so a store's layout tracks its
+    * size across its whole lifetime with no operator input, even under a
+    * never-stopped ingest. */
   /** Retract EVERY auxiliary tree of an existing doc-row store before a
     * rebuild overwrites `docs/` — meta FIRST (from that point probes take
     * the flat scan over whatever docs/ holds, so a crash anywhere
@@ -1039,7 +1041,8 @@ object Dedup {
   //    3x ahead) — the flat line crosses the ~4.4 s probe constant at
   //    ~37M band rows (~1.3M sigs).
   // AutoBuckets resolves to flat below the family's line and the store
-  // PROMOTES to bucketed at its first [[compactDocIndex]] past it.
+  // PROMOTES to bucketed at its first fold cycle ([[foldDocSegments]],
+  // online, beside a live ingest) or [[compactDocIndex]] past it.
 
   /** MinHash flat/bucketed crossover (band rows); the system property is
     * a deployment-tuning + spec-fixture knob. */
@@ -1134,10 +1137,18 @@ object Dedup {
     * the build-time meta value), else meta; 0 = flat. */
   private def effectiveBandBuckets(spark: SparkSession, indexPath: String): Int = {
     val mb = metaBandBuckets(spark, indexPath)
-    if (mb <= 0) mb
+    if (mb == 0) 0 // explicit flat (or not a MinHash meta): never bucketed
     else {
       val fs = Seg.fs(spark, indexPath)
-      readBandTreeBuckets(fs, baseBandRoot(fs, indexPath)).getOrElse(mb)
+      val marker = readBandTreeBuckets(fs, baseBandRoot(fs, indexPath))
+      if (mb > 0) marker.getOrElse(mb)
+      // AutoBuckets meta: an ONLINE promotion publishes the band tree and
+      // flips the `_BANDS` pointer WITHOUT rewriting meta (a meta overwrite
+      // is not atomic beside live readers) — the published tree's own
+      // marker IS the promotion commit point, exactly as it already is for
+      // the signature family ([[effectiveSigBuckets]]). No tree = still
+      // flat.
+      else marker.getOrElse(0)
     }
   }
 
@@ -1296,7 +1307,8 @@ object Dedup {
         // only produce a candidate that verification drops — compaction
         // sweeps the rows physically.
         val batchBands = batchBands0.get
-        val stored = storedBands(spark, indexPath, bandVals, bb)
+        val stored = storedBands(spark, indexPath, bandVals, bb,
+          segDocs => banded(segDocs.select("doc", "sig")))
         broadcast(batchBands.select("doc", "band")).as("a")
           .join(stored.unionByName(batchBands.select("doc", "band")).as("b"),
             col("a.band") === col("b.band") && col("a.doc") =!= col("b.doc"))
@@ -1348,12 +1360,14 @@ object Dedup {
 
   private def storedBands(
       spark: SparkSession, indexPath: String, bandVals: Option[Array[Long]],
-      baseP: Int, cols: Seq[String] = Seq("doc", "band")): DataFrame = {
+      baseP: Int, bandTwinless: DataFrame => DataFrame,
+      cols: Seq[String] = Seq("doc", "band")): DataFrame = {
     val fs = Seg.fs(spark, indexPath)
     val (_, live) = liveDocSegs(spark, indexPath)
+    val (twinned, twinless) = live.partition(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/${d.getName}")))
     val roots = baseBandRoot(fs, indexPath).toString +:
-      live.map(d => s"$indexPath/bandsegs/${d.getName}")
-        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      twinned.map(d => s"$indexPath/bandsegs/${d.getName}")
     // EACH ROOT PRUNES AT ITS OWN P: a live segment written before a
     // re-bucket carries bucket values computed at the P operative at ITS
     // write (recorded in its own `_BUCKETS` marker), so the hit-bucket
@@ -1371,9 +1385,22 @@ object Dedup {
       }
       readBandRoot(spark, fs, r, hit, cols)
     }
-    if (views.isEmpty)
+    // FLAT-ERA segments (no band twin: committed while the store was still
+    // auto-flat, before an ONLINE promotion published the band tree) are
+    // banded ON THE FLY from their doc rows — the flat probe's treatment,
+    // scoped to exactly these segments, so the bucketed view stays COMPLETE
+    // through a mid-ingest promotion. Bounded cost: flat-era rows are
+    // capped by the crossover the store was below when they landed plus
+    // one fold cadence, and the next [[foldDocSegments]] retires them into
+    // a banded compact twin.
+    val flatViews =
+      if (twinless.isEmpty) Nil
+      else Seq(bandTwinless(spark.read.parquet(twinless.map(_.toString): _*))
+        .select(cols.map(col): _*))
+    val all = views ++ flatViews
+    if (all.isEmpty)
       spark.range(0).select(cols.map(c => col("id").as(c)): _*)
-    else views.reduce(_.unionByName(_))
+    else all.reduce(_.unionByName(_))
   }
 
   /** One band-store root as (doc, band), pruned to `buckets`: a
@@ -1664,50 +1691,83 @@ object Dedup {
     * the corpus was below its family's crossover
     * ([[FlatCrossoverRowsMinHash]] / [[FlatCrossoverRowsSig]]), recorded
     * as meta bucket value [[AutoBuckets]] — to the band-bucketed layout
-    * once growth has
-    * carried it past the crossover. STOP-THE-WORLD ONLY (runs from
-    * [[compactDocIndex]], after the fold has collapsed all segments into
-    * `docs/`): a mid-ingest promotion would have the same old-P /
-    * live-segment recall hazard as a mid-reconcile re-bucket. Order is
-    * tree-then-meta: the staged tree (marker inside) swaps in first, meta
-    * rewritten at the new P last — a crash in between is harmless either
-    * way (MinHash probes short-circuit on the non-positive meta and keep
-    * scanning flat over `docs/`; signature probes see the tree's
-    * `_BUCKETS` marker over the stale meta and run bucketed over the
-    * tree, which is COMPLETE — it was built from the whole folded
-    * `docs/`), and the next compaction re-promotes idempotently. An
-    * explicitly-flat store (band/sig buckets = 0, or no meta at all)
+    * once growth has carried it past the crossover.
+    *
+    * Two callers, one commit discipline:
+    *
+    * `online = true` ([[foldDocSegments]], every cycle, BESIDE A LIVE
+    * INGEST): growth is sized off the TOTAL live store (`docs/` + live
+    * segment footer counts — a pure-streaming store's rows accumulate in
+    * segments while docs/ stays frozen), the tree is built from `docs/`
+    * only, and META IS NEVER TOUCHED — a meta overwrite is not atomic
+    * beside live readers. The `_BANDS` pointer flip (marker inside the
+    * tree) IS the commit point: both families' probes consult the marker
+    * over an AutoBuckets meta ([[effectiveBandBuckets]] /
+    * [[effectiveSigBuckets]]). Live FLAT-ERA segments have no band twins
+    * at that instant; bucketed probes flat-scan exactly those
+    * ([[storedBands]]'s twin-less arm) so the view stays complete, and the
+    * fold that carried the promotion retires them into a banded compact
+    * twin. A crash before the pointer flip leaves an unreferenced
+    * generation (swept later) and probes flat — the next cycle
+    * re-promotes idempotently; after the flip the promotion is durable.
+    *
+    * `online = false` ([[compactDocIndex]], stop-the-world, after the full
+    * fold): same tree publish when none exists yet, then meta is rewritten
+    * at the operative P — persisting an earlier online promotion (tree
+    * already marked: meta-only write) or committing a fresh one. A crash
+    * between tree and meta is harmless (the marker already carries the
+    * promotion for both families' probes).
+    *
+    * An explicitly-flat store (band/sig buckets = 0, or no meta at all)
     * never promotes. */
-  private def promoteAutoFlat(spark: SparkSession, indexPath: String): Unit = {
+  private def promoteAutoFlat(
+      spark: SparkSession, indexPath: String, online: Boolean = false): Unit = {
     val fs = Seg.fs(spark, indexPath)
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
     if (!fs.exists(metaPath)) return
     val metaDf = spark.read.parquet(metaPath.toString)
     import spark.implicits._
+
+    // footer-count rows living in segments (0 after a stop-the-world fold)
+    def liveSegRows: Long = liveDocSegs(spark, indexPath)._2
+      .map(d => spark.read.parquet(d.toString).count()).sum
+
+    def promote(
+        perDoc: Long, crossover: Long,
+        mkRows: (DataFrame, Int) => DataFrame, writeMeta: Int => Unit): Unit = {
+      val existing = readBandTreeBuckets(fs, baseBandRoot(fs, indexPath))
+      if (existing.isDefined) {
+        // already promoted online (tree + marker live, meta still -1):
+        // stop-the-world persists the operative P into meta, online no-ops
+        if (!online) writeMeta(existing.get)
+        return
+      }
+      val kept = spark.read.parquet(s"$indexPath/docs")
+      val docRows = kept.count() * perDoc
+      val p = autoLayoutBuckets(docRows + liveSegRows * perDoc, crossover)
+      if (p <= 0) return
+      publishBandTree(spark, fs, indexPath, mkRows(kept, p), p, docRows)
+      if (!online) writeMeta(p)
+    }
+
     if (metaDf.columns.contains("band_buckets")) {
       val m = metaDf.head()
       if (m.getAs[Int]("band_buckets") != AutoBuckets) return
       val (sn, nh, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
-      val kept = spark.read.parquet(s"$indexPath/docs")
-      val rowCount = kept.count() * bands
-      val p = autoLayoutBuckets(rowCount, FlatCrossoverRowsMinHash)
-      if (p <= 0) return
-      publishBandTree(spark, fs, indexPath, bandRows(kept, bands, nh / bands, p), p, rowCount)
-      Seq((sn, nh, bands, p))
-        .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
+      promote(bands.toLong, FlatCrossoverRowsMinHash,
+        (kept, p) => bandRows(kept, bands, nh / bands, p),
+        p => Seq((sn, nh, bands, p))
+          .toDF("shingle_n", "num_hashes", "bands", "band_buckets")
+          .coalesce(1).write.mode("overwrite").parquet(metaPath.toString))
     } else if (metaDf.columns.contains("sig_buckets")) {
       val m = metaDf.head()
       if (m.getAs[Int]("sig_buckets") != AutoBuckets) return
       val (mh, cs) = (m.getInt(0), m.getInt(1))
       val combos = (0 until mh + cs).combinations(cs).size
-      val kept = spark.read.parquet(s"$indexPath/docs")
-      val rowCount = kept.count() * combos
-      val p = autoLayoutBuckets(rowCount, FlatCrossoverRowsSig)
-      if (p <= 0) return
-      publishBandTree(spark, fs, indexPath, signatureBandRows(kept, mh, cs, p), p, rowCount)
-      Seq((mh, cs, p)).toDF("max_hamming", "combo_size", "sig_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath.toString)
+      promote(combos.toLong, FlatCrossoverRowsSig,
+        (kept, p) => signatureBandRows(kept, mh, cs, p),
+        p => Seq((mh, cs, p)).toDF("max_hamming", "combo_size", "sig_buckets")
+          .coalesce(1).write.mode("overwrite").parquet(metaPath.toString))
     }
   }
 
@@ -1863,11 +1923,9 @@ object Dedup {
     if (fs.exists(markers)) fs.delete(markers, true)
     // AFTER the fold (so the promotion decision sees the folded row
     // count): an auto-flat store that has grown past the crossover gets
-    // its band tree here. (Bucketed stores grow P on the BESIDE-LIVE fold
-    // cycle too — [[reconcileBandOrphans]] — but the flat -> bucketed
-    // promotion stays stop-the-world-only: a flat store has no band roots
-    // at all, so mid-ingest segments would have been written without band
-    // twins and the freshly-introduced tree would miss them.)
+    // its band tree here — or, if a fold-cycle ONLINE promotion already
+    // published it beside the ingest, just its meta persisted at the
+    // operative P.
     promoteAutoFlat(spark, indexPath)
     sweepStaleBandRoots(fs, indexPath) // stop-the-world: drain-free
   }
@@ -1889,49 +1947,44 @@ object Dedup {
     * `gc = false` beside a live ingest and run [[gcDocIndex]] after the
     * per-micro-batch readers drain (one trigger). */
   def foldDocSegments(spark: SparkSession, indexPath: String, gc: Boolean = true): Unit = {
+    // ONLINE auto-flat -> bucketed PROMOTION rides the fold slot, BEFORE
+    // the fold reads the layout: a store seeded auto-flat under a
+    // never-stopped ingest promotes the first fold cycle after growth
+    // (docs/ + live segments) crosses its family's crossover — and because
+    // the promotion lands first, THIS fold's compact twin is already
+    // banded, so the probe flattens one cadence after the line is crossed.
+    // One meta head + (pre-promotion only) live footer counts per cycle.
+    promoteAutoFlat(spark, indexPath, online = true)
     val (_, live) = liveDocSegs(spark, indexPath)
     if (live.size > 1) {
       val fs = Seg.fs(spark, indexPath)
       val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
       // band rows first (when bucketed): the fold MARKER is the publish
       // point for both trees, and a committed marker must find the compact
-      // band segment on disk. Folded band segments are large enough to
-      // partition by bucket (the batch segments they fold were flat).
-      val bandRoots = live
-        .map(d => s"$indexPath/bandsegs/${d.getName}")
-        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      if (bandRoots.nonEmpty) {
-        // the folded segments may have been written at DIFFERENT P's (a
-        // beside-live re-bucket moves the operative P between batches), so
-        // the compact twin recomputes `bucket` from the P-independent
-        // `band` value at the CURRENT operative P and records it in its
-        // own `_BUCKETS` marker — one compact segment, one P, exact probes
-        val foldP = bandLayout(spark, indexPath).fold(0)(_._2)
-        // parquet-footer row count per root (no data pages) — feeds the
-        // per-root flat floor below
-        val foldRows = bandRoots.map(r => spark.read.parquet(r).count()).sum
-        val folded0 = bandRoots
-          // schema-preserving: MinHash band rows are (doc, band, bucket),
-          // signature band rows additionally carry their 8-byte sh — the
-          // fold keeps whichever shape the segments have
-          .map(spark.read.parquet(_).withColumn("bucket", col("bucket").cast("int")))
-          .reduce(_.unionByName(_))
-        val folded =
-          if (foldP > 0)
-            folded0.withColumn("bucket", pmod(col("band"), lit(foldP.toLong)).cast("int"))
-          else folded0
+      // band segment on disk. The compact twin is derived from the folded
+      // DOC rows (band rows are a pure function of them) rather than by
+      // merging the per-segment twins: segments written at DIFFERENT P's
+      // (a beside-live re-bucket moves the operative P between batches)
+      // and FLAT-ERA segments with no twin at all (appended before an
+      // online promotion) both collapse to one compact twin computed at
+      // the CURRENT operative P, recorded in its own `_BUCKETS` marker —
+      // one compact segment, one P, exact probes. The superseded
+      // per-segment twins ride out with their doc segments at GC.
+      bandLayout(spark, indexPath).foreach { case (perDoc, foldP, mkRows) =>
+        // parquet-footer doc counts (no data pages) feed the flat floor
+        val foldRows = live.map(d => spark.read.parquet(d.toString).count()).sum * perDoc
+        val folded = mkRows(spark.read.parquet(live.map(_.toString): _*), foldP)
         // per-root flat floor, same rule as publishBandTree: a small fold
         // partitioned across a grown P would be all tiny files
-        if (foldP > 0 && foldRows / math.max(1, foldP) < MinBucketFileRows)
+        if (foldRows / math.max(1, foldP) < MinBucketFileRows)
           folded.coalesce(1).sortWithinPartitions("bucket")
             .write.mode("overwrite").parquet(s"$indexPath/bandsegs/$name")
         else
           folded
             .repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/bandsegs/$name")
-        if (foldP > 0)
-          writeBandTreeBuckets(fs,
-            new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/$name"), foldP)
+        writeBandTreeBuckets(fs,
+          new org.apache.hadoop.fs.Path(s"$indexPath/bandsegs/$name"), foldP)
       }
       // range-cluster the fold by id (replacing the earlier plain
       // coalesce, which only consolidated file count): the compact doc
@@ -2514,6 +2567,7 @@ object Dedup {
           // there is no later doc-row verify stage to drop a deleted doc's
           // stale band rows; compaction sweeps them physically.
           val stored0 = storedBands(spark, indexPath, Some(bandVals), bb,
+            segDocs => signatureBandRows(segDocs, mh, cs, 1),
             cols = Seq("doc", "band", "sh"))
           val tombsPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
           val stored =

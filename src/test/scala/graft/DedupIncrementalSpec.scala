@@ -2041,6 +2041,145 @@ class DedupIncrementalSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.crossover.sig")
   }
 
+  test("fold-cycle ONLINE promotion (signature): twin-less flat-era segments stay probe-visible; crash re-promotes") {
+    import spark.implicits._
+    sys.props("graft.crossover.sig") = "5000000" // fixture-sized crossover
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_promo_online_").toString
+      val idx = s"$tmp/idx"
+      def synth(from: Long, until: Long) = spark.range(from, until)
+        .select(col("id").as("doc_id"), (col("id") * 2654435761L).as("sh"))
+      // seed AUTO-FLAT: 100k sigs x 28 combos = 2.8M band rows < 5M
+      Dedup.writeSignatureIndex(synth(0, 100000), idx, maxHamming = 6, comboSize = 2)
+      assert(spark.read.parquet(s"$idx/meta").head().getAs[Int]("sig_buckets")
+        == Dedup.AutoBuckets)
+      assert(treeBuckets(idx).isEmpty, "no band tree below the crossover")
+
+      // ONE flat-era streaming segment carries the store past the line
+      // (100,001 more rows -> 200,001 x 28 = 5.6M >= 5M), with a planted
+      // twin of doc 42 RESIDENT IN THE SEGMENT — the doc a bucketed probe
+      // would silently lose if twin-less segments were skipped
+      val segSh = 424242L * 2654435761L
+      Dedup.writeSignatureSegment(
+        synth(100000, 200000).unionByName(Seq((500000L, segSh)).toDF("doc_id", "sh")),
+        idx, "batch_1")
+      assert(!new java.io.File(s"$idx/bandsegs/batch_1").exists(),
+        "a flat-era segment has no band twin")
+      def pairs(id: Long, sh: Long) = Dedup.signatureMicroIncremental(
+          Seq((id, sh)).toDF("doc_id", "sh"), idx, maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(910000L, segSh).contains((500000L, 910000L)),
+        "the flat probe sees the segment twin before promotion")
+
+      // the fold cycle PROMOTES ONLINE: live.size == 1 so nothing folds —
+      // this pins the exact mid-promotion state (bucketed view + a live
+      // twin-less flat-era segment) every probe must survive
+      Dedup.foldDocSegments(spark, idx, gc = false)
+      val p = (200001L * 28 / 4096).toInt
+      assert(treeBuckets(idx).contains(p),
+        s"promotion sizes P off docs + LIVE segment rows (saw ${treeBuckets(idx)})")
+      assert(spark.read.parquet(s"$idx/meta").head().getAs[Int]("sig_buckets")
+        == Dedup.AutoBuckets, "ONLINE promotion never rewrites meta")
+      assert(!new java.io.File(s"$idx/bandsegs/batch_1").exists(),
+        "the flat-era segment stays twin-less until a fold retires it")
+      assert(pairs(920000L, 42L * 2654435761L).contains((42L, 920000L)),
+        "base docs pair via the pruned tree")
+      assert(pairs(910000L, segSh).contains((500000L, 910000L)),
+        "the twin-less flat-era segment is flat-scanned, never dropped")
+
+      // idempotence: another cycle publishes no second generation
+      Dedup.foldDocSegments(spark, idx, gc = false)
+      val gens = new java.io.File(idx).listFiles()
+        .map(_.getName).filter(_.startsWith("bands_v")).toSeq
+      assert(gens == Seq("bands_v1"), s"promotion must fire once: $gens")
+
+      // post-promotion segments carry twins at the marker P, and the next
+      // fold (live.size == 2) retires the flat-era segment into a BANDED
+      // compact twin derived from its doc rows
+      Dedup.writeSignatureSegment(synth(300000, 300001), idx, "batch_2")
+      assert(new java.io.File(s"$idx/bandsegs/batch_2/_BUCKETS").exists())
+      Dedup.foldDocSegments(spark, idx, gc = false)
+      val compacts = new java.io.File(s"$idx/segs").listFiles()
+        .map(_.getName).filter(_.startsWith("compact_")).toSeq
+      assert(compacts.length == 1)
+      assert(new java.io.File(s"$idx/bandsegs/${compacts.head}/_BUCKETS").exists(),
+        "the compact twin is banded at the operative P")
+      assert(pairs(910000L, segSh).contains((500000L, 910000L)),
+        "exact across the retiring fold")
+      Dedup.gcDocIndex(spark, idx)
+      assert(pairs(910000L, segSh).contains((500000L, 910000L)), "exact after gc")
+
+      // crash before the pointer flip: with no `_BANDS` pointer the store
+      // probes FLAT over docs + segments (exact), and the next fold cycle
+      // re-promotes idempotently into a fresh generation
+      assert(new java.io.File(s"$idx/_BANDS").delete())
+      assert(pairs(910000L, segSh).contains((500000L, 910000L)),
+        "a pointer-less store falls back flat, exact")
+      Dedup.foldDocSegments(spark, idx, gc = false)
+      assert(new java.io.File(s"$idx/_BANDS").exists(), "the next cycle re-promotes")
+      assert(treeBuckets(idx).contains(p))
+      assert(pairs(910000L, segSh).contains((500000L, 910000L)),
+        "exact after the re-promotion")
+    } finally sys.props.remove("graft.crossover.sig")
+  }
+
+  test("fold-cycle ONLINE promotion (MinHash): marker over AutoBuckets meta; twin-less segment flat-scanned; compaction persists meta") {
+    import spark.implicits._
+    sys.props("graft.crossover.minhash") = "15000" // fixture-sized crossover
+    try {
+      val corpus = Tables.documents(spark, TestSpark.Sf0001)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_promo_mh_").toString
+      val idx = s"$tmp/idx"
+      // seed AUTO-FLAT below the pinned crossover (docs x 16 bands < 15000)
+      Dedup.writeMinHashIndex(corpus, idx, shingleN = 3, numHashes = 64, bands = 16)
+      assert(spark.read.parquet(s"$idx/meta").head()
+        .getAs[Int]("band_buckets") == Dedup.AutoBuckets)
+      assert(treeBuckets(idx).isEmpty)
+
+      // one flat-era segment (the corpus re-keyed) doubles the store past
+      // the crossover; doc 10007 is a segment-resident twin of base doc 7
+      val seg = Dedup.minHashBatchSigs(
+        corpus.withColumn("doc_id", col("doc_id") + 10000), idx).localCheckpoint()
+      Dedup.writeMinHashSegment(seg, idx, "batch_1")
+      graft.core.Blocks.free(seg)
+      assert(!new java.io.File(s"$idx/bandsegs/batch_1").exists(),
+        "a flat-era MinHash segment has no band twin")
+
+      def probe7(newId: Long): Set[(Long, Long)] = {
+        val sigs = Dedup.minHashBatchSigs(
+          corpus.filter(col("doc_id") === 7).withColumn("doc_id", lit(newId)),
+          idx).localCheckpoint()
+        val cands = Dedup.minHashMicroCandidates(sigs, idx).localCheckpoint()
+        val out = Dedup.minHashMicroVerify(cands, sigs, idx, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        graft.core.Blocks.free(cands); graft.core.Blocks.free(sigs)
+        out
+      }
+      assert(probe7(90001L) == Set((7L, 90001L), (10007L, 90001L)),
+        "flat probe pairs the base doc and the segment doc")
+
+      // fold cycle: ONLINE promotion (live.size == 1, nothing folds) —
+      // the marker over the untouched AutoBuckets meta is what
+      // effectiveBandBuckets must now honor
+      Dedup.foldDocSegments(spark, idx, gc = false)
+      assert(treeBuckets(idx).contains(64),
+        s"promoted at the auto floor P=64 (saw ${treeBuckets(idx)})")
+      assert(spark.read.parquet(s"$idx/meta").head()
+        .getAs[Int]("band_buckets") == Dedup.AutoBuckets,
+        "online promotion never rewrites meta")
+      assert(probe7(90002L) == Set((7L, 90002L), (10007L, 90002L)),
+        "bucketed probe: base doc via the tree, segment doc via the " +
+          "twin-less flat scan — neither may vanish")
+
+      // stop-the-world compaction persists the online promotion into meta
+      Dedup.compactDocIndex(spark, idx)
+      assert(spark.read.parquet(s"$idx/meta").head()
+        .getAs[Int]("band_buckets") > 0, "compaction persists the operative P")
+      assert(probe7(90003L) == Set((7L, 90003L), (10007L, 90003L)),
+        "exact after compaction")
+    } finally sys.props.remove("graft.crossover.minhash")
+  }
+
   test("beside-live heal GROWS an outgrown P: mixed-P live segments keep exact recall") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_healp_").toString

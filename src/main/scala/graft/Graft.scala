@@ -908,9 +908,23 @@ final class Graft(val spark: SparkSession, val dir: String) {
     operators.Search.deleteFromTextIndex(removedIds, path)
 
   /** Physically reclaim tombstoned postings and fold streamed segments
-    * (stop-the-world, idempotent). */
+    * (stop-the-world, idempotent); grows the bucket count when the live
+    * postings have outgrown it. */
   def compactTextIndex(path: String): Unit =
     operators.Search.compactTextIndex(spark, path)
+
+  /** Fold streamed postings segments into one compact segment and grow
+    * the base bucket count when outgrown — safe BESIDE a live
+    * [[ingestSearchable]] (the [[foldDocSegments]] contract: pass
+    * `gc = false` beside a live ingest, then [[gcTextIndex]] after the
+    * per-batch readers drain). */
+  def foldTextSegments(path: String, gc: Boolean = true): Unit =
+    operators.Search.foldTextSegments(spark, path, gc)
+
+  /** Delete a text index's folded segment directories, spent fold
+    * markers, and superseded base generations (run after readers drain). */
+  def gcTextIndex(path: String): Long =
+    operators.Search.gcTextIndex(spark, path)
 
   /** GetProperty-style health of a persisted text index. */
   def textIndexProperties(path: String): Map[String, String] =

@@ -205,7 +205,94 @@ object Search {
       // (task x bucket)
       .repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
+    val fs = graft.core.Segments.fs(spark, path)
+    writeRootBuckets(fs, new org.apache.hadoop.fs.Path(s"$path/postings"), buckets)
+    // a rebuild over an existing index retracts the generation pointer:
+    // from here the legacy `postings/` (just written, marker inside) is
+    // the base root again, and stale generations are swept by the next
+    // compaction
+    val ptr = new org.apache.hadoop.fs.Path(path, PostingsPointer)
+    if (fs.exists(ptr)) { fs.delete(ptr, false); () }
   }
+
+  // ---- bucket-count growth: per-root `_BUCKETS` markers + the
+  // ---- `_POSTINGS` generation pointer (the Dedup band-store discipline,
+  // ---- ported to the postings layout) --------------------------------
+  //
+  // `buckets` frozen at build time is the frozen-P failure mode the band
+  // stores measured and fixed: a query term's probe reads O(N / buckets)
+  // postings — linear in corpus growth. The fix is identical machinery:
+  // every postings root records the P its rows were ACTUALLY partitioned
+  // at in its own `_BUCKETS` marker (readers prune each root at its own
+  // P, so roots written at different P's coexist exactly); the base root
+  // is re-bucketed by publishing a NEW GENERATION (`postings_v<k>`,
+  // marker written before rows) and flipping the `_POSTINGS` pointer
+  // atomically — never an in-place rewrite a concurrently-planned probe
+  // could trip over; growth fires on the maintenance slots
+  // ([[foldTextSegments]] beside a live ingest, [[compactTextIndex]]
+  // stop-the-world) when per-bucket postings have doubled, sized off the
+  // LIVE postings count (base + streamed segments).
+
+  /** The `_POSTINGS` pointer at an index root: names the CURRENT base
+    * postings root (a generation dir `postings_v<k>` once any re-bucket
+    * has published; absent on build-time stores, whose root is the legacy
+    * `postings/`). */
+  private val PostingsPointer = "_POSTINGS"
+
+  private def basePostingsRoot(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): org.apache.hadoop.fs.Path = {
+    val ptr = new org.apache.hadoop.fs.Path(path, PostingsPointer)
+    val rel =
+      if (!fs.exists(ptr)) "postings"
+      else scala.util.Try(graft.core.Segments.readSmall(fs, ptr).trim).toOption
+        .filter(n => n.nonEmpty && !n.contains('/')).getOrElse("postings")
+    new org.apache.hadoop.fs.Path(path, rel)
+  }
+
+  /** The `_BUCKETS` marker riding INSIDE a postings root — the bucket
+    * count its rows are ACTUALLY partitioned by. Absent on pre-marker
+    * roots: callers fall back to the meta value, frozen-correct because
+    * growth is gated on every live root carrying a marker. */
+  private def readRootBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Int] = {
+    val m = new org.apache.hadoop.fs.Path(root, "_BUCKETS")
+    if (!fs.exists(m)) None
+    else scala.util.Try(graft.core.Segments.readSmall(fs, m).trim.toInt)
+      .toOption.filter(_ > 0)
+  }
+
+  private def writeRootBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, p: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_BUCKETS"), true)
+    try out.write(p.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The OPERATIVE bucket count: the current base root's marker when
+    * present (a re-bucket may have outgrown the build-time meta value),
+    * else meta. */
+  private def effectiveBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = graft.core.Segments.fs(spark, path)
+    readRootBuckets(fs, basePostingsRoot(fs, path))
+      .getOrElse(spark.read.parquet(s"$path/meta").head().getInt(2))
+  }
+
+  /** Per-bucket postings target (the probe's read-amplification unit —
+    * a term's probe reads ~this many rows per root); the system property
+    * is a deployment-tuning + spec-fixture knob. */
+  private def TargetPostingsRows: Long =
+    sys.props.get("graft.text.bucket.target.rows").map(_.toLong).getOrElse(65536L)
+  /** clamp(totalPostings / TargetPostingsRows, 64, 65536) — same clamp
+    * rationale as the band stores: the floor keeps tiny stores from one
+    * directory, the ceiling bounds file count on object stores. */
+  private def autoPostingsBuckets(totalPostings: Long): Int =
+    math.min(65536L, math.max(64L, totalPostings / TargetPostingsRows)).toInt
+  /** Below this many rows per bucket a partitioned root is mostly tiny
+    * files; such roots write FLAT (one file sorted by pb, pb as a data
+    * column readers push a filter on) — the Dedup band-segment floor. */
+  private val MinPostingsFileRows = 1024L
 
   /** The postings derivation — ONE definition shared by the batch build,
     * the batch append, and the streaming segment writer, so the three
@@ -221,7 +308,10 @@ object Search {
         explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
-      .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)))
+      // int, not long: partition directories (`pb=3`) read back as int, so
+      // a flat root's pb DATA column must be int too or root unions
+      // type-clash
+      .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)).cast("int"))
   }
 
   /** Append new documents to a persisted text index WITHOUT rebuilding:
@@ -239,15 +329,25 @@ object Search {
       textCol: String = "text"): Long = {
     val spark = newDocs.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (n0, sd0, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val (n0, sd0) = (meta.getLong(0), meta.getLong(1))
+    // the CURRENT base root at ITS operative P (a re-bucket may have moved
+    // it past the build-time meta value). Direct appends share the
+    // maintenance contract with the band stores: they must not race the
+    // fold/compaction slot (streaming deployments use segments instead).
+    val fs = graft.core.Segments.fs(spark, path)
+    val root = basePostingsRoot(fs, path)
+    val buckets = readRootBuckets(fs, root).getOrElse(meta.getInt(2))
     val batch = postingsRows(newDocs, buckets, idCol, textCol).localCheckpoint()
     batch.repartition(col("pb"))
-      .write.partitionBy("pb").mode("append").parquet(s"$path/postings")
+      .write.partitionBy("pb").mode("append").parquet(root.toString)
     val bm = batch.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
     graft.core.Blocks.free(batch)
     import spark.implicits._
-    Seq((n0 + bm.getLong(0), sd0 + bm.getLong(1), buckets))
+    // meta keeps its ORIGINAL bucket value: it is the fallback P of
+    // PRE-MARKER roots (old segments), so only a compaction — which
+    // retires every root — may move it
+    Seq((n0 + bm.getLong(0), sd0 + bm.getLong(1), meta.getInt(2)))
       .toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     bm.getLong(0)
@@ -270,7 +370,8 @@ object Search {
     // id-type-generic, and a long cast would null out string ids — turning
     // the takedown into a silent no-op
     val ids = removedIds.select(col(idCol).as("doc_id")).distinct()
-    val batch = (s"$path/postings" +: liveSegments(spark, path).map(_ + "/postings"))
+    val base = basePostingsRoot(graft.core.Segments.fs(spark, path), path).toString
+    val batch = (base +: liveSegments(spark, path).map(_ + "/postings"))
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(max("dl").as("dl"))
@@ -285,18 +386,33 @@ object Search {
     * append form ([[writePostingsSegment]]): a segment is visible iff both
     * its postings tree and its `segmeta` committed (`segmeta` is written
     * last, so it is the commit point; a crash mid-write leaves the segment
-    * invisible and the replay overwrites it whole). */
+    * invisible and the replay overwrites it whole), filtered through the
+    * FOLD-MARKER protocol ([[foldTextSegments]] — the
+    * [[graft.operators.Dedup.foldDocSegments]] discipline): segments a
+    * committed `_folded/<compact>` marker names are superseded by that
+    * compact segment, which itself is visible only through its marker; a
+    * crash-replayed batch that rewrites an already-folded segment stays
+    * excluded (its rows live in the compact segment). */
   private def liveSegments(
       spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(s"$path/segs")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Nil
-    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter { d =>
-        fs.exists(new org.apache.hadoop.fs.Path(d, "postings/_SUCCESS")) &&
-          fs.exists(new org.apache.hadoop.fs.Path(d, "segmeta/_SUCCESS"))
-      }
-      .map(_.toString).sorted.toSeq
+    else {
+      val markers = graft.core.Segments.readMarkers(
+        fs, new org.apache.hadoop.fs.Path(path))
+      val folded = markers.values.flatten.toSet
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter { d =>
+          val name = d.getName
+          !folded(name) &&
+            (if (name.startsWith("compact_")) markers.contains(name)
+             else
+               fs.exists(new org.apache.hadoop.fs.Path(d, "postings/_SUCCESS")) &&
+                 fs.exists(new org.apache.hadoop.fs.Path(d, "segmeta/_SUCCESS")))
+        }
+        .map(_.toString).sorted.toSeq
+    }
   }
 
   /** Write a document batch's postings as a NAMED segment under
@@ -313,10 +429,23 @@ object Search {
       idCol: String = "doc_id",
       textCol: String = "text"): Long = {
     val spark = newDocs.sparkSession
-    val buckets = spark.read.parquet(s"$path/meta").head().getInt(2)
+    val fs = graft.core.Segments.fs(spark, path)
+    // the CURRENT operative P, recorded in the segment root's own
+    // `_BUCKETS` marker — probes prune this root at the marker P, so a
+    // later base re-bucket can never mis-filter these rows
+    val buckets = effectiveBuckets(spark, path)
     val batch = postingsRows(newDocs, buckets, idCol, textCol).localCheckpoint()
-    batch.repartition(col("pb"))
-      .write.partitionBy("pb").mode("overwrite").parquet(s"$path/segs/$segName/postings")
+    val segRoot = s"$path/segs/$segName/postings"
+    // flat floor: a micro-batch's postings partitioned across a grown P
+    // would be all tiny files — below the floor the segment writes ONE
+    // file sorted by pb (pb as a data column readers push a filter on)
+    if (batch.count() / math.max(1, buckets) < MinPostingsFileRows)
+      batch.coalesce(1).sortWithinPartitions("pb")
+        .write.mode("overwrite").parquet(segRoot)
+    else
+      batch.repartition(col("pb"))
+        .write.partitionBy("pb").mode("overwrite").parquet(segRoot)
+    writeRootBuckets(fs, new org.apache.hadoop.fs.Path(segRoot), buckets)
     val m = batch.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
     graft.core.Blocks.free(batch)
@@ -324,6 +453,193 @@ object Search {
     Seq((m.getLong(0), m.getLong(1))).toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/segs/$segName/segmeta")
     m.getLong(0)
+  }
+
+  /** Fold live streamed segments into ONE compact segment and grow the
+    * base root's bucket count when outgrown — SAFE BESIDE a running
+    * [[graft.streaming.Ingest.startTextIndexIngest]], the text-index
+    * analogue of [[graft.operators.Dedup.foldDocSegments]]: the folded
+    * postings land invisibly and become the view in one atomic
+    * fold-marker rename ([[liveSegments]]' protocol); a
+    * concurrently-appended segment (not in the fold snapshot) stays live
+    * untouched, and a crash before the marker leaves the old view fully
+    * intact. The base root and tombstones are NOT touched (that full fold
+    * is [[compactTextIndex]], stop-the-world) — this bounds the per-query
+    * listing + segmeta cost of a week-long ingest at O(1) segments.
+    *
+    * GROWTH rides the same slot, BEFORE the fold (so this fold's compact
+    * segment lands at the new P): when the auto bucket count sized off
+    * LIVE postings (base + segments, parquet footer counts) reaches 2x
+    * the operative P — per-bucket postings doubled, the probe's
+    * read-amplification unit — a new base generation re-partitioned at
+    * the auto P publishes behind the `_POSTINGS` pointer. Safe beside
+    * live segments because every root prunes at its OWN `_BUCKETS`
+    * marker; gated on every live segment root carrying one (pre-marker
+    * segments have no record of their write-time P). The superseded
+    * generation outlives the flip until readers drain ([[gcTextIndex]]).
+    *
+    * `gc = true` immediately deletes folded directories and stale
+    * generations — safe only when no concurrent reader planned before the
+    * marker; pass `gc = false` beside a live ingest and run
+    * [[gcTextIndex]] after the per-batch readers drain (one trigger). */
+  def foldTextSegments(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gc: Boolean = true): Unit = {
+    val fs = graft.core.Segments.fs(spark, path)
+    val base = basePostingsRoot(fs, path)
+    val segs = liveSegments(spark, path)
+    // ---- growth (before the fold; footer counts only) ----
+    if (fs.exists(base)) {
+      val eff = effectiveBuckets(spark, path)
+      val roots = base.toString +: segs.map(_ + "/postings")
+      val liveRows = roots.map(r => postingsCount(spark, fs, r)).sum
+      val auto = autoPostingsBuckets(liveRows)
+      val allMarked = segs.forall(s => readRootBuckets(
+        fs, new org.apache.hadoop.fs.Path(s"$s/postings")).isDefined)
+      if (auto >= 2 * eff && allMarked)
+        publishPostingsGen(spark, fs, path,
+          spark.read.parquet(base.toString), auto)
+    }
+    // ---- fold (marker protocol, [[foldDocSegments]]'s shape) ----
+    if (segs.size > 1) {
+      val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
+      val p = effectiveBuckets(spark, path)
+      val foldRows = segs.map(s => postingsCount(spark, fs, s + "/postings")).sum
+      // recompute pb at the CURRENT operative P: folded segments may have
+      // been written at different P's, and pb is a pure function of tok
+      val folded = segs.map(s => spark.read.parquet(s + "/postings"))
+        .reduce(_ unionByName _)
+        .withColumn("pb", pmod(xxhash64(col("tok")), lit(p.toLong)).cast("int"))
+      val segRoot = s"$path/segs/$name/postings"
+      if (foldRows / math.max(1, p) < MinPostingsFileRows)
+        folded.coalesce(1).sortWithinPartitions("pb")
+          .write.mode("overwrite").parquet(segRoot)
+      else
+        folded.repartition(col("pb"))
+          .write.partitionBy("pb").mode("overwrite").parquet(segRoot)
+      writeRootBuckets(fs, new org.apache.hadoop.fs.Path(segRoot), p)
+      // compact segmeta = the exact sum of the folded stats rows
+      val (n, sd) = segs.foldLeft((0L, 0L)) { case ((a, d), s) =>
+        val r = spark.read.parquet(s"$s/segmeta").head()
+        (a + r.getLong(0), d + r.getLong(1))
+      }
+      import spark.implicits._
+      Seq((n, sd)).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/segs/$name/segmeta")
+      graft.core.Segments.writeAtomic(fs, graft.core.Segments.conf(spark),
+        new org.apache.hadoop.fs.Path(s"$path/_folded/$name"),
+        segs.map(s => new org.apache.hadoop.fs.Path(s).getName).mkString("\n"))
+    }
+    if (gc) { gcTextIndex(spark, path); () }
+  }
+
+  /** One postings root as (doc_id, tok, tf, dl), pruned to `hit` buckets:
+    * a partitioned root reads ONLY the hit `pb=` subdirectories (path
+    * construction, one listing — never a per-bucket re-list); a flat root
+    * (small segments below the file floor) reads whole with a pushed pb
+    * row filter. None = nothing to read. The term `tok IN` filter rides
+    * every read as a rowgroup filter. */
+  private def readPostingsRoot(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String, hit: Seq[Int], termList: Seq[String]): Option[DataFrame] = {
+    val proj = Seq("doc_id", "tok", "tf", "dl").map(col)
+    val tokIn = col("tok").isin(termList: _*)
+    val parts = graft.core.Segments.listDirs(fs, new org.apache.hadoop.fs.Path(root))
+      .map(_.getName).filter(_.startsWith("pb="))
+    if (parts.nonEmpty) {
+      val present = parts.map(_.stripPrefix("pb=").toInt).toSet
+      val dirs = hit.filter(present).map(b => s"$root/pb=$b")
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs: _*).filter(tokIn).select(proj: _*))
+    } else {
+      val hasData = graft.core.Segments
+        .listFiles(fs, new org.apache.hadoop.fs.Path(root))
+        .exists(_.getName.endsWith(".parquet"))
+      if (!hasData) None
+      else Some(spark.read.parquet(root)
+        .filter(col("pb").isin(hit: _*) && tokIn).select(proj: _*))
+    }
+  }
+
+  /** Parquet-footer row count of a postings root; 0 when it holds no data
+    * files. */
+  private def postingsCount(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(dir)) return 0L
+    var hasData = false
+    val it = fs.listFiles(dir, true)
+    while (!hasData && it.hasNext)
+      hasData = it.next().getPath.getName.endsWith(".parquet")
+    if (!hasData) 0L else spark.read.parquet(root).count()
+  }
+
+  /** Publish a COMPLETE base postings tree as a new generation behind the
+    * `_POSTINGS` pointer — marker before rows, pointer flip (atomic
+    * rename) as the commit point; a crash before the flip leaves an
+    * unreferenced generation the sweep collects. The
+    * [[graft.operators.Dedup]] `publishBandTree` discipline. */
+  private def publishPostingsGen(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, rows: DataFrame, p: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val nextGen = 1 + graft.core.Segments.listDirs(fs, root).map(_.getName)
+      .filter(_.startsWith("postings_v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("postings_v").toInt).toOption)
+      .foldLeft(0)(math.max)
+    val gen = s"postings_v$nextGen"
+    val dir = new org.apache.hadoop.fs.Path(root, gen)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    writeRootBuckets(fs, dir, p)
+    rows.withColumn("pb", pmod(xxhash64(col("tok")), lit(p.toLong)).cast("int"))
+      .repartition(col("pb"))
+      .write.mode("append").partitionBy("pb").parquet(dir.toString)
+    graft.core.Segments.writeAtomic(fs, graft.core.Segments.conf(spark),
+      new org.apache.hadoop.fs.Path(root, PostingsPointer), gen)
+  }
+
+  /** Delete a text index's folded (superseded) segment directories, fold
+    * markers whose compact segment is itself gone, orphaned uncommitted
+    * `compact_*` directories from a crashed fold, and base generations the
+    * `_POSTINGS` pointer no longer references. Run from the maintenance
+    * actor only, after readers that planned before the last fold
+    * marker/pointer flip have drained ([[graft.operators.Dedup.gcDocIndex]]'s
+    * contract). Returns directories removed. */
+  def gcTextIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val fs = graft.core.Segments.fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val markers = graft.core.Segments.readMarkers(fs, root)
+    val folded = markers.values.flatten.toSet
+    var removed = 0L
+    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
+    graft.core.Segments.listDirs(fs, segsDir).foreach { d =>
+      val name = d.getName
+      val committedCompact = name.startsWith("compact_") && markers.contains(name)
+      if (folded(name) || (name.startsWith("compact_") && !committedCompact)) {
+        fs.delete(d, true); removed += 1
+      }
+    }
+    // markers whose compact segment is gone are spent; markers whose
+    // compact is live must OUTLIVE gc (they keep replayed rewrites of
+    // folded names excluded)
+    markers.keys.foreach { m =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(segsDir, m))) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_folded/$m"), false)
+        removed += 1
+      }
+    }
+    val current = basePostingsRoot(fs, path).getName
+    graft.core.Segments.listDirs(fs, root).map(_.getName)
+      .filter(n => (n.startsWith("postings_v") || n == "postings") && n != current)
+      .foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), true); removed += 1
+      }
+    removed
   }
 
   /** Fold streamed segments AND tombstones into the base postings: one
@@ -336,47 +652,68 @@ object Search {
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val staging = new org.apache.hadoop.fs.Path(s"$path/postings_staging")
-    // finish a crashed prior swap before anything else
-    graft.core.Segments.healSwap(fs, staging, postingsDir)
+    // finish a crashed legacy stage-then-swap before anything else
+    // (pre-generation indexes compacted in place; generation publishes
+    // have no such window)
+    graft.core.Segments.healSwap(fs,
+      new org.apache.hadoop.fs.Path(s"$path/postings_staging"),
+      new org.apache.hadoop.fs.Path(s"$path/postings"))
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
     val segs = liveSegments(spark, path)
-    if (!fs.exists(tombsDir) && segs.isEmpty) return
-    val raw = (s"$path/postings" +: segs.map(_ + "/postings"))
+    val base = basePostingsRoot(fs, path)
+    // GROW-ONLY RE-BUCKET rides the compaction: when live postings have
+    // outgrown the operative P (auto >= 2x — per-bucket rows doubled),
+    // the folded tree lands at the new auto P; stop-the-world, so no
+    // marker gate is needed — every root is retired here
+    val eff = readRootBuckets(fs, base)
+      .getOrElse(spark.read.parquet(s"$path/meta").head().getInt(2))
+    val liveRows = (base.toString +: segs.map(_ + "/postings"))
+      .map(r => postingsCount(spark, fs, r)).sum
+    val auto = autoPostingsBuckets(liveRows)
+    val grown = auto >= 2 * eff
+    if (!fs.exists(tombsDir) && segs.isEmpty && !grown) return
+    val raw = (base.toString +: segs.map(_ + "/postings"))
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
       // (doc, tok) dedupe makes the fold IDEMPOTENT: a crash after the
-      // base rewrite but before the segment delete leaves segment rows in
+      // base publish but before the segment delete leaves segment rows in
       // both trees, and the rerun must not double them
       .dropDuplicates("doc_id", "tok")
     val live = if (!fs.exists(tombsDir)) raw
       else raw.join(
         broadcast(spark.read.parquet(tombsDir.toString).select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
-    // stage-then-swap (Segments.swapInto): the folded view streams from
-    // the live trees into a durable sibling; a crash at any point leaves
-    // a complete postings tree on disk, where the previous
-    // localCheckpoint + in-place overwrite lost both if the JVM died
-    // mid-write (checkpoint blocks are executor memory only)
-    live.repartition(col("pb"))
-      .write.partitionBy("pb").mode("overwrite").parquet(staging.toString)
-    graft.core.Segments.swapInto(fs, staging, postingsDir)
-    val liveRead = spark.read.parquet(postingsDir.toString)
+    // generation publish (marker first, pointer flip as the commit
+    // point): a crash at any point leaves a complete referenced tree on
+    // disk — the old one before the flip, the new one after
+    val newP = if (grown) auto else eff
+    publishPostingsGen(spark, fs, path, live, newP)
+    val liveRead = spark.read.parquet(basePostingsRoot(fs, path).toString)
     // the recounted meta lands BEFORE the segment/tombstone deletes: a
     // crash in between leaves readers double-counting segment stats until
     // the rerun (which re-folds through the dedupe and re-deletes), but
     // never the unrecoverable inverse — deleting the segmeta/tombstone
     // stats first and dying before the meta write would strand a stale
-    // meta that the segs-empty early return above could never repair
-    val buckets = spark.read.parquet(s"$path/meta").head().getInt(2)
+    // meta that the nothing-to-do early return above could never repair.
+    // meta's bucket value may move here and ONLY here: every pre-marker
+    // root that used it as its fallback P is retired by this fold.
     val m = liveRead.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
     import spark.implicits._
-    Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
+    Seq((m.getLong(0), m.getLong(1), newP)).toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
     if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
     if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
+    val markerDir = new org.apache.hadoop.fs.Path(s"$path/_folded")
+    if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
+    // stop-the-world: superseded generations sweep drain-free
+    val current = basePostingsRoot(fs, path).getName
+    graft.core.Segments.listDirs(fs, new org.apache.hadoop.fs.Path(path))
+      .map(_.getName)
+      .filter(n => (n.startsWith("postings_v") || n == "postings") && n != current)
+      .foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, n), true); ()
+      }
   }
 
   /** GetProperty-style health of a persisted text index (the
@@ -388,7 +725,8 @@ object Search {
   def textIndexStats(
       spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (n0, sd0, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val (n0, sd0) = (meta.getLong(0), meta.getLong(1))
+    val buckets = effectiveBuckets(spark, path)
     val segs = liveSegments(spark, path)
     val (nS, sdS) = segs.foldLeft((n0, sd0)) { case ((a, d), seg) =>
       val r = spark.read.parquet(s"$seg/segmeta").head()
@@ -406,7 +744,8 @@ object Search {
         (g.getLong(0), g.getLong(1))
       }
     val (n, sd) = (nS - tombN, sdS - tombDl)
-    val p = (s"$path/postings" +: segs.map(_ + "/postings"))
+    val base = basePostingsRoot(fs, path).toString
+    val p = (base +: segs.map(_ + "/postings"))
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
       .agg(count(lit(1)), approx_count_distinct(col("tok"))).head()
     Map(
@@ -425,7 +764,18 @@ object Search {
     * tombstoned documents), but the per-batch cost is a pruned postings
     * read — only the query terms' hash buckets are listed and scanned —
     * instead of a corpus scan. The term-bucket set is computed with one
-    * query-batch-sized job; corpus data never reaches the driver. */
+    * query-batch-sized job; corpus data never reaches the driver.
+    *
+    * EACH ROOT PRUNES AT ITS OWN P: the hit-bucket list is derived per
+    * root from the terms' raw xxhash64 values at that root's `_BUCKETS`
+    * marker (else meta) — a segment written before a re-bucket keeps
+    * exact recall through its own marker, the
+    * [[graft.operators.Dedup]] `storedBands` discipline. Partitioned
+    * roots are pruned by PATH CONSTRUCTION (only hit `pb=` directories
+    * are handed to the reader — the filter-on-partition-column form
+    * re-lists every bucket directory at plan time, the measured 6-12 s
+    * trap at large P); flat roots (small segments) get a pushed pb row
+    * filter. */
   def bm25Indexed(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -437,7 +787,7 @@ object Search {
       queryTextCol: String = "query_text"): DataFrame = {
     require(topK > 0, "topK must be positive")
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (n0, sd0, buckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val (n0, sd0, metaBuckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
     // live streamed segments contribute their own stats rows — the base
     // meta never mutates on the streaming path, so a replayed batch
     // cannot double-count
@@ -466,15 +816,29 @@ object Search {
       explode(TextOps.tokens(coalesce(col(queryTextCol), lit("")))).as("tok"))
       .distinct()
       .localCheckpoint()
-    // the terms' partition buckets — a query-batch-sized collect
-    val pbs = terms.select(pmod(xxhash64(col("tok")), lit(buckets.toLong)))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // the terms' RAW hashes (not buckets): per-root hit buckets are
+    // derived from these at each root's own P — a query-batch-sized
+    // collect
+    val termHashes = terms.select(xxhash64(col("tok")))
+      .distinct().collect().map(_.getLong(0))
     val termList = terms.select("tok").distinct().collect().map(_.getString(0)).toSeq
-    // base + streamed segments, each root bucket-pruned independently
-    val raw = (s"$path/postings" +: segs.map(_ + "/postings"))
-      .map(spark.read.parquet(_)
-        .filter(col("pb").isin(pbs: _*) && col("tok").isin(termList: _*)))
-      .reduce(_ unionByName _)
+    // base + streamed segments, each root bucket-pruned independently at
+    // its own marker P
+    val roots = basePostingsRoot(fs, path).toString +: segs.map(_ + "/postings")
+    val views = roots.flatMap { r =>
+      val p = readRootBuckets(fs, new org.apache.hadoop.fs.Path(r))
+        .getOrElse(metaBuckets).toLong
+      val hit = termHashes.map(h => java.lang.Math.floorMod(h, p).toInt)
+        .distinct.sorted.toSeq
+      readPostingsRoot(spark, fs, r, hit, termList)
+    }
+    val raw =
+      if (views.nonEmpty) views.reduce(_ unionByName _)
+      // no hit bucket anywhere (every query term absent from the corpus):
+      // a typed empty postings frame — folded to an empty relation at
+      // plan time, no files read
+      else spark.read.parquet(basePostingsRoot(fs, path).toString)
+        .filter(lit(false)).select("doc_id", "tok", "tf", "dl")
     val live = tombs.fold(raw)(t =>
       raw.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
     val tf = live.select(col("doc_id"), col("tok"),

@@ -770,7 +770,9 @@ object Ingest {
     * the stats a batch rebuild would produce. Exactly-once under crash
     * replay because nothing global mutates per batch: the replayed batch
     * rewrites its own segment (postings AND stats) in place. Fold the
-    * accumulated segments flat with
+    * accumulated segments BESIDE the ingest with
+    * [[graft.operators.Search.foldTextSegments]] (which also grows the
+    * bucket count when the live postings outgrow it), or flat with
     * [[graft.operators.Search.compactTextIndex]] while stopped. */
   def startTextIndexIngest(
       spark: SparkSession,

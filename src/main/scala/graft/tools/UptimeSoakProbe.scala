@@ -23,6 +23,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * Usage: runMain graft.tools.UptimeSoakProbe [nBatches] [docsPerBatch] [compactEvery] [phases] [bandBuckets]
   *   compactEvery = 0 disables concurrent compaction (the drift control).
   *   phases = comma list of dedup,neardup,curated,semantic,pipeline
+  *            (+ opt-in long-horizon: pipeline1k,span,video)
   *   (default all) — lets a long-horizon run (e.g. 1000 batches) target one
   *   phase without paying for the rest.
   *   bandBuckets > 0 builds the near-dup phase's MinHash index with the
@@ -402,6 +403,165 @@ object UptimeSoakProbe {
     require(f5 == 0 || l5 / f5 < 1.8, f"pipeline per-batch cost drifted ${l5 / f5}%.2fx " +
       "(index-probe growth is bounded by the standalone phases' own gates)")
     require(peak5 <= 10, s"pipeline per-batch storage must stay bounded, saw $peak5")
+    }
+
+    // ---- phase 4b: FULL-HORIZON composed pipeline soak (opt-in) ----
+    // The composed filter -> redact -> exact -> near-dup -> SEMANTIC
+    // stream is the richest maintenance surface in the engine: THREE
+    // index families (exact key log, MinHash doc store, IVF vector lists)
+    // fold beside ONE live query. This phase drives it through the full
+    // horizon with the standalone phases' fold/gc loops running
+    // concurrently on all three, a crash replay at half-horizon, and the
+    // MinHash store seeded AUTO (flat) so the fold-cycle ONLINE PROMOTION
+    // must fire mid-soak once the kept corpus crosses the crossover —
+    // the promotion proven in DedupIncrementalSpec, here under the
+    // composed ingest. Ground truth unchanged: distinct text keys
+    // (embeddings are a pure function of the key, and the IVF base
+    // slice's keys are DISJOINT, so the semantic stage must drop exactly
+    // nothing); at the horizon the sink must equal the BATCH
+    // curationPipeline's kept set over the same corpus.
+    if (phases("pipeline1k")) {
+    import graft.operators.Ivf
+    val dims = (0 until 48).map(j =>
+      ((pmod(xxhash64(col("_key") * 2000003L + j), lit(2001L)) - 1000L)
+        .cast("double") / 1000.0).cast("float"))
+    val pdocs = spark.range(n)
+      .select(col("id").as("doc_id"))
+      .withColumn("_key", pmod(xxhash64(col("doc_id")), lit(uniqueKeys)))
+      .withColumn("text", concat_ws(" ", words: _*))
+      .withColumn("embedding", array(dims: _*))
+      .drop("_key")
+    val p1src = s"$out/p1src"
+    pdocs.repartition(nBatches).write.parquet(p1src)
+    val p1schema = spark.read.parquet(p1src).schema
+    val pxIdx = s"$out/p1_xidx"
+    val pmIdx = s"$out/p1_midx"
+    val pvIdx = s"$out/p1_ivf"
+    Dedup.writeExactIndex(docs.limit(0), pxIdx)
+    // AUTO layout on purpose: seeded empty -> flat; kept keys x 16 bands
+    // crosses FlatCrossoverRowsMinHash mid-run, so foldDocSegments must
+    // promote ONLINE beside this very ingest
+    Dedup.writeMinHashIndex(docs.limit(0), pmIdx, shingleN = 3, numHashes = 64, bands = 16)
+    // the IVF training slice rides a DISJOINT key range: the semantic
+    // stage probes it every batch but can never match a streamed key
+    val baseVecs = spark.range(8000)
+      .select((col("id") + lit(5L * n)).as("vec_id"))
+      .withColumn("_key", col("vec_id") + lit(uniqueKeys))
+      .withColumn("embedding", array(dims: _*))
+      .drop("_key").localCheckpoint()
+    Ivf.writeIndex(baseVecs,
+      Ivf.train(baseVecs, 64, iters = 2, maxTrainRows = 3000L), pvIdx)
+    graft.core.Blocks.free(baseVecs)
+    val cap7 = new Capture(spark)
+    spark.streams.addListener(cap7)
+    val t7 = System.nanoTime()
+    def startP() = Ingest.startPipelineIngest(
+      spark, p1src, p1schema, s"$out/p1sink", s"$out/p1ckpt",
+      graft.operators.Curation.defaultQualityRules(),
+      pxIdx, pmIdx, semanticIndexPath = Some(pvIdx),
+      semanticThreshold = 0.99, maxFilesPerTrigger = Some(1))
+    var q7 = startP()
+    var lastFold7 = 0
+    var folds7 = 0
+    var gcRemoved7 = 0L
+    var pendingGcAt7 = -1
+    var crashed7 = false
+    var promotedAt7 = -1
+    var peakSegs7 = 0
+    def liveMhSegs(): Int = {
+      val d = new java.io.File(s"$pmIdx/segs")
+      Option(d.listFiles())
+        .map(_.count(f => f.isDirectory && !f.getName.startsWith("."))).getOrElse(0)
+    }
+    while (q7.isActive) {
+      Thread.sleep(500)
+      val done = cap7.rows.size()
+      peakSegs7 = math.max(peakSegs7, liveMhSegs())
+      if (!crashed7 && done >= nBatches / 2) {
+        crashed7 = true
+        q7.stop(); q7.awaitTermination()
+        val commits = new java.io.File(s"$out/p1ckpt/commits").listFiles()
+          .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+        if (commits.nonEmpty) {
+          val last = commits.last
+          val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+          last.delete(); if (crc.exists()) crc.delete()
+        }
+        println(s"[soak] pipe1k   crash replay at done=$done (dropped last commit, restarting)")
+        q7 = startP()
+      }
+      if (pendingGcAt7 >= 0 && done >= pendingGcAt7) {
+        gcRemoved7 += Dedup.gcExactIndex(spark, pxIdx) +
+          Dedup.gcDocIndex(spark, pmIdx) + Ivf.gcIndexSegments(spark, pvIdx)
+        pendingGcAt7 = -1
+      }
+      if (compactEvery > 0 && done - lastFold7 >= compactEvery) {
+        lastFold7 = done
+        Dedup.compactExactIndex(spark, pxIdx, gc = false) // beside live ingest
+        Dedup.foldDocSegments(spark, pmIdx, gc = false) // + online promotion
+        Ivf.foldIndexSegments(spark, pvIdx, gc = false)
+        folds7 += 1
+        if (promotedAt7 < 0 && new java.io.File(s"$pmIdx/_BANDS").exists())
+          promotedAt7 = done
+        pendingGcAt7 = cap7.rows.size() + 2
+      }
+    }
+    q7.awaitTermination()
+    val pipe1kWall = (System.nanoTime() - t7) / 1e9
+    spark.streams.removeListener(cap7)
+    gcRemoved7 += Dedup.gcExactIndex(spark, pxIdx) +
+      Dedup.gcDocIndex(spark, pmIdx) + Ivf.gcIndexSegments(spark, pvIdx)
+    val (f7, l7, peak7) = report("pipe1k", cap7, 50)
+    val mhStats = Dedup.docIndexStats(spark, pmIdx)
+    println(f"[soak] pipe1k   wall=$pipe1kWall%.1f s folds=$folds7 " +
+      f"gc-removed=$gcRemoved7 peak-live-mh-segs=$peakSegs7 " +
+      f"promoted-at=$promotedAt7 P=${mhStats("graft.docindex.band-buckets")}")
+    val p1Funnel = Ingest.pipelineFunnel(spark, s"$out/p1sink", s"$out/p1ckpt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    println(f"[soak] pipe1k   funnel: " +
+      p1Funnel.map { case (st, i, o) => s"$st=$i->$o" }.mkString(" "))
+    val p1Kept = spark.read
+      .parquet((0L until nBatches.toLong).map(b => s"$out/p1sink/batch_id=$b"): _*)
+    val p1Rows = p1Kept.count()
+    val p1Keys = p1Kept.select(xxhash64(col("text"))).distinct().count()
+    println(f"[soak] pipe1k   kept=$p1Rows%,d distinct=$p1Keys%,d (expect $expectKeys%,d)")
+    require(p1Rows == expectKeys && p1Keys == expectKeys,
+      "pipeline1k soak output diverged from the distinct-text ground truth")
+    // funnel reconciliation: every drop belongs to the exact stage, the
+    // semantic stage (disjoint base keys) drops exactly nothing
+    val arr7 = p1Funnel.find(_._1 == "filter").map(_._2).getOrElse(0L)
+    val ex7 = p1Funnel.find(_._1 == "exact").map(_._3).getOrElse(0L)
+    val sem7 = p1Funnel.find(_._1 == "semantic").get
+    require(arr7 == n && ex7 == expectKeys && sem7._2 == sem7._3 &&
+      p1Funnel.last._3 == expectKeys,
+      s"pipeline1k funnel must reconcile: ${p1Funnel.mkString(" ")}")
+    // the ONLINE promotion must have fired mid-soak (auto-flat seed, kept
+    // corpus past the crossover), meta untouched, no band orphans
+    require(promotedAt7 > 0, "the auto-flat MinHash store must promote mid-soak")
+    require(mhStats("graft.docindex.orphan-docs") == "0",
+      s"every live doc row must carry band rows: $mhStats")
+    // horizon equality with the BATCH pipeline over the same corpus: same
+    // kept multiset of text keys (keep POLICY may pick different
+    // representatives per key; the key multiset is the invariant)
+    val (bKept, bFunnel) = graft.operators.Curation.curationPipeline(
+      docs, graft.operators.Curation.defaultQualityRules())
+    val sK = p1Kept.select(xxhash64(col("text")).as("k"))
+    val bK = bKept.select(xxhash64(col("text")).as("k"))
+    val keyDiff = sK.exceptAll(bK).count() + bK.exceptAll(sK).count()
+    val bExact = bFunnel.collect().find(_.getString(0) == "exact").get.getLong(2)
+    graft.core.Blocks.free(bKept)
+    require(keyDiff == 0L,
+      s"streamed sink != batch curationPipeline kept keys ($keyDiff rows differ)")
+    require(bExact == expectKeys,
+      s"batch pipeline exact stage must agree: $bExact vs $expectKeys")
+    println(f"[soak] pipe1k   sink == batch curationPipeline at the horizon " +
+      f"($expectKeys%,d keys)")
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persisted RDDs after pipeline1k soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+    require(compactEvery == 0 || peakSegs7 <= 2 * compactEvery + 4,
+      s"fold loop must bound live MinHash segments at O(foldEvery), saw $peakSegs7")
+    require(f7 == 0 || l7 / f7 < 1.8, f"pipeline1k per-batch cost drifted ${l7 / f7}%.2fx")
+    require(peak7 <= 10, s"pipeline1k per-batch storage must stay bounded, saw $peak7")
     }
 
     // ---- phase 5: ExactSubstr SPAN ingest with concurrent catalog folds ----

@@ -81,11 +81,18 @@ class SearchSpec extends AnyFunSuite {
     val indexed = Search.bm25Indexed(spark, idx, qs, topK = 7)
     val got = indexed.collect().map(_.toSeq).sortBy(_.mkString(","))
     assert(got.toSeq == scan.toSeq, "the indexed path must equal the scan path row for row")
-    // the term-bucket filter must reach the scan as PARTITION pruning:
-    // only the query terms' posting directories are listed and read
-    val plan = indexed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [pb"),
-      s"pb filter must be a partition filter, plan:\n${plan.take(2000)}")
+    // the term-bucket pruning must reach the READ as path construction:
+    // only the query terms' posting directories are handed to the reader
+    // (never a filter over a full-root listing)
+    val hitPbs = qs.select(explode(split(col("query_text"), " ")).as("tok"))
+      .select(pmod(xxhash64(col("tok")), lit(64L))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val readDirs = indexed.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("pb=")))
+      .map(_.stripPrefix("pb=").toLong).toSet
+    assert(readDirs.nonEmpty && readDirs.subsetOf(hitPbs),
+      s"only hit pb= directories may be read: read $readDirs vs hit $hitPbs")
+    assert(readDirs.size < 64, "the read must not touch every bucket")
 
     // stats come from meta, not a corpus rescan: the index answers alone
     // (score against a rebuilt index over HALF the corpus differs — avgdl
@@ -191,6 +198,88 @@ class SearchSpec extends AnyFunSuite {
       post("graft.text.postings") == pre("graft.text.postings"),
       s"fold must not change the corpus view: $pre vs $post")
     assert(post("graft.text.segments").toInt == 0)
+  }
+
+  test("text-index growth: generation flip beside live segments keeps search == scan; gc sweeps; compaction persists") {
+    import spark.implicits._
+    sys.props("graft.text.bucket.target.rows") = "50" // fixture-sized growth
+    try {
+      val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      val base = docs.filter(col("doc_id") % 3 === 0)
+      val s1 = docs.filter(col("doc_id") % 3 === 1)
+      val s2 = docs.filter(col("doc_id") % 3 === 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ti_gen_").toString
+      val idx = s"$tmp/idx"
+      val qs = Seq((1L, "dup scan"), (2L, "spark query merge"))
+        .toDF("query_id", "query_text")
+      def search() = Search.bm25Indexed(spark, idx, qs, topK = 9)
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      def scan(d: org.apache.spark.sql.DataFrame) = Search.bm25(d, qs, topK = 9)
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+
+      // seed deliberately undersized (P=4), one PRE-FLIP segment at P=4
+      Search.buildTextIndex(base, idx, buckets = 4)
+      Search.writePostingsSegment(s1, idx, "seg_batch_000000")
+      assert(search() == scan(base.unionByName(s1)), "pre-growth equality")
+
+      // the fold slot GROWS the base root (auto >= 2x4 with the pinned
+      // target): a new generation behind the `_POSTINGS` pointer, while
+      // the live P=4 segment keeps pruning at its OWN marker — mixed-P
+      Search.foldTextSegments(spark, idx, gc = false)
+      val ptr = new java.io.File(s"$idx/_POSTINGS")
+      assert(ptr.exists(), "growth publishes behind the pointer")
+      val gen = new String(
+        java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+      assert(gen == "postings_v1", s"first generation (saw $gen)")
+      val newP = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$idx/$gen/_BUCKETS").toPath), "UTF-8").trim.toInt
+      assert(newP >= 8, s"grown P (saw $newP)")
+      assert(new java.io.File(s"$idx/postings").exists(),
+        "the superseded root outlives the flip until readers drain")
+      assert(spark.read.parquet(s"$idx/meta").head().getInt(2) == 4,
+        "the beside-live grow never rewrites meta (pre-marker fallback P)")
+      assert(search() == scan(base.unionByName(s1)),
+        "mixed-P store (grown base + P=4 segment) must stay exact")
+
+      // a post-flip segment lands at the grown P; the next fold retires
+      // both into ONE compact segment at the operative P
+      Search.writePostingsSegment(s2, idx, "seg_batch_000001")
+      val segP = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$idx/segs/seg_batch_000001/postings/_BUCKETS").toPath),
+        "UTF-8").trim.toInt
+      assert(segP == newP, "post-flip segments sign at the grown P")
+      assert(search() == scan(docs), "full view before the fold")
+      Search.foldTextSegments(spark, idx, gc = false)
+      val live = new java.io.File(s"$idx/segs").listFiles().filter(_.isDirectory)
+        .map(_.getName)
+      assert(live.count(_.startsWith("compact_")) == 1,
+        s"one compact segment: ${live.toSeq}")
+      assert(search() == scan(docs), "fold must not change any score")
+
+      // drain-safe sweep: superseded generation + folded segments go
+      assert(Search.gcTextIndex(spark, idx) >= 3L)
+      assert(!new java.io.File(s"$idx/postings").exists(), "legacy root swept")
+      val after = new java.io.File(s"$idx/segs").listFiles().filter(_.isDirectory)
+      assert(after.forall(_.getName.startsWith("compact_")), "folded segments swept")
+      assert(search() == scan(docs), "gc must not change any score")
+
+      // append == rebuild across the flip (the direct-append path lands
+      // at the grown P inside the current generation)
+      val extra = Seq((900001L, "zeta quark lattice dup scan"))
+        .toDF("doc_id", "text")
+      val union = docs.select("doc_id", "text").unionByName(extra)
+      Search.appendToTextIndex(extra, idx)
+      assert(search() == scan(union),
+        "append into the grown generation == rebuild over the union")
+
+      // stop-the-world compaction persists the operative P into meta and
+      // changes nothing visible
+      Search.compactTextIndex(spark, idx)
+      assert(spark.read.parquet(s"$idx/meta").head().getInt(2) >= newP,
+        "compaction persists the grown P into meta")
+      assert(!new java.io.File(s"$idx/segs").exists(), "segments folded away")
+      assert(search() == scan(union), "compaction must be invisible to search")
+    } finally sys.props.remove("graft.text.bucket.target.rows")
   }
 
   test("q32 plan: query terms broadcast; no corpus sort-merge; topK bounded by rank filter") {

@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * measured drift is the reason the concurrent paths exist. Not part of the
   * engine.
   *
-  * Usage: runMain graft.tools.UptimeSoakProbe [nBatches] [docsPerBatch] [compactEvery] [phases] [bandBuckets]
+  * Usage: runMain graft.tools.UptimeSoakProbe [nBatches] [docsPerBatch] [compactEvery] [phases] [bandBuckets] [mhCrossover]
   *   compactEvery = 0 disables concurrent compaction (the drift control).
   *   phases = comma list of dedup,neardup,curated,semantic,pipeline
   *            (+ opt-in long-horizon: pipeline1k,span,video)
@@ -69,6 +69,11 @@ object UptimeSoakProbe {
     val compactEvery = args.lift(2).map(_.toInt).getOrElse(40)
     val phases = args.lift(3).map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "neardup", "curated", "semantic", "pipeline"))
+    // smoke-sizing knob for the pipeline1k phase's promotion gate: a small
+    // smoke corpus can't cross the real MinHash crossover, so pass a
+    // fixture-sized one (0 = the measured default)
+    args.lift(5).map(_.toLong).filter(_ > 0).foreach(c =>
+      sys.props("graft.crossover.minhash") = c.toString)
     // span/video are opt-in long-horizon phases (run them with their own
     // docsPerBatch: span wants the micro literal-In regime, video pays a
     // per-clip synthesis cost in source generation)

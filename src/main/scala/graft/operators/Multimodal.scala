@@ -1403,8 +1403,20 @@ object Multimodal {
     /** 24-bit bottom-up BMP of the SAME gray field: pixel-identical to
       * [[png]] for equal (w, h, seed, noise) — the container-independence
       * fixture. */
-    def bmp(w: Int, h: Int, seed: Long, noise: Int = 0): Array[Byte] = {
-      val g = gray(w, h, seed, noise)
+    def bmp(w: Int, h: Int, seed: Long, noise: Int = 0): Array[Byte] =
+      bmpFromGray(w, h, gray(w, h, seed, noise))
+
+    /** Integer closed-form field for ORACLE-EXACT fixtures:
+      * p(x, y) = (seed·31 + 7x + 13y) mod 256 — every pixel an integer a
+      * SQL twin re-derives verbatim (no trig, no floats anywhere), so a
+      * decode+resize output over it can be hash-checked end to end
+      * (q30e2) where the sinusoid family's last-ulp trig differences
+      * forbid a sound twin (BASELINE.md round-13 oracle-flip analysis). */
+    def bmpAffine(w: Int, h: Int, seed: Long): Array[Byte] =
+      bmpFromGray(w, h, Array.tabulate(w * h)(i =>
+        java.lang.Math.floorMod(seed * 31 + (i % w) * 7 + (i / w) * 13, 256L).toInt))
+
+    private def bmpFromGray(w: Int, h: Int, g: Array[Int]): Array[Byte] = {
       val rowBytes = (w * 3 + 3) / 4 * 4
       val dataSize = rowBytes * h
       def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
@@ -3415,6 +3427,19 @@ object Multimodal {
       imageGenUdf(width, height, noise, bmpEvery, jpegEvery)(
         col(idCol).cast("long"), col(seedCol).cast("long")))
 
+  /** BMP payloads over the INTEGER closed-form field
+    * ([[ImageGen.bmpAffine]]) — the oracle-exact fixture slice: lossless
+    * container, integer pixels a SQL twin re-derives, so q30e2's
+    * decode+resize output hash-checks end to end. */
+  def withAffineImagePayload(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      width: Int = 64,
+      height: Int = 48): DataFrame = {
+    val gen = udf((id: Long) => ImageGen.bmpAffine(width, height, id))
+    documents.withColumn("payload", gen(col(idCol).cast("long")))
+  }
+
   final case class ImageHashes(doc_id: Long, width: Int, height: Int, ahash: Long, dhash: Long)
 
   final case class ResizedImage(doc_id: Long, width: Int, height: Int, pixels: Array[Float])
@@ -3450,6 +3475,30 @@ object Multimodal {
       }(Encoders.product[ResizedImage])
       .toDF()
   }
+
+  /** MODEL-FREE image embeddings for the vector-index lifecycle: decode +
+    * resize to a `t x t` tensor ([[resizeImages]] — the same resample grid
+    * the perceptual hashes bin with), then CENTER each tensor on its own
+    * mean. Cosine over centered tensors is the Pearson correlation of the
+    * resampled images — without the centering, the shared mid-gray
+    * background rides every vector as a large DC component and ANY two
+    * images read cosine ~0.9+. This is the deterministic stand-in for an
+    * image-tower embedding (a trained model would replace this column,
+    * nothing downstream changes): feeding it through
+    * [[graft.operators.Dedup.semanticDedup]] / the IVF lifecycle catches
+    * content near-duplicates BEYOND the Hamming dedup budget — heavy
+    * sensor-style noise flips boundary dHash bits past the budget while
+    * the box-averaged tensor correlation barely moves (the 16x16 cells
+    * average the noise away; MultimodalSpec pins planted hash-missed
+    * twins). Output is (vec_id, embedding), the semantic machinery's
+    * default shape. */
+  def imageEmbeddings(
+      withPayload: DataFrame, t: Int = 16, idCol: String = "doc_id"): DataFrame =
+    resizeImages(withPayload, t, t, idCol)
+      .withColumn("_mean",
+        aggregate(col("pixels"), lit(0.0d), (a, x) => a + x) / (t * t).toDouble)
+      .select(col(idCol).as("vec_id"),
+        transform(col("pixels"), p => (p - col("_mean")).cast("float")).as("embedding"))
 
   /** Decode each payload and emit its perceptual hashes — one row per
     * DECODABLE image (undecodable/non-image rows are skipped, never fatal).

@@ -122,6 +122,87 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** INT8-QUANTIZED hyperplane-LSH maximum-inner-product search — the
+    * production retrieval trick of shipping embeddings as int8
+    * (4x smaller rows, SIMD dots) made a first-class operator, with a
+    * twist the float path cannot offer: EVERY arithmetic step is exact
+    * integer math. Vectors quantize by `floor(x * 127)` (floor, not
+    * round: floor is tie-free and bit-identical across engines); the ±1
+    * hyperplane signs derive from a fixed LCG bit (`m = (1103515245 k +
+    * 12345) mod 2^31`, sign = bit 13, k = d + dim·p + dim·planes·t) —
+    * deterministic and re-derivable in plain SQL, which is what makes the
+    * whole operator ORACLE-CHECKABLE end to end (q28b2) where the
+    * float-cosine LSH (q28b) is rows-only. A vector lands in one
+    * sign-pattern bucket per table; candidates are same-bucket unions;
+    * ranking is the exact integer inner product (MIPS), ties by id.
+    *
+    * Scale design: candidates only ever come from bucket collisions
+    * (never all-pairs); the plane table is a broadcast literal-sized
+    * frame; the per-plane partial dots aggregate map-side; the final
+    * scoring join moves only candidate-pair quantized rows. */
+  def lshTopKInt8(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      numTables: Int = 8,
+      planesPerTable: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(numTables > 0, s"numTables must be positive, got $numTables")
+    require(planesPerTable > 0 && planesPerTable <= 62,
+      s"planesPerTable must be in [1, 62], got $planesPerTable")
+    val spark = corpus.sparkSession
+    // the ±1 plane signs, built from the LCG formula on a range cross —
+    // no literals to drift from the SQL twin, which derives the same bit
+    val planes = spark.range(numTables).select(col("id").as("t"))
+      .crossJoin(spark.range(planesPerTable).select(col("id").as("p")))
+      .crossJoin(spark.range(dim).select(col("id").as("d")))
+      .withColumn("_m",
+        (lit(1103515245L) * (col("d") + col("p") * dim + col("t") * dim * planesPerTable)
+          + lit(12345L)) % lit(2147483648L))
+      .withColumn("s",
+        when(shiftright(col("_m"), 13).bitwiseAND(lit(1L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)))
+      .select("t", "p", "d", "s")
+    def quantized(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => floor(x * lit(127.0)).cast("long")).as("qv"))
+    def posed(df: DataFrame) = df.select(col("id"), posexplode(col("qv")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "q")
+    def bucketsOf(df: DataFrame) = posed(df)
+      .join(broadcast(planes), Seq("d"))
+      .groupBy("id", "t", "p").agg(sum(col("q") * col("s")).as("pdot"))
+      .groupBy("id", "t")
+      .agg(sum(when(col("pdot") >= 0,
+        expr("shiftleft(cast(1 as bigint), cast(p as int))")).otherwise(0L)).as("bucket"))
+    val cq = quantized(corpus).localCheckpoint() // feeds buckets AND scoring
+    val qq = quantized(queries).localCheckpoint()
+    val cand = bucketsOf(qq).as("a")
+      .join(bucketsOf(cq).as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          !(col("a.id") <=> col("b.id")))
+      .select(col("a.id").as("q_id"), col("b.id").as("n_id"))
+      .distinct()
+    val scored = cand
+      .join(broadcast(qq.select(col("id").as("q_id"), col("qv").as("qa"))), Seq("q_id"))
+      .join(cq.select(col("id").as("n_id"), col("qv").as("qb")), Seq("n_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("n_id").asc)
+    // materialize BEFORE the checkpointed inputs are freed (the result is
+    // candidate-topk-sized; callers re-read it without recompute)
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("dot"))
+      .localCheckpoint()
+    graft.core.Blocks.free(cq)
+    graft.core.Blocks.free(qq)
+    out
+  }
+
   /** All pairs with cosine >= threshold, blocked on an exact-match column
     * (e.g. label) to bound the pair count; the LSH bucket plays this role at
     * scale when no natural blocking key exists. */

@@ -1024,6 +1024,52 @@ object PipelineQueries {
       },
       None),
 
+    // Q28b2: int8-QUANTIZED hyperplane-LSH MIPS — the q28b shape with the
+    // production int8 trick, and FULLY ORACLE-CHECKED where q28b is
+    // rows-only: floor-quantization, LCG-derived ±1 plane signs, bucket
+    // bits, and the inner-product ranking are ALL exact integer math the
+    // DuckDB twin re-derives step for step (no float ever enters the
+    // pipeline after the quantize). The q28h2 lesson applied to the LSH
+    // family: grow the hash-checked surface by restructuring the query
+    // around integer arithmetic, never by twinning floats.
+    QueryDef(
+      "q28b2_sim_lsh_int8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopKInt8(
+          corpus = emb, queries = emb.filter(col("vec_id") < 8),
+          k = 5, dim = 64, numTables = 8, planesPerTable = 8)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH pl AS (
+             |  SELECT t, p, d,
+             |         CASE WHEN (((1103515245 * (d + 64 * p + 512 * t) + 12345) % 2147483648) >> 13) & 1 = 0
+             |              THEN 1 ELSE -1 END AS s
+             |  FROM range(8) tt(t), range(8) pp(p), range(64) dd(d)),
+             |qv AS (
+             |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS d,
+             |         CAST(floor(unnest(embedding) * 127.0) AS BIGINT) AS q
+             |  FROM embeddings),
+             |dots AS (SELECT id, t, p, CAST(SUM(q * s) AS BIGINT) AS pdot
+             |         FROM qv JOIN pl USING (d) GROUP BY id, t, p),
+             |bk AS (SELECT id, t,
+             |              CAST(SUM(CASE WHEN pdot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+             |                            ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM dots GROUP BY id, t),
+             |cand AS (SELECT DISTINCT a.id AS q_id, b.id AS n_id
+             |         FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id
+             |         WHERE a.id < 8),
+             |sc AS (SELECT c.q_id, c.n_id, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+             |       FROM cand c
+             |       JOIN qv qa ON qa.id = c.q_id
+             |       JOIN qv qb ON qb.id = c.n_id AND qb.d = qa.d
+             |       GROUP BY c.q_id, c.n_id),
+             |rk AS (SELECT q_id, n_id,
+             |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS BIGINT) AS rank,
+             |              dot FROM sc)
+             |SELECT q_id, n_id, rank, dot FROM rk WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
     // Q28d: IVF-flat ANN — the inverted-list scale path (coarse k-means
     // quantizer, nProbe lists scanned per query). Deterministic training
     // (decimal-exact Lloyd means), but approximate => rows-only;
@@ -2251,6 +2297,77 @@ object PipelineQueries {
             round(
               aggregate(col("pixels"), lit(0.0), (a, x) => a + x) / (16.0 * 16.0),
               6).as("px_mean"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // Q30e2: ORACLE-EXACT image resize — the q30e decode+resample path
+    // over the INTEGER closed-form fixture slice (BMP, pixels
+    // p = (31·doc_id + 7x + 13y) mod 256 — no trig, no floats in the
+    // content), emitting each 16x16 cell's recovered integer WINDOW SUM
+    // (round(pixel · 255 · 12) inverts the resampler's two divisions
+    // exactly: float32 quantization error is ~6e-4 of one count). The
+    // DuckDB twin re-derives every window sum from the formula without
+    // touching a decoder — so the whole BMP encode → decode → box-average
+    // chain is hash-checked end to end, closing the q30e oracle gap the
+    // sinusoid corpus's last-ulp trig behavior forbids (BASELINE.md
+    // round-13 analysis); q30e keeps the full-rotation corpus rows-only.
+    QueryDef(
+      "q30e2_image_resize_exact",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        Multimodal.resizeImages(
+            Multimodal.withAffineImagePayload(ids), 16, 16)
+          .select(
+            col("doc_id"), col("width"), col("height"),
+            concat_ws(",",
+              transform(col("pixels"), p => round(p * 3060).cast("long"))).as("cell_sums"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cells AS (
+             |  SELECT d.doc_id, cy.cy * 16 + cx.cx AS i,
+             |         CAST(SUM((d.doc_id * 31 + (4 * cx.cx + dx.dx) * 7
+             |                   + (3 * cy.cy + dy.dy) * 13) % 256) AS BIGINT) AS s
+             |  FROM (SELECT doc_id FROM documents) d,
+             |       range(16) cx(cx), range(16) cy(cy), range(4) dx(dx), range(3) dy(dy)
+             |  GROUP BY d.doc_id, cy.cy, cx.cx)
+             |SELECT doc_id,
+             |       CAST(64 AS INTEGER) AS width, CAST(48 AS INTEGER) AS height,
+             |       string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS cell_sums
+             |FROM cells GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q30i: SEMANTIC image dedup — the q30e tensors fed through the
+    // vector-index machinery (imageEmbeddings: centered 16x16 tensors,
+    // cosine == Pearson correlation of the resampled images; semanticDedup:
+    // IVF-quantized within-list cosine pairs -> components -> min-id keep).
+    // Twins are the SAME field re-rendered under HEAVY per-pixel noise
+    // (amplitude 90) — the box-averaged tensor shrugs the noise off
+    // (correlation stays >= ~0.89) while a deterministic slice of the
+    // twins flips dHash past the Hamming-10 budget, i.e. the exact
+    // near-dups q30c's perceptual-hash path MISSES (MultimodalSpec pins
+    // the hash-missed slice and its semantic recall). Zero new store
+    // machinery: a trained image tower would replace the embedding column
+    // verbatim. Pixel values derive from PNG/JPEG decode => not
+    // SQL-expressible, rows-only.
+    QueryDef(
+      "q30i_image_semantic_dedup",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val base = cachedPayloads(s, dir, "img")(Multimodal.withImagePayload(ids))
+        val twins = cachedPayloads(s, dir, "img_sem_twins")(
+          Multimodal.withImagePayload(
+            ids.filter(col("doc_id") % 10 === 0)
+              .select((col("doc_id") + 200000L).as("doc_id"), col("doc_id").as("seed")),
+            seedCol = "seed", noise = 90)
+            .drop("seed"))
+        val emb = Multimodal.imageEmbeddings(base.unionByName(twins)).localCheckpoint()
+        val docs = emb.select(col("vec_id").as("doc_id"))
+        val kept = graft.operators.Dedup.semanticDedup(
+          docs, emb, threshold = 0.85, lists = 16)
+        docs
+          .join(kept.withColumn("is_kept", lit(1L)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("is_kept"), lit(0L)).as("is_kept"))
           .orderBy("doc_id")
       },
       None),

@@ -779,6 +779,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.nonEmpty && dropped.size >= planted.size)
   }
 
+  test("semantic image dedup: hash-MISSED heavy-noise twins collapse through tensor embeddings") {
+    import spark.implicits._
+    val ids = (0L until 120L).toDF("doc_id")
+    val base = Multimodal.withImagePayload(ids)
+    // twins of every 4th image under HEAVY noise (amplitude 90): the
+    // box-averaged 16x16 tensor shrugs it off, but a deterministic slice
+    // of the twins flips dHash PAST the Hamming-10 budget — the exact
+    // near-dups q30c's perceptual-hash path misses
+    val twins = Multimodal.withImagePayload(
+      ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("doc_id").as("seed")),
+      seedCol = "seed", noise = 90).drop("seed")
+    val all = base.unionByName(twins)
+    val dh = Multimodal.imageHashes(all)
+      .select("doc_id", "dhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twinIds = dh.keys.filter(_ >= 200000L).toSeq
+    assert(twinIds.size == 30, "every twin payload decodes")
+    val missed = twinIds.filter(t =>
+      java.lang.Long.bitCount(dh(t) ^ dh(t - 200000L)) > 10)
+    assert(missed.nonEmpty,
+      "the fixture must plant twins PAST the perceptual-hash budget " +
+        "(deterministic: the generator and noise are pure functions of the seed)")
+
+    val emb = Multimodal.imageEmbeddings(all).localCheckpoint()
+    val docs = emb.select(col("vec_id").as("doc_id"))
+    val kept = graft.operators.Dedup.semanticDedup(
+        docs, emb, threshold = 0.85, lists = 16)
+      .collect().map(_.getLong(0)).toSet
+    graft.core.Blocks.free(emb)
+    // RECALL: no planted twin survives — including every hash-missed one
+    // (min-id keep: the twin's cluster always contains its lower-id
+    // original, so the twin is never the representative)
+    assert(twinIds.forall(t => !kept.contains(t)),
+      s"twins surviving semantic dedup: ${twinIds.filter(kept.contains)} " +
+        s"(hash-missed slice: $missed)")
+    // BOUNDED false merges: the sinusoid seed family is small, so a few
+    // cross-seed pairs legitimately correlate above the threshold — but
+    // dedup must never mass-collapse distinct content
+    val droppedBase = (0L until 120L).count(i => !kept.contains(i))
+    assert(droppedBase <= 12,
+      s"cross-seed merges must stay a small tail: $droppedBase of 120 base dropped")
+  }
+
   // ---- content-level audio decode + fingerprinting ----
 
   import graft.operators.Multimodal.{AudioGen, WavDecoder}

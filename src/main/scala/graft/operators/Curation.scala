@@ -1262,9 +1262,21 @@ object Curation {
       d.join(keep, Seq(idCol), "left_semi")
     }
     stage("neardup") { d =>
-      val pairs = Dedup.minHashLsh(
+      // materialize the pair list, then free BOTH layers of internal
+      // checkpoints explicitly: minHashLsh's shingle/signature blocks are
+      // reachable only through the PRE-checkpoint pair plan, and the pair
+      // checkpoint itself is truncated out of the stage output by the
+      // components label table — the stage-end sweep of the OUTPUT plan
+      // sees neither, so without this they leaked two RDD blocks per
+      // pipeline invocation (caught by the 1000-batch soak's horizon
+      // equality check, which runs the batch pipeline in a measured JVM)
+      val pairs0 = Dedup.minHashLsh(
         d, threshold = nearDupThreshold, idCol = idCol, textCol = textCol)
-      Dedup.collapseDuplicates(d, pairs, idCol)
+      val pairs = pairs0.localCheckpoint()
+      graft.core.Blocks.free(pairs0)
+      val out = Dedup.collapseDuplicates(d, pairs, idCol) // labels materialize here
+      graft.core.Blocks.free(pairs)
+      out
     }
     benchmark.foreach { bm =>
       stage("decontaminate") { d =>

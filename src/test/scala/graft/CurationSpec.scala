@@ -489,6 +489,23 @@ class CurationSpec extends AnyFunSuite {
     graft.queries.QueryDef.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 
+  test("curationPipeline frees every internal checkpoint (only the returned corpus stays)") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (corpus, _) = Curation.curationPipeline(docs, Curation.defaultQualityRules())
+    corpus.count()
+    // minHashLsh's shingle/signature checkpoints and the materialized pair
+    // list are truncated OUT of the stage output's plan (by the pair
+    // checkpoint and the components label table respectively), so the
+    // stage-end output-plan sweep cannot see them — the 1000-batch soak's
+    // horizon check caught them leaking one pair per invocation. After
+    // freeing the returned corpus, a long-lived driver must hold ZERO new
+    // blocks.
+    graft.core.Blocks.free(corpus)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"curationPipeline leaked RDD blocks: $after")
+  }
+
   test("Tokenizer.learn: merges match the hand-computed BPE; learned vocab drives Bpe end-to-end") {
     import spark.implicits._
     // histogram: "abab" x3, "abc" x2. Pair counts round 1: (a,b)=8 (two

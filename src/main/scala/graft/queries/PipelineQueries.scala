@@ -2363,8 +2363,12 @@ object PipelineQueries {
             .drop("seed"))
         val emb = Multimodal.imageEmbeddings(base.unionByName(twins)).localCheckpoint()
         val docs = emb.select(col("vec_id").as("doc_id"))
+        // lists <= 0 = AUTO (constant ~128-vector lists however large the
+        // corpus — the 100 TB default): an explicit small C left ~3400
+        // tensors per list at sf0.1 and the within-list pair stage paid
+        // ~94M cosines (measured 30 s; auto reads 3.9 s at the same calib)
         val kept = graft.operators.Dedup.semanticDedup(
-          docs, emb, threshold = 0.85, lists = 16)
+          docs, emb, threshold = 0.85, lists = 0)
         docs
           .join(kept.withColumn("is_kept", lit(1L)), Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("is_kept"), lit(0L)).as("is_kept"))

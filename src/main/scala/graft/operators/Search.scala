@@ -197,9 +197,6 @@ object Search {
     val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
     val m = documents.select(size(toks).cast("long").as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    import spark.implicits._
-    Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     postingsRows(documents, buckets, idCol, textCol)
       // one task per touched bucket => one file per bucket, not per
       // (task x bucket)
@@ -210,9 +207,19 @@ object Search {
     // a rebuild over an existing index retracts the generation pointer:
     // from here the legacy `postings/` (just written, marker inside) is
     // the base root again, and stale generations are swept by the next
-    // compaction
+    // compaction. The retraction and the meta write are the LAST two
+    // steps, paired: through the whole postings rewrite, readers see the
+    // old generation WITH the old meta (a consistent index) — writing
+    // meta first would route scores off the new corpus's N/avgdl while
+    // the pointer still serves the stale postings for the entire rewrite
+    // if a crash lands in between. The residual window (pointer retracted,
+    // meta not yet written) is two small writes wide, and a rebuild rerun
+    // repairs it.
     val ptr = new org.apache.hadoop.fs.Path(path, PostingsPointer)
     if (fs.exists(ptr)) { fs.delete(ptr, false); () }
+    import spark.implicits._
+    Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   // ---- bucket-count growth: per-root `_BUCKETS` markers + the
@@ -370,8 +377,14 @@ object Search {
     // id-type-generic, and a long cast would null out string ids — turning
     // the takedown into a silent no-op
     val ids = removedIds.select(col(idCol).as("doc_id")).distinct()
-    val base = basePostingsRoot(graft.core.Segments.fs(spark, path), path).toString
-    val batch = (base +: liveSegments(spark, path).map(_ + "/postings"))
+    val fs = graft.core.Segments.fs(spark, path)
+    // data-less roots (empty-seeded base, zero-doc segments) can't be
+    // schema-inferred — and hold nothing to tombstone anyway
+    val roots = (basePostingsRoot(fs, path).toString
+      +: liveSegments(spark, path).map(_ + "/postings"))
+      .filter(r => hasDataFiles(fs, new org.apache.hadoop.fs.Path(r)))
+    if (roots.isEmpty) return 0L
+    val batch = roots
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(max("dl").as("dl"))
@@ -496,9 +509,18 @@ object Search {
       val auto = autoPostingsBuckets(liveRows)
       val allMarked = segs.forall(s => readRootBuckets(
         fs, new org.apache.hadoop.fs.Path(s"$s/postings")).isDefined)
-      if (auto >= 2 * eff && allMarked)
-        publishPostingsGen(spark, fs, path,
-          spark.read.parquet(base.toString), auto)
+      if (auto >= 2 * eff && allMarked) {
+        // an empty-seeded pure-streaming store has a DATA-LESS base root
+        // (build over zero rows writes only _SUCCESS) — reading it for the
+        // re-bucket would throw on schema inference and permanently crash
+        // this fold slot. Publish an empty generation instead: the
+        // operative P still grows, so this fold's compact segment (and
+        // every segment after it) lands at the new P.
+        val baseRows =
+          if (hasDataFiles(fs, base)) Some(spark.read.parquet(base.toString))
+          else None
+        publishPostingsGen(spark, fs, path, baseRows, auto)
+      }
     }
     // ---- fold (marker protocol, [[foldDocSegments]]'s shape) ----
     if (segs.size > 1) {
@@ -562,18 +584,30 @@ object Search {
     }
   }
 
+  /** True iff the tree under `root` holds any parquet DATA file. An index
+    * built (or a generation published) over zero rows writes only
+    * `_SUCCESS` — `partitionBy` of an empty frame emits no part files —
+    * and schema inference over such a root THROWS, so every raw
+    * `spark.read.parquet` of a postings root gates on this (the
+    * `bandTreeCount` no-data-files guard, [[graft.operators.Dedup]]). */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(root)) return false
+    var hasData = false
+    val it = fs.listFiles(root, true)
+    while (!hasData && it.hasNext)
+      hasData = it.next().getPath.getName.endsWith(".parquet")
+    hasData
+  }
+
   /** Parquet-footer row count of a postings root; 0 when it holds no data
     * files. */
   private def postingsCount(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: String): Long = {
-    val dir = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(dir)) return 0L
-    var hasData = false
-    val it = fs.listFiles(dir, true)
-    while (!hasData && it.hasNext)
-      hasData = it.next().getPath.getName.endsWith(".parquet")
-    if (!hasData) 0L else spark.read.parquet(root).count()
+    if (!hasDataFiles(fs, new org.apache.hadoop.fs.Path(root))) 0L
+    else spark.read.parquet(root).count()
   }
 
   /** Publish a COMPLETE base postings tree as a new generation behind the
@@ -584,7 +618,7 @@ object Search {
   private def publishPostingsGen(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      path: String, rows: DataFrame, p: Int): Unit = {
+      path: String, rows: Option[DataFrame], p: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val nextGen = 1 + graft.core.Segments.listDirs(fs, root).map(_.getName)
       .filter(_.startsWith("postings_v"))
@@ -595,9 +629,13 @@ object Search {
     if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     writeRootBuckets(fs, dir, p)
-    rows.withColumn("pb", pmod(xxhash64(col("tok")), lit(p.toLong)).cast("int"))
+    // `None` publishes an EMPTY generation (marker only, no data files):
+    // the empty-seeded pure-streaming store's growth path — the operative
+    // P still moves, and every reader already tolerates data-less roots
+    rows.foreach(_
+      .withColumn("pb", pmod(xxhash64(col("tok")), lit(p.toLong)).cast("int"))
       .repartition(col("pb"))
-      .write.mode("append").partitionBy("pb").parquet(dir.toString)
+      .write.mode("append").partitionBy("pb").parquet(dir.toString))
     graft.core.Segments.writeAtomic(fs, graft.core.Segments.conf(spark),
       new org.apache.hadoop.fs.Path(root, PostingsPointer), gen)
   }
@@ -672,22 +710,27 @@ object Search {
     val auto = autoPostingsBuckets(liveRows)
     val grown = auto >= 2 * eff
     if (!fs.exists(tombsDir) && segs.isEmpty && !grown) return
-    val raw = (base.toString +: segs.map(_ + "/postings"))
-      .map(spark.read.parquet(_)).reduce(_ unionByName _)
-      // (doc, tok) dedupe makes the fold IDEMPOTENT: a crash after the
-      // base publish but before the segment delete leaves segment rows in
-      // both trees, and the rerun must not double them
-      .dropDuplicates("doc_id", "tok")
-    val live = if (!fs.exists(tombsDir)) raw
+    // data-less roots (empty-seeded base, zero-doc segments) can't be
+    // schema-inferred; fold only the roots that hold rows
+    val dataRoots = (base.toString +: segs.map(_ + "/postings"))
+      .filter(r => hasDataFiles(fs, new org.apache.hadoop.fs.Path(r)))
+    val live = if (dataRoots.isEmpty) None else {
+      val raw = dataRoots
+        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+        // (doc, tok) dedupe makes the fold IDEMPOTENT: a crash after the
+        // base publish but before the segment delete leaves segment rows in
+        // both trees, and the rerun must not double them
+        .dropDuplicates("doc_id", "tok")
+      Some(if (!fs.exists(tombsDir)) raw
       else raw.join(
         broadcast(spark.read.parquet(tombsDir.toString).select("doc_id").distinct()),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti"))
+    }
     // generation publish (marker first, pointer flip as the commit
     // point): a crash at any point leaves a complete referenced tree on
     // disk — the old one before the flip, the new one after
     val newP = if (grown) auto else eff
     publishPostingsGen(spark, fs, path, live, newP)
-    val liveRead = spark.read.parquet(basePostingsRoot(fs, path).toString)
     // the recounted meta lands BEFORE the segment/tombstone deletes: a
     // crash in between leaves readers double-counting segment stats until
     // the rerun (which re-folds through the dedupe and re-deletes), but
@@ -696,10 +739,19 @@ object Search {
     // meta that the nothing-to-do early return above could never repair.
     // meta's bucket value may move here and ONLY here: every pre-marker
     // root that used it as its fallback P is retired by this fold.
-    val m = liveRead.select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    // A fully-tombstoned (or empty-input) compaction published a DATA-LESS
+    // generation — recount as zeros rather than schema-inferring it.
+    val newRoot = basePostingsRoot(fs, path)
+    val (nDocs, sumDl) =
+      if (!hasDataFiles(fs, newRoot)) (0L, 0L)
+      else {
+        val m = spark.read.parquet(newRoot.toString)
+          .select("doc_id", "dl").groupBy("doc_id").agg(max("dl").as("dl"))
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+        (m.getLong(0), m.getLong(1))
+      }
     import spark.implicits._
-    Seq((m.getLong(0), m.getLong(1), newP)).toDF("n_docs", "sum_dl", "buckets")
+    Seq((nDocs, sumDl, newP)).toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
     if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
@@ -744,16 +796,24 @@ object Search {
         (g.getLong(0), g.getLong(1))
       }
     val (n, sd) = (nS - tombN, sdS - tombDl)
-    val base = basePostingsRoot(fs, path).toString
-    val p = (base +: segs.map(_ + "/postings"))
-      .map(spark.read.parquet(_)).reduce(_ unionByName _)
-      .agg(count(lit(1)), approx_count_distinct(col("tok"))).head()
+    // data-less roots (empty-seeded base, zero-doc segments) can't be
+    // schema-inferred and hold zero postings by definition
+    val dataRoots = (basePostingsRoot(fs, path).toString
+      +: segs.map(_ + "/postings"))
+      .filter(r => hasDataFiles(fs, new org.apache.hadoop.fs.Path(r)))
+    val (nPostings, nTerms) =
+      if (dataRoots.isEmpty) (0L, 0L)
+      else {
+        val p = dataRoots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+          .agg(count(lit(1)), approx_count_distinct(col("tok"))).head()
+        (p.getLong(0), p.getLong(1))
+      }
     Map(
       "graft.text.docs" -> n.toString,
       "graft.text.sum-tokens" -> sd.toString,
       "graft.text.avgdl" -> f"${if (n > 0) sd.toDouble / n else 0.0}%.4f",
-      "graft.text.postings" -> p.getLong(0).toString,
-      "graft.text.terms-approx" -> p.getLong(1).toString,
+      "graft.text.postings" -> nPostings.toString,
+      "graft.text.terms-approx" -> nTerms.toString,
       "graft.text.buckets" -> buckets.toString,
       "graft.text.segments" -> segs.size.toString,
       "graft.text.tombstones" -> tombN.toString)
@@ -836,9 +896,18 @@ object Search {
       if (views.nonEmpty) views.reduce(_ unionByName _)
       // no hit bucket anywhere (every query term absent from the corpus):
       // a typed empty postings frame — folded to an empty relation at
-      // plan time, no files read
-      else spark.read.parquet(basePostingsRoot(fs, path).toString)
-        .filter(lit(false)).select("doc_id", "tok", "tf", "dl")
+      // plan time, no files read. Schema comes from any DATA-HOLDING root
+      // (the base of an empty-seeded streaming store has no data files and
+      // cannot be schema-inferred); a store with docs but zero posting
+      // rows (all-empty texts) falls back to an explicitly-typed frame —
+      // it is empty, so the long id type is moot.
+      else roots.find(r => hasDataFiles(fs, new org.apache.hadoop.fs.Path(r))) match {
+        case Some(r) => spark.read.parquet(r)
+          .filter(lit(false)).select("doc_id", "tok", "tf", "dl")
+        case None =>
+          import spark.implicits._
+          Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "tok", "tf", "dl")
+      }
     val live = tombs.fold(raw)(t =>
       raw.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
     val tf = live.select(col("doc_id"), col("tok"),

@@ -152,34 +152,24 @@ object Similarity {
     require(numTables > 0, s"numTables must be positive, got $numTables")
     require(planesPerTable > 0 && planesPerTable <= 62,
       s"planesPerTable must be in [1, 62], got $planesPerTable")
-    val spark = corpus.sparkSession
-    // the ±1 plane signs, built from the LCG formula on a range cross —
-    // no literals to drift from the SQL twin, which derives the same bit
-    val planes = spark.range(numTables).select(col("id").as("t"))
-      .crossJoin(spark.range(planesPerTable).select(col("id").as("p")))
-      .crossJoin(spark.range(dim).select(col("id").as("d")))
-      .withColumn("_m",
-        (lit(1103515245L) * (col("d") + col("p") * dim + col("t") * dim * planesPerTable)
-          + lit(12345L)) % lit(2147483648L))
-      .withColumn("s",
-        when(shiftright(col("_m"), 13).bitwiseAND(lit(1L)) === 0L, lit(1L))
-          .otherwise(lit(-1L)))
-      .select("t", "p", "d", "s")
+    // Vectors whose length differs from `dim` would bucket on a silently
+    // truncated/padded sign pattern while exact scoring used the full
+    // arrays — recall degrades with no error. Fail loudly per row instead
+    // (a codegen'd size check, no extra pass over the data).
     def quantized(df: DataFrame) = df.select(
       col(idCol).as("id"),
-      transform(col(vecCol), x => floor(x * lit(127.0)).cast("long")).as("qv"))
-    def posed(df: DataFrame) = df.select(col("id"), posexplode(col("qv")))
-      .withColumnRenamed("pos", "d").withColumnRenamed("col", "q")
-    def bucketsOf(df: DataFrame) = posed(df)
-      .join(broadcast(planes), Seq("d"))
-      .groupBy("id", "t", "p").agg(sum(col("q") * col("s")).as("pdot"))
-      .groupBy("id", "t")
-      .agg(sum(when(col("pdot") >= 0,
-        expr("shiftleft(cast(1 as bigint), cast(p as int))")).otherwise(0L)).as("bucket"))
+      when(size(col(vecCol)) === dim,
+        transform(col(vecCol), x => floor(x * lit(127.0)).cast("long")))
+        .otherwise(raise_error(concat(
+          lit(s"lshTopKInt8: embedding length != dim=$dim at $idCol="),
+          col(idCol).cast("string"))))
+        .as("qv"))
     val cq = quantized(corpus).localCheckpoint() // feeds buckets AND scoring
     val qq = quantized(queries).localCheckpoint()
-    val cand = bucketsOf(qq).as("a")
-      .join(bucketsOf(cq).as("b"),
+    // the query batch is the small side by construction — broadcast its
+    // buckets so the corpus side never shuffles into the collision join
+    val cand = broadcast(int8Buckets(qq, dim, numTables, planesPerTable)).as("a")
+      .join(int8Buckets(cq, dim, numTables, planesPerTable).as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           !(col("a.id") <=> col("b.id")))
       .select(col("a.id").as("q_id"), col("b.id").as("n_id"))
@@ -201,6 +191,47 @@ object Similarity {
     graft.core.Blocks.free(cq)
     graft.core.Blocks.free(qq)
     out
+  }
+
+  /** MAP-ONLY bucket stage for [[lshTopKInt8]]: (id, t, bucket) rows, one
+    * per hash table, from a quantized frame of (id, qv: Array[Long]).
+    *
+    * The ±1 LCG plane signs are a `typedLit` literal (broadcast by codegen,
+    * exactly like the float sibling's hyperplane tables) — NOT a
+    * range-cross frame: the previous shape posexploded every vector into
+    * `dim` rows, joined them to a (t·p·d)-row plane frame, and ran TWO
+    * aggregations, pushing ~16x the bytes of [[lshTopK]]'s bucket stage
+    * through the exchange for the same role. Here each per-plane partial
+    * dot folds inside one codegen'd expression (exact Long arithmetic, so
+    * the q28b2 DuckDB twin — which re-derives the same LCG bit in SQL — is
+    * unchanged), bits pack via a literal power table, and the ONLY Generate
+    * is the numTables-ary posexplode that feeds the collision join.
+    * PlanSpec pins the shape: no aggregate, no exchange, one Generate. */
+  private[graft] def int8Buckets(
+      quantized: DataFrame,
+      dim: Int,
+      numTables: Int,
+      planesPerTable: Int): DataFrame = {
+    // sign = bit 13 of m, m = (1103515245·(d + dim·p + dim·planes·t) + 12345) mod 2^31
+    val signs = typedLit(Array.tabulate(numTables, planesPerTable, dim) { (t, p, d) =>
+      val m = (1103515245L * (d.toLong + p.toLong * dim + t.toLong * dim * planesPerTable)
+        + 12345L) % 2147483648L
+      if (((m >> 13) & 1L) == 0L) 1L else -1L
+    })
+    val pows = typedLit(Array.tabulate(planesPerTable)(p => 1L << p))
+    quantized.select(
+      col("id"),
+      posexplode(transform(signs, tbl =>
+        aggregate(
+          zip_with(
+            transform(tbl, plane =>
+              aggregate(zip_with(col("qv"), plane, (x, s) => x * s),
+                lit(0L), (acc, v) => acc + v)),
+            pows,
+            (pdot, w) => when(pdot >= 0, w).otherwise(lit(0L))),
+          lit(0L), (acc, bit) => acc + bit))))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "bucket")
   }
 
   /** All pairs with cosine >= threshold, blocked on an exact-match column

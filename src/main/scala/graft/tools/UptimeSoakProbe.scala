@@ -525,8 +525,11 @@ object UptimeSoakProbe {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     println(f"[soak] pipe1k   funnel: " +
       p1Funnel.map { case (st, i, o) => s"$st=$i->$o" }.mkString(" "))
-    val p1Kept = spark.read
-      .parquet((0L until nBatches.toLong).map(b => s"$out/p1sink/batch_id=$b"): _*)
+    // root read with partition discovery, not explicit batch_id paths: a
+    // batch the pipeline legitimately kept zero rows from may have no
+    // partition directory at all, and an explicit-path read would die on
+    // it with a raw reader error instead of the count requires below
+    val p1Kept = spark.read.parquet(s"$out/p1sink")
     val p1Rows = p1Kept.count()
     val p1Keys = p1Kept.select(xxhash64(col("text"))).distinct().count()
     println(f"[soak] pipe1k   kept=$p1Rows%,d distinct=$p1Keys%,d (expect $expectKeys%,d)")
@@ -536,6 +539,8 @@ object UptimeSoakProbe {
     // semantic stage (disjoint base keys) drops exactly nothing
     val arr7 = p1Funnel.find(_._1 == "filter").map(_._2).getOrElse(0L)
     val ex7 = p1Funnel.find(_._1 == "exact").map(_._3).getOrElse(0L)
+    require(p1Funnel.exists(_._1 == "semantic"),
+      s"pipeline1k funnel is missing its semantic stage: ${p1Funnel.mkString(" ")}")
     val sem7 = p1Funnel.find(_._1 == "semantic").get
     require(arr7 == n && ex7 == expectKeys && sem7._2 == sem7._3 &&
       p1Funnel.last._3 == expectKeys,

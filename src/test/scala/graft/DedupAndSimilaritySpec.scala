@@ -240,6 +240,43 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall@5 = $recall")
   }
 
+  test("int8Buckets matches a pure-Scala LCG recomputation (packing + sign semantics pinned)") {
+    import spark.implicits._
+    val dim = 8; val tables = 4; val planes = 6
+    val vecs = Seq(
+      (0L, Array.tabulate(dim)(d => (d - 3).toFloat / 4f)),
+      (1L, Array.tabulate(dim)(d => math.sin(d + 1).toFloat)),
+      (2L, Array.fill(dim)(0f)))
+    val qv = vecs.toDF("id", "emb")
+      .select(col("id"), transform(col("emb"), x => floor(x * lit(127.0)).cast("long")).as("qv"))
+    val got = Similarity.int8Buckets(qv, dim, tables, planes)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    def sign(t: Int, p: Int, d: Int): Long = {
+      val m = (1103515245L * (d.toLong + p.toLong * dim + t.toLong * dim * planes) + 12345L) % 2147483648L
+      if (((m >> 13) & 1L) == 0L) 1L else -1L
+    }
+    for ((id, emb) <- vecs; t <- 0 until tables) {
+      val q = emb.map(x => math.floor(x * 127.0).toLong)
+      val expect = (0 until planes).map { p =>
+        val pdot = (0 until dim).map(d => q(d) * sign(t, p, d)).sum
+        if (pdot >= 0) 1L << p else 0L
+      }.sum
+      assert(got((id, t)) == expect, s"bucket mismatch id=$id t=$t")
+    }
+  }
+
+  test("lshTopKInt8 rejects vectors whose length != dim (silent recall loss forbidden)") {
+    import spark.implicits._
+    val corpus = Seq((0L, Seq(1f, 0f, 0f)), (1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val q = Seq((9L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.lshTopKInt8(corpus, q, k = 1, dim = 3, numTables = 2, planesPerTable = 2).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("embedding length != dim")), msgs(e).mkString(" | "))
+  }
+
   test("native FloatVecDot == higher-order dot on embeddings (incl. self-dot)") {
     val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001).limit(200)
     val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))

@@ -282,6 +282,71 @@ class SearchSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.text.bucket.target.rows")
   }
 
+  test("empty-seeded streaming store: growth/fold/search/delete/compaction survive a data-less base root") {
+    import spark.implicits._
+    sys.props("graft.text.bucket.target.rows") = "50" // fixture-sized growth
+    try {
+      val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      val s1 = docs.filter(col("doc_id") % 2 === 0)
+      val s2 = docs.filter(col("doc_id") % 2 === 1)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ti_empty_").toString
+      val idx = s"$tmp/idx"
+      val qs = Seq((1L, "dup scan"), (2L, "spark query merge"))
+        .toDF("query_id", "query_text")
+      def search() = Search.bm25Indexed(spark, idx, qs, topK = 9)
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      def scan(d: org.apache.spark.sql.DataFrame) = Search.bm25(d, qs, topK = 9)
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+
+      // pure-streaming seed: a build over ZERO rows writes only _SUCCESS —
+      // the base root has no data files to schema-infer from
+      Search.buildTextIndex(docs.limit(0), idx, buckets = 4)
+      Search.writePostingsSegment(s1, idx, "seg_batch_000000")
+      Search.writePostingsSegment(s2, idx, "seg_batch_000001")
+      assert(search() == scan(docs), "segments-only store must score == scan")
+
+      // growth trips off segment mass alone (auto >= 2x4 at the pinned
+      // target); the fold slot used to CRASH here trying to re-bucket the
+      // data-less base — it must publish an EMPTY generation instead and
+      // fold both segments into one compact segment at the grown P
+      Search.foldTextSegments(spark, idx, gc = false)
+      val ptr = new java.io.File(s"$idx/_POSTINGS")
+      assert(ptr.exists(), "growth must still publish behind the pointer")
+      val gen = new String(
+        java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+      val newP = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$idx/$gen/_BUCKETS").toPath), "UTF-8").trim.toInt
+      assert(newP >= 8, s"grown P (saw $newP)")
+      assert(!new java.io.File(s"$idx/$gen").listFiles()
+        .exists(_.getName.endsWith(".parquet")),
+        "the published generation is empty (marker only)")
+      val live = new java.io.File(s"$idx/segs").listFiles().filter(_.isDirectory)
+      assert(live.count(_.getName.startsWith("compact_")) == 1,
+        s"fold still runs after the empty publish: ${live.map(_.getName).toSeq}")
+      assert(search() == scan(docs), "post-flip equality")
+      Search.gcTextIndex(spark, idx)
+      assert(search() == scan(docs), "gc must not change any score")
+
+      // takedown + stop-the-world compaction both read past the data-less
+      // base root
+      assert(Search.deleteFromTextIndex(s2.select("doc_id"), idx) > 0L)
+      assert(search() == scan(s1), "delete == rebuild-without")
+      Search.compactTextIndex(spark, idx)
+      assert(search() == scan(s1), "compaction must be invisible to search")
+
+      // full takedown then compact: an all-empty store — stats read zeros
+      // (the compacted generation is data-less again)
+      Search.deleteFromTextIndex(s1.select("doc_id"), idx)
+      Search.compactTextIndex(spark, idx)
+      val st = Search.textIndexStats(spark, idx)
+      assert(st("graft.text.docs") == "0" && st("graft.text.postings") == "0", st)
+      val e = intercept[IllegalArgumentException] {
+        Search.bm25Indexed(spark, idx, qs)
+      }
+      assert(e.getMessage.contains("empty index"))
+    } finally sys.props.remove("graft.text.bucket.target.rows")
+  }
+
   test("q32 plan: query terms broadcast; no corpus sort-merge; topK bounded by rank filter") {
     val df = Registry.byName("q32_bm25_search").fn(spark, TestSpark.Sf0001)
     df.collect()

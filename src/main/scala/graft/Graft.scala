@@ -700,9 +700,12 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def vectorIndexProperties(path: String): Map[String, String] =
     Ivf.indexStats(spark, path)
 
-  /** Retrain and rewrite a persisted index over its current contents.
-    * `branch > 0` retrains hierarchically — the choice when `lists` has
-    * grown with the corpus. */
+  /** Retrain a persisted index over its current contents and publish the
+    * result as a new GENERATION behind the `_LISTS` pointer — safe beside
+    * live searches and a running semantic ingest (readers serve the old
+    * generation until the atomic flip; superseded generations sweep after
+    * drain via [[gcVectorIndexSegments]]). `branch > 0` retrains
+    * hierarchically — the choice when `lists` has grown with the corpus. */
   def rebuildVectorIndex(path: String, lists: Int = 16, iters: Int = 3, branch: Int = 0): Unit =
     Ivf.rebuildIndex(spark, path, lists, iters, branch)
 
@@ -718,6 +721,19 @@ final class Graft(val spark: SparkSession, val dir: String) {
     * bucket-partitioned tree (stop-the-world for this index). */
   def compactVectorIndex(path: String): Unit =
     Ivf.compactIndexSegments(spark, path)
+
+  /** Fold a vector index's live streamed segments into one compact segment
+    * PER ASSIGNING GENERATION — safe beside a running semantic ingest
+    * (atomic fold-marker commit; pass the follow-up sweep to
+    * [[gcVectorIndexSegments]] after readers drain). */
+  def foldVectorIndexSegments(path: String, gc: Boolean = false): Unit =
+    Ivf.foldIndexSegments(spark, path, gc)
+
+  /** Sweep a vector index's folded/absorbed segment directories and
+    * superseded generations once readers have drained. Returns
+    * directories removed. */
+  def gcVectorIndexSegments(path: String): Long =
+    Ivf.gcIndexSegments(spark, path)
 
   /** Token-budget curation: per-language greedy fill of the best documents
     * (by the built-in quality heuristic) until `budgetTokens` — the

@@ -445,6 +445,14 @@ object Ivf {
     Seq(Tuple1(spark.read.parquet(s"$path/lists").count()))
       .toDF("trained_rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a from-scratch build over an existing GENERATIONAL store retracts
+    // the pointer last (the buildTextIndex discipline): the just-written
+    // legacy trees become the base again and stale generations sweep at
+    // the next gc. No-op when `path` is itself a generation dir (the
+    // rebuildIndex publish) or a fresh store.
+    val fs = Seg.fs(spark, path)
+    val ptr = new org.apache.hadoop.fs.Path(path, ListsPointer)
+    if (fs.exists(ptr)) { fs.delete(ptr, false); () }
   }
 
   /** Persist the quantizer tree, keyed by (level, bucket) with the leaf
@@ -476,7 +484,10 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
     val spark = newVectors.sparkSession
-    val model = readModel(spark, path)
+    // the CURRENT generation's model and lists, read as one consistent
+    // pair (pointer first, then that generation's immutable trees)
+    val root = genRoot(Seg.fs(spark, path), path)
+    val model = readModelAt(spark, root)
     // count the BATCH, not (after - before) over the whole lists dir: the
     // difference form lists every existing file's footer twice per append
     // and mis-attributes rows under a concurrent appender
@@ -485,13 +496,136 @@ object Ivf {
       VectorOps.normSq(col(vecCol)).as("n_nsq"),
       nearestCentroid(col(vecCol), model).as("bucket"))
       .localCheckpoint()
-    batch.write.partitionBy("bucket").mode("append").parquet(s"$path/lists")
+    batch.write.partitionBy("bucket").mode("append").parquet(s"$root/lists")
     val n = batch.count()
     graft.core.Blocks.free(batch) // free the blocks: append loops call this per batch
     n
   }
 
   private val Seg = graft.core.Segments
+
+  // ---- base GENERATIONS: the `_LISTS` pointer (the Dedup `_BANDS` /
+  // ---- Search `_POSTINGS` discipline, applied to the vector index) -----
+  //
+  // A generation is the atomic unit of QUANTIZER + ASSIGNMENT consistency:
+  // `lists/`, `centroids/`, and `meta/` always live together under one
+  // generation root (`gen_v<k>/` once a rebuild has published; the legacy
+  // layout at the index root itself before any rebuild). [[rebuildIndex]]
+  // retrains into a NEW generation invisibly and commits with one atomic
+  // pointer write — readers planned against the old generation keep
+  // serving through the whole retrain, and a crash at any point before
+  // the flip leaves the old generation untouched and authoritative
+  // (reference anchor: kv/db/version_set.cpp:920-1018 — LogAndApply
+  // publishes new versions beside live readers). Streamed segments carry
+  // a `_GEN` marker naming the generation whose quantizer ASSIGNED them;
+  // every probe prunes each root in its own generation's bucket space
+  // (the per-root `_BUCKETS` discipline of the band and postings stores),
+  // so segments written beside a retrain stay exactly searchable across
+  // the flip. Superseded generations outlive the flip until readers
+  // drain ([[gcIndexSegments]]).
+
+  private val ListsPointer = "_LISTS"
+
+  /** The current generation's NAME: the pointer content, or "" for the
+    * legacy root layout. */
+  private def genNameOf(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
+    val ptr = new org.apache.hadoop.fs.Path(path, ListsPointer)
+    if (!fs.exists(ptr)) ""
+    else scala.util.Try(Seg.readSmall(fs, ptr).trim).toOption
+      .filter(n => n.nonEmpty && !n.contains('/')).getOrElse("")
+  }
+
+  /** Directory of a generation by name ("" = the index root itself). */
+  private def genDirOf(path: String, gen: String): String =
+    if (gen.isEmpty) path else s"$path/$gen"
+
+  /** The current generation's root (lists/centroids/meta live here). */
+  private[graft] def genRoot(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): String =
+    genDirOf(path, genNameOf(fs, path))
+
+  /** The generation that ASSIGNED a segment's rows — its `_GEN` marker;
+    * absent (pre-generation segments) means whatever generation was
+    * current at write time, which for a store that has never flipped is
+    * the current one. */
+  private def readSegGen(
+      fs: org.apache.hadoop.fs.FileSystem,
+      segDir: org.apache.hadoop.fs.Path, curGen: String): String = {
+    val m = new org.apache.hadoop.fs.Path(segDir, "_GEN")
+    if (!fs.exists(m)) curGen
+    else scala.util.Try(Seg.readSmall(fs, m).trim).toOption.getOrElse(curGen)
+  }
+
+  /** Segment names a generation's lists ABSORBED at publish time — the
+    * retire-list rides INSIDE the generation dir, so the pointer flip
+    * atomically both publishes the new lists and retires the segments
+    * they folded in (no window where a row is served twice). Carried
+    * forward across rebuilds for any still-on-disk dir, so a crash-replay
+    * rewrite of a long-retired segment stays excluded. */
+  private def readAbsorbed(
+      fs: org.apache.hadoop.fs.FileSystem, genDir: String): Set[String] = {
+    val m = new org.apache.hadoop.fs.Path(genDir, "_ABSORBED")
+    if (!fs.exists(m)) Set.empty
+    else Seg.readSmall(fs, m).split("\n").map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  /** True iff the tree under `root` holds any parquet DATA file — a
+    * zero-row partitioned write leaves only `_SUCCESS`, and schema
+    * inference over it throws (the Search/Dedup no-data-files guard). */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(root)) return false
+    var hasData = false
+    val it = fs.listFiles(root, true)
+    while (!hasData && it.hasNext)
+      hasData = it.next().getPath.getName.endsWith(".parquet")
+    hasData
+  }
+
+  /** Live tombstoned ids (`n_id`), or None when none exist — data-file
+    * gated: [[rebuildIndex]] deletes the tombstone files it folded in,
+    * which can leave the dir holding only `_SUCCESS`. */
+  private def tombsRows(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    if (!hasDataFiles(fs, dir)) None
+    else Some(spark.read.parquet(dir.toString).select("n_id"))
+  }
+
+  /** The index's LIVE rows grouped by ASSIGNING GENERATION:
+    * (genName, that generation's quantizer, tombstone-filtered rows of
+    * every root it assigned). Each group's `bucket` values are meaningful
+    * ONLY in its own generation's space — probes must prune each group
+    * with bucket ids computed against ITS model. Data-less roots (a
+    * zero-kept micro-batch's segment, an empty-corpus generation) are
+    * skipped; a generation with no data-holding roots is dropped. */
+  private[graft] def liveGenGroups(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Model, DataFrame)] = {
+    val fs = Seg.fs(spark, path)
+    val curGen = genNameOf(fs, path)
+    val (_, segs) = liveListSegs(spark, path)
+    val byGen: Map[String, Seq[String]] =
+      (segs.map(d => readSegGen(fs, d, curGen) -> d.toString)
+        :+ (curGen -> s"${genDirOf(path, curGen)}/lists"))
+        .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2) }
+    val tombs = tombsRows(spark, fs, path)
+    byGen.toSeq.sortBy(_._1).flatMap { case (g, roots) =>
+      val withData = roots.filter(r =>
+        hasDataFiles(fs, new org.apache.hadoop.fs.Path(r)))
+      if (withData.isEmpty) None
+      else {
+        val m = readModelAt(spark, genDirOf(path, g))
+        val raw = withData.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        val rows = tombs.fold(raw)(t =>
+          raw.join(broadcast(t), Seq("n_id"), "left_anti"))
+        Some((g, m, rows))
+      }
+    }
+  }
 
   /** The LIVE streaming segments of a vector index, under the same
     * fold-marker protocol as the dedup doc-row indexes
@@ -508,7 +642,10 @@ object Ivf {
       : (Map[String, Seq[String]], Seq[org.apache.hadoop.fs.Path]) = {
     val fs = Seg.fs(spark, path)
     val markers = Seg.readMarkers(fs, new org.apache.hadoop.fs.Path(path))
-    val folded = markers.values.flatten.toSet
+    // segments the current generation's lists absorbed at publish retire
+    // exactly like folded ones — their rows already live in the base tree
+    val folded = markers.values.flatten.toSet ++
+      readAbsorbed(fs, genRoot(fs, path))
     val live = Seg.listDirs(fs, new org.apache.hadoop.fs.Path(s"$path/segs")).filter { d =>
       val name = d.getName
       !folded(name) && (
@@ -531,12 +668,17 @@ object Ivf {
   private[graft] def readListsWithSegments(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val fs = Seg.fs(spark, path)
-    val roots = s"$path/lists" +: liveListSegs(spark, path)._2.map(_.toString)
+    // NOTE: bucket values in this union may span GENERATIONS (a live
+    // segment assigned by a superseded quantizer) — valid for row-level
+    // reads (compaction re-assigns, stats count); bucket-pruned probes
+    // must go through [[liveGenGroups]] instead.
+    val roots = (s"${genRoot(fs, path)}/lists"
+      +: liveListSegs(spark, path)._2.map(_.toString))
+      .filter(r => hasDataFiles(fs, new org.apache.hadoop.fs.Path(r)))
+    require(roots.nonEmpty, s"no vector data under $path")
     val raw = roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
-    val tombs = new org.apache.hadoop.fs.Path(s"$path/tombs")
-    if (!fs.exists(tombs)) raw
-    else raw.join(
-      broadcast(spark.read.parquet(tombs.toString)), Seq("n_id"), "left_anti")
+    tombsRows(spark, fs, path).fold(raw)(t =>
+      raw.join(broadcast(t), Seq("n_id"), "left_anti"))
   }
 
   /** Fold the LIVE streaming segments of a vector index into one — SAFE
@@ -558,22 +700,36 @@ object Ivf {
     * the per-micro-batch readers drain (one trigger). */
   def foldIndexSegments(
       spark: org.apache.spark.sql.SparkSession, path: String, gc: Boolean = true): Unit = {
+    val fs = Seg.fs(spark, path)
+    val curGen = genNameOf(fs, path)
     val (_, live) = liveListSegs(spark, path)
-    if (live.size > 1) {
-      val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
-      // each segment is its own bucket-partitioned tree: read per root and
-      // union (one multi-root read trips partition discovery). repartition
-      // by bucket before the write: a narrow union would map each input
-      // file to an output file, so the compacted segment would carry the
-      // SAME O(batches) tiny files it exists to consolidate
-      live.map(d => spark.read.parquet(d.toString)).reduce(_ unionByName _)
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/segs/$name")
-      Seg.writeAtomic(Seg.fs(spark, path), Seg.conf(spark),
-        new org.apache.hadoop.fs.Path(s"$path/_folded/$name"),
-        live.map(_.getName).mkString("\n"))
+    // fold PER ASSIGNING GENERATION: bucket values from different
+    // quantizers must never share one root (probes prune each root in its
+    // own generation's bucket space). Normally one group; a mixed set
+    // appears only in the drain window after a rebuild flip.
+    live.groupBy(d => readSegGen(fs, d, curGen)).foreach { case (g, segs) =>
+      if (segs.size > 1) {
+        val name = s"compact_${java.util.UUID.randomUUID().toString.take(12)}"
+        // each segment is its own bucket-partitioned tree: read per root and
+        // union (one multi-root read trips partition discovery). repartition
+        // by bucket before the write: a narrow union would map each input
+        // file to an output file, so the compacted segment would carry the
+        // SAME O(batches) tiny files it exists to consolidate
+        val withData = segs.filter(d => hasDataFiles(fs, d))
+        if (withData.nonEmpty)
+          withData.map(d => spark.read.parquet(d.toString)).reduce(_ unionByName _)
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/segs/$name")
+        else // all-empty group: an empty (but committed) compact segment
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/segs/$name"))
+        Seg.writeAtomic(fs, Seg.conf(spark),
+          new org.apache.hadoop.fs.Path(s"$path/segs/$name/_GEN"), g)
+        Seg.writeAtomic(fs, Seg.conf(spark),
+          new org.apache.hadoop.fs.Path(s"$path/_folded/$name"),
+          segs.map(_.getName).mkString("\n"))
+      }
     }
-    if (gc) gcIndexSegments(spark, path)
+    if (gc) { gcIndexSegments(spark, path); () }
   }
 
   /** Delete a vector index's folded (superseded) segment directories, fold
@@ -590,8 +746,12 @@ object Ivf {
     val root = new org.apache.hadoop.fs.Path(path)
     val markerDir = new org.apache.hadoop.fs.Path(root, "_folded")
     val markers = Seg.readMarkers(fs, root)
+    val curGen = genNameOf(fs, path)
     var removed = 0L
-    markers.values.flatten.toSet[String].foreach { name =>
+    // folded segments AND segments the current generation's lists absorbed
+    // at publish — both have their rows in a live tree already
+    (markers.values.flatten.toSet ++
+      readAbsorbed(fs, genDirOf(path, curGen))).foreach { name =>
       val d = new org.apache.hadoop.fs.Path(root, s"segs/$name")
       if (fs.exists(d)) { fs.delete(d, true); removed += 1 }
     }
@@ -602,6 +762,24 @@ object Ivf {
     Seg.listDirs(fs, new org.apache.hadoop.fs.Path(root, "segs")).foreach { d =>
       if (d.getName.startsWith("compact_") && !markers.contains(d.getName)) {
         fs.delete(d, true); removed += 1
+      }
+    }
+    // superseded GENERATIONS: swept only when no live segment still probes
+    // with their quantizer (a segment assigned under gen g needs g's
+    // centroids until it folds or retires). Includes unreferenced gen dirs
+    // from a rebuild that crashed before its flip, and the legacy root
+    // trees once a generation serves.
+    val liveGens = liveListSegs(spark, path)._2
+      .map(d => readSegGen(fs, d, curGen)).toSet + curGen
+    Seg.listDirs(fs, root).map(_.getName)
+      .filter(n => n.startsWith("gen_v") && n != curGen && !liveGens(n))
+      .foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), true); removed += 1
+      }
+    if (curGen.nonEmpty && !liveGens("")) {
+      Seq("lists", "centroids", "meta").foreach { t =>
+        val d = new org.apache.hadoop.fs.Path(root, t)
+        if (fs.exists(d)) { fs.delete(d, true); removed += 1 }
       }
     }
     removed
@@ -647,16 +825,26 @@ object Ivf {
     * null embedding would NPE the driver's bucket collect and, since the
     * failed batch replays on restart, permanently wedge the stream.
     *
-    * Returns (assigned, pairs), both locally checkpointed — the caller
-    * frees both after its batch lands. */
+    * Returns (assigned, pairs, assigningGen) — the frames locally
+    * checkpointed (the caller frees both after its batch lands), and the
+    * NAME of the generation whose quantizer assigned `bucket`. The caller
+    * MUST pass that name to [[writeListSegment]]: a rebuild can flip the
+    * pointer between this assignment and the segment write (a 100 TB
+    * retrain runs for hours beside a live ingest), and a segment stamped
+    * with the POST-flip generation while its buckets were computed under
+    * the pre-flip quantizer is pruned in the wrong bucket space — its
+    * rows silently stop matching future near-duplicates (caught by the
+    * r14 semantic soak: every key of the one in-flight batch leaked). */
   private[graft] def semanticMicroPairs(
       batch: DataFrame,
       indexPath: String,
       threshold: Double,
       idCol: String,
-      vecCol: String): (DataFrame, DataFrame) = {
+      vecCol: String): (DataFrame, DataFrame, String) = {
     val ss = batch.sparkSession
-    val model = readModel(ss, indexPath)
+    val fs = Seg.fs(ss, indexPath)
+    val curGen = genNameOf(fs, indexPath)
+    val model = readModelAt(ss, genDirOf(indexPath, curGen))
     val assigned = batch
       .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("n_nsq", graft.functions.VectorOps.normSq(col("n_vec")))
@@ -667,27 +855,43 @@ object Ivf {
       // the probed-bucket collect below
       .filter(col("bucket").isNotNull)
       .localCheckpoint()
-    // the probed bucket set is batch-bounded driver metadata (the
-    // topKIndexed pattern) — it becomes a LITERAL partition filter
-    val probed = assigned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = readListsWithSegments(ss, indexPath)
-      .filter(col("bucket").isin(probed: _*))
-    val aSide = assigned.select(col("bucket"), col("n_id").as("a_id"),
-      col("n_vec").as("a_vec"), col("n_nsq").as("a_nsq"))
-    val pairs = broadcast(aSide)
-      .join(corpus.unionByName(assigned)
-        .select(col("bucket"), col("n_id").as("b_id"),
+    // one candidate-pair frame PER GENERATION GROUP, each probed in its
+    // own quantizer's bucket space (normally one group; old-generation
+    // segments appear only in the drain window after a rebuild flip, and
+    // re-assigning the small batch under their model is one cheap
+    // projection off the checkpointed frame). The probed bucket set stays
+    // batch-bounded driver metadata (the topKIndexed pattern) — a LITERAL
+    // partition filter in every group.
+    def pairsAgainst(aG: DataFrame, bSide: DataFrame): DataFrame = {
+      val aSide = aG.select(col("bucket"), col("n_id").as("a_id"),
+        col("n_vec").as("a_vec"), col("n_nsq").as("a_nsq"))
+      broadcast(aSide)
+        .join(bSide.select(col("bucket"), col("n_id").as("b_id"),
           col("n_vec").as("b_vec"), col("n_nsq").as("b_nsq")), Seq("bucket"))
-      .filter(col("a_id") =!= col("b_id"))
-      .withColumn("score", graft.functions.VectorOps.cosineWithNorms(
-        col("a_vec"), col("b_vec"), col("a_nsq"), col("b_nsq")))
-      .filter(col("score") >= threshold)
-      .select(
-        least(col("a_id"), col("b_id")).as("doc_a"),
-        greatest(col("a_id"), col("b_id")).as("doc_b"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("score", graft.functions.VectorOps.cosineWithNorms(
+          col("a_vec"), col("b_vec"), col("a_nsq"), col("b_nsq")))
+        .filter(col("score") >= threshold)
+        .select(
+          least(col("a_id"), col("b_id")).as("doc_a"),
+          greatest(col("a_id"), col("b_id")).as("doc_b"))
+    }
+    val corpusPairs = liveGenGroups(ss, indexPath).map { case (g, m, rows) =>
+      val aG =
+        if (g == curGen) assigned
+        else assigned.select(col("n_id"), col("n_vec"), col("n_nsq"))
+          .withColumn("bucket", nearestCentroid(col("n_vec"), m))
+          .filter(col("bucket").isNotNull)
+      val probed = aG.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+      pairsAgainst(aG, rows.filter(col("bucket").isin(probed: _*)))
+    }
+    // in-batch pairs are their own frame (current bucket space), so they
+    // survive even when the index holds no rows yet (empty-seeded store)
+    val pairs = (corpusPairs :+ pairsAgainst(assigned, assigned))
+      .reduce(_ unionByName _)
       .dropDuplicates("doc_a", "doc_b")
       .localCheckpoint()
-    (assigned, pairs)
+    (assigned, pairs, curGen)
   }
 
   /** Write already-assigned rows ((n_id, n_vec, n_nsq, bucket) — the
@@ -698,7 +902,9 @@ object Ivf {
     * Folded into one segment beside a live ingest by [[foldIndexSegments]],
     * or into the main lists by the stop-the-world [[compactIndexSegments]]
     * / [[rebuildIndex]]. Returns rows written. */
-  def writeListSegment(assigned: DataFrame, path: String, segName: String): Long = {
+  def writeListSegment(
+      assigned: DataFrame, path: String, segName: String,
+      assignedGen: Option[String] = None): Long = {
     val batch = assigned.select("n_id", "n_vec", "n_nsq", "bucket").localCheckpoint()
     // cluster by bucket before the partitioned write: each bucket lands in
     // exactly one task => ONE file per touched bucket per segment, not one
@@ -706,6 +912,21 @@ object Ivf {
     // rows-count tiny files per trigger
     batch.repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/segs/$segName")
+    // stamp the ASSIGNING generation: probes prune this root in ITS
+    // quantizer's bucket space even after a rebuild flips the base (the
+    // per-root `_BUCKETS` discipline). The name must come from the caller
+    // whenever assignment happened earlier in the batch
+    // ([[semanticMicroPairs]] returns it): a rebuild publishing BESIDE the
+    // live ingest can flip the pointer between assignment and this write,
+    // and a re-read here would stamp the new generation onto old-model
+    // buckets — the segment's rows would then be pruned in the wrong
+    // bucket space forever (the writePostingsSegment single-read
+    // discipline, which reads P once for both rows and marker).
+    val spark = assigned.sparkSession
+    val fs = Seg.fs(spark, path)
+    Seg.writeAtomic(fs, Seg.conf(spark),
+      new org.apache.hadoop.fs.Path(s"$path/segs/$segName/_GEN"),
+      assignedGen.getOrElse(genNameOf(fs, path)))
     val n = batch.count()
     graft.core.Blocks.free(batch)
     n
@@ -721,8 +942,9 @@ object Ivf {
   def compactIndexSegments(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listsDir = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val staging = new org.apache.hadoop.fs.Path(s"$path/lists_staging")
+    val curRoot = genRoot(fs, path)
+    val listsDir = new org.apache.hadoop.fs.Path(s"$curRoot/lists")
+    val staging = new org.apache.hadoop.fs.Path(s"$curRoot/lists_staging")
     Seg.healSwap(fs, staging, listsDir) // finish a crashed prior swap first
     val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
@@ -740,8 +962,16 @@ object Ivf {
     // would occupy two ranks in topKIndexed permanently. Rows per n_id are
     // byte-identical (same vector, same assignment), so id-level dedup
     // restores exact contents; compactTextIndex uses the same discipline.
+    // RE-ASSIGN under the current generation's quantizer: live segments
+    // may have been assigned by a superseded generation, and this fold
+    // retires every segment into the current lists tree — mixed bucket
+    // spaces in one root would mis-prune probes. For rows already in the
+    // current space the recomputation is the identity (assignment is a
+    // deterministic function of the stored centroids).
+    val model = readModelAt(spark, curRoot)
     readListsWithSegments(spark, path)
       .dropDuplicates("n_id")
+      .withColumn("bucket", nearestCentroid(col("n_vec"), model))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
     Seg.swapInto(fs, staging, listsDir)
@@ -749,6 +979,19 @@ object Ivf {
     if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
     val markerDir = new org.apache.hadoop.fs.Path(s"$path/_folded")
     if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
+    // every root outside the current generation is retired here:
+    // stop-the-world, so superseded generations sweep drain-free
+    val curGen = genNameOf(fs, path)
+    Seg.listDirs(fs, new org.apache.hadoop.fs.Path(path)).map(_.getName)
+      .filter(n => n.startsWith("gen_v") && n != curGen)
+      .foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, n), true); ()
+      }
+    if (curGen.nonEmpty)
+      Seq("lists", "centroids", "meta").foreach { t =>
+        val d = new org.apache.hadoop.fs.Path(path, t)
+        if (fs.exists(d)) { fs.delete(d, true); () }
+      }
   }
 
   /** Inverted-list health of a persisted index: LIVE row totals (base
@@ -760,13 +1003,12 @@ object Ivf {
     val sizes = readListsWithSegments(spark, path)
       .groupBy("bucket").count().collect().map(_.getLong(1))
     val total = sizes.sum
-    val trained = spark.read.parquet(s"$path/meta").head().getLong(0)
-    val avg = if (sizes.nonEmpty) total.toDouble / sizes.length else 0.0
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
-    val tombs = if (!fs.exists(tombsDir)) 0L
-      else spark.read.parquet(tombsDir.toString).select("n_id").distinct().count()
+    val trained = spark.read.parquet(s"${genRoot(fs, path)}/meta").head().getLong(0)
+    val avg = if (sizes.nonEmpty) total.toDouble / sizes.length else 0.0
+    val tombs = tombsRows(spark, fs, path)
+      .fold(0L)(_.distinct().count())
     Map(
       "graft.ivf.lists" -> sizes.length.toString,
       "graft.ivf.rows" -> total.toString,
@@ -792,12 +1034,34 @@ object Ivf {
     stats("graft.ivf.growth").toDouble > maxGrowth ||
       stats("graft.ivf.imbalance").toDouble > maxImbalance
   }
-
-  /** Retrain over the index's CURRENT contents and rewrite it in place —
-    * what a caller runs when [[needsRebuild]] fires. `branch > 0` retrains
-    * hierarchically ([[trainHier]] — the choice for a rebuild whose `lists`
-    * has grown with the corpus); the default keeps the exact flat retrain.
-    * `maxTrainRows > 0` caps the training sample either way. */
+  /** Retrain over the index's CURRENT contents and publish the result as
+    * a NEW GENERATION behind the `_LISTS` pointer — SAFE BESIDE LIVE
+    * READERS AND A RUNNING [[graft.streaming.Ingest.startSemanticIngest]]
+    * (the version-publish discipline of the band stores
+    * (`Dedup._BANDS`) and the postings store (`Search._POSTINGS`);
+    * reference anchor: kv/db/version_set.cpp:920-1018, LogAndApply
+    * publishing new versions beside live readers). What a caller runs
+    * when [[needsRebuild]] fires; at 100 TB retrains are routine, not
+    * maintenance windows.
+    *
+    * The fold set is snapshotted at entry: the live segment list and the
+    * tombstone files. The retrain reads EXACTLY those plus the current
+    * generation's lists — all immutable once committed — so segments and
+    * tombstones landing beside the retrain are simply not in the new
+    * generation and STAY LIVE across the flip, probed in their own
+    * quantizer's bucket space ([[liveGenGroups]]). The absorbed-segment
+    * list rides INSIDE the generation dir, so the single atomic pointer
+    * write both publishes the new lists and retires the segments they
+    * folded in — no window where a row is served twice. A crash at ANY
+    * point before the flip leaves the old generation untouched and
+    * serving (the unreferenced partial generation sweeps at the next gc);
+    * a rerun is idempotent. Superseded generations outlive the flip until
+    * readers drain ([[gcIndexSegments]]).
+    *
+    * `branch > 0` retrains hierarchically ([[trainHier]] — the choice for
+    * a rebuild whose lists have grown with the corpus); the default keeps
+    * the exact flat retrain. `maxTrainRows > 0` caps the training sample
+    * either way. */
   def rebuildIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -805,131 +1069,62 @@ object Ivf {
       iters: Int = 3,
       branch: Int = 0,
       maxTrainRows: Long = 0L): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // DURABLE corpus snapshot before the rewrite: rebuild's source is the
-    // index itself, so a crash mid-writeIndex with only an
-    // executor-memory checkpoint would destroy the ONLY copy of the
-    // vectors. The live view (segments folded, tombstones applied) lands
-    // on disk first; a rerun after any crash RESUMES from the committed
-    // snapshot instead of reading the possibly-half-rewritten index.
-    //
-    // STALENESS GUARD: a snapshot is resumable ONLY if lists/segs/tombs are
-    // byte-for-byte the trees it was taken from. If streaming appended a
-    // segment or a takedown tombstoned ids between the crash and this
-    // rerun, resuming from the old snapshot would retrain WITHOUT the new
-    // rows, then delete segs/ and tombs/ below — silently losing the
-    // post-snapshot appends and resurrecting post-snapshot deletions. The
-    // snapshot therefore carries a `_STATE` fingerprint of the source
-    // trees (written LAST — a crash in between reads as uncommitted), and
-    // a mismatch discards the snapshot and re-snapshots the live view.
-    // WRITE-INTENT MARKER: `_rebuild_inprogress` is written immediately
-    // before [[writeIndex]] starts mutating lists/centroids/meta and
-    // deleted only after the post-rewrite cleanup. Its presence on entry
-    // means a previous rebuild crashed MID-REWRITE — the index trees are
-    // untrustworthy (lists/ may be half-overwritten), so the fingerprint
-    // check below must NOT be allowed to discard the committed snapshot
-    // (which is then the ONLY intact copy of the vectors) and re-snapshot
-    // from the corrupted trees. Instead the snapshot is REFRESHED: any
-    // segments/tombstones that arrived after the crash (a restarted
-    // ingest) are folded in, so the cleanup below never deletes rows that
-    // are not in the snapshot. Direct [[appendToIndex]] calls between a
-    // crashed rebuild and its rerun are out of contract (they would
-    // assign against a half-written quantizer anyway).
-    val staging = new org.apache.hadoop.fs.Path(s"$path/_rebuild_corpus")
-    val refresh = new org.apache.hadoop.fs.Path(s"$path/_rebuild_corpus_refresh")
-    val intent = new org.apache.hadoop.fs.Path(s"$path/_rebuild_inprogress")
-    Seg.healSwap(fs, refresh, staging) // a crashed snapshot-refresh swap
-    val snapCommitted = fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-    val statePath = new org.apache.hadoop.fs.Path(staging, "_STATE")
-    if (fs.exists(intent) && snapCommitted) {
-      val snap = spark.read.parquet(staging.toString)
-      val segDirs = liveListSegs(spark, path)._2
-      val tombsDir0 = new org.apache.hadoop.fs.Path(s"$path/tombs")
-      val hasTombs = fs.exists(tombsDir0)
-      if (segDirs.nonEmpty || hasTombs) {
-        val withSegs =
-          if (segDirs.isEmpty) snap
-          else snap.unionByName(
-            segDirs.map(d => spark.read.parquet(d.toString)).reduce(_ unionByName _)
-              .select(col("n_id").as("vec_id"), col("n_vec").as("embedding")))
-        val minusTombs =
-          if (!hasTombs) withSegs
-          else withSegs.join(
-            broadcast(spark.read.parquet(tombsDir0.toString)
-              .select(col("n_id").as("vec_id"))),
-            Seq("vec_id"), "left_anti")
-        minusTombs.dropDuplicates("vec_id")
-          .write.mode("overwrite").parquet(refresh.toString)
-        Seg.swapInto(fs, refresh, staging)
-      }
-      Seg.writeAtomic(fs, spark.sparkContext.hadoopConfiguration, statePath,
-        rebuildSourceFingerprint(fs, path))
-    } else {
-      // No crashed rewrite: the index trees are complete and trustworthy.
-      // A leftover intent marker here means the previous run finished its
-      // rewrite and cleanup through the staging delete — drop it.
-      if (fs.exists(intent)) { fs.delete(intent, false); () }
-      // STALENESS GUARD: a snapshot is resumable ONLY if lists/segs/tombs
-      // are byte-for-byte the trees it was taken from. If streaming
-      // appended a segment or a takedown tombstoned ids between a
-      // pre-rewrite crash (e.g. during training) and this rerun, resuming
-      // from the old snapshot would retrain without the new rows — so a
-      // mismatch discards it and re-snapshots the live view.
-      // dropDuplicates(vec_id): after a crash-rerun of a fold/compaction a
-      // row can appear in both lists/ and a still-live segment.
-      val state = rebuildSourceFingerprint(fs, path)
-      val committed = snapCommitted &&
-        fs.exists(statePath) && Seg.readSmall(fs, statePath).trim == state
-      if (!committed) {
-        if (fs.exists(staging)) { fs.delete(staging, true); () }
-        readListsWithSegments(spark, path)
-          .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
-          .dropDuplicates("vec_id")
-          .write.mode("overwrite").parquet(staging.toString)
-        Seg.writeAtomic(fs, spark.sparkContext.hadoopConfiguration, statePath, state)
-      }
-    }
-    val corpus = spark.read.parquet(staging.toString)
+    val fs = Seg.fs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val curGen = genNameOf(fs, path)
+    val curRoot = genDirOf(path, curGen)
+    // ---- fold-set snapshot (names and files only; no data copied) ----
+    val (_, segs0) = liveListSegs(spark, path)
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    val tombFiles0: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(tombsDir)) Seq.empty
+      else Seg.listFiles(fs, tombsDir)
+        .filter(_.getName.endsWith(".parquet")).map(f =>
+          new org.apache.hadoop.fs.Path(tombsDir, f.getName))
+    val srcRoots = (s"$curRoot/lists" +: segs0.map(_.toString))
+      .filter(r => hasDataFiles(fs, new org.apache.hadoop.fs.Path(r)))
+    require(srcRoots.nonEmpty, s"rebuildIndex: no vectors under $path")
+    // dropDuplicates(vec_id): after a crash-rerun of a fold/compaction a
+    // row can appear in both the base lists and a still-live segment
+    val raw = srcRoots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
+    val corpus = (
+      if (tombFiles0.isEmpty) raw
+      else raw.join(
+        broadcast(spark.read.parquet(tombFiles0.map(_.toString): _*)
+          .select(col("n_id").as("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
+      .dropDuplicates("vec_id")
     val model =
       if (branch > 0) trainHier(corpus, lists, branch, iters, maxTrainRows = maxTrainRows)
       else train(corpus, lists, iters, maxTrainRows = maxTrainRows)
-    Seg.writeAtomic(fs, spark.sparkContext.hadoopConfiguration, intent, "rebuild")
-    writeIndex(corpus, model, path)
-    // streamed segments are now part of the rewritten base lists, and
-    // tombstoned rows were excluded from the retrain corpus: GC both.
-    // The intent marker outlives these deletes (the snapshot stays the
-    // corpus of record until cleanup completes) and dies just before the
-    // snapshot itself.
-    val segsDir = new org.apache.hadoop.fs.Path(s"$path/segs")
-    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
-    val markerDir = new org.apache.hadoop.fs.Path(s"$path/_folded")
-    if (fs.exists(segsDir)) { fs.delete(segsDir, true); () }
-    if (fs.exists(tombsDir)) { fs.delete(tombsDir, true); () }
-    if (fs.exists(markerDir)) { fs.delete(markerDir, true); () }
-    fs.delete(intent, false)
-    fs.delete(staging, true); ()
-  }
-
-  /** Fingerprint of a rebuild's SOURCE trees (lists/, segs/, tombs/): MD5
-    * over the sorted (relative path, length) listing. Any append, segment
-    * write, fold, or tombstone between snapshot and resume changes it —
-    * the [[rebuildIndex]] snapshot-staleness check. Listing-only (no data
-    * read); recursion covers the bucket partition directories. */
-  private[graft] def rebuildSourceFingerprint(
-      fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    def walk(dir: org.apache.hadoop.fs.Path): Seq[String] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else Seq(s"${st.getPath.toUri.getPath}:${st.getLen}")
-      }
-    val listing = Seq("lists", "segs", "tombs", "_folded")
-      .flatMap(k => walk(new org.apache.hadoop.fs.Path(root, k)))
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(listing.mkString("\n").getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+    // ---- publish invisibly, then one atomic commit ----
+    val nextGen = 1 + Seg.listDirs(fs, root).map(_.getName)
+      .filter(_.startsWith("gen_v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("gen_v").toInt).toOption)
+      .foldLeft(0)(math.max)
+    val gen = s"gen_v$nextGen"
+    val genDir = new org.apache.hadoop.fs.Path(root, gen)
+    if (fs.exists(genDir)) fs.delete(genDir, true) // a crashed prior attempt
+    writeIndex(corpus, model, genDir.toString)
+    // carry forward the previous absorbed names whose dirs still exist, so
+    // a late crash-replay rewrite of a long-retired segment stays excluded
+    val absorbed = segs0.map(_.getName) ++
+      readAbsorbed(fs, curRoot).filter(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/segs/$n")))
+    if (absorbed.nonEmpty)
+      Seg.writeAtomic(fs, conf,
+        new org.apache.hadoop.fs.Path(genDir, "_ABSORBED"),
+        absorbed.distinct.mkString("\n"))
+    Seg.writeAtomic(fs, conf,
+      new org.apache.hadoop.fs.Path(root, ListsPointer), gen) // COMMIT
+    // ---- cleanup (all safe to crash out of: a rerun or gc finishes) ----
+    // the snapshot tombstones were excluded from the retrain corpus;
+    // tombstones that arrived DURING the retrain are not in tombFiles0 and
+    // stay live (their rows are in the new lists until the next fold)
+    tombFiles0.foreach(f => fs.delete(f, false))
+    ()
   }
 
   /** Load the quantizer of a persisted index — the full level tree for a
@@ -937,8 +1132,15 @@ object Ivf {
     * (probe, append, streaming ingest) descends with EXACTLY the quantizer
     * the index was assigned by. A pre-hierarchical layout (no `level`
     * column) loads as the flat model it was. */
-  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val df = spark.read.parquet(s"$path/centroids")
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    readModelAt(spark, genRoot(Seg.fs(spark, path), path))
+
+  /** [[readModel]] against an EXPLICIT generation root (no pointer
+    * indirection) — the mixed-generation probe paths load each segment's
+    * assigning quantizer by its own generation dir. */
+  private def readModelAt(
+      spark: org.apache.spark.sql.SparkSession, genDir: String): Model = {
+    val df = spark.read.parquet(s"$genDir/centroids")
     if (!df.columns.contains("level")) {
       val rows = df.orderBy("bucket").collect()
       Model(rows.map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
@@ -965,34 +1167,54 @@ object Ivf {
       nProbe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val model = readModel(spark, path)
-    val q = queries.select(
-      col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      VectorOps.normSq(col(vecCol)).as("q_nsq"),
-      explode(probeCentroids(col(vecCol), model, nProbe)).as("bucket"))
-      .localCheckpoint() // probed twice: bucket-set collect + the join probe
-    val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    // base lists + streamed segments, bucket-pruned in every branch —
-    // search always sees what a running semantic ingest has kept
-    val lists = readListsWithSegments(spark, path)
-      .filter(col("bucket").isin(probed: _*))
-    scoreTopK(lists, q, k)
+    // base lists + streamed segments, bucket-pruned in every branch AND
+    // in every GENERATION'S OWN bucket space — a segment assigned by a
+    // superseded quantizer (the drain window after a beside-live rebuild
+    // flip) is probed with bucket ids computed against ITS model, so
+    // search stays exactly as recall-complete across the flip as before
+    // it. Normally one group; the per-group probe job is query-batch
+    // sized either way.
+    val groups = liveGenGroups(spark, path)
+    require(groups.nonEmpty, s"topKIndexed: no vector data under $path")
+    val scored = groups.map { case (_, model, rows) =>
+      // NOT checkpointed: the returned plan broadcast-joins this frame,
+      // so a localCheckpoint here could never be freed — one leaked block
+      // per call in a long-lived serving loop (the bm25Indexed leak shape
+      // the r14 text soak caught). Query-batch-sized; the bucket-set
+      // collect below recomputes the probe explode instead.
+      val q = queries.select(
+        col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        VectorOps.normSq(col(vecCol)).as("q_nsq"),
+        explode(probeCentroids(col(vecCol), model, nProbe)).as("bucket"))
+      val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+      scorePairs(rows.filter(col("bucket").isin(probed: _*)), q)
+    }.reduce(_ unionByName _)
+    rankTopK(scored, k)
   }
 
   /** Shared scoring tail of [[topK]] and [[topKIndexed]]: bucket equi-join
     * (query side broadcast), cosine from precomputed norms, per-query top-k
     * with the (score desc, n_id asc) tie-break. One definition so the
     * in-memory and indexed paths can never diverge. */
-  private def scoreTopK(lists: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    // project to (q_id, n_id, score) BEFORE the rank window — the window
-    // exchange+sort must never carry the embedding vectors (a corpus vector
-    // lives in exactly one bucket and queries probe distinct buckets, so a
-    // pair scores at most once: no dedup needed either)
-    val scored = lists
+  private def scoreTopK(lists: DataFrame, q: DataFrame, k: Int): DataFrame =
+    rankTopK(scorePairs(lists, q), k)
+
+  /** The per-pair scoring half of [[scoreTopK]]: bucket equi-join (query
+    * side broadcast), cosine from precomputed norms, projected to
+    * (q_id, n_id, score) BEFORE any exchange — the rank window must never
+    * carry the embedding vectors (a corpus vector lives in exactly one
+    * bucket and queries probe distinct buckets, so a pair scores at most
+    * once: no dedup needed either). Split out so the mixed-generation
+    * probe can score each generation in its own bucket space and rank
+    * over the union. */
+  private def scorePairs(lists: DataFrame, q: DataFrame): DataFrame =
+    lists
       .join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), VectorOps.cosineWithNorms(
         col("q_vec"), col("n_vec"), col("q_nsq"), col("n_nsq")).as("score"))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -437,14 +437,14 @@ object Ingest {
         // excluded from assignment — they appear in no pair, so the
         // collapse KEEPS them, and the segment write below (joined against
         // `assigned`) never indexes them
-        val (assigned, pairs) =
+        val (assigned, pairs, assignedGen) =
           Ivf.semanticMicroPairs(b, indexPath, threshold, idCol, vecCol)
         val kept0 = Dedup.collapseDuplicatesArrival(b, pairs, idCol)
         val kept = kept0.localCheckpoint()
         kept.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
         Ivf.writeListSegment(
           assigned.join(kept.select(col(idCol).cast("long").as("n_id")), Seq("n_id")),
-          indexPath, f"seg_batch_$batchId%06d")
+          indexPath, f"seg_batch_$batchId%06d", Some(assignedGen))
         Marks.write(markDir, batchId, 0L, kept.count(), hconf)
         // per-batch block hygiene; kept0's sweep frees the components'
         // internal label checkpoint (see startNearDupIngest)
@@ -938,21 +938,23 @@ object Ingest {
           nearDupIndexPath, f"seg_batch_$batchId%06d")
         semanticIndexPath.foreach { ivfPath =>
           var assigned: DataFrame = null
+          var assignedGen: String = ""
           stage("semantic") { d =>
             // shared micro-probe (Ivf.semanticMicroPairs — identical to
             // startSemanticIngest by construction): null-vector rows are
             // excluded from assignment, kept by the collapse, and never
             // indexed (the segment write joins against `assigned`)
-            val (a, pairs) =
+            val (a, pairs, g) =
               Ivf.semanticMicroPairs(d, ivfPath, semanticThreshold, idCol, vecCol)
             assigned = a
+            assignedGen = g
             toFree += assigned
             toFree += pairs
             Dedup.collapseDuplicatesArrival(d, pairs, idCol)
           }
           Ivf.writeListSegment(
             assigned.join(cur.select(col(idCol).cast("long").as("n_id")), Seq("n_id")),
-            ivfPath, f"seg_batch_$batchId%06d")
+            ivfPath, f"seg_batch_$batchId%06d", Some(assignedGen))
         }
         import ss.implicits._
         funnel.result().toDF("ord", "stage", "docs_in", "docs_out")

@@ -1109,6 +1109,29 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(sinkIds().contains(2000L), s"re-admitted after takedown: ${sinkIds()}")
     assert(idxRows() == 22L, "21 live + 1 re-admitted")
     assert(topHit() == ((2000L, 1.0)), "search now surfaces the re-admitted copy")
+
+    // REBUILD BETWEEN TRIGGERS: the beside-live generation publish fires
+    // from the maintenance slot while the ingest is parked between runs —
+    // the retrain folds the streamed segments and the tombstone into
+    // gen_v1 behind the `_LISTS` pointer, and the NEXT batches assign
+    // with the new quantizer; dedup-on-write and search hold across the
+    // flip with nothing re-seeded
+    Ivf.rebuildIndex(spark, s"$tmp/idx", lists = 4, iters = 3)
+    assert(new java.io.File(s"$tmp/idx/_LISTS").exists(), "rebuild publishes behind the pointer")
+    assert(idxRows() == 22L, "the flip itself changes no live row")
+    assert(topHit() == ((2000L, 1.0)), "search serves through the flip")
+    val novelC = vec(0.5f, 0.5f, 0.5f, 0.5f)
+    writeVecSrc("f4", Seq(
+      (3000L, novelB),   // cross-REBUILD dup of kept 1003: still drops
+      (3001L, novelC)))  // novel direction: keeps, assigned by gen_v1
+    run()
+    assert(sinkIds() == Set(1001L, 1003L, 2000L, 3001L),
+      s"dedup-on-write must hold across the rebuild: ${sinkIds()}")
+    assert(idxRows() == 23L, "22 live + 1 kept post-rebuild vector")
+    val h = Ivf.topKIndexed(spark, s"$tmp/idx",
+      Seq((9001L, novelC)).toDF("vec_id", "embedding"), k = 1, nProbe = 4).head()
+    assert((h.getAs[Long]("n_id"), h.getAs[Double]("score")) == ((3001L, 1.0)),
+      "a vector streamed after the flip is immediately searchable")
   }
 
   test("semantic ingest: a null-embedding row is kept, never indexed, never wedges the stream") {

@@ -495,86 +495,151 @@ class IvfSpec extends AnyFunSuite {
       "no n_id may appear twice after a crash-rerun compaction")
   }
 
-  test("rebuildIndex discards a stale crash snapshot when the index changed since") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfstale_").toString
-    val base = emb.filter(col("vec_id") < 400)
-    val model = Ivf.train(base, c = 8, iters = 2)
-    Ivf.writeIndex(base, model, tmp)
-    // simulate a rebuild that crashed AFTER committing its corpus snapshot:
-    // the snapshot and its _STATE fingerprint are exactly what rebuildIndex
-    // would have written at that moment
-    val fs = new org.apache.hadoop.fs.Path(tmp)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val state = Ivf.rebuildSourceFingerprint(fs, tmp)
-    Ivf.readListsWithSegments(spark, tmp)
-      .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
-      .write.mode("overwrite").parquet(s"$tmp/_rebuild_corpus")
-    graft.core.Segments.writeAtomic(fs, spark.sparkContext.hadoopConfiguration,
-      new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus/_STATE"), state)
-    // between the crash and the rerun: an append AND a takedown land
-    val late = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
-    Ivf.appendToIndex(late, tmp)
+  test("rebuildIndex publishes a generation behind _LISTS: fold set retired atomically, gc sweeps after drain") {
     import spark.implicits._
-    Ivf.deleteFromIndex(Seq(0L, 2L).toDF("vec_id"), tmp)
-    // the rerun must detect the drift, discard the snapshot, and rebuild
-    // from the LIVE view: appended ids present, deleted ids gone
-    Ivf.rebuildIndex(spark, tmp, lists = 8, iters = 2)
-    val ids = spark.read.parquet(s"$tmp/lists").select("n_id")
-      .collect().map(_.getLong(0)).toSet
-    assert(ids.contains(400L) && ids.contains(449L),
-      "post-snapshot appends must survive the rebuild rerun")
-    assert(!ids.contains(0L) && !ids.contains(2L),
-      "post-snapshot deletions must not resurrect")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus")),
-      "the snapshot is cleaned up after a successful rebuild")
-  }
-
-  test("rebuildIndex rerun after a crash MID-REWRITE keeps the snapshot authoritative") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfcrashrw_").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfgen_").toString
     val base = emb.filter(col("vec_id") < 400)
-    val model = Ivf.train(base, c = 8, iters = 2)
-    Ivf.writeIndex(base, model, tmp)
-    val fs = new org.apache.hadoop.fs.Path(tmp)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val conf = spark.sparkContext.hadoopConfiguration
-    // the crash state rebuildIndex leaves when the JVM dies inside
-    // writeIndex: committed corpus snapshot + intent marker on disk,
-    // lists/ mid-overwrite (here: fully gone — the worst half-written
-    // state). Pre-fix, the rerun's fingerprint mismatch DISCARDED the
-    // snapshot (the only intact copy of the vectors) and re-snapshotted
-    // the destroyed tree.
-    val state = Ivf.rebuildSourceFingerprint(fs, tmp)
-    Ivf.readListsWithSegments(spark, tmp)
-      .select(col("n_id").as("vec_id"), col("n_vec").as("embedding"))
-      .write.mode("overwrite").parquet(s"$tmp/_rebuild_corpus")
-    graft.core.Segments.writeAtomic(fs, conf,
-      new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus/_STATE"), state)
-    graft.core.Segments.writeAtomic(fs, conf,
-      new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_inprogress"), "rebuild")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/lists"), true)
-    // between the crash and the rerun, a restarted ingest lands a segment
-    // and a takedown tombstones two snapshot ids
+    Ivf.writeIndex(base, Ivf.train(base, c = 8, iters = 2), tmp)
+    // the fold set: a streamed segment and a takedown land BEFORE the
+    // rebuild (both must fold into the new generation); the segment is
+    // assigned with the stored model, exactly like the streaming ingest
     val stored = Ivf.readModel(spark, tmp)
     val late = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
         graft.functions.VectorOps.normSq(col("embedding")).as("n_nsq"),
         Ivf.nearestCentroid(col("embedding"), stored).as("bucket"))
-    Ivf.writeListSegment(late, tmp, "batch_00001")
-    import spark.implicits._
+    Ivf.writeListSegment(late, tmp, "seg_batch_000000")
     Ivf.deleteFromIndex(Seq(1L, 3L).toDF("vec_id"), tmp)
-    // the rerun recovers from the snapshot REFRESHED with the post-crash
-    // segment and tombstones: every pre-crash vector survives, appends are
-    // folded in, takedowns hold, nothing is duplicated
     Ivf.rebuildIndex(spark, tmp, lists = 8, iters = 2)
-    val lists = spark.read.parquet(s"$tmp/lists")
-    val ids = lists.select("n_id").collect().map(_.getLong(0)).toSet
+    // the pointer names the new generation; the superseded legacy trees
+    // and the absorbed segment dir OUTLIVE the flip until readers drain
+    val ptr = new java.io.File(s"$tmp/_LISTS")
+    assert(ptr.exists(), "rebuild must publish behind the pointer")
+    val gen = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+    assert(gen == "gen_v1", s"first generation (saw $gen)")
+    assert(new java.io.File(s"$tmp/lists").exists(),
+      "the superseded root outlives the flip until readers drain")
+    assert(new java.io.File(s"$tmp/segs/seg_batch_000000").exists(),
+      "the absorbed segment dir outlives the flip until readers drain")
     val want = (0L until 400L).toSet -- Set(1L, 3L) ++ (400L until 420L).toSet
-    assert(ids == want, "snapshot vectors + post-crash appends - takedowns, exactly")
-    assert(lists.groupBy("n_id").count().filter(col("count") > 1).count() == 0,
-      "no vector may be duplicated by the recovery")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_inprogress")),
-      "the intent marker dies with the completed rebuild")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_rebuild_corpus")),
-      "the snapshot is cleaned up after a successful rebuild")
+    val ids = spark.read.parquet(s"$tmp/$gen/lists").select("n_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == want, "snapshot vectors + streamed segment - takedowns, exactly")
+    val stats = Ivf.indexStats(spark, tmp)
+    assert(stats("graft.ivf.rows").toLong == want.size.toLong,
+      s"the absorbed segment must not be served twice: $stats")
+    assert(stats("graft.ivf.growth").toDouble == 1.0, s"rebuild resets growth: $stats")
+    // search over the live view == brute force at nProbe = C
+    val union = emb.filter(col("vec_id") < 420 && !col("vec_id").isin(1L, 3L))
+    val exact = Similarity.bruteForceTopK(union, queries, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def got() = Ivf.topKIndexed(spark, tmp, queries, k = 5, nProbe = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got() == exact, "post-flip search must equal brute force over the live view")
+    // drain-safe sweep: legacy trees + absorbed segment go; nothing
+    // observable changes
+    assert(Ivf.gcIndexSegments(spark, tmp) >= 2L)
+    assert(!new java.io.File(s"$tmp/lists").exists(), "legacy lists swept")
+    assert(!new java.io.File(s"$tmp/centroids").exists(), "legacy centroids swept")
+    assert(!new java.io.File(s"$tmp/segs/seg_batch_000000").exists(), "absorbed segment swept")
+    assert(got() == exact, "gc must not change any ranking")
+    // a second rebuild re-publishes (gen_v2) with identical contents
+    Ivf.rebuildIndex(spark, tmp, lists = 8, iters = 2)
+    assert(new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim == "gen_v2")
+    assert(got() == exact, "re-rebuild is invisible to search")
+    assert(Ivf.indexStats(spark, tmp)("graft.ivf.rows").toLong == want.size.toLong)
+  }
+
+  test("a rebuild crash before the flip leaves the old generation serving; the rerun publishes cleanly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfcrash_").toString
+    val base = emb.filter(col("vec_id") < 400)
+    Ivf.writeIndex(base, Ivf.train(base, c = 8, iters = 2), tmp)
+    def got() = Ivf.topKIndexed(spark, tmp, queries, k = 5, nProbe = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = got()
+    // the crash state rebuildIndex leaves when the JVM dies mid-publish:
+    // a PARTIAL generation dir, no pointer — the serving trees were never
+    // touched (the whole point of the generation discipline; the old
+    // in-place rewrite destroyed lists/ here)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/gen_v1/lists"))
+    assert(got() == before, "an unreferenced partial generation is invisible")
+    assert(!new java.io.File(s"$tmp/_LISTS").exists())
+    // the rerun publishes a FRESH generation and flips; the junk dir sweeps
+    Ivf.rebuildIndex(spark, tmp, lists = 8, iters = 2)
+    val gen = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$tmp/_LISTS").toPath), "UTF-8").trim
+    assert(gen == "gen_v2", s"the rerun must not reuse the crashed dir (saw $gen)")
+    assert(got() == before,
+      "deterministic retrain over unchanged contents must not move any ranking")
+    Ivf.gcIndexSegments(spark, tmp)
+    assert(!new java.io.File(s"$tmp/gen_v1").exists(), "the crashed partial generation sweeps")
+    assert(got() == before)
+  }
+
+  test("segments assigned by a superseded generation probe in their OWN bucket space until compaction") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfmixed_").toString
+    val base = emb.filter(col("vec_id") < 400)
+    Ivf.writeIndex(base, Ivf.train(base, c = 8, iters = 2), tmp)
+    val oldModel = Ivf.readModel(spark, tmp)
+    Ivf.rebuildIndex(spark, tmp, lists = 8, iters = 2) // -> gen_v1 serves
+    // the drain window: a segment assigned under the OLD quantizer lands
+    // beside the flip (its batch ran readModel before the pointer moved)
+    val late = emb.filter(col("vec_id") >= 400 && col("vec_id") < 430)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        graft.functions.VectorOps.normSq(col("embedding")).as("n_nsq"),
+        Ivf.nearestCentroid(col("embedding"), oldModel).as("bucket"))
+    // written through the REAL ingest path: the caller passes the
+    // generation whose model assigned the buckets (the in-flight-batch
+    // contract — a write-time pointer re-read would stamp gen_v1 onto
+    // old-model buckets and every row here would be pruned in the wrong
+    // bucket space forever, the exact leak the r14 semantic soak caught)
+    Ivf.writeListSegment(late, tmp, "seg_batch_000001", assignedGen = Some(""))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genStamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/segs/seg_batch_000001/_GEN")), "UTF-8").trim
+    assert(genStamp == "", s"segment must carry its ASSIGNING generation, got '$genStamp'")
+    // nProbe = 1 is the sharp test: each probe reads ONE bucket per
+    // generation space. A copy-query of every old-gen vector must come
+    // back as its own top hit at score 1.0 — pruning those rows with
+    // CURRENT-generation bucket ids would miss every vector whose two
+    // assignments differ (virtually certain across 30 vectors and 8x8
+    // bucket spaces)
+    val copies = emb.filter(col("vec_id") >= 400 && col("vec_id") < 430)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val hits = Ivf.topKIndexed(spark, tmp, copies, k = 1, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(hits.length == 30, s"every copy-query must hit (got ${hits.length})")
+    hits.foreach { case (q, n, s) =>
+      assert(n == q - 100000L && s == 1.0, s"own-space probe must find the twin: ($q, $n, $s)")
+    }
+    // the streaming micro-probe sees the old-generation rows the same way
+    val batch = Seq((900000L, emb.filter(col("vec_id") === 405L)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0).toSeq))
+      .toDF("vec_id", "embedding")
+    val (assigned, pairs, _) = Ivf.semanticMicroPairs(batch, tmp, 0.999, "vec_id", "embedding")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Blocks.free(assigned); graft.core.Blocks.free(pairs)
+    assert(got.contains((405L, 900000L)),
+      s"micro-probe must pair against the old-generation segment: $got")
+    // gc must NOT sweep the quantizer a live segment still probes with
+    Ivf.gcIndexSegments(spark, tmp)
+    assert(new java.io.File(s"$tmp/centroids").exists(),
+      "a referenced superseded quantizer survives gc")
+    // stop-the-world compaction re-assigns everything into the current
+    // generation and retires the superseded one; search is unchanged
+    Ivf.compactIndexSegments(spark, tmp)
+    assert(!new java.io.File(s"$tmp/segs").exists(), "segments folded away")
+    assert(!new java.io.File(s"$tmp/centroids").exists(),
+      "the superseded quantizer retires with its last segment")
+    val hits2 = Ivf.topKIndexed(spark, tmp, copies, k = 1, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    hits2.foreach { case (q, n, s) =>
+      assert(n == q - 100000L && s == 1.0, s"post-compaction twin lookup: ($q, $n, $s)")
+    }
   }
 }

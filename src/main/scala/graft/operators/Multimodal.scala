@@ -1416,6 +1416,21 @@ object Multimodal {
       bmpFromGray(w, h, Array.tabulate(w * h)(i =>
         java.lang.Math.floorMod(seed * 31 + (i % w) * 7 + (i / w) * 13, 256L).toInt))
 
+    /** [[bmpAffine]] with PER-SEED gradient coefficients
+      * (ax = 7 + seed mod 23, ay = 13 + seed mod 17) — still all-integer
+      * and SQL-re-derivable, but the gradient DIRECTION varies per seed,
+      * so dHashes spread near-randomly across seeds instead of chaining
+      * along one shared gradient. The dedup-fixture slice (q30c2):
+      * under [[bmpAffine]]'s single shared gradient every image's dHash
+      * sits within the Hamming budget of its neighbors and the whole
+      * corpus collapses into ONE component — a degenerate dedup. */
+    def bmpAffineKeyed(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val ax = 7 + java.lang.Math.floorMod(seed, 23L)
+      val ay = 13 + java.lang.Math.floorMod(seed, 17L)
+      bmpFromGray(w, h, Array.tabulate(w * h)(i =>
+        java.lang.Math.floorMod(seed * 31 + (i % w) * ax + (i / w) * ay, 256L).toInt))
+    }
+
     private def bmpFromGray(w: Int, h: Int, g: Array[Int]): Array[Byte] = {
       val rowBytes = (w * 3 + 3) / 4 * 4
       val dataSize = rowBytes * h
@@ -3316,8 +3331,10 @@ object Multimodal {
     * ([[Dedup.simHashPairsFromSignatures]]). Images narrower than the grid
     * (w < 9 or h < 8) return None. */
   object PerceptualHash {
-    /** Mean of the gray pixels in cell (cx, cy) of a gw x gh grid. */
-    private def cell(g: ImageDecoder.Gray, gw: Int, gh: Int, cx: Int, cy: Int): Double = {
+    /** (pixel sum, pixel count) of cell (cx, cy) of a gw x gh grid — the
+      * integer facts both hashes decide their bits from. */
+    private def cellSum(
+        g: ImageDecoder.Gray, gw: Int, gh: Int, cx: Int, cy: Int): (Long, Int) = {
       val x0 = cx * g.width / gw; val x1 = math.max(x0 + 1, (cx + 1) * g.width / gw)
       val y0 = cy * g.height / gh; val y1 = math.max(y0 + 1, (cy + 1) * g.height / gh)
       var sum = 0L; var n = 0
@@ -3327,6 +3344,12 @@ object Multimodal {
         while (x < x1) { sum += g.pixels(y * g.width + x); n += 1; x += 1 }
         y += 1
       }
+      (sum, n)
+    }
+
+    /** Mean of the gray pixels in cell (cx, cy) of a gw x gh grid. */
+    private def cell(g: ImageDecoder.Gray, gw: Int, gh: Int, cx: Int, cy: Int): Double = {
+      val (sum, n) = cellSum(g, gw, gh, cx, cy)
       sum.toDouble / n
     }
 
@@ -3339,14 +3362,32 @@ object Multimodal {
     def resample(g: ImageDecoder.Gray, tw: Int, th: Int): Array[Float] =
       Array.tabulate(th * tw)(i => (cell(g, tw, th, i % tw, i / tw) / 255.0).toFloat)
 
-    /** Average hash: 8x8 grid, bit set where the cell exceeds the grid mean. */
+    /** Average hash: 8x8 grid, bit set where the cell mean exceeds the
+      * mean of the 64 cell means. Every bit is decided by EXACT integer
+      * arithmetic — cell means compare against the grid mean through an
+      * lcm-common-denominator scaling, so no float rounding ever flips a
+      * near-tie bit (gradient fixtures hit exact ties constantly, and a
+      * rounded double mean decided them by accumulated summation error:
+      * platform-dependent and irreproducible in an external oracle).
+      * Overflow-safe for images under ~2^30 pixels: the lcm of the at
+      * most 4 distinct cell sizes is <= (w/8+1)^2 (h/8+1)^2 / (wh/64),
+      * and every compared term is bounded by 64 * 255 * lcm. */
     def aHash64(g: ImageDecoder.Gray): Option[Long] = {
       if (g.width < 8 || g.height < 8) return None
-      val cells = Array.tabulate(64)(i => cell(g, 8, 8, i % 8, i / 8))
-      val mean = cells.sum / 64.0
-      var h = 0L
+      val sums = new Array[Long](64); val ns = new Array[Long](64)
       var i = 0
-      while (i < 64) { if (cells(i) > mean) h |= 1L << (63 - i); i += 1 }
+      while (i < 64) {
+        val (s, n) = cellSum(g, 8, 8, i % 8, i / 8); sums(i) = s; ns(i) = n
+        i += 1
+      }
+      @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val l = ns.foldLeft(1L)((acc, n) => acc / gcd(acc, n) * n)
+      // scaled(i) = l * (cell mean i); tot = l * (sum of cell means)
+      val scaled = Array.tabulate(64)(i => sums(i) * (l / ns(i)))
+      val tot = scaled.sum
+      var h = 0L
+      i = 0
+      while (i < 64) { if (64L * scaled(i) > tot) h |= 1L << (63 - i); i += 1 }
       Some(h)
     }
 
@@ -3355,13 +3396,18 @@ object Multimodal {
       * brightness. */
     def dHash64(g: ImageDecoder.Gray): Option[Long] = {
       if (g.width < 9 || g.height < 8) return None
-      val cells = Array.tabulate(8, 9)((cy, cx) => cell(g, 9, 8, cx, cy))
+      // cross-multiplied integer comparison: mean_a > mean_b decided as
+      // sum_a * n_b > sum_b * n_a — exact (a single correctly-rounded
+      // double division cannot misdecide this either, but the integer
+      // form says so in the code, and the SQL oracle replays it verbatim)
+      val cells = Array.tabulate(8, 9)((cy, cx) => cellSum(g, 9, 8, cx, cy))
       var h = 0L
       var cy = 0
       while (cy < 8) {
         var cx = 0
         while (cx < 8) {
-          if (cells(cy)(cx) > cells(cy)(cx + 1)) h |= 1L << (63 - (cy * 8 + cx))
+          val (sa, na) = cells(cy)(cx); val (sb, nb) = cells(cy)(cx + 1)
+          if (sa * nb > sb * na) h |= 1L << (63 - (cy * 8 + cx))
           cx += 1
         }
         cy += 1
@@ -3437,6 +3483,23 @@ object Multimodal {
       width: Int = 64,
       height: Int = 48): DataFrame = {
     val gen = udf((id: Long) => ImageGen.bmpAffine(width, height, id))
+    documents.withColumn("payload", gen(col(idCol).cast("long")))
+  }
+
+  /** BMP payloads over the PER-SEED-gradient integer field
+    * ([[ImageGen.bmpAffineKeyed]]) — the oracle-exact DEDUP fixture:
+    * near-random dHash spread across seeds (where [[bmpAffine]]'s shared
+    * gradient collapses everything into one Hamming component), every
+    * pixel still a closed-form integer a SQL twin re-derives, so q30c2's
+    * decode → dHash → banding → components chain hash-checks end to
+    * end. `idCol` names the SEED column: twins pass the original id as
+    * the seed under a fresh doc_id and render pixel-identical images. */
+  def withKeyedAffineImagePayload(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      width: Int = 64,
+      height: Int = 48): DataFrame = {
+    val gen = udf((id: Long) => ImageGen.bmpAffineKeyed(width, height, id))
     documents.withColumn("payload", gen(col(idCol).cast("long")))
   }
 

@@ -1996,9 +1996,18 @@ object PipelineQueries {
     // Q29o: LEARNED BPE vocabulary — the trained-tokenizer half of the
     // pluggable token-counting surface: distributed word histogram, then
     // the Sennrich-style greedy merge loop over the bounded histogram
-    // (Tokenizer.learn). Deterministic, but the iterative merge loop is
-    // not SQL-expressible => rows-only here; CurationSpec pins the merge
-    // sequence against a hand-computed fixture.
+    // (Tokenizer.learn). Deterministic AND oracle-checked: the DuckDB twin
+    // re-runs the ENTIRE merge loop as a recursive CTE — per-word
+    // segmentations as delimiter-wrapped symbol strings
+    // (chr(1)<sym>chr(2) units, so a whole-symbol pair replace is exactly
+    // the learner's greedy left-to-right merge and can never split or
+    // bridge symbols), per-iteration global pair counts + argmin
+    // tie-break via a window over the recursive rows, termination on
+    // frequency < 2 — an independent second implementation of the
+    // learner, hash-compared merge-for-merge. (The q29e2 lesson: the CTE
+    // state-steps the LEARNER the way BpeStepsSql state-steps the
+    // tokenizer.) CurationSpec additionally pins the merge sequence
+    // against a hand-computed fixture.
     QueryDef(
       "q29o_learn_bpe",
       (s, dir) => {
@@ -2006,7 +2015,60 @@ object PipelineQueries {
         graft.functions.Tokenizer.learn(Tables.documents(s, dir), numMerges = 60)
           .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("rank", "piece")
       },
-      None),
+      Some("""WITH RECURSIVE
+             |wd AS (
+             |  SELECT w FROM (
+             |    SELECT unnest(string_split(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')), ' ')) AS w
+             |    FROM documents) u WHERE w <> ''),
+             |hist AS (
+             |  SELECT w AS word, count(*)::BIGINT AS n FROM wd GROUP BY w
+             |  ORDER BY n DESC, w LIMIT 50000),
+             |init AS (
+             |  SELECT word, n,
+             |         chr(1) || array_to_string(str_split(word, ''), chr(2) || chr(1)) || chr(2) AS seg
+             |  FROM hist),
+             |loop(iter, piece, word, n, seg) AS (
+             |  SELECT 0, '', word, n, seg FROM init
+             |  UNION ALL
+             |  SELECT iter + 1, bpa || bpb, word, n,
+             |         replace(seg, chr(1)||bpa||chr(2)||chr(1)||bpb||chr(2), chr(1)||bpa||bpb||chr(2))
+             |  FROM (
+             |    SELECT DISTINCT iter, word, n, seg,
+             |           first_value(pa) OVER w AS bpa,
+             |           first_value(pb) OVER w AS bpb,
+             |           first_value(cnt) OVER w AS bcnt
+             |    FROM (
+             |      SELECT iter, word, n, seg, pa, pb,
+             |             CASE WHEN pb IS NULL THEN NULL
+             |                  ELSE sum(n) OVER (PARTITION BY pa, pb) END AS cnt
+             |      FROM (
+             |        SELECT iter, word, n, seg, syms[i] AS pa, syms[i+1] AS pb
+             |        FROM (
+             |          SELECT iter, word, n, seg,
+             |                 list_transform(list_filter(string_split(seg, chr(1)), x -> x <> ''),
+             |                                x -> rtrim(x, chr(2))) AS syms
+             |          FROM loop WHERE iter < 60),
+             |          UNNEST(generate_series(1, greatest(len(syms) - 1, 1))) AS u(i)
+             |      ) p
+             |    ) q
+             |    WINDOW w AS (ORDER BY cnt DESC NULLS LAST, pa, pb)
+             |  ) z
+             |  WHERE bcnt >= 2
+             |),
+             |firsts AS (
+             |  SELECT piece, min(iter) AS it FROM loop WHERE iter >= 1 GROUP BY piece),
+             |ranked AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY it) - 1 AS BIGINT) AS rank, piece
+             |  FROM firsts),
+             |fallback AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY n DESC, word) - 1 AS BIGINT) AS rank,
+             |         word AS piece
+             |  FROM hist ORDER BY n DESC, word LIMIT 60)
+             |SELECT rank, piece FROM ranked
+             |UNION ALL
+             |SELECT rank, piece FROM fallback
+             |WHERE NOT EXISTS (SELECT 1 FROM ranked)
+             |ORDER BY rank""".stripMargin)),
 
     // Q29e2/l2/m2: the token-counting operators under the PLUGGABLE BPE
     // tokenizer (greedy longest-match over the fixture vocab) — budgets and
@@ -2245,6 +2307,96 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       None),
+
+    // Q30c2: ORACLE-EXACT image dedup — the q30c pipeline (decode →
+    // dHash64 → guaranteed-recall Hamming banding → components → min-id
+    // keep) over the PER-SEED-gradient integer fixture
+    // (ImageGen.bmpAffineKeyed: p = (31·seed + (7 + seed%23)·x +
+    // (13 + seed%17)·y) mod 256). Every step is exact integer math: cell
+    // means compare by cross-multiplication (sum_a·n_b vs sum_b·n_a — no
+    // float ever decides a bit), banding is guaranteed-recall (pairs ≡
+    // brute-force Hamming ≤ 10, DedupAndSimilaritySpec pins the
+    // equivalence), and components are min-label. The DuckDB twin
+    // re-derives both 64-bit hashes from the pixel formula, replays the
+    // pair search brute-force, and closes components with a recursive
+    // CTE — so the whole BMP encode → decode → perceptual-hash → banding
+    // → collapse chain is hash-checked end to end (the q30e2 pattern
+    // applied to dedup); q30c keeps the noisy-twin corpus rows-only.
+    // Twins render pixel-identical images under fresh ids (seed = the
+    // original id), and the per-seed gradients also produce a sparse
+    // (~0.4%) cross-seed collision population the banding must find.
+    QueryDef(
+      "q30c2_image_dedup_exact",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val base = Multimodal.withKeyedAffineImagePayload(ids)
+        val twins = Multimodal.withKeyedAffineImagePayload(
+          ids.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 300000L).as("doc_id"), col("doc_id").as("seed")),
+          idCol = "seed").drop("seed")
+        val hashes = Multimodal.imageHashes(base.unionByName(twins)).localCheckpoint()
+        val kept = graft.operators.Dedup.collapseDuplicates(
+          hashes.select("doc_id"), Multimodal.imageDupPairs(hashes, maxHamming = 10),
+          idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+        hashes.select(col("doc_id"), col("ahash"), col("dhash"))
+          .join(kept.withColumn("is_kept", lit(1L)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ahash"), col("dhash"),
+            coalesce(col("is_kept"), lit(0L)).as("is_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |docs AS (
+             |  SELECT doc_id AS id, doc_id AS seed FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id % 10 = 0),
+             |gx9 AS (SELECT cx, (cx*64)//9 AS x0,
+             |               greatest((cx*64)//9 + 1, ((cx+1)*64)//9) AS x1 FROM range(9) t(cx)),
+             |px9 AS (SELECT cx, x0 + u.i AS x FROM gx9, UNNEST(generate_series(0, x1 - x0 - 1)) u(i)),
+             |gy8 AS (SELECT cy, cy*6 + v.j AS y FROM range(8) t(cy), UNNEST(generate_series(0,5)) v(j)),
+             |dcell AS (
+             |  SELECT d.id, gy8.cy, px9.cx,
+             |         CAST(SUM((d.seed*31 + (7 + d.seed%23)*px9.x + (13 + d.seed%17)*gy8.y) % 256) AS BIGINT) AS s,
+             |         COUNT(*)::BIGINT AS n
+             |  FROM docs d, px9, gy8 GROUP BY d.id, gy8.cy, px9.cx),
+             |dbit AS (
+             |  SELECT a.id, a.cy*8 + a.cx AS i,
+             |         CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+             |  FROM dcell a JOIN dcell b ON b.id = a.id AND b.cy = a.cy AND b.cx = a.cx + 1
+             |  WHERE a.cx < 8),
+             |px8 AS (SELECT cx, cx*8 + u.i AS x FROM range(8) t(cx), UNNEST(generate_series(0,7)) u(i)),
+             |acell AS (
+             |  SELECT d.id, gy8.cy*8 + px8.cx AS i,
+             |         CAST(SUM((d.seed*31 + (7 + d.seed%23)*px8.x + (13 + d.seed%17)*gy8.y) % 256) AS BIGINT) AS s
+             |  FROM docs d, px8, gy8 GROUP BY d.id, gy8.cy, px8.cx),
+             |abit AS (
+             |  SELECT a.id, a.i, CASE WHEN 64*a.s > t.tot THEN 1 ELSE 0 END AS bit
+             |  FROM acell a JOIN (SELECT id, SUM(s) AS tot FROM acell GROUP BY id) t USING (id)),
+             |dh AS (
+             |  SELECT id, CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+             |                       ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash
+             |  FROM (SELECT id,
+             |          SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END) AS hi,
+             |          SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - i)) ELSE 0 END) AS lo
+             |        FROM dbit GROUP BY id) z),
+             |ah AS (
+             |  SELECT id, CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+             |                       ELSE hi * 4294967296 + lo END AS BIGINT) AS ahash
+             |  FROM (SELECT id,
+             |          SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END) AS hi,
+             |          SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - i)) ELSE 0 END) AS lo
+             |        FROM abit GROUP BY id) z),
+             |edges AS (
+             |  SELECT a.id AS ea, b.id AS eb FROM dh a JOIN dh b
+             |  ON a.id <> b.id AND bit_count(xor(a.dhash, b.dhash)) <= 10),
+             |reach(src, dst) AS (
+             |  SELECT id, id FROM docs
+             |  UNION
+             |  SELECT r.src, e.eb FROM reach r JOIN edges e ON e.ea = r.dst),
+             |lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src)
+             |SELECT d.id AS doc_id, ah.ahash, dh.dhash,
+             |       CAST(CASE WHEN lab.rep = d.id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+             |FROM docs d JOIN dh USING (id) JOIN ah ON ah.id = d.id JOIN lab ON lab.id = d.id
+             |ORDER BY doc_id""".stripMargin)),
 
     // Q30d: CONTENT-level audio dedup — PCM decode (8/16-bit mono/stereo
     // RIFF walk) + the 64-bit energy-delta fingerprint (Philips robust-hash

@@ -332,7 +332,10 @@ object Pq {
       VectorOps.normSq(col(vecCol)).as("q_nsq"),
       lutCol(col(vecCol), pq).as("q_lut"),
       explode(Ivf.probeCentroids(col(vecCol), coarse, nProbe)).as("bucket"))
-      .localCheckpoint() // probed twice: bucket-set collect + the join probe
+    // not checkpointed: the returned plan broadcast-joins this frame — a
+    // checkpoint block here would outlive every call in a serving loop
+    // (the bm25Indexed leak shape). Query-batch-sized; the collect below
+    // recomputes the LUT/probe projection instead.
     val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("bucket").isin(probed: _*))

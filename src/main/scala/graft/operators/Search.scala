@@ -56,8 +56,11 @@ object Search {
     val terms = queries.select(
       col(queryIdCol).as("query_id"),
       explode(TextOps.tokens(coalesce(col(queryTextCol), lit("")))).as("tok"))
+      // NOT checkpointed: the returned plan broadcast-joins this frame, so
+      // a localCheckpoint here could never be freed — one leaked block per
+      // call (the r14 text-soak catch). Query-batch-sized; recompute is
+      // cheaper than a permanent storage block.
       .distinct()
-      .localCheckpoint() // query-batch-sized; probed twice (filter + join)
     // per-(doc, matched term) frequencies; dl rides along (constant per doc)
     val tf = documents
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
@@ -862,8 +865,11 @@ object Search {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombs")
     val tombs = if (fs.exists(tombsDir))
+      // not checkpointed: the returned plan anti-joins this frame, so a
+      // checkpoint block here would outlive the call (the r14 text-soak
+      // leak). Takedown-sized; the stats agg below re-reads the parquet.
       Some(spark.read.parquet(tombsDir.toString)
-        .groupBy("doc_id").agg(max("dl").as("dl")).localCheckpoint())
+        .groupBy("doc_id").agg(max("dl").as("dl")))
     else None
     val (n, sumDl) = tombs.fold((nS, sdS)) { t =>
       val g = t.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
@@ -874,8 +880,10 @@ object Search {
     val terms = queries.select(
       col(queryIdCol).as("query_id"),
       explode(TextOps.tokens(coalesce(col(queryTextCol), lit("")))).as("tok"))
+      // not checkpointed — same leak shape as above: scoreAndRank
+      // broadcast-joins this frame into the returned plan. The two collects
+      // below re-tokenize the (small) query batch instead.
       .distinct()
-      .localCheckpoint()
     // the terms' RAW hashes (not buckets): per-root hit buckets are
     // derived from these at each root's own P — a query-batch-sized
     // collect

@@ -318,10 +318,19 @@ object UptimeSoakProbe {
     var peakVSegs = 0
     var vGcRemoved = 0L
     var vPendingGcAt = -1
+    var retrainedAt = -1
+    var retrainWall = 0.0
+    var retrainGen = ""
+    var probeHitsBefore = -1L
+    var probeHitsAfter = -1L
     def liveVSegCount(): Int = {
       val d = new java.io.File(s"$ivfPath/segs")
       Option(d.listFiles()).map(_.count(f => f.isDirectory && !f.getName.startsWith("."))).getOrElse(0)
     }
+    // a fixed query batch for the live probes bracketing the retrain (the
+    // probe result set is deterministic data, so before/after comparability
+    // is about the INDEX serving, not the queries)
+    val probeQs = vecs.filter(col("vec_id") < 4).drop("_key").localCheckpoint()
     while (q4.isActive) {
       Thread.sleep(500)
       peakVSegs = math.max(peakVSegs, liveVSegCount())
@@ -336,20 +345,51 @@ object UptimeSoakProbe {
         vFolds += 1
         vPendingGcAt = done + 2
       }
+      // ONE full retrain BESIDE the live ingest at mid-soak: the rebuild
+      // trains + publishes a new generation behind the `_LISTS` pointer
+      // while micro-batches keep committing (segments assigned by the old
+      // quantizer keep their _GEN marker and stay searchable across the
+      // flip). The bracketing probes assert the index answers both the
+      // instant before the retrain starts and the instant after the flip.
+      if (retrainedAt < 0 && done >= nBatches / 2) {
+        probeHitsBefore = Ivf.topKIndexed(spark, ivfPath, probeQs, k = 5, nProbe = 8).count()
+        val tr = System.nanoTime()
+        Ivf.rebuildIndex(spark, ivfPath, lists, iters = 2) // beside live ingest
+        retrainWall = (System.nanoTime() - tr) / 1e9
+        retrainedAt = done
+        retrainGen = {
+          val p = new java.io.File(s"$ivfPath/_LISTS")
+          if (p.exists()) new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8").trim
+          else ""
+        }
+        probeHitsAfter = Ivf.topKIndexed(spark, ivfPath, probeQs, k = 5, nProbe = 8).count()
+        vPendingGcAt = cap4.rows.size() + 2 // sweep superseded gen after drain
+      }
     }
     q4.awaitTermination()
     val semWall = (System.nanoTime() - t4) / 1e9
     spark.streams.removeListener(cap4)
     vGcRemoved += Ivf.gcIndexSegments(spark, ivfPath)
+    graft.core.Blocks.free(probeQs)
     val (f4, l4, peak4) = report("semantic", cap4, 50)
     println(f"[soak] semantic wall=$semWall%.1f s folds=$vFolds gc-removed=$vGcRemoved " +
       f"peak-live-segs=$peakVSegs final-live-segs=${liveVSegCount()}")
+    println(f"[soak] semantic retrain@$retrainedAt%d gen='$retrainGen%s' " +
+      f"wall=$retrainWall%.1f s probe-hits before=$probeHitsBefore%d after=$probeHitsAfter%d")
+    // the retrain must have fired, published a real generation, and the
+    // index must have answered the live probes on both sides of the flip
+    // (4 queries x 5 neighbours; the corpus holds thousands of vectors by
+    // mid-soak, so a served index always fills k)
+    require(retrainedAt > 0 && retrainGen.startsWith("gen_v"),
+      s"mid-soak rebuild must publish a generation: at=$retrainedAt gen='$retrainGen'")
+    require(probeHitsBefore == 20L && probeHitsAfter == 20L,
+      s"live probes bracketing the retrain must fill k: before=$probeHitsBefore after=$probeHitsAfter")
     // correctness: base + kept-streamed covers every key exactly once —
-    // checked in the INDEX (stats count live rows across base + segments)
+    // checked in the INDEX (stats count live rows across base + segments).
+    // Root read with partition discovery: a batch that kept zero rows has
+    // no batch_id directory, and an explicit-path read would die on it.
     val semIdxRows = Ivf.indexStats(spark, ivfPath)("graft.ivf.rows").toLong
-    val semKept = spark.read
-      .parquet((0L until nBatches.toLong).map(b => s"$out/vsink/batch_id=$b"): _*)
-      .count()
+    val semKept = spark.read.parquet(s"$out/vsink").count()
     println(f"[soak] semantic kept=$semKept%,d index-rows=$semIdxRows%,d " +
       f"(expect ${expectVecKeys - baseKeys}%,d / $expectVecKeys%,d)")
     require(semKept == expectVecKeys - baseKeys && semIdxRows == expectVecKeys,
@@ -572,6 +612,135 @@ object UptimeSoakProbe {
       s"fold loop must bound live MinHash segments at O(foldEvery), saw $peakSegs7")
     require(f7 == 0 || l7 / f7 < 1.8, f"pipeline1k per-batch cost drifted ${l7 / f7}%.2fx")
     require(peak7 <= 10, s"pipeline1k per-batch storage must stay bounded, saw $peak7")
+    }
+
+    // ---- phase 4c: TEXT-INDEX ingest — online re-bucketing + folds +
+    // live BM25 probes + crash replay over the full horizon. The youngest
+    // machinery (per-root `_BUCKETS`, `_POSTINGS` generation pointer,
+    // foldTextSegments growth slot, gcTextIndex) has spec + growth-probe
+    // coverage; THIS is its long-horizon race soak: generation flips must
+    // fire ORGANICALLY beside a live ingest and live readers, the fold
+    // marker protocol must survive a mid-stream crash replay, and search
+    // at the horizon must equal the batch scan. ----
+    if (phases("text1k")) {
+    import graft.operators.Search
+    val tIdx = s"$out/text_idx"
+    // fixture-sized growth target so the ~24-postings/doc corpus crosses
+    // the 2x-per-bucket growth gate mid-run (with the 1000x400 default:
+    // flips near 2.1M / 4.2M / 8.4M postings); this is the deployment's
+    // read-amplification knob, not a test backdoor
+    sys.props("graft.text.bucket.target.rows") = "16384"
+    try {
+      // EMPTY-SEEDED pure-streaming store at the 64-bucket floor: the
+      // base root never holds a data file — growth must publish EMPTY
+      // generations (the data-less-root path) and every probe rides the
+      // segments
+      Search.buildTextIndex(docs.limit(0), tIdx, buckets = 64)
+      // query terms drawn from the live vocabulary (text is a pure hash
+      // function of the key) + one absent term
+      val qterms = docs.select("text").head().getString(0).split(" ").take(4)
+      import spark.implicits._
+      val qs = Seq(
+        (1L, s"${qterms(0)} ${qterms(1)}"),
+        (2L, s"${qterms(2)} ${qterms(3)} zqx_absent"),
+        (3L, qterms(1))).toDF("query_id", "query_text")
+      val cap8 = new Capture(spark)
+      spark.streams.addListener(cap8)
+      val t8 = System.nanoTime()
+      def startT() = Ingest.startTextIndexIngest(
+        spark, srcDir, schema, tIdx, s"$out/tckpt", maxFilesPerTrigger = Some(1))
+      var q8 = startT()
+      var lastFold8 = 0
+      var folds8 = 0
+      var gcRemoved8 = 0L
+      var pendingGcAt8 = -1
+      var crashed8 = false
+      var gens = Vector.empty[(Int, String)] // (batches done, serving root)
+      def servingGen(): String = {
+        val p = new java.io.File(s"$tIdx/_POSTINGS")
+        if (!p.exists()) "postings"
+        else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8").trim
+      }
+      val probeLog = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+      while (q8.isActive) {
+        Thread.sleep(500)
+        val done = cap8.rows.size()
+        val g = servingGen()
+        if (gens.isEmpty || gens.last._2 != g) gens :+= ((done, g))
+        if (!crashed8 && done >= nBatches / 2) {
+          crashed8 = true
+          q8.stop(); q8.awaitTermination()
+          val commits = new java.io.File(s"$out/tckpt/commits").listFiles()
+            .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+          if (commits.nonEmpty) {
+            val last = commits.last
+            val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+            last.delete(); if (crc.exists()) crc.delete()
+          }
+          println(s"[soak] text1k   crash replay at done=$done (dropped last commit, restarting)")
+          q8 = startT()
+        }
+        if (pendingGcAt8 >= 0 && done >= pendingGcAt8) {
+          gcRemoved8 += Search.gcTextIndex(spark, tIdx)
+          pendingGcAt8 = -1
+        }
+        if (compactEvery > 0 && done - lastFold8 >= compactEvery) {
+          lastFold8 = done
+          Search.foldTextSegments(spark, tIdx, gc = false) // + growth, beside live ingest
+          folds8 += 1
+          pendingGcAt8 = cap8.rows.size() + 2
+          // live BM25 probe BESIDE the fold/flip/ingest — exactly the
+          // race shape the generation-publish machinery exists for
+          val tp = System.nanoTime()
+          val hits = Search.bm25Indexed(spark, tIdx, qs, topK = 10).count()
+          probeLog += ((done, (System.nanoTime() - tp) / 1e9, hits))
+        }
+      }
+      q8.awaitTermination()
+      val textWall = (System.nanoTime() - t8) / 1e9
+      spark.streams.removeListener(cap8)
+      gcRemoved8 += Search.gcTextIndex(spark, tIdx)
+      val (f8, l8, peak8) = report("text1k", cap8, 50)
+      val st = Search.textIndexStats(spark, tIdx)
+      println(f"[soak] text1k   wall=$textWall%.1f s folds=$folds8 gc-removed=$gcRemoved8 " +
+        f"postings=${st("graft.text.postings")}%s buckets=${st("graft.text.buckets")}%s " +
+        f"segments=${st("graft.text.segments")}%s")
+      println(s"[soak] text1k   generations: " +
+        gens.map { case (d, g) => s"$g@$d" }.mkString(" -> "))
+      probeLog.foreach { case (d, s, h) =>
+        println(f"[soak] text1k   probe@$d%-4d $s%.2f s hits=$h%d")
+      }
+      // every committed doc indexed exactly once (the crash replay must
+      // overwrite its segment, never double it)
+      require(st("graft.text.docs").toLong == n,
+        s"index docs ${st("graft.text.docs")} != corpus ${n}")
+      // the re-bucket must fire organically once the corpus crosses the
+      // growth gate (2 x 64 buckets x target rows)
+      if (st("graft.text.postings").toLong >= 2L * 64 * 16384)
+        require(gens.size >= 2 && gens.last._2.startsWith("postings_v"),
+          s"a generation flip must fire organically mid-soak: $gens")
+      // horizon equality: indexed search == ad-hoc scan over the corpus
+      def canon(df: DataFrame) = df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      require(canon(Search.bm25Indexed(spark, tIdx, qs, topK = 12)) ==
+        canon(Search.bm25(docs, qs, topK = 12)),
+        "indexed search at the horizon must equal the batch scan")
+      println(s"[soak] text1k   search == scan at the horizon")
+      // live-probe cost flatness at steady state: the growth sawtooth
+      // bounds per-bucket postings in [target, 2 x target], so late
+      // probes must sit within a constant of the post-warmup ones (the
+      // frozen-P control reads linear in corpus — TextGrowthProbe's 16x)
+      if (probeLog.size >= 8) {
+        val ref = probeLog.slice(3, 6).map(_._2).max
+        val late = probeLog.takeRight(3).map(_._2).max
+        println(f"[soak] text1k   probe late/ref=${late / ref}%.2fx " +
+          f"(ref=$ref%.2f s late=$late%.2f s over ${probeLog.size}%d live probes)")
+        require(late / ref < 2.5, f"live probe cost drifted ${late / ref}%.2fx")
+      }
+      require(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"leaked persisted RDDs after text1k soak: ${spark.sparkContext.getPersistentRDDs.keys}")
+      require(f8 == 0 || l8 / f8 < 1.8, f"text1k per-batch cost drifted ${l8 / f8}%.2fx")
+      require(peak8 <= 8, s"text1k per-batch storage must stay bounded, saw $peak8")
+    } finally sys.props.remove("graft.text.bucket.target.rows")
     }
 
     // ---- phase 5: ExactSubstr SPAN ingest with concurrent catalog folds ----

@@ -3728,6 +3728,36 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** 16-bit PCM WAV whose samples are CLOSED-FORM integers —
+      * [[graft.operators.Multimodal.ImageGen]]'s `bmpAffineKeyed`
+      * discipline applied to audio (the q30d2 oracle fixture):
+      * `k(i) = ((h·(h+1)) mod 4096) − 2048`,
+      * `h = ((i + 1 + seed·7919) · 2654435761) mod 65536`.
+      * The nonlinear `h·(h+1)` step breaks the stride structure a bare
+      * LCG ramp leaves in per-frame energies, so the 64 energy-delta
+      * fingerprint bits decorrelate across seeds while identical seeds
+      * collapse bit-identically. The 16-bit decode is `k / 32768` —
+      * dyadic, so the fingerprint's double energies are EXACT rationals
+      * and every bit replays in SQL as an integer `Σ k²` comparison. */
+    def wavPcmKeyed(n: Int, seed: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes(StandardCharsets.US_ASCII)); out.write(le32(36 + n * 2))
+      out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+      out.write("fmt ".getBytes(StandardCharsets.US_ASCII)); out.write(le32(16))
+      out.write(le16(1)); out.write(le16(1)) // PCM, mono
+      out.write(le32(8000)); out.write(le32(16000))
+      out.write(le16(2)); out.write(le16(16))
+      out.write("data".getBytes(StandardCharsets.US_ASCII)); out.write(le32(n * 2))
+      var i = 0
+      while (i < n) {
+        val h = java.lang.Math.floorMod((i + 1L + seed * 7919L) * 2654435761L, 65536L)
+        val k = (java.lang.Math.floorMod(h * (h + 1L), 4096L) - 2048L).toInt
+        out.write(le16(k & 0xffff))
+        i += 1
+      }
+      out.toByteArray
+    }
+
     // ---- companded + block-compressed WAV variants (public specs) ------
     //
     // Telephony crawls carry G.711 µ-law/A-law RIFF (format tags 7/6) and
@@ -4502,6 +4532,20 @@ object Multimodal {
       noise: Int = 0): DataFrame =
     documents.withColumn("payload",
       audioGenUdf(nSamples, noise)(col(idCol).cast("long"), col(seedCol).cast("long")))
+
+  /** Attach the CLOSED-FORM integer audio payload
+    * ([[AudioGen.wavPcmKeyed]]) — the audio analogue of
+    * [[withKeyedAffineImagePayload]]: content is a pure integer function
+    * of `idCol`, so twins plant by pointing `idCol` at a seed column and
+    * the q30d2 oracle re-derives every sample in SQL. `n = 2080` divides
+    * into the fingerprint's 65 frames exactly (32 samples each). */
+  def withKeyedAudioPayload(
+      documents: DataFrame,
+      idCol: String = "doc_id",
+      nSamples: Int = 2080): DataFrame = {
+    val gen = udf((id: Long) => AudioGen.wavPcmKeyed(nSamples, id))
+    documents.withColumn("payload", gen(col(idCol).cast("long")))
+  }
 
   final case class AudioHash(doc_id: Long, n_samples: Int, afp: Long)
 

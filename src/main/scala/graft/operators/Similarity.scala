@@ -152,20 +152,8 @@ object Similarity {
     require(numTables > 0, s"numTables must be positive, got $numTables")
     require(planesPerTable > 0 && planesPerTable <= 62,
       s"planesPerTable must be in [1, 62], got $planesPerTable")
-    // Vectors whose length differs from `dim` would bucket on a silently
-    // truncated/padded sign pattern while exact scoring used the full
-    // arrays — recall degrades with no error. Fail loudly per row instead
-    // (a codegen'd size check, no extra pass over the data).
-    def quantized(df: DataFrame) = df.select(
-      col(idCol).as("id"),
-      when(size(col(vecCol)) === dim,
-        transform(col(vecCol), x => floor(x * lit(127.0)).cast("long")))
-        .otherwise(raise_error(concat(
-          lit(s"lshTopKInt8: embedding length != dim=$dim at $idCol="),
-          col(idCol).cast("string"))))
-        .as("qv"))
-    val cq = quantized(corpus).localCheckpoint() // feeds buckets AND scoring
-    val qq = quantized(queries).localCheckpoint()
+    val cq = quantizeInt8(corpus, dim, idCol, vecCol).localCheckpoint() // feeds buckets AND scoring
+    val qq = quantizeInt8(queries, dim, idCol, vecCol).localCheckpoint()
     // the query batch is the small side by construction — broadcast its
     // buckets so the corpus side never shuffles into the collision join
     val cand = broadcast(int8Buckets(qq, dim, numTables, planesPerTable)).as("a")
@@ -192,6 +180,23 @@ object Similarity {
     graft.core.Blocks.free(qq)
     out
   }
+
+  /** `floor(x * 127)` int8 quantization to (id, qv: Array[Long]) — floor,
+    * not round: floor is tie-free and bit-identical across engines, which
+    * is what lets the DuckDB twins replay every downstream integer step.
+    * Vectors whose length differs from `dim` would bucket on a silently
+    * truncated/padded pattern while exact scoring used the full arrays —
+    * recall degrades with no error. Fail loudly per row instead (a
+    * codegen'd size check, no extra pass over the data). */
+  private def quantizeInt8(
+      df: DataFrame, dim: Int, idCol: String, vecCol: String): DataFrame = df.select(
+    col(idCol).as("id"),
+    when(size(col(vecCol)) === dim,
+      transform(col(vecCol), x => floor(x * lit(127.0)).cast("long")))
+      .otherwise(raise_error(concat(
+        lit(s"int8 quantize: embedding length != dim=$dim at $idCol="),
+        col(idCol).cast("string"))))
+      .as("qv"))
 
   /** MAP-ONLY bucket stage for [[lshTopKInt8]]: (id, t, bucket) rows, one
     * per hash table, from a quantized frame of (id, qv: Array[Long]).
@@ -232,6 +237,98 @@ object Similarity {
           lit(0L), (acc, bit) => acc + bit))))
       .withColumnRenamed("pos", "t")
       .withColumnRenamed("col", "bucket")
+  }
+
+  /** Closed-form integer codebook for [[ivfTopKInt8]]: `c` centroids of
+    * `dim` int8 values from the same LCG constant family as
+    * [[int8Buckets]]' plane signs — deterministic and re-derivable in
+    * plain SQL (`((1103515245 ci + 12345 d + 54321) mod 256) - 128`),
+    * which is what makes the IVF KERNEL oracle-checkable where the
+    * trained float quantizer (q28d/f) is rows-only by nature. */
+  private[graft] def int8Codebook(c: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(c, dim)((ci, d) =>
+      java.lang.Math.floorMod(1103515245L * ci + 12345L * d + 54321L, 256L) - 128L)
+
+  /** MAP-ONLY IVF assignment over a quantized frame of (id, qv):
+    * `bucket` = argmin over centroids of the EXACT integer squared L2
+    * distance, ties to the lowest centroid index (the struct-array min
+    * compares (d2, ci) lexicographically — no float, no
+    * nondeterminism). The codebook rides as one broadcast literal inside
+    * a single codegen'd expression: zero Generate, zero Exchange, zero
+    * aggregation before the collision join (PlanSpec-pinned) — at 100 TB
+    * the assignment is one pass over the corpus, full stop. */
+  private[graft] def int8Assign(quantized: DataFrame, c: Int, dim: Int): DataFrame = {
+    val cb = typedLit(int8Codebook(c, dim))
+    quantized.withColumn("bucket",
+      array_min(transform(sequence(lit(0), lit(c - 1)), ci =>
+        struct(
+          aggregate(zip_with(col("qv"), element_at(cb, ci + 1), (x, v) => (x - v) * (x - v)),
+            lit(0L), (acc, v) => acc + v).as("d2"),
+          ci.cast("long").as("ci")))).getField("ci"))
+  }
+
+  /** INT8 IVF-flat maximum-inner-product search over the CLOSED-FORM
+    * integer codebook ([[int8Codebook]]) — the q28b2 discipline applied
+    * to the IVF family: quantize (`floor(x*127)`), assign every corpus
+    * vector to its nearest centroid by exact integer squared-L2
+    * ([[int8Assign]]), probe each query's `nProbe` nearest centroids,
+    * and rank same-bucket candidates by the exact integer inner product,
+    * ties by id. Every step after the quantize is integer arithmetic a
+    * SQL twin re-derives verbatim (q28d2) — the first hash-checked row
+    * in the otherwise trained-model IVF family (q28d/f/g/h/i).
+    *
+    * Scale shape mirrors the production [[graft.operators.Ivf.topK]]
+    * plan: map-only assignment with a broadcast literal codebook, probe
+    * set computed query-side only, candidates from the bucket equi-join
+    * (query side broadcast — the corpus never shuffles), per-query top-k
+    * window over candidate rows. Returns
+    * (q_id, n_id, rank, dot, n_bucket). */
+  def ivfTopKInt8(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      c: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(c > 0, s"c must be positive, got $c")
+    require(nProbe > 0 && nProbe <= c, s"nProbe must be in [1, $c], got $nProbe")
+    val cb = typedLit(int8Codebook(c, dim))
+    val cq = int8Assign(quantizeInt8(corpus, dim, idCol, vecCol), c, dim)
+      .localCheckpoint() // feeds the collision join AND scoring
+    val qq = quantizeInt8(queries, dim, idCol, vecCol).localCheckpoint()
+    // nProbe nearest centroids per query: sort the same (d2, ci) struct
+    // array the assignment minimizes, take the prefix — query-batch-sized
+    val probes = qq.select(
+      col("id").as("q_id"),
+      explode(transform(
+        slice(array_sort(transform(sequence(lit(0), lit(c - 1)), ci =>
+          struct(
+            aggregate(zip_with(col("qv"), element_at(cb, ci + 1), (x, v) => (x - v) * (x - v)),
+              lit(0L), (acc, v) => acc + v).as("d2"),
+            ci.cast("long").as("ci")))), 1, nProbe),
+        s => s.getField("ci"))).as("bucket"))
+    val cand = broadcast(probes)
+      .join(cq.select(col("id").as("n_id"), col("bucket")), Seq("bucket"))
+      .filter(!(col("q_id") <=> col("n_id")))
+    val scored = cand
+      .join(broadcast(qq.select(col("id").as("q_id"), col("qv").as("qa"))), Seq("q_id"))
+      .join(cq.select(col("id").as("n_id"), col("qv").as("qb")), Seq("n_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("n_id").asc)
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("dot"),
+        col("bucket").as("n_bucket"))
+      .localCheckpoint() // materialize BEFORE the inputs are freed
+    graft.core.Blocks.free(cq)
+    graft.core.Blocks.free(qq)
+    out
   }
 
   /** All pairs with cosine >= threshold, blocked on an exact-match column

@@ -1084,6 +1084,56 @@ object PipelineQueries {
       },
       None),
 
+    // Q28d2: int8 IVF-flat MIPS over the CLOSED-FORM integer codebook —
+    // the q28b2 discipline applied to the IVF family, which was
+    // previously rows-only across all five members (trained float
+    // models). Quantize (floor x*127), assign by EXACT integer squared-L2
+    // argmin (ties to the lowest centroid index), probe the nProbe
+    // nearest centroids per query, rank same-bucket candidates by the
+    // exact integer inner product. The DuckDB twin re-derives the
+    // codebook from the LCG formula and replays assignment, probing, and
+    // scoring step for step — the first hash-checked row at the IVF
+    // kernel. n_bucket rides in the output so the ORACLE also checks the
+    // assignment itself, not just the ranking.
+    QueryDef(
+      "q28d2_sim_ivf_int8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopKInt8(
+          corpus = emb, queries = emb.filter(col("vec_id") < 8),
+          k = 5, dim = 64, c = 16, nProbe = 4)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH cb AS (
+             |  SELECT c, d, ((1103515245 * c + 12345 * d + 54321) % 256) - 128 AS v
+             |  FROM range(16) cc(c), range(64) dd(d)),
+             |qv AS (
+             |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS d,
+             |         CAST(floor(unnest(embedding) * 127.0) AS BIGINT) AS q
+             |  FROM embeddings),
+             |d2 AS (
+             |  SELECT qv.id, cb.c, CAST(SUM((qv.q - cb.v) * (qv.q - cb.v)) AS BIGINT) AS dd
+             |  FROM qv JOIN cb USING (d) GROUP BY qv.id, cb.c),
+             |rkc AS (
+             |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dd, c) AS rn FROM d2),
+             |assign AS (SELECT id, c AS bucket FROM rkc WHERE rn = 1),
+             |probes AS (SELECT id AS q_id, c AS bucket FROM rkc WHERE rn <= 4 AND id < 8),
+             |cand AS (
+             |  SELECT p.q_id, a.id AS n_id, a.bucket
+             |  FROM probes p JOIN assign a ON a.bucket = p.bucket AND a.id <> p.q_id),
+             |sc AS (
+             |  SELECT c.q_id, c.n_id, c.bucket, CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+             |  FROM cand c
+             |  JOIN qv qa ON qa.id = c.q_id
+             |  JOIN qv qb ON qb.id = c.n_id AND qb.d = qa.d
+             |  GROUP BY c.q_id, c.n_id, c.bucket),
+             |rk AS (SELECT q_id, n_id,
+             |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS BIGINT) AS rank,
+             |              dot, bucket FROM sc)
+             |SELECT q_id, n_id, rank, dot, CAST(bucket AS BIGINT) AS n_bucket
+             |FROM rk WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
     // Q28f: IVF over a PERSISTED index — train once, corpus written
     // partitionBy(bucket) (inverted-file layout), search reads only the
     // probed list directories (partition pruning, plan-asserted in IvfSpec).
@@ -2428,6 +2478,78 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       None),
+
+    // Q30d2: ORACLE-EXACT audio dedup — the q30d pipeline (RIFF parse →
+    // PCM-16 decode → 65-frame energy-delta fingerprint → banding →
+    // components → min-id keep) over the CLOSED-FORM integer waveform
+    // (AudioGen.wavPcmKeyed: k(i) = ((h·(h+1)) mod 4096) − 2048,
+    // h = ((i+1+seed·7919)·2654435761) mod 65536). 2080 samples divide
+    // into the 65 frames exactly (32 each), and 16-bit decode is
+    // k/32768 — DYADIC, so the fingerprint's double frame energies are
+    // exact rationals and every bit replays in SQL as an integer Σk²
+    // comparison (the q30c2/q30e2 doctrine: restructure around exact
+    // arithmetic, never twin floats). The DuckDB twin re-derives every
+    // sample from the formula, folds the frame energies, packs the
+    // 64-bit fingerprint, replays the pair search brute-force and closes
+    // components recursively — WAV encode → decode → fingerprint →
+    // collapse hash-checked end to end; q30d keeps the 8-codec noisy
+    // corpus rows-only. Twins render bit-identical waveforms under fresh
+    // ids (seed = the original id); pseudorandom frame energies put
+    // cross-seed fingerprints at ~32 bits Hamming, so the Hamming-10
+    // search must find exactly the planted twins.
+    QueryDef(
+      "q30d2_audio_dedup_exact",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val base = Multimodal.withKeyedAudioPayload(ids)
+        val twins = Multimodal.withKeyedAudioPayload(
+          ids.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 300000L).as("doc_id"), col("doc_id").as("seed")),
+          idCol = "seed").drop("seed")
+        val hashes = Multimodal.audioHashes(base.unionByName(twins)).localCheckpoint()
+        val kept = graft.operators.Dedup.collapseDuplicates(
+          hashes.select("doc_id"), Multimodal.audioDupPairs(hashes, maxHamming = 10),
+          idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+        hashes.select(col("doc_id"), col("afp"))
+          .join(kept.withColumn("is_kept", lit(1L)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("afp"),
+            coalesce(col("is_kept"), lit(0L)).as("is_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |docs AS (
+             |  SELECT doc_id AS id, doc_id AS seed FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id % 10 = 0),
+             |smp AS (
+             |  SELECT d.id, i // 32 AS f,
+             |         ((((i + 1 + d.seed*7919) * 2654435761) % 65536) *
+             |          ((((i + 1 + d.seed*7919) * 2654435761) % 65536) + 1)) % 4096 - 2048 AS k
+             |  FROM docs d, range(2080) t(i)),
+             |fe AS (SELECT id, f, CAST(SUM(k*k) AS BIGINT) AS e FROM smp GROUP BY id, f),
+             |fbit AS (
+             |  SELECT a.id, a.f AS i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM fe a JOIN fe b ON b.id = a.id AND b.f = a.f + 1
+             |  WHERE a.f < 64),
+             |fp AS (
+             |  SELECT id, CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+             |                       ELSE hi * 4294967296 + lo END AS BIGINT) AS afp
+             |  FROM (SELECT id,
+             |          SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END) AS hi,
+             |          SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - i)) ELSE 0 END) AS lo
+             |        FROM fbit GROUP BY id) z),
+             |edges AS (
+             |  SELECT a.id AS ea, b.id AS eb FROM fp a JOIN fp b
+             |  ON a.id <> b.id AND bit_count(xor(a.afp, b.afp)) <= 10),
+             |reach(src, dst) AS (
+             |  SELECT id, id FROM docs
+             |  UNION
+             |  SELECT r.src, e.eb FROM reach r JOIN edges e ON e.ea = r.dst),
+             |lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src)
+             |SELECT d.id AS doc_id, fp.afp,
+             |       CAST(CASE WHEN lab.rep = d.id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+             |FROM docs d JOIN fp ON fp.id = d.id JOIN lab ON lab.id = d.id
+             |ORDER BY doc_id""".stripMargin)),
 
     // Q30e: image RESIZE to fixed-shape training tensors — decode +
     // box-average resample to 16x16 [0,1] grayscale (the image-tower input

@@ -265,6 +265,65 @@ class DedupAndSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8Assign matches a pure-Scala argmin recomputation (codebook + tie-break pinned)") {
+    import spark.implicits._
+    val dim = 8; val c = 5
+    val vecs = Seq(
+      (0L, Array.tabulate(dim)(d => (d - 3).toFloat / 4f)),
+      (1L, Array.tabulate(dim)(d => math.sin(d + 1).toFloat)),
+      (2L, Array.fill(dim)(0f)), // all-zero: exercises the tie-break path
+      (3L, Array.tabulate(dim)(d => math.cos(3 * d).toFloat)))
+    val qv = vecs.toDF("id", "emb")
+      .select(col("id"), transform(col("emb"), x => floor(x * lit(127.0)).cast("long")).as("qv"))
+    val got = Similarity.int8Assign(qv, c, dim)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cent(ci: Int, d: Int): Long =
+      java.lang.Math.floorMod(1103515245L * ci + 12345L * d + 54321L, 256L) - 128L
+    for ((id, emb) <- vecs) {
+      val q = emb.map(x => math.floor(x * 127.0).toLong)
+      val expect = (0 until c).map { ci =>
+        ((0 until dim).map(d => { val e = q(d) - cent(ci, d); e * e }).sum, ci.toLong)
+      }.min._2 // (d2, ci) lexicographic — ties to the lowest index
+      assert(got(id) == expect, s"assignment mismatch id=$id: got ${got(id)}, expect $expect")
+    }
+  }
+
+  test("ivfTopKInt8 == probed-bucket int8 MIPS recomputed from first principles") {
+    // the operator's whole candidate/rank semantics re-derived in plain
+    // Scala over the same quantized corpus: same assignment, same nProbe
+    // probe set, same integer dots, same (dot desc, id asc) tie-break
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+    val dim = 64; val c = 16; val nProbe = 4; val k = 5
+    val got = Similarity.ivfTopKInt8(emb, emb.filter(col("vec_id") < 8), k = k,
+      dim = dim, c = c, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]](1).map(x => math.floor(x * 127.0).toLong).toArray))
+    def cent(ci: Int, d: Int): Long =
+      java.lang.Math.floorMod(1103515245L * ci + 12345L * d + 54321L, 256L) - 128L
+    def d2(q: Array[Long], ci: Int): Long =
+      (0 until dim).map(d => { val e = q(d) - cent(ci, d); e * e }).sum
+    val assign = rows.map { case (id, q) =>
+      id -> (0 until c).map(ci => (d2(q, ci), ci.toLong)).min._2
+    }.toMap
+    val byId = rows.toMap
+    var checked = 0
+    for ((qid, q) <- rows if qid < 8) {
+      val probed = (0 until c).map(ci => (d2(q, ci), ci.toLong)).sorted.take(nProbe).map(_._2).toSet
+      val expect = rows
+        .filter { case (nid, _) => nid != qid && probed(assign(nid)) }
+        .map { case (nid, nv) => (nid, (0 until dim).map(d => q(d) * nv(d)).sum) }
+        .sortBy { case (nid, dot) => (-dot, nid) }
+        .take(k).zipWithIndex
+      for (((nid, dot), i) <- expect) {
+        assert(got((qid, i + 1L)) == ((nid, dot, assign(nid))),
+          s"rank ${i + 1} of q=$qid: got ${got((qid, i + 1L))}, expect ($nid, $dot, ${assign(nid)})")
+        checked += 1
+      }
+    }
+    assert(checked >= 8 * k, s"expected a full top-$k for all 8 queries, checked $checked")
+  }
+
   test("lshTopKInt8 rejects vectors whose length != dim (silent recall loss forbidden)") {
     import spark.implicits._
     val corpus = Seq((0L, Seq(1f, 0f, 0f)), (1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")

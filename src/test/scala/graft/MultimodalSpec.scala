@@ -511,6 +511,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resHam <= 6, s"2x resolution must stay within the dedup budget: $resHam")
   }
 
+  test("wavPcmKeyed: decode returns the closed-form integers exactly; fingerprint == integer recomputation") {
+    // the q30d2 oracle rests on two exactness facts: (1) 16-bit PCM
+    // decode is k/32768 (dyadic), (2) equal 32-sample frames make the
+    // double frame energies exact rationals, so every energy-delta bit
+    // equals the integer sum-of-squares comparison the SQL twin replays
+    val n = 2080; val seed = 137L
+    def k(i: Int): Long = {
+      val h = java.lang.Math.floorMod((i + 1L + seed * 7919L) * 2654435761L, 65536L)
+      java.lang.Math.floorMod(h * (h + 1L), 4096L) - 2048L
+    }
+    val xs = Multimodal.decodeAudioSamples(Multimodal.AudioGen.wavPcmKeyed(n, seed)).get
+    assert(xs.length == n)
+    (0 until n).foreach(i => assert(xs(i) == k(i) / 32768.0, s"sample $i"))
+    val got = Multimodal.audioFingerprint64(xs).get
+    val e = Array.tabulate(65)(f => (0 until 32).map(j => { val v = k(f * 32 + j); v * v }).sum)
+    var expect = 0L
+    (0 until 64).foreach(i => if (e(i + 1) > e(i)) expect |= 1L << (63 - i))
+    assert(got == expect, f"fingerprint 0x$got%016x != integer recomputation 0x$expect%016x")
+    // identical seed under a fresh length-n render is bit-identical; a
+    // different seed decorrelates far beyond the dedup budget
+    val twin = Multimodal.audioFingerprint64(
+      Multimodal.decodeAudioSamples(Multimodal.AudioGen.wavPcmKeyed(n, seed)).get).get
+    assert(twin == got)
+    val other = Multimodal.audioFingerprint64(
+      Multimodal.decodeAudioSamples(Multimodal.AudioGen.wavPcmKeyed(n, seed + 1)).get).get
+    assert(java.lang.Long.bitCount(got ^ other) > 10,
+      s"cross-seed fingerprints must sit beyond the Hamming budget: ${java.lang.Long.bitCount(got ^ other)}")
+  }
+
   test("JPEG pixel decode: grayscale, 4:2:0 color, and restart-marker streams approximate the field") {
     val expected = ImageGen.gray(64, 48, 42L, 0)
     def maxErr(got: Multimodal.ImageDecoder.Gray): Int =

@@ -119,6 +119,22 @@ class PlanSpec extends AnyFunSuite {
       "exactly the numTables posexplode:\n" + p.take(1200))
   }
 
+  test("q28d2: int8 IVF assignment is map-only (no aggregate/exchange/generate)") {
+    // the codebook is one broadcast literal folded into a single codegen'd
+    // expression — the assignment must be one pass over the corpus with
+    // nothing before the collision join (the q28b2 bucket-stage shape)
+    import org.apache.spark.sql.functions.{col, floor, lit, transform}
+    import graft.core.Tables
+    val qv = Tables.embeddings(spark, dir).select(
+      col("vec_id").as("id"),
+      transform(col("embedding"), x => floor(x * lit(127.0)).cast("long")).as("qv"))
+    val a = graft.operators.Similarity.int8Assign(qv, c = 16, dim = 64)
+    val p = a.queryExecution.executedPlan.toString
+    assert(!p.contains("Aggregate"), "assignment must not aggregate:\n" + p.take(1200))
+    assert(!p.contains("Exchange"), "assignment must not shuffle:\n" + p.take(1200))
+    assert(!p.contains("Generate"), "assignment must not explode:\n" + p.take(1200))
+  }
+
   test("native TokenHashes/SimHash64 run inside WholeStageCodegen (no interpreted fallback)") {
     // the dedup operators localCheckpoint their projections (lineage
     // truncates to LogicalRDD), so assert on the projection itself: the

@@ -612,6 +612,18 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def topKNeighborsApprox(queries: DataFrame, k: Int, dim: Int = 64): DataFrame =
     Similarity.lshTopK(embeddings, queries, k, dim)
 
+  /** int8-quantized LSH MIPS top-k — the 4x-smaller-rows production
+    * variant; every step after the quantize is exact integer math. */
+  def topKNeighborsInt8(queries: DataFrame, k: Int, dim: Int = 64): DataFrame =
+    Similarity.lshTopKInt8(embeddings, queries, k, dim)
+
+  /** int8 IVF-flat MIPS top-k over the closed-form integer codebook —
+    * map-only assignment, partition-prunable bucket probes, exact
+    * integer scoring. */
+  def topKNeighborsIvfInt8(
+      queries: DataFrame, k: Int, dim: Int = 64, c: Int = 16, nProbe: Int = 4): DataFrame =
+    Similarity.ivfTopKInt8(embeddings, queries, k, dim, c, nProbe)
+
   /** Cluster-balanced sample of this directory's embeddings: at most
     * `perList` vectors per k-means bucket in deterministic hash order —
     * the SemDeDup-style diversity selection that stops dense embedding

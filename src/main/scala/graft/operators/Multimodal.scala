@@ -3731,14 +3731,25 @@ object Multimodal {
     /** 16-bit PCM WAV whose samples are CLOSED-FORM integers —
       * [[graft.operators.Multimodal.ImageGen]]'s `bmpAffineKeyed`
       * discipline applied to audio (the q30d2 oracle fixture):
-      * `k(i) = ((h·(h+1)) mod 4096) − 2048`,
-      * `h = ((i + 1 + seed·7919) · 2654435761) mod 65536`.
-      * The nonlinear `h·(h+1)` step breaks the stride structure a bare
-      * LCG ramp leaves in per-frame energies, so the 64 energy-delta
-      * fingerprint bits decorrelate across seeds while identical seeds
-      * collapse bit-identically. The 16-bit decode is `k / 32768` —
-      * dyadic, so the fingerprint's double energies are EXACT rationals
-      * and every bit replays in SQL as an integer `Σ k²` comparison. */
+      * `k(i) = (((h·(h+1)) mod 65536) div 16) − 2048`,
+      * `h = ((((i+1)·(2·seed+1)) mod 65536) · 2654435761) mod 65536`.
+      * The seed sets the STRIDE of the walk through the scramble, never
+      * an offset: an additive seed makes every waveform a TIME SHIFT of
+      * one master sequence (any pointwise nonlinearity preserves shifts),
+      * and at a few thousand seeds some shifts nearly align the 32-sample
+      * frames — measured as component CHAINS through the Hamming-10
+      * search at sf0.1. Distinct odd strides share no shift structure
+      * (mirror pairs need seed_a + seed_b = 32767 — keep seeds below
+      * that), and the nonlinear `h·(h+1)` step folds through the UPPER
+      * product bits (div 16 of the mod-65536 product — a mod-4096 fold
+      * sees only `h mod 4096`, which quotients the seed space down to
+      * 2048 distinct fingerprints: measured 3,877 spurious Hamming-10
+      * pairs across 5,000 seeds vs 9 with the upper-bit fold), so
+      * cross-seed fingerprints sit far beyond the dedup budget
+      * while identical seeds collapse bit-identically. The 16-bit decode
+      * is `k / 32768` — dyadic, so the fingerprint's double energies are
+      * EXACT rationals and every bit replays in SQL as an integer `Σ k²`
+      * comparison. */
     def wavPcmKeyed(n: Int, seed: Long): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       out.write("RIFF".getBytes(StandardCharsets.US_ASCII)); out.write(le32(36 + n * 2))
@@ -3750,8 +3761,9 @@ object Multimodal {
       out.write("data".getBytes(StandardCharsets.US_ASCII)); out.write(le32(n * 2))
       var i = 0
       while (i < n) {
-        val h = java.lang.Math.floorMod((i + 1L + seed * 7919L) * 2654435761L, 65536L)
-        val k = (java.lang.Math.floorMod(h * (h + 1L), 4096L) - 2048L).toInt
+        val x = java.lang.Math.floorMod((i + 1L) * (2L * seed + 1L), 65536L)
+        val h = java.lang.Math.floorMod(x * 2654435761L, 65536L)
+        val k = (java.lang.Math.floorMod(h * (h + 1L), 65536L) / 16L - 2048L).toInt
         out.write(le16(k & 0xffff))
         i += 1
       }

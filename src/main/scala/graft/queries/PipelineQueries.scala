@@ -2482,8 +2482,10 @@ object PipelineQueries {
     // Q30d2: ORACLE-EXACT audio dedup — the q30d pipeline (RIFF parse →
     // PCM-16 decode → 65-frame energy-delta fingerprint → banding →
     // components → min-id keep) over the CLOSED-FORM integer waveform
-    // (AudioGen.wavPcmKeyed: k(i) = ((h·(h+1)) mod 4096) − 2048,
-    // h = ((i+1+seed·7919)·2654435761) mod 65536). 2080 samples divide
+    // (AudioGen.wavPcmKeyed: k(i) = (((h·(h+1)) mod 65536) div 16) − 2048,
+    // h = ((((i+1)·(2·seed+1)) mod 65536)·2654435761) mod 65536 — the
+    // seed is a STRIDE, never an offset: offset seeds are time shifts of
+    // one master sequence and chain components at sf0.1). 2080 samples divide
     // into the 65 frames exactly (32 each), and 16-bit decode is
     // k/32768 — DYADIC, so the fingerprint's double frame energies are
     // exact rationals and every bit replays in SQL as an integer Σk²
@@ -2523,8 +2525,8 @@ object PipelineQueries {
              |  SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id % 10 = 0),
              |smp AS (
              |  SELECT d.id, i // 32 AS f,
-             |         ((((i + 1 + d.seed*7919) * 2654435761) % 65536) *
-             |          ((((i + 1 + d.seed*7919) * 2654435761) % 65536) + 1)) % 4096 - 2048 AS k
+             |         ((((((i + 1) * (2*d.seed + 1)) % 65536) * 2654435761 % 65536) *
+             |           ((((i + 1) * (2*d.seed + 1)) % 65536) * 2654435761 % 65536 + 1)) % 65536) // 16 - 2048 AS k
              |  FROM docs d, range(2080) t(i)),
              |fe AS (SELECT id, f, CAST(SUM(k*k) AS BIGINT) AS e FROM smp GROUP BY id, f),
              |fbit AS (

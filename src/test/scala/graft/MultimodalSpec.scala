@@ -518,8 +518,9 @@ class MultimodalSpec extends AnyFunSuite {
     // equals the integer sum-of-squares comparison the SQL twin replays
     val n = 2080; val seed = 137L
     def k(i: Int): Long = {
-      val h = java.lang.Math.floorMod((i + 1L + seed * 7919L) * 2654435761L, 65536L)
-      java.lang.Math.floorMod(h * (h + 1L), 4096L) - 2048L
+      val x = java.lang.Math.floorMod((i + 1L) * (2L * seed + 1L), 65536L)
+      val h = java.lang.Math.floorMod(x * 2654435761L, 65536L)
+      java.lang.Math.floorMod(h * (h + 1L), 65536L) / 16L - 2048L
     }
     val xs = Multimodal.decodeAudioSamples(Multimodal.AudioGen.wavPcmKeyed(n, seed)).get
     assert(xs.length == n)

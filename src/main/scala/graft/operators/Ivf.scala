@@ -381,7 +381,21 @@ object Ivf {
               lit(math.max(1L, buckets * maxTrainRows / n)))
         }
       }
-    projSampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SPREAD the projection to the session's parallelism before caching:
+    // embedding corpora often arrive as a handful of fat parquet splits
+    // (blob-heavy rows pack thousands into one scan task), and every Lloyd
+    // iteration re-scans this frame — a 2-partition cache serializes the
+    // whole fit on 2 cores (measured 3x wall at iters=3, TrainProfile).
+    // Keyed on _gid (deterministic under task retry, never round-robin);
+    // the exchange moves the slim (id, vector) projection once, is
+    // sample-bounded whenever maxTrainRows caps it, and no-ops entirely
+    // when the scan already planned enough partitions. Centroid means are
+    // exact decimal sums, so partitioning cannot move a single bit.
+    val par = projSampled.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (projSampled.rdd.getNumPartitions < par) projSampled.repartition(par, col("_gid"))
+      else projSampled
+    spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private[operators] def flatAssign(v: Column, cents: Array[Array[Float]]): Column =

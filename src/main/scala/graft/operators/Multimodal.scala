@@ -31,6 +31,29 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The decode stages' shared input prep: (id, payload) rows, SPREAD to
+    * the session's default parallelism when the source scan planned fewer
+    * partitions. Payload blobs pack thousands of rows into one parquet
+    * split (a 30 MB file of 5 KB blobs is ONE scan task), so without this
+    * every mapPartitions decode pass — the dominant wall at 100 TB — runs
+    * on a handful of cores while the rest idle (measured: q30i's decode
+    * stage 18.6 s on 2 tasks vs ~2 s spread; guide §2.5 "input skew:
+    * repartition immediately after the read"). The exchange is keyed on
+    * the id (deterministic under task retry — never round-robin a
+    * non-deterministic input) and moves each payload once; at scale the
+    * scan already has >= parallelism partitions and the condition never
+    * fires. Decode outputs are per-row, so partitioning cannot change any
+    * result. */
+  private def payloadInput(
+      withPayload: DataFrame, idCol: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val sel = withPayload.select(col(idCol).cast("long").as("_pid"), col("payload"))
+    val par = sel.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (sel.rdd.getNumPartitions < par) sel.repartition(par, col("_pid"))
+      else sel
+    spread.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+  }
+
   final case class MediaFeatures(
       doc_id: Long,
       payload_len: Int,
@@ -668,9 +691,7 @@ object Multimodal {
   /** Parse + feature-extract the payload column, partition-parallel; payload
     * bytes never reach the driver. */
   def extractFeatures(withPayload: DataFrame): DataFrame = {
-    val input = withPayload
-      .select(col("doc_id"), col("payload"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val input = payloadInput(withPayload, "doc_id")
     input
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
@@ -3525,9 +3546,7 @@ object Multimodal {
       targetH: Int = 32,
       idCol: String = "doc_id"): DataFrame = {
     require(targetW >= 1 && targetH >= 1, s"bad target ${targetW}x$targetH")
-    val input = withPayload
-      .select(col(idCol).cast("long"), col("payload"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val input = payloadInput(withPayload, idCol)
     input
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
@@ -3571,9 +3590,7 @@ object Multimodal {
     * where the decode pass is the scan and everything downstream (banding,
     * clustering) runs on slim hashes. */
   def imageHashes(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val input = withPayload
-      .select(col(idCol).cast("long"), col("payload"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val input = payloadInput(withPayload, idCol)
     input
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
@@ -3612,9 +3629,7 @@ object Multimodal {
     * share into PER-CODEC rows an operator can watch. Partition-parallel;
     * payload bytes never leave the executors. */
   def decodeStatus(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val input = withPayload
-      .select(col(idCol).cast("long"), col("payload"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val input = payloadInput(withPayload, idCol)
     input
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
@@ -4642,9 +4657,7 @@ object Multimodal {
     else WavDecoder.decode(b)
 
   def audioHashes(withPayload: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val input = withPayload
-      .select(col(idCol).cast("long"), col("payload"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val input = payloadInput(withPayload, idCol)
     input
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
@@ -5019,9 +5032,7 @@ object Multimodal {
     * no decodable frame are skipped. */
   def videoHashes(
       withPayload: DataFrame, maxFrames: Int = 8, idCol: String = "doc_id"): DataFrame = {
-    val input = withPayload
-      .select(col(idCol).cast("long"), col("payload"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val input = payloadInput(withPayload, idCol)
     input
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>

@@ -31,10 +31,24 @@ object Pq {
     def dim: Int = m * dsub
   }
 
-  /** Train a PQ codebook: one deterministic Lloyd fit per subspace over
-    * the sliced projection (the same cached sample feeds every subspace —
-    * the corpus is scanned once, then `m x iters` slim aggregation jobs
-    * refine). `k` clamps to the sample size like [[Ivf.train]]. */
+  /** Train a PQ codebook: deterministic Lloyd fits of all `m` subspaces,
+    * FUSED into one aggregation job per iteration over the shared cached
+    * sample (the corpus is scanned once, then `iters` slim jobs refine).
+    *
+    * The subspace fits are independent (subspace `j`'s iteration depends
+    * only on `j`'s own previous centroids), so running every subspace's
+    * step `i` in a single job — per-row assignment codes for all `m`
+    * slices, one posexplode of the full vector, one groupBy
+    * (subspace, code, pos-in-subspace) with the same exact decimal-mean
+    * accumulation as [[Ivf.lloyd]] — produces BIT-IDENTICAL codebooks to
+    * the previous per-subspace loop (each (j, b, pos) group aggregates
+    * exactly the rows the unfused (b, pos) group did, and decimal sums
+    * are order-independent; PqTrainSpec pins the equality). The unfused
+    * shape cost `m x iters` sequential jobs = `m x iters` passes over the
+    * cached projection; this is `iters` passes, full stop — at 100 TB
+    * (sampled projection in the tens of GB) an 8x reduction in scans and
+    * scheduler round-trips for the same model.
+    * `k` clamps to the sample size like [[Ivf.train]]. */
   def train(
       corpus: DataFrame,
       m: Int = 8,
@@ -58,11 +72,36 @@ object Pq {
         .collect()
         .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
       require(initRows.nonEmpty, "Pq.train: empty corpus")
-      val books = Array.tabulate(m) { j =>
-        val sub = proj.select(
-          col("_gid"), slice(col("_gvec"), j * dsub + 1, dsub).as("_gvec"))
-        Ivf.lloyd(sub, initRows.map(_.slice(j * dsub, (j + 1) * dsub)),
-          iters, Ivf.flatAssign)
+      var books: Array[Array[Array[Float]]] =
+        Array.tabulate(m)(j => initRows.map(_.slice(j * dsub, (j + 1) * dsub)))
+      for (_ <- 1 to iters) {
+        // per row: code of every subspace (the same flat-argmin kernel the
+        // unfused fit assigned with, over the same slice)
+        val codes = array((0 until m).map { j =>
+          Ivf.flatAssign(slice(col("_gvec"), j * dsub + 1, dsub), books(j))
+        }: _*)
+        val means = proj
+          .select(codes.as("_codes"), posexplode(col("_gvec")))
+          .select(
+            (col("pos") / dsub).cast("int").as("j"),
+            pmod(col("pos"), lit(dsub)).as("p"),
+            col("_codes"), col("col"))
+          .select(col("j"), element_at(col("_codes"), col("j") + 1).as("b"),
+            col("p"), col("col"))
+          .groupBy(col("j"), col("b"), col("p"))
+          .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+            / count(lit(1))).cast("double").as("m"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+          .toMap
+        val prev = books
+        books = Array.tabulate(m) { j =>
+          Array.tabulate(prev(j).length) { b =>
+            Array.tabulate(dsub) { p =>
+              means.get((j, b, p)).map(_.toFloat).getOrElse(prev(j)(b)(p))
+            }
+          }
+        }
       }
       Model(books)
     } finally proj.unpersist(blocking = false)

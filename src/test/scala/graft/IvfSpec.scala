@@ -342,6 +342,24 @@ class IvfSpec extends AnyFunSuite {
     assert(twinsAt1 >= 36, s"exact re-rank must put twins at rank 1: $twinsAt1/40")
   }
 
+  test("fused PQ training == m independent single-subspace fits (the unfused shape)") {
+    // Pq.train fuses all m subspace Lloyd fits into one aggregation job
+    // per iteration (r14 optimization). The fusion claim is that subspace
+    // fits are independent: subspace j's codebook must be EXACTLY what a
+    // lone m=1 fit over the sliced corpus produces (same init — the id
+    // hash picks the same rows — same assignments, same decimal means).
+    val m = 8
+    val dsub = 8
+    val fused = graft.operators.Pq.train(emb, m = m, k = 16, iters = 2)
+    (0 until m).foreach { j =>
+      val sliced = emb.select(
+        col("vec_id"), slice(col("embedding"), j * dsub + 1, dsub).as("embedding"))
+      val solo = graft.operators.Pq.train(sliced, m = 1, k = 16, iters = 2)
+      assert(solo.codebooks.head.flatten.toSeq == fused.codebooks(j).flatten.toSeq,
+        s"subspace $j diverged from its independent fit")
+    }
+  }
+
   test("balancedSample: exact hash-order keeps per bucket, cap respected, deterministic") {
     val model = Ivf.train(emb, c = 8, iters = 2)
     val perList = 5

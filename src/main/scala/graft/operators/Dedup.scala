@@ -2740,15 +2740,29 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
       // pointer jumping (synchronous): follow the label one hop through
       // the PREVIOUS round's table — label chains halve every round
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_round_${java.util.UUID.randomUUID()}")
       val next = merged
         .join(
           labels.select(col("id").as("_bid"), col("label").as("_blabel")),
           col("label") === col("_bid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("_blabel"), col("label"))).as("label"))
+        // the convergence sum is OBSERVED inside the checkpoint
+        // materialization itself: the former standalone aggregate re-read
+        // the whole label table once more per round — a full |V| pass per
+        // round at any scale, spent on one number the checkpoint job
+        // already streams past. Exact decimal sum as before (ids may span
+        // the full long range); labels.isEmpty was checked before the
+        // loop, so the metrics always materialize (no empty-relation
+        // collapse — the label table is non-empty by construction).
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint()
-      // exact decimal sum: ids may span the full long range
-      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      val s = obs.get("lsum") match {
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+        case other => sys.error(s"convergence sum came back as $other")
+      }
       converged = prevSum.exists(_.compareTo(s) == 0)
       prevSum = Some(s)
       // next is materialized (checkpointed) — the superseded round's table

@@ -61,10 +61,12 @@ object Search {
       // call (the r14 text-soak catch). Query-batch-sized; recompute is
       // cheaper than a permanent storage block.
       .distinct()
-    // per-(doc, matched term) frequencies; dl rides along (constant per doc)
-    val tf = documents
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("tok"))
+    // per-(doc, matched term) frequencies; dl rides along (constant per
+    // doc). tokenizedDocs: one tokenizer run per row — size + explode as
+    // sibling trees each re-ran the regex (see tokenizedDocs)
+    val tf = tokenizedDocs(documents, idCol, textCol)
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("tok"))
       .join(broadcast(terms.select("tok").distinct()), Seq("tok"), "left_semi")
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"), max("dl").cast("double").as("dl"))
@@ -197,14 +199,38 @@ object Search {
       textCol: String = "text"): Unit = {
     require(buckets > 0, "buckets must be positive")
     val spark = documents.sparkSession
-    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
-    val m = documents.select(size(toks).cast("long").as("dl"))
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    postingsRows(documents, buckets, idCol, textCol)
+    // Corpus stats (N, Σdl) are OBSERVED inside the postings write itself
+    // (the Pq.writeIndex discipline): the former standalone
+    // count/sum-of-dl aggregation was a second full tokenize pass over
+    // the corpus — at 100 TB one entire scan + regex tokenization spent
+    // on two numbers the write pass already sees. Values are identical
+    // (same count, same sum over the same per-doc token arrays; empty
+    // corpus observes (0, 0) exactly as the old aggregate did).
+    val obs = org.apache.spark.sql.Observation(
+      s"text_build_${java.util.UUID.randomUUID()}")
+    val observed = tokenizedDocs(documents, idCol, textCol)
+      .observe(obs, count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("_toks")).cast("long")), lit(0L)).as("sum_dl"))
+    postingsFromTokens(observed, buckets)
       // one task per touched bucket => one file per bucket, not per
       // (task x bucket)
       .repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
+    val metrics = obs.get
+    // an EMPTY corpus can leave the metrics map empty: empty-relation
+    // propagation collapses the write's input to a LocalRelation and the
+    // CollectMetrics node never runs (SearchSpec's empty-seeded store hit
+    // this). Fall back to the direct aggregate — zero-to-tiny input there,
+    // so the second pass costs nothing.
+    val m =
+      if (metrics.contains("n_docs"))
+        (metrics("n_docs").asInstanceOf[Long], metrics("sum_dl").asInstanceOf[Long])
+      else {
+        val r = tokenizedDocs(documents, idCol, textCol)
+          .select(size(col("_toks")).cast("long").as("dl"))
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
     val fs = graft.core.Segments.fs(spark, path)
     writeRootBuckets(fs, new org.apache.hadoop.fs.Path(s"$path/postings"), buckets)
     // a rebuild over an existing index retracts the generation pointer:
@@ -221,7 +247,7 @@ object Search {
     val ptr = new org.apache.hadoop.fs.Path(path, PostingsPointer)
     if (fs.exists(ptr)) { fs.delete(ptr, false); () }
     import spark.implicits._
-    Seq((m.getLong(0), m.getLong(1), buckets)).toDF("n_docs", "sum_dl", "buckets")
+    Seq((m._1, m._2, buckets)).toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -310,19 +336,32 @@ object Search {
     * bucket hash (the same single-definition discipline as
     * [[scoreAndRank]] on the read side): (doc_id, tok, tf, dl, pb) rows,
     * `pb = pmod(xxhash64(tok), buckets)`. */
-  private def postingsRows(
-      docs: DataFrame, buckets: Int, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
-    docs
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("tok"))
+  /** (doc_id, _toks) — the tokenize-ONCE projection every postings pass
+    * builds on: `size(toks)` and `explode(toks)` as sibling expression
+    * trees each ran the tokenizer regex (Generate and Project are separate
+    * operators — no cross-operator subexpression reuse), so the postings
+    * pass paid the corpus tokenization twice. Materializing the array as
+    * its own projection makes both consumers read one bound attribute;
+    * CollapseProject keeps non-cheap expressions un-inlined. */
+  private def tokenizedDocs(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(coalesce(col(textCol), lit(""))).as("_toks"))
+
+  private def postingsFromTokens(tokenized: DataFrame, buckets: Int): DataFrame =
+    tokenized
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
       // int, not long: partition directories (`pb=3`) read back as int, so
       // a flat root's pb DATA column must be int too or root unions
       // type-clash
       .withColumn("pb", pmod(xxhash64(col("tok")), lit(buckets.toLong)).cast("int"))
-  }
+
+  private def postingsRows(
+      docs: DataFrame, buckets: Int, idCol: String, textCol: String): DataFrame =
+    postingsFromTokens(tokenizedDocs(docs, idCol, textCol), buckets)
 
   /** Append new documents to a persisted text index WITHOUT rebuilding:
     * the batch's postings land in the existing bucket partitions and the

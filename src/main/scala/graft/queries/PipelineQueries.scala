@@ -1162,8 +1162,19 @@ object PipelineQueries {
       "q28i_sim_ivfpq",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val coarse = graft.operators.Ivf.train(emb, c = 32, iters = 3)
-        val pq = graft.operators.Pq.train(emb, m = 8, k = 64, iters = 2)
+        // the two trainings are INDEPENDENT deterministic fits over the
+        // same corpus — submit them as concurrent Spark jobs (guide §2.6:
+        // actions are only sequential because the driver calls them
+        // sequentially; the second job's tasks back-fill executors the
+        // first's tail leaves idle). Each model is bit-identical to its
+        // sequential fit (nothing is shared but the read-only corpus).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val coarseF = Future(graft.operators.Ivf.train(emb, c = 32, iters = 3))
+        val pqF = Future(graft.operators.Pq.train(emb, m = 8, k = 64, iters = 2))
+        val coarse = Await.result(coarseF, Duration.Inf)
+        val pq = Await.result(pqF, Duration.Inf)
         val idx = QueryDef.tempDirForResult("graft_pq_idx_").toString
         graft.operators.Pq.writeIndex(emb, coarse, pq, idx)
         graft.operators.Pq.topKIndexed(s, idx, emb.filter(col("vec_id") < 8), k = 5, nProbe = 8)

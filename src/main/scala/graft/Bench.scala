@@ -100,9 +100,18 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalSpread = results.filter(_._2 >= 0).map(_._3).sum
     val metric = if (full) "full_total" else "headline_total"
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","reps":$reps,""" +
+    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","reps":$reps,""" +
       s""""total_spread":$totalSpread,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
-      s""""calib_read_mb_per_s":$calib,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+      s""""calib_read_mb_per_s":$calib,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line has never survived the sbt "[info] " prefix into the
+    // driver's parser (PERF `parsed: null` since r10) — ALSO write the
+    // identical JSON to a bare file beside the repo root so the comparison
+    // machinery has a machine-readable artifact. Additive only: same
+    // queries, same values, stdout line unchanged.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_last.json")), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] json file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -41,6 +41,17 @@ object SweepBench {
     }
     println(f"SWEEP-TOTAL ${results.size}%d queries ${total}%.1f s " +
       f"(reps=$reps sf=$sfDir cpus=$cpus)")
+    // machine-readable twin of the SWEEP lines (the Bench.scala bench_last
+    // discipline): one JSON object, also written to a bare file — the
+    // driver/judge can diff tracked tables without scraping log prefixes
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"sweep_total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+    println(json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_JSON", "sweep_last.json")), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[sweep] json file write failed: ${e.getMessage}") }
     s.stop()
   }
 }

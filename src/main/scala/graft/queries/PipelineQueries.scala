@@ -190,14 +190,28 @@ object PipelineQueries {
     private val P3 = BigInt("165667B19E3779F9", 16)
     private val P4 = BigInt("85EBCA77C2B2AE63", 16)
     private val P5 = BigInt("27D4EB2F165667C5", 16)
+    // branch-free signed<->unsigned maps: the CASE forms repeated their
+    // argument (the whole upstream expression tree) twice and forced
+    // row-at-a-time CASE evaluation — per-row expression cost is the
+    // measured wall of the hash twins (~17 us/row on the old slotv tree),
+    // so every node and every argument repetition counts here.
+    // u: e + 2^64 mod 2^64 wraps any signed-64 value into [0, 2^64).
     private def u(e: String) =
-      s"(CASE WHEN ($e) < 0 THEN CAST(($e) AS HUGEINT) + $M ELSE CAST(($e) AS HUGEINT) END)"
+      s"((CAST(($e) AS HUGEINT) + $M) % $M)"
+    // s64: ((e + 2^63) mod 2^64) - 2^63 re-centers [0, 2^64) onto
+    // [-2^63, 2^63) — identical to the old conditional subtraction.
     private def s64(e: String) =
-      s"(CAST(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - $M ELSE ($e) END AS BIGINT))"
+      s"(CAST(((($e) + ${BigInt(2).pow(63)}) % $M) - ${BigInt(2).pow(63)} AS BIGINT))"
     private def xor64(a: String, b: String) = u(s"xor(${s64(a)}, ${s64(b)})")
+    // 64-bit wrapping multiply via UHUGEINT (DuckDB >= 0.10): the product of
+    // two values < 2^64 fits unsigned 128 bits exactly, so one multiply + one
+    // mod replaces the former 32-bit limb decomposition — which repeated each
+    // operand THREE times, tripling the SQL text per chained stage. The
+    // binder/optimizer walk of that text was measured at 23 s of q27c's 58 s
+    // (DuckDB profile: Optimizer 15 s + Binder 8 s at sf0.001); identical
+    // values, ~3x smaller expression trees.
     private def mul64(a: String, b: String) =
-      s"(((($a) % 4294967296) * (($b) % 4294967296) + (((($a) // 4294967296) * (($b) % 4294967296)" +
-        s" + (($a) % 4294967296) * (($b) // 4294967296)) % 4294967296) * 4294967296) % $M)"
+      s"(CAST((CAST(($a) AS UHUGEINT) * CAST(($b) AS UHUGEINT)) % $M AS HUGEINT))"
     private def add64(a: String, b: String) = s"((($a) + ($b)) % $M)"
     private def rotl(e: String, n: Int) = {
       val lo = BigInt(2).pow(64 - n); val hi = BigInt(2).pow(n)
@@ -285,27 +299,35 @@ object PipelineQueries {
       val v3i = seed; val v4i = (seed - P1 + M) % M
       val hSmall = (seed + P5) % M
       def mergeStep(n: Int, v: String, keep: String) =
-        s"xm$n AS (SELECT did, pos, hx, len, i$keep,\n" +
+        s"xm$n AS (SELECT token, hx, len, i$keep,\n" +
           s"  ${add64(mul64(xor64("h", s"q${n}k"), P1.toString), P4.toString)} AS h\n" +
           s"  FROM (SELECT *, ${k1Chain(v, s"q$n")} FROM xm${n - 1}) s)"
       Seq(
-        s"""xb AS (SELECT did, pos, hex(encode(token)) AS hx,
-           |  CAST(octet_length(encode(token)) AS HUGEINT) AS len FROM tok)""".stripMargin,
+        // hash each DISTINCT token once, then join back to positions: h is a
+        // pure function of the token bytes and the corpus vocabulary is tiny
+        // next to token occurrences (31 distinct vs 270k occurrences on the
+        // sf0.1 testdata), so running the byte-level chain per occurrence
+        // re-derived the same 31 values ~9000x each — measured as the
+        // dominant execution cost of every strh consumer. `strh(did, pos,
+        // h)` below is value-identical to the per-occurrence form.
+        s"""xb AS (SELECT token, hex(encode(token)) AS hx,
+           |  CAST(octet_length(encode(token)) AS HUGEINT) AS len
+           |  FROM (SELECT DISTINCT token FROM tok))""".stripMargin,
         // stripe phase: 4 accumulators over 32-byte chunks (len >= 32 only)
         s"""xs AS (
-           |  SELECT did, pos, hx, len, CAST(0 AS HUGEINT) AS i,
+           |  SELECT token, hx, len, CAST(0 AS HUGEINT) AS i,
            |         CAST($v1i AS HUGEINT) AS v1, CAST($v2i AS HUGEINT) AS v2,
            |         CAST($v3i AS HUGEINT) AS v3, CAST($v4i AS HUGEINT) AS v4
            |  FROM xb WHERE len >= 32
            |  UNION ALL
-           |  SELECT did, pos, hx, len, i + 32, nv0, nv1, nv2, nv3 FROM (
-           |    SELECT did, pos, hx, len, i,
+           |  SELECT token, hx, len, i + 32, nv0, nv1, nv2, nv3 FROM (
+           |    SELECT token, hx, len, i,
            |           ${stripeLane(0, "v1")}, ${stripeLane(1, "v2")},
            |           ${stripeLane(2, "v3")}, ${stripeLane(3, "v4")}
            |    FROM xs WHERE i + 32 <= len) s)""".stripMargin,
         "xst AS (SELECT * FROM xs WHERE i + 32 > len)",
         // stripe convergence: rotated sum, then one merge round per lane
-        s"""xm0 AS (SELECT did, pos, hx, len, i, v1, v2, v3, v4,
+        s"""xm0 AS (SELECT token, hx, len, i, v1, v2, v3, v4,
            |  ${add64(add64(add64(rotl("v1", 1), rotl("v2", 7)), rotl("v3", 12)), rotl("v4", 18))} AS h
            |  FROM xst)""".stripMargin,
         mergeStep(1, "v1", ", v2, v3, v4"),
@@ -313,17 +335,17 @@ object PipelineQueries {
         mergeStep(3, "v3", ", v4"),
         mergeStep(4, "v4", ""),
         s"""xc AS (
-           |  SELECT did, pos, hx, len, i, h FROM xm4
+           |  SELECT token, hx, len, i, h FROM xm4
            |  UNION ALL
-           |  SELECT did, pos, hx, len, CAST(0 AS HUGEINT) AS i, CAST($hSmall AS HUGEINT) AS h
+           |  SELECT token, hx, len, CAST(0 AS HUGEINT) AS i, CAST($hSmall AS HUGEINT) AS h
            |  FROM xb WHERE len < 32)""".stripMargin,
-        s"xl AS (SELECT did, pos, hx, len, i, ${add64("h", "len")} AS h FROM xc)",
+        s"xl AS (SELECT token, hx, len, i, ${add64("h", "len")} AS h FROM xc)",
         // 8-byte tail rounds
         s"""x8 AS (
-           |  SELECT did, pos, hx, len, i, h FROM xl
+           |  SELECT token, hx, len, i, h FROM xl
            |  UNION ALL
-           |  SELECT did, pos, hx, len, i + 8, h2 AS h FROM (
-           |    SELECT did, pos, hx, len, i,
+           |  SELECT token, hx, len, i + 8, h2 AS h FROM (
+           |    SELECT token, hx, len, i,
            |           ${lane8("i")} AS ln, ${k1Chain("ln", "w")},
            |           ${xor64("h", "wk")} AS x1a, ${rotl("x1a", 27)} AS x1b,
            |           ${add64(mul64("x1b", P1.toString), P4.toString)} AS h2
@@ -331,7 +353,7 @@ object PipelineQueries {
         "x8t AS (SELECT * FROM x8 WHERE i + 8 > len)",
         // one optional 4-byte round
         s"""x4 AS (
-           |  SELECT did, pos, hx, len,
+           |  SELECT token, hx, len,
            |         CASE WHEN i + 4 <= len THEN i + 4 ELSE i END AS i,
            |         CASE WHEN i + 4 <= len THEN h4 ELSE h END AS h
            |  FROM (
@@ -341,21 +363,22 @@ object PipelineQueries {
            |    FROM x8t) s)""".stripMargin,
         // single-byte rounds
         s"""x1 AS (
-           |  SELECT did, pos, hx, len, i, h FROM x4
+           |  SELECT token, hx, len, i, h FROM x4
            |  UNION ALL
-           |  SELECT did, pos, hx, len, i + 1, h1 AS h FROM (
-           |    SELECT did, pos, hx, len, i,
+           |  SELECT token, hx, len, i + 1, h1 AS h FROM (
+           |    SELECT token, hx, len, i,
            |           ${byteAt("i")} AS bv, ${mul64("bv", P5.toString)} AS mb,
            |           ${xor64("h", "mb")} AS z1, ${rotl("z1", 11)} AS z2,
            |           ${mul64("z2", P1.toString)} AS h1
            |    FROM x1 WHERE i < len) s)""".stripMargin,
-        "x1t AS (SELECT did, pos, h FROM x1 WHERE i = len)",
+        "x1t AS (SELECT token, h FROM x1 WHERE i = len)",
         // avalanche
-        s"xa1 AS (SELECT did, pos, ${xor64("h", shr("h", 33))} AS h FROM x1t)",
-        s"xa2 AS (SELECT did, pos, ${mul64("h", P2.toString)} AS h FROM xa1)",
-        s"xa3 AS (SELECT did, pos, ${xor64("h", shr("h", 29))} AS h FROM xa2)",
-        s"xa4 AS (SELECT did, pos, ${mul64("h", P3.toString)} AS h FROM xa3)",
-        s"strh AS MATERIALIZED (SELECT did, pos, ${s64(xor64("h", shr("h", 32)))} AS h FROM xa4)"
+        s"xa1 AS (SELECT token, ${xor64("h", shr("h", 33))} AS h FROM x1t)",
+        s"xa2 AS (SELECT token, ${mul64("h", P2.toString)} AS h FROM xa1)",
+        s"xa3 AS (SELECT token, ${xor64("h", shr("h", 29))} AS h FROM xa2)",
+        s"xa4 AS (SELECT token, ${mul64("h", P3.toString)} AS h FROM xa3)",
+        s"xth AS (SELECT token, ${s64(xor64("h", shr("h", 32)))} AS h FROM xa4)",
+        "strh AS MATERIALIZED (SELECT t.did, t.pos, xth.h FROM tok t JOIN xth USING (token))"
       ).mkString(",\n")
     }
 
@@ -469,9 +492,11 @@ object PipelineQueries {
          |  JOIN strh s1 ON s1.did = s0.did AND s1.pos = s0.pos + 1
          |  JOIN strh s2 ON s2.did = s0.did AND s2.pos = s0.pos + 2$restrict),
          |coef(s, a, b) AS (VALUES $coefVals),
+         |shv AS MATERIALIZED (
+         |  SELECT sh, coef.s, ${s64(add64(mul64(u("sh"), "a"), "b"))} AS v
+         |  FROM (SELECT DISTINCT sh FROM shg) shd CROSS JOIN coef),
          |slotv AS (
-         |  SELECT shg.did, coef.s, ${s64(add64(mul64(u("sh"), "a"), "b"))} AS v
-         |  FROM shg CROSS JOIN coef),
+         |  SELECT shg.did, shv.s, shv.v FROM shg JOIN shv USING (sh)),
          |sigs AS MATERIALIZED (
          |  SELECT d.doc_id AS did, coef.s, coalesce(m.v, 9223372036854775807) AS v
          |  FROM $docList d
@@ -495,11 +520,20 @@ object PipelineQueries {
       * what consumers append. */
     def simHashSigCtes: String = {
       val pow2 = (0 until 64).map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+      // per-bit signs are computed once per DISTINCT token hash (hbit —
+      // vocabulary x 64 rows) and votes weighted by the per-doc hash
+      // multiplicity (thc): identical multiset vote sums as the former
+      // strh x pow2 cross join, at vocabulary cost instead of
+      // token-occurrence cost (the strh dedup argument, one level up).
       s"""pow2(b, p) AS (VALUES $pow2),
+         |thc AS (SELECT did, h, count(*) AS c FROM strh GROUP BY did, h),
+         |hbit AS MATERIALIZED (
+         |  SELECT h, b, p,
+         |         CASE WHEN (${u("h")} // p) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT DISTINCT h FROM strh) hd CROSS JOIN pow2),
          |sbits AS (
-         |  SELECT did, b, p,
-         |         SUM(CASE WHEN (${u("h")} // p) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
-         |  FROM strh CROSS JOIN pow2 GROUP BY did, b, p),
+         |  SELECT thc.did, hbit.b, hbit.p, SUM(thc.c * hbit.sgn) AS cnt
+         |  FROM thc JOIN hbit USING (h) GROUP BY thc.did, hbit.b, hbit.p),
          |ssig AS MATERIALIZED (
          |  SELECT did, ${s64("SUM(CASE WHEN cnt > 0 THEN p ELSE 0::HUGEINT END)")} AS sh
          |  FROM sbits GROUP BY did)""".stripMargin
@@ -525,11 +559,19 @@ object PipelineQueries {
     /** The shared `tok`/`strh` prefix: whitespace tokenization of
       * `documents` with positions, then the string-XXH64 twin. */
     def docTokenHashCtes: String =
-      s"""tok AS (
+      // tokd is MATERIALIZED: the LATERAL position unnest correlates on
+      // t.toks, and DuckDB inlines a plain subquery — re-running the
+      // regexp_replace + string_split of the WHOLE document once per token
+      // position (measured: 34 s for 28k token rows at sf0.001, the
+      // dominant cost of every strh consumer). Materializing tokenizes each
+      // document once.
+      s"""tokd AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |tok AS (
          |  SELECT doc_id AS did, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
-         |  FROM (SELECT doc_id,
-         |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
-         |        FROM documents) t,
+         |  FROM tokd t,
          |  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g),
          |$strHashCtes""".stripMargin
 
@@ -1707,10 +1749,12 @@ object PipelineQueries {
              |  SELECT doc_id, lang,
              |         regexp_replace(t2, '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '[PII]', 'g') AS text
              |  FROM rb),
+             |tokd AS MATERIALIZED (
+             |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+             |  FROM rdoc),
              |tok AS (
              |  SELECT doc_id AS did, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
-             |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
-             |        FROM rdoc) t,
+             |  FROM tokd t,
              |  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g),
              |${XxSql.strHashCtes},
              |en AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM rdoc),

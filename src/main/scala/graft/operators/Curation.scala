@@ -1229,13 +1229,35 @@ object Curation {
       tokenizer: Tokenizer = Tokenizer.Whitespace): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     val funnel = Seq.newBuilder[(String, Long, Long)]
-    var cur = documents.localCheckpoint()
-    var nCur = cur.count()
+    // input count observed inside the input checkpoint — same one-pass
+    // discipline as the stages below; `documents` is caller input and CAN
+    // be a provably-empty LocalRelation (metrics pruned), hence the
+    // fallback count.
+    val obs0 = org.apache.spark.sql.Observation(
+      s"funnel_in_${java.util.UUID.randomUUID()}")
+    var cur = documents.observe(obs0, count(lit(1)).as("n")).localCheckpoint()
+    val m0 = org.apache.spark.sql.GraftObservationAccess.getOrEmpty(obs0)
+    var nCur = if (m0.contains("n")) m0("n").asInstanceOf[Long] else cur.count()
 
     def stage(name: String)(f: DataFrame => DataFrame): Unit = {
       val raw = f(cur)
-      val next = raw.localCheckpoint()
-      val nNext = next.count()
+      // the funnel count is OBSERVED inside the stage's checkpoint
+      // materialization (the connectedComponents discipline): the former
+      // standalone next.count() re-read the entire just-checkpointed stage
+      // output once more per stage — a full corpus-sized pass per stage at
+      // any scale, spent on one number the checkpoint job already streams
+      // past (guide §1.2 step 1 / §2.4: remove passes). Values identical.
+      val obs = org.apache.spark.sql.Observation(
+        s"funnel_${name}_${java.util.UUID.randomUUID()}")
+      val next = raw.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      // stage inputs are LogicalRDD checkpoints (never a provably-empty
+      // LocalRelation), so the CollectMetrics node survives optimization —
+      // but keep the direct count as a fallback: if the metrics are ever
+      // pruned or delivery races the action, the recount is exact and the
+      // degenerate inputs that could cause it are tiny.
+      val metrics = org.apache.spark.sql.GraftObservationAccess.getOrEmpty(obs)
+      val nNext =
+        if (metrics.contains("n")) metrics("n").asInstanceOf[Long] else next.count()
       funnel += ((name, nCur, nNext))
       // free the superseded stage AND the pre-checkpoint plan: the raw
       // frame's sweep releases operator-INTERNAL checkpoints (the

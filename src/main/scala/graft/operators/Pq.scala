@@ -43,7 +43,10 @@ object Pq {
     * accumulation as [[Ivf.lloyd]] — produces BIT-IDENTICAL codebooks to
     * the previous per-subspace loop (each (j, b, pos) group aggregates
     * exactly the rows the unfused (b, pos) group did, and decimal sums
-    * are order-independent; PqTrainSpec pins the equality). The unfused
+    * are order-independent; IvfSpec pins BOTH halves: subspace
+    * independence — fused m=8 == eight single-subspace fits — and the
+    * legacy path — train(m=1) == the [[Ivf.train]] Lloyd fit, same init,
+    * same assignment kernel, same decimal means). The unfused
     * shape cost `m x iters` sequential jobs = `m x iters` passes over the
     * cached projection; this is `iters` passes, full stop — at 100 TB
     * (sampled projection in the tens of GB) an 8x reduction in scans and

@@ -44,13 +44,6 @@ object Search {
       queryTextCol: String = "query_text"): DataFrame = {
     require(topK > 0, "topK must be positive")
     require(k1 > 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params k1=$k1 b=$b")
-    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
-    // N and avgdl: map-only length projection, one single-row agg
-    val stats = documents.select(size(toks).cast("long").as("dl"))
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    val n = stats.getLong(0)
-    require(n > 0, "Search.bm25: empty corpus")
-    val avgdl = stats.getLong(1).toDouble / n.toDouble
     // distinct query terms (a repeated term in one query counts once — the
     // VALUES-set semantics the SQL twin mirrors)
     val terms = queries.select(
@@ -61,15 +54,51 @@ object Search {
       // call (the r14 text-soak catch). Query-batch-sized; recompute is
       // cheaper than a permanent storage block.
       .distinct()
+    // ONE corpus pass: the former standalone N/Σdl aggregate was a second
+    // full tokenize of the corpus spent on two numbers — at 100 TB an
+    // entire scan + regex pass (guide §1.2 step 1). The stats are OBSERVED
+    // on the tokenize projection feeding the tf pass (the buildTextIndex
+    // discipline) and the hit-sized tf aggregate — (doc, matched term)
+    // rows, never corpus-sized — is materialized eagerly so the observed
+    // values are readable before scoring is planned. The checkpoint block
+    // lives with the returned plan (the bench's per-rep unpersist sweep
+    // frees it); that is the price of the removed corpus pass.
+    val obs = org.apache.spark.sql.Observation(
+      s"bm25_stats_${java.util.UUID.randomUUID()}")
     // per-(doc, matched term) frequencies; dl rides along (constant per
     // doc). tokenizedDocs: one tokenizer run per row — size + explode as
     // sibling trees each re-ran the regex (see tokenizedDocs)
     val tf = tokenizedDocs(documents, idCol, textCol)
+      .observe(obs, count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("_toks")).cast("long")), lit(0L)).as("sum_dl"))
       .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
         explode(col("_toks")).as("tok"))
       .join(broadcast(terms.select("tok").distinct()), Seq("tok"), "left_semi")
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"), max("dl").cast("double").as("dl"))
+      .localCheckpoint()
+    // empty-relation propagation can collapse the plan and prune the
+    // CollectMetrics node (empty corpus, or a query batch with zero terms
+    // — the semi-join's broadcast side folds to empty): fall back to the
+    // direct aggregate, which only ever runs on those degenerate inputs.
+    // getOrEmpty, not get: the checkpoint action above has already
+    // finished, so the metrics either arrived or never will (pruned node)
+    // — a bounded wait can fall back, a blocking get could hang forever on
+    // a Spark-internal change (the ADVICE r14 caveat). The fallback
+    // recomputes the same exact values, so a theoretical delivery race
+    // costs one small job, never correctness.
+    val metrics = org.apache.spark.sql.GraftObservationAccess.getOrEmpty(obs)
+    val (n, sumDl) =
+      if (metrics.contains("n_docs"))
+        (metrics("n_docs").asInstanceOf[Long], metrics("sum_dl").asInstanceOf[Long])
+      else {
+        val r = tokenizedDocs(documents, idCol, textCol)
+          .select(size(col("_toks")).cast("long").as("dl"))
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    require(n > 0, "Search.bm25: empty corpus")
+    val avgdl = sumDl.toDouble / n.toDouble
     scoreAndRank(tf, terms, n, avgdl, topK, k1, b)
   }
 
@@ -216,7 +245,12 @@ object Search {
       // (task x bucket)
       .repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(s"$path/postings")
-    val metrics = obs.get
+    // getOrEmpty, not get: the write has already finished, so metrics
+    // either arrived or never will — the blocking get relied on a
+    // Spark-internal (ObservationManager posting Row.empty for a pruned
+    // CollectMetrics node) to terminate; a bounded wait + fallback cannot
+    // hang if that internal changes (ADVICE r14 #4).
+    val metrics = org.apache.spark.sql.GraftObservationAccess.getOrEmpty(obs)
     // an EMPTY corpus can leave the metrics map empty: empty-relation
     // propagation collapses the write's input to a LocalRelation and the
     // CollectMetrics node never runs (SearchSpec's empty-seeded store hit

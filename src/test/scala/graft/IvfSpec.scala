@@ -360,6 +360,18 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("Pq.train(m=1) == the Ivf.train Lloyd fit (the legacy unfused path)") {
+    // the other half of the fused-training pin (r14 advisory): the fused
+    // kernel at m=1 must reproduce the ORIGINAL single-codebook Lloyd fit
+    // exactly — Ivf.train shares the init rule (k smallest id-hashes), the
+    // flat-argmin assignment, and the decimal-mean accumulation, so any
+    // drift in the fused rewrite shows up as a bit difference here.
+    val viaPq = graft.operators.Pq.train(emb, m = 1, k = 16, iters = 2)
+    val viaIvf = Ivf.train(emb, c = 16, iters = 2)
+    assert(viaPq.codebooks.head.map(_.toSeq).toSeq == viaIvf.centroids.map(_.toSeq).toSeq,
+      "m=1 fused training must be bit-identical to the direct Lloyd fit")
+  }
+
   test("balancedSample: exact hash-order keeps per bucket, cap respected, deterministic") {
     val model = Ivf.train(emb, c = 8, iters = 2)
     val perList = 5

@@ -1254,7 +1254,10 @@ object Curation {
       // LocalRelation), so the CollectMetrics node survives optimization —
       // but keep the direct count as a fallback: if the metrics are ever
       // pruned or delivery races the action, the recount is exact and the
-      // degenerate inputs that could cause it are tiny.
+      // degenerate inputs that could cause it are tiny. (Distributed
+      // retries could double-count into these reporting-only funnel
+      // numbers — see the ADVICE r14 #1 note in Search.buildTextIndex;
+      // the curated DATA is checkpoint-exact either way.)
       val metrics = org.apache.spark.sql.GraftObservationAccess.getOrEmpty(obs)
       val nNext =
         if (metrics.contains("n")) metrics("n").asInstanceOf[Long] else next.count()

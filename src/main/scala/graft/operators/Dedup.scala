@@ -2776,6 +2776,13 @@ object Dedup {
         // the full long range); labels.isEmpty was checked before the
         // loop, so the metrics always materialize (no empty-relation
         // collapse — the label table is non-empty by construction).
+        // Distributed-deployment caveat (ADVICE r14 #1): task/stage
+        // retries can double-count rows into this accumulator-backed sum.
+        // A corrupted sum can delay convergence by a round (cheap) or —
+        // only if two consecutive corrupted sums collide exactly —
+        // spuriously signal it. A cluster deployment that sees retries
+        // should cross-check with a second observation round or the exact
+        // standalone aggregate before trusting an early exit.
         .observe(obs, sum(col("label").cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint()
       val s = obs.get("lsum") match {

@@ -235,6 +235,13 @@ object Search {
     // on two numbers the write pass already sees. Values are identical
     // (same count, same sum over the same per-doc token arrays; empty
     // corpus observes (0, 0) exactly as the old aggregate did).
+    // Distributed-deployment caveat (ADVICE r14 #1): CollectMetrics
+    // accumulators in a shuffle-map/write stage can double-count rows
+    // re-executed by task/stage RETRIES, which would skew the idf/avgdl
+    // persisted in this index's meta; a single-JVM local run has no such
+    // retries. For a cluster one-shot index build, prefer the exact
+    // standalone aggregate (the `m` fallback below computes it) over the
+    // observed values.
     val obs = org.apache.spark.sql.Observation(
       s"text_build_${java.util.UUID.randomUUID()}")
     val observed = tokenizedDocs(documents, idCol, textCol)
